@@ -1,0 +1,65 @@
+"""Order-independent (bit-exact) floating-point aggregation helpers.
+
+Summing IEEE doubles is order-dependent: Spark folds partitions in
+nondeterministic order, DuckDB in another, so ``SUM(double)`` can differ in
+the last bits between engines — enough to break a value-hash oracle.
+
+Fix: scale each value to an integer number of "cents" per row
+(``round(x * 10^scale)`` — a deterministic per-row double op, identical in
+both engines), sum exactly in int64, divide once at the end. The integer sum
+is associative/commutative, so partitioning cannot change it; the final
+division is a single deterministic double op. Fixture magnitudes
+(≤ ~1e9 * 10^4 = 1e13) sit far below int64 range.
+
+The oracle-side SQL mirror of each helper is in the query modules' SQL
+strings (``CAST(ROUND(x * 1e4) AS BIGINT)`` etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def exact_sum(col: Column, scale: int = 4) -> Column:
+    """SUM(col) as double, order-independent: scale→int64→sum→unscale."""
+    factor = float(10**scale)
+    return F.sum(F.round(col * F.lit(factor)).cast("bigint")) / F.lit(factor)
+
+
+def exact_avg(col: Column, scale: int = 4) -> Column:
+    """AVG(col) as double, order-independent (exact int sum / count)."""
+    factor = float(10**scale)
+    return (
+        F.sum(F.round(col * F.lit(factor)).cast("bigint")).cast("double")
+        / F.count(col)
+        / F.lit(factor)
+    )
+
+
+def sql_exact_sum(expr: str, scale: int = 4) -> str:
+    """DuckDB mirror of :func:`exact_sum` for oracle strings."""
+    factor = f"1e{scale}" if scale else "1"
+    return f"SUM(CAST(ROUND(({expr}) * {factor}) AS BIGINT)) / {factor}"
+
+
+def sql_exact_avg(expr: str, scale: int = 4) -> str:
+    """DuckDB mirror of :func:`exact_avg`."""
+    factor = f"1e{scale}" if scale else "1"
+    return (
+        f"CAST(SUM(CAST(ROUND(({expr}) * {factor}) AS BIGINT)) AS DOUBLE)"
+        f" / COUNT({expr}) / {factor}"
+    )
+
+
+def int_avg(col: Column) -> Column:
+    """AVG over integer input as double: exact int64 sum, one division.
+
+    (Plain ``F.avg(long)`` may accumulate as double incrementally; this
+    form is engine-order-proof.)
+    """
+    return F.sum(col).cast("double") / F.count(col)
+
+
+def sql_int_avg(expr: str) -> str:
+    return f"CAST(SUM({expr}) AS DOUBLE) / COUNT({expr})"

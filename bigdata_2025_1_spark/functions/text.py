@@ -1,0 +1,191 @@
+"""Text scalar functions (SURVEY §2.D) + text-analysis primitives for the
+LLM-pipeline extensions (language ID, quality scoring, token counting,
+fingerprinting). All pure built-in column expressions — no Python UDFs.
+
+Cross-engine portability notes (these expressions are mirrored in DuckDB
+oracle SQL): md5 → lowercase hex string in both engines, so "min md5
+string" is a valid random-permutation MinHash without any hex→int cast;
+regexp flavors (Java vs RE2) agree on every pattern used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Reference scalar functions (SURVEY §2.D)
+# ---------------------------------------------------------------------------
+
+
+def normalize_ws(col: Column) -> Column:
+    """' '.join(text.split()) parity (crawl/crawl.py:198-199)."""
+    return F.regexp_replace(F.trim(col), r"\s+", " ")
+
+
+def collapse_dashes(col: Column) -> Column:
+    """re.sub(r'-{2,}','') parity (crawl/crawl.py:226)."""
+    return F.regexp_replace(col, "-{2,}", "")
+
+
+def preview(col: Column, n: int = 100) -> Column:
+    """100-char preview + '...' when longer (spark/consumer.py:88)."""
+    return F.when(
+        F.length(col) > n, F.concat(F.substring(col, 1, n), F.lit("..."))
+    ).otherwise(col)
+
+
+# ---------------------------------------------------------------------------
+# Tokenization
+# ---------------------------------------------------------------------------
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    return F.filter(F.split(F.trim(col), r"\s+", -1), lambda w: w != F.lit(""))
+
+
+# BPE-ish pre-tokenizer: word pieces | numbers | single non-space symbols
+# (the GPT-2 pre-tokenizer shape, simplified to an ASCII-safe regex that
+# behaves identically under Java regex and RE2).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Count of BPE-ish pre-tokens (regexp scan, no UDF)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+
+# Tiny per-language marker lexicons. A real system would use fastText or
+# CLD3; this is a deterministic, SQL-expressible heuristic with the same
+# *shape* (score per language → argmax) so the Spark plumbing is honest.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "es": ("el", "la", "que", "los", "es"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def lang_scores(col: Column) -> list[tuple[str, Column]]:
+    toks = ws_tokens(F.lower(col))
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        out.append((lang, score))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """argmax language by marker hits; ties and zero-hits → 'und'.
+
+    Deterministic: languages compared in fixed order, strict > to win.
+    """
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Gopher/C4-style cheap quality signals, all JVM-side."""
+    toks = ws_tokens(col)
+    n_tok = F.size(toks)
+    n_chars = F.length(col)
+    alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", ""))
+    mean_word_len = F.when(n_tok > 0, (alpha.cast("double") / n_tok))
+    stop_arr = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tok.cast("bigint"),
+        "alpha_ratio": F.when(n_chars > 0, alpha.cast("double") / n_chars),
+        "digit_ratio": F.when(n_chars > 0, digits.cast("double") / n_chars),
+        "punct_ratio": F.when(n_chars > 0, punct.cast("double") / n_chars),
+        "mean_word_len": mean_word_len,
+        "stopword_ratio": F.when(n_tok > 0, stop_hits.cast("double") / n_tok),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Shingles / fingerprints (dedup + similarity substrate)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined), order of first appearance
+    irrelevant downstream (we only take mins / set ops over them)."""
+    toks = ws_tokens(F.lower(col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return F.array_distinct(sh)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash via seeded-md5 string ordering.
+
+    For seed i, h_i(s) = md5(i || ':' || s); the signature element is the
+    lexicographic min — a valid random permutation per seed, and exactly
+    reproducible in DuckDB (md5 hex strings compare identically).
+    Null-safe: empty shingle set → array of nulls.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def doc_fingerprint(col: Column, k: int = 3) -> Column:
+    """Single-value document fingerprint: min md5 over k-shingles
+    (a 1-hash MinHash — stable under reordering/duplication of content
+    blocks, the property winnowing-style fingerprints are used for)."""
+    return F.array_min(F.transform(word_shingles(col, k), lambda s: F.md5(s)))
+
+
+def simhash_bits(col: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens using md5 hex-char parity as the
+    per-token bit source: bit j of token t = parity(hex digit j of md5(t)).
+    Returns a bigint in [0, 2^bits). Portable: same md5, same parity rule
+    in DuckDB SQL.
+    """
+    toks = ws_tokens(F.lower(col))
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    terms = []
+    for j in range(bits):
+        # +1/-1 vote per token for bit j; odd hex digit → 1
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, j=j: acc
+            + F.when(
+                F.substring(h, j + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        terms.append(F.when(votes > 0, F.lit(2**j)).otherwise(F.lit(0)).cast("bigint"))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out

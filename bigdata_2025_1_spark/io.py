@@ -1,0 +1,50 @@
+"""Fixture-table IO.
+
+The driver materializes a TPC-H-ish star schema plus ``events`` /
+``documents`` / ``embeddings`` at ``/root/testdata/sf*/{table}.parquet``
+(see TESTDATA.md / FIXTURES.md). All queries load through here so that a
+future move to partitioned/bucketed layouts (or HDFS paths — the reference
+deploys HDFS but never writes to it, ``hdfs/docker-compose.yml:4-49``) is a
+one-file change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one fixture table. Column pruning / predicate pushdown happen
+    downstream because this stays a plain declarative parquet scan."""
+    if table not in TABLES:
+        raise KeyError(f"unknown table {table!r}; known: {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every fixture table as a temp view (mirrors the reference's
+    ``createOrReplaceTempView('documents')`` SQL entry point,
+    spark/visualize.py:27)."""
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,21 @@
+"""Operator families. Importing a module registers its queries."""
+
+from __future__ import annotations
+
+import importlib
+
+_MODULES = (
+    "reference_parity",
+    "relational",
+    "analytic_windows",
+    "events_ops",
+    "text_analysis",
+    "dedup",
+    "similarity",
+    "multimodal",
+)
+
+
+def load_all() -> None:
+    for m in _MODULES:
+        importlib.import_module(f"bigdata_2025_1_spark.operators.{m}")

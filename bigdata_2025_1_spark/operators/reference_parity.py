@@ -1,0 +1,206 @@
+"""Queries with direct reference-semantics parity (SURVEY §2.B/C/D/E).
+
+The fixture ``documents`` table maps onto the reference's streamed record
+(``source`` ↔ domain, ``text`` ↔ content; spark/consumer.py:10-15).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.functions import metadata as M
+from bigdata_2025_1_spark.functions import text as T
+from bigdata_2025_1_spark.functions.exact import int_avg, sql_int_avg
+from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.registry import query
+
+
+@query(
+    "domain_doc_stats",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS doc_count,
+           MIN(LENGTH(text)) AS min_chars,
+           MAX(LENGTH(text)) AS max_chars,
+           {sql_int_avg('LENGTH(text)')} AS avg_chars,
+           SUM(LENGTH(text)) AS total_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY doc_count DESC, source
+    """,
+)
+def domain_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-domain doc count + content-size stats in ONE pass.
+
+    Reference computes these as 4 separate jobs plus a double count
+    (spark/consumer.py:36,47,53-76); here it is a single hash aggregate
+    (partial+final, AQE-coalesced) — the scale-correct shape.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ln = F.length("text")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.min(ln).alias("min_chars"),
+            F.max(ln).alias("max_chars"),
+            int_avg(ln).alias("avg_chars"),
+            F.sum(ln).alias("total_chars"),
+        )
+        .orderBy(F.desc("doc_count"), "source")
+    )
+
+
+@query(
+    "global_size_stats",
+    oracle=f"""
+    SELECT COUNT(*) AS total_documents,
+           MIN(LENGTH(text)) AS min_size,
+           MAX(LENGTH(text)) AS max_size,
+           {sql_int_avg('LENGTH(text)')} AS avg_size,
+           SUM(LENGTH(text)) AS total_size
+    FROM documents
+    """,
+)
+def global_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global min/max/avg/sum of content length (C1+C4,
+    spark/consumer.py:47,64-76) — count folded into the same aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    ln = F.length("text")
+    return docs.agg(
+        F.count("*").alias("total_documents"),
+        F.min(ln).alias("min_size"),
+        F.max(ln).alias("max_size"),
+        int_avg(ln).alias("avg_size"),
+        F.sum(ln).alias("total_size"),
+    )
+
+
+@query(
+    "top_domains",
+    oracle="""
+    SELECT source, COUNT(*) AS doc_count
+    FROM documents
+    GROUP BY source
+    ORDER BY doc_count DESC, source
+    LIMIT 10
+    """,
+)
+def top_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 domains by count (C3/C6, spark/export_stats.py:89-98) —
+    TakeOrdered (sort+limit pushed into a top-k), deterministic tiebreak."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), "source")
+        .limit(10)
+    )
+
+
+@query(
+    "filter_project_preview",
+    oracle="""
+    SELECT doc_id,
+           source AS domain,
+           CAST(n_chars AS VARCHAR) AS n_chars_str,
+           CASE WHEN LENGTH(text) > 100
+                THEN SUBSTRING(text, 1, 100) || '...'
+                ELSE text END AS preview
+    FROM documents
+    WHERE source IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+    ORDER BY doc_id
+    LIMIT 5
+    """,
+)
+def filter_project_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project+alias+cast, conjunctive not-null filter, ordered head
+    (B1/B2/B3 + D4 preview; spark/consumer.py:86-88,132-146)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            F.col("source").isNotNull()
+            & F.col("text").isNotNull()
+            & F.col("lang").isNotNull()
+        )
+        .select(
+            "doc_id",
+            F.col("source").alias("domain"),
+            F.col("n_chars").cast("string").alias("n_chars_str"),
+            T.preview(F.col("text")).alias("preview"),
+        )
+        .orderBy("doc_id")
+        .limit(5)
+    )
+
+
+_METADATA_ORACLE = """
+WITH lines AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS ls,
+         regexp_extract_all(text, '\\d{1,4}/(?:\\d{4}/)?[A-ZĐ]{1,5}(?:-[A-Z0-9]{1,5})*') AS codes
+  FROM documents
+), parts AS (
+  SELECT doc_id, text, ls, codes,
+         codes[1] AS main_code,
+         list_filter(codes[2:], c -> c <> codes[1]) AS related_codes,
+         CASE WHEN contains(text, '|')
+              THEN trim(string_split(text, '|')[2]) END AS agency,
+         list_filter(ls, l -> contains(l, 'Số:') AND contains(lower(l), 'ngày'))[1] AS primary_line,
+         list_filter(ls, l -> regexp_matches(lower(l), 'ngày\\s+\\d{1,2}\\s+tháng'))[1] AS fb_line,
+         list_filter(ls, l -> regexp_matches(l, '\\b(KT\\.|TL\\.|THỨ TRƯỞNG|BỘ TRƯỞNG)\\b'))[-1] AS signer_line
+  FROM lines
+)
+SELECT doc_id,
+       main_code,
+       related_codes,
+       agency,
+       COALESCE(
+         trim(list_filter(string_split(primary_line, '|'), p -> contains(lower(p), 'ngày'))[1]),
+         trim(fb_line)
+       ) AS issue_date,
+       CASE WHEN len(list_filter(regexp_split_to_array(trim(signer_line), '\\s+'), w -> w <> '')) >= 2
+            THEN list_aggregate(list_filter(regexp_split_to_array(trim(signer_line), '\\s+'), w -> w <> ''), 'string_agg', ' ')
+       END AS signer
+FROM parts
+ORDER BY doc_id
+"""
+
+
+@query("metadata_extract", oracle=_METADATA_ORACLE)
+def metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5-D8/E4: document-code regex scan, agency pipe-split, issue-date
+    line scan with fallback, signer reverse line scan — one distributed
+    ``select``, zero UDFs (crawl/1/extract_document_info.py:4-63)."""
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        M.main_code(text).alias("main_code"),
+        M.related_codes(text).alias("related_codes"),
+        M.agency(text).alias("agency"),
+        M.issue_date(text).alias("issue_date"),
+        M.signer(text).alias("signer"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "normalize_text",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(trim(text), '\\s+', ' ', 'g') AS normalized,
+           regexp_replace(text, '-{2,}', '', 'g') AS dashes_collapsed
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace normalize (D9, crawl/crawl.py:198-199) + dash collapse
+    (D10, crawl/crawl.py:226) as vectorized regexp_replace."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.normalize_ws(F.col("text")).alias("normalized"),
+        T.collapse_dashes(F.col("text")).alias("dashes_collapsed"),
+    ).orderBy("doc_id")

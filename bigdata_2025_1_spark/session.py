@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+Reproduces the reference's session knobs (AQE + partition coalescing,
+``spark/consumer.py:20-27`` in the reference) and adds the settings a
+100 TB deployment wants from day one:
+
+- AQE skew-join handling (salting-free skew mitigation at runtime),
+- Arrow for any pandas-UDF exchange,
+- a shuffle-partition default sized for the local harness but overridable
+  via ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` (a real cluster would set this to
+  ~2-3x total cores, or rely on AQE coalescing from a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "bigdata-2025-1-spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master=None`` defers to the environment (spark-submit / an existing
+    session); tests pass ``local[N]``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    builder = (
+        builder
+        # Reference parity: spark/consumer.py:23-24
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Scale posture: runtime skew handling for 100 TB joins/aggs
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow-batched pandas UDFs (the only sanctioned Python hot path)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Parquet scans: default 128m is right for the big tables; keep it
+        # explicit so the intent survives config drift.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
