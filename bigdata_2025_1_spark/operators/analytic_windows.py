@@ -1,1 +1,198 @@
-"""(filled in incrementally)"""
+"""Window/analytic functions and multi-dimensional aggregates
+(SURVEY §2.G: row_number/rank/lag/lead/running sums, rollup, cube,
+grouping sets).
+
+Window determinism rule: every ORDER BY inside a window ends with a unique
+key (orderkey / custkey) so ranks and running sums are reproducible across
+engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.functions.exact import exact_sum, sql_exact_sum
+from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.registry import query
+
+
+@query(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ROW_NUMBER — the scale-correct alternative to a
+    global sort: one shuffle on the partition key, per-partition sort.
+    Spark 4 additionally rewrites rn<=k into a WindowGroupLimit push-down."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "customer_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1e2
+             AS running_spend,
+           LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+           LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag/lead over each customer's order history. The
+    running sum accumulates scaled int64 (order-fixed by the window ORDER
+    BY, exact) then unscales — bit-stable across engines."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0)) / 100).alias(
+            "running_spend"
+        ),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "part_price_rank_in_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS dense_price_rank,
+           CAST(NTILE(4) OVER (PARTITION BY p_brand
+                               ORDER BY p_retailprice DESC, p_partkey) AS INT) AS price_quartile
+    FROM part
+    ORDER BY p_brand, price_rank, p_partkey
+    """,
+)
+def part_price_rank_in_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK (tie-tolerant: equal prices share a rank, so no
+    tiebreaker needed for determinism) + NTILE quartiles per brand."""
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    wt = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("dense_price_rank"),
+        F.ntile(4).over(wt).alias("price_quartile"),
+    ).orderBy("p_brand", "price_rank", "p_partkey")
+
+
+@query(
+    "rollup_nation_segment",
+    oracle=f"""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           {sql_exact_sum('c.c_acctbal', 2)} AS total_balance
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    ORDER BY nation NULLS FIRST, segment NULLS FIRST
+    """,
+)
+def rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(nation, segment): detail + per-nation subtotal + grand total
+    in one pass (Catalyst expands to a single Expand+hash agg — not N
+    separate scans)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"), "c_acctbal")
+        .rollup("nation", "segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            exact_sum(F.col("c_acctbal"), 2).alias("total_balance"),
+        )
+        .orderBy(F.asc_nulls_first("nation"), F.asc_nulls_first("segment"))
+    )
+
+
+@query(
+    "cube_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+           {sql_exact_sum('l_extendedprice', 2)} AS total_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(returnflag, linestatus): all 2^2 grouping combinations."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+            exact_sum(F.col("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )
+
+
+@query(
+    "grouping_sets_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority) AS g_priority,
+           GROUPING(o_orderstatus) AS g_status,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    ORDER BY g_priority, g_status, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() disambiguation flags (SQL
+    entry point — parity with the reference's spark.sql path,
+    spark/visualize.py:27)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_priority,
+               CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_priority, g_status, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+        """
+    )

@@ -1,1 +1,428 @@
-"""(filled in incrementally)"""
+"""Relational core over the TPC-H-ish fixtures (SURVEY §2.G: joins incl.
+broadcast/semi/anti/outer/theta, set ops, top-k, distinct, date bucketing).
+
+Scale posture baked into each query:
+- dimension joins (region/nation/supplier/part, and customer where it is
+  the small side) are explicitly ``F.broadcast`` — no shuffle of the fact
+  table for them at any scale;
+- aggregates are single-pass hash aggs with map-side partials;
+- top-k is sort+limit (TakeOrdered — no full sort materialization);
+- the only full shuffles left are the fact-fact joins on their keys, which
+  is the correct 100 TB plan (AQE handles skew/coalescing at runtime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.functions.exact import (
+    exact_avg,
+    exact_sum,
+    int_avg,
+    sql_exact_avg,
+    sql_exact_sum,
+    sql_int_avg,
+)
+from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.registry import query
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           {sql_exact_sum('l_extendedprice', 2)} AS sum_base_price,
+           {sql_exact_sum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {sql_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 4)} AS sum_charge,
+           {sql_int_avg('CAST(l_quantity AS BIGINT)')} AS avg_qty,
+           {sql_exact_avg('l_extendedprice', 2)} AS avg_price,
+           {sql_exact_avg('l_discount', 4)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg, fully pushed down. The filter and
+    the 8-column projection reach the parquet scan (PushedFilters +
+    ReadSchema); one hash agg, partial+final."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            exact_sum(disc_price, 4).alias("sum_disc_price"),
+            exact_sum(charge, 4).alias("sum_charge"),
+            int_avg(F.col("l_quantity").cast("bigint")).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            exact_avg(F.col("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_top_revenue_orders",
+    oracle=f"""
+    SELECT l.l_orderkey AS o_orderkey,
+           {sql_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered customer (small after filter → broadcast)
+    ⋈ orders ⋈ lineitem, group by order, top-10 by revenue.
+
+    customer-filtered is broadcast to orders; orders⋈lineitem shuffles on
+    orderkey — at 100 TB that is the unavoidable fact-fact shuffle and the
+    group-by reuses the same key so no second shuffle."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_sum(revenue, 4).alias("revenue"))
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "revenue",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {sql_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join. region/nation/supplier broadcast
+    (dims); customer⋈orders and orders⋈lineitem are the key shuffles."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(exact_sum(revenue, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@query(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers having a >400k order. Semi joins never
+    duplicate or widen rows — the right side reduces to its join key."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "anti_join_idle_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    ORDER BY c_custkey
+    """,
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no pending ('P') order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "outer_join_order_counts",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS order_count,
+           COALESCE({sql_exact_sum('o.o_totalprice', 2)}, 0.0) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY c.c_custkey
+    """,
+)
+def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + agg: per-customer order count/spend including
+    zero-order customers (COUNT of a right-side column skips nulls)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.coalesce(exact_sum(F.col("o_totalprice"), 2), F.lit(0.0)).alias(
+                "total_spent"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "theta_join_balance_peers",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS peer_pairs
+    FROM customer c
+    JOIN supplier s ON c.c_nationkey = s.s_nationkey
+                   AND c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY peer_pairs DESC, nation
+    """,
+)
+def theta_join_balance_peers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join: customer-supplier pairs in the same nation with
+    account balances within ±100. Equi part (nationkey) drives the join
+    strategy; the range predicate is a post-join filter — broadcast the
+    small side so it never degenerates to a cartesian shuffle."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    joined = c.join(
+        F.broadcast(s),
+        (c.c_nationkey == s.s_nationkey)
+        & (c.c_acctbal >= s.s_acctbal - 100)
+        & (c.c_acctbal <= s.s_acctbal + 100),
+    )
+    return (
+        joined.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("peer_pairs"))
+        .orderBy(F.desc("peer_pairs"), "nation")
+    )
+
+
+@query(
+    "set_ops_customer_segments",
+    oracle="""
+    WITH big_spenders AS (
+      SELECT o_custkey AS custkey FROM orders GROUP BY o_custkey
+      HAVING SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) / 1e2 > 1500000
+    ), building AS (
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), machinery AS (
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    SELECT 'big_and_building' AS set_name, COUNT(*) AS n
+    FROM (SELECT custkey FROM big_spenders INTERSECT SELECT custkey FROM building)
+    UNION ALL
+    SELECT 'big_except_machinery' AS set_name, COUNT(*) AS n
+    FROM (SELECT custkey FROM big_spenders EXCEPT SELECT custkey FROM machinery)
+    UNION ALL
+    SELECT 'building_union_machinery' AS set_name, COUNT(*) AS n
+    FROM (SELECT custkey FROM building UNION SELECT custkey FROM machinery)
+    ORDER BY set_name
+    """,
+)
+def set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT / EXCEPT / UNION(distinct) over customer
+    key sets, each reduced to a count."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    big = (
+        o.groupBy("o_custkey")
+        .agg(exact_sum(F.col("o_totalprice"), 2).alias("spend"))
+        .filter(F.col("spend") > 1500000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    building = c.filter(c.c_mktsegment == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    machinery = c.filter(c.c_mktsegment == "MACHINERY").select(
+        F.col("c_custkey").alias("custkey")
+    )
+
+    def tagged(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(tag).alias("set_name"), "n"
+        )
+
+    return (
+        tagged(big.intersect(building), "big_and_building")
+        .unionByName(tagged(big.exceptAll(machinery.distinct()), "big_except_machinery"))
+        .unionByName(tagged(building.union(machinery).distinct(), "building_union_machinery"))
+        .orderBy("set_name")
+    )
+
+
+@query(
+    "distinct_counts",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS n_customers_with_orders,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_order_days
+    FROM orders
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT(DISTINCT) in one aggregate (Catalyst
+    expands to a single multi-distinct hash agg)."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_customers_with_orders"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_order_days"),
+    )
+
+
+@query("approx_distinct_counts")  # no oracle: HLL sketches differ per engine
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB-scale answer to
+    COUNT(DISTINCT) on high-cardinality keys: one pass, fixed memory, no
+    shuffle of the distinct values themselves. Sketch values are
+    engine-specific → rows-only driver check (exact twin: distinct_counts)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_custkeys"))
+        .crossJoin(li.agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_partkeys")))
+    )
+
+
+@query(
+    "orders_by_month",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_exact_sum('o_totalprice', 2)} AS month_revenue
+    FROM orders
+    GROUP BY 1, o_orderstatus
+    ORDER BY order_month, o_orderstatus
+    """,
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date bucketing: month × status aggregate — the partition-by-date
+    pattern a 100 TB table would be physically laid out on."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("month_revenue"),
+        )
+        .orderBy("order_month", "o_orderstatus")
+    )
+
+
+@query(
+    "part_price_bands",
+    oracle=f"""
+    SELECT CASE WHEN p_retailprice < 500 THEN 'budget'
+                WHEN p_retailprice < 1200 THEN 'mid'
+                ELSE 'premium' END AS price_band,
+           COUNT(*) AS n_parts,
+           {sql_int_avg('p_size')} AS avg_size,
+           MIN(p_retailprice) AS min_price,
+           MAX(p_retailprice) AS max_price
+    FROM part
+    WHERE p_type LIKE '%AND%' OR contains(p_name, 'green')
+    GROUP BY 1
+    ORDER BY price_band
+    """,
+)
+def part_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function showcase: CASE bucketing + LIKE + contains +
+    min/max (exact — no float arithmetic, just comparisons)."""
+    p = load(spark, sf_dir, "part")
+    band = (
+        F.when(F.col("p_retailprice") < 500, "budget")
+        .when(F.col("p_retailprice") < 1200, "mid")
+        .otherwise("premium")
+    )
+    return (
+        p.filter(F.col("p_type").like("%AND%") | F.col("p_name").contains("green"))
+        .groupBy(band.alias("price_band"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            int_avg(F.col("p_size")).alias("avg_size"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+        .orderBy("price_band")
+    )
