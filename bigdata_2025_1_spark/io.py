@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -39,7 +40,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     downstream because this stays a plain declarative parquet scan."""
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; known: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if table == "events":
+        # The events fixture stores ts as TIMESTAMP(NANOS), which Spark's
+        # parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as
+        # int64 and convert with exact integer floor-division to micros —
+        # bit-identical to DuckDB's ns→µs truncation.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:

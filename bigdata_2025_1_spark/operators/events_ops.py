@@ -1,1 +1,244 @@
-"""(filled in incrementally)"""
+"""Event-stream operators in their batch-equivalent form (SURVEY §2.A2/A3,
+§2.F6). The streaming pipelines in ``streaming/`` reuse exactly these
+transformations inside ``readStream``/``foreachBatch`` — by construction
+(the reference's foreachBatch body is batch code too,
+spark/consumer.py:33-100), so the DuckDB oracle checks the shared logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_2025_1_spark.functions.exact import exact_sum, sql_exact_sum
+from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.registry import query
+from bigdata_2025_1_spark.sources.kafka_shape import to_kafka_message
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType(), True)])
+
+
+@query(
+    "events_json_decode",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 parity on the events fixture: from_json with a declared schema
+    (PERMISSIVE — malformed → null), then aggregate the decoded field."""
+    ev = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.from_json(F.col("props"), PROPS_SCHEMA)["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "kafka_roundtrip_counts",
+    oracle="""
+    SELECT event_type AS domain, COUNT(*) AS n_messages,
+           COUNT(DISTINCT event_type || '_' || CAST(event_id AS VARCHAR)) AS n_keys
+    FROM events
+    GROUP BY event_type
+    ORDER BY domain
+    """,
+)
+def kafka_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3→A2 roundtrip without a broker: encode events into Kafka message
+    shape (key = ``{event_type}_{event_id}``, value = JSON payload —
+    push_data_to_kafka.py:25-32), decode the value back with from_json,
+    verify counts/keys survive. The oracle computes the same from the
+    source table — equality proves the roundtrip is lossless."""
+    ev = load(spark, sf_dir, "events")
+    msgs = to_kafka_message(
+        ev.withColumn("event_id_str", F.col("event_id").cast("string")),
+        ("event_type", "event_id_str"),
+        ["event_id", "event_type", "user_id"],
+    )
+    decoded = msgs.select(
+        "key",
+        F.from_json(
+            F.col("value"),
+            "event_id BIGINT, event_type STRING, user_id BIGINT",
+        ).alias("data"),
+    ).select("key", "data.*")
+    return (
+        decoded.filter(F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").alias("domain"))
+        .agg(
+            F.count("*").alias("n_messages"),
+            F.countDistinct("key").alias("n_keys"),
+        )
+        .orderBy("domain")
+    )
+
+
+@query(
+    "events_hourly_windows",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value', 2)} AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (F6) in batch form: F.window(ts, 1h) —
+    the same expression Structured Streaming uses with a watermark; the
+    oracle mirrors it as date_trunc."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value", "n_users")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "events_sliding_windows",
+    oracle=f"""
+    WITH slides AS (
+      SELECT ts, value,
+             date_trunc('hour', ts) + INTERVAL (CASE WHEN minute(ts) >= 30 THEN 30 ELSE 0 END) MINUTE AS aligned,
+             unnest([0, 30]) AS back_min
+    FROM events
+    )
+    SELECT aligned - INTERVAL (back_min) MINUTE AS window_start,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value', 2)} AS sum_value
+    FROM slides
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 30m slide): every event lands in 2
+    windows. Spark's F.window(ts, '1 hour', '30 minutes') expands rows
+    exactly like the oracle's unnest([0,30]) construction."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "user_sessionization",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           SUM(session_events) AS n_events,
+           CAST(MAX(session_events) AS BIGINT) AS max_session_events
+    FROM (SELECT user_id, session_id, COUNT(*) AS session_events
+          FROM sessions GROUP BY user_id, session_id) s
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap — the batch twin
+    of F.session_window): lag → new-session flag → running sum as session
+    id → per-user session stats. One shuffle on user_id; all window ops
+    reuse that partitioning."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sessions = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("session_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.sum("session_events").alias("n_events"),
+            F.max("session_events").cast("bigint").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "dedup_first_event_per_user_type",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def dedup_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest row — the deterministic batch twin
+    of streaming ``dropDuplicatesWithinWatermark`` (plain dropDuplicates
+    keeps an arbitrary row; at scale you want this explicit version)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id", "event_type")
+    )
