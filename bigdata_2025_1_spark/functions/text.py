@@ -147,14 +147,13 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     reproducible in DuckDB (md5 hex strings compare identically).
     Null-safe: empty shingle set → array of nulls.
     """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            ).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    def seeded_min(seed: int) -> Column:
+        # NB: the lambda must be single-arity — F.transform passes the
+        # element index to two-arg lambdas, which would clobber the seed.
+        prefix = f"{seed}:"
+        return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+
+    return F.array(*[seeded_min(i).alias(f"mh{i}") for i in range(num_hashes)])
 
 
 def doc_fingerprint(col: Column, k: int = 3) -> Column:
@@ -164,28 +163,34 @@ def doc_fingerprint(col: Column, k: int = 3) -> Column:
     return F.array_min(F.transform(word_shingles(col, k), lambda s: F.md5(s)))
 
 
-def simhash_bits(col: Column, bits: int = 32) -> Column:
+ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def simhash_bits(col: Column, bits: int = 16) -> Column:
     """SimHash over whitespace tokens using md5 hex-char parity as the
     per-token bit source: bit j of token t = parity(hex digit j of md5(t)).
     Returns a bigint in [0, 2^bits). Portable: same md5, same parity rule
     in DuckDB SQL.
+
+    Single md5 per token: fold token-hash array into a per-bit vote vector
+    (one pass), then threshold votes into bits. Per-row, shuffle-free.
     """
     toks = ws_tokens(F.lower(col))
     hashes = F.transform(toks, lambda t: F.md5(t))
-    terms = []
-    for j in range(bits):
-        # +1/-1 vote per token for bit j; odd hex digit → 1
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, j=j: acc
-            + F.when(
-                F.substring(h, j + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"),
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
+
+    def bit_votes(h: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda j: F.when(h.substr(j, F.lit(1)).isin(*ODD_HEX), F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
         )
-        terms.append(F.when(votes > 0, F.lit(2**j)).otherwise(F.lit(0)).cast("bigint"))
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+
+    zero = F.array(*[F.lit(0) for _ in range(bits)])
+    votes = F.aggregate(hashes, zero, lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, b: a + b))
+    powers = F.array(*[F.lit(2**j) for j in range(bits)])
+    return F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x.cast("bigint"),
+    )

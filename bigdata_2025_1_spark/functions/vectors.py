@@ -1,0 +1,99 @@
+"""Vector similarity primitives over ``array<float>`` embedding columns.
+
+All JVM-side higher-order expressions (zip_with + aggregate) — no UDFs.
+
+Determinism contract: dot products and squared norms are accumulated as
+exactly-rounded int64 "picos" (``round(x*y*1e12)`` per element), so the
+sums are order-independent and bit-identical to the DuckDB oracle mirror;
+cosine then uses a fixed sequence of IEEE double ops. 64-dim unit-ish
+embeddings: |terms| ≤ 64·1e12 — far inside int64.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SCALE = 1e12
+
+
+def dot_scaled(a: Column, b: Column) -> Column:
+    """Σ round(a_i·b_i·1e12) as int64 (order-independent)."""
+    terms = F.zip_with(
+        a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * F.lit(SCALE)).cast("bigint")
+    )
+    return F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def norm_sq_scaled(a: Column) -> Column:
+    return dot_scaled(a, a)
+
+
+def cosine_from_scaled(dot_s: Column, norm_a_s: Column, norm_b_s: Column) -> Column:
+    """cosine = dot_s / (√na_s · √nb_s) — the 1e12 scaling cancels."""
+    return dot_s.cast("double") / (
+        F.sqrt(norm_a_s.cast("double")) * F.sqrt(norm_b_s.cast("double"))
+    )
+
+
+def sql_dot_scaled(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB mirror of :func:`dot_scaled`."""
+    return (
+        f"list_sum([CAST(ROUND({a}[i]::DOUBLE * {b}[i]::DOUBLE * 1e12) AS BIGINT) "
+        f"for i in range(1, {dim + 1})])"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection (SRP) LSH
+# ---------------------------------------------------------------------------
+
+
+def srp_planes(bits: int = 16, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix derived from md5 — computed once
+    in Python and embedded as literals in BOTH engines (so there is no
+    cross-engine hash-function dependency at all)."""
+    planes = []
+    for j in range(bits):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"srp:{j}:{i}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 else -1)
+        planes.append(row)
+    return planes
+
+
+def srp_signature(emb: Column, planes: list[list[int]]) -> Column:
+    """SRP signature as bigint: bit j = [Σ_i round(emb_i·1e9)·w_ji > 0].
+
+    The projection sum is int64-exact (same trick as dot_scaled), so the
+    sign — hence the signature — is engine-independent."""
+    sig = F.lit(0).cast("bigint")
+    for j, row in enumerate(planes):
+        w = F.array(*[F.lit(v) for v in row])
+        proj = F.aggregate(
+            F.zip_with(
+                emb,
+                w,
+                lambda x, wv: F.round(x.cast("double") * F.lit(1e9)).cast("bigint") * wv,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0)).cast("bigint")
+    return sig
+
+
+def sql_srp_signature(emb: str, planes: list[list[int]], dim: int = 64) -> str:
+    """DuckDB mirror of :func:`srp_signature`."""
+    parts = []
+    for j, row in enumerate(planes):
+        lst = "[" + ", ".join(str(v) for v in row) + "]"
+        proj = (
+            f"list_sum([CAST(ROUND({emb}[i]::DOUBLE * 1e9) AS BIGINT) * ({lst})[i] "
+            f"for i in range(1, {dim + 1})])"
+        )
+        parts.append(f"CASE WHEN {proj} > 0 THEN {2**j} ELSE 0 END")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"

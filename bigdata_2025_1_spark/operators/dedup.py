@@ -1,1 +1,272 @@
-"""(filled in incrementally)"""
+"""Deduplication operators for LLM-data pipelines (charter extension):
+exact, MinHash+LSH near-dup, SimHash + hamming banding, n-gram Jaccard.
+
+Scale design (the part that matters at 100 TB):
+- exact dedup groups on a 128-bit content hash, never on the full text —
+  the shuffle moves 16-byte keys, not documents;
+- MinHash: per-doc signatures are computed shuffle-free (higher-order
+  exprs); the LSH band join shuffles only (band_key, doc_id) pairs; full
+  shingle sets are joined back ONLY for candidate pairs (the verify step);
+- SimHash hamming search uses byte-banding (pigeonhole: hamming ≤ 1 on a
+  16-bit hash ⇒ equal high byte or equal low byte) so the self-join is two
+  equi-joins, never a cross join.
+
+Hash portability: md5 hex strings (identical in Spark and DuckDB) are used
+as the hash family everywhere — MinHash takes lexicographic mins of seeded
+md5s, which is a valid random permutation and needs no hex→int casting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.functions import text as T
+from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.registry import query
+
+NUM_HASHES = 8
+BANDS = 2  # rows-per-band = 4 → P(candidate | j≈0.99) ≈ 1
+JACCARD_THRESHOLD = 0.8
+
+# DuckDB shingle fragment shared by several oracles (3-word shingles of the
+# lowercased, whitespace-tokenized text — mirror of functions/text.py).
+_SQL_TOKS = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+_SQL_SHINGLES = (
+    "list_distinct([array_to_string(toks[i:i+2], ' ') "
+    "for i in range(1, greatest(len(toks) - 2, 0) + 1)])"
+)
+_SQL_SIG = ", ".join(
+    f"list_min([md5('{i}:' || s) for s in shingles]) AS mh{i}" for i in range(NUM_HASHES)
+)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, md5(text) AS content_hash FROM documents
+    ), keepers AS (
+      SELECT doc_id, content_hash,
+             MIN(doc_id) OVER (PARTITION BY content_hash) AS keeper_doc_id
+      FROM hashed
+    )
+    SELECT doc_id, keeper_doc_id, doc_id <> keeper_doc_id AS is_duplicate
+    FROM keepers
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on md5(content), keep the smallest doc_id.
+
+    Returns the full assignment (doc → keeper) rather than just survivors
+    so the duplicate mapping is auditable — what a training-data pipeline
+    actually persists."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .withColumn("keeper_doc_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "keeper_doc_id",
+            (F.col("doc_id") != F.col("keeper_doc_id")).alias("is_duplicate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM tok
+    )
+    SELECT doc_id, {_SQL_SIG}
+    FROM sh
+    ORDER BY doc_id
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (8 seeded-md5 minima over 3-word
+    shingles). Shuffle-free: one projection."""
+    docs = load(spark, sf_dir, "documents")
+    shingles = T.word_shingles(F.col("text"), k=3)
+    sig = T.minhash_signature(shingles, NUM_HASHES)
+    return docs.select(
+        "doc_id", *[sig[i].alias(f"mh{i}") for i in range(NUM_HASHES)]
+    ).orderBy("doc_id")
+
+
+_LSH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM tok
+), sig AS (
+  SELECT doc_id, shingles, {_SQL_SIG} FROM sh
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1 || mh2 || mh3) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh4 || mh5 || mh6 || mh7) AS band_key FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+        / len(list_distinct(sa.shingles || sb.shingles)) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_LSH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs: signature → band keys → bucket
+    equi-join for candidates → exact Jaccard verify ≥ 0.8.
+
+    The candidate join carries only (band, band_key, doc_id); shingle sets
+    rejoin just for the (few) candidates. Jaccard = |∩|/|∪| is a single
+    int division — bit-stable cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", T.word_shingles(F.col("text"), k=3).alias("shingles")
+    )
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        T.minhash_signature(F.col("shingles"), NUM_HASHES).alias("sig"),
+    )
+    per_band = NUM_HASHES // BANDS
+    bands = None
+    for b in range(BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(*[F.col("sig")[i] for i in range(b * per_band, (b + 1) * per_band)])
+            ).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    jaccard = inter.cast("double") / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_ODD = "'1','3','5','7','9','b','d','f'"
+_SIMHASH_VOTES = ", ".join(
+    f"SUM(CASE WHEN substr(h, {j + 1}, 1) IN ({_ODD}) THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(16)
+)
+_SIMHASH_VALUE = " + ".join(f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16))
+
+_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), ex AS (
+  SELECT doc_id, md5(unnest(toks)) AS h FROM tok
+), votes AS (
+  SELECT doc_id, {_SIMHASH_VOTES} FROM ex GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@query(
+    "simhash_values",
+    oracle=f"SELECT doc_id, simhash FROM ({_SIMHASH_SQL}) ORDER BY doc_id",
+)
+def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (md5 hex-digit parity votes). Spark
+    computes it per-row with higher-order folds (no shuffle); the oracle
+    mirrors it relationally via unnest+GROUP BY — same votes, same hash."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.simhash_bits(F.col("text"), bits=16).alias("simhash")
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH sim AS ({_SIMHASH_SQL}),
+    banded AS (
+      SELECT doc_id, simhash, 0 AS band, simhash // 256 AS band_key FROM sim
+      UNION ALL
+      SELECT doc_id, simhash, 1 AS band, simhash % 256 AS band_key FROM sim
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= 1
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with hamming ≤ 1 via byte banding
+    (pigeonhole: ≤1 differing bit ⇒ high byte or low byte equal), so the
+    pair search is two equi-joins on one-byte keys — no cross join at any
+    scale."""
+    docs = load(spark, sf_dir, "documents")
+    sim = docs.select(
+        "doc_id", T.simhash_bits(F.col("text"), bits=16).alias("simhash")
+    )
+    hi = sim.select("doc_id", "simhash", F.lit(0).alias("band"), F.expr("simhash div 256").alias("band_key"))
+    lo = sim.select("doc_id", "simhash", F.lit(1).alias("band"), (F.col("simhash") % 256).alias("band_key"))
+    banded = hi.unionByName(lo)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 1)
+        .orderBy("doc_a", "doc_b")
+    )

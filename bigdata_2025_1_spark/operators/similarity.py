@@ -1,1 +1,171 @@
-"""(filled in incrementally)"""
+"""Similarity search over the embeddings fixture (charter extension):
+brute-force cosine top-k (the correctness baseline) and SRP-LSH bucketed
+near-neighbor search (the scale path).
+
+Scale design:
+- brute-force top-k broadcasts the (small) query set against the corpus —
+  a map-side nested loop, no shuffle of the corpus; per-group top-k via
+  row_number, not a global sort;
+- SRP-LSH reduces the all-pairs problem to equi-joins on one-byte band
+  keys (same pigeonhole shape as simhash hamming search); exact cosine is
+  computed only for bucket-collision candidates;
+- squared norms are precomputed once per vector and carried as int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.functions import vectors as V
+from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.registry import query
+
+N_QUERY_VECS = 50  # brute-force query subset: realistic "probe set" shape
+TOP_K = 5
+NEAR_DUP_COS = 0.45  # fixture max inter-vector cosine ≈ 0.51
+_PLANES = V.srp_planes(bits=16, dim=64)
+_DIM = 64
+
+_SQL_DOT_AB = V.sql_dot_scaled("qa.embedding", "qb.embedding", _DIM)
+_SQL_NORM = V.sql_dot_scaled("embedding", "embedding", _DIM)
+
+
+@query(
+    "ann_topk_cosine",
+    oracle=f"""
+    WITH norms AS (
+      SELECT vec_id, embedding, {_SQL_NORM} AS nsq FROM embeddings
+    ), pairs AS (
+      SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+             {_SQL_DOT_AB}::DOUBLE / (sqrt(qa.nsq::DOUBLE) * sqrt(qb.nsq::DOUBLE)) AS cosine
+      FROM norms qa JOIN norms qb ON qa.vec_id < {N_QUERY_VECS} AND qa.vec_id <> qb.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for a probe set (vec_id < 50): broadcast
+    the probes against the corpus, rank per query. The exact baseline any
+    ANN variant is measured against."""
+    emb = load(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", "embedding", V.norm_sq_scaled(F.col("embedding")).alias("nsq")
+    )
+    queries_df = norms.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    corpus = norms.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    pairs = corpus.join(F.broadcast(queries_df), F.col("query_id") != F.col("neighbor_id"))
+    cosine = V.cosine_from_scaled(
+        V.dot_scaled(F.col("q_emb"), F.col("c_emb")), F.col("q_nsq"), F.col("c_nsq")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "embedding_srp_signatures",
+    oracle=f"""
+    SELECT vec_id, label, {V.sql_srp_signature('embedding', _PLANES, _DIM)} AS srp_sig
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def embedding_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit signed-random-projection signature per vector (hyperplanes
+    are md5-derived ±1 literals shared with the oracle — no cross-engine
+    hash dependency). Shuffle-free projection."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        V.srp_signature(F.col("embedding"), _PLANES).alias("srp_sig"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "ann_srp_lsh_pairs",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {V.sql_srp_signature('embedding', _PLANES, _DIM)} AS srp_sig,
+             {_SQL_NORM} AS nsq
+      FROM embeddings
+    ), banded AS (
+      SELECT vec_id, embedding, nsq, 0 AS band, srp_sig // 256 AS band_key FROM sig
+      UNION ALL
+      SELECT vec_id, embedding, nsq, 1 AS band, srp_sig % 256 AS band_key FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.vec_id < b.vec_id
+    ), verified AS (
+      SELECT c.vec_a, c.vec_b,
+             {V.sql_dot_scaled('qa.embedding', 'qb.embedding', _DIM)}::DOUBLE
+               / (sqrt(qa.nsq::DOUBLE) * sqrt(qb.nsq::DOUBLE)) AS cosine
+      FROM cand c
+      JOIN sig qa ON qa.vec_id = c.vec_a
+      JOIN sig qb ON qb.vec_id = c.vec_b
+    )
+    SELECT vec_a, vec_b, cosine FROM verified
+    WHERE cosine >= {NEAR_DUP_COS}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def ann_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-neighbor pairs: SRP signature → byte bands →
+    bucket equi-join → exact cosine verify ≥ 0.45. The scale path: the
+    join key is one byte; embeddings rejoin only for candidates."""
+    emb = load(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        V.srp_signature(F.col("embedding"), _PLANES).alias("srp_sig"),
+        V.norm_sq_scaled(F.col("embedding")).alias("nsq"),
+    )
+    keyed = sig.select("vec_id", "srp_sig")
+    hi = keyed.select("vec_id", F.lit(0).alias("band"), F.expr("srp_sig div 256").alias("band_key"))
+    lo = keyed.select("vec_id", F.lit(1).alias("band"), (F.col("srp_sig") % 256).alias("band_key"))
+    banded = hi.unionByName(lo)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    qa = sig.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nsq").alias("nsq_a"))
+    qb = sig.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nsq").alias("nsq_b"))
+    cosine = V.cosine_from_scaled(
+        V.dot_scaled(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
+    )
+    return (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,1 +1,158 @@
-"""(filled in incrementally)"""
+"""Text-analysis operators for LLM-data pipelines (charter extension):
+language ID, quality scoring, token counting, document fingerprinting.
+All pure built-in column expressions (whole-stage codegen; embarrassingly
+parallel — no shuffle except the final order-by, which a real pipeline
+drops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.functions import text as T
+from bigdata_2025_1_spark.functions.exact import sql_int_avg
+from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.registry import query
+
+# DuckDB mirror of functions/text.py lang_id: score = count of tokens in
+# the marker list; argmax with fixed language order, strict > to win.
+_LANG_CASES = []
+for _lang, _markers in T.LANG_MARKERS.items():
+    _lst = ", ".join(f"'{m}'" for m in _markers)
+    _LANG_CASES.append(
+        f"len(list_filter(toks, t -> list_contains([{_lst}], t))) AS score_{_lang}"
+    )
+_LANG_SCORES_SQL = ",\n             ".join(_LANG_CASES)
+_ARGMAX_SQL = "CASE"
+_prev = []
+for _lang in T.LANG_MARKERS:
+    _conds = [f"score_{_lang} > 0"] + [f"score_{_lang} >= score_{p}" for p in _prev]
+    # strict >: an earlier language keeps the crown on ties, so later langs
+    # must be strictly greater than every earlier one
+    _conds = [f"score_{_lang} > 0"] + [f"score_{_lang} > score_{p}" for p in _prev]
+    _ARGMAX_SQL += f" WHEN {' AND '.join(_conds)} THEN '{_lang}'"
+    _prev.append(_lang)
+_ARGMAX_SQL += " ELSE 'und' END"
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             {_LANG_SCORES_SQL}
+      FROM tok
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           {_ARGMAX_SQL} AS detected_lang
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (deterministic argmax over per-language
+    hit counts; 'und' when nothing scores). The fixture text is synthetic,
+    so most rows are 'und'/'en' — the operator shape is what matters."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.lang_id(F.col("text")).alias("detected_lang"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_quality_scores",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             LENGTH(text) AS n_chars,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS n_tokens,
+             LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+             LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars END AS alpha_ratio,
+           CASE WHEN n_chars > 0 THEN CAST(digits AS DOUBLE) / n_chars END AS digit_ratio,
+           CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars END AS punct_ratio,
+           CASE WHEN n_tokens > 0 THEN CAST(alpha AS DOUBLE) / n_tokens END AS mean_word_len
+    FROM feat
+    ORDER BY doc_id
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap quality signals (C4/Gopher style): char/token counts, alpha /
+    digit / punct ratios, mean word length. Single-division doubles —
+    deterministic cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    q = T.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["digit_ratio"].alias("digit_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["mean_word_len"].alias("mean_word_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS BIGINT)
+             AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS bpe_ish_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    pre-tokenizer regex (words | number runs | single symbols)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(T.ws_tokens(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).cast("bigint").alias("bpe_ish_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+      FROM tok
+    )
+    SELECT doc_id,
+           list_min([md5(s) for s in shingles]) AS fingerprint
+    FROM sh
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-md5 over 3-word shingles (1-hash MinHash;
+    stable under block reordering). md5 hex strings order identically in
+    Spark and DuckDB — no hex→int cast needed."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.doc_fingerprint(F.col("text"), k=3).alias("fingerprint"),
+    ).orderBy("doc_id")
