@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is timed end-to-end (plan + execute + collect). JVM/session
+startup is excluded (it is harness cost, not query cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_2025_1_spark.registry import all_queries  # noqa: E402
+from bigdata_2025_1_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # reference-parity core
+    "domain_doc_stats",
+    "metadata_extract",
+    # relational / TPC-H-ish
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "outer_join_order_counts",
+    "top3_orders_per_customer",
+    "rollup_nation_segment",
+    # events
+    "events_hourly_windows",
+    "user_sessionization",
+    # LLM-pipeline
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash_values",
+    "token_counts",
+    "ann_topk_cosine",
+    "ann_srp_lsh_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    queries = all_queries()
+    # JVM warm-up on a trivial action so query #1 isn't charged for it
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        n = len(fn(spark, sf_dir).collect())
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -140,20 +140,45 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash via seeded-md5 string ordering.
+    """MinHash via md5-string ordering with hex-rotation permutations.
 
-    For seed i, h_i(s) = md5(i || ':' || s); the signature element is the
-    lexicographic min — a valid random permutation per seed, and exactly
-    reproducible in DuckDB (md5 hex strings compare identically).
-    Null-safe: empty shingle set → array of nulls.
+    Each shingle is md5-hashed ONCE; permutation i orders shingles by the
+    hex string rotated left by i chars (rot_i(h) = h[i:] || h[:i]), and
+    the signature element is the lexicographic min under that ordering.
+    One md5 pass instead of ``num_hashes`` seeded passes — 8x cheaper at
+    100 TB — while hex-digit uniformity keeps the orderings effectively
+    independent for banding. Exactly reproducible in DuckDB (same md5
+    hex, same substr/|| rotation, same [0-9a-f] string collation).
+    Null-safe: empty shingle set → array of nulls. num_hashes <= 32.
     """
-    def seeded_min(seed: int) -> Column:
-        # NB: the lambda must be single-arity — F.transform passes the
-        # element index to two-arg lambdas, which would clobber the seed.
-        prefix = f"{seed}:"
-        return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+    hashes = F.transform(shingles, lambda s: F.md5(s))
 
-    return F.array(*[seeded_min(i).alias(f"mh{i}") for i in range(num_hashes)])
+    def rotations(h: Column) -> Column:
+        return F.array(
+            *[
+                h
+                if i == 0
+                else F.concat(
+                    h.substr(F.lit(i + 1), F.lit(32 - i)), h.substr(F.lit(1), F.lit(i))
+                )
+                for i in range(num_hashes)
+            ]
+        )
+
+    # Single left-fold: ``hashes`` appears ONCE in the expression tree.
+    # Catalyst does not CSE across higher-order functions, so the naive
+    # "array of num_hashes array_min(transform(...))" form recomputes the
+    # md5 pass per signature element — this form hashes each shingle once.
+    sentinel = F.array(*[F.lit("~") for _ in range(num_hashes)])  # '~' > 'f'
+    mins = F.aggregate(
+        hashes,
+        sentinel,
+        lambda acc, h: F.zip_with(acc, rotations(h), lambda a, b: F.least(a, b)),
+    )
+    # empty shingle set → null elements (array_min-of-empty semantics)
+    return F.when(F.size(shingles) > 0, mins).otherwise(
+        F.array(*[F.lit(None).cast("string") for _ in range(num_hashes)])
+    )
 
 
 def doc_fingerprint(col: Column, k: int = 3) -> Column:

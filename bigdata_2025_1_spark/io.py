@@ -54,6 +54,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to all cores before CPU-heavy per-row work.
+
+    The fixture tables are single small parquet files, which Spark scans as
+    ONE partition — fine for IO-bound scans, serial for compute-bound
+    stages (hashing, signatures, regex scans). On a real cluster the input
+    would already be split; this keeps the local plan shaped the same way.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
     """Register every fixture table as a temp view (mirrors the reference's
     ``createOrReplaceTempView('documents')`` SQL entry point,

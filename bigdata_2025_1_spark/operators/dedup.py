@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions import text as T
-from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.io import load, spread
 from bigdata_2025_1_spark.registry import query
 
 NUM_HASHES = 8
@@ -36,9 +36,13 @@ _SQL_SHINGLES = (
     "list_distinct([array_to_string(toks[i:i+2], ' ') "
     "for i in range(1, greatest(len(toks) - 2, 0) + 1)])"
 )
-_SQL_SIG = ", ".join(
-    f"list_min([md5('{i}:' || s) for s in shingles]) AS mh{i}" for i in range(NUM_HASHES)
-)
+def _sql_rot_min(i: int) -> str:
+    if i == 0:
+        return "list_min([md5(s) for s in shingles])"
+    return f"list_min([substr(md5(s), {i + 1}) || substr(md5(s), 1, {i}) for s in shingles])"
+
+
+_SQL_SIG = ", ".join(f"{_sql_rot_min(i)} AS mh{i}" for i in range(NUM_HASHES))
 
 
 @query(
@@ -94,9 +98,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles). Shuffle-free: one projection."""
     docs = load(spark, sf_dir, "documents")
     shingles = T.word_shingles(F.col("text"), k=3)
-    sig = T.minhash_signature(shingles, NUM_HASHES)
-    return docs.select(
-        "doc_id", *[sig[i].alias(f"mh{i}") for i in range(NUM_HASHES)]
+    # persist the one-column signature before fanning out to mh0..mh7:
+    # element extraction would otherwise clone the whole signature
+    # expression per output column (no CSE across higher-order funcs).
+    sigdf = spread(docs).select(
+        "doc_id", T.minhash_signature(shingles, NUM_HASHES).alias("sig")
+    ).persist()
+    return sigdf.select(
+        "doc_id", *[F.col("sig")[i].alias(f"mh{i}") for i in range(NUM_HASHES)]
     ).orderBy("doc_id")
 
 
@@ -137,25 +146,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejoin just for the (few) candidates. Jaccard = |∩|/|∪| is a single
     int division — bit-stable cross-engine."""
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", T.word_shingles(F.col("text"), k=3).alias("shingles")
-    )
-    sig = sh.select(
-        "doc_id",
-        "shingles",
-        T.minhash_signature(F.col("shingles"), NUM_HASHES).alias("sig"),
-    )
-    per_band = NUM_HASHES // BANDS
-    bands = None
-    for b in range(BANDS):
-        part = sig.select(
+    # Signatures are expensive (8 seeded md5 passes over every shingle) and
+    # feed BOTH the band join (twice) and the verify join (twice) — persist
+    # so the lineage computes them exactly once. At cluster scale this is
+    # the "materialize the signature table" step of every LSH pipeline.
+    sig = (
+        spread(docs).select("doc_id", T.word_shingles(F.col("text"), k=3).alias("shingles"))
+        .select(
             "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat(*[F.col("sig")[i] for i in range(b * per_band, (b + 1) * per_band)])
-            ).alias("band_key"),
+            "shingles",
+            T.minhash_signature(F.col("shingles"), NUM_HASHES).alias("sig"),
         )
-        bands = part if bands is None else bands.unionByName(part)
+        .persist()
+    )
+    sh = sig.select("doc_id", "shingles")
+    per_band = NUM_HASHES // BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col("sig")[i] for i in range(b * per_band, (b + 1) * per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -210,7 +231,7 @@ def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes it per-row with higher-order folds (no shuffle); the oracle
     mirrors it relationally via unnest+GROUP BY — same votes, same hash."""
     docs = load(spark, sf_dir, "documents")
-    return docs.select(
+    return spread(docs).select(
         "doc_id", T.simhash_bits(F.col("text"), bits=16).alias("simhash")
     ).orderBy("doc_id")
 
@@ -242,7 +263,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair search is two equi-joins on one-byte keys — no cross join at any
     scale."""
     docs = load(spark, sf_dir, "documents")
-    sim = docs.select(
+    sim = spread(docs).select(
         "doc_id", T.simhash_bits(F.col("text"), bits=16).alias("simhash")
     )
     hi = sim.select("doc_id", "simhash", F.lit(0).alias("band"), F.expr("simhash div 256").alias("band_key"))

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from bigdata_2025_1_spark.functions import metadata as M
 from bigdata_2025_1_spark.functions import text as T
 from bigdata_2025_1_spark.functions.exact import int_avg, sql_int_avg
-from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.io import load, spread
 from bigdata_2025_1_spark.registry import query
 
 
@@ -173,7 +173,7 @@ def metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5-D8/E4: document-code regex scan, agency pipe-split, issue-date
     line scan with fallback, signer reverse line scan — one distributed
     ``select``, zero UDFs (crawl/1/extract_document_info.py:4-63)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     text = F.col("text")
     return docs.select(
         "doc_id",

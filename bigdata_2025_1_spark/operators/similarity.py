@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions import vectors as V
-from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.io import load, spread
 from bigdata_2025_1_spark.registry import query
 
 N_QUERY_VECS = 50  # brute-force query subset: realistic "probe set" shape
@@ -56,7 +56,7 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probes against the corpus, rank per query. The exact baseline any
     ANN variant is measured against."""
     emb = load(spark, sf_dir, "embeddings")
-    norms = emb.select(
+    norms = spread(emb).select(
         "vec_id", "embedding", V.norm_sq_scaled(F.col("embedding")).alias("nsq")
     )
     queries_df = norms.filter(F.col("vec_id") < N_QUERY_VECS).select(
@@ -95,7 +95,7 @@ def embedding_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     are md5-derived ±1 literals shared with the oracle — no cross-engine
     hash dependency). Shuffle-free projection."""
     emb = load(spark, sf_dir, "embeddings")
-    return emb.select(
+    return spread(emb).select(
         "vec_id",
         "label",
         V.srp_signature(F.col("embedding"), _PLANES).alias("srp_sig"),
@@ -136,12 +136,14 @@ def ann_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket equi-join → exact cosine verify ≥ 0.45. The scale path: the
     join key is one byte; embeddings rejoin only for candidates."""
     emb = load(spark, sf_dir, "embeddings")
-    sig = emb.select(
+    # persist: signatures/norms feed the band join and the verify join on
+    # both sides — compute the 16 projections once per vector.
+    sig = spread(emb).select(
         "vec_id",
         "embedding",
         V.srp_signature(F.col("embedding"), _PLANES).alias("srp_sig"),
         V.norm_sq_scaled(F.col("embedding")).alias("nsq"),
-    )
+    ).persist()
     keyed = sig.select("vec_id", "srp_sig")
     hi = keyed.select("vec_id", F.lit(0).alias("band"), F.expr("srp_sig div 256").alias("band_key"))
     lo = keyed.select("vec_id", F.lit(1).alias("band"), (F.col("srp_sig") % 256).alias("band_key"))

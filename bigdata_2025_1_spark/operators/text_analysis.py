@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions import text as T
 from bigdata_2025_1_spark.functions.exact import sql_int_avg
-from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.io import load, spread
 from bigdata_2025_1_spark.registry import query
 
 # DuckDB mirror of functions/text.py lang_id: score = count of tokens in
@@ -57,7 +57,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID (deterministic argmax over per-language
     hit counts; 'und' when nothing scores). The fixture text is synthetic,
     so most rows are 'und'/'en' — the operator shape is what matters."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -120,7 +120,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish
     pre-tokenizer regex (words | number runs | single symbols)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.size(T.ws_tokens(F.col("text"))).cast("bigint").alias("ws_tokens"),
@@ -151,7 +151,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-md5 over 3-word shingles (1-hash MinHash;
     stable under block reordering). md5 hex strings order identically in
     Spark and DuckDB — no hex→int cast needed."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.doc_fingerprint(F.col("text"), k=3).alias("fingerprint"),

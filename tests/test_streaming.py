@@ -1,0 +1,141 @@
+"""Structured Streaming tests — no Kafka broker needed: file-backed
+streams over kafka-shaped parquet (A3 message shape), availableNow
+triggers, checkpointing, watermarked windows, watermarked dedup.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.operators.events_ops import events_hourly_windows
+from bigdata_2025_1_spark.sources.kafka_shape import to_kafka_message
+from bigdata_2025_1_spark.streaming import windows as W
+from bigdata_2025_1_spark.streaming.consumer import StatsSink, start_consumer
+
+
+@pytest.fixture(scope="module")
+def kafka_shaped_dir(spark, sf_dir, tmp_path_factory):
+    """documents fixture → kafka message shape → parquet dir, the
+    broker-less stand-in for a topic."""
+    out = str(tmp_path_factory.mktemp("kafka_shaped"))
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("source").alias("domain"),
+        F.concat(F.lit("doc"), F.col("doc_id")).alias("filename"),
+        F.col("text").alias("content"),
+        F.concat(F.lit("/data/"), F.col("source")).alias("file_path"),
+    )
+    msgs = to_kafka_message(docs, ("domain", "filename"), ["domain", "filename", "content", "file_path"])
+    msgs.withColumn("timestamp", F.current_timestamp()).write.mode("overwrite").parquet(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_us"))
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_consumer_pipeline(spark, kafka_shaped_dir, tmp_path):
+    src = spark.readStream.schema(
+        "key STRING, value STRING, timestamp TIMESTAMP"
+    ).parquet(kafka_shaped_dir)
+    sink = StatsSink()
+    q = start_consumer(spark, src, sink, str(tmp_path / "ckpt"), once=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert len(sink.rows) >= 1
+    total = sum(r["total_documents"] for r in sink.rows)
+    assert total == 500  # documents @ sf0.001
+    merged_domains = {}
+    for r in sink.rows:
+        for d, c in r["domains"].items():
+            merged_domains[d] = merged_domains.get(d, 0) + c
+    assert sum(merged_domains.values()) == 500
+    st = sink.rows[0]["size_stats"]
+    assert st["min_size"] >= 0 and st["max_size"] >= st["min_size"]
+    # EP2 parity: the batch registered a live (global) temp view for SQL
+    assert spark.sql("SELECT COUNT(*) AS n FROM global_temp.documents").first().n == 500
+
+
+def test_consumer_drops_malformed(spark, tmp_path):
+    rows = [
+        ("k1", '{"domain":"a","filename":"f1","content":"x","file_path":"p"}'),
+        ("k2", "not json at all"),
+        ("k3", '{"domain":"a","filename":null,"content":"y","file_path":"p"}'),
+    ]
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(rows, "key STRING, value STRING").write.parquet(src_dir)
+    src = spark.readStream.schema("key STRING, value STRING").parquet(src_dir)
+    sink = StatsSink()
+    q = start_consumer(spark, src, sink, str(tmp_path / "ckpt2"), once=True)
+    q.awaitTermination(120)
+    assert sum(r["total_documents"] for r in sink.rows) == 1  # B2 null-reject
+
+
+def _run_stream_to_memory(spark, sdf, name, mode="append"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+def test_tumbling_windows_match_batch_twin(spark, events_stream_dir, sf_dir):
+    stream = spark.readStream.schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    ).parquet(events_stream_dir)
+    result = _run_stream_to_memory(
+        spark, W.tumbling_counts(stream), "tumbling_test", mode="append"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in result.collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in events_hourly_windows(spark, sf_dir).drop("n_users").collect()
+    }
+    # availableNow + watermark: all-but-the-last windows must be emitted
+    # and every emitted window must agree exactly with the batch twin
+    assert len(got) >= len(expected) - 24
+    for k, v in got.items():
+        assert expected[k][0] == v[0] and expected[k][1] == v[1]
+
+
+def test_session_windows_stream(spark, events_stream_dir):
+    stream = spark.readStream.schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    ).parquet(events_stream_dir)
+    result = _run_stream_to_memory(
+        spark, W.session_counts(stream), "session_test", mode="append"
+    )
+    rows = result.collect()
+    assert len(rows) > 0
+    assert all(r.session_end > r.session_start and r.n_events >= 1 for r in rows)
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 00:00:00", "click"),
+        (1, "2024-01-01 00:00:05", "click"),  # dup within watermark
+        (2, "2024-01-01 00:01:00", "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, ts_s STRING, event_type STRING").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    )
+    src_dir = str(tmp_path / "dedupsrc")
+    df.write.parquet(src_dir)
+    stream = spark.readStream.schema("user_id INT, ts TIMESTAMP, event_type STRING").parquet(src_dir)
+    result = _run_stream_to_memory(
+        spark,
+        W.dedup_within_watermark(stream, ["user_id", "event_type"]),
+        "dedup_test",
+    )
+    assert result.count() == 2

@@ -1,45 +1,17 @@
-"""Local mirror of the driver's correctness gate.
-
-Runs every registered query on Spark and its DuckDB oracle on the same
-parquet fixtures, then compares: row count, column-name set, and
-order-insensitive values (columns sorted by name, rows sorted). Exact
-comparison for every type including doubles — the engine's queries are
-written to be bit-exact cross-engine (see functions/exact.py).
+"""Local mirror of the driver's correctness gate (CLI).
 
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import math
 import sys
-
-import duckdb
 
 sys.path.insert(0, "/root/repo")
 
+from bigdata_2025_1_spark.oracle import check_query, connect_oracle  # noqa: E402
 from bigdata_2025_1_spark.registry import all_oracles, all_queries  # noqa: E402
-from bigdata_2025_1_spark.io import TABLES  # noqa: E402
 from bigdata_2025_1_spark.session import get_spark  # noqa: E402
-
-
-def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
-    return v
-
-
-def _canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
-    return out
 
 
 def main() -> int:
@@ -48,63 +20,31 @@ def main() -> int:
 
     queries = all_queries()
     oracles = all_oracles()
-
     spark = get_spark("selfcheck", master="local[8]")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = connect_oracle(sf_dir)
 
     failures = []
+    n_run = 0
     for name, fn in sorted(queries.items()):
         if only and name not in only:
             continue
+        n_run += 1
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            problems = check_query(spark, con, fn, oracles.get(name), sf_dir)
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {e}")
-            failures.append(name)
-            continue
-        if name not in oracles:
-            print(f"ok*   {name}: rows-only ({len(srows)} rows, no oracle)")
-            continue
-        try:
-            ddf = con.execute(oracles[name])
-            dcols = [d[0] for d in ddf.description]
-            drows = ddf.fetchall()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {e}")
-            failures.append(name)
-            continue
-        problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
-        if not problems:
-            a, b = _canon(srows, scols), _canon(drows, dcols)
-            if a != b:
-                n_bad = sum(1 for x, y in zip(a, b) if x != y)
-                problems.append(f"values differ in {n_bad}/{len(a)} rows")
-                for x, y in list(zip(a, b))[:200]:
-                    if x != y:
-                        problems.append(f"  spark : {x!r}")
-                        problems.append(f"  duckdb: {y!r}")
-                        break
+            problems = [f"error: {e}"]
         if problems:
-            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
+            print(f"FAIL  {name}: {problems[0]}")
             for p in problems[1:]:
                 print(f"      {p}")
             failures.append(name)
+        elif name not in oracles:
+            print(f"ok*   {name}: rows-only (no oracle)")
         else:
-            print(f"ok    {name}: {len(srows)} rows match")
+            print(f"ok    {name}")
 
     print()
-    total = len(only) if only else len(queries)
-    print(f"{total - len(failures)}/{total} queries pass; failures: {failures or 'none'}")
+    print(f"{n_run - len(failures)}/{n_run} queries pass; failures: {failures or 'none'}")
     spark.stop()
     return 1 if failures else 0
 
