@@ -186,6 +186,37 @@ def metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "html_to_markdown_docs",
+    oracle="""
+    SELECT doc_id,
+           '# ' || source || chr(10) || chr(10) ||
+           regexp_replace(trim(substr(text, 1, 80)), '\\s+', ' ', 'g') AS markdown
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def html_to_markdown_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 through the engine end-to-end: wrap each document in HTML
+    (<h1>source</h1><p>text…</p>), flatten with the Arrow-batched
+    pandas UDF, verify against the SQL-computable expected markdown.
+    (Table/list/ragged-cell semantics are covered by golden unit tests —
+    not SQL-expressible.)"""
+    from bigdata_2025_1_spark.functions.html_markdown import html_to_markdown_udf
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    html = F.concat(
+        F.lit("<h1>"),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.substring("text", 1, 80),
+        F.lit("</p>"),
+    )
+    return docs.select(
+        "doc_id", html_to_markdown_udf(html).alias("markdown")
+    ).orderBy("doc_id")
+
+
+@query(
     "normalize_text",
     oracle="""
     SELECT doc_id,
