@@ -13,6 +13,7 @@ _MODULES = (
     "dedup",
     "similarity",
     "multimodal",
+    "pandas_surface",
 )
 
 

@@ -1,0 +1,220 @@
+"""Pandas-UDF operator surface (SURVEY §2.G UDF/UDAF/UDTF row): grouped
+aggregation (pandas UDAF), grouped-map (applyInPandas), exact percentiles,
+pivot, and a dual-engine SQL CTE — each with a DuckDB oracle.
+
+Determinism notes: the pandas kernels below compute order-independent
+quantities only (exact int sums, sorted-order medians), so Arrow batch
+boundaries / partitionings cannot change results.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.functions.exact import sql_exact_sum
+from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.registry import query
+
+
+@query(
+    "udaf_median_order_value",
+    oracle="""
+    SELECT o_orderstatus,
+           median(o_totalprice) AS median_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def udaf_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via pandas grouped-agg UDF: exact median per group.
+
+    Median = sorted-order statistic with midpoint interpolation — numpy
+    and DuckDB agree bit-for-bit on the same doubles (no accumulation
+    order involved). Arrow moves each group's column once."""
+    o = load(spark, sf_dir, "orders")
+
+    @F.pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    # pandas UDAFs cannot mix with JVM aggregates in one agg → count is a
+    # (trivial) pandas UDAF too.
+    @F.pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        return len(v)
+
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            median_udaf("o_totalprice").alias("median_price"),
+            count_udaf("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "grouped_map_spend_share",
+    oracle=f"""
+    WITH spends AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(o_totalprice * 1e2) AS BIGINT) AS cents
+      FROM orders
+    ), totals AS (
+      SELECT o_custkey, SUM(cents) AS total_cents FROM spends GROUP BY o_custkey
+    )
+    SELECT s.o_custkey, s.o_orderkey,
+           CAST(s.cents AS DOUBLE) / t.total_cents AS spend_share
+    FROM spends s JOIN totals t USING (o_custkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def grouped_map_spend_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map via applyInPandas: each customer's orders arrive as one
+    pandas frame; emit each order's share of the customer total. The
+    kernel divides exact int cents by an exact int total — one double op,
+    engine-stable. (The relational twin is a window sum; the point here is
+    the applyInPandas surface for logic windows can't express.)"""
+    o = load(spark, sf_dir, "orders")
+
+    def share(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+        total = int(cents.sum())
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "spend_share": cents.astype("float64") / total,
+            }
+        )
+
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .applyInPandas(share, "o_custkey BIGINT, o_orderkey BIGINT, spend_share DOUBLE")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.90) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics). At
+    100 TB the approx twin below replaces this; exact is the correctness
+    anchor."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+            F.percentile("o_totalprice", F.lit(0.50)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.90)).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("approx_percentiles")  # rows-only: sketch values are engine-specific
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch): fixed memory, single pass —
+    the scale path for quantiles (exact twin: order_value_percentiles)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        )
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P,
+           COALESCE({sql_exact_sum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", 2)}, 0.0)
+             AS open_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list — at scale always enumerate pivot values
+    to avoid the extra distinct-scan) + a conditional exact sum."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "status_F", "O": "status_O", "P": "status_P"})
+    )
+    open_rev = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("o_orderstatus") == "O", cents)), F.lit(0)
+                )
+                / 100.0
+            ).alias("open_revenue")
+        )
+    )
+    return (
+        pivoted.join(open_rev, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.coalesce("status_F", F.lit(0)).alias("status_F"),
+            F.coalesce("status_O", F.lit(0)).alias("status_O"),
+            F.coalesce("status_P", F.lit(0)).alias("status_P"),
+            "open_revenue",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# One SQL text, two engines: the ANSI-portable subset is the contract.
+_DUAL_SQL = """
+WITH nation_avg AS (
+  SELECT c.c_nationkey,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 1e2) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1e2 AS avg_order
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+)
+SELECT n.n_name AS nation, COUNT(*) AS n_big_orders
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN nation_avg na ON na.c_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_totalprice > 2 * na.avg_order
+GROUP BY n.n_name
+ORDER BY n_big_orders DESC, nation
+"""
+
+
+@query("sql_cte_above_nation_avg", oracle=_DUAL_SQL)
+def sql_cte_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point (EP2 parity, spark/visualize.py:27) with a CTE:
+    orders more than 2x their nation's average. The SAME SQL text runs on
+    Spark and DuckDB — the portable-ANSI contract, exact-sum idiom
+    included."""
+    for t in ("customer", "orders", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_DUAL_SQL)

@@ -1,0 +1,41 @@
+"""Capture ``explain`` output programmatically.
+
+The charter's scale bar — "is the filter pushed down? is the small side
+broadcast? is the hot path in whole-stage codegen?" — is checkable from
+the formatted plan string. tests/test_plans.py pins these properties for
+the headline queries so a refactor that silently drops a broadcast or
+blocks pushdown fails CI, not a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Final (post-AQE) executed plan — run the query first; codegen /
+    AQE-chosen join strategies only appear here."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def plan_has(df: DataFrame, *needles: str) -> dict[str, bool]:
+    plan = formatted_plan(df)
+    return {n: (n in plan) for n in needles}
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan — the scale
+    currency. (Broadcast exchanges are not counted; they are the cheap
+    kind.)"""
+    plan = formatted_plan(df)
+    # count only the numbered node-detail lines, not the tree summary
+    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE))

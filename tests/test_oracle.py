@@ -30,7 +30,7 @@ def test_every_query_has_oracle_or_reason():
     missing = set(QUERIES) - set(ORACLES)
     # rows-only checks are allowed only for genuinely non-SQL-expressible
     # ops; keep the list explicit so additions are deliberate.
-    assert missing == {"approx_distinct_counts"}, missing
+    assert missing == {"approx_distinct_counts", "approx_percentiles"}, missing
 
 
 def test_entry_contract(spark):

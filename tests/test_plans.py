@@ -1,0 +1,76 @@
+"""Physical-plan property pins: pushdown, broadcast, codegen, shuffle
+budget. A change that breaks these would still return correct rows at
+sf0.001 — and fall over at 100 TB. Fail here instead."""
+
+from __future__ import annotations
+
+import re
+
+from bigdata_2025_1_spark.plans.explain import (
+    count_exchanges,
+    executed_plan,
+    formatted_plan,
+    plan_has,
+)
+from bigdata_2025_1_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def test_q1_scan_pushdown_and_codegen(spark, sf_dir):
+    plan = formatted_plan(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    # the shipdate filter reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # only needed columns are read (no l_orderkey/l_partkey/... in schema)
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+    assert "l_returnflag" in read_schema
+    # hot path is whole-stage codegen'd: '*' node prefix in the final plan
+    assert "*(1)" in executed_plan(QUERIES["q1_pricing_summary"](spark, sf_dir))
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["q5_region_revenue"](spark, sf_dir)
+    flags = plan_has(df, "BroadcastHashJoin", "BroadcastExchange")
+    assert all(flags.values()), flags
+
+
+def test_q3_broadcasts_filtered_customer(spark, sf_dir):
+    plan = formatted_plan(QUERIES["q3_top_revenue_orders"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # top-k is TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_window_group_limit(spark, sf_dir):
+    plan = formatted_plan(QUERIES["top3_orders_per_customer"](spark, sf_dir))
+    # Spark 4 pushes rn<=k into WindowGroupLimit before the full window
+    assert "WindowGroupLimit" in plan
+
+
+def test_semi_join_is_semi(spark, sf_dir):
+    plan = formatted_plan(QUERIES["semi_join_active_customers"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_flagship_single_aggregate_two_exchanges(spark, sf_dir):
+    # groupBy agg + orderBy = exactly 2 exchanges (hash, range); the
+    # reference ran 4+ jobs for the same answer (spark/consumer.py:36-76)
+    df = QUERIES["domain_doc_stats"](spark, sf_dir)
+    assert count_exchanges(df) == 2
+    plan = formatted_plan(df)
+    # partial + final of ONE aggregate (numbered node-detail lines)
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+
+
+def test_lsh_band_join_no_cartesian(spark, sf_dir):
+    for q in ("dedup_minhash_lsh", "ann_srp_lsh_pairs", "dedup_simhash_hamming"):
+        plan = formatted_plan(QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, q
+
+
+def test_ann_topk_broadcasts_probes(spark, sf_dir):
+    plan = formatted_plan(QUERIES["ann_topk_cosine"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -139,3 +139,27 @@ def test_dedup_within_watermark(spark, tmp_path):
         "dedup_test",
     )
     assert result.count() == 2
+
+
+def test_stateful_running_counters(spark, tmp_path):
+    from bigdata_2025_1_spark.streaming.stateful import running_user_counters
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0),
+        (1, "2024-01-01 00:10:00", 5.5),
+        (2, "2024-01-01 00:05:00", 2.25),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts_s STRING, value DOUBLE").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    src_dir = str(tmp_path / "statesrc")
+    df.write.parquet(src_dir)
+    stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE").parquet(src_dir)
+    result = _run_stream_to_memory(
+        spark, running_user_counters(stream), "stateful_test", mode="update"
+    )
+    # state accumulates across ALL rows of the batch per user
+    final = {r.user_id: r for r in result.collect()}
+    assert final[1].n_events == 2 and final[1].total_value == 15.5
+    assert final[2].n_events == 1 and final[2].total_value == 2.25
+    assert final[1].last_seen.minute == 10
