@@ -14,6 +14,7 @@ _MODULES = (
     "similarity",
     "multimodal",
     "pandas_surface",
+    "scalar_funcs",
 )
 
 
