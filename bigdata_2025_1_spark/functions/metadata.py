@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from bigdata_2025_1_spark.functions.text import py_strip
+
 # crawl/1/extract_document_info.py:5 — \d{1,4}/(\d{4}/)? then 1-5 uppercase
 # letters (incl. Đ), dash-joined alnum suffixes.
 CODE_PATTERN = r"\d{1,4}/(?:\d{4}/)?[A-ZĐ]{1,5}(?:-[A-Z0-9]{1,5})*"
@@ -51,7 +53,7 @@ def agency(text: Column) -> Column:
     exists (extract_document_info.py:23-25)."""
     return F.when(
         text.contains("|"),
-        F.trim(F.try_element_at(F.split(text, r"\|", -1), F.lit(2))),
+        py_strip(F.try_element_at(F.split(text, r"\|", -1), F.lit(2))),
     )
 
 
@@ -64,13 +66,13 @@ def issue_date(text: Column) -> Column:
         F.filter(lines, lambda l: l.contains("Số:") & F.lower(l).contains("ngày")),
         F.lit(1),
     )
-    primary = F.trim(
+    primary = py_strip(
         F.try_element_at(
             F.filter(F.split(primary_line, r"\|", -1), lambda p: F.lower(p).contains("ngày")),
             F.lit(1),
         )
     )
-    fallback = F.trim(
+    fallback = py_strip(
         F.try_element_at(
             F.filter(lines, lambda l: F.lower(l).rlike(DATE_FALLBACK_PATTERN)),
             F.lit(1),

@@ -18,9 +18,19 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+def py_strip(col: Column) -> Column:
+    """Python ``str.strip()`` parity: removes ALL whitespace at both ends.
+    (``F.trim``/SQL ``trim`` strip ASCII spaces only — a found-by-property-
+    test divergence for trailing newlines/tabs.)"""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
+SQL_PY_STRIP = "regexp_replace({0}, '^\\s+|\\s+$', '', 'g')"
+
+
 def normalize_ws(col: Column) -> Column:
     """' '.join(text.split()) parity (crawl/crawl.py:198-199)."""
-    return F.regexp_replace(F.trim(col), r"\s+", " ")
+    return F.regexp_replace(py_strip(col), r"\s+", " ")
 
 
 def collapse_dashes(col: Column) -> Column:

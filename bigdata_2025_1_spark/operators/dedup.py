@@ -291,3 +291,129 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 1)
         .orderBy("doc_a", "doc_b")
     )
+
+
+_CHAR_SHINGLE_SQL = (
+    "list_distinct([substr(txt, i, 5) for i in range(1, greatest(length(txt) - 4, 0) + 1)])"
+)
+
+
+@query(
+    "dedup_char_ngram_jaccard",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS txt
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, {_CHAR_SHINGLE_SQL} AS grams FROM norm
+    ), fp AS (
+      SELECT doc_id, grams, list_min([md5(g) for g in grams]) AS fp FROM sh
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.grams AS ga, b.grams AS gb
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb)) AS jaccard
+    FROM cand
+    WHERE len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb)) >= 0.7
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 5-gram Jaccard near-dup: whitespace-normalized text →
+    distinct char shingles → candidates from equal 1-hash fingerprints
+    (min-md5 — near-identical docs almost surely share the minimum) →
+    exact Jaccard ≥ 0.7. Char grams catch edits word-level shingles miss;
+    the fingerprint bucket join keeps it linear."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    txt = T.normalize_ws(F.lower(F.col("text")))
+    n = F.length(txt)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(4), F.lit(0)))
+    grams = F.array_distinct(F.transform(idx, lambda i: F.substr(txt, i, F.lit(5))))
+    sh = docs.select(
+        "doc_id",
+        grams.alias("grams"),
+    ).select(
+        "doc_id",
+        "grams",
+        F.array_min(F.transform(F.col("grams"), lambda g: F.md5(g))).alias("fp"),
+    ).persist()
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"), F.col("fp").alias("fp_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"), F.col("fp").alias("fp_b")
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_distinct(F.concat("ga", "gb")))
+    jaccard = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("fp_a") == F.col("fp_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.7)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH sig AS (
+      SELECT e.vec_id, e.embedding, d.source,
+             list_sum([CAST(ROUND(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE * 1e12) AS BIGINT)
+                       for i in range(1, 65)]) AS nsq
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    )
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.source AS source_a, b.source AS source_b,
+           list_sum([CAST(ROUND(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE * 1e12) AS BIGINT)
+                     for i in range(1, 65)])::DOUBLE
+             / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE)) AS cosine
+    FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+    WHERE list_sum([CAST(ROUND(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE * 1e12) AS BIGINT)
+                    for i in range(1, 65)])::DOUBLE
+            / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE)) >= 0.45
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over the DOCUMENTS table (embeddings
+    joined on vec_id = doc_id): semantic duplicates that text shingles
+    can't see. Exact all-pairs here (correctness anchor — the scale path
+    is ann_srp_lsh_pairs' banding); scaled-int dot products keep cosine
+    bit-stable."""
+    from bigdata_2025_1_spark.functions import vectors as V
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load(spark, sf_dir, "embeddings")
+    sig = (
+        spread(emb.join(docs, docs.doc_id == emb.vec_id))
+        .select(
+            "vec_id",
+            "source",
+            "embedding",
+            V.norm_sq_scaled(F.col("embedding")).alias("nsq"),
+        )
+        .persist()
+    )
+    a = sig.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("source").alias("source_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nsq").alias("nsq_a"),
+    )
+    b = sig.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("source").alias("source_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nsq").alias("nsq_b"),
+    )
+    cosine = V.cosine_from_scaled(
+        V.dot_scaled(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "source_a", "source_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+        .orderBy("doc_a", "doc_b")
+    )
