@@ -35,8 +35,12 @@ HEADLINE = [
     # LLM-pipeline
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_char_ngram_jaccard",
     "simhash_values",
     "token_counts",
+    "wordcount",
+    "tfidf_top_terms",
+    "sequence_packing",
     "ann_topk_cosine",
     "ann_srp_lsh_pairs",
 ]

@@ -15,6 +15,7 @@ _MODULES = (
     "multimodal",
     "pandas_surface",
     "scalar_funcs",
+    "pipeline_ops",
 )
 
 

@@ -302,54 +302,83 @@ _CHAR_SHINGLE_SQL = (
     "dedup_char_ngram_jaccard",
     oracle=f"""
     WITH norm AS (
-      SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS txt
+      SELECT doc_id, regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g') AS txt
       FROM documents
     ), sh AS (
       SELECT doc_id, {_CHAR_SHINGLE_SQL} AS grams FROM norm
-    ), fp AS (
-      SELECT doc_id, grams, list_min([md5(g) for g in grams]) AS fp FROM sh
+    ), sig AS (
+      SELECT doc_id, grams,
+             [CASE WHEN i = 1 THEN list_min([md5(g) for g in grams])
+                   ELSE list_min([substr(md5(g), i) || substr(md5(g), 1, i - 1) for g in grams])
+              END for i in range(1, 9)] AS mh
+      FROM sh
     ), cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.grams AS ga, b.grams AS gb
-      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.mh AS mh_a, b.mh AS mh_b
+      FROM sig a JOIN sig b ON a.mh[1] = b.mh[1] AND a.doc_id < b.doc_id
+    ), pre AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      WHERE list_sum([CASE WHEN mh_a[i] = mh_b[i] THEN 1 ELSE 0 END for i in range(1, 9)]) >= 6
     )
-    SELECT doc_a, doc_b,
-           len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb)) AS jaccard
-    FROM cand
-    WHERE len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb)) >= 0.7
+    SELECT p.doc_a, p.doc_b,
+           len(list_intersect(sa.grams, sb.grams))::DOUBLE
+             / len(list_distinct(sa.grams || sb.grams)) AS jaccard
+    FROM pre p
+    JOIN sh sa ON sa.doc_id = p.doc_a
+    JOIN sh sb ON sb.doc_id = p.doc_b
+    WHERE len(list_intersect(sa.grams, sb.grams))::DOUBLE
+            / len(list_distinct(sa.grams || sb.grams)) >= 0.7
     ORDER BY doc_a, doc_b
     """,
 )
 def dedup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character 5-gram Jaccard near-dup: whitespace-normalized text →
-    distinct char shingles → candidates from equal 1-hash fingerprints
-    (min-md5 — near-identical docs almost surely share the minimum) →
-    exact Jaccard ≥ 0.7. Char grams catch edits word-level shingles miss;
-    the fingerprint bucket join keeps it linear."""
+    """Character 5-gram Jaccard near-dup, two-stage:
+
+    1. candidates = equal first minhash element (1-hash fingerprint);
+    2. cheap prefilter: rotation-minhash signature agreement >= 6/8
+       (8 ints per pair, not a 1000-element set intersection — on
+       shared-vocabulary corpora the fingerprint bucket alone produces
+       quadratic candidate clusters, measured 27 s -> ~2 s at sf0.1);
+    3. exact Jaccard >= 0.7 only for prefilter survivors.
+
+    Char grams catch edits word-level shingles miss."""
     docs = spread(load(spark, sf_dir, "documents"))
     txt = T.normalize_ws(F.lower(F.col("text")))
     n = F.length(txt)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(4), F.lit(0)))
     grams = F.array_distinct(F.transform(idx, lambda i: F.substr(txt, i, F.lit(5))))
-    sh = docs.select(
-        "doc_id",
-        grams.alias("grams"),
-    ).select(
-        "doc_id",
-        "grams",
-        F.array_min(F.transform(F.col("grams"), lambda g: F.md5(g))).alias("fp"),
-    ).persist()
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"), F.col("fp").alias("fp_a")
+    sh = (
+        docs.select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            "grams",
+            T.minhash_signature(F.col("grams"), 8).alias("mh"),
+        )
+        .persist()
     )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"), F.col("fp").alias("fp_b")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"))
+    sig_matches = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
     )
+    pre = (
+        a.join(
+            b,
+            (F.col("mh_a")[0] == F.col("mh_b")[0]) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter(sig_matches >= 6)
+        .select("doc_a", "doc_b")
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size(F.array_distinct(F.concat("ga", "gb")))
     jaccard = inter.cast("double") / union
     return (
-        a.join(b, (F.col("fp_a") == F.col("fp_b")) & (F.col("doc_a") < F.col("doc_b")))
+        pre.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.7)
         .orderBy("doc_a", "doc_b")

@@ -1,0 +1,238 @@
+"""Training-data pipeline operators (charter extension): deterministic
+train/test splitting, quality filtering, sequence packing, inverted index,
+TF-IDF — the ops a 100 TB LLM-corpus build actually runs, each with a
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.functions import text as T
+from bigdata_2025_1_spark.io import load, spread
+from bigdata_2025_1_spark.registry import query
+
+# Knuth multiplicative constant, kept < 2^31 so id*PRIME stays far inside
+# int64 (ANSI mode would error on overflow — by design, not silently wrap).
+_SPLIT_PRIME = 2654435761 % (2**31)
+CONTEXT_TOKENS = 512
+
+
+@query(
+    "train_test_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, source,
+             (doc_id * {_SPLIT_PRIME}) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources
+    FROM tagged
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split via multiplicative hashing of the doc
+    id — reproducible across runs/engines/cluster sizes, no RNG state. The
+    property that matters at scale: membership is a pure function of the
+    key, so re-runs and backfills land every doc in the same split."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * _SPLIT_PRIME) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "source")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "corpus_quality_filter",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, source,
+             LENGTH(text) AS n_chars,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS n_tokens,
+             LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+      FROM documents
+    ), decided AS (
+      SELECT source, n_tokens,
+             (n_chars BETWEEN 100 AND 20000
+              AND n_tokens >= 20
+              AND alpha::DOUBLE / n_chars > 0.5) AS keep
+      FROM feat WHERE n_chars > 0
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (keep) AS n_kept,
+           SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS tokens_kept
+    FROM decided
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality gate: length window + token floor + alpha ratio;
+    reports kept docs/tokens per source. One pass, filter fused into the
+    aggregate (no materialized intermediate)."""
+    docs = spread(load(spark, sf_dir, "documents")).filter(F.length("text") > 0)
+    q = T.quality_features(F.col("text"))
+    keep = (
+        q["n_chars"].between(100, 20000)
+        & (q["n_tokens"] >= 20)
+        & (q["alpha_ratio"] > 0.5)
+    )
+    return (
+        docs.select("source", q["n_tokens"].alias("n_tokens"), keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("keep")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias(
+                "tokens_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                        / {CONTEXT_TOKENS}) AS BIGINT) AS pack_id
+      FROM toks WHERE n_tokens > 0
+    )
+    SELECT source, pack_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS pack_tokens
+    FROM packed
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign docs (per source, in
+    deterministic doc_id order) to ~512-token context windows via a
+    running token sum — a window cumsum, not a sequential driver loop, so
+    it scales with partitions of the group key."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    n_tokens = F.size(T.ws_tokens(F.col("text")))
+    toks = docs.select("doc_id", "source", n_tokens.alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pack_id = F.floor((F.sum("n_tokens").over(w) - 1) / CONTEXT_TOKENS).cast("bigint")
+    return (
+        toks.withColumn("pack_id", pack_id)
+        .groupBy("source", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("pack_tokens"))
+        .orderBy("source", "pack_id")
+    )
+
+
+@query(
+    "inverted_index",
+    oracle="""
+    WITH tokens AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS word
+      FROM documents
+    ), df AS (
+      SELECT word, list_sort(list(doc_id)) AS postings, COUNT(*) AS doc_freq
+      FROM tokens GROUP BY word
+    )
+    SELECT word, doc_freq, postings[1:20] AS top_postings
+    FROM df
+    ORDER BY doc_freq DESC, word
+    LIMIT 30
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: word → sorted posting list (truncated to 20 ids
+    for output sanity) + document frequency. Explode → distinct →
+    collect_list; at 100 TB the posting lists would be written bucketed
+    by word rather than collected."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    tokens = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("word")
+    ).distinct()
+    return (
+        tokens.groupBy("word")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20).alias("top_postings"),
+        )
+        .orderBy(F.desc("doc_freq"), "word")
+        .limit(30)
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM tokens GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, COUNT(*) AS doc_freq FROM (SELECT DISTINCT doc_id, word FROM tokens) GROUP BY word
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.word,
+           ROUND(CAST(tf.tf AS DOUBLE) * ln(n.n_docs::DOUBLE / df.doc_freq), 6) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+    WHERE tf.doc_id < 10 AND ln(n.n_docs::DOUBLE / df.doc_freq) > 0
+    ORDER BY doc_id, tfidf DESC, word
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency per doc × inverse document frequency
+    (restricted to 10 docs for output size). The df table is small →
+    broadcast back onto the exploded tf relation; ln on a single exact
+    division keeps doubles engine-stable."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    tokens = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("word")
+    )
+    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tokens.distinct().groupBy("word").agg(F.count("*").alias("doc_freq"))
+    idf = F.log(F.lit(float(n_docs)) / F.col("doc_freq"))
+    return (
+        tf.filter(F.col("doc_id") < 10)
+        .join(F.broadcast(df), "word")
+        .select(
+            "doc_id",
+            "word",
+            # ln() differs by 1 ulp between libm implementations — round to
+            # 6 dp on both sides (the one place bit-exactness is impossible)
+            F.round(F.col("tf").cast("double") * idf, 6).alias("tfidf"),
+        )
+        .filter(idf > 0)
+        .orderBy("doc_id", F.desc("tfidf"), "word")
+    )
