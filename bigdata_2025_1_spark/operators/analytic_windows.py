@@ -196,3 +196,34 @@ def grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY g_priority, g_status, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
         """
     )
+
+
+@query(
+    "rolling_30d_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) / 1e2
+             AS revenue_30d
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, revenue over the trailing 30
+    days (value-based frame over epoch seconds — rows/range distinction
+    matters when orders cluster). Exact cents inside the frame sum."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(w) / 100).alias("revenue_30d"),
+    ).orderBy("o_custkey", "o_orderkey")

@@ -74,3 +74,29 @@ def test_ann_topk_broadcasts_probes(spark, sf_dir):
     plan = formatted_plan(QUERIES["ann_topk_cosine"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_aggregation_equivalence(spark, sf_dir):
+    """SCALE.md skew recipe: salted partial agg → final agg must equal the
+    direct aggregation exactly (the exact-int algebra is associative)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_2025_1_spark.io import load
+
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    direct = {
+        r.l_returnflag: (r.n, r.s)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("s"))
+        .collect()
+    }
+    salted = (
+        li.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(F.count("*").alias("pn"), F.sum(cents).alias("ps"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("pn").alias("n"), F.sum("ps").alias("s"))
+    )
+    got = {r.l_returnflag: (r.n, r.s) for r in salted.collect()}
+    assert got == direct
