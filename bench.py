@@ -53,8 +53,11 @@ def main() -> None:
 
     spark = get_spark("bench", master=f"local[{cpus}]")
     queries = all_queries()
-    # JVM warm-up on a trivial action so query #1 isn't charged for it
+    # Warm up JVM, parquet reader, and codegen paths on the smallest SF so
+    # query #1 isn't charged for one-time harness costs.
     spark.range(1000).count()
+    for warm in ("domain_doc_stats", "q1_pricing_summary"):
+        queries[warm](spark, "/root/testdata/sf0.001").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -446,3 +446,69 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.45)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LSH_ORACLE}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS doc FROM edges),
+    reach(doc, label) AS (
+      SELECT doc, doc FROM nodes
+      UNION
+      SELECT e.b, r.label
+      FROM reach r JOIN edges e ON e.a = r.doc
+      WHERE r.label < e.b
+    )
+    SELECT doc AS doc_id, MIN(label) AS cluster_id
+    FROM reach
+    GROUP BY doc
+    ORDER BY doc_id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    pair graph (transitive closure — a∼b, b∼c ⇒ {a,b,c} one cluster,
+    cluster id = min doc_id). Iterative min-label propagation with a
+    driver-side convergence check — the standard Spark shape for iterative
+    graph algorithms (bounded by graph diameter, each step one join+agg).
+    The oracle computes the same closure with a recursive CTE."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    rev = pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    edges = fwd.unionByName(rev).persist()
+    labels = edges.select(F.col("a").alias("doc")).distinct().select(
+        "doc", F.col("doc").alias("label")
+    ).persist()
+    for _ in range(32):  # diameter bound; tiny real-world dup clusters
+        neighbor_min = (
+            edges.join(labels, edges.a == labels.doc)
+            .groupBy(F.col("b").alias("doc2"))
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == F.col("doc2"), "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.doc") == F.col("o.doc"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("label").alias("cluster_id")).select(
+        F.col("doc").alias("doc_id"), "cluster_id"
+    ).orderBy("doc_id")

@@ -65,3 +65,44 @@ def test_kafka_shape_roundtrip(spark):
     parsed = consumer_parse(msgs)
     back = sorted((r.domain, r.filename, r.content, r.file_path) for r in parsed.collect())
     assert back == [("dn1", "f1", "hello", "/p/1"), ("dn2", "f2", "world", "/p/2")]
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    """CSV source/sink: header + explicit schema (never infer at scale —
+    inference is a full extra pass over 100 TB)."""
+    df = spark.createDataFrame(
+        [(1, "a,b", 2.5), (2, None, -1.0)], "id BIGINT, s STRING, v DOUBLE"
+    )
+    out = str(tmp_path / "csv")
+    df.write.option("header", True).csv(out)
+    back = (
+        spark.read.option("header", True)
+        .schema("id BIGINT, s STRING, v DOUBLE")
+        .csv(out)
+    )
+    assert sorted((r.id, r.s, r.v) for r in back.collect()) == [
+        (1, "a,b", 2.5),
+        (2, None, -1.0),
+    ]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC source/sink (built-in columnar alternative to parquet)."""
+    df = spark.createDataFrame([(1, [1.5, 2.5]), (2, [])], "id BIGINT, arr ARRAY<DOUBLE>")
+    out = str(tmp_path / "orc")
+    df.write.orc(out)
+    back = spark.read.orc(out)
+    assert sorted((r.id, r.arr) for r in back.collect()) == [(1, [1.5, 2.5]), (2, [])]
+
+
+def test_json_lines_with_corrupt_record(spark, tmp_path):
+    """JSON-lines source in PERMISSIVE mode: malformed rows land in
+    _corrupt_record instead of failing the job (the A2 semantics at the
+    file layer)."""
+    p = tmp_path / "data.json"
+    p.write_text('{"a": 1}\nnot json\n{"a": 3}\n', encoding="utf-8")
+    df = spark.read.schema("a BIGINT, _corrupt_record STRING").json(str(p))
+    rows = df.collect()
+    assert len(rows) == 3
+    assert sum(1 for r in rows if r._corrupt_record is not None) == 1
+    assert sorted(r.a for r in rows if r.a is not None) == [1, 3]
