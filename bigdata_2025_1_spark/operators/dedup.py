@@ -437,8 +437,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nsq").alias("nsq_b"),
     )
+    # all-pairs verify → Arrow-vectorized dot kernel (bit-identical twin
+    # of the expression form; functions/vectors.make_dot_scaled_pandas)
+    dot_pd = V.make_dot_scaled_pandas()
     cosine = V.cosine_from_scaled(
-        V.dot_scaled(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
+        dot_pd(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
     )
     return (
         a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))

@@ -426,3 +426,37 @@ def part_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price_band")
     )
+
+
+@query(
+    "unpivot_balance_metrics",
+    oracle=f"""
+    WITH per_nation AS (
+      SELECT c_nationkey,
+             {sql_exact_sum('c_acctbal', 2)} AS total_bal,
+             MIN(c_acctbal) AS min_bal,
+             MAX(c_acctbal) AS max_bal
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, metric, value FROM (
+      SELECT c_nationkey, 'total_bal' AS metric, total_bal AS value FROM per_nation
+      UNION ALL
+      SELECT c_nationkey, 'min_bal', min_bal FROM per_nation
+      UNION ALL
+      SELECT c_nationkey, 'max_bal', max_bal FROM per_nation
+    )
+    ORDER BY c_nationkey, metric
+    """,
+)
+def unpivot_balance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide per-nation metrics → long (nation, metric,
+    value) — one Expand node, no join (the inverse of pivot)."""
+    c = load(spark, sf_dir, "customer")
+    wide = c.groupBy("c_nationkey").agg(
+        exact_sum(F.col("c_acctbal"), 2).alias("total_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+    return wide.unpivot(
+        ["c_nationkey"], ["total_bal", "min_bal", "max_bal"], "metric", "value"
+    ).orderBy("c_nationkey", "metric")

@@ -95,10 +95,11 @@ def embedding_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     are md5-derived ±1 literals shared with the oracle — no cross-engine
     hash dependency). Shuffle-free projection."""
     emb = load(spark, sf_dir, "embeddings")
+    srp_pd = V.make_srp_signature_pandas(_PLANES)
     return spread(emb).select(
         "vec_id",
         "label",
-        V.srp_signature(F.col("embedding"), _PLANES).alias("srp_sig"),
+        srp_pd(F.col("embedding")).alias("srp_sig"),
     ).orderBy("vec_id")
 
 
@@ -138,11 +139,13 @@ def ann_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     # persist: signatures/norms feed the band join and the verify join on
     # both sides — compute the 16 projections once per vector.
+    srp_pd = V.make_srp_signature_pandas(_PLANES)
+    dot_pd0 = V.make_dot_scaled_pandas()
     sig = spread(emb).select(
         "vec_id",
         "embedding",
-        V.srp_signature(F.col("embedding"), _PLANES).alias("srp_sig"),
-        V.norm_sq_scaled(F.col("embedding")).alias("nsq"),
+        srp_pd(F.col("embedding")).alias("srp_sig"),
+        dot_pd0(F.col("embedding"), F.col("embedding")).alias("nsq"),
     ).persist()
     keyed = sig.select("vec_id", "srp_sig")
     hi = keyed.select("vec_id", F.lit(0).alias("band"), F.expr("srp_sig div 256").alias("band_key"))
@@ -161,8 +164,11 @@ def ann_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qa = sig.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nsq").alias("nsq_a"))
     qb = sig.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nsq").alias("nsq_b"))
+    # verify stage has the large pair count → Arrow-vectorized dot kernel
+    # (bit-identical to the expression version; see make_dot_scaled_pandas)
+    dot_pd = V.make_dot_scaled_pandas()
     cosine = V.cosine_from_scaled(
-        V.dot_scaled(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
+        dot_pd(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
     )
     return (
         cand.join(qa, "vec_a")

@@ -163,3 +163,37 @@ def test_stateful_running_counters(spark, tmp_path):
     assert final[1].n_events == 2 and final[1].total_value == 15.5
     assert final[2].n_events == 1 and final[2].total_value == 2.25
     assert final[1].last_seen.minute == 10
+
+
+def test_checkpoint_resume_no_reprocessing(spark, tmp_path):
+    """F4: restarting a query on the same checkpoint must process ONLY new
+    data (offsets are durable; stats don't double-count)."""
+    src_dir = str(tmp_path / "ckptsrc")
+    ckpt = str(tmp_path / "ckpt3")
+
+    def write_batch(vals):
+        rows = [
+            (f"k{v}", f'{{"domain":"d","filename":"f{v}","content":"c","file_path":"p"}}')
+            for v in vals
+        ]
+        spark.createDataFrame(rows, "key STRING, value STRING").write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    write_batch(range(5))
+    src_schema = "key STRING, value STRING"
+    sink1 = StatsSink()
+    q1 = start_consumer(
+        spark, spark.readStream.schema(src_schema).parquet(src_dir), sink1, ckpt, once=True
+    )
+    q1.awaitTermination(120)
+    assert sum(r["total_documents"] for r in sink1.rows) == 5
+
+    write_batch(range(5, 8))
+    sink2 = StatsSink()
+    q2 = start_consumer(
+        spark, spark.readStream.schema(src_schema).parquet(src_dir), sink2, ckpt, once=True
+    )
+    q2.awaitTermination(120)
+    # only the 3 new docs — the first 5 are committed in the checkpoint
+    assert sum(r["total_documents"] for r in sink2.rows) == 3
