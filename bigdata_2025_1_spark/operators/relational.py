@@ -401,7 +401,7 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(p_retailprice) AS min_price,
            MAX(p_retailprice) AS max_price
     FROM part
-    WHERE p_type LIKE '%AND%' OR contains(p_name, 'green')
+    WHERE p_type LIKE '%A%' OR contains(p_name, 'e')
     GROUP BY 1
     ORDER BY price_band
     """,
@@ -416,7 +416,7 @@ def part_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("premium")
     )
     return (
-        p.filter(F.col("p_type").like("%AND%") | F.col("p_name").contains("green"))
+        p.filter(F.col("p_type").like("%A%") | F.col("p_name").contains("e"))
         .groupBy(band.alias("price_band"))
         .agg(
             F.count("*").alias("n_parts"),

@@ -197,3 +197,28 @@ def test_checkpoint_resume_no_reprocessing(spark, tmp_path):
     q2.awaitTermination(120)
     # only the 3 new docs — the first 5 are committed in the checkpoint
     assert sum(r["total_documents"] for r in sink2.rows) == 3
+
+
+def test_stats_parquet_sink_and_rollup(spark, kafka_shaped_dir, tmp_path):
+    """A9/C7: stats land in a real parquet table; the cross-batch roll-up
+    (export_stats.py:81,89-98 semantics) is then a plain batch query."""
+    stats_path = str(tmp_path / "stats_pq")
+    sink = StatsSink(parquet_path=stats_path)
+    src = spark.readStream.schema(
+        "key STRING, value STRING, timestamp TIMESTAMP"
+    ).parquet(kafka_shaped_dir)
+    q = start_consumer(spark, src, sink, str(tmp_path / "ckpt_pq"), once=True)
+    q.awaitTermination(120)
+
+    stats = spark.read.parquet(stats_path)
+    rollup = stats.select(
+        F.explode("domains").alias("domain", "doc_count"), "total_documents"
+    ).groupBy("domain").agg(F.sum("doc_count").alias("total"))
+    per_domain = {r.domain: r.total for r in rollup.collect()}
+    assert sum(per_domain.values()) == 500
+    # top-k domains across batches (C6 on the stats table)
+    top = rollup.orderBy(F.desc("total"), "domain").limit(3).collect()
+    assert len(top) == 3 and top[0].total >= top[-1].total
+    # size_stats struct survived the sink round-trip
+    row = stats.select("size_stats.min_size", "size_stats.total_size").first()
+    assert row.min_size >= 0 and row.total_size > 0
