@@ -16,6 +16,7 @@ _MODULES = (
     "pandas_surface",
     "scalar_funcs",
     "pipeline_ops",
+    "statistics",
 )
 
 

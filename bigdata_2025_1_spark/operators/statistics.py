@@ -1,0 +1,161 @@
+"""Statistical aggregates and distribution window functions, plus
+ANSI-safety showcases. Correlation/covariance use the explicit
+moment-sum formula over exactly-scaled int64 sums — order-independent and
+bit-identical cross-engine, unlike streaming Welford accumulators (which
+are engine- and partition-order-specific)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.registry import query
+
+# exact moment sums: quantities scaled by 1e2, prices by 1e2 → products 1e4
+_SQL_MOMENTS = """
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(l_quantity * 1e2) AS BIGINT)) AS sx,
+         SUM(CAST(ROUND(l_extendedprice * 1e2) AS BIGINT)) AS sy,
+         SUM(CAST(ROUND(l_quantity * 1e2) AS BIGINT) * CAST(ROUND(l_quantity * 1e2) AS BIGINT)) AS sxx,
+         SUM(CAST(ROUND(l_extendedprice * 1e2) AS BIGINT) * CAST(ROUND(l_extendedprice * 1e2) AS BIGINT)) AS syy,
+         SUM(CAST(ROUND(l_quantity * 1e2) AS BIGINT) * CAST(ROUND(l_extendedprice * 1e2) AS BIGINT)) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+"""
+
+
+@query(
+    "stats_correlation",
+    oracle=f"""
+    WITH m AS ({_SQL_MOMENTS})
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)::DOUBLE
+                 / (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE)), 9)
+             AS corr_qty_price,
+           ROUND(((n * sxy - sx * sy)::DOUBLE / n / n) / 1e4, 4) AS covar_pop
+    FROM m
+    ORDER BY l_returnflag
+    """,
+)
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance of quantity vs price
+    per returnflag, from exact int64 moment sums (the map-side-combinable
+    formulation — one pass, no second scan for means). Rounded at the end
+    (sqrt/div chains share IEEE semantics; rounding guards the last ulp).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    # per-row products fit int64 (≤1e14); their SUM does not (≈6e19 at
+    # sf0.1) — widen to decimal(38,0) before summing. ANSI mode makes the
+    # int64 version fail loudly instead of wrapping, which is how this was
+    # caught. (DuckDB's SUM(BIGINT) auto-widens to HUGEINT.)
+    dec = "decimal(38,0)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((y * y).cast(dec)).alias("syy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+    )
+    n, sx, sy = F.col("n").cast(dec), F.col("sx").cast(dec), F.col("sy").cast(dec)
+    cov_num = (n * F.col("sxy") - sx * sy).cast("double")
+    corr = cov_num / (
+        F.sqrt((n * F.col("sxx") - sx * sx).cast("double"))
+        * F.sqrt((n * F.col("syy") - sy * sy).cast("double"))
+    )
+    covar_pop = cov_num / F.col("n") / F.col("n") / 1e4
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(corr, 9).alias("corr_qty_price"),
+        F.round(covar_pop, 4).alias("covar_pop"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume,
+           FIRST_VALUE(s_suppkey) OVER w AS poorest_supp,
+           NTH_VALUE(s_suppkey, 2) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_poorest
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    ORDER BY s_nationkey, s_acctbal, s_suppkey
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist (single
+    division each — rounded for ulp safety), first_value, nth_value with
+    an explicit full frame."""
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.first("s_suppkey").over(w).alias("poorest_supp"),
+        F.nth_value("s_suppkey", 2).over(w_full).alias("second_poorest"),
+    ).orderBy("s_nationkey", "s_acctbal", "s_suppkey")
+
+
+@query(
+    "safe_math_ansi",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(CAST(o_orderkey % 3 AS DOUBLE), 0) AS guarded_div,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast_null,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS priority_digit
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+)
+def safe_math_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety surface: Spark 4 runs ANSI SQL (overflow/bad casts
+    RAISE by default — correct at scale, where silent nulls hide data
+    corruption); controlled null-paths use try_cast / nullif guards."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            / F.nullif((F.col("o_orderkey") % 3).cast("double"), F.lit(0.0))
+        ).alias("guarded_div"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast_null"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("priority_digit"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "price_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(p_retailprice / 200) AS BIGINT) AS bucket,
+           CAST(FLOOR(p_retailprice / 200) AS BIGINT) * 200 AS bucket_lo,
+           COUNT(*) AS n_parts
+    FROM part
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via integer bucketing (the scalable
+    histogram: one pass, map-side combinable; width_bucket semantics
+    without engine-specific functions)."""
+    p = load(spark, sf_dir, "part")
+    bucket = F.floor(F.col("p_retailprice") / 200).cast("bigint")
+    return (
+        p.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_parts"))
+        .select("bucket", (F.col("bucket") * 200).alias("bucket_lo"), "n_parts")
+        .orderBy("bucket")
+    )
