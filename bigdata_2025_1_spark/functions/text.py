@@ -141,10 +141,17 @@ def quality_features(col: Column) -> dict[str, Column]:
 
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (space-joined), order of first appearance
-    irrelevant downstream (we only take mins / set ops over them)."""
+    irrelevant downstream (we only take mins / set ops over them).
+
+    Short-doc guard: ``F.sequence(1, 0)`` counts DOWN (step defaults to
+    -1 when start > stop) and would then call slice(start=0) → runtime
+    error; docs with fewer than k tokens must yield an empty shingle set
+    explicitly."""
     toks = ws_tokens(F.lower(col))
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
     return F.array_distinct(sh)
 

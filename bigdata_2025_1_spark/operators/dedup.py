@@ -218,7 +218,10 @@ WITH tok AS (
 ), votes AS (
   SELECT doc_id, {_SIMHASH_VOTES} FROM ex GROUP BY doc_id
 )
-SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM votes
+-- LEFT JOIN keeps zero-token docs: null votes -> every CASE yields 0 ->
+-- simhash 0, matching Spark's empty-fold result
+SELECT t.doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash
+FROM tok t LEFT JOIN votes USING (doc_id)
 """
 
 
@@ -345,7 +348,11 @@ def dedup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents"))
     txt = T.normalize_ws(F.lower(F.col("text")))
     n = F.length(txt)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(4), F.lit(0)))
+    # short-text guard: sequence(1,0) counts DOWN and substr(pos=0) would
+    # fabricate a gram the oracle never produces — <5 chars → no grams
+    idx = F.when(n >= 5, F.sequence(F.lit(1), n - F.lit(4))).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = F.array_distinct(F.transform(idx, lambda i: F.substr(txt, i, F.lit(5))))
     sh = (
         docs.select("doc_id", grams.alias("grams"))

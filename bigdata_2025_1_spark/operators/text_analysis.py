@@ -23,15 +23,18 @@ for _lang, _markers in T.LANG_MARKERS.items():
         f"len(list_filter(toks, t -> list_contains([{_lst}], t))) AS score_{_lang}"
     )
 _LANG_SCORES_SQL = ",\n             ".join(_LANG_CASES)
+# Spark's fold keeps the FIRST language (declaration order) that attains
+# the max score: language L wins iff score_L > 0, strictly beats every
+# EARLIER language (ties keep the earlier crown), and is >= every LATER one.
 _ARGMAX_SQL = "CASE"
-_prev = []
-for _lang in T.LANG_MARKERS:
-    _conds = [f"score_{_lang} > 0"] + [f"score_{_lang} >= score_{p}" for p in _prev]
-    # strict >: an earlier language keeps the crown on ties, so later langs
-    # must be strictly greater than every earlier one
-    _conds = [f"score_{_lang} > 0"] + [f"score_{_lang} > score_{p}" for p in _prev]
+_langs = list(T.LANG_MARKERS)
+for _i, _lang in enumerate(_langs):
+    _conds = (
+        [f"score_{_lang} > 0"]
+        + [f"score_{_lang} > score_{p}" for p in _langs[:_i]]
+        + [f"score_{_lang} >= score_{q}" for q in _langs[_i + 1 :]]
+    )
     _ARGMAX_SQL += f" WHEN {' AND '.join(_conds)} THEN '{_lang}'"
-    _prev.append(_lang)
 _ARGMAX_SQL += " ELSE 'und' END"
 
 

@@ -33,6 +33,11 @@ def main() -> int:
             problems = check_query(spark, con, fn, oracles.get(name), sf_dir)
         except Exception as e:  # noqa: BLE001
             problems = [f"error: {e}"]
+        finally:
+            # queries that persist() intermediates (LSH signatures etc.)
+            # cannot unpersist before the caller's action — drop their
+            # cached blocks between queries
+            spark.catalog.clearCache()
         if problems:
             print(f"FAIL  {name}: {problems[0]}")
             for p in problems[1:]:
