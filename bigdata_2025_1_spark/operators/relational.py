@@ -24,6 +24,7 @@ from bigdata_2025_1_spark.functions.exact import (
     sql_exact_sum,
     sql_int_avg,
 )
+from bigdata_2025_1_spark.functions import text as T
 from bigdata_2025_1_spark.io import load
 from bigdata_2025_1_spark.registry import query
 
@@ -460,3 +461,145 @@ def unpivot_balance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["c_nationkey"], ["total_bal", "min_bal", "max_bal"], "metric", "value"
     ).orderBy("c_nationkey", "metric")
+
+
+@query(
+    "full_outer_reconciliation",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c.c_nationkey AS nationkey, {sql_exact_sum('o.o_totalprice', 2)} AS order_spend
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY c.c_nationkey
+    ), balances AS (
+      SELECT s_nationkey AS nationkey, {sql_exact_sum('s_acctbal', 2)} AS supplier_balance
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(s.nationkey, b.nationkey) AS nationkey,
+           COALESCE(s.order_spend, 0.0) AS order_spend,
+           COALESCE(b.supplier_balance, 0.0) AS supplier_balance,
+           (s.nationkey IS NOT NULL AND b.nationkey IS NOT NULL) AS in_both
+    FROM spend s FULL OUTER JOIN balances b ON s.nationkey = b.nationkey
+    ORDER BY nationkey
+    """,
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation: per-nation customer spend vs
+    supplier balances — rows survive from either side, presence flags via
+    null checks (the ledger-diff pattern)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(exact_sum(F.col("o_totalprice"), 2).alias("order_spend"))
+    )
+    balances = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        exact_sum(F.col("s_acctbal"), 2).alias("supplier_balance")
+    )
+    a, b = spend.alias("a"), balances.alias("b")
+    return (
+        a.join(b, F.col("a.nationkey") == F.col("b.nationkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.nationkey"), F.col("b.nationkey")).alias("nationkey"),
+            F.coalesce(F.col("order_spend"), F.lit(0.0)).alias("order_spend"),
+            F.coalesce(F.col("supplier_balance"), F.lit(0.0)).alias("supplier_balance"),
+            (F.col("a.nationkey").isNotNull() & F.col("b.nationkey").isNotNull()).alias("in_both"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "union_by_name_evolution",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey < 2000
+    ), v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey < 2000
+    )
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    ORDER BY o_orderkey
+    """,
+)
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution union: unionByName(allowMissingColumns=True)
+    merges an old-schema slice (missing a column) with a new-schema slice
+    — nulls fill the gap, columns match by NAME not position (the only
+    safe union once schemas drift across partitions/ages)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    return (
+        v1.unionByName(v2, allowMissingColumns=True)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "posexplode_tokens",
+    oracle="""
+    SELECT doc_id, CAST(pos AS INT) AS pos, token FROM (
+      SELECT doc_id,
+             unnest([{'pos': i - 1, 'token': toks[i]}
+                     for i in range(1, len(toks) + 1)], recursive := true)
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+        FROM documents WHERE doc_id < 5
+      )
+    )
+    ORDER BY doc_id, pos
+    """,
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: token stream with 0-based positions (generator with
+    ordinality — what sequence labeling / packing pipelines consume)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    toks = T.ws_tokens(F.lower(F.col("text")))
+    return (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@query(
+    "null_safe_equality",
+    oracle="""
+    WITH tagged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS maybe_status
+      FROM orders WHERE o_orderkey < 3000
+    )
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b
+    FROM tagged a JOIN tagged b
+      ON a.maybe_status IS NOT DISTINCT FROM b.maybe_status
+     AND a.o_orderkey + 1 = b.o_orderkey
+    ORDER BY key_a
+    """,
+)
+def null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM): adjacent orders
+    whose (nullable) status matches treating NULL = NULL as true — the
+    semantics ordinary equi-joins silently drop."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    tagged = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("maybe_status"),
+    )
+    a = tagged.select(F.col("o_orderkey").alias("key_a"), F.col("maybe_status").alias("st_a"))
+    b = tagged.select(F.col("o_orderkey").alias("key_b"), F.col("maybe_status").alias("st_b"))
+    return (
+        a.join(b, F.col("st_a").eqNullSafe(F.col("st_b")) & (F.col("key_a") + 1 == F.col("key_b")))
+        .select("key_a", "key_b")
+        .orderBy("key_a")
+    )

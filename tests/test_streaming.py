@@ -222,3 +222,53 @@ def test_stats_parquet_sink_and_rollup(spark, kafka_shaped_dir, tmp_path):
     # size_stats struct survived the sink round-trip
     row = stats.select("size_stats.min_size", "size_stats.total_size").first()
     assert row.min_size >= 0 and row.total_size > 0
+
+
+def test_stream_static_enrichment(spark, events_stream_dir, sf_dir):
+    from bigdata_2025_1_spark.streaming.joins import enrich_with_dimension
+
+    dim = spark.createDataFrame(
+        [("click", "web"), ("purchase", "commerce"), ("view", "web")],
+        "event_type STRING, category STRING",
+    )
+    stream = spark.readStream.schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    ).parquet(events_stream_dir)
+    enriched = enrich_with_dimension(stream, dim, "event_type")
+    result = _run_stream_to_memory(spark, enriched, "enrich_test")
+    rows = result.collect()
+    assert len(rows) == 1000  # events @ sf0.001, left join preserves all
+    cats = {r.event_type: r.category for r in rows if r.category is not None}
+    assert cats["click"] == "web" and cats["purchase"] == "commerce"
+    assert all(r.category is None for r in rows if r.event_type in ("signup", "error"))
+
+
+def test_stream_stream_interval_join(spark, events_stream_dir, sf_dir):
+    from bigdata_2025_1_spark.streaming.joins import interval_self_join
+
+    stream = spark.readStream.schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    ).parquet(events_stream_dir)
+    joined = interval_self_join(stream, max_gap_seconds=300)
+    result = _run_stream_to_memory(spark, joined, "ss_join_test")
+    rows = result.collect()
+    # batch twin computed directly for equality
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    expected = (
+        c.join(p, (F.col("u") == F.col("pu"))
+               & (F.col("pts") >= F.col("cts"))
+               & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 300 SECONDS")))
+        .count()
+    )
+    assert expected > 0
+    # availableNow + watermark may hold back pairs near the stream end,
+    # but every emitted pair must be a true pair and most must arrive
+    got = {(r.click_id, r.purchase_id) for r in rows}
+    assert len(got) <= expected
+    assert len(got) >= expected - 50
