@@ -236,3 +236,123 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(idf > 0)
         .orderBy("doc_id", F.desc("tfidf"), "word")
     )
+
+
+_E2E_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, source, text,
+         LENGTH(text) AS n_chars,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS n_tokens,
+         LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+  FROM documents WHERE LENGTH(text) > 0
+), kept AS (
+  SELECT doc_id, source, text, n_tokens FROM feat
+  WHERE n_chars BETWEEN 100 AND 20000 AND n_tokens >= 20
+    AND alpha::DOUBLE / n_chars > 0.5
+), exact_survivors AS (
+  SELECT doc_id, source, text, n_tokens FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+    FROM kept
+  ) WHERE doc_id = keeper
+), tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
+  FROM exact_survivors
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+  FROM tok
+), sig AS (
+  SELECT doc_id, shingles,
+         list_min([md5(s) for s in shingles]) AS mh0,
+         list_min([substr(md5(s), 2) || substr(md5(s), 1, 1) for s in shingles]) AS mh1,
+         list_min([substr(md5(s), 3) || substr(md5(s), 1, 2) for s in shingles]) AS mh2,
+         list_min([substr(md5(s), 4) || substr(md5(s), 1, 3) for s in shingles]) AS mh3
+  FROM sh
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shingles AS sa, b.shingles AS sb
+  FROM sig a JOIN sig b
+    ON md5(a.mh0 || a.mh1 || a.mh2 || a.mh3) = md5(b.mh0 || b.mh1 || b.mh2 || b.mh3)
+   AND a.doc_id < b.doc_id
+), near_dropped AS (
+  SELECT DISTINCT doc_b AS doc_id FROM cand
+  WHERE len(list_intersect(sa, sb))::DOUBLE / len(list_distinct(sa || sb)) >= 0.8
+), final AS (
+  SELECT e.doc_id, e.source, e.n_tokens,
+         (e.doc_id * {_SPLIT_PRIME}) % 100 AS bucket
+  FROM exact_survivors e
+  WHERE e.doc_id NOT IN (SELECT doc_id FROM near_dropped)
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       COUNT(DISTINCT source) AS n_sources
+FROM final
+GROUP BY 1
+ORDER BY split
+"""
+
+
+@query("corpus_end_to_end", oracle=_E2E_ORACLE)
+def corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-corpus pipeline as ONE composed plan:
+    quality gate → exact dedup (md5 keeper) → near-dup removal (4-hash
+    MinHash, single band, exact-Jaccard ≥ 0.8, drop the larger id) →
+    deterministic train/valid/test split → per-split doc/token stats.
+
+    Each stage is the operator proven individually elsewhere; this query
+    is the composition a real user runs nightly — lazily planned end to
+    end, so Catalyst fuses the projections and the only shuffles are the
+    dedup window, the band join, and the final aggregate."""
+    from bigdata_2025_1_spark.functions import text as T2
+
+    docs = spread(load(spark, sf_dir, "documents")).filter(F.length("text") > 0)
+    q = T.quality_features(F.col("text"))
+    kept = docs.select(
+        "doc_id", "source", "text", q["n_tokens"].alias("n_tokens")
+    ).filter(
+        q["n_chars"].between(100, 20000)
+        & (q["n_tokens"] >= 20)
+        & (q["alpha_ratio"] > 0.5)
+    )
+    w = Window.partitionBy(F.md5("text"))
+    exact_survivors = (
+        kept.withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper")
+    )
+    sig = exact_survivors.select(
+        "doc_id",
+        T2.word_shingles(F.col("text"), 3).alias("shingles"),
+    ).select(
+        "doc_id",
+        "shingles",
+        T2.minhash_signature(F.col("shingles"), 4).alias("sig"),
+    ).persist()
+    band_key = F.md5(F.concat(*[F.col("sig")[i] for i in range(4)]))
+    keyed = sig.select("doc_id", "shingles", band_key.alias("bk"))
+    a = keyed.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"), F.col("bk").alias("bk_a"))
+    b = keyed.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"), F.col("bk").alias("bk_b"))
+    jacc = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_distinct(F.concat("sa", "sb"))
+    )
+    near_dropped = (
+        a.join(b, (F.col("bk_a") == F.col("bk_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .filter(jacc >= 0.8)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = exact_survivors.join(near_dropped, "doc_id", "left_anti")
+    bucket = (F.col("doc_id") * _SPLIT_PRIME) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    return (
+        final.select(split.alias("split"), "n_tokens", "source")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("split")
+    )
