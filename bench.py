@@ -56,8 +56,11 @@ def main() -> None:
     # Warm up JVM, parquet reader, and codegen paths on the smallest SF so
     # query #1 isn't charged for one-time harness costs.
     spark.range(1000).count()
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir  # portable fallback: warm on the bench data itself
     for warm in ("domain_doc_stats", "q1_pricing_summary"):
-        queries[warm](spark, "/root/testdata/sf0.001").collect()
+        queries[warm](spark, warm_dir).collect()
 
     # Best-of-2 per query: run 1 includes one-time Catalyst analysis +
     # whole-stage-codegen compilation for that plan shape (~2 s locally);

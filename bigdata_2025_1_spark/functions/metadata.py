@@ -22,7 +22,10 @@ CODE_PATTERN = r"\d{1,4}/(?:\d{4}/)?[A-ZĐ]{1,5}(?:-[A-Z0-9]{1,5})*"
 # crawl/1/extract_document_info.py:48
 SIGNER_PATTERN = r"\b(KT\.|TL\.|THỨ TRƯỞNG|BỘ TRƯỞNG)\b"
 # crawl/1/extract_document_info.py:41
-DATE_FALLBACK_PATTERN = r"ngày\s+\d{1,2}\s+tháng"
+# Python re \s is Unicode-wide; mirror with the explicit class
+from bigdata_2025_1_spark.functions.text import PY_WS_CLASS  # noqa: E402
+
+DATE_FALLBACK_PATTERN = rf"ngày{PY_WS_CLASS}+\d{{1,2}}{PY_WS_CLASS}+tháng"
 
 
 def _lines(text: Column) -> Column:
@@ -88,7 +91,10 @@ def signer(text: Column) -> Column:
     words)."""
     lines = _lines(text)
     last = F.try_element_at(F.filter(lines, lambda l: l.rlike(SIGNER_PATTERN)), F.lit(-1))
-    words = F.filter(F.split(F.trim(last), r"\s+", -1), lambda w: w != F.lit(""))
+    # .strip().split() parity: Unicode whitespace split, empties dropped
+    words = F.filter(
+        F.split(py_strip(last), PY_WS_CLASS + "+", -1), lambda w: w != F.lit("")
+    )
     return F.when(F.size(words) >= 2, F.array_join(words, " "))
 
 

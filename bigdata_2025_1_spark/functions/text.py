@@ -18,19 +18,33 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+# Exact Python str.isspace() character set — what str.strip()/str.split()
+# treat as whitespace. Embedded as LITERAL characters so Java regex, RE2
+# (DuckDB), and Python agree exactly: regex \s is ASCII-only in Java/RE2
+# but Unicode-wide in Python, and HTML-scraped corpora carry NBSP etc.
+PY_WS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+PY_WS_CLASS = f"[{PY_WS}]"
+PY_STRIP_PATTERN = f"^{PY_WS_CLASS}+|{PY_WS_CLASS}+$"
+# oracle-side mirror (same literal characters inside the SQL text)
+SQL_PY_STRIP = f"regexp_replace({{0}}, '{PY_STRIP_PATTERN}', '', 'g')"
+SQL_PY_WS_COLLAPSE = f"regexp_replace({{0}}, '{PY_WS_CLASS}+', ' ', 'g')"
+
+
 def py_strip(col: Column) -> Column:
-    """Python ``str.strip()`` parity: removes ALL whitespace at both ends.
-    (``F.trim``/SQL ``trim`` strip ASCII spaces only — a found-by-property-
-    test divergence for trailing newlines/tabs.)"""
-    return F.regexp_replace(col, r"^\s+|\s+$", "")
-
-
-SQL_PY_STRIP = "regexp_replace({0}, '^\\s+|\\s+$', '', 'g')"
+    """Python ``str.strip()`` parity: removes ALL Unicode whitespace at
+    both ends (``F.trim``/SQL ``trim`` strip ASCII spaces only; regex \s
+    misses NBSP & friends)."""
+    return F.regexp_replace(col, PY_STRIP_PATTERN, "")
 
 
 def normalize_ws(col: Column) -> Column:
-    """' '.join(text.split()) parity (crawl/crawl.py:198-199)."""
-    return F.regexp_replace(py_strip(col), r"\s+", " ")
+    """' '.join(text.split()) parity (crawl/crawl.py:198-199) — Unicode
+    whitespace runs collapse to one space, ends stripped."""
+    return F.regexp_replace(py_strip(col), f"{PY_WS_CLASS}+", " ")
 
 
 def collapse_dashes(col: Column) -> Column:
@@ -51,7 +65,13 @@ def preview(col: Column, n: int = 100) -> Column:
 
 
 def ws_tokens(col: Column) -> Column:
-    """Whitespace tokenization, empty tokens dropped."""
+    """ASCII-whitespace tokenization, empty tokens dropped.
+
+    Deliberate deviation: Python .split() also splits on exotic Unicode
+    whitespace; this family (shingles/token counts/lang-id) tokenizes on
+    ASCII \s consistently in BOTH engine and oracle — a tokenization
+    choice, not a parity bug (the strip/normalize family, which mirrors
+    reference behavior verbatim, uses PY_WS_CLASS)."""
     return F.filter(F.split(F.trim(col), r"\s+", -1), lambda w: w != F.lit(""))
 
 

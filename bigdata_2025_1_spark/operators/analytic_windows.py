@@ -203,8 +203,9 @@ def grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT o_custkey, o_orderkey,
            SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT))
-             OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) / 1e2
+             OVER (PARTITION BY o_custkey
+                   ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) / 1e2
              AS revenue_30d
     FROM orders
     WHERE o_custkey < 100
@@ -216,10 +217,13 @@ def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     days (value-based frame over epoch seconds — rows/range distinction
     matters when orders cluster). Exact cents inside the frame sum."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    # day ordinals, not unix_timestamp: epoch seconds of an NTZ timestamp
+    # depend on the session timezone (DST would shift frame boundaries);
+    # date ordinals are timezone-free in both engines
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
-        .rangeBetween(-30 * 86400, 0)
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-30, 0)
     )
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     return o.select(

@@ -305,7 +305,10 @@ _CHAR_SHINGLE_SQL = (
     "dedup_char_ngram_jaccard",
     oracle=f"""
     WITH norm AS (
-      SELECT doc_id, regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g') AS txt
+      SELECT doc_id, regexp_replace(regexp_replace(lower(text), '^[	
+                  　]+|[	
+                  　]+$', '', 'g'), '[	
+                  　]+', ' ', 'g') AS txt
       FROM documents
     ), sh AS (
       SELECT doc_id, {_CHAR_SHINGLE_SQL} AS grams FROM norm
@@ -519,6 +522,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            "dedup_connected_components: label propagation did not converge "
+            "in 32 iterations (component diameter > 32?) — returning partial "
+            "labels would silently split real clusters"
+        )
     return labels.select("doc", F.col("label").alias("cluster_id")).select(
         F.col("doc").alias("doc_id"), "cluster_id"
     ).orderBy("doc_id")

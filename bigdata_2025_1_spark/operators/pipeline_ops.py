@@ -305,8 +305,6 @@ def corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the composition a real user runs nightly — lazily planned end to
     end, so Catalyst fuses the projections and the only shuffles are the
     dedup window, the band join, and the final aggregate."""
-    from bigdata_2025_1_spark.functions import text as T2
-
     docs = spread(load(spark, sf_dir, "documents")).filter(F.length("text") > 0)
     q = T.quality_features(F.col("text"))
     kept = docs.select(
@@ -324,11 +322,11 @@ def corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = exact_survivors.select(
         "doc_id",
-        T2.word_shingles(F.col("text"), 3).alias("shingles"),
+        T.word_shingles(F.col("text"), 3).alias("shingles"),
     ).select(
         "doc_id",
         "shingles",
-        T2.minhash_signature(F.col("shingles"), 4).alias("sig"),
+        T.minhash_signature(F.col("shingles"), 4).alias("sig"),
     ).persist()
     band_key = F.md5(F.concat(*[F.col("sig")[i] for i in range(4)]))
     keyed = sig.select("doc_id", "shingles", band_key.alias("bk"))

@@ -146,9 +146,13 @@ WITH lines AS (
          codes[1] AS main_code,
          list_filter(codes[2:], c -> c <> codes[1]) AS related_codes,
          CASE WHEN contains(text, '|')
-              THEN regexp_replace(string_split(text, '|')[2], '^\\s+|\\s+$', '', 'g') END AS agency,
+              THEN regexp_replace(string_split(text, '|')[2], '^[	
+                  　]+|[	
+                  　]+$', '', 'g') END AS agency,
          list_filter(ls, l -> contains(l, 'Số:') AND contains(lower(l), 'ngày'))[1] AS primary_line,
-         list_filter(ls, l -> regexp_matches(lower(l), 'ngày\\s+\\d{1,2}\\s+tháng'))[1] AS fb_line,
+         list_filter(ls, l -> regexp_matches(lower(l), 'ngày[	
+                  　]+\\d{1,2}[	
+                  　]+tháng'))[1] AS fb_line,
          list_filter(ls, l -> regexp_matches(l, '\\b(KT\\.|TL\\.|THỨ TRƯỞNG|BỘ TRƯỞNG)\\b'))[-1] AS signer_line
   FROM lines
 )
@@ -157,11 +161,21 @@ SELECT doc_id,
        related_codes,
        agency,
        COALESCE(
-         regexp_replace(list_filter(string_split(primary_line, '|'), p -> contains(lower(p), 'ngày'))[1], '^\\s+|\\s+$', '', 'g'),
-         regexp_replace(fb_line, '^\\s+|\\s+$', '', 'g')
+         regexp_replace(list_filter(string_split(primary_line, '|'), p -> contains(lower(p), 'ngày'))[1], '^[	
+                  　]+|[	
+                  　]+$', '', 'g'),
+         regexp_replace(fb_line, '^[	
+                  　]+|[	
+                  　]+$', '', 'g')
        ) AS issue_date,
-       CASE WHEN len(list_filter(regexp_split_to_array(trim(signer_line), '\\s+'), w -> w <> '')) >= 2
-            THEN list_aggregate(list_filter(regexp_split_to_array(trim(signer_line), '\\s+'), w -> w <> ''), 'string_agg', ' ')
+       CASE WHEN len(list_filter(regexp_split_to_array(regexp_replace(signer_line, '^[	
+                  　]+|[	
+                  　]+$', '', 'g'), '[	
+                  　]+'), w -> w <> '')) >= 2
+            THEN list_aggregate(list_filter(regexp_split_to_array(regexp_replace(signer_line, '^[	
+                  　]+|[	
+                  　]+$', '', 'g'), '[	
+                  　]+'), w -> w <> ''), 'string_agg', ' ')
        END AS signer
 FROM parts
 ORDER BY doc_id
@@ -220,7 +234,10 @@ def html_to_markdown_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "normalize_text",
     oracle="""
     SELECT doc_id,
-           regexp_replace(trim(text), '\\s+', ' ', 'g') AS normalized,
+           regexp_replace(regexp_replace(text, '^[	
+                  　]+|[	
+                  　]+$', '', 'g'), '[	
+                  　]+', ' ', 'g') AS normalized,
            regexp_replace(text, '-{2,}', '', 'g') AS dashes_collapsed
     FROM documents
     ORDER BY doc_id

@@ -72,10 +72,15 @@ fragment = st.one_of(
             "",
             "  dòng có   khoảng   trắng  ",
             "99/XY-1 1/A 12/BC",
+            # Unicode whitespace (NBSP / ideographic space) — Python strip()
+            # and re \s treat these as whitespace; PY_WS_CLASS must agree
+            "BỘ TÀI CHÍNH | CỘNG HÒA　",
+            "Số: 5/TT |  ngày 2 tháng 3 ",
+            "KT. BỘ TRƯỞNG X",
         ]
     ),
     st.text(
-        alphabet="abcdefgABCDEFG0123456789 |/-.:ĐƯỞở ngàySốtháng",
+        alphabet="abcdefgABCDEFG0123456789 |/-.:ĐƯỞở ngàySốtháng 　\t",
         max_size=40,
     ),
 )
