@@ -306,9 +306,12 @@ _CHAR_SHINGLE_SQL = (
     oracle=f"""
     WITH norm AS (
       SELECT doc_id, regexp_replace(regexp_replace(lower(text), '^[	
-                  　]+|[	
-                  　]+$', '', 'g'), '[	
-                  　]+', ' ', 'g') AS txt
+
+                  　]+|[	
+
+                  　]+$', '', 'g'), '[	
+
+                  　]+', ' ', 'g') AS txt
       FROM documents
     ), sh AS (
       SELECT doc_id, {_CHAR_SHINGLE_SQL} AS grams FROM norm
@@ -349,7 +352,13 @@ def dedup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Char grams catch edits word-level shingles miss."""
     docs = spread(load(spark, sf_dir, "documents"))
-    txt = T.normalize_ws(F.lower(F.col("text")))
+    # materialize normalized text FIRST: the gram lambda references txt
+    # once per gram, and without a barrier Catalyst inlines (= re-runs)
+    # the normalize regexes per gram — a ~1000x amplification
+    norm = docs.select(
+        "doc_id", T.normalize_ws(F.lower(F.col("text"))).alias("txt")
+    ).persist()
+    txt = F.col("txt")
     n = F.length(txt)
     # short-text guard: sequence(1,0) counts DOWN and substr(pos=0) would
     # fabricate a gram the oracle never produces — <5 chars → no grams
@@ -358,7 +367,7 @@ def dedup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = F.array_distinct(F.transform(idx, lambda i: F.substr(txt, i, F.lit(5))))
     sh = (
-        docs.select("doc_id", grams.alias("grams"))
+        norm.select("doc_id", grams.alias("grams"))
         .select(
             "doc_id",
             "grams",
