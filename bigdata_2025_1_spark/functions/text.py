@@ -35,7 +35,7 @@ SQL_PY_WS_COLLAPSE = f"regexp_replace({{0}}, '{PY_WS_CLASS}+', ' ', 'g')"
 
 
 def py_strip(col: Column) -> Column:
-    """Python ``str.strip()`` parity: removes ALL Unicode whitespace at
+    r"""Python ``str.strip()`` parity: removes ALL Unicode whitespace at
     both ends (``F.trim``/SQL ``trim`` strip ASCII spaces only; regex \s
     misses NBSP & friends)."""
     return F.regexp_replace(col, PY_STRIP_PATTERN, "")
@@ -65,7 +65,7 @@ def preview(col: Column, n: int = 100) -> Column:
 
 
 def ws_tokens(col: Column) -> Column:
-    """ASCII-whitespace tokenization, empty tokens dropped.
+    r"""ASCII-whitespace tokenization, empty tokens dropped.
 
     Deliberate deviation: Python .split() also splits on exotic Unicode
     whitespace; this family (shingles/token counts/lang-id) tokenizes on

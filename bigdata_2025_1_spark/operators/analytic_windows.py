@@ -145,7 +145,7 @@ def rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_items,
-           SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
            {sql_exact_sum('l_extendedprice', 2)} AS total_price
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)

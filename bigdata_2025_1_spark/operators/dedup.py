@@ -444,6 +444,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # Scale guard: this query is the deliberate O(n²) exact anchor for the
+    # banded-LSH path. Refuse inputs where all-pairs is no longer sane so
+    # the anchor cannot be cargo-culted onto a large table (the count is
+    # on the already-persisted signatures, so it costs one cheap job).
+    n_vectors = sig.count()
+    if n_vectors > 10_000:
+        sig.unpersist()
+        raise ValueError(
+            f"dedup_embedding_cosine is an exact all-pairs anchor and got "
+            f"{n_vectors} vectors (limit 10000); use ann_srp_lsh_pairs "
+            f"(banded SRP-LSH) for large tables"
+        )
     a = sig.select(
         F.col("vec_id").alias("doc_a"),
         F.col("source").alias("source_a"),

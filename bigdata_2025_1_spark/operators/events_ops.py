@@ -24,7 +24,7 @@ PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType(), True)])
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
            MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
     FROM events
@@ -158,7 +158,7 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_sessionization",
     oracle="""
     WITH gaps AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -166,13 +166,13 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sessions AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM gaps
     )
     SELECT user_id,
            CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
-           SUM(session_events) AS n_events,
+           CAST(SUM(session_events) AS BIGINT) AS n_events,
            CAST(MAX(session_events) AS BIGINT) AS max_session_events
     FROM (SELECT user_id, session_id, COUNT(*) AS session_events
           FROM sessions GROUP BY user_id, session_id) s

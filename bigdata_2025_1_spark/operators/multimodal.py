@@ -44,7 +44,7 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
            {sql_int_avg('n_bytes')} AS avg_bytes,
-           SUM(byte_sum) AS total_byte_sum
+           CAST(SUM(byte_sum) AS BIGINT) AS total_byte_sum
     FROM feat
     """,
 )

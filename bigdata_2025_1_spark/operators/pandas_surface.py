@@ -128,15 +128,44 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_percentiles")  # rows-only: sketch values are engine-specific
+@query(
+    "approx_percentiles",
+    oracle="""
+    SELECT quantile_cont(l_extendedprice, 0.50) AS exact_p50,
+           quantile_cont(l_extendedprice, 0.95) AS exact_p95,
+           quantile_cont(l_extendedprice, 0.99) AS exact_p99,
+           TRUE AS p50_within_tol,
+           TRUE AS p95_within_tol,
+           TRUE AS p99_within_tol
+    FROM lineitem
+    """,
+)
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch): fixed memory, single pass —
-    the scale path for quantiles (exact twin: order_value_percentiles)."""
+    the scale path for quantiles (exact twin: order_value_percentiles).
+    Sketch values are engine-specific, so the checkable output is a
+    tolerance verdict per quantile (|approx - exact| / exact <= 0.05)
+    alongside the exact interpolated percentiles both engines agree on."""
     li = load(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        )
+
+    def within_tol(approx: str, exact: str):
+        return (F.abs(F.col(approx) - F.col(exact)) / F.col(exact)) <= 0.05
+
+    agg = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.50)).alias("exact_p50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("exact_p95"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("exact_p99"),
+        F.percentile_approx("l_extendedprice", F.lit(0.50), F.lit(10000)).alias("a50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("a95"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("a99"),
+    )
+    return agg.select(
+        "exact_p50",
+        "exact_p95",
+        "exact_p99",
+        within_tol("a50", "exact_p50").alias("p50_within_tol"),
+        within_tol("a95", "exact_p95").alias("p95_within_tol"),
+        within_tol("a99", "exact_p99").alias("p99_within_tol"),
     )
 
 

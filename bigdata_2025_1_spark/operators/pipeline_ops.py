@@ -77,7 +77,7 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) AS n_docs,
            COUNT(*) FILTER (keep) AS n_kept,
-           SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS tokens_kept
+           CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
     FROM decided
     GROUP BY source
     ORDER BY source
@@ -124,7 +124,7 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, pack_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS pack_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
     FROM packed
     GROUP BY source, pack_id
     ORDER BY source, pack_id
@@ -216,24 +216,28 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back onto the exploded tf relation; ln on a single exact
     division keeps doubles engine-stable."""
     docs = spread(load(spark, sf_dir, "documents"))
-    n_docs = docs.count()
     tokens = docs.select(
         "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("word")
     )
     tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df = tokens.distinct().groupBy("word").agg(F.count("*").alias("doc_freq"))
-    idf = F.log(F.lit(float(n_docs)) / F.col("doc_freq"))
+    # n_docs as a 1-row broadcast aggregate (mirrors the oracle's CROSS
+    # JOIN n) — no driver-side action, no second corpus scan.
+    n = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.log(F.col("n_docs").cast("double") / F.col("doc_freq"))
     return (
         tf.filter(F.col("doc_id") < 10)
         .join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("idf", idf)
+        .filter(F.col("idf") > 0)
         .select(
             "doc_id",
             "word",
             # ln() differs by 1 ulp between libm implementations — round to
             # 6 dp on both sides (the one place bit-exactness is impossible)
-            F.round(F.col("tf").cast("double") * idf, 6).alias("tfidf"),
+            F.round(F.col("tf").cast("double") * F.col("idf"), 6).alias("tfidf"),
         )
-        .filter(idf > 0)
         .orderBy("doc_id", F.desc("tfidf"), "word")
     )
 
@@ -286,7 +290,7 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'valid'
             ELSE 'test' END AS split,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        COUNT(DISTINCT source) AS n_sources
 FROM final
 GROUP BY 1

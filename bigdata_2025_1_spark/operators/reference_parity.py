@@ -24,7 +24,7 @@ from bigdata_2025_1_spark.registry import query
            MIN(LENGTH(text)) AS min_chars,
            MAX(LENGTH(text)) AS max_chars,
            {sql_int_avg('LENGTH(text)')} AS avg_chars,
-           SUM(LENGTH(text)) AS total_chars
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY source
     ORDER BY doc_count DESC, source
@@ -59,7 +59,7 @@ def domain_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(LENGTH(text)) AS min_size,
            MAX(LENGTH(text)) AS max_size,
            {sql_int_avg('LENGTH(text)')} AS avg_size,
-           SUM(LENGTH(text)) AS total_size
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_size
     FROM documents
     """,
 )
@@ -158,7 +158,7 @@ WITH lines AS (
 )
 SELECT doc_id,
        main_code,
-       related_codes,
+       NULLIF(array_to_string(related_codes, '|'), '') AS related_codes,
        agency,
        COALESCE(
          regexp_replace(list_filter(string_split(primary_line, '|'), p -> contains(lower(p), 'ngày'))[1], '^[	
@@ -192,7 +192,12 @@ def metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         M.main_code(text).alias("main_code"),
-        M.related_codes(text).alias("related_codes"),
+        # Joined to a string: the driver's pandas canonicalizer cannot
+        # hash array cells (CORRECTNESS_r01 err) — same information.
+        # NULLIF('') on both engines: empty match-list ≡ no related codes.
+        F.nullif(F.array_join(M.related_codes(text), "|"), F.lit("")).alias(
+            "related_codes"
+        ),
         M.agency(text).alias("agency"),
         M.issue_date(text).alias("issue_date"),
         M.signer(text).alias("signer"),

@@ -33,7 +33,7 @@ from bigdata_2025_1_spark.registry import query
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            {sql_exact_sum('l_extendedprice', 2)} AS sum_base_price,
            {sql_exact_sum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
            {sql_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 4)} AS sum_charge,
@@ -348,17 +348,44 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_counts")  # no oracle: HLL sketches differ per engine
+@query(
+    "approx_distinct_counts",
+    oracle="""
+    SELECT CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT) AS exact_custkeys,
+           TRUE AS custkeys_within_tol,
+           CAST((SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS BIGINT) AS exact_partkeys,
+           TRUE AS partkeys_within_tol
+    """,
+)
 def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB-scale answer to
     COUNT(DISTINCT) on high-cardinality keys: one pass, fixed memory, no
     shuffle of the distinct values themselves. Sketch values are
-    engine-specific → rows-only driver check (exact twin: distinct_counts)."""
+    engine-specific, so the checkable output is a tolerance verdict:
+    |approx - exact| / exact <= 0.05 (sketch rsd 0.01), with the exact
+    side emitted on both engines."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    return (
-        o.agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_custkeys"))
-        .crossJoin(li.agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_partkeys")))
+
+    def within_tol(approx: str, exact: str):
+        rel = F.abs(F.col(approx).cast("double") - F.col(exact).cast("double")) / F.col(
+            exact
+        ).cast("double")
+        return rel <= 0.05
+
+    ocnt = o.agg(
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_custkeys"),
+    )
+    lcnt = li.agg(
+        F.countDistinct("l_partkey").alias("exact_partkeys"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_partkeys"),
+    )
+    return ocnt.crossJoin(lcnt).select(
+        "exact_custkeys",
+        within_tol("approx_custkeys", "exact_custkeys").alias("custkeys_within_tol"),
+        "exact_partkeys",
+        within_tol("approx_partkeys", "exact_partkeys").alias("partkeys_within_tol"),
     )
 
 

@@ -67,6 +67,31 @@ def compare(
     return problems
 
 
+def compare_dtype_kinds(spark_pdf, duck_pdf) -> list[str]:
+    """Flag numeric-kind mismatches between the two pandas materializations.
+
+    The driver canonicalizes through pandas, where dtypes bite: DuckDB
+    widens SUM(integer) to HUGEINT, which pandas converts to float64 while
+    Spark's int64 stays integer — equal values, different hash. Python-level
+    value comparison (``compare``) cannot see this, so mirror the driver by
+    comparing dtype *kinds* for numeric columns (int vs float matters;
+    int32 vs int64 hashes identically under pandas and is allowed).
+    """
+    problems: list[str] = []
+    for c in sorted(set(spark_pdf.columns) & set(duck_pdf.columns)):
+        sk, dk = spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind
+        numeric = {"i", "u", "f"}
+        if sk in numeric and dk in numeric:
+            s_float, d_float = sk == "f", dk == "f"
+            if s_float != d_float:
+                problems.append(
+                    f"dtype kind mismatch on {c!r}: spark={spark_pdf[c].dtype} "
+                    f"duckdb={duck_pdf[c].dtype} (HUGEINT/decimal widening? "
+                    f"CAST the oracle output to BIGINT/DOUBLE)"
+                )
+    return problems
+
+
 def check_query(spark, con, fn, sql: str | None, sf_dir: str) -> list[str]:
     """Run one registered query against its oracle; [] = pass."""
     sdf = fn(spark, sf_dir)
@@ -77,4 +102,7 @@ def check_query(spark, con, fn, sql: str | None, sf_dir: str) -> list[str]:
     res = con.execute(sql)
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
-    return compare(srows, scols, drows, dcols)
+    problems = compare(srows, scols, drows, dcols)
+    if not problems:
+        problems = compare_dtype_kinds(sdf.toPandas(), con.execute(sql).df())
+    return problems

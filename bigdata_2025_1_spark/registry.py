@@ -26,6 +26,74 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# The driver walks ``queries()`` in dict order and truncated round 1's
+# correctness run at exactly the first 50 entries (CORRECTNESS_r01 covers
+# registration indices 0-49 verbatim). Order is therefore a correctness
+# lever: queries with no driver row yet, and queries whose oracles were
+# just fixed, run FIRST; queries already proven green — above all the
+# compute-heavy dedup/LSH family — run last, so any truncation (count cap
+# or wall-clock budget) costs rows that already have a green row on
+# record, not unproven ones.
+PRIORITY_HEAD: tuple[str, ...] = (
+    # -- never driver-checked (round 1 indices 50-75), cheapest first
+    "wordcount",
+    "date_features",
+    "string_functions_showcase",
+    "array_map_builders",
+    "safe_math_ansi",
+    "sql_cte_above_nation_avg",
+    "cross_join_enumeration",
+    "pivot_status_by_priority",
+    "order_value_percentiles",
+    "approx_percentiles",
+    "price_histogram",
+    "window_distribution_funcs",
+    "stats_correlation",
+    "udaf_median_order_value",
+    "udtf_bigrams",
+    "grouped_map_spend_share",
+    "train_test_split",
+    "inverted_index",
+    "media_metadata",
+    "media_feature_stats",
+    "embedding_srp_signatures",
+    "ann_ivf_topk",
+    "sequence_packing",
+    "corpus_quality_filter",
+    "tfidf_top_terms",
+    "ann_srp_lsh_pairs",
+    "corpus_end_to_end",
+    # -- round-1 red/err rows whose oracles are fixed this round
+    "metadata_extract",
+    "domain_doc_stats",
+    "global_size_stats",
+    "q1_pricing_summary",
+    "cube_flag_status",
+    "events_json_decode",
+    "user_sessionization",
+    "approx_distinct_counts",
+)
+
+# Proven-green round 1 AND expensive: keep at the very end of the walk.
+PRIORITY_TAIL: tuple[str, ...] = (
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "simhash_values",
+    "dedup_simhash_hamming",
+    "dedup_char_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_connected_components",
+    "ann_topk_cosine",
+)
+
+
+def _ordered(names: list[str]) -> list[str]:
+    head = [n for n in PRIORITY_HEAD if n in names]
+    tail = [n for n in PRIORITY_TAIL if n in names]
+    placed = set(head) | set(tail)
+    return head + [n for n in names if n not in placed] + tail
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` as query ``name`` with an optional DuckDB oracle."""
@@ -50,12 +118,12 @@ def load_all() -> None:
 
 def all_queries() -> dict[str, QueryFn]:
     load_all()
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _ordered(list(QUERIES))}
 
 
 def all_oracles() -> dict[str, str]:
     load_all()
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _ordered(list(ORACLES))}
 
 
 def describe() -> list[dict[str, Any]]:

@@ -96,3 +96,23 @@ def test_real_corpus_structural():
         assert "<p>" not in md and "<table" not in md
         # blocks are blank-line separated, no empty blocks
         assert all(b.strip() for b in md.split("\n\n"))
+
+
+REF_GOLDEN_MD = "/root/reference/crawl/1/tvpl/test.md"
+REF_GOLDEN_HTML = os.path.join(REF_HTML_DIR, "doc641.html")
+
+
+@pytest.mark.skipif(
+    not (os.path.isfile(REF_GOLDEN_MD) and os.path.isfile(REF_GOLDEN_HTML)),
+    reason="reference golden absent",
+)
+def test_reference_golden_byte_for_byte():
+    """SURVEY §5.2: the one human-inspected golden output of the reference
+    parser (crawl/1/tvpl/test.md, produced by crawl/crawl.py:164-255 from
+    doc641.html — located by its unique document code 2017/QĐ-BTC) must be
+    reproduced byte-for-byte by our stdlib re-implementation."""
+    with open(REF_GOLDEN_HTML, encoding="utf-8") as f:
+        html = f.read()
+    with open(REF_GOLDEN_MD, encoding="utf-8") as f:
+        golden = f.read()
+    assert html_to_markdown(html) == golden

@@ -29,8 +29,9 @@ def test_query_matches_oracle(name, spark, con, sf_dir):
 def test_every_query_has_oracle_or_reason():
     missing = set(QUERIES) - set(ORACLES)
     # rows-only checks are allowed only for genuinely non-SQL-expressible
-    # ops; keep the list explicit so additions are deliberate.
-    assert missing == {"approx_distinct_counts", "approx_percentiles"}, missing
+    # ops; keep the list explicit so additions are deliberate. Since round
+    # 2 even the sketch queries are oracle-checkable (tolerance verdicts).
+    assert missing == set(), missing
 
 
 def test_entry_contract(spark):

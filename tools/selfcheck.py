@@ -1,11 +1,16 @@
 """Local mirror of the driver's correctness gate (CLI).
 
-Usage: python tools/selfcheck.py [sf_dir] [query ...]
+Usage: python tools/selfcheck.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` runs under an untuned SparkSession (plain builder, default
+configs — the driver's environment) instead of the repo's tuned session;
+queries must pass BOTH ways.
 """
 
 from __future__ import annotations
 
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -15,20 +20,31 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     queries = all_queries()
     oracles = all_oracles()
-    spark = get_spark("selfcheck", master="local[8]")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("selfcheck-vanilla").master(
+            "local[8]"
+        ).getOrCreate()
+    else:
+        spark = get_spark("selfcheck", master="local[8]")
     con = connect_oracle(sf_dir)
 
     failures = []
     n_run = 0
-    for name, fn in sorted(queries.items()):
+    t_total = time.monotonic()
+    for name, fn in queries.items():
         if only and name not in only:
             continue
         n_run += 1
+        t0 = time.monotonic()
         try:
             problems = check_query(spark, con, fn, oracles.get(name), sf_dir)
         except Exception as e:  # noqa: BLE001
@@ -38,18 +54,22 @@ def main() -> int:
             # cannot unpersist before the caller's action — drop their
             # cached blocks between queries
             spark.catalog.clearCache()
+        dt = time.monotonic() - t0
         if problems:
-            print(f"FAIL  {name}: {problems[0]}")
+            print(f"FAIL  {name} [{dt:5.1f}s]: {problems[0]}", flush=True)
             for p in problems[1:]:
                 print(f"      {p}")
             failures.append(name)
         elif name not in oracles:
-            print(f"ok*   {name}: rows-only (no oracle)")
+            print(f"ok*   {name} [{dt:5.1f}s]: rows-only (no oracle)", flush=True)
         else:
-            print(f"ok    {name}")
+            print(f"ok    {name} [{dt:5.1f}s]", flush=True)
 
     print()
-    print(f"{n_run - len(failures)}/{n_run} queries pass; failures: {failures or 'none'}")
+    print(
+        f"{n_run - len(failures)}/{n_run} queries pass in "
+        f"{time.monotonic() - t_total:.0f}s; failures: {failures or 'none'}"
+    )
     spark.stop()
     return 1 if failures else 0
 
