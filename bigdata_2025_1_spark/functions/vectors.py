@@ -147,3 +147,74 @@ def sql_srp_signature(emb: str, planes: list[list[int]], dim: int = 64) -> str:
         )
         parts.append(f"CASE WHEN {proj} > 0 THEN {2**j} ELSE 0 END")
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantizer (deterministic random-direction centroids)
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(cells: int = 16, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 coarse-quantizer directions (md5-derived, embedded
+    as literals in BOTH engines — same determinism contract as
+    :func:`srp_planes`). Cell of a vector = argmax over centroids of the
+    exact int64-scaled projection; ties break to the lowest cell index."""
+    cents = []
+    for j in range(cells):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"ivf:{j}:{i}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 else -1)
+        cents.append(row)
+    return cents
+
+
+def _exact_proj_matrix(emb: pd.Series, C: np.ndarray) -> np.ndarray:
+    """(n, cells) exact int64 projections round(emb·1e9) @ Cᵀ."""
+    E = np.stack(emb.to_numpy()).astype(np.float64) * 1e9
+    S = (np.sign(E) * np.floor(np.abs(E) + 0.5)).astype(np.int64)
+    return S @ C.T
+
+
+def make_ivf_cell_pandas(centroids: list[list[int]]):
+    """Arrow-vectorized cell assignment: argmax of the exact projections
+    (np.argmax returns the FIRST max — the lowest-index tie-break the SQL
+    mirror reproduces with ``ORDER BY p DESC, cell``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.int64)
+
+    @pandas_udf("int")
+    def ivf_cell_pd(emb: pd.Series) -> pd.Series:
+        return pd.Series(np.argmax(_exact_proj_matrix(emb, C), axis=1).astype(np.int32))
+
+    return ivf_cell_pd
+
+
+def make_ivf_probes_pandas(centroids: list[list[int]], n_probe: int):
+    """Arrow-vectorized probe list: the ``n_probe`` best cells per query,
+    ordered by projection desc then cell index asc (stable argsort on the
+    negated projections)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def ivf_probes_pd(emb: pd.Series) -> pd.Series:
+        order = np.argsort(-_exact_proj_matrix(emb, C), axis=1, kind="stable")
+        return pd.Series(list(order[:, :n_probe].astype(np.int32)))
+
+    return ivf_probes_pd
+
+
+def sql_ivf_projs(emb: str, centroids: list[list[int]], dim: int = 64) -> str:
+    """DuckDB mirror: the list ``[proj_0, ..., proj_{cells-1}]`` of exact
+    int64-scaled projections of ``emb`` onto each centroid."""
+    projs = []
+    for row in centroids:
+        lst = "[" + ", ".join(str(v) for v in row) + "]"
+        projs.append(
+            f"list_sum([CAST(ROUND({emb}[i]::DOUBLE * 1e9) AS BIGINT) * ({lst})[i] "
+            f"for i in range(1, {dim + 1})])"
+        )
+    return "[" + ", ".join(projs) + "]"

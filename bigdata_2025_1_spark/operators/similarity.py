@@ -26,6 +26,9 @@ TOP_K = 5
 NEAR_DUP_COS = 0.45  # fixture max inter-vector cosine ≈ 0.51
 _PLANES = V.srp_planes(bits=16, dim=64)
 _DIM = 64
+N_CELLS = 16  # IVF coarse-quantizer cells
+N_PROBE = 4  # cells searched per query (nprobe)
+_CENTROIDS = V.ivf_centroids(cells=N_CELLS, dim=_DIM)
 
 _SQL_DOT_AB = V.sql_dot_scaled("qa.embedding", "qb.embedding", _DIM)
 _SQL_NORM = V.sql_dot_scaled("embedding", "embedding", _DIM)
@@ -176,4 +179,88 @@ def ann_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)
         .orderBy("vec_a", "vec_b")
+    )
+
+
+_SQL_IVF_PROJS = V.sql_ivf_projs("embedding", _CENTROIDS, _DIM)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id, embedding, {_SQL_NORM} AS nsq,
+             {_SQL_IVF_PROJS} AS projs
+      FROM embeddings
+    ), cells AS (
+      SELECT vec_id, embedding, nsq, CAST(r.cell AS INT) AS cell,
+             projs[r.cell + 1] AS p
+      FROM proj CROSS JOIN range({N_CELLS}) r(cell)
+    ), ranked_cells AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY p DESC, cell) AS crk
+      FROM cells
+    ), corpus AS (
+      SELECT vec_id, embedding, nsq, cell FROM ranked_cells WHERE crk = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, nsq AS q_nsq, cell
+      FROM ranked_cells WHERE vec_id < {N_QUERY_VECS} AND crk <= {N_PROBE}
+    ), scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {V.sql_dot_scaled('p.q_emb', 'c.embedding', _DIM)}::DOUBLE
+               / (sqrt(p.q_nsq::DOUBLE) * sqrt(c.nsq::DOUBLE)) AS cosine
+      FROM probes p JOIN corpus c USING (cell)
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: deterministic coarse quantizer (16 md5-derived ±1
+    directions; cell = argmax exact int64 projection) partitions the
+    corpus into inverted lists; each probe searches only its ``nprobe=4``
+    best cells, with exact cosine computed for candidates alone.
+
+    The scale path vs ``ann_topk_cosine``'s brute force: at 100 TB the
+    corpus is written partitioned by ``cell`` (partition pruning turns a
+    full scan into nprobe/cells of the data ≈ 25%, and tighter with more
+    cells), the probe×cell table is tiny and broadcast, and the exact-dot
+    verify touches only candidates. Recall is measurable against the
+    brute-force twin on the same probe set. Assignment/probing are
+    Arrow-vectorized integer matmuls — bit-identical to the SQL mirror."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    cell_pd = V.make_ivf_cell_pandas(_CENTROIDS)
+    probes_pd = V.make_ivf_probes_pandas(_CENTROIDS, N_PROBE)
+    dot_pd = V.make_dot_scaled_pandas()
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        V.norm_sq_scaled(F.col("embedding")).alias("c_nsq"),
+        cell_pd(F.col("embedding")).alias("cell"),
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            V.norm_sq_scaled(F.col("embedding")).alias("q_nsq"),
+            F.explode(probes_pd(F.col("embedding"))).alias("cell"),
+        )
+    )
+    cosine = V.cosine_from_scaled(
+        dot_pd(F.col("q_emb"), F.col("c_emb")), F.col("q_nsq"), F.col("c_nsq")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
     )

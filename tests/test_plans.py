@@ -76,6 +76,23 @@ def test_ann_topk_broadcasts_probes(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_ivf_prunes_and_broadcasts(spark, sf_dir):
+    """IVF candidate join is an equi-join on the cell key with the tiny
+    probe side broadcast — never a cartesian; and recall@5 vs the exact
+    brute-force twin stays high on the fixture (sanity of the quantizer)."""
+    df = QUERIES["ann_ivf_topk"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_topk_cosine"](spark, sf_dir).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+
+
 def test_salted_aggregation_equivalence(spark, sf_dir):
     """SCALE.md skew recipe: salted partial agg → final agg must equal the
     direct aggregation exactly (the exact-int algebra is associative)."""
