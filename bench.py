@@ -43,6 +43,7 @@ HEADLINE = [
     "sequence_packing",
     "ann_topk_cosine",
     "ann_srp_lsh_pairs",
+    "ann_ivf_topk",
 ]
 
 

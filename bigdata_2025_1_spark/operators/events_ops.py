@@ -242,3 +242,150 @@ def dedup_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFra
         .drop("rn")
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "asof_join_last_purchase",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, 1 AS is_fact, CAST(NULL AS DOUBLE) AS sig_value
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, 0 AS is_fact, value AS sig_value
+      FROM events WHERE event_type = 'purchase'
+    ), w AS (
+      SELECT *,
+             LAST_VALUE(sig_value IGNORE NULLS) OVER win AS last_purchase_value,
+             LAST_VALUE(CASE WHEN is_fact = 0 THEN ts END IGNORE NULLS)
+               OVER win AS last_purchase_ts
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_fact, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id AS click_id, ts AS click_ts,
+           last_purchase_ts, last_purchase_value
+    FROM w WHERE is_fact = 1
+    ORDER BY user_id, click_ts, click_id
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark has no native form of): each 'click'
+    event picks up the latest 'purchase' value at-or-before its timestamp
+    for the same user.
+
+    Spark-first formulation: union both sides, ONE shuffle on user_id,
+    then last(ignorenulls) over (ts, is_fact, event_id) — the build side
+    sorts before facts at equal ts, giving inclusive <= semantics, and
+    event_id breaks residual ties deterministically. This is the
+    scale-safe shape: a naive per-row subquery or unbounded range join
+    explodes, while this is sessionization-priced (sort within user
+    partitions). DuckDB's native ASOF JOIN is the same algorithm; the
+    oracle mirrors via the identical union+window so tie semantics are
+    pinned, not engine-defaulted."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("is_fact"),
+        F.lit(None).cast("double").alias("sig_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("is_fact"),
+        F.col("value").alias("sig_value"),
+    )
+    win = Window.partitionBy("user_id").orderBy("ts", "is_fact", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    merged = (
+        clicks.unionByName(purchases)
+        .withColumn("last_purchase_value", F.last("sig_value", ignorenulls=True).over(win))
+        .withColumn(
+            "last_purchase_ts",
+            F.last(
+                F.when(F.col("is_fact") == 0, F.col("ts")), ignorenulls=True
+            ).over(win),
+        )
+    )
+    return (
+        merged.filter(F.col("is_fact") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "last_purchase_ts",
+            "last_purchase_value",
+        )
+        .orderBy("user_id", "click_ts", "click_id")
+    )
+
+
+@query(
+    "event_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS first_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.first_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click,
+           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 6) AS view_to_purchase_rate
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click after it → purchase after that), a
+    staple event-analytics operator the reference never had.
+
+    Spark-first: all three stage timestamps are conditional MINs over the
+    SAME user_id window, so Catalyst chains three Window nodes behind ONE
+    exchange — no joins, no re-shuffles (the oracle deliberately uses the
+    join formulation: two independent derivations agreeing is the check).
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    t = F.col("event_type")
+    staged = (
+        ev.withColumn("first_view", F.min(F.when(t == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "first_click",
+            F.min(
+                F.when((t == "click") & (F.col("ts") > F.col("first_view")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "first_purchase",
+            F.min(
+                F.when(
+                    (t == "purchase") & (F.col("ts") > F.col("first_click")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("first_view").alias("fv"),
+        F.max("first_click").alias("fc"),
+        F.max("first_purchase").alias("fp"),
+    )
+    return per_user.agg(
+        F.count("fv").alias("n_viewed"),
+        F.count("fc").alias("n_clicked_after_view"),
+        F.count("fp").alias("n_purchased_after_click"),
+        F.round(
+            F.count("fp").cast("double") / F.count("fv"), 6
+        ).alias("view_to_purchase_rate"),
+    )

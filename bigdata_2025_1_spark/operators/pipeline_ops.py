@@ -358,3 +358,55 @@ def corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+_SOURCE_CAP = 15
+
+
+@query(
+    "stratified_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (rk <= {_SOURCE_CAP}) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(n_chars) FILTER (rk <= {_SOURCE_CAP}), 0) AS BIGINT)
+             AS kept_chars
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def stratified_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap sampling (corpus balancing): rank docs inside each
+    source by md5(doc_id) — a seedless engine-portable uniform shuffle,
+    the same trick as train_test_split's hash bucketing — and keep the
+    first K=15. Unlike ``df.sampleBy`` this is exactly-K, deterministic,
+    and reproducible across engines and cluster sizes.
+
+    Scale: one shuffle on source (the window partition). A skewed giant
+    source makes that partition hot; then swap to the two-stage form —
+    pre-filter with a per-partition heap (mapInPandas top-K) before the
+    global rank — without changing the output contract."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    kept = F.col("rk") <= _SOURCE_CAP
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(kept, F.lit(1))).alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -630,3 +630,53 @@ def null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b")
         .orderBy("key_a")
     )
+
+
+_N_SALTS = 8
+
+
+@query(
+    "salted_skew_join",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('e.value', 2)} AS sum_value,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join by salting: replicate the build side S=8 times
+    (one copy per salt) and scatter the probe side by a deterministic
+    uniform salt, so a pathological hot key spreads over S tasks instead
+    of one straggler. The salt is internal — the result is identical to
+    the plain join, which is exactly what the oracle computes (two
+    formulations, one answer).
+
+    When to use at 100 TB: the dim is too big to broadcast AND one key
+    dominates (AQE's skew split only helps sort-merge joins it can
+    re-plan; salting works everywhere, including aggregations — see
+    SCALE.md). The fixture dim is broadcastable, so the query forces a
+    shuffle_hash hint to actually exercise the salted path."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salts = F.array(*[F.lit(i) for i in range(_N_SALTS)])
+    dim = cust.withColumn("d_salt", F.explode(salts))
+    fact = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALTS)).cast("int")
+    )
+    joined = fact.join(
+        dim.hint("shuffle_hash"),
+        (F.col("user_id") == F.col("c_custkey")) & (F.col("salt") == F.col("d_salt")),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("c_mktsegment")
+    )

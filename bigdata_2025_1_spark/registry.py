@@ -58,6 +58,10 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "media_feature_stats",
     "embedding_srp_signatures",
     "ann_ivf_topk",
+    "asof_join_last_purchase",
+    "event_funnel_conversion",
+    "salted_skew_join",
+    "stratified_source_cap",
     "sequence_packing",
     "corpus_quality_filter",
     "tfidf_top_terms",

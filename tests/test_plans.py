@@ -90,7 +90,27 @@ def test_ann_ivf_prunes_and_broadcasts(spark, sf_dir):
     }
     approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, recall
+    assert recall >= 0.6, recall
+
+
+def test_asof_and_funnel_single_data_shuffle(spark, sf_dir):
+    """The as-of join and funnel must stay sessionization-priced: all
+    window work behind ONE user_id exchange (the 2nd exchange is the
+    final presentation sort / single-row agg, not data movement growth)."""
+    asof = QUERIES["asof_join_last_purchase"](spark, sf_dir)
+    assert count_exchanges(asof) == 2
+    assert formatted_plan(asof).count(") Window") == 2  # both behind 1 shuffle
+    funnel = QUERIES["event_funnel_conversion"](spark, sf_dir)
+    assert count_exchanges(funnel) == 2
+    assert formatted_plan(funnel).count(") Window") == 3  # chained, no joins
+
+
+def test_salted_join_uses_shuffled_hash(spark, sf_dir):
+    """The salted join must actually exercise the salted shuffle path
+    (broadcast would make the salt a no-op demo)."""
+    plan = formatted_plan(QUERIES["salted_skew_join"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastHashJoin" not in plan
 
 
 def test_salted_aggregation_equivalence(spark, sf_dir):
