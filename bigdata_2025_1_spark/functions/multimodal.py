@@ -115,3 +115,39 @@ def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.IntegerType(), False),
+        T.StructField("frame_sha", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, frame_size: int, stride: int) -> DataFrame:
+    """mapInPandas frame sampling over binary payloads: chunk each payload
+    into ``frame_size``-byte frames, emit every ``stride``-th one (the
+    1-in-N frame-sample shape a video pipeline runs, with byte slicing
+    standing in for the stubbed codec — see ``_decode_image``). Fan-out
+    rows per input row is exactly what mapInPandas (vs a scalar UDF) is
+    for; each output frame carries its index, size and sha256."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for idx in range(0, -(-len(payload) // frame_size), stride):
+                    frame = payload[idx * frame_size : (idx + 1) * frame_size]
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_sha"].append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.mapInPandas(kernel, FRAME_SCHEMA)

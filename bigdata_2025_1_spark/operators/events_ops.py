@@ -389,3 +389,78 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("fp").cast("double") / F.count("fv"), 6
         ).alias("view_to_purchase_rate"),
     )
+
+
+@query(
+    "range_join_incident_windows",
+    oracle="""
+    WITH eh AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_errors
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ), thr AS (
+      SELECT ROUND(quantile_cont(n_errors, 0.9), 6) AS p90 FROM eh
+    ), inc AS (
+      SELECT h, n_errors FROM eh, thr WHERE n_errors > p90
+    ), bins AS (
+      SELECT h, n_errors, b.bin
+      FROM inc CROSS JOIN LATERAL (VALUES (h), (h + INTERVAL 1 HOUR)) b(bin)
+    ), clk AS (
+      SELECT date_trunc('hour', ts) AS bin, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT i.h AS window_start,
+           CAST(i.n_errors AS BIGINT) AS n_errors,
+           CAST(COUNT(c.ts) FILTER (c.ts >= i.h
+                                AND c.ts < i.h + INTERVAL 90 MINUTE) AS BIGINT)
+             AS n_clicks_90m
+    FROM bins i LEFT JOIN clk c ON c.bin = i.bin
+    GROUP BY i.h, i.n_errors
+    ORDER BY window_start
+    """,
+)
+def range_join_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via bin pre-keys: count clicks inside each
+    90-minute "incident" window (hours whose error count exceeds the p90
+    of hourly error counts — a relative threshold, so it survives any
+    scale factor).
+
+    The scale trick the brief asks for: a raw interval join is a
+    BroadcastNestedLoop/cartesian; bucketing both sides by hour turns it
+    into an EQUI-join on the bin (each 90-min window explodes into its 2
+    covering bins; each click carries 1 bin) with the true containment
+    check demoted to a cheap residual predicate inside the count. Window
+    count stays ~10% of hours at every SF, and the p90 threshold is
+    rounded to 6dp so cross-engine quantile interpolation (a ±1-ulp op
+    ordering difference) cannot flip a boundary hour."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    eh = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(hour.alias("h"))
+        .agg(F.count("*").alias("n_errors"))
+    )
+    thr = eh.agg(F.round(F.percentile("n_errors", F.lit(0.9)), 6).alias("p90"))
+    inc = (
+        eh.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_errors") > F.col("p90"))
+        .select("h", "n_errors")
+    )
+    bins = inc.withColumn(
+        "bin", F.explode(F.array(F.col("h"), F.col("h") + F.expr("INTERVAL 1 HOUR")))
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        hour.alias("bin"), "ts"
+    )
+    in_window = (F.col("ts") >= F.col("h")) & (
+        F.col("ts") < F.col("h") + F.expr("INTERVAL 90 MINUTES")
+    )
+    return (
+        bins.join(clk, "bin", "left")
+        .groupBy("h", "n_errors")
+        .agg(F.count(F.when(in_window, F.lit(1))).alias("n_clicks_90m"))
+        .select(
+            F.col("h").alias("window_start"),
+            F.col("n_errors").cast("bigint").alias("n_errors"),
+            "n_clicks_90m",
+        )
+        .orderBy("window_start")
+    )

@@ -8,7 +8,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions.exact import sql_int_avg
-from bigdata_2025_1_spark.functions.multimodal import as_media_table, extract_features
+from bigdata_2025_1_spark.functions.multimodal import (
+    as_media_table,
+    extract_features,
+    sample_frames,
+)
 from bigdata_2025_1_spark.io import load
 from bigdata_2025_1_spark.registry import query
 
@@ -63,4 +67,43 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_media"),
         (F.sum("n_bytes").cast("double") / F.count("*")).alias("avg_bytes"),
         F.sum("feat_byte_sum").alias("total_byte_sum"),
+    )
+
+
+_FRAME_SIZE = 64
+_FRAME_STRIDE = 2
+
+
+@query(
+    "media_frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE LENGTH(text) > 0
+    ), idx AS (
+      SELECT doc_id, text, n_bytes, CAST(r.i AS INT) AS frame_idx
+      FROM f CROSS JOIN range(0, 4096, {_FRAME_STRIDE}) r(i)
+      WHERE r.i * {_FRAME_SIZE} < n_bytes
+    )
+    SELECT doc_id AS media_id, frame_idx,
+           CAST(LEAST({_FRAME_SIZE}, n_bytes - frame_idx * {_FRAME_SIZE}) AS INT)
+             AS frame_bytes,
+           sha256(substr(text, frame_idx * {_FRAME_SIZE} + 1, {_FRAME_SIZE}))
+             AS frame_sha
+    FROM idx
+    ORDER BY media_id, frame_idx
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the real mapInPandas fan-out plumbing: every
+    2nd 64-byte frame of each payload, with per-frame sha256. The oracle
+    regenerates frames relationally (range + substr — ASCII fixture makes
+    byte and char offsets coincide, as in media_feature_stats). In a real
+    deployment the kernel body decodes and samples actual video frames;
+    the Spark-side contract (schema, Arrow batching, row fan-out) is
+    exactly this."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = as_media_table(docs, "doc_id", "text", kind="video")
+    return sample_frames(media, _FRAME_SIZE, _FRAME_STRIDE).orderBy(
+        "media_id", "frame_idx"
     )

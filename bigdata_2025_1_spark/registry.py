@@ -60,6 +60,8 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "ann_ivf_topk",
     "asof_join_last_purchase",
     "event_funnel_conversion",
+    "range_join_incident_windows",
+    "media_frame_sample",
     "salted_skew_join",
     "stratified_source_cap",
     "sequence_packing",
