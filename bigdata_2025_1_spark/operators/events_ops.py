@@ -464,3 +464,34 @@ def range_join_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@query(
+    "variant_json_shred",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract(props, '$.k') AS INT) END AS k,
+           (props IS NOT NULL AND json_valid(props)) AS valid_json
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+)
+def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless semi-structured access via Spark 4's VARIANT type:
+    try_parse_json → try_variant_get, no declared schema (contrast
+    events_json_decode's from_json, which needs one). VARIANT is the
+    100 TB answer to ragged JSON: parse once into a shredded binary
+    encoding, path-access many times without re-tokenizing, malformed
+    rows degrade to NULL instead of failing the job (ANSI-safe)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    v = F.try_parse_json(F.col("props"))
+    return (
+        ev.select(
+            "event_id",
+            F.try_variant_get(v, "$.k", "int").alias("k"),
+            v.isNotNull().alias("valid_json"),
+        )
+        .orderBy("event_id")
+    )

@@ -88,8 +88,12 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_srp_signatures",
     oracle=f"""
-    SELECT vec_id, label, {V.sql_srp_signature('embedding', _PLANES, _DIM)} AS srp_sig
-    FROM embeddings
+    WITH se AS MATERIALIZED (
+      SELECT vec_id, label, {V.sql_scaled_e9('embedding', _DIM)} AS se
+      FROM embeddings
+    )
+    SELECT vec_id, label, {V.sql_srp_signature_from('se', _PLANES)} AS srp_sig
+    FROM se
     ORDER BY vec_id
     """,
 )
@@ -109,11 +113,14 @@ def embedding_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_srp_lsh_pairs",
     oracle=f"""
-    WITH sig AS (
-      SELECT vec_id, embedding,
-             {V.sql_srp_signature('embedding', _PLANES, _DIM)} AS srp_sig,
-             {_SQL_NORM} AS nsq
+    WITH se AS MATERIALIZED (
+      SELECT vec_id, embedding, {_SQL_NORM} AS nsq,
+             {V.sql_scaled_e9('embedding', _DIM)} AS se
       FROM embeddings
+    ), sig AS MATERIALIZED (
+      SELECT vec_id, embedding, nsq,
+             {V.sql_srp_signature_from('se', _PLANES)} AS srp_sig
+      FROM se
     ), banded AS (
       SELECT vec_id, embedding, nsq, 0 AS band, srp_sig // 256 AS band_key FROM sig
       UNION ALL
@@ -141,15 +148,20 @@ def ann_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join key is one byte; embeddings rejoin only for candidates."""
     emb = load(spark, sf_dir, "embeddings")
     # persist: signatures/norms feed the band join and the verify join on
-    # both sides — compute the 16 projections once per vector.
-    srp_pd = V.make_srp_signature_pandas(_PLANES)
-    dot_pd0 = V.make_dot_scaled_pandas()
-    sig = spread(emb).select(
-        "vec_id",
-        "embedding",
-        srp_pd(F.col("embedding")).alias("srp_sig"),
-        dot_pd0(F.col("embedding"), F.col("embedding")).alias("nsq"),
-    ).persist()
+    # both sides — compute the 16 projections once per vector. The fused
+    # sig+norm kernel ships each embedding batch to Python ONCE.
+    fused = V.make_srp_sig_and_norm_pandas(_PLANES)
+    sig = (
+        spread(emb)
+        .select("vec_id", "embedding", fused(F.col("embedding")).alias("sn"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("sn.srp_sig").alias("srp_sig"),
+            F.col("sn.nsq").alias("nsq"),
+        )
+        .persist()
+    )
     keyed = sig.select("vec_id", "srp_sig")
     hi = keyed.select("vec_id", F.lit(0).alias("band"), F.expr("srp_sig div 256").alias("band_key"))
     lo = keyed.select("vec_id", F.lit(1).alias("band"), (F.col("srp_sig") % 256).alias("band_key"))
@@ -182,21 +194,22 @@ def ann_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_IVF_PROJS = V.sql_ivf_projs("embedding", _CENTROIDS, _DIM)
-
-
 @query(
     "ann_ivf_topk",
     oracle=f"""
-    WITH proj AS (
+    WITH se AS MATERIALIZED (
       SELECT vec_id, embedding, {_SQL_NORM} AS nsq,
-             {_SQL_IVF_PROJS} AS projs
+             {V.sql_scaled_e9('embedding', _DIM)} AS se
       FROM embeddings
+    ), proj AS MATERIALIZED (
+      SELECT vec_id, embedding, nsq,
+             {V.sql_ivf_projs_from('se', _CENTROIDS)} AS projs
+      FROM se
     ), cells AS (
       SELECT vec_id, embedding, nsq, CAST(r.cell AS INT) AS cell,
              projs[r.cell + 1] AS p
       FROM proj CROSS JOIN range({N_CELLS}) r(cell)
-    ), ranked_cells AS (
+    ), ranked_cells AS MATERIALIZED (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                    ORDER BY p DESC, cell) AS crk
       FROM cells

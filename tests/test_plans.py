@@ -137,3 +137,45 @@ def test_salted_aggregation_equivalence(spark, sf_dir):
     )
     got = {r.l_returnflag: (r.n, r.s) for r in salted.collect()}
     assert got == direct
+
+
+def test_runtime_bloom_filter_injects(spark, sf_dir):
+    """Runtime bloom-filter pushdown (the no-broadcast semi-join prune):
+    with a selective dim filter and broadcast off, Catalyst must inject
+    might_contain on the fact side — the plan that saves a full fact
+    shuffle of non-qualifying rows at 100 TB. Thresholds are lowered to
+    make toy-scale sizes eligible; restored after."""
+    from pyspark.sql import functions as F
+
+    from bigdata_2025_1_spark.io import load
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in formatted_plan(j).lower()
+    finally:
+        for k, val in saved.items():
+            spark.conf.set(k, val)
