@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bigdata_2025_1_spark.functions.asof import asof_attach_last
 from bigdata_2025_1_spark.functions.exact import exact_sum, sql_exact_sum
 from bigdata_2025_1_spark.io import load
 from bigdata_2025_1_spark.registry import query
@@ -284,34 +285,22 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned, not engine-defaulted."""
     ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.lit(1).alias("is_fact"),
-        F.lit(None).cast("double").alias("sig_value"),
+        "user_id", "ts", "event_id"
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.lit(0).alias("is_fact"),
-        F.col("value").alias("sig_value"),
-    )
-    win = Window.partitionBy("user_id").orderBy("ts", "is_fact", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    merged = (
-        clicks.unionByName(purchases)
-        .withColumn("last_purchase_value", F.last("sig_value", ignorenulls=True).over(win))
-        .withColumn(
-            "last_purchase_ts",
-            F.last(
-                F.when(F.col("is_fact") == 0, F.col("ts")), ignorenulls=True
-            ).over(win),
-        )
+        "user_id", "ts", "event_id", "value"
     )
     return (
-        merged.filter(F.col("is_fact") == 1)
+        asof_attach_last(
+            clicks,
+            purchases,
+            key="user_id",
+            ts="ts",
+            tiebreak="event_id",
+            value="value",
+            out_value="last_purchase_value",
+            out_ts="last_purchase_ts",
+        )
         .select(
             "user_id",
             F.col("event_id").alias("click_id"),
