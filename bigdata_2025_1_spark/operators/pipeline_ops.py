@@ -410,3 +410,90 @@ def stratified_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_MIX_TOTAL = 200  # target corpus size after mixing
+_MIX_SCALE = 1e6  # sqrt weights scaled to int64 so the denominator sum is exact
+
+
+@query(
+    "corpus_temperature_mix",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs,
+             CAST(ROUND(sqrt(n_docs::DOUBLE) * {_MIX_SCALE}) AS BIGINT) AS r
+      FROM per_src
+    ), tot AS (
+      SELECT CAST(SUM(r) AS BIGINT) AS denom FROM w
+    ), tgt AS (
+      SELECT source, n_docs,
+             CAST(FLOOR((r * {_MIX_TOTAL})::DOUBLE / denom) AS BIGINT) AS target
+      FROM w, tot
+    ), ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ), kept AS (
+      SELECT r.source, COUNT(*) AS n_kept
+      FROM ranked r JOIN tgt USING (source)
+      WHERE rk <= target
+      GROUP BY r.source
+    )
+    SELECT t.source,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           t.target,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM tgt t LEFT JOIN kept k USING (source)
+    ORDER BY t.source
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multinomial reweighting every
+    multi-source LLM corpus build runs, T=2): per-source weight
+    ∝ sqrt(n_docs), targets = floor(weight-share × 200), then the same
+    deterministic md5-rank draw as stratified_source_cap fills each
+    target. Upsampling beyond a source's size is clamped by construction
+    (rank ≤ target keeps at most n_docs).
+
+    Cross-engine determinism: sqrt is a single IEEE op, but a SUM of 20
+    sqrt doubles is fold-order-dependent — so weights are scaled to int64
+    (round(sqrt·1e6)) and the denominator summed exactly; the only double
+    ops left are one division and one floor, identical on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = per_src.withColumn(
+        "r", F.round(F.sqrt(F.col("n_docs").cast("double")) * _MIX_SCALE).cast("bigint")
+    )
+    tot = w.agg(F.sum("r").alias("denom"))
+    tgt = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor((F.col("r") * _MIX_TOTAL).cast("double") / F.col("denom"))
+        .cast("bigint")
+        .alias("target"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    ranked = docs.select("source", "doc_id", rk.alias("rk"))
+    kept = (
+        ranked.join(F.broadcast(tgt.select("source", "target")), "source")
+        .filter(F.col("rk") <= F.col("target"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        tgt.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "target",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("source")
+    )

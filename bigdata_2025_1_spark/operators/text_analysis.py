@@ -159,3 +159,74 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.doc_fingerprint(F.col("text"), k=3).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+REP_THRESHOLD = 0.18
+
+
+@query(
+    "doc_ngram_repetition",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[i:i+1], ' ')
+                     for i in range(1, greatest(len(toks) - 1, 0) + 1)]) AS bigram
+      FROM tok
+    ), cnt AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+    ), agg AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS top_count
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           COALESCE(a.top_count, 0) AS top_count,
+           CASE WHEN a.n_bigrams > 0
+                THEN a.top_count::DOUBLE / a.n_bigrams END AS rep_ratio,
+           COALESCE(a.top_count::DOUBLE / a.n_bigrams <= {REP_THRESHOLD}, TRUE)
+             AS keep
+    FROM tok t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: the fraction of all bigrams taken
+    by the single most frequent bigram; docs above the threshold are
+    template/boilerplate suspects. Single-division double (exact both
+    engines); docs with <2 tokens keep=TRUE with NULL ratio.
+
+    Scale: explode → two hash aggs keyed on (doc_id[, bigram]) — fully
+    map-side-combinable, no windows, no joins except the final left join
+    back to short docs."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = T.ws_tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    take = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, take),
+        F.slice(toks, 2, take),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    cnt = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_count")
+    )
+    ratio = F.col("top_count").cast("double") / F.col("n_bigrams")
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("top_count"), F.lit(0)).alias("top_count"),
+            F.when(F.col("n_bigrams") > 0, ratio).alias("rep_ratio"),
+            F.coalesce(ratio <= REP_THRESHOLD, F.lit(True)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -65,6 +65,8 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "variant_json_shred",
     "salted_skew_join",
     "stratified_source_cap",
+    "doc_ngram_repetition",
+    "corpus_temperature_mix",
     "sequence_packing",
     "corpus_quality_filter",
     "tfidf_top_terms",
