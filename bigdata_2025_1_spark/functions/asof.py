@@ -11,7 +11,7 @@ Why not a join: a per-row "latest before" is a range join; executed
 naively it is BroadcastNestedLoop / cartesian-class. Union both sides,
 shuffle ONCE on the key, sort within partitions by ``(ts, side,
 tiebreak)`` with timeline rows ordered before facts at equal ts, and a
-running ``last(ignorenulls)`` carries the newest timeline value to each
+running ``last(ignorenulls)`` carries the newest timeline row to each
 fact row. Cost = sessionization (one exchange + one sort), at any scale.
 """
 
@@ -31,34 +31,48 @@ def asof_attach_last(
     out_value: str = "asof_value",
     out_ts: str = "asof_ts",
 ) -> DataFrame:
-    """Return ``fact`` columns + ``out_value``/``out_ts`` from the latest
-    ``timeline`` row at-or-before each fact row's ``ts`` (per ``key``).
+    """Return ALL ``fact`` columns + ``out_value``/``out_ts`` from the
+    latest ``timeline`` row at-or-before each fact row's ``ts`` (per
+    ``key``); both NULL when no timeline row precedes the fact.
 
     ``fact`` and ``timeline`` must both carry ``key``, ``ts`` and
     ``tiebreak`` columns; ``timeline`` additionally carries ``value``.
+
+    The carried signal is ``struct(ts, value)`` — non-NULL exactly when
+    the row IS a timeline row, so a timeline row whose *value* is
+    legitimately NULL still wins the as-of race, and ``out_ts``/
+    ``out_value`` always come from the SAME timeline row (a bare-value
+    sentinel would skip NULL-valued rows and could pair ts and value
+    from different rows).
     """
-    val_type = dict(timeline.dtypes)[value]
+    tl_types = dict(timeline.dtypes)
+    sig_type = f"struct<t:{tl_types[ts]},v:{tl_types[value]}>"
     facts = fact.select(
-        key, ts, tiebreak, F.lit(1).alias("__is_fact"),
-        F.lit(None).cast(val_type).alias("__sig"),
+        "*",
+        F.lit(1).alias("__is_fact"),
+        F.lit(None).cast(sig_type).alias("__sig"),
     )
     tl = timeline.select(
-        key, ts, tiebreak, F.lit(0).alias("__is_fact"),
-        F.col(value).alias("__sig"),
+        key,
+        ts,
+        tiebreak,
+        F.lit(0).alias("__is_fact"),
+        F.struct(F.col(ts).alias("t"), F.col(value).alias("v")).cast(sig_type).alias(
+            "__sig"
+        ),
     )
     win = (
         Window.partitionBy(key)
         .orderBy(ts, "__is_fact", tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = (
-        facts.unionByName(tl)
-        .withColumn(out_value, F.last("__sig", ignorenulls=True).over(win))
-        .withColumn(
-            out_ts,
-            F.last(
-                F.when(F.col("__is_fact") == 0, F.col(ts)), ignorenulls=True
-            ).over(win),
-        )
+    last_sig = F.last("__sig", ignorenulls=True).over(win)
+    merged = facts.unionByName(tl, allowMissingColumns=True).withColumn(
+        "__last", last_sig
     )
-    return merged.filter(F.col("__is_fact") == 1).drop("__is_fact", "__sig")
+    return (
+        merged.filter(F.col("__is_fact") == 1)
+        .withColumn(out_ts, F.col("__last.t"))
+        .withColumn(out_value, F.col("__last.v"))
+        .drop("__is_fact", "__sig", "__last")
+    )

@@ -63,3 +63,15 @@ def int_avg(col: Column) -> Column:
 
 def sql_int_avg(expr: str) -> str:
     return f"CAST(SUM({expr}) AS DOUBLE) / COUNT({expr})"
+
+
+APPROX_TOL = 0.05  # sketch-vs-exact relative tolerance (shared by the
+# approx_* tolerance-verdict queries and their oracle docstrings)
+
+
+def within_tol(approx: str | Column, exact: str | Column, tol: float = APPROX_TOL) -> Column:
+    """|approx - exact| / exact <= tol — the engine-checkable verdict for
+    sketch outputs whose raw values are engine-specific (HLL, KLL)."""
+    a = F.col(approx) if isinstance(approx, str) else approx
+    e = F.col(exact) if isinstance(exact, str) else exact
+    return (F.abs(a.cast("double") - e.cast("double")) / e.cast("double")) <= tol

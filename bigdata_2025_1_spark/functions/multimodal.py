@@ -127,13 +127,21 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+MAX_FRAME_SLOTS = 4096  # frames considered per payload (256 KiB at 64 B)
+
+
 def sample_frames(df: DataFrame, frame_size: int, stride: int) -> DataFrame:
     """mapInPandas frame sampling over binary payloads: chunk each payload
     into ``frame_size``-byte frames, emit every ``stride``-th one (the
     1-in-N frame-sample shape a video pipeline runs, with byte slicing
     standing in for the stubbed codec — see ``_decode_image``). Fan-out
     rows per input row is exactly what mapInPandas (vs a scalar UDF) is
-    for; each output frame carries its index, size and sha256."""
+    for; each output frame carries its index, size and sha256.
+
+    Frame indices are capped at ``MAX_FRAME_SLOTS`` per payload — the
+    same bound the SQL oracle's ``range()`` generator uses, so the two
+    sides stay in lockstep on oversized payloads (fixture max is 577 B;
+    raise both constants together if real payloads exceed the cap)."""
     import hashlib
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -142,7 +150,8 @@ def sample_frames(df: DataFrame, frame_size: int, stride: int) -> DataFrame:
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                for idx in range(0, -(-len(payload) // frame_size), stride):
+                n_frames = min(-(-len(payload) // frame_size), MAX_FRAME_SLOTS)
+                for idx in range(0, n_frames, stride):
                     frame = payload[idx * frame_size : (idx + 1) * frame_size]
                     out["media_id"].append(media_id)
                     out["frame_idx"].append(idx)

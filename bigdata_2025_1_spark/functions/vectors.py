@@ -79,18 +79,23 @@ def make_dot_scaled_pandas():
 # ---------------------------------------------------------------------------
 
 
+def _md5_pm1_matrix(prefix: str, rows: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 matrix derived from md5 — computed once in Python
+    and embedded as literals in BOTH engines (so there is no cross-engine
+    hash-function dependency at all). Shared derivation for SRP planes
+    and IVF centroids; changing it changes both in lockstep."""
+    return [
+        [
+            1 if int(hashlib.md5(f"{prefix}:{j}:{i}".encode()).hexdigest()[0], 16) % 2 else -1
+            for i in range(dim)
+        ]
+        for j in range(rows)
+    ]
+
+
 def srp_planes(bits: int = 16, dim: int = 64) -> list[list[int]]:
-    """Deterministic ±1 hyperplane matrix derived from md5 — computed once
-    in Python and embedded as literals in BOTH engines (so there is no
-    cross-engine hash-function dependency at all)."""
-    planes = []
-    for j in range(bits):
-        row = []
-        for i in range(dim):
-            h = hashlib.md5(f"srp:{j}:{i}".encode()).hexdigest()
-            row.append(1 if int(h[0], 16) % 2 else -1)
-        planes.append(row)
-    return planes
+    """Deterministic ±1 hyperplane matrix (see :func:`_md5_pm1_matrix`)."""
+    return _md5_pm1_matrix("srp", bits, dim)
 
 
 def srp_signature(emb: Column, planes: list[list[int]]) -> Column:
@@ -118,8 +123,8 @@ def make_srp_signature_pandas(planes: list[list[int]]):
     """Arrow-vectorized twin of :func:`srp_signature`: exact int64
     ``round(emb·1e9) @ Wᵀ`` (integer matmul — associative, exact), sign →
     bits → bigint. Bit-identical to the expression form and to
-    :func:`sql_srp_signature`; ~10× faster once rows × planes × dims is
-    large (numpy vs interpreted expression trees)."""
+    :func:`sql_srp_signature_from`; ~10× faster once rows × planes × dims
+    is large (numpy vs interpreted expression trees)."""
     from pyspark.sql.functions import pandas_udf
 
     W = np.array(planes, dtype=np.int64)  # (bits, dim)
@@ -197,18 +202,11 @@ def sql_srp_signature_from(se: str, planes: list[list[int]]) -> str:
 
 
 def ivf_centroids(cells: int = 16, dim: int = 64) -> list[list[int]]:
-    """Deterministic ±1 coarse-quantizer directions (md5-derived, embedded
-    as literals in BOTH engines — same determinism contract as
-    :func:`srp_planes`). Cell of a vector = argmax over centroids of the
+    """Deterministic ±1 coarse-quantizer directions (see
+    :func:`_md5_pm1_matrix`; distinct prefix keeps them independent of
+    the SRP planes). Cell of a vector = argmax over centroids of the
     exact int64-scaled projection; ties break to the lowest cell index."""
-    cents = []
-    for j in range(cells):
-        row = []
-        for i in range(dim):
-            h = hashlib.md5(f"ivf:{j}:{i}".encode()).hexdigest()
-            row.append(1 if int(h[0], 16) % 2 else -1)
-        cents.append(row)
-    return cents
+    return _md5_pm1_matrix("ivf", cells, dim)
 
 
 def _exact_proj_matrix(emb: pd.Series, C: np.ndarray) -> np.ndarray:

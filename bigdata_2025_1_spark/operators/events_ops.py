@@ -460,7 +460,8 @@ def range_join_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CASE WHEN json_valid(props)
-                THEN CAST(json_extract(props, '$.k') AS INT) END AS k,
+                THEN CAST(TRUNC(TRY_CAST(json_extract(props, '$.k') AS DOUBLE)) AS INT)
+           END AS k,
            (props IS NOT NULL AND json_valid(props)) AS valid_json
     FROM events
     WHERE event_id < 500
@@ -473,7 +474,11 @@ def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_json_decode's from_json, which needs one). VARIANT is the
     100 TB answer to ragged JSON: parse once into a shredded binary
     encoding, path-access many times without re-tokenizing, malformed
-    rows degrade to NULL instead of failing the job (ANSI-safe)."""
+    rows degrade to NULL instead of failing the job (ANSI-safe).
+
+    Pinned semantics: non-integral numeric ``k`` TRUNCATES toward zero
+    (Spark's variant int cast); the oracle mirrors with TRUNC(TRY_CAST)
+    because DuckDB's bare CAST(json AS INT) would ROUND instead."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     v = F.try_parse_json(F.col("props"))
     return (

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions.exact import sql_int_avg
 from bigdata_2025_1_spark.functions.multimodal import (
+    MAX_FRAME_SLOTS,
     as_media_table,
     extract_features,
     sample_frames,
@@ -81,8 +82,10 @@ _FRAME_STRIDE = 2
       SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
       FROM documents WHERE LENGTH(text) > 0
     ), idx AS (
+      -- range bound = functions/multimodal.MAX_FRAME_SLOTS (kernel caps
+      -- at the same constant, keeping both sides in lockstep)
       SELECT doc_id, text, n_bytes, CAST(r.i AS INT) AS frame_idx
-      FROM f CROSS JOIN range(0, 4096, {_FRAME_STRIDE}) r(i)
+      FROM f CROSS JOIN range(0, {MAX_FRAME_SLOTS}, {_FRAME_STRIDE}) r(i)
       WHERE r.i * {_FRAME_SIZE} < n_bytes
     )
     SELECT doc_id AS media_id, frame_idx,

@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_2025_1_spark.functions.exact import sql_exact_sum
+from bigdata_2025_1_spark.functions.exact import sql_exact_sum, within_tol
 from bigdata_2025_1_spark.io import load
 from bigdata_2025_1_spark.registry import query
 
@@ -147,10 +147,6 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerance verdict per quantile (|approx - exact| / exact <= 0.05)
     alongside the exact interpolated percentiles both engines agree on."""
     li = load(spark, sf_dir, "lineitem")
-
-    def within_tol(approx: str, exact: str):
-        return (F.abs(F.col(approx) - F.col(exact)) / F.col(exact)) <= 0.05
-
     agg = li.agg(
         F.percentile("l_extendedprice", F.lit(0.50)).alias("exact_p50"),
         F.percentile("l_extendedprice", F.lit(0.95)).alias("exact_p95"),

@@ -23,6 +23,7 @@ from bigdata_2025_1_spark.functions.exact import (
     sql_exact_avg,
     sql_exact_sum,
     sql_int_avg,
+    within_tol,
 )
 from bigdata_2025_1_spark.functions import text as T
 from bigdata_2025_1_spark.io import load
@@ -366,13 +367,6 @@ def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     side emitted on both engines."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-
-    def within_tol(approx: str, exact: str):
-        rel = F.abs(F.col(approx).cast("double") - F.col(exact).cast("double")) / F.col(
-            exact
-        ).cast("double")
-        return rel <= 0.05
-
     ocnt = o.agg(
         F.countDistinct("o_custkey").alias("exact_custkeys"),
         F.approx_count_distinct("o_custkey", 0.01).alias("approx_custkeys"),

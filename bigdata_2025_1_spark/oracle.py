@@ -104,5 +104,12 @@ def check_query(spark, con, fn, sql: str | None, sf_dir: str) -> list[str]:
     drows = res.fetchall()
     problems = compare(srows, scols, drows, dcols)
     if not problems:
-        problems = compare_dtype_kinds(sdf.toPandas(), con.execute(sql).df())
+        # dtype-kind check on schema-only frames: LIMIT 0 keeps both
+        # engines' declared dtypes (HUGEINT/DECIMAL still surface as
+        # float64/object vs Spark's int64) without re-running the full
+        # query on each side, which previously doubled gate wall-clock.
+        problems = compare_dtype_kinds(
+            sdf.limit(0).toPandas(),
+            con.execute(f"SELECT * FROM ({sql}) AS q LIMIT 0").df(),
+        )
     return problems

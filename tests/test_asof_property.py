@@ -2,7 +2,7 @@
 independent brute-force reference (per fact row: scan all timeline rows,
 keep the one with the greatest (ts, tiebreak) <= (ts, fact)) on random
 keyed event sets — duplicate timestamps, equal fact/timeline timestamps,
-keys with no timeline rows, all of it."""
+keys with no timeline rows, NULL timeline values, all of it."""
 
 from __future__ import annotations
 
@@ -14,7 +14,9 @@ from bigdata_2025_1_spark.functions.asof import asof_attach_last
 row = st.tuples(
     st.integers(min_value=0, max_value=3),  # key (few keys -> collisions)
     st.integers(min_value=0, max_value=20),  # ts (small range -> ties)
-    st.floats(min_value=-10, max_value=10, allow_nan=False),
+    st.one_of(  # NULL values must still win the as-of race
+        st.none(), st.floats(min_value=-10, max_value=10, allow_nan=False)
+    ),
 )
 
 
@@ -22,9 +24,9 @@ def reference(facts: list, timeline: list) -> dict:
     """Brute force: a timeline row qualifies iff its ts <= the fact's ts
     (inclusive at equal timestamps — timeline sorts before facts in the
     operator regardless of tiebreak); among qualifiers the greatest
-    (ts, tiebreak) wins."""
+    (ts, tiebreak) wins, even when its value is None."""
     out = {}
-    for fk, fts, fid in facts:
+    for fk, fts, fid, _payload in facts:
         best = None
         for tk, tts, tid, tval in timeline:
             if tk == fk and tts <= fts:
@@ -44,20 +46,21 @@ def reference(facts: list, timeline: list) -> dict:
     timeline=st.lists(row, min_size=0, max_size=12),
 )
 def test_asof_matches_bruteforce(spark, facts, timeline):
-    # unique ids: timeline even (sorts before facts at equal (ts, id) is
-    # NOT relied on — the operator orders by the side flag, ids only break
-    # ties within a side)
-    f_rows = [(k, ts, 2 * i + 1) for i, (k, ts, _) in enumerate(facts)]
+    # unique tiebreaks per side; facts carry a payload column that the
+    # operator must pass through untouched
+    f_rows = [(k, ts, 2 * i + 1, 10 * i) for i, (k, ts, _) in enumerate(facts)]
     t_rows = [(k, ts, 2 * i, v) for i, (k, ts, v) in enumerate(timeline)]
-    fact_df = spark.createDataFrame(f_rows, "key INT, ts INT, tb INT")
-    tl_df = spark.createDataFrame(
-        t_rows, "key INT, ts INT, tb INT, value DOUBLE"
-    ) if t_rows else spark.createDataFrame([], "key INT, ts INT, tb INT, value DOUBLE")
-    got = {
-        r.tb: (r.asof_ts, r.asof_value)
-        for r in asof_attach_last(
-            fact_df, tl_df, key="key", ts="ts", tiebreak="tb", value="value"
-        ).collect()
-    }
+    fact_df = spark.createDataFrame(f_rows, "key INT, ts INT, tb INT, payload INT")
+    tl_df = (
+        spark.createDataFrame(t_rows, "key INT, ts INT, tb INT, value DOUBLE")
+        if t_rows
+        else spark.createDataFrame([], "key INT, ts INT, tb INT, value DOUBLE")
+    )
+    result = asof_attach_last(
+        fact_df, tl_df, key="key", ts="ts", tiebreak="tb", value="value"
+    ).collect()
+    got = {r.tb: (r.asof_ts, r.asof_value) for r in result}
     want = reference(f_rows, t_rows)
     assert got == want
+    # fact payload columns survive the union+window round trip
+    assert {r.tb: r.payload for r in result} == {tb: p for _, _, tb, p in f_rows}

@@ -99,7 +99,8 @@ def test_asof_and_funnel_single_data_shuffle(spark, sf_dir):
     final presentation sort / single-row agg, not data movement growth)."""
     asof = QUERIES["asof_join_last_purchase"](spark, sf_dir)
     assert count_exchanges(asof) == 2
-    assert formatted_plan(asof).count(") Window") == 2  # both behind 1 shuffle
+    # ONE window node: ts+value travel in a single last(struct) signal
+    assert formatted_plan(asof).count(") Window") == 1
     funnel = QUERIES["event_funnel_conversion"](spark, sf_dir)
     assert count_exchanges(funnel) == 2
     assert formatted_plan(funnel).count(") Window") == 3  # chained, no joins
