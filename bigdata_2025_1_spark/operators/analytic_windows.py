@@ -231,3 +231,28 @@ def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.sum(cents).over(w) / 100).alias("revenue_30d"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+_ABOVE_AVG_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders o
+WHERE o_totalprice >
+      (SELECT 2 * (SUM(CAST(ROUND(o2.o_totalprice * 1e2) AS BIGINT))
+                   / (1e2 * COUNT(*)))
+       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@query("scalar_subquery_big_orders", oracle=_ABOVE_AVG_SQL)
+def scalar_subquery_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders worth more than 2x their own
+    customer's average — written as the subquery a SQL user writes, NOT
+    hand-decorrelated. Catalyst's decorrelation rewrites it to one
+    aggregate + one equi-join (no per-row subquery execution ever exists
+    at runtime — plan-pinned in tests), which is why the same text is
+    safe at 100 TB. The IDENTICAL SQL string runs on DuckDB as the
+    oracle; the average is an exact int-cents sum over count so the
+    threshold comparison cannot drift between engines."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ABOVE_AVG_SQL)

@@ -489,3 +489,61 @@ def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "events_gap_filled_hourly",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), cnt AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT h.hour, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM hours h
+    CROSS JOIN types t
+    LEFT JOIN cnt c ON c.hour = h.hour AND c.event_type = t.event_type
+    ORDER BY h.hour, t.event_type
+    """,
+)
+def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: a complete hourly calendar
+    spine per event type, zero-filled where no events landed — the shape
+    downstream forecasting/alerting needs (a bare groupBy silently drops
+    empty buckets).
+
+    Scale: the spine is calendar-sized (hours x types — thousands of
+    rows at ANY data volume) and broadcasts into the left join; the only
+    data-sized work is the hourly count aggregate. F.sequence builds the
+    spine declaratively — no driver-side loop."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(types)
+    cnt = ev.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        spine.join(cnt, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("hour", "event_type")
+    )

@@ -67,6 +67,8 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "stratified_source_cap",
     "doc_ngram_repetition",
     "corpus_temperature_mix",
+    "scalar_subquery_big_orders",
+    "events_gap_filled_hourly",
     "sequence_packing",
     "corpus_quality_filter",
     "tfidf_top_terms",

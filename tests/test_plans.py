@@ -180,3 +180,21 @@ def test_runtime_bloom_filter_injects(spark, sf_dir):
     finally:
         for k, val in saved.items():
             spark.conf.set(k, val)
+
+
+def test_scalar_subquery_decorrelates(spark, sf_dir):
+    """The correlated scalar subquery must run as ONE aggregate + ONE
+    equi-join after Catalyst decorrelation — never a per-row subquery
+    (there is no Subquery node left in the physical plan)."""
+    plan = formatted_plan(QUERIES["scalar_subquery_big_orders"](spark, sf_dir))
+    assert "Subquery" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_spine_is_broadcast(spark, sf_dir):
+    """Gap filling joins the data-sized hourly counts against a
+    calendar-sized spine: the spine side must broadcast (the hours x
+    types cross join of two tiny relations is the only nested loop)."""
+    plan = formatted_plan(QUERIES["events_gap_filled_hourly"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
