@@ -127,6 +127,43 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("orig_bytes", T.IntegerType(), False),
+        T.StructField("resized_bytes", T.IntegerType(), False),
+        T.StructField("resized_sha", T.StringType(), False),
+    ]
+)
+
+
+def resize_payloads(df: DataFrame, stride: int) -> DataFrame:
+    """mapInPandas "resize": keep every ``stride``-th byte of each payload
+    (the deterministic stand-in for an image down-scale — a real kernel
+    would decode, PIL-resize and re-encode here; see ``_decode_image``).
+    1-in / 1-out rows, but the payload column shrinks by ~stride — the
+    batch shape and schema contract of a real resize stage."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: b[::stride] if b is not None else None
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "orig_bytes": pdf["payload"].map(len),
+                    "resized_bytes": resized.map(len),
+                    "resized_sha": resized.map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
+                }
+            )
+
+    return df.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
 MAX_FRAME_SLOTS = 4096  # frames considered per payload (256 KiB at 64 B)
 
 

@@ -12,6 +12,7 @@ from bigdata_2025_1_spark.functions.multimodal import (
     MAX_FRAME_SLOTS,
     as_media_table,
     extract_features,
+    resize_payloads,
     sample_frames,
 )
 from bigdata_2025_1_spark.io import load
@@ -110,3 +111,35 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, _FRAME_SIZE, _FRAME_STRIDE).orderBy(
         "media_id", "frame_idx"
     )
+
+
+_RESIZE_STRIDE = 2
+_SQL_RESIZED = (
+    "COALESCE(array_to_string([text[i] for i in "
+    f"range(1, LENGTH(text) + 1, {_RESIZE_STRIDE})], ''), '')"
+)
+
+
+@query(
+    "media_resize",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS INT) AS orig_bytes,
+           CAST(octet_length(encode({_SQL_RESIZED})) AS INT) AS resized_bytes,
+           sha256({_SQL_RESIZED}) AS resized_sha
+    FROM documents
+    WHERE text IS NOT NULL
+    ORDER BY media_id
+    """,
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media "resize" through the real mapInPandas plumbing: every 2nd
+    byte of each payload with the result's size and sha256 — the
+    deterministic stand-in for an image down-scale kernel (the schema,
+    Arrow batching and 1-in/1-out contract are exactly what a PIL-backed
+    kernel drops into; see functions/multimodal._decode_image). Oracle
+    regenerates the byte-stride relationally (ASCII fixture: chars ==
+    bytes, as documented on media_feature_stats)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    media = as_media_table(docs, "doc_id", "text", kind="image")
+    return resize_payloads(media, _RESIZE_STRIDE).orderBy("media_id")

@@ -255,16 +255,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        V.norm_sq_scaled(F.col("embedding")).alias("c_nsq"),
-        cell_pd(F.col("embedding")).alias("cell"),
-    )
+        cell_pd(F.col("embedding")).alias("cn"),
+    ).select("neighbor_id", "c_emb", F.col("cn.cell").alias("cell"), F.col("cn.nsq").alias("c_nsq"))
     probes = (
         emb.filter(F.col("vec_id") < N_QUERY_VECS)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            V.norm_sq_scaled(F.col("embedding")).alias("q_nsq"),
-            F.explode(probes_pd(F.col("embedding"))).alias("cell"),
+            probes_pd(F.col("embedding")).alias("pn"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            F.col("pn.nsq").alias("q_nsq"),
+            F.explode(F.col("pn.cells")).alias("cell"),
         )
     )
     cosine = V.cosine_from_scaled(

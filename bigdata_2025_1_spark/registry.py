@@ -62,6 +62,7 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "event_funnel_conversion",
     "range_join_incident_windows",
     "media_frame_sample",
+    "media_resize",
     "variant_json_shred",
     "salted_skew_join",
     "stratified_source_cap",

@@ -16,7 +16,7 @@ from bigdata_2025_1_spark.plans.explain import formatted_plan
 def test_ivf_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     cell_pd = V.make_ivf_cell_pandas(_CENTROIDS)
     corpus = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", cell_pd(F.col("embedding")).alias("cell")
+        "vec_id", "embedding", cell_pd(F.col("embedding"))["cell"].alias("cell")
     )
     path = str(tmp_path / "ivf_corpus")
     corpus.write.partitionBy("cell").parquet(path)
@@ -25,7 +25,7 @@ def test_ivf_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     probe_cells = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == 0)
-        .select(F.explode(probes_pd(F.col("embedding"))).alias("cell"))
+        .select(F.explode(probes_pd(F.col("embedding"))["cells"]).alias("cell"))
         .collect()
     )
     cells = [r.cell for r in probe_cells]
