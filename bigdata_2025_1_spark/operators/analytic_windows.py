@@ -256,3 +256,38 @@ def scalar_subquery_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold comparison cannot drift between engines."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_ABOVE_AVG_SQL)
+
+
+_RECURSIVE_MONTHS_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS m0,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS m1
+  FROM orders
+), months(m) AS (
+  SELECT m0 FROM bounds
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months, bounds WHERE m < m1
+), cnt AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mm, COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT m AS month, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+FROM months LEFT JOIN cnt c ON c.mm = m
+ORDER BY month
+"""
+
+
+@query("recursive_cte_month_spine", oracle=_RECURSIVE_MONTHS_SQL)
+def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (new in Spark 4): a month calendar spine generated
+    by iteration, zero-filling order counts across the full date range —
+    the IDENTICAL SQL text runs on DuckDB as the oracle (RECURSIVE leads
+    the CTE list, which DuckDB requires; date_trunc is cast to DATE on
+    both sides because the engines disagree on its return type).
+
+    Scale: the recursion materializes ~tens of rows per step on the
+    driver-side loop Spark runs for recursive CTEs — calendar-sized, not
+    data-sized; the data-sized work stays in the one count aggregate
+    (events_gap_filled_hourly shows the F.sequence alternative)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_MONTHS_SQL)

@@ -70,6 +70,7 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "corpus_temperature_mix",
     "scalar_subquery_big_orders",
     "events_gap_filled_hourly",
+    "recursive_cte_month_spine",
     "sequence_packing",
     "corpus_quality_filter",
     "tfidf_top_terms",
