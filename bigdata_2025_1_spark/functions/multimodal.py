@@ -130,9 +130,9 @@ FRAME_SCHEMA = T.StructType(
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
-        T.StructField("orig_bytes", T.IntegerType(), False),
-        T.StructField("resized_bytes", T.IntegerType(), False),
-        T.StructField("resized_sha", T.StringType(), False),
+        T.StructField("orig_bytes", T.IntegerType(), True),
+        T.StructField("resized_bytes", T.IntegerType(), True),
+        T.StructField("resized_sha", T.StringType(), True),
     ]
 )
 
@@ -142,21 +142,23 @@ def resize_payloads(df: DataFrame, stride: int) -> DataFrame:
     (the deterministic stand-in for an image down-scale — a real kernel
     would decode, PIL-resize and re-encode here; see ``_decode_image``).
     1-in / 1-out rows, but the payload column shrinks by ~stride — the
-    batch shape and schema contract of a real resize stage."""
+    batch shape and schema contract of a real resize stage. NULL payloads
+    propagate as NULL outputs (same contract as extract_features)."""
     import hashlib
+
+    def opt(f):
+        return lambda b: f(b) if b is not None else None
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = pdf["payload"].map(
-                lambda b: b[::stride] if b is not None else None
-            )
+            resized = pdf["payload"].map(opt(lambda b: b[::stride]))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "orig_bytes": pdf["payload"].map(len),
-                    "resized_bytes": resized.map(len),
+                    "orig_bytes": pdf["payload"].map(opt(len)),
+                    "resized_bytes": resized.map(opt(len)),
                     "resized_sha": resized.map(
-                        lambda b: hashlib.sha256(b).hexdigest()
+                        opt(lambda b: hashlib.sha256(b).hexdigest())
                     ),
                 }
             )

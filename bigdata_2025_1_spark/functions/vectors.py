@@ -209,53 +209,58 @@ def ivf_centroids(cells: int = 16, dim: int = 64) -> list[list[int]]:
     return _md5_pm1_matrix("ivf", cells, dim)
 
 
-def _exact_proj_matrix(emb: pd.Series, C: np.ndarray) -> np.ndarray:
-    """(n, cells) exact int64 projections round(emb·1e9) @ Cᵀ."""
-    E = np.stack(emb.to_numpy()).astype(np.float64) * 1e9
-    S = (np.sign(E) * np.floor(np.abs(E) + 0.5)).astype(np.int64)
+def _exact_proj_from(E: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, cells) exact int64 projections round(E·1e9) @ Cᵀ from the
+    already-stacked float64 embedding matrix."""
+    E9 = E * 1e9
+    S = (np.sign(E9) * np.floor(np.abs(E9) + 0.5)).astype(np.int64)
     return S @ C.T
 
 
-def _exact_norm_sq(emb: pd.Series) -> np.ndarray:
-    """Exact int64 scaled squared norms (matches ``dot_scaled(a, a)``)."""
-    E = np.stack(emb.to_numpy()).astype(np.float64)
+def _exact_norm_from(E: np.ndarray) -> np.ndarray:
+    """Exact int64 scaled squared norms (matches ``dot_scaled(a, a)``)
+    from the already-stacked float64 embedding matrix."""
     p = E * E * SCALE
     return (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(np.int64).sum(axis=1)
 
 
 def make_ivf_cell_pandas(centroids: list[list[int]]):
     """Arrow-vectorized cell assignment + norm in ONE pass (struct
-    return — same fused-kernel rationale as make_srp_sig_and_norm_pandas).
-    Cell = argmax of the exact projections; np.argmax returns the FIRST
-    max — the lowest-index tie-break the SQL mirror reproduces with
-    ``ORDER BY p DESC, cell``."""
+    return — same fused-kernel rationale as make_srp_sig_and_norm_pandas;
+    the batch is stacked to a float64 matrix ONCE and shared by both
+    computations). Cell = argmax of the exact projections; np.argmax
+    returns the FIRST max — the lowest-index tie-break the SQL mirror
+    reproduces with ``ORDER BY p DESC, cell``."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.array(centroids, dtype=np.int64)
 
     @pandas_udf("struct<cell: int, nsq: bigint>")
     def ivf_cell_pd(emb: pd.Series) -> pd.DataFrame:
-        cell = np.argmax(_exact_proj_matrix(emb, C), axis=1).astype(np.int32)
-        return pd.DataFrame({"cell": cell, "nsq": _exact_norm_sq(emb)})
+        E = np.stack(emb.to_numpy()).astype(np.float64)
+        cell = np.argmax(_exact_proj_from(E, C), axis=1).astype(np.int32)
+        return pd.DataFrame({"cell": cell, "nsq": _exact_norm_from(E)})
 
     return ivf_cell_pd
 
 
 def make_ivf_probes_pandas(centroids: list[list[int]], n_probe: int):
-    """Arrow-vectorized probe list + norm in ONE pass: the ``n_probe``
-    best cells per query, ordered by projection desc then cell index asc
-    (stable argsort on the negated projections)."""
+    """Arrow-vectorized probe list + norm in ONE pass (one stack per
+    batch): the ``n_probe`` best cells per query, ordered by projection
+    desc then cell index asc (stable argsort on the negated
+    projections)."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.array(centroids, dtype=np.int64)
 
     @pandas_udf("struct<cells: array<int>, nsq: bigint>")
     def ivf_probes_pd(emb: pd.Series) -> pd.DataFrame:
-        order = np.argsort(-_exact_proj_matrix(emb, C), axis=1, kind="stable")
+        E = np.stack(emb.to_numpy()).astype(np.float64)
+        order = np.argsort(-_exact_proj_from(E, C), axis=1, kind="stable")
         return pd.DataFrame(
             {
                 "cells": list(order[:, :n_probe].astype(np.int32)),
-                "nsq": _exact_norm_sq(emb),
+                "nsq": _exact_norm_from(E),
             }
         )
 
