@@ -32,6 +32,10 @@ HEADLINE = [
     # events
     "events_hourly_windows",
     "user_sessionization",
+    "asof_join_last_purchase",
+    "event_funnel_conversion",
+    "range_join_incident_windows",
+    "salted_skew_join",
     # LLM-pipeline
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -39,6 +43,8 @@ HEADLINE = [
     "simhash_values",
     "token_counts",
     "wordcount",
+    "doc_ngram_repetition",
+    "media_frame_sample",
     "tfidf_top_terms",
     "sequence_packing",
     "ann_topk_cosine",
