@@ -71,7 +71,12 @@ APPROX_TOL = 0.05  # sketch-vs-exact relative tolerance (shared by the
 
 def within_tol(approx: str | Column, exact: str | Column, tol: float = APPROX_TOL) -> Column:
     """|approx - exact| / exact <= tol — the engine-checkable verdict for
-    sketch outputs whose raw values are engine-specific (HLL, KLL)."""
+    sketch outputs whose raw values are engine-specific (HLL, KLL).
+
+    exact = 0 (empty input) is exact-equality instead of a relative test
+    — the division would be an ANSI DIVIDE_BY_ZERO job failure; NULL
+    inputs propagate NULL (matching a NULL-emitting oracle)."""
     a = F.col(approx) if isinstance(approx, str) else approx
     e = F.col(exact) if isinstance(exact, str) else exact
-    return (F.abs(a.cast("double") - e.cast("double")) / e.cast("double")) <= tol
+    ad, ed = a.cast("double"), e.cast("double")
+    return F.when(ed == 0, ad == ed).otherwise((F.abs(ad - ed) / ed) <= tol)

@@ -125,7 +125,11 @@ def part_price_rank_in_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(nation, segment): detail + per-nation subtotal + grand total
     in one pass (Catalyst expands to a single Expand+hash agg — not N
-    separate scans)."""
+    separate scans).
+
+    Known engine divergence on EMPTY input only: SQL-standard engines
+    (DuckDB) emit the grand-total row (NULLs + zero counts) for an empty
+    table; Spark emits zero rows (tests/test_empty_tables.py pins this)."""
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     return (
@@ -153,7 +157,8 @@ def rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE(returnflag, linestatus): all 2^2 grouping combinations."""
+    """CUBE(returnflag, linestatus): all 2^2 grouping combinations.
+    Empty-input divergence as rollup_nation_segment."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
@@ -183,7 +188,8 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with GROUPING() disambiguation flags (SQL
     entry point — parity with the reference's spark.sql path,
-    spark/visualize.py:27)."""
+    spark/visualize.py:27). Empty-input divergence as
+    rollup_nation_segment."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """

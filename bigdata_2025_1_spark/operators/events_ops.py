@@ -332,8 +332,10 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
            CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
            CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click,
-           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
-                 / (SELECT COUNT(*) FROM v), 6) AS view_to_purchase_rate
+           CASE WHEN (SELECT COUNT(*) FROM v) > 0
+                THEN ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                           / (SELECT COUNT(*) FROM v), 6)
+           END AS view_to_purchase_rate
     """,
 )
 def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,8 +376,11 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("fv").alias("n_viewed"),
         F.count("fc").alias("n_clicked_after_view"),
         F.count("fp").alias("n_purchased_after_click"),
-        F.round(
-            F.count("fp").cast("double") / F.count("fv"), 6
+        # guarded: ANSI mode makes x/0 a job failure, and an empty (or
+        # view-less) events table is a legitimate input
+        F.when(
+            F.count("fv") > 0,
+            F.round(F.count("fp").cast("double") / F.count("fv"), 6),
         ).alias("view_to_purchase_rate"),
     )
 

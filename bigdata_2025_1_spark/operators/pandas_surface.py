@@ -134,9 +134,12 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT quantile_cont(l_extendedprice, 0.50) AS exact_p50,
            quantile_cont(l_extendedprice, 0.95) AS exact_p95,
            quantile_cont(l_extendedprice, 0.99) AS exact_p99,
-           TRUE AS p50_within_tol,
-           TRUE AS p95_within_tol,
-           TRUE AS p99_within_tol
+           CASE WHEN quantile_cont(l_extendedprice, 0.50) IS NOT NULL
+                THEN TRUE END AS p50_within_tol,
+           CASE WHEN quantile_cont(l_extendedprice, 0.95) IS NOT NULL
+                THEN TRUE END AS p95_within_tol,
+           CASE WHEN quantile_cont(l_extendedprice, 0.99) IS NOT NULL
+                THEN TRUE END AS p99_within_tol
     FROM lineitem
     """,
 )
