@@ -272,3 +272,47 @@ def test_stream_stream_interval_join(spark, events_stream_dir, sf_dir):
     got = {(r.click_id, r.purchase_id) for r in rows}
     assert len(got) <= expected
     assert len(got) >= expected - 50
+
+
+def test_asof_join_in_foreachbatch(spark, events_stream_dir, sf_dir, tmp_path):
+    """The round-2 window family streams: asof_attach_last runs unchanged
+    inside foreachBatch (the reference's own streaming style — batch code
+    per micro-batch) and the accumulated result matches the batch query
+    over the same data."""
+    from bigdata_2025_1_spark.registry import all_queries
+
+    expected = {
+        (r.user_id, r.click_id): (r.last_purchase_ts, r.last_purchase_value)
+        for r in all_queries()["asof_join_last_purchase"](spark, sf_dir).collect()
+    }
+
+    out: dict = {}
+
+    def per_batch(batch_df, _bid):
+        from bigdata_2025_1_spark.functions.asof import asof_attach_last
+
+        clicks = batch_df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        purchases = batch_df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        for r in asof_attach_last(
+            clicks, purchases, key="user_id", ts="ts", tiebreak="event_id",
+            value="value", out_value="v", out_ts="t",
+        ).collect():
+            out[(r.user_id, r.event_id)] = (r.t, r.v)
+
+    stream = spark.readStream.schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    ).parquet(events_stream_dir)
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "asof_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    # availableNow on a static dir = one micro-batch = same input as batch
+    assert out == expected
