@@ -247,8 +247,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dot verify touches only candidates. Recall is measurable
     against the brute-force twin on the same probe set (pinned in
     tests/test_plans.py). Assignment/probing are Arrow-vectorized integer
-    matmuls — bit-identical to the SQL mirror."""
-    emb = spread(load(spark, sf_dir, "embeddings"))
+    matmuls — bit-identical to the SQL mirror.
+
+    Deliberately NOT spread(): the kernels are numpy matmuls whose
+    per-row cost is trivial, so fanning a small local fixture across 32
+    partitions just multiplies Python-worker round trips (measured ~1.8x
+    slower); at real scale the input arrives pre-split and parallelism
+    comes from the scan."""
+    emb = load(spark, sf_dir, "embeddings")
     cell_pd = V.make_ivf_cell_pandas(_CENTROIDS)
     probes_pd = V.make_ivf_probes_pandas(_CENTROIDS, N_PROBE)
     dot_pd = V.make_dot_scaled_pandas()
