@@ -100,10 +100,11 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit signed-random-projection signature per vector (hyperplanes
     are md5-derived ±1 literals shared with the oracle — no cross-engine
-    hash dependency). Shuffle-free projection."""
+    hash dependency). Shuffle-free projection; not spread() — see
+    ann_ivf_topk's note on trivial-per-row numpy kernels."""
     emb = load(spark, sf_dir, "embeddings")
     srp_pd = V.make_srp_signature_pandas(_PLANES)
-    return spread(emb).select(
+    return emb.select(
         "vec_id",
         "label",
         srp_pd(F.col("embedding")).alias("srp_sig"),
@@ -149,10 +150,12 @@ def ann_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     # persist: signatures/norms feed the band join and the verify join on
     # both sides — compute the 16 projections once per vector. The fused
-    # sig+norm kernel ships each embedding batch to Python ONCE.
+    # sig+norm kernel ships each embedding batch to Python ONCE; no
+    # spread() (trivial-per-row numpy kernel — see ann_ivf_topk's note,
+    # measured consistently faster without the 32-way fan-out locally).
     fused = V.make_srp_sig_and_norm_pandas(_PLANES)
     sig = (
-        spread(emb)
+        emb
         .select("vec_id", "embedding", fused(F.col("embedding")).alias("sn"))
         .select(
             "vec_id",
