@@ -230,3 +230,38 @@ def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "fuzzy_source_pairs",
+    oracle="""
+    WITH s AS (SELECT DISTINCT source FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(levenshtein(a.source, b.source) AS INT) AS edit_distance
+    FROM s a JOIN s b ON a.source < b.source
+    WHERE levenshtein(a.source, b.source) <= 1
+    ORDER BY source_a, source_b
+    """,
+)
+def fuzzy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching over the source dictionary (the
+    entity-resolution candidate pass: near-identical source labels are
+    merge suspects). Levenshtein is the one string-similarity primitive
+    the md5/minhash/simhash/Jaccard family doesn't cover.
+
+    Scale: the all-pairs comparison runs on the DISTINCT label
+    dictionary, which is entity-count-sized (thousands), never
+    corpus-sized — the aggregate-then-compare shape that keeps edit
+    distance viable at 100 TB. For a large dictionary, band by length
+    (|len_a - len_b| <= k prunes to an equi-joinable key) first."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.select("source").distinct()
+    a = s.select(F.col("source").alias("source_a"))
+    b = s.select(F.col("source").alias("source_b"))
+    dist = F.levenshtein("source_a", "source_b")
+    return (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select("source_a", "source_b", dist.cast("int").alias("edit_distance"))
+        .filter(F.col("edit_distance") <= 1)
+        .orderBy("source_a", "source_b")
+    )

@@ -71,6 +71,7 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "scalar_subquery_big_orders",
     "events_gap_filled_hourly",
     "recursive_cte_month_spine",
+    "fuzzy_source_pairs",
     "sequence_packing",
     "corpus_quality_filter",
     "tfidf_top_terms",
