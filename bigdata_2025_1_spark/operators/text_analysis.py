@@ -265,3 +265,41 @@ def fuzzy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_distance") <= 1)
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "argminmax_per_source",
+    oracle="""
+    SELECT source,
+           CAST(arg_max(doc_id, n_chars * 100000 + doc_id) AS BIGINT) AS longest_doc,
+           CAST(arg_min(doc_id, n_chars * 100000 + doc_id) AS BIGINT) AS shortest_doc,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def argminmax_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min aggregates (max_by/min_by — "which row holds the
+    extreme", without a window or self-join): longest and shortest doc
+    per source in ONE map-side-combinable hash aggregate.
+
+    Tie-proofing: both engines pick an ARBITRARY row among ties, so the
+    ordering key packs (n_chars, doc_id) into one integer
+    (n_chars·100000 + doc_id — exact lexicographic order for the
+    fixture's bounded values), making the winner deterministic. This is
+    the scale-friendly alternative to the row_number window when only
+    the extreme row is needed (no sort, no shuffle beyond the agg)."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.col("n_chars") * 100000 + F.col("doc_id")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.max_by("doc_id", key).cast("bigint").alias("longest_doc"),
+            F.min_by("doc_id", key).cast("bigint").alias("shortest_doc"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+        )
+        .orderBy("source")
+    )

@@ -72,6 +72,7 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "events_gap_filled_hourly",
     "recursive_cte_month_spine",
     "fuzzy_source_pairs",
+    "argminmax_per_source",
     "sequence_packing",
     "corpus_quality_filter",
     "tfidf_top_terms",
