@@ -235,7 +235,10 @@ def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fuzzy_source_pairs",
     oracle="""
-    WITH s AS (SELECT DISTINCT source FROM documents)
+    WITH s AS (
+      SELECT DISTINCT source FROM documents
+      WHERE regexp_matches(source, '^[ -~]*$')
+    )
     SELECT a.source AS source_a, b.source AS source_b,
            CAST(levenshtein(a.source, b.source) AS INT) AS edit_distance
     FROM s a JOIN s b ON a.source < b.source
@@ -249,13 +252,23 @@ def fuzzy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge suspects). Levenshtein is the one string-similarity primitive
     the md5/minhash/simhash/Jaccard family doesn't cover.
 
+    Cross-engine caveat, made part of the contract: Spark's levenshtein
+    counts CHARACTERS while DuckDB's counts UTF-8 BYTES ('café' vs
+    'cafe' = 1 vs 2), so both sides restrict to printable-ASCII labels
+    (char == byte) with an explicit filter instead of silently diverging
+    the day a non-ASCII label appears.
+
     Scale: the all-pairs comparison runs on the DISTINCT label
     dictionary, which is entity-count-sized (thousands), never
     corpus-sized — the aggregate-then-compare shape that keeps edit
     distance viable at 100 TB. For a large dictionary, band by length
     (|len_a - len_b| <= k prunes to an equi-joinable key) first."""
     docs = load(spark, sf_dir, "documents")
-    s = docs.select("source").distinct()
+    s = (
+        docs.filter(F.col("source").rlike("^[ -~]*$"))
+        .select("source")
+        .distinct()
+    )
     a = s.select(F.col("source").alias("source_a"))
     b = s.select(F.col("source").alias("source_b"))
     dist = F.levenshtein("source_a", "source_b")
@@ -271,8 +284,10 @@ def fuzzy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "argminmax_per_source",
     oracle="""
     SELECT source,
-           CAST(arg_max(doc_id, n_chars * 100000 + doc_id) AS BIGINT) AS longest_doc,
-           CAST(arg_min(doc_id, n_chars * 100000 + doc_id) AS BIGINT) AS shortest_doc,
+           CAST(arg_max(doc_id, n_chars * 10000000000 + doc_id) AS BIGINT)
+             AS longest_doc,
+           CAST(arg_min(doc_id, n_chars * 10000000000 + doc_id) AS BIGINT)
+             AS shortest_doc,
            CAST(MAX(n_chars) AS BIGINT) AS max_chars,
            CAST(MIN(n_chars) AS BIGINT) AS min_chars
     FROM documents
@@ -286,13 +301,14 @@ def argminmax_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source in ONE map-side-combinable hash aggregate.
 
     Tie-proofing: both engines pick an ARBITRARY row among ties, so the
-    ordering key packs (n_chars, doc_id) into one integer
-    (n_chars·100000 + doc_id — exact lexicographic order for the
-    fixture's bounded values), making the winner deterministic. This is
-    the scale-friendly alternative to the row_number window when only
-    the extreme row is needed (no sort, no shuffle beyond the agg)."""
+    ordering key packs (n_chars, doc_id) into one integer —
+    n_chars·10^10 + doc_id, exact lexicographic order while doc_id <
+    10^10 (any realistic id; ANSI mode fails loudly on int64 overflow
+    rather than silently mis-ranking). This is the scale-friendly
+    alternative to the row_number window when only the extreme row is
+    needed (no sort, no shuffle beyond the agg)."""
     docs = load(spark, sf_dir, "documents")
-    key = F.col("n_chars") * 100000 + F.col("doc_id")
+    key = F.col("n_chars") * F.lit(10_000_000_000) + F.col("doc_id")
     return (
         docs.groupBy("source")
         .agg(

@@ -34,6 +34,11 @@ ORACLES: dict[str, str] = {}
 # compute-heavy dedup/LSH family — run last, so any truncation (count cap
 # or wall-clock budget) costs rows that already have a green row on
 # record, not unproven ones.
+#
+# CAPACITY WARNING: the head is at exactly 50 entries. If a 50-entry
+# truncation recurs, anything past position 49 gets no row — add new
+# queries by REPLACING a proven-green head entry (move it to the middle),
+# never by growing the head past 50.
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- never driver-checked (round 1 indices 50-75), cheapest first
     "wordcount",

@@ -313,6 +313,11 @@ def test_asof_join_in_foreachbatch(spark, events_stream_dir, sf_dir, tmp_path):
         .option("checkpointLocation", str(tmp_path / "asof_ckpt"))
         .start()
     )
-    q.awaitTermination(180)
+    try:
+        # False = timed out with the stream still running and mutating
+        # `out` — fail crisply instead of diffing a partial dict
+        assert q.awaitTermination(180), "stream did not finish in 180s"
+    finally:
+        q.stop()
     # availableNow on a static dir = one micro-batch = same input as batch
     assert out == expected
