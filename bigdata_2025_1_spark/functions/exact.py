@@ -75,8 +75,10 @@ def within_tol(approx: str | Column, exact: str | Column, tol: float = APPROX_TO
 
     exact = 0 (empty input) is exact-equality instead of a relative test
     — the division would be an ANSI DIVIDE_BY_ZERO job failure; NULL
-    inputs propagate NULL (matching a NULL-emitting oracle)."""
+    inputs propagate NULL (matching a NULL-emitting oracle). The
+    denominator is |exact| so a negative exact value still bounds the
+    deviation (ratio-sign bug otherwise passes ANY deviation)."""
     a = F.col(approx) if isinstance(approx, str) else approx
     e = F.col(exact) if isinstance(exact, str) else exact
     ad, ed = a.cast("double"), e.cast("double")
-    return F.when(ed == 0, ad == ed).otherwise((F.abs(ad - ed) / ed) <= tol)
+    return F.when(ed == 0, ad == ed).otherwise((F.abs(ad - ed) / F.abs(ed)) <= tol)

@@ -256,15 +256,14 @@ def dedup_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFra
       FROM events WHERE event_type = 'purchase'
     ), w AS (
       SELECT *,
-             LAST_VALUE(sig_value IGNORE NULLS) OVER win AS last_purchase_value,
-             LAST_VALUE(CASE WHEN is_fact = 0 THEN ts END IGNORE NULLS)
-               OVER win AS last_purchase_ts
+             LAST_VALUE(CASE WHEN is_fact = 0 THEN {'ts': ts, 'val': sig_value} END
+                        IGNORE NULLS) OVER win AS lastp
       FROM u
       WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_fact, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT user_id, event_id AS click_id, ts AS click_ts,
-           last_purchase_ts, last_purchase_value
+           lastp.ts AS last_purchase_ts, lastp.val AS last_purchase_value
     FROM w WHERE is_fact = 1
     ORDER BY user_id, click_ts, click_id
     """,
@@ -465,7 +464,7 @@ def range_join_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CASE WHEN json_valid(props)
-                THEN CAST(TRUNC(TRY_CAST(json_extract(props, '$.k') AS DOUBLE)) AS INT)
+                THEN TRY_CAST(TRUNC(TRY_CAST(json_extract(props, '$.k') AS DOUBLE)) AS INT)
            END AS k,
            (props IS NOT NULL AND json_valid(props)) AS valid_json
     FROM events

@@ -163,7 +163,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT word, list_sort(list(doc_id)) AS postings, COUNT(*) AS doc_freq
       FROM tokens GROUP BY word
     )
-    SELECT word, doc_freq, postings[1:20] AS top_postings
+    SELECT word, doc_freq, array_to_string(postings[1:20], '|') AS top_postings
     FROM df
     ORDER BY doc_freq DESC, word
     LIMIT 30
@@ -173,16 +173,21 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index: word → sorted posting list (truncated to 20 ids
     for output sanity) + document frequency. Explode → distinct →
     collect_list; at 100 TB the posting lists would be written bucketed
-    by word rather than collected."""
+    by word rather than collected. The posting list is emitted
+    '|'-joined — the driver's pandas canonicalizer cannot hash raw list
+    cells; ``doc_freq`` still carries the scalar signal."""
     docs = spread(load(spark, sf_dir, "documents"))
     tokens = docs.select(
         "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("word")
     ).distinct()
+    postings = F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20)
     return (
         tokens.groupBy("word")
         .agg(
             F.count("*").alias("doc_freq"),
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20).alias("top_postings"),
+            F.array_join(F.transform(postings, lambda x: x.cast("string")), "|").alias(
+                "top_postings"
+            ),
         )
         .orderBy(F.desc("doc_freq"), "word")
         .limit(30)

@@ -151,7 +151,7 @@ def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_map_builders",
     oracle="""
     SELECT n.n_name AS nation,
-           list_sort(list(DISTINCT c.c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c.c_mktsegment)), '|') AS segments,
            CAST(len(list(DISTINCT c.c_mktsegment)) AS INT) AS n_segments,
            list_sort(list(DISTINCT c.c_mktsegment))[1] AS first_segment
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -162,7 +162,9 @@ def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_map_builders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregation: collect_set → sorted array + element
     access. (collect_list order is nondeterministic — always sort or use
-    collect_set+sort when results must be stable.)"""
+    collect_set+sort when results must be stable.) The sorted array is
+    emitted '|'-joined: the driver's pandas canonicalizer cannot hash raw
+    list cells, and the delimited string carries identical information."""
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     segs = F.array_sort(F.collect_set("c_mktsegment"))
@@ -170,7 +172,7 @@ def array_map_builders(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            segs.alias("segments"),
+            F.array_join(segs, "|").alias("segments"),
             F.size(segs).alias("n_segments"),
             F.try_element_at(segs, F.lit(1)).alias("first_segment"),
         )

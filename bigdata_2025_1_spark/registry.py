@@ -26,76 +26,55 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-# The driver walks ``queries()`` in dict order and truncated round 1's
-# correctness run at exactly the first 50 entries (CORRECTNESS_r01 covers
-# registration indices 0-49 verbatim). Order is therefore a correctness
-# lever: queries with no driver row yet, and queries whose oracles were
-# just fixed, run FIRST; queries already proven green — above all the
-# compute-heavy dedup/LSH family — run last, so any truncation (count cap
-# or wall-clock budget) costs rows that already have a green row on
-# record, not unproven ones.
+# The driver walks ``queries()`` in dict order and checks exactly the
+# first 50 entries per round (CORRECTNESS_r01/r02 each cover 50). Order
+# is therefore a correctness lever. Round-3 rotation: the 42 queries
+# whose only green row certifies round-1 code (CORRECTNESS_r02 never
+# touched them, yet the dedup/similarity/events files changed
+# substantially in round 2) lead, so every green row is refreshed
+# against current code; next come the two array-output queries that
+# erred in r2 (now '|'-joined strings); the remaining head slots go to
+# queries NEW this round. Everything proven green in r2 sits after
+# position 49.
 #
-# CAPACITY WARNING: the head is at exactly 50 entries. If a 50-entry
-# truncation recurs, anything past position 49 gets no row — add new
-# queries by REPLACING a proven-green head entry (move it to the middle),
-# never by growing the head past 50.
+# CAPACITY WARNING: the head is at exactly 50 entries. Anything past
+# position 49 gets no driver row this round — add new queries by
+# REPLACING a proven-green head entry, never by growing past 50.
 PRIORITY_HEAD: tuple[str, ...] = (
-    # -- never driver-checked (round 1 indices 50-75), cheapest first
-    "wordcount",
-    "date_features",
-    "string_functions_showcase",
-    "array_map_builders",
-    "safe_math_ansi",
-    "sql_cte_above_nation_avg",
-    "cross_join_enumeration",
-    "pivot_status_by_priority",
-    "order_value_percentiles",
-    "approx_percentiles",
-    "price_histogram",
-    "window_distribution_funcs",
-    "stats_correlation",
-    "udaf_median_order_value",
-    "udtf_bigrams",
-    "grouped_map_spend_share",
-    "train_test_split",
-    "inverted_index",
-    "media_metadata",
-    "media_feature_stats",
-    "embedding_srp_signatures",
-    "ann_ivf_topk",
-    "asof_join_last_purchase",
-    "event_funnel_conversion",
-    "range_join_incident_windows",
-    "media_frame_sample",
-    "media_resize",
-    "variant_json_shred",
-    "salted_skew_join",
-    "stratified_source_cap",
-    "doc_ngram_repetition",
-    "corpus_temperature_mix",
-    "scalar_subquery_big_orders",
-    "events_gap_filled_hourly",
-    "recursive_cte_month_spine",
-    "fuzzy_source_pairs",
-    "argminmax_per_source",
-    "sequence_packing",
-    "corpus_quality_filter",
-    "tfidf_top_terms",
-    "ann_srp_lsh_pairs",
-    "corpus_end_to_end",
-    # -- round-1 red/err rows whose oracles are fixed this round
-    "metadata_extract",
-    "domain_doc_stats",
-    "global_size_stats",
-    "q1_pricing_summary",
-    "cube_flag_status",
-    "events_json_decode",
-    "user_sessionization",
-    "approx_distinct_counts",
-)
-
-# Proven-green round 1 AND expensive: keep at the very end of the walk.
-PRIORITY_TAIL: tuple[str, ...] = (
+    # -- 42 round-1-only greens: refresh onto round-2+ code
+    "top_domains",
+    "filter_project_preview",
+    "html_to_markdown_docs",
+    "normalize_text",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "semi_join_active_customers",
+    "anti_join_idle_customers",
+    "outer_join_order_counts",
+    "theta_join_balance_peers",
+    "set_ops_customer_segments",
+    "distinct_counts",
+    "orders_by_month",
+    "part_price_bands",
+    "unpivot_balance_metrics",
+    "full_outer_reconciliation",
+    "union_by_name_evolution",
+    "posexplode_tokens",
+    "null_safe_equality",
+    "top3_orders_per_customer",
+    "customer_running_spend",
+    "part_price_rank_in_brand",
+    "rollup_nation_segment",
+    "grouping_sets_priority_status",
+    "rolling_30d_revenue",
+    "kafka_roundtrip_counts",
+    "events_hourly_windows",
+    "events_sliding_windows",
+    "dedup_first_event_per_user_type",
+    "lang_id_heuristic",
+    "doc_quality_scores",
+    "token_counts",
+    "doc_fingerprints",
     "dedup_exact",
     "minhash_signatures",
     "dedup_minhash_lsh",
@@ -105,7 +84,20 @@ PRIORITY_TAIL: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_connected_components",
     "ann_topk_cosine",
+    # -- r2 err rows fixed this round (array outputs now '|'-joined)
+    "array_map_builders",
+    "inverted_index",
+    # -- NEW queries this round (≤6 to stay within the 50-row window)
+    "stats_rollup",
+    "bloom_filter_membership",
+    "url_normalize_dedup",
+    "doc_pii_redaction",
+    "sessionized_path_3grams",
+    "quantile_sketch_merge",
 )
+
+# Proven green in round 2 against current code: after the 50-row window.
+PRIORITY_TAIL: tuple[str, ...] = ()
 
 
 def _ordered(names: list[str]) -> list[str]:
