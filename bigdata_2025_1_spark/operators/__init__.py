@@ -17,6 +17,7 @@ _MODULES = (
     "scalar_funcs",
     "pipeline_ops",
     "statistics",
+    "streaming_ops",
 )
 
 

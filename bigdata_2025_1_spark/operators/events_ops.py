@@ -551,3 +551,78 @@ def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+@query(
+    "sessionized_path_3grams",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                       OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    ), tri AS (
+      SELECT event_type || '>' || LEAD(event_type, 1) OVER w2
+                        || '>' || LEAD(event_type, 2) OVER w2 AS trigram,
+             session_id,
+             LEAD(session_id, 2) OVER w2 AS session_id_2ahead
+      FROM sess
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri
+    WHERE session_id_2ahead = session_id
+    GROUP BY trigram
+    ORDER BY n DESC, trigram
+    LIMIT 25
+    """,
+)
+def sessionized_path_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: sessionize (30-min gap), then count
+    event-type trigrams *within* sessions — the sequence-feature
+    extractor behind funnel/recommendation training sets.
+
+    Scale shape: ONE shuffle on user_id; the session id, both leads, and
+    the within-session filter all ride the same window partitioning
+    (sessions are contiguous in user order, so `lead(session_id, 2) =
+    session_id` replaces a second (user, session) shuffle — checking the
+    2-ahead row suffices because session ids are non-decreasing). The
+    trigram group-by then reduces to ≤|event_types|³ rows."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    tri = sess.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("trigram"),
+        F.col("session_id"),
+        F.lead("session_id", 2).over(w).alias("session_id_2ahead"),
+    )
+    return (
+        tri.where(F.col("session_id_2ahead") == F.col("session_id"))
+        .groupBy("trigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(25)
+    )

@@ -674,3 +674,57 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "bloom_filter_membership",
+    oracle="""
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'AUTOMOBILE' AND c.c_acctbal > 4500
+    GROUP BY 1
+    ORDER BY month
+    """,
+)
+def bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pruning, the Spark-first way: Catalyst's
+    runtime bloom-filter join injection (SPARK-32268) builds the filter
+    on the selective dim side and pushes might_contain() into the fact
+    scan — exactly the hand-rolled bloom prefilter a native engine
+    would code, but planned by the optimizer and exact after the join
+    (false positives die in the equi-join; results carry no
+    approximation, hence a plain-SQL oracle).
+
+    Runs in a forked session (``spark.newSession()`` — shared context,
+    isolated SQLConf) so the toy-scale eligibility thresholds
+    (broadcast off, creation/application size gates) don't leak into
+    sibling queries. At 100 TB the defaults fire on their own: dim
+    under 10 MB post-filter, fact over the scan threshold — this conf
+    block exists only because the fixture is small.
+    tests/test_plans.py::test_runtime_bloom_filter_injects pins the
+    might_contain injection itself."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    o = load(s, sf_dir, "orders")
+    c = load(s, sf_dir, "customer").where(
+        (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") > 4500)
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "revenue_cents"
+            ),
+        )
+        .orderBy("month")
+    )

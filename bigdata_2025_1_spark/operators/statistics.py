@@ -159,3 +159,109 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", (F.col("bucket") * 200).alias("bucket_lo"), "n_parts")
         .orderBy("bucket")
     )
+
+
+@query(
+    "quantile_sketch_merge",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, user_id % 8 AS shard,
+             CAST(LEAST(GREATEST(FLOOR(value / 10), 0), 63) AS INT) AS b,
+             CAST(ROUND(value * 100) AS BIGINT) AS sv
+      FROM events WHERE value IS NOT NULL
+    ), sketch AS (
+      SELECT event_type, shard, b, COUNT(*) AS cnt FROM pts GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT event_type, b, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM sketch GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, b, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY b
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total
+      FROM merged
+    ), est AS (
+      SELECT event_type,
+             CAST(MAX(total) AS BIGINT) AS n,
+             MAX(CASE WHEN cum >= 0.5 * total AND cum - cnt < 0.5 * total
+                      THEN ROUND(b * 10.0 + (0.5 * total - (cum - cnt)) * 10.0 / cnt, 6)
+                 END) AS p50_est,
+             MAX(CASE WHEN cum >= 0.95 * total AND cum - cnt < 0.95 * total
+                      THEN ROUND(b * 10.0 + (0.95 * total - (cum - cnt)) * 10.0 / cnt, 6)
+                 END) AS p95_est,
+             MAX(CASE WHEN cum >= 0.99 * total AND cum - cnt < 0.99 * total
+                      THEN ROUND(b * 10.0 + (0.99 * total - (cum - cnt)) * 10.0 / cnt, 6)
+                 END) AS p99_est
+      FROM cum GROUP BY event_type
+    ), ex AS (
+      SELECT event_type,
+             ROUND(quantile_cont(sv, 0.5) / 100.0, 6) AS p50_exact
+      FROM pts GROUP BY event_type
+    )
+    SELECT e.event_type, e.n, e.p50_est, e.p95_est, e.p99_est, x.p50_exact
+    FROM est e JOIN ex x USING (event_type)
+    ORDER BY e.event_type
+    """,
+)
+def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: per-shard equi-width histograms (64
+    buckets, width 10) merged by elementwise count-sum, then linear
+    interpolation inside the straddling bucket for p50/p95/p99 — the
+    algebraic two-level (partial → merge) shape every distributed
+    percentile runs at 100 TB, where exact sort-based percentiles are
+    unrunnable. Unlike approx_percentile's GK summaries (merge-order
+    dependent → not bit-stable), histogram counts merge exactly, so the
+    estimates are deterministic and the DuckDB oracle reproduces them
+    bit-for-bit. An exact scaled-int median twin rides along to expose
+    the sketch's bucket-resolution error.
+
+    Stage 1 keys on (type, shard, bucket) — fully map-side combinable;
+    stage 2 re-keys on (type, bucket); the interpolation works on
+    ≤64 rows per type."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pts = ev.select(
+        "event_type",
+        (F.col("user_id") % 8).alias("shard"),
+        F.least(F.greatest(F.floor(F.col("value") / 10), F.lit(0)), F.lit(63))
+        .cast("int")
+        .alias("b"),
+        F.round(F.col("value") * 100).cast("bigint").alias("sv"),
+    )
+    sketch = pts.groupBy("event_type", "shard", "b").agg(F.count("*").alias("cnt"))
+    merged = sketch.groupBy("event_type", "b").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("b")
+    cum = merged.select(
+        "event_type",
+        "b",
+        "cnt",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt")
+        .over(
+            Window.partitionBy("event_type").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total"),
+    )
+
+    def _est(q: float):
+        t = F.lit(q) * F.col("total")
+        prev = F.col("cum") - F.col("cnt")
+        hit = (F.col("cum") >= t) & (prev < t)
+        interp = F.round(
+            F.col("b") * 10.0 + (t - prev) * 10.0 / F.col("cnt"), 6
+        )
+        return F.max(F.when(hit, interp))
+
+    est = cum.groupBy("event_type").agg(
+        F.max("total").cast("bigint").alias("n"),
+        _est(0.5).alias("p50_est"),
+        _est(0.95).alias("p95_est"),
+        _est(0.99).alias("p99_est"),
+    )
+    ex = pts.groupBy("event_type").agg(
+        F.round(F.expr("percentile(sv, 0.5)") / 100.0, 6).alias("p50_exact")
+    )
+    return est.join(ex, "event_type").orderBy("event_type")

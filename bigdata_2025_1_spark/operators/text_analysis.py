@@ -319,3 +319,201 @@ def argminmax_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- URL normalization ------------------------------------------------
+# One canonicalization kernel, two engines. The messy-URL constructor is
+# part of the query (the fixture has no URL column — docs come from
+# `source` feeds), deterministic per doc_id so both engines build the
+# exact same raw strings. Patterns are shared constants so the Spark and
+# DuckDB sides cannot drift.
+_URL_FRAGMENT = "#.*$"
+_URL_SCHEME = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOST = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_URL_PATH = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+_URL_QUERY = "\\?([^#]*)"
+
+_URL_RAW_SQL = """
+      CASE doc_id % 4
+        WHEN 0 THEN 'https://WWW.' || source || '.Example.COM:443/d/' || (doc_id % 50)
+                    || '?utm_source=feed&id=' || (doc_id % 50)
+        WHEN 1 THEN 'https://' || source || '.example.com/d/' || (doc_id % 50)
+                    || '/?id=' || (doc_id % 50) || '&utm_medium=mail'
+        WHEN 2 THEN 'HTTPS://' || source || '.EXAMPLE.COM/d/' || (doc_id % 50)
+                    || '?id=' || (doc_id % 50) || '#section-2'
+        ELSE 'https://www.' || source || '.example.com/d/' || (doc_id % 50)
+                    || '?ref=promo&id=' || (doc_id % 50)
+      END
+"""
+
+
+@query(
+    "url_normalize_dedup",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents
+    ), stripped AS (
+      SELECT doc_id, regexp_replace(url, '{_URL_FRAGMENT}', '') AS u FROM raw
+    ), parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(u, '{_URL_SCHEME}', 1)) AS scheme,
+             regexp_replace(regexp_replace(
+                 lower(regexp_extract(u, '{_URL_HOST}', 1)),
+                 '^www\\.', ''), ':(443|80)$', '') AS host,
+             regexp_replace(regexp_extract(u, '{_URL_PATH}', 1), '/+$', '') AS path,
+             array_to_string(list_sort(list_filter(
+                 string_split(regexp_extract(u, '{_URL_QUERY}', 1), '&'),
+                 p -> p <> '' AND NOT starts_with(p, 'utm_')
+                      AND NOT starts_with(p, 'ref='))), '&') AS qs
+      FROM stripped
+    ), norm AS (
+      SELECT doc_id,
+             scheme || '://' || host || path
+               || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url
+      FROM parts
+    )
+    SELECT url, CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM norm
+    GROUP BY url
+    ORDER BY url
+    """,
+)
+def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-frontier kernel every
+    web-scale corpus build runs before fetch/store (the reference crawls
+    tvpl.vn but stores raw hrefs; `crawl/1/get_link_by_cat.py` has no
+    normalize step, so re-crawls see the same page under 4 spellings).
+
+    Kernel: strip fragment → lowercase scheme+host → drop `www.` and
+    default ports → strip trailing slash → drop tracking params
+    (`utm_*`, `ref`) → sort surviving query params. Pure built-in
+    regexp/array expressions: codegen'd, shuffle only on the final
+    group-by of 16-byte-ish normalized strings — at 100 TB this is the
+    same plan, with the group-by keyed on url hash."""
+    docs = load(spark, sf_dir, "documents")
+    gid = (F.col("doc_id") % 50).cast("string")
+    src = F.col("source")
+    v = F.col("doc_id") % 4
+    raw = (
+        F.when(v == 0, F.concat(F.lit("https://WWW."), src, F.lit(".Example.COM:443/d/"), gid,
+                                F.lit("?utm_source=feed&id="), gid))
+        .when(v == 1, F.concat(F.lit("https://"), src, F.lit(".example.com/d/"), gid,
+                               F.lit("/?id="), gid, F.lit("&utm_medium=mail")))
+        .when(v == 2, F.concat(F.lit("HTTPS://"), src, F.lit(".EXAMPLE.COM/d/"), gid,
+                               F.lit("?id="), gid, F.lit("#section-2")))
+        .otherwise(F.concat(F.lit("https://www."), src, F.lit(".example.com/d/"), gid,
+                            F.lit("?ref=promo&id="), gid))
+    )
+    u = F.regexp_replace(raw, _URL_FRAGMENT, "")
+    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME, 1))
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(F.regexp_extract(u, _URL_HOST, 1)), "^www\\.", ""),
+        ":(443|80)$", "",
+    )
+    path = F.regexp_replace(F.regexp_extract(u, _URL_PATH, 1), "/+$", "")
+    qs = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract(u, _URL_QUERY, 1), "&"),
+                lambda p: (p != "")
+                & ~p.startswith("utm_")
+                & ~p.startswith("ref="),
+            )
+        ),
+        "&",
+    )
+    norm = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs == "", "").otherwise(F.concat(F.lit("?"), qs)),
+    )
+    return (
+        docs.select(F.col("doc_id"), norm.alias("url"))
+        .groupBy("url")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("url")
+    )
+
+
+# --- PII redaction ----------------------------------------------------
+# The fixture corpus is ASCII word soup with no emails/digits, so the
+# query injects deterministic synthetic PII first (same expression both
+# engines) — the redaction regexes then have real work to do and the
+# match counts are non-trivial.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+?1?-?555-[0-9]{4}"
+
+_PII_MESSY_SQL = """
+      CASE doc_id % 3
+        WHEN 0 THEN text || ' contact user' || doc_id || '@mail.example.com now'
+        WHEN 1 THEN text || ' call +1-555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || ' ok'
+        ELSE text || ' email ops' || doc_id || '@example.org or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      END
+"""
+
+
+@query(
+    "doc_pii_redaction",
+    oracle=f"""
+    WITH messy AS (
+      SELECT doc_id, {_PII_MESSY_SQL} AS t FROM documents
+    ), redacted AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_emails,
+             regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t1
+      FROM messy
+    ), final AS (
+      SELECT doc_id, n_emails,
+             CAST(len(regexp_extract_all(t1, '{_PII_PHONE}')) AS INT) AS n_phones,
+             regexp_replace(t1, '{_PII_PHONE}', '[PHONE]', 'g') AS t2
+      FROM redacted
+    )
+    SELECT doc_id, n_emails, n_phones,
+           md5(t2) AS redacted_hash,
+           CAST(length(t2) AS BIGINT) AS n_chars_redacted
+    FROM final
+    ORDER BY doc_id
+    """,
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — email + NANP-style phone scrubbing, a mandatory
+    pass in any published training corpus. Two sequential regexp_replace
+    stages (emails first: an address can embed digits that would
+    otherwise half-match the phone pattern), per-doc match counts kept
+    for audit, and a hash of the redacted text for the parity check.
+
+    Pure codegen'd regexps — no UDF, no shuffle (final order-by only;
+    a real pipeline writes back partition-wise and drops it). Patterns
+    stay in the RE2 ∩ Java-regex common subset (no lookaround) so the
+    DuckDB oracle runs the identical strings."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    r = F.col("doc_id") % 3
+    did = F.col("doc_id").cast("string")
+    messy = (
+        F.when(r == 0, F.concat(F.col("text"), F.lit(" contact user"), did,
+                                F.lit("@mail.example.com now")))
+        .when(r == 1, F.concat(F.col("text"), F.lit(" call +1-555-"),
+                               F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+                               F.lit(" ok")))
+        .otherwise(F.concat(F.col("text"), F.lit(" email ops"), did,
+                            F.lit("@example.org or 555-"),
+                            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+    )
+    t1 = F.regexp_replace(messy, _PII_EMAIL, "[EMAIL]")
+    stage1 = docs.select(
+        "doc_id",
+        F.regexp_count(messy, F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        t1.alias("t1"),
+    )
+    t2 = F.regexp_replace(F.col("t1"), _PII_PHONE, "[PHONE]")
+    return stage1.select(
+        "doc_id",
+        "n_emails",
+        F.regexp_count(F.col("t1"), F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+        F.md5(t2).alias("redacted_hash"),
+        F.length(t2).cast("bigint").alias("n_chars_redacted"),
+    ).orderBy("doc_id")
