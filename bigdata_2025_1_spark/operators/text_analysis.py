@@ -258,24 +258,38 @@ def fuzzy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (char == byte) with an explicit filter instead of silently diverging
     the day a non-ASCII label appears.
 
-    Scale: the all-pairs comparison runs on the DISTINCT label
-    dictionary, which is entity-count-sized (thousands), never
-    corpus-sized — the aggregate-then-compare shape that keeps edit
-    distance viable at 100 TB. For a large dictionary, band by length
-    (|len_a - len_b| <= k prunes to an equi-joinable key) first."""
+    Scale: the comparison runs on the DISTINCT label dictionary, which
+    is entity-count-sized (thousands), never corpus-sized — the
+    aggregate-then-compare shape that keeps edit distance viable at
+    100 TB. Within the dictionary the self-join is LENGTH-BANDED:
+    edit_distance <= 1 implies |len_a - len_b| <= 1, so the probe side
+    keys on its own length and the build side replicates to {len-1,
+    len, len+1} — a plain equi-join (hash-partitionable, never a
+    BroadcastNestedLoop theta join; each qualifying pair meets in
+    exactly one band, so no distinct is needed). The bounded
+    ``levenshtein(a, b, 1)`` form early-exits the DP past the
+    threshold, O(len) instead of O(len^2) per pair."""
     docs = load(spark, sf_dir, "documents")
     s = (
         docs.filter(F.col("source").rlike("^[ -~]*$"))
         .select("source")
         .distinct()
     )
-    a = s.select(F.col("source").alias("source_a"))
-    b = s.select(F.col("source").alias("source_b"))
-    dist = F.levenshtein("source_a", "source_b")
+    a = s.select(F.col("source").alias("source_a"), F.length("source").alias("band"))
+    b = s.select(
+        F.col("source").alias("source_b"),
+        F.explode(
+            F.array(
+                F.length("source") - 1, F.length("source"), F.length("source") + 1
+            )
+        ).alias("band"),
+    )
+    dist = F.levenshtein("source_a", "source_b", 1)
     return (
-        a.join(b, F.col("source_a") < F.col("source_b"))
+        a.join(b, "band")
+        .filter(F.col("source_a") < F.col("source_b"))
         .select("source_a", "source_b", dist.cast("int").alias("edit_distance"))
-        .filter(F.col("edit_distance") <= 1)
+        .filter(F.col("edit_distance").between(0, 1))
         .orderBy("source_a", "source_b")
     )
 

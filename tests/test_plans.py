@@ -198,3 +198,17 @@ def test_gap_fill_spine_is_broadcast(spark, sf_dir):
     types cross join of two tiny relations is the only nested loop)."""
     plan = formatted_plan(QUERIES["events_gap_filled_hourly"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_pairs_length_banded_equi_join(spark, sf_dir):
+    """The fuzzy-match self-join must ride the length band (ed <= 1 ⟹
+    |len_a - len_b| <= 1) as a plain equi-join — never a
+    BroadcastNestedLoop theta join over the whole dictionary."""
+    plan = formatted_plan(QUERIES["fuzzy_source_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
