@@ -37,6 +37,7 @@ HEADLINE = [
     "event_funnel_conversion",
     "range_join_incident_windows",
     "salted_skew_join",
+    "salted_skew_join_zipf",
     # LLM-pipeline
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -677,6 +677,69 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_skew_join_zipf",
+    oracle=f"""
+    WITH cm AS (SELECT MAX(c_custkey) AS cmax FROM customer),
+    skewed AS (
+      SELECT CASE WHEN e.event_id % 10 < 7 THEN 1
+                  ELSE 2 + (e.event_id * 2654435761) % (cm.cmax - 1)
+             END AS skew_key,
+             e.value
+      FROM events e, cm
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('s.value', 2)} AS sum_value,
+           COUNT(DISTINCT s.skew_key) AS n_keys
+    FROM skewed s JOIN customer c ON s.skew_key = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def salted_skew_join_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under REAL skew: 70% of events land on one hot key
+    (the fixtures are uniform, so the skew is derived in-flight — a
+    deterministic multiplicative hash sends the rest uniformly over the
+    customer key range). The salted plan is identical to
+    ``salted_skew_join``; what this query adds is the workload where
+    salting actually pays: without the salt, one reducer owns 70% of the
+    probe side (tests/test_plans.py::test_salted_join_beats_unsalted_on_skew
+    measures the straggler directly).
+
+    The hot-key fraction is the pathological shape AQE's skew handling
+    does not cover for shuffled-hash joins; salting splits the hot key
+    across S=8 tasks unconditionally. The oracle is the plain unsalted
+    join — two formulations, one answer."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cmax = cust.agg(F.max("c_custkey").alias("cmax"))
+    skewed = ev.crossJoin(F.broadcast(cmax)).select(
+        F.when(F.col("event_id") % 10 < 7, F.lit(1).cast("bigint"))
+        .otherwise(2 + (F.col("event_id") * 2654435761) % (F.col("cmax") - 1))
+        .alias("skew_key"),
+        "value",
+    )
+    salts = F.array(*[F.lit(i) for i in range(_N_SALTS)])
+    dim = cust.withColumn("d_salt", F.explode(salts))
+    fact = skewed.withColumn(
+        "salt", F.pmod(F.xxhash64("skew_key", "value"), F.lit(_N_SALTS)).cast("int")
+    )
+    joined = fact.join(
+        dim.hint("shuffle_hash"),
+        (F.col("skew_key") == F.col("c_custkey")) & (F.col("salt") == F.col("d_salt")),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value"), 2).alias("sum_value"),
+            F.countDistinct("skew_key").alias("n_keys"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
     "bloom_filter_membership",
     oracle="""
     SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,

@@ -212,3 +212,92 @@ def test_fuzzy_pairs_length_banded_equi_join(spark, sf_dir):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+def test_salted_join_beats_unsalted_on_skew(spark):
+    """SCALE.md skew recipe, measured: on a 70%-hot-key fact (the fixture
+    tables are uniform, so the skew is synthesized here), salting must
+    (a) provably balance the shuffle — the max partition after
+    repartition(key, salt) is a fraction of the unsalted hot partition —
+    and (b) beat the unsalted shuffled-hash join wall-clock (best-of-2
+    each, to keep one-time codegen out of the comparison)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    n, d, s, parts = 8_000_000, 20_000, 16, 8
+    fact = (
+        spark.range(n)
+        .select(
+            "id",
+            F.when(F.col("id") % 10 < 7, F.lit(1))
+            .otherwise(2 + (F.col("id") * 2654435761) % (d - 1))
+            .alias("key"),
+            (F.col("id") % 1000).cast("double").alias("value"),
+        )
+        .persist()
+    )
+    dim = (
+        spark.range(1, d + 1)
+        .select(F.col("id").alias("d_key"), (F.col("id") % 50).alias("grp"))
+        .persist()
+    )
+    fact.count(), dim.count()
+    try:
+        # (a) deterministic balance property of the salted partitioning
+        def max_part(df, *cols):
+            sizes = (
+                df.repartition(parts, *cols)
+                .select(F.spark_partition_id().alias("p"))
+                .groupBy("p")
+                .count()
+                .collect()
+            )
+            return max(r["count"] for r in sizes)
+
+        salted_fact = fact.withColumn(
+            "salt", F.pmod(F.xxhash64("id"), F.lit(s)).cast("int")
+        )
+        hot = max_part(fact, "key")
+        balanced = max_part(salted_fact, "key", "salt")
+        assert hot >= 0.7 * n  # the synthesized skew is real
+        assert balanced < 0.5 * hot, (hot, balanced)
+
+        # (b) wall-clock: salted join beats the straggler-bound join
+        def unsalted():
+            return (
+                fact.join(dim.hint("shuffle_hash"), F.col("key") == F.col("d_key"))
+                .groupBy("grp")
+                .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+            )
+
+        def salted():
+            dimx = dim.withColumn(
+                "d_salt", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+            )
+            return (
+                salted_fact.join(
+                    dimx.hint("shuffle_hash"),
+                    (F.col("key") == F.col("d_key"))
+                    & (F.col("salt") == F.col("d_salt")),
+                )
+                .groupBy("grp")
+                .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+            )
+
+        def best_of_2(fn):
+            best, rows = None, None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = {r.grp: (r.cnt, r.sv) for r in fn().collect()}
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return best, rows
+
+        t_plain, r_plain = best_of_2(unsalted)
+        t_salted, r_salted = best_of_2(salted)
+        assert r_salted == r_plain  # the salt is invisible in the result
+        assert t_salted < t_plain, (t_salted, t_plain)
+    finally:
+        fact.unpersist()
+        dim.unpersist()

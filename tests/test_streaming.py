@@ -321,3 +321,56 @@ def test_asof_join_in_foreachbatch(spark, events_stream_dir, sf_dir, tmp_path):
         q.stop()
     # availableNow on a static dir = one micro-batch = same input as batch
     assert out == expected
+
+
+def test_stateful_operator_survives_restart(spark, tmp_path):
+    """F4 x stateful: ``applyInPandasWithState`` state must be durable in
+    the checkpoint — a stopped query restarted on the same checkpoint
+    resumes per-key counters from where batch 1 left them (it reads ONLY
+    the new file, yet emits totals that include the old rows)."""
+    from bigdata_2025_1_spark.streaming.stateful import running_user_counters
+
+    src_dir = str(tmp_path / "statefulsrc")
+    ckpt = str(tmp_path / "stateful_ckpt")
+    schema = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows, "user_id LONG, ts_s STRING, value DOUBLE"
+        ).select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        ).write.mode("append").parquet(src_dir)
+
+    def run_once(name):
+        # memory sink forbids checkpoint recovery; foreachBatch is the
+        # recovery-capable sink shape (same as the StatsSink consumer)
+        out: list = []
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            running_user_counters(stream)
+            .writeStream.foreachBatch(lambda df, _bid: out.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {r.user_id: r for r in out}
+
+    write_batch(
+        [(1, "2024-01-01 00:00:00", 10.0), (1, "2024-01-01 00:05:00", 2.5),
+         (2, "2024-01-01 00:01:00", 7.0)]
+    )
+    first = run_once("stateful_restart_1")
+    assert first[1].n_events == 2 and first[1].total_value == 12.5
+    assert first[2].n_events == 1
+
+    # "kill": the query object is gone; only the checkpoint survives.
+    write_batch([(1, "2024-01-01 00:20:00", 1.0), (3, "2024-01-01 00:21:00", 4.0)])
+    second = run_once("stateful_restart_2")
+    # user 1's counter RESUMES at 2 — state was restored, not rebuilt
+    assert second[1].n_events == 3 and second[1].total_value == 13.5
+    # user 3 is brand new state
+    assert second[3].n_events == 1 and second[3].total_value == 4.0
+    # user 2 had no new rows: update mode emits nothing for it in run 2
+    assert 2 not in second
