@@ -626,3 +626,114 @@ def sessionized_path_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "trigram")
         .limit(25)
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts,
+             date_trunc('week', MIN(ts) OVER (PARTITION BY user_id)) AS cohort_week
+      FROM events
+    ), activity AS (
+      SELECT DISTINCT user_id, cohort_week,
+             CAST(date_diff('day', cohort_week, date_trunc('week', ts)) / 7 AS INT)
+               AS week_offset
+      FROM tagged
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    once per (cohort, week-offset) they were active in — the table behind
+    every retention curve.
+
+    Scale shape: the cohort tag is a window MIN over user_id (rides ONE
+    user shuffle — no first-seen self-join), then the distinct+count
+    reduces on (cohort, offset, user). Both offsets are exact: the day
+    difference of two week-truncated dates is always a multiple of 7, so
+    the /7 is integer-exact in either engine."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        F.date_trunc("week", F.min("ts").over(w)).cast("date").alias("cohort_week"),
+    )
+    activity = tagged.select(
+        "user_id",
+        "cohort_week",
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week"))
+            / 7
+        )
+        .cast("int")
+        .alias("week_offset"),
+    ).distinct()
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "scd2_user_value_history",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id, value,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(COUNT(valid_to) AS BIGINT) AS n_closed,
+           CAST(SUM(CASE WHEN valid_to IS NOT NULL
+                         THEN epoch_us(valid_to) - epoch_us(ts) END) AS BIGINT)
+             AS dwell_us,
+           CAST(ROUND(MAX(CASE WHEN valid_to IS NULL THEN value END) * 100) AS BIGINT)
+             AS current_value_cents
+    FROM v
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval build from a change feed: each purchase is a
+    new version of the user's value; LEAD closes the previous validity
+    interval ([ts, next_ts), NULL valid_to = current row) — the
+    slowly-changing-dimension compaction every warehouse runs on CDC
+    streams.
+
+    Scale shape: ONE shuffle (user_id window); the per-user roll-up rides
+    the same partitioning. Interval lengths are exact integer
+    microseconds (second-granularity date_diff counts boundary
+    crossings, which diverges on sub-second timestamps — micros don't)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = ev.select(
+        "user_id", "ts", "event_id", "value", F.lead("ts").over(w).alias("valid_to")
+    )
+    dwell = F.when(
+        F.col("valid_to").isNotNull(),
+        F.unix_micros(F.col("valid_to")) - F.unix_micros(F.col("ts")),
+    )
+    current = F.when(
+        F.col("valid_to").isNull(), F.round(F.col("value") * 100).cast("bigint")
+    )
+    return (
+        v.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.count("valid_to").alias("n_closed"),
+            F.sum(dwell).cast("bigint").alias("dwell_us"),
+            F.max(current).alias("current_value_cents"),
+        )
+        .orderBy("user_id")
+    )

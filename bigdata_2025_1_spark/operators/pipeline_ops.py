@@ -502,3 +502,141 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_CONTAM_SQL_TOKS = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+_CONTAM_SQL_GRAMS = (
+    "list_distinct([array_to_string(toks[i:i+4], ' ') "
+    "for i in range(1, greatest(len(toks) - 4, 0) + 1)])"
+)
+
+
+@query(
+    "train_contamination_ngram",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_CONTAM_SQL_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, (doc_id * {_SPLIT_PRIME}) % 100 AS bucket,
+             {_CONTAM_SQL_GRAMS} AS grams
+      FROM tok
+    ), train_grams AS (
+      SELECT DISTINCT md5(g.g) AS gh
+      FROM sh, unnest(grams) AS g(g) WHERE bucket < 80
+    ), test_grams AS (
+      SELECT doc_id, md5(g.g) AS gh
+      FROM sh, unnest(grams) AS g(g) WHERE bucket >= 90
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(tr.gh) AS BIGINT) AS n_contaminated,
+           ROUND(COUNT(tr.gh) / COUNT(*), 6) AS contamination
+    FROM test_grams t LEFT JOIN train_grams tr ON t.gh = tr.gh
+    GROUP BY t.doc_id
+    HAVING COUNT(tr.gh) > 0
+    ORDER BY contamination DESC, t.doc_id
+    """,
+)
+def train_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: the fraction of each TEST doc's
+    distinct 5-gram shingles that also occur anywhere in the TRAIN split
+    (same deterministic hash split as ``train_test_split``). The
+    benchmark-leakage check every serious LLM data pipeline runs before
+    training.
+
+    Scale shape: both sides explode to (doc, gram-md5) rows — 16-byte
+    keys, never gram text — the train side collapses to a DISTINCT gram
+    set, and the probe is a left equi-join on the gram hash (bucketable
+    by gram at 100 TB; the HAVING keeps output contaminated-docs-sized).
+    """
+    docs = load(spark, sf_dir, "documents")
+    grams = spread(docs).select(
+        "doc_id",
+        ((F.col("doc_id") * _SPLIT_PRIME) % 100).alias("bucket"),
+        F.explode(T.word_shingles(F.col("text"), k=5)).alias("g"),
+    ).select("doc_id", "bucket", F.md5("g").alias("gh"))
+    train = grams.filter(F.col("bucket") < 80).select("gh").distinct()
+    test = grams.filter(F.col("bucket") >= 90).select("doc_id", "gh")
+    hit = train.withColumn("hit", F.lit(1))
+    return (
+        test.join(hit, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+            F.round(F.count("hit") / F.count("*"), 6).alias("contamination"),
+        )
+        .filter(F.col("n_contaminated") > 0)
+        .orderBy(F.desc("contamination"), "doc_id")
+    )
+
+
+_CHUNK, _STRIDE = 32, 24
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_CONTAM_SQL_TOKS} AS toks FROM documents
+    ), chunked AS (
+      SELECT doc_id, len(toks) AS n_tokens, c.chunk_id,
+             len(toks[c.chunk_id * {_STRIDE} + 1 : c.chunk_id * {_STRIDE} + {_CHUNK}])
+               AS chunk_len
+      FROM tok,
+           unnest(range(0, CAST(CASE WHEN len(toks) > {_CHUNK}
+                       THEN ceil((len(toks) - {_CHUNK}) / {_STRIDE}.0) + 1
+                       ELSE 1 END AS BIGINT))) AS c(chunk_id)
+    )
+    SELECT doc_id, MAX(n_tokens) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(chunk_len) AS BIGINT) AS total_chunk_tokens,
+           MIN(chunk_len) AS min_chunk_len
+    FROM chunked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (size 32, stride 24 → 8-token overlap):
+    the context-window packing step before tokenized training
+    shards are written. Chunks are REALLY materialized (sequence →
+    explode → slice), not just counted — per doc the roll-up reports
+    chunk count, the overlap-inflated token total, and the runt tail.
+
+    Scale shape: shuffle-free until the final per-doc agg (chunk
+    explosion is map-side); at 100 TB the chunk rows would stream
+    straight into a partitioned writer, no different from here."""
+    docs = load(spark, sf_dir, "documents")
+    toks = T.ws_tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    n_chunks = F.when(
+        n > _CHUNK, F.ceil((n - _CHUNK) / F.lit(float(_STRIDE))) + 1
+    ).otherwise(F.lit(1)).cast("int")
+    chunked = (
+        spread(docs)
+        .select("doc_id", toks.alias("toks"), n.alias("n_tokens"), n_chunks.alias("nc"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_id"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size(
+                F.slice(F.col("toks"), F.col("chunk_id") * _STRIDE + 1, _CHUNK)
+            ).alias("chunk_len"),
+        )
+    )
+    return (
+        chunked.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_len").cast("bigint").alias("total_chunk_tokens"),
+            F.min("chunk_len").alias("min_chunk_len"),
+        )
+        .orderBy("doc_id")
+    )

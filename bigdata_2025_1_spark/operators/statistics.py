@@ -265,3 +265,184 @@ def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(sv, 0.5)") / 100.0, 6).alias("p50_exact")
     )
     return est.join(ex, "event_type").orderBy("event_type")
+
+
+_PROFILE_COLS = (
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "cents"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "string"),
+)
+
+
+def _sql_profile_leg(name: str, kind: str) -> str:
+    if kind == "cents":
+        expr = f"CAST(ROUND({name} * 100) AS BIGINT)"
+    elif kind == "date":
+        expr = f"CAST({name} AS DATE)"
+    else:
+        expr = name
+    return f"""
+    SELECT '{name}' AS column_name,
+           CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+           CAST(MIN({expr}) AS VARCHAR) AS min_value,
+           CAST(MAX({expr}) AS VARCHAR) AS max_value
+    FROM orders"""
+
+
+@query(
+    "table_profile",
+    oracle=" UNION ALL ".join(
+        _sql_profile_leg(n, k) for n, k in _PROFILE_COLS
+    )
+    + " ORDER BY column_name",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality pass every ingest runs): per
+    column null count, exact distinct cardinality, min/max rendered as
+    strings. One row per column, computed in a SINGLE scan — the
+    metrics all live in one aggregate row that is then exploded into
+    the long format (no per-column re-scan, no union of 6 jobs, which
+    is what the naive profiler does).
+
+    Doubles are profiled in exact cents and timestamps as dates so the
+    string rendering is engine-stable. At 100 TB swap COUNT(DISTINCT)
+    for approx_count_distinct per column — same single-scan shape."""
+    o = load(spark, sf_dir, "orders")
+
+    def norm(name: str, kind: str):
+        c = F.col(name)
+        if kind == "cents":
+            return F.round(c * 100).cast("bigint")
+        if kind == "date":
+            return c.cast("date")
+        return c
+
+    aggs = []
+    for name, kind in _PROFILE_COLS:
+        e = norm(name, kind)
+        aggs += [
+            (F.count("*") - F.count(e)).alias(f"{name}__nulls"),
+            F.countDistinct(e).alias(f"{name}__distinct"),
+            F.min(e).cast("string").alias(f"{name}__min"),
+            F.max(e).cast("string").alias(f"{name}__max"),
+        ]
+    one = o.agg(*aggs)
+    legs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.col(f"{name}__nulls").cast("bigint").alias("n_nulls"),
+                F.col(f"{name}__distinct").cast("bigint").alias("n_distinct"),
+                F.col(f"{name}__min").alias("min_value"),
+                F.col(f"{name}__max").alias("max_value"),
+            )
+            for name, _ in _PROFILE_COLS
+        ]
+    )
+    return (
+        one.select(F.explode(legs).alias("p"))
+        .select("p.*")
+        .orderBy("column_name")
+    )
+
+
+@query(
+    "stats_regression",
+    oracle=f"""
+    WITH m AS ({_SQL_MOMENTS})
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx), 9) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)) * sx)
+                 / n / 100.0, 9) AS intercept,
+           ROUND(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)), 9) AS r2
+    FROM m
+    ORDER BY l_returnflag
+    """,
+)
+def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares regression of extended price on quantity per return
+    flag — slope, intercept (in currency units), R² — from the same
+    exact int64/decimal moment sums as ``stats_correlation`` (never the
+    streaming regr_* accumulators, whose partial-merge order is
+    engine-specific). One map-side-combinable aggregate; the closed-form
+    arithmetic happens on 6 numbers per group."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    dec = "decimal(38,0)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((y * y).cast(dec)).alias("syy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+    )
+    n, sx, sy = F.col("n").cast(dec), F.col("sx").cast(dec), F.col("sy").cast(dec)
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = (n * F.col("sxx") - sx * sx).cast("double")
+    slope = num / den
+    intercept = (sy.cast("double") - slope * sx.cast("double")) / F.col("n") / 100.0
+    r2 = (num * num.cast("double")) / (den * (n * F.col("syy") - sy * sy).cast("double"))
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 9).alias("intercept"),
+        F.round(r2, 9).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "zscore_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s,
+             SUM(CAST(ROUND(value * 100) AS BIGINT) * CAST(ROUND(value * 100) AS BIGINT)) AS q
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, MAX(m.n) AS n,
+           CAST(COUNT(*) FILTER (
+             WHERE POWER(m.n * CAST(ROUND(e.value * 100) AS BIGINT) - m.s, 2)
+                   > 9.0 * m.n * (m.n * m.q - m.s * m.s)
+           ) AS BIGINT) AS n_outliers
+    FROM events e JOIN m USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier counts per event type. The z test is algebraically
+    cross-multiplied into integer-derived doubles — (n·x − S)² > 9·n·(n·Q − S²)
+    — so no mean/stddev division ever happens row-side and both engines
+    compare the same IEEE values (inputs are exact int cents).
+
+    Scale shape: the per-type moment row is a tiny broadcast aggregate
+    joined back into a single fact re-scan — the standard two-pass
+    outlier sweep (one combinable agg + one map-side filtered scan)."""
+    ev = load(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("bigint")
+    dec = "decimal(38,0)"
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum((v * v).cast(dec)).alias("q"),
+    )
+    n, s, q = F.col("n").cast(dec), F.col("s").cast(dec), F.col("q").cast(dec)
+    lhs = F.pow((n * v.cast(dec) - s).cast("double"), 2)
+    rhs = 9.0 * F.col("n").cast("double") * (n * q - s * s).cast("double")
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.count(F.when(lhs > rhs, 1)).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -531,3 +531,93 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(t2).alias("redacted_hash"),
         F.length(t2).cast("bigint").alias("n_chars_redacted"),
     ).orderBy("doc_id")
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks,
+             lower(text) AS lt
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, len(toks) AS n_words,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum([len(t) for t in toks]) / len(toks) END AS mwl,
+             CASE WHEN len(toks) > 0
+                  THEN (len(lt) - len(replace(lt, '#', ''))
+                        + (len(lt) - len(replace(lt, '...', ''))) / 3.0)
+                       / len(toks) END AS symr,
+             len(list_intersect(list_distinct(toks),
+                 {list(_GOPHER_STOPWORDS)!r})) AS sw_hits,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                       / CAST(len(toks) AS DOUBLE) END AS alpha_ratio
+      FROM tok
+    )
+    SELECT doc_id, n_words,
+           n_words BETWEEN 20 AND 100000 AS ok_word_count,
+           mwl BETWEEN 3 AND 10 AS ok_mean_word_len,
+           symr < 0.1 AS ok_symbol_ratio,
+           sw_hits >= 2 AS ok_stopwords,
+           alpha_ratio >= 0.8 AS ok_alpha_words,
+           (n_words BETWEEN 20 AND 100000) AND (mwl BETWEEN 3 AND 10)
+             AND symr < 0.1 AND sw_hits >= 2 AND alpha_ratio >= 0.8 AS gopher_pass
+    FROM feat
+    ORDER BY doc_id
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021, table A1 subset) as
+    named per-document flags: word-count bounds, mean word length 3–10,
+    symbol-to-word ratio (# and ellipsis) < 0.1, ≥2 distinct common
+    stopwords present, ≥80% of words alphabetic. The conjunction is the
+    corpus gate; the per-rule booleans are what you tune on a sample.
+
+    All rules are single-pass higher-order expressions over one
+    tokenization — shuffle-free until the (absent) aggregation, exactly
+    how a 100 TB filter stage should run. Comparisons happen on exact
+    ints where possible; the two ratio rules compare IEEE doubles built
+    from identical integer inputs on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    toks = T.ws_tokens(lt)
+    n = F.size(toks)
+    nz = n > 0
+    mwl = F.when(nz, F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n)
+    symr = F.when(
+        nz,
+        (
+            (F.length(lt) - F.length(F.replace(lt, F.lit("#"), F.lit(""))))
+            + (F.length(lt) - F.length(F.replace(lt, F.lit("..."), F.lit("")))) / 3.0
+        )
+        / n,
+    )
+    sw = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    sw_hits = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    alpha_ratio = F.when(
+        nz, F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n.cast("double")
+    )
+    ok_wc = n.between(20, 100000)
+    ok_mwl = mwl.between(3, 10)
+    ok_sym = symr < 0.1
+    ok_sw = sw_hits >= 2
+    ok_alpha = alpha_ratio >= 0.8
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_words"),
+            ok_wc.alias("ok_word_count"),
+            ok_mwl.alias("ok_mean_word_len"),
+            ok_sym.alias("ok_symbol_ratio"),
+            ok_sw.alias("ok_stopwords"),
+            ok_alpha.alias("ok_alpha_words"),
+            (ok_wc & ok_mwl & ok_sym & ok_sw & ok_alpha).alias("gopher_pass"),
+        )
+        .orderBy("doc_id")
+    )
