@@ -737,3 +737,60 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ewma_user_value",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             list(CAST(ROUND(value * 100) AS BIGINT)::DOUBLE
+                  ORDER BY ts, event_id) AS vals
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_purchases,
+           ROUND(list_reduce(vals, (acc, x) -> acc * 0.75 + x * 0.25), 6)
+             AS ewma_cents
+    FROM ordered
+    ORDER BY user_id
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of purchase value per user
+    (alpha = 0.25) — the time-decayed feature recursive definitions
+    usually force into slow per-row UDFs, expressed instead as a single
+    declarative left fold over the time-ordered value array.
+
+    Determinism is the point of the shape: both engines fold LEFT over
+    the SAME total order (ts, event_id) seeded with the first element,
+    so the double chain is bit-identical (inputs are exact cents;
+    alpha = 0.25 and 0.75 are exact binary doubles). One shuffle
+    (user_id); the fold is map-side compute on the grouped array."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100).cast("bigint").cast("double")
+    ordered = (
+        ev.select("user_id", "ts", "event_id", cents.alias("v"))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "v"))
+            ).alias("rows")
+        )
+        .select(
+            "user_id",
+            F.transform(F.col("rows"), lambda r: r["v"]).alias("vals"),
+        )
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: acc * 0.75 + x * 0.25,
+    )
+    return ordered.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n_purchases"),
+        F.round(ewma, 6).alias("ewma_cents"),
+    ).orderBy("user_id")

@@ -640,3 +640,82 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_MG_K = 50
+
+
+def _mg_partition_summaries(batches):
+    """Mergeable Misra-Gries sketch over one partition's token stream.
+
+    Per Arrow batch the counts come from vectorized ``value_counts``;
+    the merge-then-truncate step (combine, subtract the k-th largest,
+    drop non-positives — Agarwal et al., "Mergeable Summaries") keeps
+    the summary at < k keys with total undercount <= n_p/k, so every
+    token with partition frequency > n_p/k is guaranteed to survive."""
+    import pandas as pd
+
+    counts: dict = {}
+    for pdf in batches:
+        for w, c in pdf["w"].value_counts().items():
+            counts[w] = counts.get(w, 0) + int(c)
+        if len(counts) >= _MG_K:
+            kth = sorted(counts.values(), reverse=True)[_MG_K - 1]
+            counts = {w: c - kth for w, c in counts.items() if c > kth}
+    yield pd.DataFrame({"w": list(counts.keys())})
+
+
+@query(
+    "heavy_hitters_mg",
+    oracle="""
+    WITH toks AS (
+      SELECT g.t AS w
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              t -> t <> '')) AS g(t)
+    ), tot AS (SELECT COUNT(*) AS n FROM toks),
+    cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM toks GROUP BY w)
+    SELECT c.w AS word, c.n_occurrences,
+           ROUND(c.n_occurrences / (tot.n / 1.0), 6) AS share
+    FROM cnt c, tot
+    WHERE c.n_occurrences > tot.n / 50.0
+    ORDER BY c.n_occurrences DESC, word
+    """,
+)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token detection via a two-pass sketch: per-partition
+    mergeable Misra-Gries summaries (Arrow-batched mapInPandas) nominate
+    candidates; an exact recount over ONLY the candidate set keeps every
+    token above the 1/50 frequency threshold. Output counts are exact —
+    the sketch only prunes.
+
+    Soundness: a token with global share > 1/k must exceed n_p/k in at
+    least one partition (pigeonhole), where MG guarantees it survives;
+    the candidate union is therefore a superset of all true heavy
+    hitters, and the exact verify pass removes false positives.
+
+    Scale shape: pass 1 shuffles only the tiny per-partition summaries
+    (< k keys each); pass 2 is a broadcast semi-join + one aggregation
+    of candidate tokens — the full token stream is never shuffled by
+    word, which is the entire point at 100 TB vocabulary sizes."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        spread(docs)
+        .select(F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w"))
+        .persist()
+    )
+    cand = toks.mapInPandas(_mg_partition_summaries, "w string").distinct()
+    total = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "w")
+        .groupBy("w")
+        .agg(F.count("*").alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") > F.col("n") / 50.0)
+        .select(
+            F.col("w").alias("word"),
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / (F.col("n") / 1.0), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_occurrences"), "word")
+    )

@@ -292,3 +292,69 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "embedding_centroid_distance",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label, u.i AS dim,
+             CAST(ROUND(embedding[u.i]::DOUBLE * 1e6) AS BIGINT) AS iv
+      FROM embeddings, unnest(range(1, {_DIM + 1})) AS u(i)
+    ), cent AS (
+      SELECT label, dim, SUM(iv)::DOUBLE / (1e6 * COUNT(*)) AS c
+      FROM ex GROUP BY label, dim
+    ), carr AS (
+      SELECT label, list(c ORDER BY dim) AS cent FROM cent GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+             [(e.embedding[i]::DOUBLE - carr.cent[i])
+              * (e.embedding[i]::DOUBLE - carr.cent[i])
+              for i in range(1, {_DIM + 1})]),
+             (a, b) -> a + b), 9) AS dist_sq
+    FROM embeddings e JOIN carr USING (label)
+    ORDER BY e.vec_id
+    """,
+)
+def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means E-step shape: per-label centroid, then each vector's
+    squared distance to its label's centroid (the building block of
+    cluster assignment, outlier mining, and codebook training).
+
+    Determinism: centroids come from EXACT int64 per-dimension sums
+    (float sums are partition-order-dependent — the classic
+    nondeterminism trap in distributed k-means); the distance fold then
+    runs left-to-right over identical doubles in both engines.
+
+    Scale shape: the explode shuffles (label, dim) pairs that collapse
+    to |labels|x|dims| rows; the tiny centroid table broadcasts back and
+    the distance pass is map-side — one scan, one micro-shuffle,
+    identical at 100 TB."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = spread(emb).select(
+        "label", F.posexplode(F.col("embedding"))
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("col").cast("double") * 1e6).cast("bigint").alias("iv"),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        (F.sum("iv").cast("double") / (1e6 * F.count("*"))).alias("c")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cent")
+    )
+    diffsq = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.col("cent"),
+        lambda a, b: (a - b) * (a - b),
+    )
+    dist = F.aggregate(diffsq, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        emb.join(F.broadcast(carr), "label")
+        .select("vec_id", "label", F.round(dist, 9).alias("dist_sq"))
+        .orderBy("vec_id")
+    )
