@@ -42,14 +42,24 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         raise KeyError(f"unknown table {table!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{table}.parquet")
     if table == "events":
-        # The events fixture stores ts as TIMESTAMP(NANOS), which Spark's
-        # parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as
-        # int64 and convert with exact integer floor-division to micros —
-        # bit-identical to DuckDB's ns→µs truncation.
+        # The events fixture has shipped ts two ways across driver rounds:
+        # TIMESTAMP(NANOS) (rejected by Spark's reader, [PARQUET_TYPE_ILLEGAL]
+        # — read nanos as int64, floor-divide to micros, bit-identical to
+        # DuckDB's ns→µs truncation) and TIMESTAMP(MICROS) without a UTC flag
+        # (read as TIMESTAMP_NTZ). Normalize both to session-TZ TIMESTAMP so
+        # downstream epoch arithmetic (unix_micros, window gaps) type-checks;
+        # the session pins spark.sql.session.timeZone=UTC, so the NTZ→LTZ
+        # cast is value-preserving and matches DuckDB's naive reading.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Set here (not only in session.py) so driver-owned vanilla
+        # sessions get the same semantics.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

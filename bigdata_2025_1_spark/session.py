@@ -43,6 +43,11 @@ def get_spark(
         # Arrow-batched pandas UDFs (the only sanctioned Python hot path)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic timestamp semantics: the oracle (DuckDB) reads
+        # parquet timestamps as naive; pinning UTC makes Spark's LTZ
+        # arithmetic and NTZ<->LTZ casts value-identical to that reading
+        # on any host.
+        .config("spark.sql.session.timeZone", "UTC")
         # Parquet scans: default 128m is right for the big tables; keep it
         # explicit so the intent survives config drift.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
