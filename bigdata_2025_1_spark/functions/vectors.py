@@ -272,3 +272,58 @@ def sql_ivf_projs_from(se: str, centroids: list[list[int]]) -> str:
     int64-scaled projections, reading the precomputed scaled list ``se``
     (see :func:`sql_scaled_e9` for why)."""
     return "[" + ", ".join(_sql_plane_dot(se, row) for row in centroids) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN scoring
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(m: int = 8, k: int = 16, subdim: int = 8) -> list[list[list[int]]]:
+    """Deterministic ±1 PQ codebooks: ``m`` subspaces × ``k`` centroids ×
+    ``subdim`` dims (see :func:`_md5_pm1_matrix`; per-subspace prefix keeps
+    codebooks independent). All centroids share the same norm (±1 entries),
+    so nearest-by-L2 == argmax dot — exact in scaled int64."""
+    return [_md5_pm1_matrix(f"pq{mi}", k, subdim) for mi in range(m)]
+
+
+def make_pq_encode_pandas(codebooks: list[list[list[int]]]):
+    """Arrow-vectorized PQ encode in ONE pass per batch: per subspace the
+    exact int64-scaled projections onto all centroids (``projs``, flattened
+    m·k — doubling as the ADC lookup table when this vector is a query),
+    the argmax code per subspace (``codes``, first-max tie-break matching
+    the oracle's ``list_position``), and the exact scaled squared norm."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, k = len(codebooks), len(codebooks[0])
+    subdim = len(codebooks[0][0])
+    CBs = [np.array(cb, dtype=np.int64) for cb in codebooks]
+
+    @pandas_udf("struct<codes: array<int>, projs: array<bigint>, nsq: bigint>")
+    def pq_encode_pd(emb: pd.Series) -> pd.DataFrame:
+        E = np.stack(emb.to_numpy()).astype(np.float64)
+        n = E.shape[0]
+        projs = np.empty((n, m * k), dtype=np.int64)
+        codes = np.empty((n, m), dtype=np.int32)
+        for mi in range(m):
+            sub = E[:, mi * subdim : (mi + 1) * subdim]
+            P = _exact_proj_from(sub, CBs[mi])
+            projs[:, mi * k : (mi + 1) * k] = P
+            codes[:, mi] = np.argmax(P, axis=1)
+        return pd.DataFrame(
+            {"codes": list(codes), "projs": list(projs), "nsq": _exact_norm_from(E)}
+        )
+
+    return pq_encode_pd
+
+
+def sql_pq_projs_from(se: str, codebooks: list[list[list[int]]]) -> str:
+    """DuckDB mirror of the flattened ``projs`` (m·k int64 list), reading
+    the precomputed scaled list ``se`` (:func:`sql_scaled_e9`). Subspace
+    ``mi`` reads elements ``mi·subdim+1 .. (mi+1)·subdim`` (1-based)."""
+    subdim = len(codebooks[0][0])
+    parts = []
+    for mi, cb in enumerate(codebooks):
+        sub = f"{se}[{mi * subdim + 1}:{(mi + 1) * subdim}]"
+        parts.extend(_sql_plane_dot(sub, row) for row in cb)
+    return "[" + ", ".join(parts) + "]"

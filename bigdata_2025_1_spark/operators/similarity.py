@@ -358,3 +358,148 @@ def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.round(dist, 9).alias("dist_sq"))
         .orderBy("vec_id")
     )
+
+
+PQ_M, PQ_K, PQ_SUBDIM = 8, 16, 8  # 64-dim → 8 subspaces × 16 centroids
+PQ_SHORTLIST = 64  # ADC shortlist size before exact re-rank (~13% of the corpus at fixture scale)
+_PQ_CB = V.pq_codebooks(m=PQ_M, k=PQ_K, subdim=PQ_SUBDIM)
+_PQ_CODES_SQL = ", ".join(
+    f"list_position(projs[{mi * PQ_K + 1}:{(mi + 1) * PQ_K}], "
+    f"list_max(projs[{mi * PQ_K + 1}:{(mi + 1) * PQ_K}])) - 1"
+    for mi in range(PQ_M)
+)
+_PQ_ADC_SQL = " + ".join(
+    f"q.projs[{mi * PQ_K} + x.codes[{mi + 1}] + 1]" for mi in range(PQ_M)
+)
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH se AS MATERIALIZED (
+      SELECT vec_id, embedding, {_SQL_NORM} AS nsq,
+             {V.sql_scaled_e9('embedding', _DIM)} AS se
+      FROM embeddings
+    ), coded AS MATERIALIZED (
+      SELECT vec_id, embedding, nsq, projs, [{_PQ_CODES_SQL}] AS codes
+      FROM (SELECT vec_id, embedding, nsq,
+                   {V.sql_pq_projs_from('se', _PQ_CB)} AS projs
+            FROM se)
+    ), scored AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             ({_PQ_ADC_SQL})::DOUBLE / sqrt(x.nsq::DOUBLE) AS adc
+      FROM coded q JOIN coded x
+        ON q.vec_id < {N_QUERY_VECS} AND q.vec_id <> x.vec_id
+    ), short AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc DESC, neighbor_id) AS srk
+            FROM scored)
+      WHERE srk <= {PQ_SHORTLIST}
+    ), rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             {V.sql_dot_scaled('q.embedding', 'x.embedding', _DIM)}::DOUBLE
+               / (sqrt(q.nsq::DOUBLE) * sqrt(x.nsq::DOUBLE)) AS cosine
+      FROM short s
+      JOIN se q ON q.vec_id = s.query_id
+      JOIN se x ON x.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM rer)
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation: each
+    corpus vector compresses to 8 four-bit codes (argmax over 16 ±1
+    centroids per 8-dim subspace, exact int64-scaled projections); a query
+    scores the WHOLE corpus from its own projection table (``projs``
+    doubles as the ADC lookup table: approx-dot(q, x) = Σ_m
+    q.projs[m][x.codes[m]]), shortlists 25 by that integer score, and
+    exact-cosine re-ranks only the shortlist.
+
+    The 100 TB story: PQ codes are 8 BYTES per vector (vs 256 for the raw
+    float32[64]) — the corpus scan in the scoring pass reads 32× less
+    data, the per-pair score is 8 integer lookups (no float math), and
+    the exact re-rank touches only shortlist·|probes| vectors. This is
+    the compressed-domain layout every billion-vector store (FAISS
+    IVFPQ-style) uses; the IVF twin (``ann_ivf_topk``) supplies the
+    partition-pruning half, this supplies the compression half.
+
+    Determinism: codes, projections, and ADC sums are exact int64 (±1
+    centroids on 1e9-scaled components); argmax ties break to the first
+    index in both engines (np.argmax / list_position); shortlist and
+    final ranks tiebreak on neighbor_id. Not spread() — trivial-per-row
+    numpy kernels (see ann_ivf_topk's note)."""
+    emb = load(spark, sf_dir, "embeddings")
+    enc = V.make_pq_encode_pandas(_PQ_CB)
+    # persist: the encode kernel feeds corpus codes, probe LUTs, AND both
+    # re-rank sides — one Python pass per vector total.
+    coded = (
+        emb.select("vec_id", "embedding", enc(F.col("embedding")).alias("pq"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("pq.codes").alias("codes"),
+            F.col("pq.projs").alias("projs"),
+            F.col("pq.nsq").alias("nsq"),
+        )
+        .persist()
+    )
+    corpus = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("codes").alias("c_codes"),
+        F.col("nsq").alias("s_nsq"),
+    )
+    probes = coded.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("projs").alias("q_projs")
+    )
+    # ADC approximates the raw dot; dividing by the CORPUS norm (query
+    # norm is constant within a rank group) makes the shortlist order
+    # approximate COSINE — what the exact re-rank and the brute-force
+    # twin rank by. One double division per pair, same IEEE op both
+    # engines.
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("c_codes"),
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda c, m: F.element_at(F.col("q_projs"), (m * PQ_K + c + 1).cast("int")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.sqrt(F.col("s_nsq").cast("double"))
+    scored = corpus.join(
+        F.broadcast(probes), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", adc.alias("adc"))
+    ws = Window.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    short = (
+        scored.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qa = coded.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    cb = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    dot_pd = V.make_dot_scaled_pandas()
+    cosine = V.cosine_from_scaled(
+        dot_pd(F.col("q_emb"), F.col("c_emb")), F.col("q_nsq"), F.col("c_nsq")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        short.join(F.broadcast(qa), "query_id")
+        .join(cb, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )

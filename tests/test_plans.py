@@ -301,3 +301,21 @@ def test_salted_join_beats_unsalted_on_skew(spark):
     finally:
         fact.unpersist()
         dim.unpersist()
+
+
+def test_ann_pq_adc_recall(spark, sf_dir):
+    """PQ-ADC shortlist + exact re-rank: the compressed-domain scoring
+    pass must stay broadcast-shaped (probe LUTs broadcast against corpus
+    codes, no cartesian materialization of raw embeddings), and recall@5
+    vs the exact brute-force twin must stay high enough that the 32×
+    compression is buying a real shortlist, not noise."""
+    df = QUERIES["ann_pq_adc_topk"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_topk_cosine"](spark, sf_dir).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
