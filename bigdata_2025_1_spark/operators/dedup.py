@@ -490,10 +490,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_connected_components",
-    oracle=f"""
-    WITH RECURSIVE pairs AS ({_LSH_ORACLE}),
+# Shared CTE chain ending in labels(doc_id, cluster_id) — the recursive
+# transitive closure of the LSH pair graph. Used by the CC oracle and the
+# canonical-doc selection oracle.
+_CC_LABELS_CTES = f"""pairs AS ({_LSH_ORACLE}),
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION ALL
@@ -506,11 +506,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.b, r.label
       FROM reach r JOIN edges e ON e.a = r.doc
       WHERE r.label < e.b
-    )
-    SELECT doc AS doc_id, MIN(label) AS cluster_id
-    FROM reach
-    GROUP BY doc
-    ORDER BY doc_id
+    ),
+    labels AS (
+      SELECT doc AS doc_id, MIN(label) AS cluster_id
+      FROM reach
+      GROUP BY doc
+    )"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_CC_LABELS_CTES}
+    SELECT doc_id, cluster_id FROM labels ORDER BY doc_id
     """,
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,4 +567,49 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return labels.select("doc", F.col("label").alias("cluster_id")).select(
         F.col("doc").alias("doc_id"), "cluster_id"
+    ).orderBy("doc_id")
+
+
+@query(
+    "canonical_doc_per_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_CC_LABELS_CTES},
+    j AS (
+      SELECT l.doc_id, l.cluster_id, d.n_chars
+      FROM labels l JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           FIRST_VALUE(doc_id) OVER w AS keeper_id,
+           doc_id = FIRST_VALUE(doc_id) OVER w AS is_keeper
+    FROM j
+    WINDOW w AS (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY doc_id
+    """,
+)
+def canonical_doc_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each near-duplicate cluster
+    (connected components over the LSH pair graph) keep the LONGEST
+    member (tiebreak lowest doc_id) and map every other member to it —
+    the step that turns a dup-pair graph into an actual training-corpus
+    keep/drop decision plus a redirect table for provenance.
+
+    Scale shape: composes the CC labels (diameter-bounded iterative
+    join) with ONE window over cluster_id — clusters are tiny (near-dup
+    groups), so the window partition never skews; the documents join
+    brings only (doc_id, n_chars), not text."""
+    labels = dedup_connected_components(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = labels.join(docs, "doc_id")
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    keeper = F.first("doc_id").over(w)
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        keeper.alias("keeper_id"),
+        (F.col("doc_id") == keeper).alias("is_keeper"),
     ).orderBy("doc_id")

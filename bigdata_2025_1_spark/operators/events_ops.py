@@ -794,3 +794,67 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vals").cast("bigint").alias("n_purchases"),
         F.round(ewma, 6).alias("ewma_cents"),
     ).orderBy("user_id")
+
+
+@query(
+    "twap_user_daily",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(ROUND(value * 1e4) AS BIGINT) AS iv,
+             epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS dur
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id)
+    ), agg AS (
+      SELECT user_id, day,
+             SUM(iv * dur) AS swv, SUM(dur) AS sw,
+             CAST(COUNT(*) AS BIGINT) AS n_segments
+      FROM seg WHERE dur IS NOT NULL
+      GROUP BY user_id, day
+    )
+    SELECT user_id, day, CAST(swv AS DOUBLE) / sw / 1e4 AS twa_value,
+           n_segments
+    FROM agg WHERE sw > 0
+    ORDER BY user_id, day
+    """,
+)
+def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user-day (TWAP shape): each
+    event's value holds until the user's next event that day; the
+    average weights values by their holding duration, not their count —
+    the right aggregate for sampled gauges (sensor readings, position
+    marks, price quotes) where burst-sampling must not bias the mean.
+
+    Determinism: weights are exact epoch-microsecond gaps (int64),
+    values scale to int64 ten-thousandths; Σ(value·dur) and Σ(dur) are
+    exact integer sums, divided once. Days where every event shares one
+    timestamp (Σdur = 0) are excluded BEFORE the division — under ANSI
+    mode that division would otherwise be a job failure, not a NULL.
+
+    Scale shape: one shuffle on (user_id, day) shared by the lead window
+    and the aggregation; both sums are map-side combinable."""
+    ev = load(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    mic = F.unix_micros(F.col("ts"))
+    dur = F.lead(mic).over(w) - mic
+    iv = F.round(F.col("value") * 1e4).cast("bigint")
+    seg = ev.select(
+        "user_id", day.alias("day"), iv.alias("iv"), dur.alias("dur")
+    ).filter(F.col("dur").isNotNull())
+    return (
+        seg.groupBy("user_id", "day")
+        .agg(
+            F.sum(F.col("iv") * F.col("dur")).alias("swv"),
+            F.sum("dur").alias("sw"),
+            F.count("*").alias("n_segments"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "user_id",
+            "day",
+            (F.col("swv").cast("double") / F.col("sw") / 1e4).alias("twa_value"),
+            "n_segments",
+        )
+        .orderBy("user_id", "day")
+    )

@@ -791,3 +791,57 @@ def bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           {sql_exact_sum('l.l_extendedprice * (1 - l.l_discount)'
+                          ' - 0.6 * p.p_retailprice * l.l_quantity', 4)} AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: five-table join (lineitem ⋈ part ⋈ supplier ⋈
+    nation ⋈ orders), profit = revenue − cost (0.6·retail·qty stands in
+    for ps_supplycost — the fixture has no partsupp), grouped by supplier
+    nation × order year.
+
+    The plan Catalyst should (and does) pick at any scale: the p_name
+    filter prunes part BEFORE the join (predicate pushdown through the
+    join); part-filtered, supplier, and nation broadcast — lineitem never
+    shuffles for them; the only data shuffle is lineitem ⋈ orders on
+    orderkey (fact-fact); the group-by then reduces to
+    |nations|·|years| rows. Join ORDER is the point of Q9 — a
+    plan that joined lineitem⋈orders first and filtered part last would
+    carry every lineitem row through four joins."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(exact_sum(profit, 4).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )

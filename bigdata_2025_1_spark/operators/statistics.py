@@ -446,3 +446,93 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 256  # buckets per row = one md5 hex-byte prefix
+CMS_PROBES = 20  # words whose estimates are reported
+
+_CMS_ROWS_SQL = "(SELECT unnest([0, 1, 2, 3]) AS hrow)"
+
+
+@query(
+    "count_min_sketch_words",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS word
+      FROM documents
+    ), counts AS MATERIALIZED (
+      SELECT word, COUNT(*) AS n FROM tok GROUP BY word
+    ), cms AS (
+      SELECT hrow, substr(md5(hrow || ':' || word), 1, 2) AS bucket,
+             SUM(n) AS cell
+      FROM counts CROSS JOIN {_CMS_ROWS_SQL} r
+      GROUP BY hrow, bucket
+    ), probes AS (
+      SELECT word, n FROM counts ORDER BY n DESC, word LIMIT {CMS_PROBES}
+    )
+    SELECT p.word, CAST(p.n AS BIGINT) AS exact_n,
+           CAST(MIN(c.cell) AS BIGINT) AS cms_est,
+           CAST(MIN(c.cell) - p.n AS BIGINT) AS overcount
+    FROM probes p
+    CROSS JOIN {_CMS_ROWS_SQL} r
+    JOIN cms c ON c.hrow = r.hrow
+              AND c.bucket = substr(md5(r.hrow || ':' || p.word), 1, 2)
+    GROUP BY p.word, p.n
+    ORDER BY exact_n DESC, word
+    """,
+)
+def count_min_sketch_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus vocabulary: a 4×256 cell matrix
+    (row r, bucket = first hex byte of md5(r:word)) answers point
+    frequency queries with ``min`` over the word's four cells —
+    guaranteed overestimates, reported next to exact counts for the top
+    20 words.
+
+    The 100 TB story: the sketch is a FIXED-SIZE (4×256) mergeable
+    summary regardless of vocabulary size — cell sums are associative,
+    so map-side partial aggregation collapses each partition's token
+    stream to ≤1024 rows before the shuffle, and per-day/per-source
+    sketches merge by cell-wise addition (contrast Misra-Gries
+    ``heavy_hitters_mg``, which keeps candidates, not cells). The md5
+    bucket key is engine-portable — no cross-engine hash dependency.
+
+    Determinism: cells and estimates are exact int64 sums; probe pick
+    and output order tiebreak on the word itself."""
+    from bigdata_2025_1_spark.functions import text as T
+    from bigdata_2025_1_spark.io import spread
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    hrows = F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
+    bucket_of = lambda row_col, word_col: F.substring(  # noqa: E731
+        F.md5(F.concat(row_col.cast("string"), F.lit(":"), word_col)), 1, 2
+    )
+    cms = (
+        counts.select("word", "n", F.explode(hrows).alias("hrow"))
+        .select("hrow", bucket_of(F.col("hrow"), F.col("word")).alias("bucket"), "n")
+        .groupBy("hrow", "bucket")
+        .agg(F.sum("n").alias("cell"))
+    )
+    probes = counts.orderBy(F.desc("n"), "word").limit(CMS_PROBES)
+    probed = probes.select(
+        "word", "n", F.explode(hrows).alias("hrow")
+    ).select("word", "n", "hrow", bucket_of(F.col("hrow"), F.col("word")).alias("bucket"))
+    return (
+        probed.join(F.broadcast(cms), ["hrow", "bucket"])
+        .groupBy("word", "n")
+        .agg(F.min("cell").alias("cms_est"))
+        .select(
+            "word",
+            F.col("n").alias("exact_n"),
+            "cms_est",
+            (F.col("cms_est") - F.col("n")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "word")
+    )
