@@ -18,6 +18,7 @@ _MODULES = (
     "pipeline_ops",
     "statistics",
     "streaming_ops",
+    "graph_ops",
 )
 
 

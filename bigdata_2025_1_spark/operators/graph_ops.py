@@ -1,0 +1,146 @@
+"""Iterative graph analytics over the star schema (charter extension):
+PageRank on the nation→nation trade graph.
+
+Why this exists: iterative fixed-point algorithms are the one workload
+class where Spark's model (loop in the driver, each step a declarative
+join+agg; cache the frontier) differs fundamentally from one-shot SQL —
+the operator demonstrates that shape end-to-end with a cross-engine-exact
+oracle (a fixed 10-stage unrolled CTE chain, since standard SQL forbids
+aggregation inside a recursive CTE).
+
+Determinism across engines is the hard part of distributed PageRank: the
+usual double-precision rank vector diverges bit-by-bit because partition
+fold order differs. Solution: ALL arithmetic is int64 — ranks live in
+units of 1e-12, edge weights normalize to parts-per-million via integer
+floor division, contributions use ``rank * w_ppm // 1e6`` (bounded by
+1e12·1e6 = 1e18 < 2^63 REGARDLESS of edge counts — overflow-safe at any
+scale), and the damping mix is ``(15·r0)//100 + (85·contrib)//100``.
+Dangling mass is deliberately dropped (not redistributed): deterministic,
+documented, and irrelevant to ranking order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.registry import query
+
+PR_ITERS = 10
+PR_ONE = 10**12  # rank unit: 1.0 == 1e12
+PR_PPM = 10**6  # edge-weight normalization denominator
+
+
+def _sql_pr_stage(i: int) -> str:
+    return f"""pr{i + 1} AS (
+      SELECT n.nation_key,
+             (15 * (SELECT r0 FROM init)) // 100
+               + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS nation_key,
+               SUM(p.rank * e.w_ppm // {PR_PPM}) AS contrib
+        FROM pr{i} p JOIN edges e ON e.src = p.nation_key
+        GROUP BY e.dst
+      ) c USING (nation_key)
+    )"""
+
+
+_PR_STAGES = ",\n    ".join(_sql_pr_stage(i) for i in range(PR_ITERS))
+
+
+@query(
+    "pagerank_nation_trade",
+    oracle=f"""
+    WITH raw_edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY src, dst
+    ), out_w AS (
+      SELECT src, SUM(w) AS total FROM raw_edges GROUP BY src
+    ), edges AS (
+      SELECT e.src, e.dst, e.w * {PR_PPM} // o.total AS w_ppm
+      FROM raw_edges e JOIN out_w o USING (src)
+    ), nodes AS (
+      SELECT n_nationkey AS nation_key FROM nation
+    ), init AS (
+      SELECT {PR_ONE} // COUNT(*) AS r0 FROM nodes
+    ), pr0 AS (
+      SELECT nation_key, (SELECT r0 FROM init) AS rank FROM nodes
+    ),
+    {_PR_STAGES}
+    SELECT n.n_name AS nation, CAST(p.rank AS BIGINT) AS rank_scaled,
+           p.rank::DOUBLE / {PR_ONE} AS rank
+    FROM pr{PR_ITERS} p JOIN nation n ON n.n_nationkey = p.nation_key
+    ORDER BY rank_scaled DESC, nation
+    """,
+)
+def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation→nation trade graph (edge weight = number
+    of lineitems shipped from a supplier nation to a customer nation),
+    10 damped iterations, all-integer arithmetic (see module docstring).
+
+    Scale shape: the expensive part is building the EDGE LIST — one
+    fact-fact shuffle (lineitem ⋈ orders) with customer/supplier
+    broadcast, collapsing 100 TB of facts to |nations|² weighted edges.
+    The iteration itself runs on that tiny aggregate: each step is a
+    join + group-by on ≤625 rows regardless of input scale (the frontier
+    is persisted each step to cut lineage growth, the standard Spark
+    iterative pattern shared with dedup_connected_components)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+
+    raw_edges = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    out_w = raw_edges.groupBy("src").agg(F.sum("w").alias("total"))
+    edges = (
+        raw_edges.join(out_w, "src")
+        .select("src", "dst", F.expr(f"w * {PR_PPM} div total").alias("w_ppm"))
+        .persist()
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("nation_key"))
+    # 1-row broadcast aggregate, NOT a driver-side count: r0 rides the
+    # plan as a cross-joined scalar (empty nation table → zero rows
+    # downstream, the division never evaluates).
+    init = nodes.agg(F.expr(f"{PR_ONE} div count(*)").alias("r0"))
+    ranks = nodes.join(F.broadcast(init)).select(
+        "nation_key", F.col("r0").alias("rank")
+    ).persist()
+    damped = F.expr("(15 * r0) div 100 + (85 * coalesce(contrib, 0)) div 100")
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.join(edges, ranks.nation_key == edges.src)
+            .groupBy(F.col("dst").alias("nation_key"))
+            .agg(F.sum(F.expr(f"(rank * w_ppm) div {PR_PPM}")).alias("contrib"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "nation_key", "left")
+            .join(F.broadcast(init))
+            .select("nation_key", damped.alias("rank"))
+            .persist()
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+    return (
+        ranks.join(F.broadcast(nation), ranks.nation_key == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("rank").alias("rank_scaled"),
+            (F.col("rank").cast("double") / PR_ONE).alias("rank"),
+        )
+        .orderBy(F.desc("rank_scaled"), "nation")
+    )

@@ -845,3 +845,62 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(exact_sum(profit, 4).alias("profit"))
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+_FK_LEGS = (
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+)
+
+_FK_LEG_SQL = "\n    UNION ALL\n    ".join(
+    f"""SELECT '{name}' AS fk, CAST(COUNT(*) AS BIGINT) AS child_rows,
+           CAST(COUNT(*) FILTER (WHERE p.{pkey} IS NULL) AS BIGINT) AS orphan_rows,
+           COUNT(*) FILTER (WHERE p.{pkey} IS NULL) = 0 AS ok
+    FROM {child} c LEFT JOIN {parent} p ON p.{pkey} = c.{ckey}"""
+    for name, child, ckey, parent, pkey in _FK_LEGS
+)
+
+
+@query(
+    "fk_integrity_audit",
+    oracle=f"""
+    SELECT * FROM (
+    {_FK_LEG_SQL}
+    ) ORDER BY fk
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each FK
+    edge, total child rows and orphaned child rows (no matching parent)
+    — the data-quality gate every warehouse load runs before publishing
+    a snapshot.
+
+    Scale shape: each leg is one left join + count aggregate. The three
+    lineitem legs join against broadcast-sized parents (part/supplier)
+    or the orderkey co-partitioning the pipeline already shuffles on;
+    counts are map-side combinable, and the result is five rows no
+    matter the input scale. (A real deployment would also run the legs
+    against ONE shared scan via GROUPING SETS; kept as separate legs
+    here so the per-edge plans stay independently readable.)"""
+    result = None
+    for name, child, ckey, parent, pkey in _FK_LEGS:
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent).select(F.col(pkey))
+        leg = (
+            c.join(p, F.col(pkey) == F.col(ckey), "left")
+            .agg(
+                F.count("*").alias("child_rows"),
+                F.count(F.when(F.col(pkey).isNull(), 1)).alias("orphan_rows"),
+            )
+            .select(
+                F.lit(name).alias("fk"),
+                "child_rows",
+                "orphan_rows",
+                (F.col("orphan_rows") == 0).alias("ok"),
+            )
+        )
+        result = leg if result is None else result.unionByName(leg)
+    return result.orderBy("fk")

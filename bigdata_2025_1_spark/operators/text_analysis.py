@@ -621,3 +621,63 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+MIN_PAIR_TOKEN_LEN = 6  # content words only — bounds the per-doc pair fan-out
+PAIR_TOP_K = 25
+
+
+@query(
+    "frequent_token_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           t -> t <> ''),
+               t -> length(t) >= {MIN_PAIR_TOKEN_LEN}))) AS tok
+      FROM documents
+    )
+    SELECT a.tok AS tok_a, b.tok AS tok_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tok < b.tok
+    GROUP BY tok_a, tok_b
+    ORDER BY support DESC, tok_a, tok_b
+    LIMIT {PAIR_TOP_K}
+    """,
+)
+def frequent_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-occurring token pairs (market-basket / association-rule
+    support counting): distinct content tokens (length ≥ 6) per document,
+    within-document pair enumeration, support = number of documents
+    containing both, top 25.
+
+    Scale shape: the classic a-priori first pass. The self-join is
+    keyed on doc_id — pairs never cross documents, so the shuffle is
+    one doc_id co-partition and the fan-out is bounded by (distinct
+    long tokens per doc)², controlled by the length filter (the a-priori
+    min-support pre-prune would slot in as a semi-join on a first-pass
+    frequent-singles table). Pair counts are map-side combinable."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    T.ws_tokens(F.lower(F.col("text"))),
+                    lambda t: F.length(t) >= MIN_PAIR_TOKEN_LEN,
+                )
+            )
+        ).alias("tok"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), "tok_a", "tok_b")
+        .limit(PAIR_TOP_K)
+    )
