@@ -52,6 +52,12 @@ HEADLINE = [
     "ann_topk_cosine",
     "ann_srp_lsh_pairs",
     "ann_ivf_topk",
+    "ann_pq_adc_topk",
+    "count_min_sketch_words",
+    "frequent_token_pairs",
+    # round-3 additions: multi-join + iterative
+    "q9_profit_by_nation_year",
+    "pagerank_nation_trade",
 ]
 
 

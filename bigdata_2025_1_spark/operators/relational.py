@@ -13,7 +13,7 @@ Scale posture baked into each query:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions.exact import (
@@ -904,3 +904,93 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         result = leg if result is None else result.unionByName(leg)
     return result.orderBy("fk")
+
+
+@query(
+    "rollup_time_hierarchy",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS o_quarter,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
+           {sql_exact_sum('o_totalprice', 2)} AS revenue,
+           COUNT(*) AS n_orders,
+           CAST(GROUPING(o_year) * 4 + GROUPING(o_quarter) * 2
+              + GROUPING(o_month) AS INT) AS lvl
+    FROM orders
+    GROUP BY ROLLUP (o_year, o_quarter, o_month)
+    ORDER BY lvl, o_year, o_quarter, o_month
+    """,
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy ROLLUP (year → quarter → month): revenue and
+    order counts at every level of the natural time drill-down plus the
+    grand total, with GROUPING() encoding the level — the one-pass form
+    of the four separate aggregations a reporting layer would otherwise
+    run.
+
+    Scale shape: ROLLUP expands each row to its 4 hierarchy levels
+    BEFORE the shuffle, but partial aggregation collapses them per
+    partition first — one exchange keyed on the grouping-set id, output
+    bounded by |years|·5 rows."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.month("o_orderdate").alias("o_month"),
+        "o_totalprice",
+    )
+    lvl = (
+        F.grouping("o_year") * 4 + F.grouping("o_quarter") * 2 + F.grouping("o_month")
+    ).cast("int")
+    return (
+        orders.rollup("o_year", "o_quarter", "o_month")
+        .agg(
+            exact_sum(F.col("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+            lvl.alias("lvl"),
+        )
+        .select("o_year", "o_quarter", "o_month", "revenue", "n_orders", "lvl")
+        .orderBy("lvl", "o_year", "o_quarter", "o_month")
+    )
+
+
+@query(
+    "revenue_mom_change",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             {sql_exact_sum('o_totalprice', 2)} AS revenue
+      FROM orders
+      GROUP BY month
+    )
+    SELECT CAST(month AS DATE) AS month, revenue,
+           LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month) * 100, 6) AS pct_change
+    FROM monthly
+    ORDER BY month
+    """,
+)
+def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas: monthly exact-sum aggregate, then
+    lag + percent change — the standard KPI-trend query.
+
+    The single-partition window on the MONTHLY aggregate is deliberate:
+    after aggregation the series is |months| rows regardless of input
+    scale, so the unpartitioned ORDER BY window is a driver-sized sort,
+    not a scale hazard (the fact-table shuffle happened keyed on month).
+    First month's pct_change is NULL (lag undefined), matching both
+    engines; revenue is never 0 for a month that exists (it has ≥1
+    order with a positive price), so the ANSI division is safe."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(exact_sum(F.col("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        F.to_date("month").alias("month"),
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev * 100, 6).alias("pct_change"),
+    ).orderBy("month")

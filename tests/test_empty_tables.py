@@ -23,6 +23,7 @@ from bigdata_2025_1_spark.registry import all_oracles, all_queries
 # Engine semantics, not a bug in either — pinned below, excluded here.
 EMPTY_DIVERGENT = {
     "rollup_nation_segment",
+    "rollup_time_hierarchy",
     "cube_flag_status",
     "grouping_sets_priority_status",
 }
