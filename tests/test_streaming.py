@@ -374,3 +374,49 @@ def test_stateful_operator_survives_restart(spark, tmp_path):
     assert second[3].n_events == 1 and second[3].total_value == 4.0
     # user 2 had no new rows: update mode emits nothing for it in run 2
     assert 2 not in second
+
+
+def test_transform_with_state_running_counters(spark, tmp_path):
+    """Spark 4 transformWithState twin of the applyInPandasWithState
+    counters: same exact-cents semantics on the RocksDB state store.
+
+    Environment-gated like the PIL decode stub: the transformWithState
+    Python worker needs protobuf for its state-server protocol; without
+    it the worker crashes, so the test skips (the operator itself is
+    real code, exercised wherever protobuf exists)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's Python worker requires protobuf",
+    )
+    from bigdata_2025_1_spark.streaming.stateful import running_user_counters_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rows = [
+            (1, "2024-01-01 00:00:00", 10.0),
+            (1, "2024-01-01 00:10:00", 5.5),
+            (2, "2024-01-01 00:05:00", 2.25),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id LONG, ts_s STRING, value DOUBLE"
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+        src_dir = str(tmp_path / "twssrc")
+        df.write.parquet(src_dir)
+        stream = spark.readStream.schema(
+            "user_id LONG, ts TIMESTAMP, value DOUBLE"
+        ).parquet(src_dir)
+        result = _run_stream_to_memory(
+            spark, running_user_counters_tws(stream), "tws_test", mode="update"
+        )
+        final = {r.user_id: r for r in result.collect()}
+        assert final[1].n_events == 2 and final[1].total_value == 15.5
+        assert final[2].n_events == 1 and final[2].total_value == 2.25
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
