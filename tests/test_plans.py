@@ -319,3 +319,24 @@ def test_ann_pq_adc_recall(spark, sf_dir):
     approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_q9_pushdown_and_broadcasts(spark, sf_dir):
+    """Q9's point is join ORDER: part's name filter must reach the scan
+    (prune before the join), part/supplier/nation must broadcast so
+    lineitem only shuffles once — against orders."""
+    plan = formatted_plan(QUERIES["q9_profit_by_nation_year"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_name" in l and ("StringContains" in l or "IsNotNull" in l) for l in pushed)
+
+
+def test_cms_sketch_map_side_combine(spark, sf_dir):
+    """The count-min sketch cell aggregation must partial-aggregate
+    before its exchange (the fixed-size-summary property the operator
+    exists for)."""
+    plan = formatted_plan(QUERIES["count_min_sketch_words"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    ha = [l for l in plan.splitlines() if re.search(r"^\(\d+\) HashAggregate", l)]
+    assert len(ha) >= 4  # partial+final for word counts AND for cms cells
