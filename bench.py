@@ -53,6 +53,7 @@ HEADLINE = [
     "ann_srp_lsh_pairs",
     "ann_ivf_topk",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
     "count_min_sketch_words",
     "frequent_token_pairs",
     # round-3 additions: multi-join + iterative

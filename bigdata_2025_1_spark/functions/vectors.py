@@ -327,3 +327,65 @@ def sql_pq_projs_from(se: str, codebooks: list[list[list[int]]]) -> str:
         sub = f"{se}[{mi * subdim + 1}:{(mi + 1) * subdim}]"
         parts.extend(_sql_plane_dot(sub, row) for row in cb)
     return "[" + ", ".join(parts) + "]"
+
+
+def make_ivfpq_encode_pandas(
+    centroids: list[list[int]], codebooks: list[list[list[int]]]
+):
+    """Fused corpus-side IVFPQ encode — ONE stack per batch feeding the
+    coarse cell assignment, the PQ codes, and the norm (the three things
+    the inverted-list layout stores per vector)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.int64)
+    m, k = len(codebooks), len(codebooks[0])
+    subdim = len(codebooks[0][0])
+    CBs = [np.array(cb, dtype=np.int64) for cb in codebooks]
+
+    @pandas_udf("struct<cell: int, codes: array<int>, nsq: bigint>")
+    def ivfpq_encode_pd(emb: pd.Series) -> pd.DataFrame:
+        E = np.stack(emb.to_numpy()).astype(np.float64)
+        n = E.shape[0]
+        cell = np.argmax(_exact_proj_from(E, C), axis=1).astype(np.int32)
+        codes = np.empty((n, m), dtype=np.int32)
+        for mi in range(m):
+            sub = E[:, mi * subdim : (mi + 1) * subdim]
+            codes[:, mi] = np.argmax(_exact_proj_from(sub, CBs[mi]), axis=1)
+        return pd.DataFrame(
+            {"cell": cell, "codes": list(codes), "nsq": _exact_norm_from(E)}
+        )
+
+    return ivfpq_encode_pd
+
+
+def make_ivfpq_probes_pandas(
+    centroids: list[list[int]], codebooks: list[list[list[int]]], n_probe: int
+):
+    """Fused probe-side IVFPQ prep: the ``n_probe`` best cells, the PQ
+    ADC lookup table (the query's own subspace projections), and the
+    norm — one stack per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.int64)
+    m, k = len(codebooks), len(codebooks[0])
+    subdim = len(codebooks[0][0])
+    CBs = [np.array(cb, dtype=np.int64) for cb in codebooks]
+
+    @pandas_udf("struct<cells: array<int>, projs: array<bigint>, nsq: bigint>")
+    def ivfpq_probes_pd(emb: pd.Series) -> pd.DataFrame:
+        E = np.stack(emb.to_numpy()).astype(np.float64)
+        n = E.shape[0]
+        order = np.argsort(-_exact_proj_from(E, C), axis=1, kind="stable")
+        projs = np.empty((n, m * k), dtype=np.int64)
+        for mi in range(m):
+            sub = E[:, mi * subdim : (mi + 1) * subdim]
+            projs[:, mi * k : (mi + 1) * k] = _exact_proj_from(sub, CBs[mi])
+        return pd.DataFrame(
+            {
+                "cells": list(order[:, :n_probe].astype(np.int32)),
+                "projs": list(projs),
+                "nsq": _exact_norm_from(E),
+            }
+        )
+
+    return ivfpq_probes_pd

@@ -503,3 +503,147 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+IVFPQ_SHORTLIST = 64  # ADC shortlist within the probed cells
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH se AS MATERIALIZED (
+      SELECT vec_id, embedding, {_SQL_NORM} AS nsq,
+             {V.sql_scaled_e9('embedding', _DIM)} AS se
+      FROM embeddings
+    ), proj AS MATERIALIZED (
+      SELECT vec_id, nsq, {V.sql_ivf_projs_from('se', _CENTROIDS)} AS iprojs
+      FROM se
+    ), rc AS MATERIALIZED (
+      SELECT vec_id, nsq, CAST(r.cell AS INT) AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY iprojs[r.cell + 1] DESC, r.cell) AS crk
+      FROM proj CROSS JOIN range({N_CELLS}) r(cell)
+    ), pq AS MATERIALIZED (
+      SELECT vec_id, projs, [{_PQ_CODES_SQL}] AS codes
+      FROM (SELECT vec_id, {V.sql_pq_projs_from('se', _PQ_CB)} AS projs FROM se)
+    ), corpus AS (
+      SELECT rc.vec_id, rc.cell, rc.nsq, pq.codes
+      FROM rc JOIN pq USING (vec_id) WHERE rc.crk = 1
+    ), probes AS (
+      SELECT rc.vec_id AS query_id, rc.cell, pq.projs
+      FROM rc JOIN pq USING (vec_id)
+      WHERE rc.vec_id < {N_QUERY_VECS} AND rc.crk <= {N_PROBE}
+    ), scored AS (
+      SELECT q.query_id, x.vec_id AS neighbor_id,
+             ({_PQ_ADC_SQL})::DOUBLE / sqrt(x.nsq::DOUBLE) AS adc
+      FROM probes q JOIN corpus x USING (cell)
+      WHERE x.vec_id <> q.query_id
+    ), short AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc DESC, neighbor_id) AS srk
+            FROM scored)
+      WHERE srk <= {IVFPQ_SHORTLIST}
+    ), rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             {V.sql_dot_scaled('q.embedding', 'x.embedding', _DIM)}::DOUBLE
+               / (sqrt(q.nsq::DOUBLE) * sqrt(x.nsq::DOUBLE)) AS cosine
+      FROM short s
+      JOIN se q ON q.vec_id = s.query_id
+      JOIN se x ON x.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM rer)
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ: the composition of both ANN scale techniques — IVF coarse
+    cells prune WHERE to look (read ~nprobe/cells of the corpus via
+    partition pruning), PQ codes compress WHAT is read there (8 bytes
+    per vector, ADC integer scoring), exact cosine re-ranks only the
+    shortlist. This is the standard billion-vector layout (FAISS
+    IVFPQ): at 100 TB the inverted lists are parquet partitions keyed
+    by cell storing (vec_id, codes, nsq) — the scoring pass never
+    touches raw embeddings, which live in a separate table joined only
+    for the ~shortlist·|probes| re-rank rows.
+
+    Determinism: identical machinery to ann_ivf_topk (argmax cells,
+    stable probe order) and ann_pq_adc_topk (int64 ADC, corpus-norm
+    cosine normalization, first-max code ties); every ranking stage
+    tiebreaks on neighbor_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    enc = V.make_ivfpq_encode_pandas(_CENTROIDS, _PQ_CB)
+    prb = V.make_ivfpq_probes_pandas(_CENTROIDS, _PQ_CB, N_PROBE)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        enc(F.col("embedding")).alias("e"),
+    ).select(
+        "neighbor_id",
+        "c_emb",
+        F.col("e.cell").alias("cell"),
+        F.col("e.codes").alias("c_codes"),
+        F.col("e.nsq").alias("c_nsq"),
+    ).persist()
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            prb(F.col("embedding")).alias("p"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            F.col("p.projs").alias("q_projs"),
+            F.col("p.nsq").alias("q_nsq"),
+            F.explode(F.col("p.cells")).alias("cell"),
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("c_codes"),
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda c, m: F.element_at(F.col("q_projs"), (m * PQ_K + c + 1).cast("int")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.sqrt(F.col("c_nsq").cast("double"))
+    scored = (
+        corpus.drop("c_emb")
+        .join(F.broadcast(probes.drop("q_emb", "q_nsq")), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    short = (
+        scored.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= IVFPQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # re-rank probe side comes straight from the scan (norm_sq_scaled is
+    # bit-identical to the kernel's nsq), not from probes.distinct() —
+    # no array-keyed dedup shuffle
+    qa = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        V.norm_sq_scaled(F.col("embedding")).alias("q_nsq"),
+    )
+    cb = corpus.select("neighbor_id", "c_emb", "c_nsq")
+    dot_pd = V.make_dot_scaled_pandas()
+    cosine = V.cosine_from_scaled(
+        dot_pd(F.col("q_emb"), F.col("c_emb")), F.col("q_nsq"), F.col("c_nsq")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        short.join(F.broadcast(qa), "query_id")
+        .join(cb, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )

@@ -340,3 +340,23 @@ def test_cms_sketch_map_side_combine(spark, sf_dir):
     assert "CartesianProduct" not in plan
     ha = [l for l in plan.splitlines() if re.search(r"^\(\d+\) HashAggregate", l)]
     assert len(ha) >= 4  # partial+final for word counts AND for cms cells
+
+
+def test_ann_ivfpq_recall_and_plan(spark, sf_dir):
+    """IVFPQ composition: candidate join must stay an equi-join on the
+    cell key (probes broadcast, no cartesian), and recall@5 vs brute
+    force must show the two approximations compose usefully (IVF skips
+    ~60% of the corpus AND PQ compresses what remains 32×, so the pin
+    is below the single-technique pins — the price of reading ~1/80th
+    of the bytes)."""
+    df = QUERIES["ann_ivfpq_topk"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_topk_cosine"](spark, sf_dir).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
