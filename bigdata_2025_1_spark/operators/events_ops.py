@@ -834,13 +834,19 @@ def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle on (user_id, day) shared by the lead window
     and the aggregation; both sums are map-side combinable."""
     ev = load(spark, sf_dir, "events")
-    day = F.to_date("ts")
-    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    # Materialize day BEFORE the window so the window partitioning and
+    # the aggregation key are the SAME attribute — partitioning by the
+    # expression would mint a fresh internal column (_w1) the group-by
+    # can't reuse, costing a second exchange (verified in the plan).
+    base = ev.select(
+        "user_id", "ts", "event_id", "value", F.to_date("ts").alias("day")
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
     mic = F.unix_micros(F.col("ts"))
     dur = F.lead(mic).over(w) - mic
     iv = F.round(F.col("value") * 1e4).cast("bigint")
-    seg = ev.select(
-        "user_id", day.alias("day"), iv.alias("iv"), dur.alias("dur")
+    seg = base.select(
+        "user_id", "day", iv.alias("iv"), dur.alias("dur")
     ).filter(F.col("dur").isNotNull())
     return (
         seg.groupBy("user_id", "day")

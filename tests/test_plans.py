@@ -360,3 +360,12 @@ def test_ann_ivfpq_recall_and_plan(spark, sf_dir):
     approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_twap_single_data_shuffle(spark, sf_dir):
+    """TWAP must stay one data exchange: the lead window and the
+    aggregation share the (user_id, day) partitioning (day materialized
+    before the window — partitioning by the raw expression would mint a
+    fresh attribute and re-shuffle). Second exchange = final sort."""
+    df = QUERIES["twap_user_daily"](spark, sf_dir)
+    assert count_exchanges(df) == 2
