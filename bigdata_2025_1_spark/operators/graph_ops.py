@@ -32,6 +32,47 @@ PR_ONE = 10**12  # rank unit: 1.0 == 1e12
 PR_PPM = 10**6  # edge-weight normalization denominator
 
 
+def pagerank_int_kernel(df):
+    """The integer PageRank fixed point on a combined frame of edge rows
+    ``(src, dst, w_ppm ≥ 0)`` and node-marker rows ``(key, key, -1)``.
+    Module-level (not a closure) so the arithmetic is directly
+    property-testable against a scalar reference implementation."""
+    import numpy as np
+    import pandas as pd
+
+    if df.empty:
+        return None
+    is_node = df["w_ppm"].to_numpy() == -1
+    node_keys = np.sort(df.loc[is_node, "src"].to_numpy(np.int64))
+    n = len(node_keys)
+    if n == 0:
+        return None
+    idx = {k: i for i, k in enumerate(node_keys)}
+    e = df.loc[~is_node]
+    src = np.array([idx[k] for k in e["src"].to_numpy(np.int64)], dtype=np.int64)
+    dst = np.array([idx[k] for k in e["dst"].to_numpy(np.int64)], dtype=np.int64)
+    w = e["w_ppm"].to_numpy(np.int64)
+    # Overflow safety rests on the normalization invariant (per-source
+    # weights sum ≤ PPM ⇒ total contribution mass ≤ total rank ≈ PR_ONE,
+    # far below 2^63). The operator guarantees it via w·PPM // out_total;
+    # fail loudly rather than wrap silently if a caller does not.
+    out_sums = np.zeros(n, dtype=np.int64)
+    np.add.at(out_sums, src, w)
+    if (w < 0).any() or (out_sums > PR_PPM).any():
+        raise ValueError(
+            "pagerank_int_kernel: edge weights must be ppm-normalized "
+            "(w_ppm ≥ 0, per-source sum ≤ 1e6) — int64 bounds depend on it"
+        )
+    r0 = PR_ONE // n
+    rank = np.full(n, r0, dtype=np.int64)
+    base = (15 * r0) // 100
+    for _ in range(PR_ITERS):
+        contrib = np.zeros(n, dtype=np.int64)
+        np.add.at(contrib, dst, (rank[src] * w) // PR_PPM)
+        rank = base + (85 * contrib) // 100
+    return pd.DataFrame({"nation_key": node_keys, "rank": rank})
+
+
 def _sql_pr_stage(i: int) -> str:
     return f"""pr{i + 1} AS (
       SELECT n.nation_key,
@@ -128,33 +169,15 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined = edges.unionByName(node_markers).coalesce(1)
 
     def pr_kernel(batches):
-        import numpy as np
         import pandas as pd
 
         parts = list(batches)
         if not parts:
             return
         df = pd.concat(parts, ignore_index=True)
-        if df.empty:
-            return
-        is_node = df["w_ppm"].to_numpy() == -1
-        node_keys = np.sort(df.loc[is_node, "src"].to_numpy(np.int64))
-        n = len(node_keys)
-        if n == 0:
-            return
-        idx = {k: i for i, k in enumerate(node_keys)}
-        e = df.loc[~is_node]
-        src = np.array([idx[k] for k in e["src"].to_numpy(np.int64)], dtype=np.int64)
-        dst = np.array([idx[k] for k in e["dst"].to_numpy(np.int64)], dtype=np.int64)
-        w = e["w_ppm"].to_numpy(np.int64)
-        r0 = PR_ONE // n
-        rank = np.full(n, r0, dtype=np.int64)
-        base = (15 * r0) // 100
-        for _ in range(PR_ITERS):
-            contrib = np.zeros(n, dtype=np.int64)
-            np.add.at(contrib, dst, (rank[src] * w) // PR_PPM)
-            rank = base + (85 * contrib) // 100
-        yield pd.DataFrame({"nation_key": node_keys, "rank": rank})
+        out = pagerank_int_kernel(df)
+        if out is not None:
+            yield out
 
     ranks = combined.mapInPandas(pr_kernel, "nation_key bigint, rank bigint")
     return (
