@@ -216,3 +216,64 @@ def cross_join_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("n_orders"))
         .orderBy("region", "status")
     )
+
+
+@query(
+    "nested_order_lines",
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >= 6
+    )
+    SELECT o.o_orderkey, o.o_orderpriority, CAST(g.n_lines AS INT) AS n_lines,
+           l.l_linenumber AS ln, l.l_quantity AS qty, l.l_extendedprice AS price
+    FROM g
+    JOIN orders o ON o.o_orderkey = g.l_orderkey
+    JOIN lineitem l ON l.l_orderkey = g.l_orderkey
+    ORDER BY o_orderkey, ln
+    """,
+)
+def nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type round trip: denormalize lineitems into a per-order
+    ``array<struct<ln,qty,price>>`` (the lakehouse nested layout that
+    ships an order and its lines in ONE row — no join at read time),
+    filter on the nested shape (orders with ≥ 6 lines), then renormalize
+    with ``inline``. The oracle checks the flattened VALUES; the Spark
+    plan is the structural exercise.
+
+    Determinism: ``collect_list`` order is partition-dependent, so the
+    struct array is ``array_sort``-ed — the struct's FIRST field is the
+    unique line number, making the sort total. The flat output then
+    orders by (order, line).
+
+    Scale shape: one shuffle to group lines by order (the same orderkey
+    exchange every order-lines query pays), then inline is a narrow
+    generator — no second exchange; at 100 TB the nested table is what
+    you'd persist, amortizing that shuffle across every downstream
+    reader."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.col("l_quantity").alias("qty"),
+                    F.col("l_extendedprice").alias("price"),
+                )
+            )
+        ).alias("lines")
+    )
+    denorm = (
+        orders.join(nested, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.size("lines") >= 6)
+    )
+    return (
+        denorm.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.size("lines").alias("n_lines"),
+            F.inline("lines"),
+        )
+        .orderBy("o_orderkey", "ln")
+    )
