@@ -1,0 +1,51 @@
+"""Spark 4 Python Data Source (SURVEY A13 in-engine): partition planning,
+deterministic replay, and engine integration (filters/aggregates run on
+top of the custom source like any other scan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.sources.pyds import (
+    LINKS_PER_PAGE,
+    CrawlSimDataSource,
+    register,
+)
+
+
+def _load(spark, pages=10, per_part=2):
+    register(spark)
+    return (
+        spark.read.format("crawl_sim")
+        .option("pages", str(pages))
+        .option("pagesPerPartition", str(per_part))
+        .load()
+    )
+
+
+def test_row_count_and_partition_planning(spark):
+    df = _load(spark, pages=10, per_part=2)
+    assert df.count() == 10 * LINKS_PER_PAGE
+    # 10 pages / 2 per partition = 5 source tasks
+    assert df.rdd.getNumPartitions() == 5
+
+
+def test_deterministic_replay_and_engine_ops(spark):
+    df = _load(spark, pages=6)
+    a = df.orderBy("url").collect()
+    b = df.orderBy("url").collect()
+    assert a == b  # replay-stable scan
+    ok = df.filter(F.col("status") == 200)
+    agg = (
+        ok.groupBy("domain")
+        .agg(F.count("*").alias("n"), F.sum("n_bytes").alias("bytes"))
+        .collect()
+    )
+    assert sum(r.n for r in agg) == ok.count()
+    assert set(r.domain for r in agg) <= {
+        "thuvienphapluat.vn", "vanban.chinhphu.vn", "luatvietnam.vn"
+    }
+    # deterministic 404 share exists but is small
+    n404 = df.filter(F.col("status") == 404).count()
+    assert 0 < n404 < df.count() * 0.2
+    assert df.filter((F.col("status") == 200) & (F.col("n_bytes") == 0)).count() == 0
