@@ -21,7 +21,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 LINKS_PER_PAGE = 20  # reference pager size, crawl/crawl.py:84
 
@@ -78,6 +83,37 @@ class CrawlSimDataSource(DataSource):
     def reader(self, schema) -> CrawlSimReader:
         return CrawlSimReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "CrawlSimStreamReader":
+        return CrawlSimStreamReader(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(CrawlSimDataSource)
+
+
+class CrawlSimStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor: the crawl frontier AS a stream. Offsets are page
+    numbers; each micro-batch advances the frontier by ``pagesPerBatch``
+    pages (bounded work per trigger — the maxOffsetsPerTrigger analog),
+    up to an optional ``maxPages`` horizon. ``readBetweenOffsets``
+    replays any committed range deterministically, which is what makes
+    the source exactly-once under checkpoint recovery."""
+
+    def __init__(self, options):
+        self.pages_per_batch = int(options.get("pagesPerBatch", 2))
+        self.max_pages = int(options.get("maxPages", 0))  # 0 = unbounded
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def read(self, start: dict):
+        lo = start["page"]
+        hi = lo + self.pages_per_batch
+        if self.max_pages:
+            hi = min(hi, self.max_pages)
+        rows = [r for p in range(lo, hi) for r in _fetch_page(p)]
+        return iter(rows), {"page": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for p in range(start["page"], end["page"]):
+            yield from _fetch_page(p)

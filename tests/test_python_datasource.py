@@ -49,3 +49,29 @@ def test_deterministic_replay_and_engine_ops(spark):
     n404 = df.filter(F.col("status") == 404).count()
     assert 0 < n404 < df.count() * 0.2
     assert df.filter((F.col("status") == 200) & (F.col("n_bytes") == 0)).count() == 0
+
+
+def test_streaming_crawl_frontier(spark, tmp_path):
+    """The same source streamed: page offsets advance pagesPerBatch per
+    trigger; availableNow drains to the maxPages horizon exactly once."""
+    register(spark)
+    stream = (
+        spark.readStream.format("crawl_sim")
+        .option("pagesPerBatch", "2")
+        .option("maxPages", "6")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("crawl_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # drains until the offset stops advancing at the maxPages horizon
+    # (availableNow would snapshot only ONE read()'s worth of pages)
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM crawl_stream")
+    assert out.count() == 6 * LINKS_PER_PAGE
+    # exactly-once: no duplicate urls across micro-batches
+    assert out.select("url").distinct().count() == 6 * LINKS_PER_PAGE
