@@ -246,3 +246,37 @@ def sql_cte_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "nation"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_DUAL_SQL)
+
+
+@query(
+    "sql_pipe_revenue",
+    oracle="""
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           CAST(cents AS DOUBLE) / 1e2 AS revenue
+    FROM (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS cents
+      FROM orders
+      WHERE o_orderstatus = 'F'
+      GROUP BY o_orderpriority
+    )
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_pipe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, SQL:2023-style ``|>`` chaining): the
+    same filter→aggregate→project→order pipeline as classic nested SQL,
+    written in execution order. Parsed to the identical logical plan —
+    the oracle is the classic-syntax spelling, so this also pins that
+    pipe syntax changes nothing semantically. Exact-cents sum idiom as
+    everywhere."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n,
+                     SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS cents
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n, CAST(cents AS DOUBLE) / 1e2 AS revenue
+        |> ORDER BY o_orderpriority
+    """)
