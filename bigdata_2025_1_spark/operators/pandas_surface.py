@@ -280,3 +280,51 @@ def sql_pipe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n, CAST(cents AS DOUBLE) / 1e2 AS revenue
         |> ORDER BY o_orderpriority
     """)
+
+
+@query(
+    "winsorized_segment_spend",
+    oracle="""
+    WITH bounds AS (
+      SELECT c_mktsegment,
+             quantile_cont(c_acctbal, 0.05) AS lo,
+             quantile_cont(c_acctbal, 0.95) AS hi
+      FROM customer GROUP BY c_mktsegment
+    ), w AS (
+      SELECT c.c_mktsegment,
+             CAST(ROUND(GREATEST(b.lo, LEAST(b.hi, c.c_acctbal)) * 1e4) AS BIGINT) AS iv
+      FROM customer c JOIN bounds b USING (c_mktsegment)
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(iv) AS DOUBLE) / COUNT(*) / 1e4 AS winsorized_mean
+    FROM w GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def winsorized_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per segment: clamp each balance into its segment's
+    [p05, p95] band, then average — the robust-stats aggregate that
+    keeps a handful of extreme rows from owning a KPI (the outlier-REMOVING
+    twin is zscore_outliers; this one caps instead of drops).
+
+    Scale shape: the bounds table is |segments| rows (exact percentiles
+    need a per-group sort at 100 TB — substitute approx_percentile there;
+    this exact form is the correctness anchor, same split as
+    order_value_percentiles vs approx_percentiles). Bounds broadcast
+    back; the clamp is map-side; the mean uses the exact-int idiom."""
+    c = load(spark, sf_dir, "customer")
+    bounds = c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.05)).alias("lo"),
+        F.percentile("c_acctbal", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("c_acctbal")))
+    iv = F.round(clamped * 1e4).cast("bigint")
+    return (
+        c.join(F.broadcast(bounds), "c_mktsegment")
+        .select("c_mktsegment", iv.alias("iv"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("iv").cast("double") / F.count("*") / 1e4).alias("winsorized_mean"),
+        )
+        .orderBy("c_mktsegment")
+    )
