@@ -59,3 +59,46 @@ def interval_self_join(
             <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap_seconds} SECONDS")
         ),
     ).select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts")
+
+
+def interval_left_join(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    max_gap_seconds: int = 300,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, with its
+    within-window purchase or NULLs. Outer stream-stream joins have
+    stricter semantics than inner: the NULL row for an unmatched click
+    is emitted only once the watermark passes the click's join window
+    (before that, a matching purchase could still arrive) — so results
+    trail the watermark, and BOTH the watermark and the interval bound
+    are mandatory for the state to be evictable at all (Spark refuses
+    the join otherwise)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap_seconds} SECONDS")
+        ),
+        "leftOuter",
+    ).select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts")

@@ -130,3 +130,59 @@ except ImportError:  # pragma: no cover - older Spark
             "transformWithState requires Spark >= 4.0 (pyspark.sql.streaming"
             ".stateful_processor not importable)"
         )
+
+
+def _update_with_ttl_factory(ttl_ms: int):
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            # state expired: emit a tombstone and drop the state — the
+            # online-feature-store eviction path (without this, per-key
+            # state grows with the key cardinality of ALL TIME)
+            n_events, total_cents, last_seen_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [-1],
+                    "total_value": [total_cents / 100.0],
+                    "last_seen": [pd.Timestamp(last_seen_us, unit="us")],
+                }
+            )
+            return
+        if state.exists:
+            n_events, total_cents, last_seen_us = state.get
+        else:
+            n_events, total_cents, last_seen_us = 0, 0, 0
+        for pdf in pdfs:
+            n_events += len(pdf)
+            total_cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            ts_us = (pdf["ts"].astype("int64") // 1000).max()
+            last_seen_us = max(last_seen_us, int(ts_us))
+        state.update((n_events, total_cents, last_seen_us))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n_events],
+                "total_value": [total_cents / 100.0],
+                "last_seen": [pd.Timestamp(last_seen_us, unit="us")],
+            }
+        )
+
+    return update
+
+
+def running_user_counters_ttl(events: DataFrame, ttl_ms: int = 1) -> DataFrame:
+    """running_user_counters with ProcessingTimeTimeout: keys idle past
+    ``ttl_ms`` are expired on the next micro-batch — the handler emits a
+    tombstone row (``n_events = -1``) and removes the state. Bounded
+    state is what makes per-key streaming operators survive unbounded
+    key cardinality."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_with_ttl_factory(ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

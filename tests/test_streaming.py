@@ -420,3 +420,63 @@ def test_transform_with_state_running_counters(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_stream_left_outer_join(spark, events_stream_dir, sf_dir):
+    """Outer stream-stream: clicks with no purchase in-window must
+    surface as NULL rows (after the watermark passes their window), and
+    every non-NULL pair must be a true interval match."""
+    from bigdata_2025_1_spark.streaming.joins import interval_left_join
+
+    stream = spark.readStream.schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    ).parquet(events_stream_dir)
+    joined = interval_left_join(stream, max_gap_seconds=300)
+    result = _run_stream_to_memory(spark, joined, "ss_left_join_test")
+    rows = result.collect()
+    assert len(rows) > 0
+    matched = [r for r in rows if r.purchase_id is not None]
+    unmatched = [r for r in rows if r.purchase_id is None]
+    # the fixture has far more clicks than within-5-min purchases: both
+    # outcomes must actually occur
+    assert matched and unmatched
+    # spot-verify every matched pair satisfies the interval predicate
+    for r in matched:
+        gap = (r.purchase_ts - r.click_ts).total_seconds()
+        assert 0 <= gap <= 300
+    # no click id may appear both matched and unmatched-NULL
+    assert {r.click_id for r in matched}.isdisjoint({r.click_id for r in unmatched})
+
+
+def test_stateful_ttl_evicts_idle_keys(spark, tmp_path):
+    """ProcessingTimeTimeout: once wall-clock passes a key's TTL the
+    handler fires with hasTimedOut — under availableNow Spark drains
+    pending timeouts in trailing micro-batches before stopping, so ONE
+    run yields both the normal row and the eviction tombstone (state
+    removed, final accumulated value preserved)."""
+    from bigdata_2025_1_spark.streaming.stateful import running_user_counters_ttl
+
+    src_dir = str(tmp_path / "ttlsrc")
+    ckpt = str(tmp_path / "ttlckpt")
+    schema = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10.0)], "user_id LONG, ts_s STRING, value DOUBLE"
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    ).write.parquet(src_dir)
+
+    rows = []
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        running_user_counters_ttl(stream, ttl_ms=1)
+        .writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    normal = [r for r in rows if r.n_events == 1]
+    tombstones = [r for r in rows if r.n_events == -1]
+    assert normal and normal[0].total_value == 10.0
+    assert tombstones and tombstones[0].total_value == 10.0  # state preserved into the tombstone
