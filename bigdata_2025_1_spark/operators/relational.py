@@ -1043,3 +1043,39 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "q16_null_aware_anti",
+    oracle="""
+    SELECT p_type, CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS brand_cnt,
+           CAST(COUNT(*) AS BIGINT) AS part_cnt
+    FROM part
+    WHERE p_brand NOT IN (SELECT p_brand FROM part WHERE p_size = 1)
+    GROUP BY p_type
+    ORDER BY p_type
+    """,
+)
+def q16_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16's exclusion shape: NOT IN over a subquery — the
+    NULL-AWARE anti join, the one join variant with different semantics
+    from LEFT ANTI (one NULL in the subquery result empties the output,
+    so Spark plans it as a special null-aware join, not a plain anti).
+    Expressed as SQL on both engines because the DataFrame API's
+    ``left_anti`` is NOT equivalent under NULLs — using it here would be
+    a silent semantics bug if the blacklist ever contained one.
+
+    Scale shape: the subquery is tiny after its filter → broadcast
+    null-aware anti; the distinct-count aggregate is two-phase
+    (partial distinct per partition, final merge)."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_type, COUNT(DISTINCT p_brand) AS brand_cnt,
+               COUNT(*) AS part_cnt
+        FROM part
+        WHERE p_brand NOT IN (SELECT p_brand FROM part WHERE p_size = 1)
+        GROUP BY p_type
+        ORDER BY p_type
+        """
+    )

@@ -42,7 +42,7 @@ ORACLES: dict[str, str] = {}
 # REPLACING a proven-green head entry, never by growing past 50.
 #
 # ROUND-4 ROTATION PLAN: after round 3's head (42 refreshed r1 greens +
-# 2 fixed array queries + 6 new), 27 registered queries still lack any
+# 2 fixed array queries + 6 new), 28 registered queries still lack any
 # driver row (all selfcheck-green locally at sf0.01 AND sf0.1, incl.
 # --vanilla):
 #   salted_skew_join_zipf, q9_profit_by_nation_year, fk_integrity_audit,
@@ -53,8 +53,9 @@ ORACLES: dict[str, str] = {}
 #   ann_ivfpq_topk, sql_pipe_revenue, winsorized_segment_spend,
 #   nested_order_lines, train_contamination_ngram, doc_chunk_overlap,
 #   heavy_hitters_mg, table_profile, stats_regression,
-#   zscore_outliers, count_min_sketch_words, pagerank_nation_trade
-# Round 4's head must lead with these 27; fill the rest with whichever
+#   zscore_outliers, count_min_sketch_words, pagerank_nation_trade,
+#   q16_null_aware_anti
+# Round 4's head must lead with these 28; fill the rest with whichever
 # checked queries' code changed most since their last green row.
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 42 round-1-only greens: refresh onto round-2+ code

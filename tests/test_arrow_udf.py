@@ -30,3 +30,45 @@ def test_arrow_udf_matches_builtin(spark, sf_dir):
     assert both.filter(F.col("via_udf") != F.col("via_builtin")).count() == 0
     plan = both._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan  # actually the Arrow path, not pickling
+
+
+def test_apply_in_arrow_matches_grouped_agg(spark, sf_dir):
+    """groupBy().applyInArrow (Spark 4): grouped map on raw pyarrow
+    Tables — no pandas conversion layer at all. Pinned against the
+    built-in aggregate, and the plan must show the Arrow path."""
+    import pyarrow as pa
+
+    def seg_stats(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bal = table.column("c_acctbal")
+        return pa.table(
+            {
+                "c_mktsegment": [table.column("c_mktsegment")[0].as_py()],
+                "n": pa.array([table.num_rows], type=pa.int64()),
+                # floor, not round: pyarrow rounds half-to-even while
+                # Spark rounds half-away — floor is identical in both
+                "total_cents": pa.array(
+                    [int(pc.sum(pc.floor(pc.multiply(bal, 100.0))).as_py())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    c = load(spark, sf_dir, "customer")
+    got = {
+        r.c_mktsegment: (r.n, r.total_cents)
+        for r in c.groupBy("c_mktsegment")
+        .applyInArrow(seg_stats, "c_mktsegment string, n long, total_cents long")
+        .collect()
+    }
+    expected = {
+        r.c_mktsegment: (r.n, r.total_cents)
+        for r in c.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("bigint")).alias("total_cents"),
+        )
+        .collect()
+    }
+    assert got == expected
