@@ -480,3 +480,60 @@ def test_stateful_ttl_evicts_idle_keys(spark, tmp_path):
     tombstones = [r for r in rows if r.n_events == -1]
     assert normal and normal[0].total_value == 10.0
     assert tombstones and tombstones[0].total_value == 10.0  # state preserved into the tombstone
+
+
+def test_foreachbatch_idempotent_multi_sink_replay(spark, tmp_path):
+    """Exactly-once via idempotent writes: foreachBatch lands each batch
+    under batch_id=N with dynamic partition overwrite, into TWO sinks.
+    foreachBatch is at-least-once per sink (not transactional across
+    them), so a crash between the write and the commit re-runs the
+    batch — the batch_id-keyed overwrite makes that re-run REPLACE
+    instead of append. The replay is exercised by re-invoking the sink
+    with the same batch id (Spark-side offset recovery itself is pinned
+    in test_checkpoint_resume_no_reprocessing)."""
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    raw_dir = str(tmp_path / "raw")
+    agg_dir = str(tmp_path / "agg")
+
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id LONG, k LONG"
+    ).write.parquet(src_dir)
+
+    seen = []
+
+    def sink(df, bid):
+        seen.append(bid)
+        with_bid = df.withColumn("batch_id", F.lit(bid))
+        (
+            with_bid.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(raw_dir)
+        )
+        (
+            with_bid.groupBy("batch_id", "k")
+            .agg(F.count("*").alias("n"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(agg_dir)
+        )
+
+    q = (
+        spark.readStream.schema("id LONG, k LONG")
+        .parquet(src_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(raw_dir).count() == 30
+    agg1 = sorted(map(tuple, spark.read.parquet(agg_dir).collect()))
+    # replay the LAST batch verbatim (what a post-crash restart does)
+    last_bid = seen[-1]
+    replay_df = spark.read.parquet(src_dir)
+    sink(replay_df, last_bid)
+    assert spark.read.parquet(raw_dir).count() == 30  # replaced, not appended
+    assert sorted(map(tuple, spark.read.parquet(agg_dir).collect())) == agg1
