@@ -79,3 +79,41 @@ def consumer_parse(df: DataFrame) -> DataFrame:
         & F.col("filename").isNotNull()
         & F.col("content").isNotNull()
     )
+
+
+def consumer_parse_with_dlq(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """consumer_parse plus a dead-letter stream: instead of silently
+    dropping malformed/incomplete messages (the reference consumer's
+    behavior — rejects simply vanish), return (valid, rejects) where
+    rejects carry the RAW payload and a reject_reason. At scale the DLQ
+    lands in its own sink for replay/debugging; losing rejects silently
+    is how ingestion bugs stay invisible for months.
+
+    Both frames derive from one parse projection — in a foreachBatch
+    with two sinks, cache the batch df so the parse runs once."""
+    cols = [
+        F.col("key").cast("string").alias("kafka_key"),
+        F.col("value").cast("string").alias("raw_value"),
+        parse_kafka_value(F.col("value")).alias("data"),
+    ]
+    flat = df.select(*cols).select(
+        "kafka_key",
+        "raw_value",
+        F.col("data.domain").alias("domain"),
+        F.col("data.filename").alias("filename"),
+        F.col("data.content").alias("content"),
+        F.col("data.file_path").alias("file_path"),
+    )
+    ok = F.col("domain").isNotNull() & F.col("filename").isNotNull() & F.col("content").isNotNull()
+    valid = flat.filter(ok).drop("raw_value")
+    reason = (
+        F.when(F.col("domain").isNull() & F.col("filename").isNull() & F.col("content").isNull(),
+               F.lit("unparseable_json"))
+        .when(F.col("domain").isNull(), F.lit("missing_domain"))
+        .when(F.col("filename").isNull(), F.lit("missing_filename"))
+        .otherwise(F.lit("missing_content"))
+    )
+    rejects = flat.filter(~ok).select(
+        "kafka_key", "raw_value", reason.alias("reject_reason")
+    )
+    return valid, rejects

@@ -537,3 +537,24 @@ def test_foreachbatch_idempotent_multi_sink_replay(spark, tmp_path):
     sink(replay_df, last_bid)
     assert spark.read.parquet(raw_dir).count() == 30  # replaced, not appended
     assert sorted(map(tuple, spark.read.parquet(agg_dir).collect())) == agg1
+
+
+def test_consumer_parse_dlq_split(spark):
+    """Every input row lands in exactly one of (valid, DLQ), and the DLQ
+    carries the raw payload + a specific reject reason."""
+    from bigdata_2025_1_spark.sources.kafka_shape import consumer_parse_with_dlq
+
+    rows = [
+        ("k1", '{"domain":"a","filename":"f1","content":"x","file_path":"p"}'),
+        ("k2", "not json at all"),
+        ("k3", '{"domain":null,"filename":"f3","content":"y","file_path":"p"}'),
+        ("k4", '{"domain":"a","filename":"f4","content":null,"file_path":"p"}'),
+    ]
+    df = spark.createDataFrame(rows, "key STRING, value STRING")
+    valid, rejects = consumer_parse_with_dlq(df)
+    assert [r.kafka_key for r in valid.collect()] == ["k1"]
+    got = {r.kafka_key: (r.reject_reason, r.raw_value) for r in rejects.collect()}
+    assert got["k2"] == ("unparseable_json", "not json at all")
+    assert got["k3"][0] == "missing_domain"
+    assert got["k4"][0] == "missing_content"
+    assert valid.count() + rejects.count() == len(rows)
