@@ -19,6 +19,7 @@ _MODULES = (
     "statistics",
     "streaming_ops",
     "graph_ops",
+    "crawl_ops",
 )
 
 

@@ -6,7 +6,7 @@ are engine- and partition-order-specific)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.io import load
@@ -455,6 +455,30 @@ CMS_PROBES = 20  # words whose estimates are reported
 _CMS_ROWS_SQL = "(SELECT unnest([0, 1, 2, 3]) AS hrow)"
 
 
+def _cms_bucket(row_col: Column, word_col: Column) -> Column:
+    """Cell column for hash row ``row_col``: first hex byte of
+    md5(row:word) — engine-portable, no cross-engine hash dependency."""
+    return F.substring(
+        F.md5(F.concat(row_col.cast("string"), F.lit(":"), word_col)), 1, 2
+    )
+
+
+def cms_cells(tokens: DataFrame) -> DataFrame:
+    """Build the 4×256 count-min cell matrix DIRECTLY from the token
+    stream: each token fans out to its ``CMS_DEPTH`` (row, bucket) cells
+    and the only aggregation key is the fixed 1024-cell space — the
+    vocabulary never keys a shuffle. Map-side partial aggregation
+    collapses every input partition to ≤1024 rows before the single
+    exchange (pinned in ``tests/test_plans.py``)."""
+    hrows = F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
+    return (
+        tokens.select(F.explode(hrows).alias("hrow"), "word")
+        .select("hrow", _cms_bucket(F.col("hrow"), F.col("word")).alias("bucket"))
+        .groupBy("hrow", "bucket")
+        .agg(F.count("*").alias("cell"))
+    )
+
+
 @query(
     "count_min_sketch_words",
     oracle=f"""
@@ -491,12 +515,16 @@ def count_min_sketch_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     20 words.
 
     The 100 TB story: the sketch is a FIXED-SIZE (4×256) mergeable
-    summary regardless of vocabulary size — cell sums are associative,
-    so map-side partial aggregation collapses each partition's token
-    stream to ≤1024 rows before the shuffle, and per-day/per-source
-    sketches merge by cell-wise addition (contrast Misra-Gries
-    ``heavy_hitters_mg``, which keeps candidates, not cells). The md5
-    bucket key is engine-portable — no cross-engine hash dependency.
+    summary regardless of vocabulary size, and ``cms_cells`` builds it
+    straight from the token stream — token → (row, bucket) cell, no
+    vocabulary-keyed shuffle anywhere on the sketch path; map-side
+    combine collapses each partition to ≤1024 rows before the one
+    exchange. Per-day/per-source sketches merge by cell-wise addition
+    (contrast Misra-Gries ``heavy_hitters_mg``, which keeps candidates,
+    not cells). The exact per-word ``groupBy`` below exists ONLY because
+    this query's contract reports exact_n/overcount for the 20 probe
+    words — a pure-sketch deployment would drop it (and with it the only
+    word-keyed shuffle), at the cost of a second corpus scan here.
 
     Determinism: cells and estimates are exact int64 sums; probe pick
     and output order tiebreak on the word itself."""
@@ -504,22 +532,11 @@ def count_min_sketch_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_2025_1_spark.io import spread
 
     docs = spread(load(spark, sf_dir, "documents"))
-    counts = (
-        docs.select(F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-        .persist()
-    )
+    tokens = docs.select(F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("word"))
     hrows = F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
-    bucket_of = lambda row_col, word_col: F.substring(  # noqa: E731
-        F.md5(F.concat(row_col.cast("string"), F.lit(":"), word_col)), 1, 2
-    )
-    cms = (
-        counts.select("word", "n", F.explode(hrows).alias("hrow"))
-        .select("hrow", bucket_of(F.col("hrow"), F.col("word")).alias("bucket"), "n")
-        .groupBy("hrow", "bucket")
-        .agg(F.sum("n").alias("cell"))
-    )
+    bucket_of = _cms_bucket
+    cms = cms_cells(tokens)
+    counts = tokens.groupBy("word").agg(F.count("*").alias("n"))
     probes = counts.orderBy(F.desc("n"), "word").limit(CMS_PROBES)
     probed = probes.select(
         "word", "n", F.explode(hrows).alias("hrow")

@@ -27,90 +27,91 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 # The driver walks ``queries()`` in dict order and checks exactly the
-# first 50 entries per round (CORRECTNESS_r01/r02 each cover 50). Order
-# is therefore a correctness lever. Round-3 rotation: the 42 queries
-# whose only green row certifies round-1 code (CORRECTNESS_r02 never
-# touched them, yet the dedup/similarity/events files changed
-# substantially in round 2) lead, so every green row is refreshed
-# against current code; next come the two array-output queries that
-# erred in r2 (now '|'-joined strings); the remaining head slots go to
-# queries NEW this round. Everything proven green in r2 sits after
-# position 49.
+# first 50 entries per round (each CORRECTNESS_r0N covers 50). Order is
+# therefore a correctness lever. Round-4 rotation (executes the plan the
+# round-3 VERDICT ratified): positions 0-27 are the 28 queries that had
+# never had a driver row (selfcheck-green at sf0.01 AND sf0.1, incl.
+# --vanilla, and independently re-run by the round-3 judge — 28/28);
+# position 28 is the new crawl-source oracle query (gives SURVEY A13 a
+# driver row); positions 29-49 refresh the round-2 greens whose modules
+# changed most since their green row (git diff 75d46e4..HEAD:
+# relational +407, statistics +377, text_analysis +382, similarity +355,
+# events_ops +322, pipeline_ops +228 — including every query whose
+# module is being touched again in round 4: count_min_sketch_words,
+# ann_ivf_topk, winsorized_segment_spend re-certify on round-4 code).
 #
 # CAPACITY WARNING: the head is at exactly 50 entries. Anything past
 # position 49 gets no driver row this round — add new queries by
 # REPLACING a proven-green head entry, never by growing past 50.
 #
-# ROUND-4 ROTATION PLAN: after round 3's head (42 refreshed r1 greens +
-# 2 fixed array queries + 6 new), 28 registered queries still lack any
-# driver row (all selfcheck-green locally at sf0.01 AND sf0.1, incl.
-# --vanilla):
-#   salted_skew_join_zipf, q9_profit_by_nation_year, fk_integrity_audit,
-#   rollup_time_hierarchy, revenue_mom_change, q18_large_volume_customers,
-#   cohort_retention, scd2_user_value_history, ewma_user_value,
-#   twap_user_daily, gopher_quality_flags, frequent_token_pairs,
-#   canonical_doc_per_cluster, embedding_centroid_distance, ann_pq_adc_topk,
-#   ann_ivfpq_topk, sql_pipe_revenue, winsorized_segment_spend,
-#   nested_order_lines, train_contamination_ngram, doc_chunk_overlap,
-#   heavy_hitters_mg, table_profile, stats_regression,
-#   zscore_outliers, count_min_sketch_words, pagerank_nation_trade,
-#   q16_null_aware_anti
-# Round 4's head must lead with these 28; fill the rest with whichever
-# checked queries' code changed most since their last green row.
+# ROUND-5 ROTATION PLAN: after this head lands green, every query's
+# newest green row will be ≤1 round old except the r3 greens (the 50
+# names in the round-3 head) and the r2 greens not refreshed here
+# (cube_flag_status, scalar_subquery_big_orders, recursive_cte_month_spine,
+# media_*, udaf_median_order_value, grouped_map_spend_share,
+# order_value_percentiles, approx_percentiles, pivot_status_by_priority,
+# sql_cte_above_nation_avg, train_test_split, corpus_quality_filter,
+# sequence_packing, corpus_end_to_end, stratified_source_cap,
+# corpus_temperature_mix, domain_doc_stats, global_size_stats,
+# metadata_extract, wordcount, udtf_bigrams, date_features,
+# string_functions_showcase, cross_join_enumeration). Round 5's head:
+# (1) any query NEW in round 4, (2) queries whose module changed in
+# round 4 whose last green predates the change, (3) oldest green rows
+# first among the rest.
 PRIORITY_HEAD: tuple[str, ...] = (
-    # -- 42 round-1-only greens: refresh onto round-2+ code
-    "top_domains",
-    "filter_project_preview",
-    "html_to_markdown_docs",
-    "normalize_text",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "semi_join_active_customers",
-    "anti_join_idle_customers",
-    "outer_join_order_counts",
-    "theta_join_balance_peers",
-    "set_ops_customer_segments",
-    "distinct_counts",
-    "orders_by_month",
-    "part_price_bands",
-    "unpivot_balance_metrics",
-    "full_outer_reconciliation",
-    "union_by_name_evolution",
-    "posexplode_tokens",
-    "null_safe_equality",
-    "top3_orders_per_customer",
-    "customer_running_spend",
-    "part_price_rank_in_brand",
-    "rollup_nation_segment",
-    "grouping_sets_priority_status",
-    "rolling_30d_revenue",
-    "kafka_roundtrip_counts",
-    "events_hourly_windows",
-    "events_sliding_windows",
-    "dedup_first_event_per_user_type",
-    "lang_id_heuristic",
-    "doc_quality_scores",
-    "token_counts",
-    "doc_fingerprints",
-    "dedup_exact",
-    "minhash_signatures",
-    "dedup_minhash_lsh",
-    "simhash_values",
-    "dedup_simhash_hamming",
-    "dedup_char_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_connected_components",
-    "ann_topk_cosine",
-    # -- r2 err rows fixed this round (array outputs now '|'-joined)
-    "array_map_builders",
-    "inverted_index",
-    # -- NEW queries this round (≤6 to stay within the 50-row window)
-    "stats_rollup",
-    "bloom_filter_membership",
-    "url_normalize_dedup",
-    "doc_pii_redaction",
-    "sessionized_path_3grams",
-    "quantile_sketch_merge",
+    # -- 0-27: first-ever driver rows (judge-verified selfcheck-green)
+    "salted_skew_join_zipf",
+    "q9_profit_by_nation_year",
+    "fk_integrity_audit",
+    "rollup_time_hierarchy",
+    "revenue_mom_change",
+    "q18_large_volume_customers",
+    "cohort_retention",
+    "scd2_user_value_history",
+    "ewma_user_value",
+    "twap_user_daily",
+    "gopher_quality_flags",
+    "frequent_token_pairs",
+    "canonical_doc_per_cluster",
+    "embedding_centroid_distance",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "sql_pipe_revenue",
+    "winsorized_segment_spend",
+    "nested_order_lines",
+    "train_contamination_ngram",
+    "doc_chunk_overlap",
+    "heavy_hitters_mg",
+    "table_profile",
+    "stats_regression",
+    "zscore_outliers",
+    "count_min_sketch_words",
+    "pagerank_nation_trade",
+    "q16_null_aware_anti",
+    # -- 28: NEW this round — the crawl Python Data Source's oracle row
+    "crawl_source_page_stats",
+    # -- 29-49: r2 greens from the most-changed modules, re-certified
+    "q1_pricing_summary",
+    "salted_skew_join",
+    "approx_distinct_counts",
+    "stats_correlation",
+    "window_distribution_funcs",
+    "safe_math_ansi",
+    "price_histogram",
+    "fuzzy_source_pairs",
+    "argminmax_per_source",
+    "doc_ngram_repetition",
+    "ann_ivf_topk",
+    "ann_srp_lsh_pairs",
+    "embedding_srp_signatures",
+    "events_json_decode",
+    "user_sessionization",
+    "asof_join_last_purchase",
+    "event_funnel_conversion",
+    "range_join_incident_windows",
+    "variant_json_shred",
+    "events_gap_filled_hourly",
+    "tfidf_top_terms",
 )
 
 # Proven green in round 2 against current code: after the 50-row window.

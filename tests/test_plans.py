@@ -342,6 +342,31 @@ def test_cms_sketch_map_side_combine(spark, sf_dir):
     assert len(ha) >= 4  # partial+final for word counts AND for cms cells
 
 
+def test_cms_cells_never_shuffle_by_word(spark, sf_dir):
+    """The sketch path proper (``cms_cells``) must build cells straight
+    from the token stream: its ONLY exchange is keyed by the fixed
+    (hrow, bucket) cell space — the vocabulary never keys a shuffle, so
+    map-side combine collapses each partition to ≤1024 rows before the
+    wire. (The word-keyed groupBy in the full query exists solely for
+    the 20 probe words' exact_n contract.)"""
+    from pyspark.sql import functions as F
+
+    from bigdata_2025_1_spark.functions import text as T
+    from bigdata_2025_1_spark.io import load
+    from bigdata_2025_1_spark.operators.statistics import cms_cells
+
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("word"))
+    plan = formatted_plan(cms_cells(tokens))
+    exchanges = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert exchanges, plan  # the one cell-space exchange exists
+    assert all("word" not in l for l in exchanges), exchanges
+    assert all("hrow" in l and "bucket" in l for l in exchanges), exchanges
+    # partial + final aggregate pair around that exchange
+    ha = [l for l in plan.splitlines() if re.search(r"^\(\d+\) HashAggregate", l)]
+    assert len(ha) >= 2
+
+
 def test_ann_ivfpq_recall_and_plan(spark, sf_dir):
     """IVFPQ composition: candidate join must stay an equi-join on the
     cell key (probes broadcast, no cartesian), and recall@5 vs brute
