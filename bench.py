@@ -51,6 +51,13 @@ HEADLINE = [
     "sequence_packing",
     "ann_topk_cosine",
     "ann_srp_lsh_pairs",
+    # NOTE r4 on ann_ivf_topk's r2→r3 drift (0.88→1.05 s): its code and
+    # kernels are byte-identical across the rounds (git: similarity.py
+    # +355/-0, vectors.py additions only) — the delta is run-order/JIT
+    # state in a longer bench list, not a plan change; stage profile at
+    # sf0.1 is ~0.34 s probe encode + ~0.59 s candidate join/score +
+    # window top-k, all fixed Python-worker/broadcast latency that
+    # amortizes away at real scale (plan pin unchanged-green).
     "ann_ivf_topk",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",

@@ -247,6 +247,62 @@ def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def simhash_hamming_pairs(sim: DataFrame, k: int = 1, bits: int = 16) -> DataFrame:
+    """Near-dup pairs with hamming distance ≤ ``k`` from a
+    ``(doc_id, simhash)`` frame, via pigeonhole banding: split the
+    ``bits``-bit hash into ``k+1`` contiguous bit-bands — ≤ k differing
+    bits cannot touch every band, so at least one band matches exactly
+    and the pair search is k+1 equi-joins on small integer keys (never a
+    cross join, at any scale and any k). Exact, not approximate: banding
+    only generates candidates; the ``bit_count`` filter keeps precision
+    at 1, and recall is 1 by the pigeonhole argument (pinned against a
+    brute-force twin in ``tests/test_simhash_banding.py``).
+
+    Band layout (MSB→LSB, wider bands first) for bits=16, k=1 is the two
+    byte halves — ``simhash div 256`` and ``simhash % 256`` — matching
+    the ``dedup_simhash_hamming`` oracle SQL verbatim."""
+    nb = k + 1
+    base, rem = divmod(bits, nb)
+    widths = [base + 1 if j < rem else base for j in range(nb)]
+    if base == 0:
+        raise ValueError(f"k={k} needs at most bits-1={bits - 1} (one bit per band)")
+    offsets, pos = [], bits
+    for w in widths:
+        pos -= w
+        offsets.append(pos)  # LSB offset of band j (band 0 holds the MSBs)
+    keys = F.array(
+        *[
+            F.shiftright(F.col("simhash"), o) % F.lit(1 << w)
+            for o, w in zip(offsets, widths)
+        ]
+    )
+    banded = sim.select(
+        "doc_id", "simhash", F.posexplode(keys).alias("band", "band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= k)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @query(
     "dedup_simhash_hamming",
     oracle=f"""
@@ -272,36 +328,13 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ 1 via byte banding
     (pigeonhole: ≤1 differing bit ⇒ high byte or low byte equal), so the
     pair search is two equi-joins on one-byte keys — no cross join at any
-    scale."""
+    scale. Generalized banding for hamming ≤ k lives in
+    :func:`simhash_hamming_pairs`; this query is its k=1 instance."""
     docs = load(spark, sf_dir, "documents")
     sim = spread(docs).select(
         "doc_id", T.simhash_bits(F.col("text"), bits=16).alias("simhash")
     )
-    hi = sim.select("doc_id", "simhash", F.lit(0).alias("band"), F.expr("simhash div 256").alias("band_key"))
-    lo = sim.select("doc_id", "simhash", F.lit(1).alias("band"), (F.col("simhash") % 256).alias("band_key"))
-    banded = hi.unionByName(lo)
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= 1)
-        .orderBy("doc_a", "doc_b")
-    )
+    return simhash_hamming_pairs(sim, k=1, bits=16)
 
 
 _CHAR_SHINGLE_SQL = (

@@ -64,9 +64,19 @@ def test_flagship_single_aggregate_two_exchanges(spark, sf_dir):
 
 
 def test_lsh_band_join_no_cartesian(spark, sf_dir):
-    for q in ("dedup_minhash_lsh", "ann_srp_lsh_pairs", "dedup_simhash_hamming"):
+    # dedup_char_ngram_jaccard included: its candidate join's equi-key
+    # (minhash bucket equality) must stay a hash/merge join — a
+    # BroadcastNestedLoop/Cartesian here is the all-pairs scale-killer
+    # this family of operators exists to avoid.
+    for q in (
+        "dedup_minhash_lsh",
+        "ann_srp_lsh_pairs",
+        "dedup_simhash_hamming",
+        "dedup_char_ngram_jaccard",
+    ):
         plan = formatted_plan(QUERIES[q](spark, sf_dir))
         assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, q
 
 
