@@ -41,6 +41,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{table}.parquet")
+    # Deterministic timestamp semantics on EVERY code path: the tuned
+    # session (session.py) already pins UTC, but queries also run under
+    # driver-owned vanilla sessions — pin here, at the single entry point
+    # all queries load through, so no query's timestamp arithmetic
+    # depends on which table was loaded first or on the host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table == "events":
         # The events fixture has shipped ts two ways across driver rounds:
         # TIMESTAMP(NANOS) (rejected by Spark's reader, [PARQUET_TYPE_ILLEGAL]
@@ -48,12 +54,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # DuckDB's ns→µs truncation) and TIMESTAMP(MICROS) without a UTC flag
         # (read as TIMESTAMP_NTZ). Normalize both to session-TZ TIMESTAMP so
         # downstream epoch arithmetic (unix_micros, window gaps) type-checks;
-        # the session pins spark.sql.session.timeZone=UTC, so the NTZ→LTZ
-        # cast is value-preserving and matches DuckDB's naive reading.
+        # with the UTC pin above, the NTZ→LTZ cast is value-preserving and
+        # matches DuckDB's naive reading.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Set here (not only in session.py) so driver-owned vanilla
-        # sessions get the same semantics.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

@@ -7,6 +7,7 @@ import importlib
 _MODULES = (
     "reference_parity",
     "relational",
+    "tpch_more",
     "analytic_windows",
     "events_ops",
     "text_analysis",

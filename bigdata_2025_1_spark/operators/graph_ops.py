@@ -153,6 +153,13 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
     )
     out_w = raw_edges.groupBy("src").agg(F.sum("w").alias("total"))
+    # Cache contract (applies to every .persist() inside a registered
+    # query): the returned DataFrame is lazy, so there is no in-function
+    # point to unpersist without defeating the cache. Both harnesses
+    # release between queries (bench.py clearCache per run,
+    # tools/selfcheck.py clearCache per query); a long-lived interactive
+    # session should likewise spark.catalog.clearCache() after
+    # materializing the result.
     edges = (
         raw_edges.join(out_w, "src")
         .select("src", "dst", F.expr(f"w * {PR_PPM} div total").alias("w_ppm"))

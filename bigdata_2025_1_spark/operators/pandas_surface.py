@@ -10,7 +10,7 @@ boundaries / partitionings cannot change results.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions.exact import sql_exact_sum, within_tol
@@ -285,18 +285,30 @@ def sql_pipe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "winsorized_segment_spend",
     oracle="""
-    WITH bounds AS (
+    WITH ranked AS (
       SELECT c_mktsegment,
-             quantile_cont(c_acctbal, 0.05) AS lo,
-             quantile_cont(c_acctbal, 0.95) AS hi
-      FROM customer GROUP BY c_mktsegment
+             CAST(ROUND(c_acctbal * 1e2) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY CAST(ROUND(c_acctbal * 1e2) AS BIGINT)) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) - 1 AS k
+      FROM customer
+    ), bounds AS (
+      SELECT c_mktsegment,
+             20 * MAX(CASE WHEN rn = k // 20 THEN cents END)
+               + (k % 20) * (MAX(CASE WHEN rn = (k + 19) // 20 THEN cents END)
+                             - MAX(CASE WHEN rn = k // 20 THEN cents END)) AS lo20,
+             20 * MAX(CASE WHEN rn = (19 * k) // 20 THEN cents END)
+               + ((19 * k) % 20) * (MAX(CASE WHEN rn = (19 * k + 19) // 20 THEN cents END)
+                                    - MAX(CASE WHEN rn = (19 * k) // 20 THEN cents END)) AS hi20
+      FROM ranked GROUP BY c_mktsegment, k
     ), w AS (
       SELECT c.c_mktsegment,
-             CAST(ROUND(GREATEST(b.lo, LEAST(b.hi, c.c_acctbal)) * 1e4) AS BIGINT) AS iv
+             GREATEST(b.lo20, LEAST(b.hi20,
+               20 * CAST(ROUND(c.c_acctbal * 1e2) AS BIGINT))) AS wv20
       FROM customer c JOIN bounds b USING (c_mktsegment)
     )
     SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(iv) AS DOUBLE) / COUNT(*) / 1e4 AS winsorized_mean
+           CAST(SUM(wv20) AS DOUBLE) / COUNT(*) / 2e3 AS winsorized_mean
     FROM w GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
 )
@@ -306,25 +318,54 @@ def winsorized_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps a handful of extreme rows from owning a KPI (the outlier-REMOVING
     twin is zscore_outliers; this one caps instead of drops).
 
-    Scale shape: the bounds table is |segments| rows (exact percentiles
-    need a per-group sort at 100 TB — substitute approx_percentile there;
-    this exact form is the correctness anchor, same split as
-    order_value_percentiles vs approx_percentiles). Bounds broadcast
-    back; the clamp is map-side; the mean uses the exact-int idiom."""
+    Determinism: the percentile INTERPOLATION itself runs in exact
+    integer arithmetic — p05 sits at rank h = k/20 (k = n-1), so the
+    linearly interpolated bound, scaled by 20, is
+    ``20·v[⌊h⌋] + (k mod 20)·(v[⌈h⌉] − v[⌊h⌋])`` over integer cents:
+    bit-exact in any engine, no reliance on two engines' quantile_cont
+    producing identical doubles (balances have exactly 2 decimals, so
+    cents are exact). The clamp compares 20·cents against those integer
+    bounds; only the final mean divides, with an identical op sequence
+    both sides.
+
+    Scale shape: the bounds need a per-segment sort — at 100 TB
+    substitute approx_percentile (this exact form is the correctness
+    anchor, same split as order_value_percentiles vs approx_percentiles).
+    Bounds broadcast back; the clamp is map-side; one narrow shuffle of
+    (segment, cents) pairs for the rank window."""
     c = load(spark, sf_dir, "customer")
-    bounds = c.groupBy("c_mktsegment").agg(
-        F.percentile("c_acctbal", F.lit(0.05)).alias("lo"),
-        F.percentile("c_acctbal", F.lit(0.95)).alias("hi"),
+    cents = F.round(F.col("c_acctbal") * 1e2).cast("bigint")
+    seg_w = Window.partitionBy("c_mktsegment")
+    ranked = (
+        c.select("c_mktsegment", cents.alias("cents"))
+        .withColumn("rn", F.row_number().over(seg_w.orderBy("cents")) - 1)
+        .withColumn("k", F.count("*").over(seg_w) - 1)
     )
-    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("c_acctbal")))
-    iv = F.round(clamped * 1e4).cast("bigint")
+    k = F.col("k")
+
+    def _at(idx):  # value at 0-based rank ``idx`` within the segment
+        return F.max(F.when(F.col("rn") == idx, F.col("cents")))
+
+    bounds = ranked.groupBy("c_mktsegment", "k").agg(
+        (
+            20 * _at(F.expr("k div 20"))
+            + (k % 20) * (_at(F.expr("(k + 19) div 20")) - _at(F.expr("k div 20")))
+        ).alias("lo20"),
+        (
+            20 * _at(F.expr("(19 * k) div 20"))
+            + ((19 * k) % 20)
+            * (_at(F.expr("(19 * k + 19) div 20")) - _at(F.expr("(19 * k) div 20")))
+        ).alias("hi20"),
+    ).select("c_mktsegment", "lo20", "hi20")
+    wv20 = F.greatest(F.col("lo20"), F.least(F.col("hi20"), 20 * F.col("cents")))
     return (
-        c.join(F.broadcast(bounds), "c_mktsegment")
-        .select("c_mktsegment", iv.alias("iv"))
+        c.select("c_mktsegment", cents.alias("cents"))
+        .join(F.broadcast(bounds), "c_mktsegment")
+        .select("c_mktsegment", wv20.alias("wv20"))
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n"),
-            (F.sum("iv").cast("double") / F.count("*") / 1e4).alias("winsorized_mean"),
+            (F.sum("wv20").cast("double") / F.count("*") / 2e3).alias("winsorized_mean"),
         )
         .orderBy("c_mktsegment")
     )

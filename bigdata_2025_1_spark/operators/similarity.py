@@ -418,8 +418,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids per 8-dim subspace, exact int64-scaled projections); a query
     scores the WHOLE corpus from its own projection table (``projs``
     doubles as the ADC lookup table: approx-dot(q, x) = Σ_m
-    q.projs[m][x.codes[m]]), shortlists 25 by that integer score, and
-    exact-cosine re-ranks only the shortlist.
+    q.projs[m][x.codes[m]]), shortlists ``PQ_SHORTLIST`` (64) by that
+    integer score, and exact-cosine re-ranks only the shortlist.
 
     The 100 TB story: PQ codes are 8 BYTES per vector (vs 256 for the raw
     float32[64]) — the corpus scan in the scoring pass reads 32× less

@@ -1,0 +1,894 @@
+"""The remaining classic TPC-H query shapes (Q2/4/6/7/8/10/11/12/13/14/
+15/17/19/20/21/22), adapted to the fixture's reduced schema.
+
+With ``relational.py``'s Q1/Q3/Q5/Q9/Q16/Q18, this module completes all
+22 TPC-H shapes as oracle-checked queries. "Shape" is the point: the
+fixture has no partsupp table, no l_commitdate/l_receiptdate/l_shipmode,
+and no p_container/p_mfgr — so each query keeps the ORIGINAL's plan
+skeleton (correlated min subquery, EXISTS with a date offset, OR-of-ANDs
+pushed into a join, double-EXISTS self joins, anti join + scalar
+subquery threshold, …) and substitutes available columns where the spec
+names a missing one. Each docstring says exactly what was substituted.
+
+Determinism contract (same as the rest of the repo): every money/qty
+aggregate goes through exact integer scaling; every engine-vs-engine
+comparison that could ride on a float division is re-algebraized to
+integer form (e.g. ``balance > avg`` becomes ``bal_cents·n > sum_cents``);
+every output row set has a total deterministic order.
+
+100 TB posture: dimension sides broadcast; fact-fact joins shuffle on
+their join keys and reuse the key for the following group-by; the only
+window functions run over small aggregated frames, never the raw facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.functions.exact import exact_sum, sql_exact_sum
+from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.registry import query
+
+
+def _ts(s: str) -> Column:
+    return F.lit(s).cast("timestamp")
+
+
+def _rev() -> Column:
+    # built lazily: Column construction needs an active SparkContext,
+    # which does not exist at import/registration time
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated MIN subquery)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(1e2 * l_extendedprice / l_quantity) AS BIGINT)) AS cost_cents
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'STANDARD' AND p_size <= 10
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT c.l_partkey AS p_partkey, s.s_name, n.n_name AS nation, c.cost_cents
+    FROM cost c
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE c.cost_cents = (SELECT MIN(c2.cost_cents) FROM cost c2
+                          WHERE c2.l_partkey = c.l_partkey)
+    ORDER BY p_partkey, s_name
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) achieving
+    the MINIMUM supply cost — the correlated-aggregate-subquery pattern.
+    Substitutions: no partsupp, so supply cost := the supplier's minimum
+    observed unit price ``round(100·l_extendedprice/l_quantity)`` (one
+    IEEE division, identical in both engines, then exact cents); the
+    region filter becomes p_type/p_size.
+
+    Spark expresses the correlated MIN as a window over the aggregated
+    (part, supplier) cost table — |parts|·|suppliers| rows, NOT raw facts
+    — which Catalyst runs as one extra tiny shuffle; the oracle keeps the
+    literal correlated subquery so the two formulations pin each other."""
+    parts = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    unit_cents = F.round(F.lit(1e2) * F.col("l_extendedprice") / F.col("l_quantity")).cast(
+        "bigint"
+    )
+    cost = (
+        li.join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit_cents).alias("cost_cents"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        cost.withColumn("min_cost", F.min("cost_cents").over(w))
+        .filter(F.col("cost_cents") == F.col("min_cost"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "cost_cents",
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking (EXISTS semi join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders having at least one
+    problem line — the EXISTS → left-semi-join pattern. Substitution: no
+    l_commitdate/l_receiptdate, so "late" := shipped more than 60 days
+    after the order date (same correlated date comparison).
+
+    The semi join shuffles on orderkey only (no line payload crosses the
+    wire beyond the key and the compared dates); the group-by runs on the
+    already-filtered orders."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01"))
+        & (F.col("o_orderdate") < _ts("1996-10-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue change (pushdown-everything scan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_exact_sum('l_extendedprice * l_discount', 4)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 verbatim (every referenced column exists): the
+    pure-pushdown query — date range + discount band + quantity cap all
+    reach the parquet scan, then a single global exact sum. The plan to
+    check at 100 TB is PushedFilters carrying all four predicates and a
+    two-HashAggregate (partial/final) spine with no shuffle but the
+    1-row final."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations (bidirectional pair filter)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           {sql_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations in BOTH
+    directions, by ship year — the self-joined dimension (nation twice,
+    once via supplier, once via customer) with a disjunctive pair filter.
+    Both nation copies broadcast; the pair predicate prunes after the
+    cheap dim joins, before aggregation."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(exact_sum(_rev(), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share (conditional share of a join's revenue)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1e4) AS BIGINT) AS rev_i,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_i ELSE 0 END) AS DOUBLE)
+             / SUM(rev_i) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a filtered market's revenue
+    per year — the conditional-numerator / unconditional-denominator
+    ratio over an 8-table join. Substitution: p_type stands in for the
+    original's p_type filter verbatim (it exists); region AMERICA on the
+    CUSTOMER side, share measured for supplier nation NATION_3.
+    Share = int64 numerator / int64 denominator, one double division."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    c = load(spark, sf_dir, "customer")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    rev_i = F.round(_rev() * F.lit(1e4)).cast("bigint")
+    vol = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n2_region"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev_i.alias("rev_i"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("rev_i")).otherwise(0))
+    return (
+        vol.groupBy("o_year")
+        .agg((num.cast("double") / F.sum("rev_i")).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item reporting (top-20 customers by lost revenue)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           c.c_acctbal, n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue in a
+    quarter — fact-fact join filtered on the return flag, grouped by
+    customer, top-20. The returnflag + date filters push to the scans;
+    nation broadcasts; orderkey join then custkey group-by are the two
+    shuffles (the second is small: one row per customer)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-10-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(exact_sum(_rev(), 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification (HAVING > scalar-subquery share)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_value_concentration",
+    oracle="""
+    WITH val AS (
+      SELECT n.n_name AS nation,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1e4) AS BIGINT)) AS value_i
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation, CAST(value_i AS DOUBLE) / 1e4 AS shipped_value
+    FROM val
+    WHERE 20 * value_i > (SELECT SUM(value_i) FROM val)
+    ORDER BY shipped_value DESC, nation
+    """,
+)
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose value exceeds a FRACTION OF THE
+    GLOBAL TOTAL (HAVING > scalar subquery). Substitution: no partsupp,
+    so value := revenue shipped by each supplier NATION, threshold 1/20
+    of world total. The share test is integer-exact (20·v > Σv — no
+    float fraction); Spark computes the scalar via a 1-row broadcast
+    cross join, the oracle keeps the literal subquery."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    rev_i = F.round(_rev() * F.lit(1e4)).cast("bigint")
+    val = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev_i).alias("value_i"))
+    )
+    total = val.agg(F.sum("value_i").alias("total_i"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(20 * F.col("value_i") > F.col("total_i"))
+        .select("nation", (F.col("value_i").cast("double") / 1e4).alias("shipped_value"))
+        .orderBy(F.desc("shipped_value"), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-mode priority classes (CASE aggregation on a join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q12_late_line_priorities",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def q12_late_line_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-class counts of late shipments split into
+    high/low priority via CASE aggregation. Substitutions: no
+    l_shipmode, so the class column is l_linestatus; no
+    l_commitdate/l_receiptdate, so "late" := shipped >60 days after the
+    order date (the same cross-table date predicate evaluated inside the
+    join)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (outer join of aggregates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the order-count HISTOGRAM over customers,
+    zero-order customers included — left outer join with an ON-clause
+    filter (NOT a WHERE, which would drop the nulls), double aggregation.
+    Substitution: the o_comment NOT LIKE filter becomes an
+    o_orderpriority exclusion (same position in the ON clause)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect (conditional revenue percentage)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1e4) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE)
+             / SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1e4) AS BIGINT))
+           AS promo_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (near-verbatim: the fixture's p_type has a literal
+    'PROMO' class): percentage of one month's revenue from promo parts.
+    Part broadcasts into the date-pruned lineitem scan; the ratio is
+    int64/int64 with one double multiply-divide, identical op order in
+    both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-09-01"))
+        & (F.col("l_shipdate") < _ts("1997-10-01"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev_i = F.round(_rev() * F.lit(1e4)).cast("bigint")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev_i).otherwise(0))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg((F.lit(100.0) * promo.cast("double") / F.sum(rev_i)).alias("promo_pct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (aggregate = MAX of aggregates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1e4) AS BIGINT)) AS total_i
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-10-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_i AS DOUBLE) / 1e4 AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_i = (SELECT MAX(total_i) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose quarterly revenue EQUALS the
+    maximum over all suppliers — the view-then-scalar-subquery pattern
+    (ties must all surface, which is why it is not a LIMIT 1). The
+    equality test runs on exact int64 revenue, so "equals max" cannot be
+    broken by float summation order in either engine."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-10-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev_i = F.round(_rev() * F.lit(1e4)).cast("bigint")
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_i).alias("total_i"))
+    mx = rev.agg(F.max("total_i").alias("max_i"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_i") == F.col("max_i"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_i").cast("double") / 1e4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated per-part average)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pavg AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(l_quantity * 1e2) AS BIGINT)) AS sum_qc
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#13'
+      GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 1e2) AS BIGINT)) AS DOUBLE)
+             / 1e2 / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN pavg a ON a.l_partkey = l.l_partkey
+    WHERE 5 * a.n * CAST(ROUND(l.l_quantity * 1e2) AS BIGINT) < a.sum_qc
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to orders below 20% of their part's
+    average quantity — the correlated per-part AVG pushed into a filter.
+    The threshold ``q < 0.2·avg(q)`` is re-algebraized to integers:
+    ``5·n·q_cents < Σq_cents`` (no float average anywhere), which both
+    engines evaluate identically. Substitution: p_container filter →
+    p_brand only.
+
+    Scale shape: per-part aggregates join back to the same partkey —
+    one shuffle key reused; at 100 TB the pavg side is |parts| rows."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    li = load(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity") * 1e2).cast("bigint")
+    pavg = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n"), F.sum(qc).alias("sum_qc"))
+        .select(F.col("l_partkey").alias("a_partkey"), "n", "sum_qc")
+    )
+    return (
+        li.join(pavg, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(5 * F.col("n") * qc < F.col("sum_qc"))
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 1e2).cast("bigint")).cast(
+                    "double"
+                )
+                / 1e2
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue (OR-of-ANDs join predicate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {sql_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three conjunctive
+    brand/size/quantity bands — the disjunctive predicate that straddles
+    the join (part attributes AND lineitem attributes in each arm).
+    Substitution: p_container/shipmode arms → p_size bands. Catalyst
+    extracts the common join key so this stays an equi-join with a
+    post-join disjunction, never a cartesian."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    arm = lambda brand, szlo, szhi, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(szlo, szhi)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            arm("Brand#12", 1, 5, 1, 11)
+            | arm("Brand#23", 1, 10, 10, 20)
+            | arm("Brand#34", 1, 15, 20, 30)
+        )
+        .agg(exact_sum(_rev(), 4).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — excess-share suppliers (nested aggregate threshold per supplier)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_promo_heavy_suppliers",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l.l_suppkey,
+             SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(ROUND(l.l_quantity * 1e2) AS BIGINT) ELSE 0 END) AS promo_qc,
+             SUM(CAST(ROUND(l.l_quantity * 1e2) AS BIGINT)) AS total_qc
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_name, n.n_name AS nation
+    FROM per_supp ps
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE 2 * ps.promo_qc > ps.total_qc
+    ORDER BY s_name
+    """,
+)
+def q20_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers selected by comparing one aggregate of
+    their lines against a threshold derived from ANOTHER aggregate of
+    their lines (the original compares availqty to half the shipped
+    quantity; no partsupp here, so: suppliers whose 1997 shipped quantity
+    is >50% promo-type parts). Threshold is integer (2·promo > total);
+    name/nation join happens only for the qualifying suppliers — the
+    original's semi-join spirit."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    qc = F.round(F.col("l_quantity") * 1e2).cast("bigint")
+    per_supp = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", qc).otherwise(0)).alias("promo_qc"),
+            F.sum(qc).alias("total_qc"),
+        )
+    )
+    return (
+        per_supp.filter(2 * F.col("promo_qc") > F.col("total_qc"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS self joins)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    multi-supplier finished orders — the EXISTS + NOT EXISTS pair of
+    correlated self-joins (the hardest join shape in the suite).
+    Substitution: no l_receiptdate/l_commitdate, so "late" := shipped
+    >90 days after the order date.
+
+    Spark spells the two correlated predicates as left-semi and
+    left-anti joins on (orderkey, suppkey≠) — both shuffle on orderkey
+    only; the NOT EXISTS side pre-filters to late lines so the anti
+    join's build side is the small one."""
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    l1 = (
+        li.join(
+            o,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_shipdate").alias("x_shipdate"),
+    )
+    has_other = l1.join(
+        others,
+        (F.col("x_orderkey") == F.col("l_orderkey"))
+        & (F.col("x_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    sole_late = has_other.join(
+        others,
+        (F.col("x_orderkey") == F.col("l_orderkey"))
+        & (F.col("x_suppkey") != F.col("l_suppkey"))
+        & (F.col("x_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (anti join + scalar-subquery threshold)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH pool AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(ROUND(c_acctbal * 1e2) AS BIGINT) AS bal_c
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+    ), thresh AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(bal_c) AS sum_c
+      FROM pool WHERE bal_c > 0
+    )
+    SELECT p.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(p.bal_c) AS DOUBLE) / 1e2 AS totacctbal
+    FROM pool p, thresh t
+    WHERE p.bal_c * t.n > t.sum_c
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey)
+    GROUP BY p.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers ABOVE the average balance of their
+    cohort who have NO orders — scalar-subquery threshold + anti join.
+    Substitutions: phone-prefix cohort → market-segment cohort. The
+    above-average test is integer-exact (bal·n > Σbal, no float average);
+    the NOT EXISTS is a left-anti join on custkey."""
+    segs = ("BUILDING", "AUTOMOBILE", "MACHINERY")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment").isin(*segs))
+    o = load(spark, sf_dir, "orders")
+    pool = c.select(
+        "c_custkey", "c_mktsegment", F.round(F.col("c_acctbal") * 1e2).cast("bigint").alias("bal_c")
+    )
+    thresh = pool.filter(F.col("bal_c") > 0).agg(
+        F.count("*").alias("n"), F.sum("bal_c").alias("sum_c")
+    )
+    return (
+        pool.crossJoin(F.broadcast(thresh))
+        .filter(F.col("bal_c") * F.col("n") > F.col("sum_c"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("bal_c").cast("double") / 1e2).alias("totacctbal"),
+        )
+        .orderBy("segment")
+    )

@@ -55,9 +55,19 @@ ORACLES: dict[str, str] = {}
 # corpus_temperature_mix, domain_doc_stats, global_size_stats,
 # metadata_extract, wordcount, udtf_bigrams, date_features,
 # string_functions_showcase, cross_join_enumeration). Round 5's head:
-# (1) any query NEW in round 4, (2) queries whose module changed in
-# round 4 whose last green predates the change, (3) oldest green rows
-# first among the rest.
+# (1) queries NEW in round 4 — the 16 TPC-H shapes completing the suite
+# (q2_min_cost_supplier, q4_order_priority, q6_forecast_revenue,
+# q7_volume_shipping, q8_market_share, q10_returned_items,
+# q11_value_concentration, q12_late_line_priorities,
+# q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
+# q17_small_quantity_revenue, q19_disjunctive_revenue,
+# q20_promo_heavy_suppliers, q21_waiting_suppliers,
+# q22_idle_rich_customers) plus any later round-4 additions;
+# (2) queries whose module changed in round 4 whose last green predates
+# the change (dedup_simhash_hamming + simhash_values — banding
+# generalized; the pandas_surface/statistics/similarity head entries
+# re-certify THIS round already); (3) oldest green rows first among the
+# rest.
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 0-27: first-ever driver rows (judge-verified selfcheck-green)
     "salted_skew_join_zipf",

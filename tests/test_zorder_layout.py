@@ -18,20 +18,6 @@ from bigdata_2025_1_spark.io import load
 N_FILES = 8
 
 
-def _mean_extent(path_glob: str, col: str) -> float:
-    exts = []
-    for f in glob.glob(path_glob):
-        md = pq.ParquetFile(f).metadata
-        mn = min(md.row_group(i).column_for_column_name_or_path(col).statistics.min
-                 if hasattr(md.row_group(i), 'column_for_column_name_or_path')
-                 else md.row_group(i).column(_col_index(md, col)).statistics.min
-                 for i in range(md.num_row_groups))
-        mx = max(md.row_group(i).column(_col_index(md, col)).statistics.max
-                 for i in range(md.num_row_groups))
-        exts.append(mx - mn)
-    return sum(exts) / len(exts)
-
-
 def _col_index(md, name: str) -> int:
     rg = md.row_group(0)
     for i in range(rg.num_columns):
