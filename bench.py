@@ -66,6 +66,10 @@ HEADLINE = [
     # round-3 additions: multi-join + iterative
     "q9_profit_by_nation_year",
     "pagerank_nation_trade",
+    # round-4 additions: the hardest of the 16 new TPC-H shapes
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
 ]
 
 

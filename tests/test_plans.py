@@ -404,3 +404,48 @@ def test_twap_single_data_shuffle(spark, sf_dir):
     fresh attribute and re-shuffle). Second exchange = final sort."""
     df = QUERIES["twap_user_daily"](spark, sf_dir)
     assert count_exchanges(df) == 2
+
+
+def test_q6_pushdown_all_predicates(spark, sf_dir):
+    """Q6 is THE pushdown query: date range + discount band + quantity
+    cap must all reach the parquet reader, the read schema must carry
+    only the 4 referenced columns, and the plan is scan→partial
+    agg→1-row final — no join, no wide shuffle."""
+    df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    plan = formatted_plan(df)
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read_schema
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in read_schema, (col, read_schema)
+    ha = re.findall(r"^\(\d+\) HashAggregate", plan, re.M)
+    assert len(ha) == 2  # partial + final of the single global aggregate
+
+
+def test_q21_semi_anti_no_cartesian(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS pair must stay keyed joins: a left-semi
+    AND a left-anti on orderkey, never a nested-loop over facts (the
+    inequality on suppkey rides as a join residual, not the key)."""
+    plan = formatted_plan(QUERIES["q21_waiting_suppliers"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q2_window_over_aggregate_not_facts(spark, sf_dir):
+    """Q2's correlated-MIN spells as a window — but it must run over the
+    aggregated (part, supplier) cost table, never the raw lineitem scan:
+    the Window node's child chain has to contain the cost HashAggregate
+    (window-over-facts would invert the reduction order and shuffle the
+    whole fact table by part)."""
+    plan = formatted_plan(QUERIES["q2_min_cost_supplier"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    win = [i for i, l in enumerate(plan.splitlines()) if re.match(r"^\(\d+\) Window", l)]
+    assert win, plan
+    # the tree above (numbered before) the Window line must include the
+    # partial/final aggregate pair that built cost_cents
+    head = "\n".join(plan.splitlines()[: win[0]])
+    assert re.search(r"HashAggregate", head)
