@@ -21,6 +21,8 @@ _MODULES = (
     "streaming_ops",
     "graph_ops",
     "crawl_ops",
+    "corpus_ops",
+    "retrieval_ops",
 )
 
 

@@ -1,0 +1,146 @@
+"""Corpus-hygiene operators a pretraining pipeline runs before tokenizer
+and model ever see the data: cross-document duplicated-span detection
+(the Lee et al. 2022 "deduplicating training data" signal — the fixture
+text has no newlines, so the C4 line-dedup shape appears at its honest
+granularity: repeated word n-gram spans), and one BPE merge step (the
+pair-frequency scan at the core of tokenizer training).
+
+Scale notes are per-query; both avoid any all-pairs work — spans/pairs
+are grouped by their own value (an equi-key shuffle of small strings),
+never compared pairwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.functions import text as T
+from bigdata_2025_1_spark.io import load, spread
+from bigdata_2025_1_spark.registry import query
+
+SPAN_K = 8  # words per span: long enough that sharing one is signal
+
+_SQL_TOKS = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+_SQL_SPANS = (
+    f"list_distinct([array_to_string(toks[i:i+{SPAN_K - 1}], ' ') "
+    f"for i in range(1, greatest(len(toks) - {SPAN_K - 1}, 0) + 1)])"
+)
+
+
+@query(
+    "corpus_duplicate_spans",
+    oracle=f"""
+    WITH sp AS (
+      SELECT doc_id, {_SQL_SPANS} AS spans
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ), ex AS (
+      SELECT doc_id, unnest(spans) AS span FROM sp
+    ), freq AS (
+      SELECT span, COUNT(DISTINCT doc_id) AS n_docs FROM ex GROUP BY span
+    ), per_doc AS (
+      SELECT e.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+      FROM ex e JOIN freq f USING (span)
+      GROUP BY e.doc_id
+    )
+    SELECT s.doc_id,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           10 * COALESCE(p.n_dup_spans, 0) > 3 * COALESCE(p.n_spans, 0) AS dup_heavy
+    FROM sp s LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection: for every document, how
+    many of its distinct 8-word spans also occur in at least one OTHER
+    document, and a >30% "dup-heavy" flag — the span-level dedup signal
+    (Lee et al. 2022) that catches boilerplate exact-dedup misses and
+    MinHash dilutes.
+
+    Scale shape: spans shuffle grouped BY THEIR OWN VALUE (span →
+    distinct-doc count) — an equi-key aggregation, never a doc-pair
+    comparison, so cost is O(corpus spans), not O(docs²). At 100 TB the
+    span strings would be md5'd to 16 bytes before the shuffle (same
+    trick as exact dedup, operators/dedup.py:63); kept as raw strings
+    here to stay oracle-transparent. The >30% flag is integer-exact
+    (10·dup > 3·total). Zero-span docs (shorter than 8 words) surface
+    with (0, 0, false) via the left join, not silently dropped."""
+    docs = load(spark, sf_dir, "documents")
+    sp = spread(docs).select(
+        "doc_id", T.word_shingles(F.col("text"), k=SPAN_K).alias("spans")
+    )
+    ex = sp.select("doc_id", F.explode("spans").alias("span"))
+    freq = ex.groupBy("span").agg(F.count_distinct("doc_id").alias("n_docs"))
+    per_doc = (
+        ex.join(freq, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("p_spans"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("p_dup"),
+        )
+    )
+    n_spans = F.coalesce(F.col("p_spans"), F.lit(0)).alias("n_spans")
+    n_dup = F.coalesce(F.col("p_dup"), F.lit(0))
+    return (
+        sp.select("doc_id")
+        .join(per_doc, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            n_spans,
+            n_dup.alias("n_dup_spans"),
+            (10 * n_dup > 3 * F.coalesce(F.col("p_spans"), F.lit(0))).alias("dup_heavy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "bpe_pair_merge_step",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    t -> t <> '')) AS w
+      FROM documents
+    ), pairs AS (
+      SELECT unnest([substr(w, i, 2) for i in range(1, length(w))]) AS pair
+      FROM words
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_pair_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge step's frequency scan: count adjacent CHARACTER
+    pairs inside words across the corpus and rank the merge candidates —
+    the inner loop of byte-pair-encoding tokenizer training (the top
+    pair is the next merge; re-running after applying a merge is the
+    full algorithm).
+
+    Scale shape: pair extraction is a per-row higher-order expression
+    (no UDF); the aggregation keys on the pair itself — at most
+    |alphabet|² groups, so map-side combine collapses each partition to
+    a tiny partial before one exchange (the same fixed-keyspace argument
+    as the count-min cells). Top-20 with a total tiebreak on the pair
+    string."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )

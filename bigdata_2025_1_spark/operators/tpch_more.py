@@ -892,3 +892,36 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bonus shape: correlated LATERAL subquery (Spark 4 / SQL:2016)
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) t
+WHERE c.c_custkey < 100
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+@query("lateral_top_orders_per_customer", oracle=_LATERAL_SQL)
+def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY … LIMIT — the
+    SQL:2016 spelling of per-group top-k (the window spelling is
+    ``top3_orders_per_customer``; registering both pins that the two
+    formulations agree). The IDENTICAL SQL text runs on Spark and DuckDB
+    — the same dual-engine ANSI contract as ``sql_cte_above_nation_avg``.
+    Catalyst rewrites the lateral into a window-style group-limit plan, so
+    at scale this costs one custkey exchange, not a per-customer loop."""
+    from bigdata_2025_1_spark.io import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)

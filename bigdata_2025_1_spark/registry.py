@@ -62,7 +62,9 @@ ORACLES: dict[str, str] = {}
 # q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
 # q17_small_quantity_revenue, q19_disjunctive_revenue,
 # q20_promo_heavy_suppliers, q21_waiting_suppliers,
-# q22_idle_rich_customers) plus any later round-4 additions;
+# q22_idle_rich_customers) and the corpus/retrieval additions
+# (corpus_duplicate_spans, bpe_pair_merge_step, rrf_rank_fusion,
+# lateral_top_orders_per_customer) plus any later round-4 additions;
 # (2) queries whose module changed in round 4 whose last green predates
 # the change (dedup_simhash_hamming + simhash_values — banding
 # generalized; the pandas_surface/statistics/similarity head entries
