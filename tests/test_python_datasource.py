@@ -75,3 +75,51 @@ def test_streaming_crawl_frontier(spark, tmp_path):
     assert out.count() == 6 * LINKS_PER_PAGE
     # exactly-once: no duplicate urls across micro-batches
     assert out.select("url").distinct().count() == 6 * LINKS_PER_PAGE
+
+
+def test_jsonl_sink_writer_roundtrip(spark, tmp_path):
+    """Python Data Source WRITE path: per-partition temp files are
+    renamed into part-NNNNN.jsonl at commit, the manifest carries exact
+    per-file row counts, and a re-read agrees with the input."""
+    import json
+    import os
+
+    from bigdata_2025_1_spark.sources import pyds_sink
+
+    pyds_sink.register(spark)
+    dest = str(tmp_path / "links_out")
+    df = (
+        spark.range(100)
+        .selectExpr(
+            "id",
+            "concat('https://example.test/doc/', id) AS url",
+            "array(id, id * 2) AS refs",
+        )
+        .repartition(4)
+    )
+    df.write.format("jsonl_sink").option("path", dest).mode("append").save()
+
+    manifest = json.load(open(os.path.join(dest, pyds_sink.MANIFEST)))
+    assert manifest["total_rows"] == 100
+    assert sorted(f["file"] for f in manifest["files"]) == [
+        f"part-{i:05d}.jsonl" for i in range(4)
+    ]
+    assert sum(f["rows"] for f in manifest["files"]) == 100
+    # no stray temp files survive commit
+    assert not [f for f in os.listdir(dest) if f.startswith("_tmp-")]
+
+    back = spark.read.json(os.path.join(dest, "part-*.jsonl"))
+    assert back.count() == 100
+    got = {(r.id, r.url, tuple(r.refs)) for r in back.collect()}
+    want = {(i, f"https://example.test/doc/{i}", (i, i * 2)) for i in range(100)}
+    assert got == want
+
+
+def test_jsonl_sink_requires_path(spark):
+    import pytest as _pytest
+
+    from bigdata_2025_1_spark.sources import pyds_sink
+
+    pyds_sink.register(spark)
+    with _pytest.raises(Exception, match="path"):
+        spark.range(3).write.format("jsonl_sink").mode("append").save()
