@@ -128,3 +128,131 @@ def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rrf", "r_cos", "r_dot")
         .orderBy("query_id", F.desc("rrf"), "neighbor_id")
     )
+
+
+SQ_SHORTLIST = 64
+_SQL_SCALED = V.sql_scaled_e9("embedding", _DIM)
+
+
+@query(
+    "ann_sq8_topk",
+    oracle=f"""
+    WITH coded AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             {_SQL_NORM} AS nsq,
+             list_max([abs(embedding[i]::DOUBLE) for i in range(1, {_DIM + 1})]) AS s,
+             CASE WHEN list_max([abs(embedding[i]::DOUBLE) for i in range(1, {_DIM + 1})]) = 0
+                  THEN [0.0::DOUBLE for i in range(1, {_DIM + 1})]
+                  ELSE [ROUND(127 * embedding[i]::DOUBLE /
+                              list_max([abs(embedding[j]::DOUBLE) for j in range(1, {_DIM + 1})]))
+                        for i in range(1, {_DIM + 1})]
+             END AS codes
+      FROM embeddings
+    ), scored AS (
+      SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+             qb.s * CAST(list_dot_product(qa.codes, qb.codes) AS BIGINT) AS approx
+      FROM coded qa JOIN coded qb
+        ON qa.vec_id < {N_PROBES} AND qa.vec_id <> qb.vec_id
+    ), short AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY approx DESC, neighbor_id) AS srk
+            FROM scored)
+      WHERE srk <= {SQ_SHORTLIST}
+    ), rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             {V.sql_dot_scaled('qa.embedding', 'qb.embedding', _DIM)}::DOUBLE
+               / (sqrt(qa.nsq::DOUBLE) * sqrt(qb.nsq::DOUBLE)) AS cosine
+      FROM short s
+      JOIN coded qa ON qa.vec_id = s.query_id
+      JOIN coded qb ON qb.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM rer)
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN: each vector compresses to 64 int8
+    codes + one float scale (max-abs per vector, 4× smaller than
+    float32); the scoring scan ranks by ``scale_x · Σ q_code·x_code``
+    (query-side constants drop out of a per-query ranking), then exact
+    cosine re-ranks the top-64 shortlist. This is FAISS's SQ family —
+    the third compression point next to PQ (``ann_pq_adc_topk``, 32×,
+    codebook lookups) and IVF (partition pruning): SQ8 keeps a cheap
+    in-register integer dot and near-exact recall at modest compression.
+
+    Determinism: codes are round(127·x/maxabs) on identical doubles in
+    both engines (zero-vectors guard to all-0 codes); the integer dot is
+    exact (≤ 64·127² ≪ 2⁵³ even as DuckDB doubles); the approx score is
+    ONE double multiply of (scale × int); the re-rank is the exact
+    int64-scaled cosine used by every ANN twin. All JVM higher-order
+    exprs — no UDF anywhere.
+
+    Scale shape: probes broadcast; the corpus scan reads codes+scale
+    only; raw embeddings are joined back just for shortlist rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    absed = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    s = F.array_max(absed)
+    codes = F.when(
+        s == 0, F.transform(F.col("embedding"), lambda x: F.lit(0.0))
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(F.lit(127) * x.cast("double") / s),
+        )
+    )
+    coded = spread(emb).select(
+        "vec_id",
+        "embedding",
+        V.norm_sq_scaled(F.col("embedding")).alias("nsq"),
+        s.alias("s"),
+        codes.alias("codes"),
+    ).persist()
+    probes = coded.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("q_codes")
+    )
+    corpus = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("codes").alias("c_codes"),
+        F.col("s").alias("c_s"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("q_codes"), F.col("c_codes"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ).cast("bigint")
+    scored = corpus.join(
+        F.broadcast(probes), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", (F.col("c_s") * idot).alias("approx"))
+    ws = Window.partitionBy("query_id").orderBy(F.desc("approx"), "neighbor_id")
+    short = (
+        scored.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= SQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qa = coded.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    cb = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    cosine = V.cosine_from_scaled(
+        V.dot_scaled(F.col("q_emb"), F.col("c_emb")), F.col("q_nsq"), F.col("c_nsq")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        short.join(F.broadcast(qa), "query_id")
+        .join(cb, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )

@@ -449,3 +449,20 @@ def test_q2_window_over_aggregate_not_facts(spark, sf_dir):
     # partial/final aggregate pair that built cost_cents
     head = "\n".join(plan.splitlines()[: win[0]])
     assert re.search(r"HashAggregate", head)
+
+
+def test_ann_sq8_recall(spark, sf_dir):
+    """SQ8 keeps near-exact recall at 4x compression (its selling point
+    vs PQ's 32x): top-5 agreement with the brute-force twin on the
+    shared probe set must be high."""
+    df = QUERIES["ann_sq8_topk"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_topk_cosine"](spark, sf_dir).collect()
+        if r.query_id < 25  # SQ8 probe set is vec_id < 25
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, recall
