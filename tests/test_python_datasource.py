@@ -123,3 +123,66 @@ def test_jsonl_sink_requires_path(spark):
     pyds_sink.register(spark)
     with _pytest.raises(Exception, match="path"):
         spark.range(3).write.format("jsonl_sink").mode("append").save()
+
+
+def test_crawl_stream_to_jsonl_sink_pipeline(spark, tmp_path):
+    """Capstone composition: the reference's whole acquisition pipeline
+    (Selenium pager → filter → driver-side json.dump, crawl/crawl.py)
+    expressed in-engine end to end — streaming crawl source → declarative
+    transform → idempotent per-batch jsonl sink. Each micro-batch commits
+    through the two-phase writer into its own directory (batch_id-keyed,
+    the exactly-once foreachBatch pattern); replaying the stream from
+    scratch produces byte-identical output because the source is
+    deterministic."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_2025_1_spark.sources import pyds, pyds_sink
+
+    pyds.register(spark)
+    pyds_sink.register(spark)
+    out_root = str(tmp_path / "crawl_out")
+
+    def sink_batch(batch_df, batch_id):
+        (
+            batch_df.filter(F.col("status") == 200)
+            .select("url", "domain", "page", "n_bytes")
+            .write.format("jsonl_sink")
+            .option("path", os.path.join(out_root, f"batch-{batch_id:05d}"))
+            .mode("append")
+            .save()
+        )
+
+    stream = (
+        spark.readStream.format("crawl_sim")
+        .option("pagesPerBatch", "3")
+        .option("maxPages", "6")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batches = sorted(os.listdir(out_root))
+    assert batches == ["batch-00000", "batch-00001"]
+    total, urls = 0, set()
+    for b in batches:
+        man = json.load(open(os.path.join(out_root, b, pyds_sink.MANIFEST)))
+        total += man["total_rows"]
+        for fn in (f["file"] for f in man["files"]):
+            for line in open(os.path.join(out_root, b, fn)):
+                rec = json.loads(line)
+                assert rec["n_bytes"] > 0  # the 404s were filtered out
+                urls.add(rec["url"])
+    # all 200-status docs of the 6-page window, exactly once
+    from bigdata_2025_1_spark.sources.pyds import _fetch_page
+
+    expected = {r[0] for p in range(6) for r in _fetch_page(p) if r[4] == 200}
+    assert urls == expected
+    assert total == len(expected)
