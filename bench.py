@@ -70,6 +70,12 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q13_customer_distribution",
     "q21_waiting_suppliers",
+    # round-4 corpus/retrieval additions
+    "corpus_duplicate_spans",
+    "bpe_pair_merge_step",
+    "rrf_rank_fusion",
+    "ann_sq8_topk",
+    "lateral_top_orders_per_customer",
 ]
 
 

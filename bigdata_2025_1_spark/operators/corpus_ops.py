@@ -31,25 +31,24 @@ _SQL_SPANS = (
 @query(
     "corpus_duplicate_spans",
     oracle=f"""
-    WITH sp AS (
-      SELECT doc_id, {_SQL_SPANS} AS spans
-      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
-    ), ex AS (
-      SELECT doc_id, unnest(spans) AS span FROM sp
+    WITH ex AS (
+      SELECT doc_id, md5(unnest(spans)) AS h
+      FROM (SELECT doc_id, {_SQL_SPANS} AS spans
+            FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents))
     ), freq AS (
-      SELECT span, COUNT(DISTINCT doc_id) AS n_docs FROM ex GROUP BY span
+      SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM ex GROUP BY h
     ), per_doc AS (
       SELECT e.doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_spans,
              CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
-      FROM ex e JOIN freq f USING (span)
+      FROM ex e JOIN freq f USING (h)
       GROUP BY e.doc_id
     )
-    SELECT s.doc_id,
+    SELECT d.doc_id,
            COALESCE(p.n_spans, 0) AS n_spans,
            COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
            10 * COALESCE(p.n_dup_spans, 0) > 3 * COALESCE(p.n_spans, 0) AS dup_heavy
-    FROM sp s LEFT JOIN per_doc p USING (doc_id)
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
     ORDER BY doc_id
     """,
 )
@@ -60,36 +59,40 @@ def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Lee et al. 2022) that catches boilerplate exact-dedup misses and
     MinHash dilutes.
 
-    Scale shape: spans shuffle grouped BY THEIR OWN VALUE (span →
-    distinct-doc count) — an equi-key aggregation, never a doc-pair
-    comparison, so cost is O(corpus spans), not O(docs²). At 100 TB the
-    span strings would be md5'd to 16 bytes before the shuffle (same
-    trick as exact dedup, operators/dedup.py:63); kept as raw strings
-    here to stay oracle-transparent. The >30% flag is integer-exact
+    Scale shape: spans are md5'd to fixed-width keys IN BOTH ENGINES
+    before any shuffle (the exact-dedup trick, operators/dedup.py:63 —
+    the wire carries hashes, not 50-char strings), then grouped BY THEIR
+    OWN VALUE (hash → distinct-doc count) — an equi-key aggregation,
+    never a doc-pair comparison, so cost is O(corpus spans), not
+    O(docs²). The exploded span table is persisted because it feeds both
+    the frequency aggregation and the per-doc join-back — one
+    tokenization pass total (the doc spine for the final left join comes
+    from the raw table, no re-shingling). The >30% flag is integer-exact
     (10·dup > 3·total). Zero-span docs (shorter than 8 words) surface
     with (0, 0, false) via the left join, not silently dropped."""
     docs = load(spark, sf_dir, "documents")
-    sp = spread(docs).select(
-        "doc_id", T.word_shingles(F.col("text"), k=SPAN_K).alias("spans")
+    ex = (
+        spread(docs)
+        .select("doc_id", F.explode(T.word_shingles(F.col("text"), k=SPAN_K)).alias("span"))
+        .select("doc_id", F.md5("span").alias("h"))
+        .persist()
     )
-    ex = sp.select("doc_id", F.explode("spans").alias("span"))
-    freq = ex.groupBy("span").agg(F.count_distinct("doc_id").alias("n_docs"))
+    freq = ex.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
     per_doc = (
-        ex.join(freq, "span")
+        ex.join(freq, "h")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("p_spans"),
             F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("p_dup"),
         )
     )
-    n_spans = F.coalesce(F.col("p_spans"), F.lit(0)).alias("n_spans")
     n_dup = F.coalesce(F.col("p_dup"), F.lit(0))
     return (
-        sp.select("doc_id")
+        docs.select("doc_id")
         .join(per_doc, "doc_id", "left_outer")
         .select(
             "doc_id",
-            n_spans,
+            F.coalesce(F.col("p_spans"), F.lit(0)).alias("n_spans"),
             n_dup.alias("n_dup_spans"),
             (10 * n_dup > 3 * F.coalesce(F.col("p_spans"), F.lit(0))).alias("dup_heavy"),
         )
