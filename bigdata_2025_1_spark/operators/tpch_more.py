@@ -925,3 +925,33 @@ def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
 
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Modern-SQL sugar: GROUP BY ALL / ORDER BY ALL (same text, both engines)
+# ---------------------------------------------------------------------------
+
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2 AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query("group_by_all_revenue", oracle=_GROUP_BY_ALL_SQL)
+def group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL (the DuckDB-pioneered, SQL-2023-era
+    sugar Spark 4 adopted): every non-aggregate select item becomes a
+    grouping key, and the output orders by all columns left-to-right.
+    The IDENTICAL SQL text runs on both engines — pinning that the sugar
+    desugars to the same grouping/ordering in each. Exact-cents idiom as
+    everywhere."""
+    from bigdata_2025_1_spark.io import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_GROUP_BY_ALL_SQL)

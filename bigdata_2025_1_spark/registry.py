@@ -64,12 +64,14 @@ ORACLES: dict[str, str] = {}
 # q20_promo_heavy_suppliers, q21_waiting_suppliers,
 # q22_idle_rich_customers) and the corpus/retrieval additions
 # (corpus_duplicate_spans, bpe_pair_merge_step, rrf_rank_fusion,
-# lateral_top_orders_per_customer) plus any later round-4 additions;
+# lateral_top_orders_per_customer, ann_sq8_topk, triangle_count_trade,
+# group_by_all_revenue) plus any later round-4 additions;
 # (2) queries whose module changed in round 4 whose last green predates
-# the change (dedup_simhash_hamming + simhash_values — banding
-# generalized; the pandas_surface/statistics/similarity head entries
-# re-certify THIS round already); (3) oldest green rows first among the
-# rest.
+# the change (simhash_values — dedup.py gained the k-banding helper,
+# though the function itself is untouched; events_json_decode — swapped
+# out of this head for dedup_simhash_hamming, which DID change; the
+# pandas_surface/statistics/similarity head entries re-certify THIS
+# round already); (3) oldest green rows first among the rest.
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 0-27: first-ever driver rows (judge-verified selfcheck-green)
     "salted_skew_join_zipf",
@@ -116,7 +118,11 @@ PRIORITY_HEAD: tuple[str, ...] = (
     "ann_ivf_topk",
     "ann_srp_lsh_pairs",
     "embedding_srp_signatures",
-    "events_json_decode",
+    # dedup_simhash_hamming's body changed THIS round (k-banding
+    # generalization) — re-certify on round-4 code; its slot comes from
+    # events_json_decode, whose parse path the r3-green
+    # kafka_roundtrip_counts already exercises (same consumer_parse).
+    "dedup_simhash_hamming",
     "user_sessionization",
     "asof_join_last_purchase",
     "event_funnel_conversion",
