@@ -553,3 +553,69 @@ def count_min_sketch_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_n"), "word")
     )
+
+
+@query(
+    "join_key_skew_profile",
+    oracle="""
+    WITH freq AS (
+      SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS total_rows,
+             CAST(MAX(n) AS BIGINT) AS max_freq
+      FROM freq
+    ), tail AS (
+      SELECT CAST(MIN(n) AS BIGINT) AS p99_freq
+      FROM (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rk,
+                   COUNT(*) OVER () AS nk
+            FROM freq)
+      WHERE rk * 100 <= nk
+    )
+    SELECT s.n_keys, s.total_rows, s.max_freq,
+           COALESCE(t.p99_freq, s.max_freq) AS p99_freq,
+           100 * s.max_freq * s.n_keys > 300 * s.total_rows AS skewed
+    FROM stats s, tail t
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the diagnostic a pipeline runs BEFORE
+    choosing between a plain shuffle join, AQE skew handling, and manual
+    salting (the repo's salted_skew_join recipe): per-key frequency
+    histogram of the fact side's join key collapsed to n_keys /
+    total_rows / max_freq / p99_freq, plus an integer-exact skew verdict
+    (max > 3× the mean spelled as 100·max·n_keys > 300·total — no float
+    division crosses engines).
+
+    Scale shape: ONE aggregation keyed by the join key itself (the same
+    shuffle the real join would do, but carrying only counts); the
+    percentile rank runs over the |keys|-row frequency table, not facts.
+    At 100 TB you run this on a sample partition or sketch (CMS gives
+    max_freq bounds) — the exact form is the correctness anchor."""
+    orders = load(spark, sf_dir, "orders")
+    freq = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    stats = freq.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_freq"),
+    )
+    w = Window.orderBy(F.desc("n"), "key")
+    ranked = freq.select(
+        "n",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("nk"),
+    )
+    tail = ranked.filter(F.col("rk") * 100 <= F.col("nk")).agg(
+        F.min("n").alias("t_p99")
+    )
+    return stats.crossJoin(F.broadcast(tail)).select(
+        "n_keys",
+        "total_rows",
+        "max_freq",
+        F.coalesce(F.col("t_p99"), F.col("max_freq")).alias("p99_freq"),
+        (100 * F.col("max_freq") * F.col("n_keys") > 300 * F.col("total_rows")).alias(
+            "skewed"
+        ),
+    )

@@ -466,3 +466,14 @@ def test_ann_sq8_recall(spark, sf_dir):
     approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.85, recall
+
+
+def test_duplicate_spans_shuffle_hashed_keys(spark, sf_dir):
+    """corpus_duplicate_spans must shuffle md5 keys, never raw span
+    strings: every hashpartitioning exchange in its plan is keyed by the
+    fixed-width hash column (the wire carries 32-char hex, not 50-char
+    text spans — and at 100 TB that difference is the shuffle budget)."""
+    plan = formatted_plan(QUERIES["corpus_duplicate_spans"](spark, sf_dir))
+    exchanges = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert exchanges
+    assert all("span" not in l for l in exchanges), exchanges
