@@ -201,18 +201,18 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "triangle_count_trade",
     oracle="""
-    WITH raw AS (
+    WITH raw AS MATERIALIZED (
       SELECT c.c_nationkey AS u, s.s_nationkey AS v, COUNT(*) AS w
       FROM lineitem l
       JOIN orders o   ON o.o_orderkey = l.l_orderkey
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       GROUP BY c.c_nationkey, s.s_nationkey
-    ), und AS (
+    ), und AS MATERIALIZED (
       SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b, SUM(w) AS w
       FROM raw WHERE u <> v
       GROUP BY LEAST(u, v), GREATEST(u, v)
-    ), strong AS (
+    ), strong AS MATERIALIZED (
       SELECT a, b FROM und
       WHERE 625 * w > (SELECT SUM(w) FROM und)
     )
