@@ -76,3 +76,25 @@ def test_too_many_bands_raises(spark, sf_dir):
     sim = _sim_frame(spark, sf_dir)
     with pytest.raises(ValueError):
         simhash_hamming_pairs(sim, k=16, bits=16)
+
+
+def test_banding_property_random_hashes(spark):
+    """Property: for ANY set of 16-bit hashes and any k in 1..3, the
+    banded pair set equals brute force. Deterministic pseudo-random
+    hashes (md5-derived) — no flaky seeds, still adversarial enough to
+    hit band-boundary collisions."""
+    import hashlib
+
+    vals = [
+        int(hashlib.md5(f"sb:{i}".encode()).hexdigest()[:4], 16) for i in range(120)
+    ]
+    # inject near-dup clusters at controlled hamming distances
+    vals += [vals[0] ^ 1, vals[1] ^ 0x8000, vals[2] ^ 0x0101, vals[3] ^ 0x7000]
+    rows = list(enumerate(vals))
+    sim = spark.createDataFrame(rows, "doc_id int, simhash bigint")
+    for k in (1, 2, 3):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in simhash_hamming_pairs(sim, k=k, bits=16).collect()
+        }
+        assert got == _brute_pairs(rows, k), k
