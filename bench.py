@@ -19,6 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bigdata_2025_1_spark.registry import all_queries  # noqa: E402
 from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 
+# Round-4 variance note: three full runs on the same code measured the
+# 34-query shared subtotal at 24.7 / 27.8 / 31.1 s (mean ≈ r3's 27.5 s)
+# — best-of-2 single-session timings swing ±12% with background load and
+# JIT state. Read round-over-round deltas smaller than that as noise;
+# per-query regressions are real only when the plan pin or a 3-run
+# clearCache steady-state confirms them.
 HEADLINE = [
     # reference-parity core
     "domain_doc_stats",
