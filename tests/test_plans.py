@@ -477,3 +477,25 @@ def test_duplicate_spans_shuffle_hashed_keys(spark, sf_dir):
     exchanges = [l for l in plan.splitlines() if "hashpartitioning" in l]
     assert exchanges
     assert all("span" not in l for l in exchanges), exchanges
+
+
+def test_q7_q8_broadcast_dims_no_cartesian(spark, sf_dir):
+    """The nation-pair (Q7) and market-share (Q8) shapes must broadcast
+    every dimension copy (nation twice, supplier, part, region) and keep
+    the disjunctive pair filter OUT of the join condition — facts shuffle
+    only on their join keys."""
+    for q, min_bcast in (("q7_volume_shipping", 2), ("q8_market_share", 4)):
+        plan = formatted_plan(QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert plan.count("BroadcastHashJoin") >= min_bcast, q
+
+
+def test_q22_anti_join_keyed(spark, sf_dir):
+    """Q22's NOT EXISTS must run as a KEYED left-anti join (hash or
+    merge — never a nested loop over orders). The 1-row cohort threshold
+    legitimately rides a BroadcastNestedLoopJoin Cross (broadcasting one
+    row is free); the anti join must not."""
+    plan = formatted_plan(QUERIES["q22_idle_rich_customers"](spark, sf_dir))
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) LeftAnti", plan)
+    assert "BroadcastNestedLoopJoin LeftAnti" not in plan
+    assert "CartesianProduct" not in plan
