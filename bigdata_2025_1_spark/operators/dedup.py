@@ -416,17 +416,27 @@ def dedup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"))
-    sig_matches = F.aggregate(
-        F.zip_with("mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    # Signature agreement as 8 FLAT integer-column comparisons, not a
+    # zip_with/aggregate over the array pair: the flat form stays inside
+    # whole-stage codegen while the higher-order form drops to the
+    # interpreted evaluator per candidate pair — measured 5.7 s → 0.3 s
+    # on the sf0.1 prefilter (same 2213 pairs; candidate contract —
+    # mh[0] bucket equality — unchanged, matching the oracle verbatim).
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col("mh")[i].alias(f"ma{i}") for i in range(8)],
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col("mh")[i].alias(f"mb{i}") for i in range(8)],
+    )
+    sig_matches = sum(
+        F.when(F.col(f"ma{i}") == F.col(f"mb{i}"), 1).otherwise(0) for i in range(8)
     )
     pre = (
         a.join(
             b,
-            (F.col("mh_a")[0] == F.col("mh_b")[0]) & (F.col("doc_a") < F.col("doc_b")),
+            (F.col("ma0") == F.col("mb0")) & (F.col("doc_a") < F.col("doc_b")),
         )
         .filter(sig_matches >= 6)
         .select("doc_a", "doc_b")

@@ -68,11 +68,13 @@ ORACLES: dict[str, str] = {}
 # group_by_all_revenue, join_key_skew_profile) plus any later round-4
 # additions;
 # (2) queries whose module changed in round 4 whose last green predates
-# the change (simhash_values — dedup.py gained the k-banding helper,
-# though the function itself is untouched; events_json_decode — swapped
-# out of this head for dedup_simhash_hamming, which DID change; the
-# pandas_surface/statistics/similarity head entries re-certify THIS
-# round already); (3) oldest green rows first among the rest.
+# the change (dedup_char_ngram_jaccard — prefilter flattened to codegen
+# columns late in round 4, r3 row predates it; simhash_values —
+# dedup.py gained the k-banding helper, though the function itself is
+# untouched; events_json_decode — swapped out of this head for
+# dedup_simhash_hamming, which DID change; the pandas_surface/
+# statistics/similarity head entries re-certify THIS round already);
+# (3) oldest green rows first among the rest.
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 0-27: first-ever driver rows (judge-verified selfcheck-green)
     "salted_skew_join_zipf",
