@@ -571,6 +571,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side convergence check — the standard Spark shape for iterative
     graph algorithms (bounded by graph diameter, each step one join+agg).
     The oracle computes the same closure with a recursive CTE."""
+    # Scale note on lineage: each iteration's persist makes execution
+    # cache-backed, but the LOGICAL plan still chains through every prior
+    # step — at hundreds of iterations (huge-diameter graphs) Catalyst
+    # analysis time grows and a cache eviction would recompute the whole
+    # chain. The production pattern is labels.localCheckpoint() every ~8
+    # steps to truncate lineage; omitted here because the diameter bound
+    # is 32 and real dup-cluster diameters are single-digit.
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     rev = pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
