@@ -619,3 +619,59 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skewed"
         ),
     )
+
+
+@query(
+    "hll_union_distinct",
+    oracle="""
+    WITH shards AS (
+      SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_n
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT CAST((SELECT COUNT(*) FROM shards) AS BIGINT) AS n_shards,
+           CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT) AS exact_global,
+           TRUE AS global_within_tol,
+           TRUE AS shards_all_within_tol
+    """,
+)
+def hll_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE cardinality sketches (Spark 4 Datasketches HLL): each
+    priority shard builds its own ``hll_sketch_agg`` of customer keys;
+    ``hll_union_agg`` merges the shard sketches and the global estimate
+    comes from the UNION, never from re-scanning raw data — the
+    per-day/per-source rollup shape every 100 TB distinct-count pipeline
+    uses (completes the mergeable-summary family: quantile sketches, CMS
+    cells, Misra-Gries candidates, and now HLL).
+
+    Sketch bytes are engine-specific, so the checkable contract is the
+    tolerance verdict (|est − exact| / exact ≤ 5%) for the union AND for
+    every shard — emitted as booleans the oracle mirrors, with exact
+    counts computed on both engines (same pattern as
+    ``approx_distinct_counts``)."""
+    from bigdata_2025_1_spark.functions.exact import within_tol
+
+    o = load(spark, sf_dir, "orders")
+    shards = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_n"),
+    )
+    shard_ok = shards.select(
+        within_tol(F.hll_sketch_estimate("sk").cast("bigint"), F.col("exact_n")).alias(
+            "ok"
+        )
+    ).agg(F.every("ok").alias("shards_all_within_tol"))
+    merged = shards.agg(
+        F.count("*").alias("n_shards"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("union_est"),
+    )
+    exact_g = o.agg(F.count_distinct("o_custkey").alias("exact_global"))
+    return (
+        merged.crossJoin(F.broadcast(exact_g))
+        .crossJoin(F.broadcast(shard_ok))
+        .select(
+            "n_shards",
+            "exact_global",
+            within_tol("union_est", "exact_global").alias("global_within_tol"),
+            "shards_all_within_tol",
+        )
+    )

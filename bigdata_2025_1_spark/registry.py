@@ -65,7 +65,8 @@ ORACLES: dict[str, str] = {}
 # q22_idle_rich_customers) and the corpus/retrieval additions
 # (corpus_duplicate_spans, bpe_pair_merge_step, rrf_rank_fusion,
 # lateral_top_orders_per_customer, ann_sq8_topk, triangle_count_trade,
-# group_by_all_revenue, join_key_skew_profile) plus any later round-4
+# group_by_all_revenue, join_key_skew_profile, hll_union_distinct) plus
+# any later round-4
 # additions;
 # (2) queries whose module changed in round 4 whose last green predates
 # the change (dedup_char_ngram_jaccard — prefilter flattened to codegen
