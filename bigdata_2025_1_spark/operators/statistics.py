@@ -659,7 +659,11 @@ def hll_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         within_tol(F.hll_sketch_estimate("sk").cast("bigint"), F.col("exact_n")).alias(
             "ok"
         )
-    ).agg(F.every("ok").alias("shards_all_within_tol"))
+    ).agg(
+        # every() over ZERO rows is NULL; empty input is vacuously true
+        # (matching the oracle's constant TRUE on an empty shard set)
+        F.coalesce(F.every("ok"), F.lit(True)).alias("shards_all_within_tol")
+    )
     merged = shards.agg(
         F.count("*").alias("n_shards"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("union_est"),
