@@ -55,7 +55,8 @@ def crawl_source_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the ``crawl_sim`` Python Data Source (SURVEY A13; reference
     pager crawl/crawl.py:84). The source plans one input partition per
     2-page range, so the scan itself is worker-parallel; the aggregate is
-    an ordinary hash group-by on (domain, status) — 6 groups, map-side
+    an ordinary hash group-by on (domain, status) — ≤6 groups (5 on this
+    window: one domain draws no 404s), map-side
     combined. The oracle regenerates the same md5-derived corpus in pure
     SQL, proving the source's synthesis end to end (fixed window, so the
     row is sf-independent by construction)."""
