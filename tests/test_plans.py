@@ -499,3 +499,14 @@ def test_q22_anti_join_keyed(spark, sf_dir):
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) LeftAnti", plan)
     assert "BroadcastNestedLoopJoin LeftAnti" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lateral_rewrites_to_group_limit(spark, sf_dir):
+    """The correlated LATERAL ORDER BY/LIMIT must decorrelate into the
+    window-group-limit plan (partial + final WindowGroupLimit around one
+    custkey exchange, then a hash join) — NOT a per-customer nested
+    loop. This is the docstring's claim, pinned."""
+    plan = formatted_plan(QUERIES["lateral_top_orders_per_customer"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
