@@ -107,9 +107,11 @@ def main() -> None:
     # whole-stage-codegen compilation for that plan shape (~2 s locally);
     # later runs are the steady-state cost a real deployment pays. Raised
     # from best-of-2 in round 4 after consecutive identical runs showed
-    # single queries swinging 2.5x (GC/JIT state): the minimum of three
-    # is a materially tighter steady-state estimator. Every run executes
-    # the full plan end-to-end (no result caching — .persist() inside
+    # single queries swinging 2.5x (GC/JIT state) — the minimum of three
+    # is a materially tighter steady-state estimator (an adaptive
+    # third-run-on-disagreement variant was measured to trigger on 36/42
+    # queries anyway, so the simple form stays). Every run executes the
+    # full plan end-to-end (no result caching — .persist() inside
     # queries is cleared between runs).
     timings: dict[str, float] = {}
     for name in HEADLINE:
