@@ -21,7 +21,7 @@ documented, and irrelevant to ranking order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.io import load
@@ -195,6 +195,133 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rank").cast("double") / PR_ONE).alias("rank"),
         )
         .orderBy(F.desc("rank_scaled"), "nation")
+    )
+
+
+LPA_ITERS = 3
+
+
+def _sql_lpa_stage(i: int) -> str:
+    return f"""cand{i + 1} AS (
+      SELECT e.src AS nation_key, p.label AS label, SUM(e.w) AS tw
+      FROM sym e JOIN lp{i} p ON p.nation_key = e.dst
+      GROUP BY e.src, p.label
+    ), best{i + 1} AS (
+      SELECT nation_key, label FROM (
+        SELECT nation_key, label,
+               ROW_NUMBER() OVER (PARTITION BY nation_key
+                                  ORDER BY tw DESC, label) AS rk
+        FROM cand{i + 1}) WHERE rk = 1
+    ), lp{i + 1} AS (
+      SELECT p.nation_key, COALESCE(b.label, p.label) AS label
+      FROM lp{i} p LEFT JOIN best{i + 1} b USING (nation_key)
+    )"""
+
+
+_LPA_STAGES = ",\n    ".join(_sql_lpa_stage(i) for i in range(LPA_ITERS))
+
+
+@query(
+    "label_propagation_communities",
+    oracle=f"""
+    WITH raw AS MATERIALIZED (
+      SELECT c.c_nationkey AS u, s.s_nationkey AS v, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ), und AS MATERIALIZED (
+      SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b, SUM(w) AS w
+      FROM raw WHERE u <> v
+      GROUP BY LEAST(u, v), GREATEST(u, v)
+    ), sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst, w FROM und
+      UNION ALL
+      SELECT b AS src, a AS dst, w FROM und
+    ), lp0 AS (
+      SELECT n_nationkey AS nation_key, n_nationkey AS label FROM nation
+    ),
+    {_LPA_STAGES}
+    SELECT n.n_name AS nation, CAST(p.label AS BIGINT) AS community,
+           CAST(COUNT(*) OVER (PARTITION BY p.label) AS BIGINT) AS community_size
+    FROM lp{LPA_ITERS} p JOIN nation n ON n.n_nationkey = p.nation_key
+    ORDER BY community, nation
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous weighted label propagation (LPA)
+    on the undirected nation-trade graph: every node starts as its own
+    label; each of 3 fixed iterations relabels every node to the
+    label with the greatest incident edge weight (ties → smallest label;
+    isolated nodes keep their label). A FIXED iteration count makes
+    synchronous LPA deterministic (free-running LPA can oscillate), and
+    the argmax is total-ordered by (weight DESC, label ASC) — exact
+    integer comparisons only, so both engines agree bit-for-bit.
+
+    Scale shape: like PageRank/triangles above, the fact tables collapse
+    to a ≤|nations|² edge list in one shuffle with broadcast dims. Each
+    iteration is then join→agg→window on the tiny persisted edge set.
+    For billion-node graphs the SAME loop body runs distributed — edges
+    stay partitioned by src, each step is one co-keyed shuffle, and the
+    frontier persists per step (see ``dedup_connected_components`` for
+    the loop-until-converged variant of that shape)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    raw = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v"))
+        .agg(F.count("*").alias("w"))
+    )
+    und = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"), "w")
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    sym = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+        .persist()  # tiny (≤ |nations|²); released by harness clearCache
+    )
+    labels = nation.select(
+        F.col("n_nationkey").alias("nation_key"), F.col("n_nationkey").alias("label")
+    )
+    for _ in range(LPA_ITERS):
+        cand = (
+            sym.join(labels, sym.dst == labels.nation_key)
+            .groupBy(F.col("src").alias("nk"), "label")
+            .agg(F.sum("w").alias("tw"))
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("nk").orderBy(F.desc("tw"), "label")
+        )
+        best = (
+            cand.withColumn("rk", rk)
+            .filter(F.col("rk") == 1)
+            .select("nk", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, labels.nation_key == best.nk, "left")
+            .select(
+                "nation_key",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+    size = F.count("*").over(Window.partitionBy("label"))
+    return (
+        labels.join(F.broadcast(nation), labels.nation_key == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("label").alias("community"),
+            size.alias("community_size"),
+        )
+        .orderBy("community", "nation")
     )
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdata_2025_1_spark.functions import text as T
 from bigdata_2025_1_spark.functions import vectors as V
 from bigdata_2025_1_spark.io import load, spread
 from bigdata_2025_1_spark.registry import query
@@ -127,6 +128,112 @@ def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "rrf", "r_cos", "r_dot")
         .orderBy("query_id", F.desc("rrf"), "neighbor_id")
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("dup", "spark", "join", "vector", "window")
+BM25_TOP = 15
+_SQL_TERMS = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@query(
+    "bm25_doc_ranking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS ts
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(ts) AS dl FROM toks
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(len(ts))::DOUBLE / COUNT(*) AS avgdl FROM toks
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(ts) AS word FROM toks)
+      WHERE word IN ({_SQL_TERMS})
+      GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY word
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(ln(1 + (s.n_docs - df.doc_freq + 0.5e0) / (df.doc_freq + 0.5e0))
+                        * (tf.tf * {BM25_K1 + 1}e0) / (tf.tf + {BM25_K1}e0 * ({1 - BM25_B}e0 + {BM25_B}e0 * dl.dl / s.avgdl))
+                        * 1e6) AS BIGINT) AS s_i6
+      FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats s
+    ), agg AS (
+      SELECT doc_id, SUM(s_i6) AS bm25_i6, COUNT(*) AS n_terms_hit FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(bm25_i6 AS BIGINT)::DOUBLE / 1e6 AS bm25,
+           CAST(n_terms_hit AS BIGINT) AS n_terms_hit, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY bm25_i6 DESC, doc_id) AS rank FROM agg)
+    WHERE rank <= {BM25_TOP}
+    ORDER BY rank
+    """,
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Okapi, k1=1.2, b=0.75) ranking of the corpus for a fixed
+    5-term query — the sparse-retrieval half of the hybrid stack whose
+    fusion layer is ``rrf_rank_fusion``. idf = ln(1 + (N−df+0.5)/(df+0.5))
+    (Robertson-Sparck-Jones, +1 so scores stay positive); tf is saturated
+    by k1 and length-normalized by b·dl/avgdl.
+
+    Determinism: tf/df/dl/N are exact integers and avgdl is one double
+    division; each per-term score is the SAME chained double expression
+    in both engines (only ln touches libm — rounded to 6 dp like tfidf),
+    then scaled to int64 BEFORE the per-doc sum, so summing terms in any
+    partition order is exact and the ranking sorts integers.
+
+    Scale shape: tf shuffles only matched-term postings (the IN filter
+    prunes at the explode); df aggregates tf (tiny → broadcast back);
+    dl joins tf on doc_id — one co-keyed shuffle; corpus stats are a
+    1-row broadcast. Top-k is a TakeOrdered (per-partition partial
+    top-k, merged on the driver) — no global sort or window over the
+    scored docs."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.ws_tokens(F.lower(F.col("text"))).alias("ts"))
+    dl = toks.select("doc_id", F.size("ts").alias("dl"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size("ts")).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("ts").alias("word"))
+        .filter(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
+    idf = F.log(
+        F.lit(1) + (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5)) / (F.col("doc_freq") + F.lit(0.5))
+    )
+    den = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    s_i6 = F.round(idf * (F.col("tf") * F.lit(BM25_K1 + 1)) / den * F.lit(1e6)).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s_i6.alias("s_i6"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("s_i6").alias("bm25_i6"), F.count("*").alias("n_terms_hit")
+    )
+    # Top-k FIRST (TakeOrdered — distributed partial top-k, no global
+    # sort/window over every scoring doc), then rank the k survivors.
+    top = agg.orderBy(F.desc("bm25_i6"), "doc_id").limit(BM25_TOP)
+    rank = F.row_number().over(Window.orderBy(F.desc("bm25_i6"), "doc_id"))
+    return (
+        top.withColumn("rank", rank.cast("int"))
+        .select(
+            "doc_id",
+            (F.col("bm25_i6").cast("double") / F.lit(1e6)).alias("bm25"),
+            "n_terms_hit",
+            "rank",
+        )
+        .orderBy("rank")
     )
 
 

@@ -1,0 +1,284 @@
+"""Table-maintenance operators for a lakehouse-style pipeline: MERGE-style
+upsert (SCD1 latest-wins), order-independent table checksums for
+migration/backfill validation, exact-k deterministic stratified sampling,
+and gaps-and-islands streak detection.
+
+These are the operations a team running a 100 TB corpus refresh needs
+around the analytics proper: apply a CDC delta to a snapshot, prove two
+derivations of a table are identical without sorting either, pull a
+reproducible audit sample per stratum, and profile activity continuity.
+
+Determinism notes: every aggregate is integer (counts, cents, md5-derived
+int64s); latest-wins picks are total-ordered by (event time, unique key);
+sample ranks order by md5 hex with a unique-key tiebreak — identical
+string collation in both engines ([0-9a-f] is ASCII).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.registry import query
+
+# SCD1 cutover: orders before the cutoff form the standing snapshot, the
+# rest replay as the incoming delta (a stand-in for a CDC feed).
+MERGE_CUTOFF = "1998-01-01"
+
+
+@query(
+    "merge_upsert_latest_state",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_custkey AS custkey,
+             o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 1e2) AS BIGINT) AS total_cents,
+             CAST(o_orderdate AS DATE) AS last_date,
+             (o_orderdate < TIMESTAMP '{MERGE_CUTOFF} 00:00:00') AS is_base,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey,
+                            (o_orderdate < TIMESTAMP '{MERGE_CUTOFF} 00:00:00')
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ), snap AS (SELECT * FROM ranked WHERE rn = 1 AND is_base),
+       delta AS (SELECT * FROM ranked WHERE rn = 1 AND NOT is_base)
+    SELECT COALESCE(d.custkey, b.custkey) AS custkey,
+           COALESCE(d.status, b.status) AS status,
+           COALESCE(d.total_cents, b.total_cents) AS total_cents,
+           COALESCE(d.last_date, b.last_date) AS last_date,
+           CASE WHEN b.custkey IS NULL THEN 'insert'
+                WHEN d.custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM snap b FULL OUTER JOIN delta d ON d.custkey = b.custkey
+    ORDER BY custkey
+    """,
+)
+def merge_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style SCD1 upsert: a per-customer snapshot (latest order state
+    before the cutoff) receives a delta (orders after the cutoff) with
+    latest-wins semantics — `update` where the delta hits an existing key,
+    `insert` where the key is new, `keep` where the delta is silent. This
+    is `MERGE INTO t USING delta WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT` re-expressed on plain files.
+
+    Physical shape: ONE hash aggregation on custkey — both sides' latest
+    rows come from `max(when(era, struct(ts, key, payload)))`, which
+    combines map-side (struct max is associative), so the full-history
+    scan collapses before the single shuffle. The oracle's equivalent
+    window+full-outer-join formulation costs two shuffles; at 100 TB the
+    agg form halves the exchanged bytes and cannot skew worse than the
+    key distribution itself. Latest-wins is total-ordered by
+    (o_orderdate, o_orderkey) — unique, so both formulations agree."""
+    orders = load(spark, sf_dir, "orders")
+    is_base = F.col("o_orderdate") < F.lit(MERGE_CUTOFF).cast("timestamp")
+    state = F.struct(
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    )
+    g = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.when(is_base, state)).alias("b"),
+        F.max(F.when(~is_base, state)).alias("d"),
+    )
+    pick = lambda f: F.coalesce(F.col(f"d.{f}"), F.col(f"b.{f}"))  # noqa: E731
+    return g.select(
+        "custkey",
+        pick("status").alias("status"),
+        pick("total_cents").alias("total_cents"),
+        F.to_date(pick("ts")).alias("last_date"),
+        F.when(F.col("b").isNull(), F.lit("insert"))
+        .when(F.col("d").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    ).orderBy("custkey")
+
+
+N_CHECKSUM_BUCKETS = 16
+# row fingerprint: 12 hex chars of md5 (48 bits) → int64; summed mod-1e9
+# residues keep any realistic row count far inside int64.
+_ROW_FP = (
+    "('0x' || substr(md5(o_orderkey || '|' || o_custkey || '|' || o_orderstatus"
+    " || '|' || CAST(ROUND(o_totalprice * 1e2) AS BIGINT)), 1, 12))::BIGINT % 1000000000"
+)
+
+
+@query(
+    "table_checksum_buckets",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey % {N_CHECKSUM_BUCKETS} AS bucket,
+             COUNT(*) AS n_rows, SUM({_ROW_FP}) AS checksum
+      FROM orders GROUP BY bucket
+    ), b AS (
+      SELECT o_orderkey % {N_CHECKSUM_BUCKETS} AS bucket,
+             COUNT(*) AS n_rows_b, SUM({_ROW_FP}) AS checksum_b
+      FROM (SELECT * FROM orders WHERE o_orderstatus = 'O'
+            UNION ALL
+            SELECT * FROM orders WHERE o_orderstatus <> 'O') orders
+      GROUP BY bucket
+    )
+    SELECT a.bucket, CAST(a.n_rows AS BIGINT) AS n_rows,
+           CAST(a.checksum AS BIGINT) AS checksum,
+           CAST(b.n_rows_b AS BIGINT) AS n_rows_b,
+           CAST(b.checksum_b AS BIGINT) AS checksum_b,
+           (a.n_rows = b.n_rows_b AND a.checksum = b.checksum_b) AS consistent
+    FROM a JOIN b USING (bucket)
+    ORDER BY bucket
+    """,
+)
+def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent bucketed table checksums — the standard way to
+    prove a 100 TB migration/backfill reproduced a table without sorting
+    or co-locating either copy: per key-bucket, count rows and sum a
+    per-row md5-derived int64 residue. Sums are associative/commutative,
+    so partitioning, file order, and engine cannot change them; a
+    mismatch localizes the damage to 1/16th of the keyspace.
+
+    Here the "two copies" are two plan derivations of the same table (a
+    direct scan vs a disjoint filter-union — the shape a staged rewrite
+    produces), checked bucket-by-bucket to all-`consistent` = true.
+
+    Scale shape: two scans, each collapsing map-side to ≤16 partial rows
+    per task before a 16-row exchange; the final join is trivially
+    broadcast. No sort, no wide shuffle, bytes exchanged independent of
+    table size."""
+    orders = load(spark, sf_dir, "orders")
+
+    def fingerprint() -> F.Column:
+        row = F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint"),
+        )
+        return F.conv(F.substring(F.md5(row), 1, 12), 16, 10).cast("bigint") % 1000000000
+
+    def bucketed(df: DataFrame, n_name: str, c_name: str) -> DataFrame:
+        return df.groupBy((F.col("o_orderkey") % N_CHECKSUM_BUCKETS).alias("bucket")).agg(
+            F.count("*").alias(n_name), F.sum(fingerprint()).alias(c_name)
+        )
+
+    a = bucketed(orders, "n_rows", "checksum")
+    rewritten = orders.filter(F.col("o_orderstatus") == "O").unionAll(
+        orders.filter(F.col("o_orderstatus") != "O")
+    )
+    b = bucketed(rewritten, "n_rows_b", "checksum_b")
+    return (
+        a.join(b, "bucket")
+        .select(
+            "bucket",
+            "n_rows",
+            "checksum",
+            "n_rows_b",
+            "checksum_b",
+            (
+                (F.col("n_rows") == F.col("n_rows_b"))
+                & (F.col("checksum") == F.col("checksum_b"))
+            ).alias("consistent"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SAMPLE_PER_STRATUM = 20
+
+
+@query(
+    "stratified_exact_sample",
+    oracle=f"""
+    SELECT o_orderpriority AS priority, CAST(sample_rank AS INT) AS sample_rank,
+           o_orderkey AS orderkey,
+           CAST(ROUND(o_totalprice * 1e2) AS BIGINT) AS total_cents
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+                                         o_orderkey) AS sample_rank
+      FROM orders
+    )
+    WHERE sample_rank <= {SAMPLE_PER_STRATUM}
+    ORDER BY priority, sample_rank
+    """,
+)
+def stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic stratified sample: per order priority, the
+    20 rows whose md5(key) hex sorts lowest — a reproducible uniform
+    sample (md5 is a fixed random permutation of the keyspace) that any
+    engine, any partitioning, any day re-derives identically; the audit
+    -sample contract `TABLESAMPLE` cannot give (it is neither exact-k
+    nor stable).
+
+    Scale shape: rank-by-hash per stratum is a top-k, not a sort — at
+    scale Spark evaluates the window with a partial top-k per map task
+    (a `WindowGroupLimit` pushdown, rn ≤ k filters map-side) so only
+    ~k rows per task per stratum reach the shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        orders.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= SAMPLE_PER_STRATUM)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+        )
+        .orderBy("priority", "sample_rank")
+    )
+
+
+@query(
+    "order_month_streaks",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT o_custkey AS custkey,
+             EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate) AS m
+      FROM orders
+    ), islands AS (
+      SELECT custkey, m,
+             m - ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY m) AS island
+      FROM months
+    ), streaks AS (
+      SELECT custkey, island, COUNT(*) AS streak_len
+      FROM islands GROUP BY custkey, island
+    )
+    SELECT custkey,
+           CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+           CAST(SUM(streak_len) AS BIGINT) AS active_months,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY custkey
+    ORDER BY custkey
+    """,
+)
+def order_month_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per customer, the longest run of consecutive
+    calendar months with ≥1 order. The classic `value − row_number()`
+    trick turns consecutive runs into constant island keys — no
+    self-join, no iteration.
+
+    Scale shape: distinct → window → two aggs, ALL partitioned by
+    custkey: Catalyst reuses one custkey exchange across the distinct,
+    the window sort, and both groupBys (month indices are tiny ints, so
+    per-customer state is bounded by the calendar, not the data)."""
+    orders = load(spark, sf_dir, "orders")
+    months = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+    ).distinct()
+    w = Window.partitionBy("custkey").orderBy("m")
+    islands = months.withColumn("island", F.col("m") - F.row_number().over(w))
+    streaks = islands.groupBy("custkey", "island").agg(F.count("*").alias("streak_len"))
+    return (
+        streaks.groupBy("custkey")
+        .agg(
+            F.max("streak_len").alias("longest_streak"),
+            F.sum("streak_len").alias("active_months"),
+            F.count("*").alias("n_streaks"),
+        )
+        .orderBy("custkey")
+    )
