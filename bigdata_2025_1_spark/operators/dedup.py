@@ -663,3 +663,124 @@ def canonical_doc_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         keeper.alias("keeper_id"),
         (F.col("doc_id") == keeper).alias("is_keeper"),
     ).orderBy("doc_id")
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, shingles, len(shingles) AS sz FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM tok
+      ) WHERE len(shingles) > 0
+    ), posts AS (
+      SELECT doc_id, sz, unnest(shingles) AS shingle FROM sh
+    ), df AS (
+      SELECT shingle, COUNT(*) AS df FROM posts GROUP BY shingle
+    ), rarest AS (
+      SELECT doc_id, shingle, sz FROM (
+        SELECT p.doc_id, p.shingle, p.sz,
+               ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                                  ORDER BY d.df, p.shingle) AS rk
+        FROM posts p JOIN df d USING (shingle)
+      ) WHERE rk = 1
+    ), cand AS (
+      SELECT r.doc_id AS doc_small, p.doc_id AS doc_big
+      FROM rarest r JOIN posts p USING (shingle)
+      WHERE r.doc_id <> p.doc_id
+        AND (r.sz < p.sz OR (r.sz = p.sz AND r.doc_id < p.doc_id))
+    )
+    SELECT c.doc_small, c.doc_big,
+           len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / sa.sz AS containment,
+           CAST(sa.sz AS BIGINT) AS sz_small, CAST(sb.sz AS BIGINT) AS sz_big
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_small
+    JOIN sh sb ON sb.doc_id = c.doc_big
+    WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / sa.sz
+            >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_small, doc_big
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: flag documents whose 3-word shingle
+    set is ≥80% contained in a LARGER document's set — the
+    subset-duplicate case (a paragraph pasted into a longer page) that
+    symmetric Jaccard structurally under-scores (|A∩B|/|A∪B| shrinks as
+    B grows even when A⊆B).
+
+    Blocking is rare-shingle (prefix-filter family, PPJoin lineage):
+    each doc joins only through its globally RAREST shingle (argmin by
+    (document frequency, shingle) — a total order, engine-exact), so
+    candidate lists are the postings of rare shingles — short by
+    construction. Full containment (A⊆B) is caught with certainty (every
+    shingle of A, including the rarest, is in B); sub-1.0 thresholds are
+    recall-approximate through this single probe (the standard trade —
+    more probes = more recall, same algebra).
+
+    Scale shape: df is a map-side-combinable groupBy(shingle); the
+    argmin is one groupBy(doc_id) of (df, shingle) structs; the
+    candidate join is an equi-join postings-vs-rarest (never all-pairs);
+    exact verification joins shingle arrays back for CANDIDATE pairs
+    only — same candidates-only contract as the LSH and char-gram
+    queries, pinned in tests/test_plans.py."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    sh = (
+        docs.select(
+            "doc_id", T.word_shingles(F.col("text"), k=3).alias("shingles")
+        )
+        .withColumn("sz", F.size("shingles"))
+        .filter(F.col("sz") > 0)
+        .persist()
+    )
+    posts = sh.select("doc_id", "sz", F.explode("shingles").alias("shingle"))
+    df = posts.groupBy("shingle").agg(F.count("*").alias("df"))
+    rarest = (
+        posts.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.struct(F.col("df"), F.col("shingle"))).alias("r"),
+            F.min("sz").alias("sz"),
+        )
+        .select("doc_id", F.col("r.shingle").alias("shingle"), "sz")
+    )
+    r = rarest.select(
+        F.col("doc_id").alias("doc_small"),
+        F.col("shingle").alias("shingle"),
+        F.col("sz").alias("sz_a"),
+    )
+    p = posts.select(
+        F.col("doc_id").alias("doc_big"),
+        F.col("shingle").alias("shingle"),
+        F.col("sz").alias("sz_b"),
+    )
+    cand = r.join(p, "shingle").filter(
+        (F.col("doc_small") != F.col("doc_big"))
+        & (
+            (F.col("sz_a") < F.col("sz_b"))
+            | ((F.col("sz_a") == F.col("sz_b")) & (F.col("doc_small") < F.col("doc_big")))
+        )
+    ).select("doc_small", "doc_big")
+    sa = sh.select(
+        F.col("doc_id").alias("doc_small"), F.col("shingles").alias("ga"), F.col("sz").alias("sza")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_big"), F.col("shingles").alias("gb"), F.col("sz").alias("szb")
+    )
+    containment = F.size(F.array_intersect("ga", "gb")).cast("double") / F.col("sza")
+    return (
+        cand.join(sa, "doc_small")
+        .join(sb, "doc_big")
+        .select(
+            "doc_small",
+            "doc_big",
+            containment.alias("containment"),
+            F.col("sza").cast("bigint").alias("sz_small"),
+            F.col("szb").cast("bigint").alias("sz_big"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .orderBy("doc_small", "doc_big")
+    )

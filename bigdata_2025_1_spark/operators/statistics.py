@@ -679,3 +679,177 @@ def hll_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shards_all_within_tol",
         )
     )
+
+
+N_DECILES = 10
+
+
+@query(
+    "equi_depth_price_deciles",
+    oracle=f"""
+    WITH vals AS (
+      SELECT CAST(ROUND(o_totalprice * 1e2) AS BIGINT) AS cents, COUNT(*) AS c
+      FROM orders GROUP BY cents
+    ), total AS (
+      SELECT SUM(c) AS n FROM vals
+    ), cum AS (
+      SELECT cents, c,
+             COALESCE(SUM(c) OVER (ORDER BY cents
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM vals
+    ), bucketed AS (
+      SELECT CAST(cum_before * {N_DECILES} // (SELECT n FROM total) AS INT) AS bucket,
+             cents, c
+      FROM cum
+    )
+    SELECT bucket,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           MIN(cents)::DOUBLE / 1e2 AS lo,
+           MAX(cents)::DOUBLE / 1e2 AS hi,
+           CAST(SUM(cents * c) AS BIGINT)::DOUBLE / 1e2 AS total_value
+    FROM bucketed GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def equi_depth_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) decile histogram of order value, the
+    tie-safe way: rows collapse to DISTINCT price points first, and a
+    point lands in bucket ``floor(cum_before·10/N)`` (cum_before = rows
+    strictly below it) — so tied values always share one bucket and the
+    result is a pure function of the value distribution.
+
+    Deliberately NOT ``ntile(10)``: ntile needs a per-ROW global rank —
+    a total sort funneled through one window partition, the classic
+    does-not-survive-100× shape — and splits ties by an arbitrary
+    tiebreak. Here the only global window runs over the DISTINCT value
+    domain (bounded by price granularity, orders of magnitude smaller
+    than the row count — cents domains stay ~1e5-1e6 forever), after a
+    map-side-combinable groupBy(cents). For truly unbounded domains the
+    same spec degrades gracefully via ``approx_percentiles`` boundaries.
+
+    All-integer: counts, cum sums, and floor-div bucket ids; the /1e2
+    unscaling is one double division per output cell."""
+    orders = load(spark, sf_dir, "orders")
+    vals = orders.groupBy(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    ).agg(F.count("*").alias("c"))
+    total = vals.agg(F.sum("c").alias("n"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.withColumn("cum_before", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    bucketed = cum.crossJoin(F.broadcast(total)).select(
+        F.expr(f"CAST(cum_before * {N_DECILES} div n AS INT)").alias("bucket"),
+        "cents",
+        "c",
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.count("*").alias("n_values"),
+            (F.min("cents").cast("double") / 100).alias("lo"),
+            (F.max("cents").cast("double") / 100).alias("hi"),
+            (F.sum(F.col("cents") * F.col("c")).cast("double") / 100).alias("total_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# 3 sigma-equivalents under normality: 3 x 1.4826 = 4.4478; the integer
+# comparison dev * 10000 > 44478 * mad avoids any float threshold.
+MAD_THRESH_NUM = 44478
+MAD_THRESH_DEN = 10000
+
+
+@query(
+    "mad_value_outliers",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, event_id,
+             CAST(ROUND(value * 1e2) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(ROUND(value * 1e2) AS BIGINT),
+                                         event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), med AS (
+      SELECT event_type, cents AS med_cents FROM base WHERE rn = (n + 1) // 2
+    ), dev AS (
+      SELECT b.event_type, b.event_id, b.n, m.med_cents,
+             ABS(b.cents - m.med_cents) AS dev,
+             ROW_NUMBER() OVER (PARTITION BY b.event_type
+                                ORDER BY ABS(b.cents - m.med_cents), b.event_id) AS rn2
+      FROM base b JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, dev AS mad_cents FROM dev WHERE rn2 = (n + 1) // 2
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(d.med_cents)::DOUBLE / 1e2 AS median,
+           MIN(a.mad_cents)::DOUBLE / 1e2 AS mad,
+           CAST(SUM(CASE WHEN d.dev * {MAD_THRESH_DEN} > {MAD_THRESH_NUM} * a.mad_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type via the median absolute
+    deviation: flag events whose |value − median| exceeds 4.4478·MAD
+    (the 3σ equivalent under normality, 3·1.4826). Median and MAD resist
+    the very outliers a mean/stddev z-score lets poison its own
+    threshold (``zscore_outliers`` is the classical twin); the events
+    value column is heavy-tailed, so the two flag different row sets.
+
+    Exactness: both medians are LOWER medians — the value at rank
+    ⌊(n+1)/2⌋ under a total (value, key) order — selected by row_number,
+    never interpolated, so every quantity is integer cents and the
+    outlier test is an integer cross-multiplication. No FP agreement
+    between engines is assumed anywhere (the winsorized query documents
+    why interpolated percentiles cannot promise that).
+
+    Scale shape: two windows and the final agg all partition by the
+    SAME key (event_type), so Catalyst reuses one exchange; median
+    lookup tables are per-group single rows, broadcast back. Exact
+    medians at 100 TB pay one sort per group per pass by definition —
+    swap in the quantile-sketch median (``quantile_sketch_merge``) when
+    rank exactness stops being the contract."""
+    events = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w_ord = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    w_cnt = Window.partitionBy("event_type")
+    base = (
+        events.select("event_type", "event_id", cents.alias("cents"))
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("n", F.count("*").over(w_cnt))
+    )
+    med = base.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("cents").alias("med_cents")
+    )
+    w_dev = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    dev = (
+        base.join(F.broadcast(med), "event_type")
+        .withColumn("dev", F.abs(F.col("cents") - F.col("med_cents")))
+        .withColumn("rn2", F.row_number().over(w_dev))
+    )
+    mad = dev.filter(F.col("rn2") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("dev").alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.min("med_cents").cast("double") / 100).alias("median"),
+            (F.min("mad_cents").cast("double") / 100).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("dev") * MAD_THRESH_DEN > MAD_THRESH_NUM * F.col("mad_cents"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
