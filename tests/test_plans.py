@@ -510,3 +510,51 @@ def test_lateral_rewrites_to_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_candidate_join_no_cartesian(spark, sf_dir):
+    # rare-shingle blocking must stay equi-join (postings vs rarest):
+    # all-pairs here is the quadratic scale-killer the prefix filter
+    # exists to avoid.
+    plan = formatted_plan(QUERIES["dedup_containment"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_takeordered_and_broadcasts(spark, sf_dir):
+    plan = formatted_plan(QUERIES["bm25_doc_ranking"](spark, sf_dir))
+    # top-k over scored docs is a distributed partial top-k, never a
+    # single-partition global window/sort
+    assert "TakeOrderedAndProject" in plan
+    # df and corpus stats ride in as broadcasts
+    assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" in plan
+    # (stats is a 1-row crossJoin -> broadcast nested loop is correct
+    # and constant-size there; the per-word df join must be hash)
+
+
+def test_merge_upsert_is_joinless_single_agg(spark, sf_dir):
+    # the MERGE is ONE hash aggregation on custkey: no join operator of
+    # any kind, and exactly two exchanges (hash for the agg, range for
+    # the output order) — the two-shuffle window+full-outer-join
+    # formulation is the shape this query exists to avoid.
+    df = QUERIES["merge_upsert_latest_state"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, "MERGE latest-wins must stay join-free"
+    assert count_exchanges(df) == 2
+    # map-side partial aggregation present (struct max is associative;
+    # Spark plans struct-max as SortAggregate — still partial+final)
+    assert "partial_max" in plan
+    assert len(re.findall(r"^\(\d+\) \w*Aggregate", plan, re.M)) >= 2
+
+
+def test_equi_depth_aggregates_before_global_window(spark, sf_dir):
+    # the only global window runs over the DISTINCT value domain: the
+    # groupBy(cents) hash aggregate must sit BELOW the Window node
+    # (smaller node number = earlier stage), and no ntile/per-row
+    # global rank appears anywhere.
+    plan = formatted_plan(QUERIES["equi_depth_price_deciles"](spark, sf_dir))
+    assert "ntile" not in plan.lower()
+    win_ids = [int(m) for m in re.findall(r"Window \((\d+)\)", plan)]
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    assert win_ids and agg_ids
+    assert min(agg_ids) < min(win_ids), (agg_ids, win_ids)

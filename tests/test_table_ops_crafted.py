@@ -1,0 +1,140 @@
+"""Hand-checkable semantics for the round-4 late additions (table_ops,
+MAD outliers, equi-depth deciles, BM25): the DuckDB oracle proves engine
+parity; these prove the operators compute the textbook quantity on
+crafted fixtures small enough to verify by hand. Each test writes a tiny
+parquet fixture dir and drives the REAL registered query function."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+from bigdata_2025_1_spark.operators.retrieval_ops import (
+    BM25_K1,
+    BM25_B,
+    bm25_doc_ranking,
+)
+from bigdata_2025_1_spark.operators.statistics import (
+    equi_depth_price_deciles,
+    mad_value_outliers,
+)
+from bigdata_2025_1_spark.operators.table_ops import (
+    merge_upsert_latest_state,
+    order_month_streaks,
+    stratified_exact_sample,
+)
+
+
+def _write(df, d, table):
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / f"{table}.parquet"))
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+
+
+def test_mad_flags_only_the_far_point(spark, tmp_path):
+    # values 10,10,10,10,110: lower median (rank 3 of 5) = 10; deviations
+    # 0,0,0,0,100 -> MAD (rank 3) = 0 -> the single dev>0 row is the
+    # only outlier (threshold 4.4478*0 = 0).
+    rows = [
+        (i, datetime(2026, 1, 1), 1, "a", v, "{}")
+        for i, v in enumerate([10.0, 10.0, 10.0, 10.0, 110.0])
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _write(ev, tmp_path, "events")
+    out = mad_value_outliers(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.median, r.mad, r.n_outliers) == (5, 10.0, 0.0, 1)
+
+
+def test_equi_depth_keeps_ties_in_one_bucket(spark, tmp_path):
+    # 5 rows at price 1.00 and 5 at 2.00 (N=10): value 1.00 has
+    # cum_before 0 -> bucket 0; value 2.00 has cum_before 5 -> bucket 5.
+    # ntile(10) would have split each tie group across 5 buckets.
+    rows = [(i, 1, "O", 1.0 if i < 5 else 2.0, datetime(2026, 1, 1), "p") for i in range(10)]
+    _write(_orders(spark, rows), tmp_path, "orders")
+    out = {r.bucket: r for r in equi_depth_price_deciles(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 5}
+    assert out[0].n_rows == 5 and out[0].lo == out[0].hi == 1.0
+    assert out[5].n_rows == 5 and out[5].lo == out[5].hi == 2.0
+
+
+def test_merge_upsert_actions_and_latest_wins(spark, tmp_path):
+    # cust 1: both eras -> update, delta state wins; cust 2: base only ->
+    # keep; cust 3: delta only -> insert. Cust 1's delta has two orders
+    # on the SAME date -> the higher orderkey wins (total order).
+    rows = [
+        (1, 1, "F", 10.0, datetime(1996, 5, 1), "p"),
+        (2, 1, "O", 20.0, datetime(1999, 1, 1), "p"),
+        (3, 1, "P", 30.0, datetime(1999, 1, 1), "p"),
+        (4, 2, "F", 40.0, datetime(1995, 2, 1), "p"),
+        (5, 3, "O", 50.0, datetime(2000, 7, 1), "p"),
+    ]
+    _write(_orders(spark, rows), tmp_path, "orders")
+    out = {r.custkey: r for r in merge_upsert_latest_state(spark, str(tmp_path)).collect()}
+    assert out[1].action == "update" and out[1].status == "P" and out[1].total_cents == 3000
+    assert out[2].action == "keep" and out[2].total_cents == 4000
+    assert out[3].action == "insert" and out[3].total_cents == 5000
+
+
+def test_month_streaks_islands(spark, tmp_path):
+    # cust 1 orders in 2026-01, 02, 03 and 06: longest streak 3, two
+    # islands, 4 active months; a second order in an already-active
+    # month must not inflate anything.
+    months = [(2026, 1), (2026, 2), (2026, 3), (2026, 6), (2026, 1)]
+    rows = [
+        (i, 1, "O", 1.0, datetime(y, m, 15), "p") for i, (y, m) in enumerate(months)
+    ]
+    _write(_orders(spark, rows), tmp_path, "orders")
+    out = order_month_streaks(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.longest_streak, r.active_months, r.n_streaks) == (3, 4, 2)
+
+
+def test_stratified_sample_is_exact_k_and_stable(spark, tmp_path):
+    rows = [(i, 1, "O", float(i), datetime(2026, 1, 1), f"p{i % 2}") for i in range(60)]
+    _write(_orders(spark, rows), tmp_path, "orders")
+    a = stratified_exact_sample(spark, str(tmp_path)).collect()
+    b = stratified_exact_sample(spark, str(tmp_path)).collect()
+    assert a == b  # reproducible
+    per = {}
+    for r in a:
+        per.setdefault(r.priority, []).append(r.sample_rank)
+    assert set(per) == {"p0", "p1"}
+    for ranks in per.values():
+        assert ranks == list(range(1, 21))  # exactly k, densely ranked
+
+
+def test_bm25_matches_hand_formula(spark, tmp_path):
+    # 3 docs, every doc 4 tokens long (dl = avgdl -> length norm = 1):
+    # score(doc) = ln(1 + (N - df + .5)/(df + .5)) * tf*(k1+1)/(tf + k1)
+    docs = [
+        (0, "spark a b c", "en", "s", 11),
+        (1, "spark spark a b", "en", "s", 15),
+        (2, "x y z w", "en", "s", 7),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    _write(df, tmp_path, "documents")
+    out = {r.doc_id: r for r in bm25_doc_ranking(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1}  # only docs containing a query term
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+
+    def score(tf):
+        return idf * (tf * (BM25_K1 + 1)) / (tf + BM25_K1 * (1 - BM25_B + BM25_B * 1.0))
+
+    assert abs(out[0].bm25 - score(1)) < 2e-6
+    assert abs(out[1].bm25 - score(2)) < 2e-6
+    assert out[1].rank == 1 and out[0].rank == 2  # higher tf wins
