@@ -65,9 +65,11 @@ ORACLES: dict[str, str] = {}
 # q22_idle_rich_customers) and the corpus/retrieval additions
 # (corpus_duplicate_spans, bpe_pair_merge_step, rrf_rank_fusion,
 # lateral_top_orders_per_customer, ann_sq8_topk, triangle_count_trade,
-# group_by_all_revenue, join_key_skew_profile, hll_union_distinct) plus
-# any later round-4
-# additions;
+# group_by_all_revenue, join_key_skew_profile, hll_union_distinct) and
+# the late-round-4 batch (bm25_doc_ranking, label_propagation_communities,
+# merge_upsert_latest_state, table_checksum_buckets,
+# stratified_exact_sample, order_month_streaks, equi_depth_price_deciles,
+# mad_value_outliers, dedup_containment);
 # (2) queries whose module changed in round 4 whose last green predates
 # the change (dedup_char_ngram_jaccard — prefilter flattened to codegen
 # columns late in round 4, r3 row predates it; simhash_values —
