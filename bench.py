@@ -84,6 +84,12 @@ HEADLINE = [
     "rrf_rank_fusion",
     "ann_sq8_topk",
     "lateral_top_orders_per_customer",
+    # late round-4 additions
+    "bm25_doc_ranking",
+    "dedup_containment",
+    "merge_upsert_latest_state",
+    "equi_depth_price_deciles",
+    "label_propagation_communities",
 ]
 
 

@@ -12,7 +12,7 @@ never compared pairwise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions import text as T
@@ -146,4 +146,117 @@ def bpe_pair_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "pair")
         .limit(20)
+    )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+@query(
+    "pmi_token_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKS} AS ts FROM documents
+    ), uni AS (
+      SELECT unnest(ts) AS w FROM tok
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), nt AS (
+      SELECT COUNT(*) AS n_tok FROM uni
+    ), big AS (
+      SELECT unnest([ts[i] || ' ' || ts[i + 1] for i in range(1, len(ts))]) AS bg
+      FROM tok
+    ), bcnt AS (
+      SELECT bg, COUNT(*) AS c_ab FROM big GROUP BY bg
+    ), nb AS (
+      SELECT COUNT(*) AS n_big FROM big
+    ), scored AS (
+      SELECT split_part(bg, ' ', 1) AS tok_a, split_part(bg, ' ', 2) AS tok_b,
+             c_ab,
+             CAST(ROUND(ln(((((c_ab::DOUBLE * nt.n_tok) / ca.c) * nt.n_tok) / cb.c)
+                           / nb.n_big) * 1e6) AS BIGINT) AS pmi_i6
+      FROM bcnt
+      JOIN ucnt ca ON ca.w = split_part(bg, ' ', 1)
+      JOIN ucnt cb ON cb.w = split_part(bg, ' ', 2)
+      CROSS JOIN nt CROSS JOIN nb
+      WHERE c_ab >= {PMI_MIN_COUNT}
+    )
+    SELECT tok_a, tok_b, CAST(c_ab AS BIGINT) AS pair_count,
+           pmi_i6::DOUBLE / 1e6 AS pmi, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_i6 DESC, tok_a, tok_b) AS rank
+          FROM scored)
+    WHERE rank <= {PMI_TOP_K}
+    ORDER BY rank
+    """,
+)
+def pmi_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of ADJACENT token bigrams — the
+    phrase-detection pass (word2vec-style "new_york" promotion, also the
+    collocation scan a tokenizer-prep pipeline runs): PMI(a,b) =
+    ln(P(ab) / (P(a)·P(b))) with P from bigram/unigram counts, keeping
+    bigrams seen ≥ 5 times, top 20 by PMI.
+
+    Determinism: all counts are exact integers; the PMI argument is ONE
+    fixed-order chain of double ops (×N, ÷c_a, ×N, ÷c_b, ÷N_big — no
+    int-product overflow at any corpus size); ln rounds to 6 dp like
+    tfidf/BM25, and ranking sorts the scaled int64 with a (tok_a, tok_b)
+    tiebreak.
+
+    Scale shape: two map-side-combinable counts (unigrams, bigrams —
+    bigram enumeration is a per-row array transform, shuffle-free);
+    unigram counts broadcast back onto the bigram aggregate (vocabulary
+    ≪ corpus); the two corpus totals are 1-row broadcasts; top-k is
+    TakeOrdered. Nothing in the plan scales superlinearly with tokens."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select(T.ws_tokens(F.lower(F.col("text"))).alias("ts"))
+    uni = toks.select(F.explode("ts").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    nt = uni.agg(F.count("*").alias("n_tok"))
+    ts = F.col("ts")
+    idx = F.when(F.size(ts) >= 2, F.sequence(F.lit(1), F.size(ts) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bg = F.transform(
+        idx,
+        lambda i: F.concat(F.element_at(ts, i), F.lit(" "), F.element_at(ts, i + 1)),
+    )
+    big = toks.select(F.explode(bg).alias("bg"))
+    bcnt = big.groupBy("bg").agg(F.count("*").alias("c_ab"))
+    nb = big.agg(F.count("*").alias("n_big"))
+    ca = ucnt.select(F.col("w").alias("wa"), F.col("c").alias("c_a"))
+    cb = ucnt.select(F.col("w").alias("wb"), F.col("c").alias("c_b"))
+    pmi_arg = (
+        (
+            (F.col("c_ab").cast("double") * F.col("n_tok") / F.col("c_a"))
+            * F.col("n_tok")
+            / F.col("c_b")
+        )
+        / F.col("n_big")
+    )
+    scored = (
+        bcnt.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ca), F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("wa"))
+        .join(F.broadcast(cb), F.split_part(F.col("bg"), F.lit(" "), F.lit(2)) == F.col("wb"))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("wa").alias("tok_a"),
+            F.col("wb").alias("tok_b"),
+            "c_ab",
+            F.round(F.log(pmi_arg) * F.lit(1e6)).cast("bigint").alias("pmi_i6"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi_i6"), "tok_a", "tok_b").limit(PMI_TOP_K)
+    rank = F.row_number().over(Window.orderBy(F.desc("pmi_i6"), "tok_a", "tok_b"))
+    return (
+        top.withColumn("rank", rank.cast("int"))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("c_ab").alias("pair_count"),
+            (F.col("pmi_i6").cast("double") / F.lit(1e6)).alias("pmi"),
+            "rank",
+        )
+        .orderBy("rank")
     )

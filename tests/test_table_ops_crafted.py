@@ -138,3 +138,21 @@ def test_bm25_matches_hand_formula(spark, tmp_path):
     assert abs(out[0].bm25 - score(1)) < 2e-6
     assert abs(out[1].bm25 - score(2)) < 2e-6
     assert out[1].rank == 1 and out[0].rank == 2  # higher tf wins
+
+
+def test_pmi_matches_hand_formula(spark, tmp_path):
+    # corpus "a b a b a b a b a b": N_tok=10, c(a)=c(b)=5; bigrams: 9
+    # total, "a b" x5, "b a" x4 -> PMI(a,b) = ln((5/9)/((5/10)*(5/10)))
+    # = ln(2.222...); "b a" (count 4) falls under the min-count 5 gate.
+    from bigdata_2025_1_spark.operators.corpus_ops import pmi_token_pairs
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a b a b a b", "en", "s", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _write(df, tmp_path, "documents")
+    out = pmi_token_pairs(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.tok_a, r.tok_b, r.pair_count, r.rank) == ("a", "b", 5, 1)
+    assert abs(r.pmi - math.log(5.0 * 10 / 5 * 10 / 5 / 9)) < 2e-6
