@@ -647,3 +647,146 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+# --- k-means: two full Lloyd iterations in fixed-point arithmetic -------
+KM_K = 4
+KM_DIM = 64
+KM_SHIFT = 10_000  # shift e4-scaled comps non-negative so floor-division
+# of centroid means is identical in both engines (Spark `div` truncates
+# toward zero, DuckDB `//` floors — they agree only on non-negatives)
+
+_KM_X = (
+    "[CAST(ROUND(embedding[i]::DOUBLE * 1e4) AS BIGINT) + "
+    f"{KM_SHIFT} for i in range(1, {KM_DIM + 1})]"
+)
+
+
+def _km_dist(a: str, b: str) -> str:
+    return (
+        f"list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+        f"for i in range(1, {KM_DIM + 1})])"
+    )
+
+
+_KM_SUMS = ", ".join(f"SUM(x[{i + 1}]) AS s{i}" for i in range(KM_DIM))
+_KM_C2 = (
+    "[" + ", ".join(f"CAST(s{i} // n AS BIGINT)" for i in range(KM_DIM)) + "]"
+)
+
+
+@query(
+    "kmeans_lloyd_clusters",
+    oracle=f"""
+    WITH xs AS MATERIALIZED (
+      SELECT vec_id, {_KM_X} AS x FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS c, x AS cx FROM xs WHERE vec_id < {KM_K}
+    ), a1 AS (
+      SELECT vec_id, x, c FROM (
+        SELECT x.vec_id, x.x, s.c,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                  ORDER BY {_km_dist('x.x', 's.cx')}, s.c) AS rk
+        FROM xs x CROSS JOIN seeds s
+      ) WHERE rk = 1
+    ), m1 AS (
+      SELECT c, COUNT(*) AS n, {_KM_SUMS} FROM a1 GROUP BY c
+    ), cent2 AS (
+      SELECT c, n, {_KM_C2} AS cx FROM m1
+    ), a2 AS (
+      SELECT vec_id, c, dist FROM (
+        SELECT x.vec_id, s.c, {_km_dist('x.x', 's.cx')} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                  ORDER BY {_km_dist('x.x', 's.cx')}, s.c) AS rk
+        FROM xs x CROSS JOIN cent2 s
+      ) WHERE rk = 1
+    )
+    SELECT a.c AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(a.dist) AS BIGINT) AS inertia,
+           (s.cx[1] - {KM_SHIFT})::DOUBLE / 1e4 AS c0,
+           (s.cx[2] - {KM_SHIFT})::DOUBLE / 1e4 AS c1
+    FROM a2 a JOIN cent2 s USING (c)
+    GROUP BY a.c, s.cx[1], s.cx[2]
+    ORDER BY cluster_id
+    """,
+)
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd iterations of k-means (k=4, seeds = vec_id 0..3):
+    assign → update → re-assign, reporting per-cluster size, inertia
+    (Σ squared distance to the updated centroid), and the centroid's
+    first two components. ``embedding_centroid_distance`` is the single
+    E-step; this is the LOOP — the workload shape of every iterative ML
+    fit on Spark (driver loop, each step declarative join+agg, state =
+    the k×d centroid table, broadcast every pass).
+
+    Determinism (the hard part of distributed k-means): components are
+    fixed-point e4 integers (shifted non-negative), distances are exact
+    int64 sums of squares, the argmin breaks ties by centroid id, and
+    updated centroids are FLOOR-quantized integer means (`sum div n` —
+    identical floor semantics in both engines on non-negatives, ≤1e-4
+    per-component quantization). No double enters any comparison, so
+    partition order and engine cannot flip an assignment — the classic
+    irreproducibility of float k-means is engineered out.
+
+    Scale shape: each iteration is one crossJoin with the BROADCAST k×d
+    centroid table + a per-vector argmin (WindowGroupLimit over k rows
+    per vector) + one map-side-combinable groupBy(c) whose output is
+    again k rows — per-iteration shuffle bytes are O(k·d), independent
+    of corpus size. The int64 bound holds while cluster_size · 2e4 <
+    3e9 per component sum — rescale to e3 beyond ~10⁵-member clusters
+    (documented, not silently wrong: sums are exact or the job fails
+    loudly on overflow in ANSI mode)."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    x = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") * 1e4).cast("bigint") + F.lit(KM_SHIFT),
+    )
+    xs = emb.select("vec_id", x.alias("x")).persist()
+    seeds = xs.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("c"), F.col("x").alias("cx")
+    )
+
+    def dist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        rk = Window.partitionBy("vec_id").orderBy("dist", "c")
+        return (
+            xs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "x", "c", dist(F.col("x"), F.col("cx")).alias("dist"))
+            .withColumn("rk", F.row_number().over(rk))
+            .filter(F.col("rk") == 1)
+        )
+
+    a1 = assign(seeds)
+    m1 = a1.groupBy("c").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.element_at("x", i + 1)).alias(f"s{i}") for i in range(KM_DIM)],
+    )
+    cent2 = m1.select(
+        "c",
+        "n",
+        F.array(*[F.expr(f"s{i} div n") for i in range(KM_DIM)]).alias("cx"),
+    ).persist()  # k rows, used twice (assignment + output) — without the
+    # persist the whole a1 pass re-executes for the output join
+    a2 = assign(cent2.select("c", "cx"))
+    c0 = (F.element_at("cx", 1) - KM_SHIFT).cast("double") / 1e4
+    c1 = (F.element_at("cx", 2) - KM_SHIFT).cast("double") / 1e4
+    return (
+        a2.groupBy("c")
+        .agg(F.count("*").alias("n_members"), F.sum("dist").alias("inertia"))
+        .join(F.broadcast(cent2.select("c", "cx")), "c")
+        .select(
+            F.col("c").alias("cluster_id"),
+            "n_members",
+            "inertia",
+            c0.alias("c0"),
+            c1.alias("c1"),
+        )
+        .orderBy("cluster_id")
+    )
