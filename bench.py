@@ -90,6 +90,8 @@ HEADLINE = [
     "merge_upsert_latest_state",
     "equi_depth_price_deciles",
     "label_propagation_communities",
+    "kmeans_lloyd_clusters",
+    "pmi_token_pairs",
 ]
 
 

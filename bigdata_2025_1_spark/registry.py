@@ -69,7 +69,8 @@ ORACLES: dict[str, str] = {}
 # the late-round-4 batch (bm25_doc_ranking, label_propagation_communities,
 # merge_upsert_latest_state, table_checksum_buckets,
 # stratified_exact_sample, order_month_streaks, equi_depth_price_deciles,
-# mad_value_outliers, dedup_containment, pmi_token_pairs);
+# mad_value_outliers, dedup_containment, pmi_token_pairs,
+# kmeans_lloyd_clusters);
 # (2) queries whose module changed in round 4 whose last green predates
 # the change (dedup_char_ngram_jaccard — prefilter flattened to codegen
 # columns late in round 4, r3 row predates it; simhash_values —

@@ -156,3 +156,29 @@ def test_pmi_matches_hand_formula(spark, tmp_path):
     r = out[0]
     assert (r.tok_a, r.tok_b, r.pair_count, r.rank) == ("a", "b", 5, 1)
     assert abs(r.pmi - math.log(5.0 * 10 / 5 * 10 / 5 / 9)) < 2e-6
+
+
+def test_kmeans_converges_on_separated_points(spark, tmp_path):
+    # seeds 0..3 well-separated on distinct axes; vec 4 duplicates seed
+    # 2's vector -> joins cluster 2, all centroids stay on their seed,
+    # inertia 0 everywhere.
+    from bigdata_2025_1_spark.operators.similarity import kmeans_lloyd_clusters
+
+    def vec(axis, mag):
+        v = [0.0] * 64
+        v[axis] = mag
+        return v
+
+    rows = [
+        (0, vec(0, 0.5), 0),
+        (1, vec(1, 0.5), 1),
+        (2, vec(2, 0.5), 2),
+        (3, vec(3, 0.5), 3),
+        (4, vec(2, 0.5), 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    _write(df, tmp_path, "embeddings")
+    out = {r.cluster_id: r for r in kmeans_lloyd_clusters(spark, str(tmp_path)).collect()}
+    assert {c: r.n_members for c, r in out.items()} == {0: 1, 1: 1, 2: 2, 3: 1}
+    assert all(r.inertia == 0 for r in out.values())
+    assert out[0].c0 == 0.5 and out[1].c1 == 0.5 and out[2].c0 == 0.0
