@@ -864,3 +864,132 @@ def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "events_interpolated_hourly",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             SUM(CAST(ROUND(value * 1e2) AS BIGINT)) AS sc,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), spine AS (
+      SELECT t.event_type, h.hour
+      FROM hours h CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ), joined AS (
+      SELECT s.event_type, s.hour,
+             CAST(o.sc AS BIGINT)::DOUBLE / o.n / 1e2 AS v,
+             epoch(s.hour) // 3600 AS eh
+      FROM spine s LEFT JOIN obs o
+        ON o.event_type = s.event_type AND o.hour = s.hour
+    ), filled AS (
+      SELECT event_type, hour, v, eh,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN eh END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peh,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN eh END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS neh
+      FROM joined
+    )
+    SELECT event_type, hour,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) * (eh - peh) / (neh - peh)
+           END AS value,
+           (v IS NOT NULL) AS observed
+    FROM filled
+    ORDER BY event_type, hour
+    """,
+)
+def events_interpolated_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR INTERPOLATION for unobserved hours:
+    the mean event value per (type, hour) where data exists; for gap
+    hours, the straight line between the nearest observed hours (edges
+    carry the nearest value). ``events_gap_filled_hourly`` zero-fills —
+    right for counts; for a sampled METRIC a missing hour means
+    "unobserved", and interpolation is the standard reconstruction
+    (monitoring dashboards, feature backfill).
+
+    Determinism: the observed mean is one double division of exact ints;
+    prev/next lookups are IGNORE NULLS window frames over a total
+    (type, hour) order; the interpolation is a fixed chain of +,-,*,/
+    on those values and integer epoch-hour gaps — identical IEEE ops in
+    both engines, so the raw double is ALREADY bit-identical and is
+    emitted unrounded (presentation rounding would reintroduce the
+    engines' round-half divergence on inexact doubles for nothing).
+
+    Scale shape: the data-sized work is ONE map-side-combinable hourly
+    aggregate; the spine is calendar-sized (broadcast), and the four
+    fill windows all share one (event_type, hour) sort. A year of
+    hourly spine is 8.8k rows per type at ANY data volume."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    obs = ev.groupBy(F.col("event_type"), hour.alias("hour")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sc"),
+        F.count("*").alias("n"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+    joined = spine.join(obs, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        (F.col("sc").cast("double") / F.col("n") / F.lit(1e2)).alias("v"),
+        F.expr("unix_seconds(hour) div 3600").alias("eh"),
+    )
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_eh = F.when(F.col("v").isNotNull(), F.col("eh"))
+    filled = joined.select(
+        "event_type",
+        "hour",
+        "v",
+        "eh",
+        F.last("v", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(obs_eh, ignorenulls=True).over(w_back).alias("peh"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(obs_eh, ignorenulls=True).over(w_fwd).alias("neh"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("eh") - F.col("peh")
+    ) / (F.col("neh") - F.col("peh"))
+    value = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(interp)
+    )
+    return filled.select(
+        "event_type",
+        "hour",
+        value.alias("value"),
+        F.col("v").isNotNull().alias("observed"),
+    ).orderBy("event_type", "hour")

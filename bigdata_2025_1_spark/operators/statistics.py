@@ -853,3 +853,125 @@ def mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "linreg_price_model",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(l_quantity * 1e2) AS BIGINT)) AS s1,
+             SUM(CAST(ROUND(l_discount * 1e4) AS BIGINT)) AS s2,
+             SUM(CAST(ROUND(l_extendedprice * 1e2) AS BIGINT)) AS sy,
+             SUM(CAST(ROUND(l_quantity * 1e2) AS BIGINT) * CAST(ROUND(l_quantity * 1e2) AS BIGINT)) AS s11,
+             SUM(CAST(ROUND(l_quantity * 1e2) AS BIGINT) * CAST(ROUND(l_discount * 1e4) AS BIGINT)) AS s12,
+             SUM(CAST(ROUND(l_discount * 1e4) AS BIGINT) * CAST(ROUND(l_discount * 1e4) AS BIGINT)) AS s22,
+             SUM(CAST(ROUND(l_quantity * 1e2) AS BIGINT) * CAST(ROUND(l_extendedprice * 1e2) AS BIGINT)) AS s1y,
+             SUM(CAST(ROUND(l_discount * 1e4) AS BIGINT) * CAST(ROUND(l_extendedprice * 1e2) AS BIGINT)) AS s2y,
+             SUM(CAST(ROUND(l_extendedprice * 1e2) AS BIGINT) * CAST(ROUND(l_extendedprice * 1e2) AS BIGINT)) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    ), d AS (
+      SELECT l_returnflag, n::DOUBLE AS n, s1::DOUBLE AS s1, s2::DOUBLE AS s2,
+             sy::DOUBLE AS sy, s11::DOUBLE AS s11, s12::DOUBLE AS s12,
+             s22::DOUBLE AS s22, s1y::DOUBLE AS s1y, s2y::DOUBLE AS s2y,
+             syy::DOUBLE AS syy
+      FROM m
+    ), solved AS (
+      SELECT l_returnflag, n, sy, syy,
+             n * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2) AS det,
+             sy * (s11 * s22 - s12 * s12)
+               - s1 * (s1y * s22 - s12 * s2y)
+               + s2 * (s1y * s12 - s11 * s2y) AS det0,
+             n * (s1y * s22 - s12 * s2y)
+               - sy * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s2y - s1y * s2) AS det1,
+             n * (s11 * s2y - s1y * s12)
+               - s1 * (s1 * s2y - s1y * s2)
+               + sy * (s1 * s12 - s11 * s2) AS det2,
+             s1y, s2y, s1, s2
+      FROM d
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND(det0 / det, 6) AS b0,
+           ROUND(det1 / det, 6) AS b1,
+           ROUND(det2 / det, 6) AS b2,
+           ROUND(1 - (syy - (det0 / det) * sy - (det1 / det) * s1y - (det2 / det) * s2y)
+                     / (syy - sy * sy / n), 9) AS r2
+    FROM solved
+    ORDER BY l_returnflag
+    """,
+)
+def linreg_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature least squares (extended price ~ quantity + discount,
+    per return flag) solved in closed form by Cramer's rule on the 3x3
+    normal equations — the "ML fit = one aggregation pass" shape: 100 TB
+    collapses to 10 exact moment sums per group in a single map-side-
+    combinable aggregate, and the solve is arithmetic on those scalars.
+    (``stats_regression`` is the single-feature twin; MLlib's iterative
+    solvers take over when features stop fitting a closed form.)
+
+    Determinism: moments are exact int64/decimal sums of scaled ints;
+    both engines cast the SAME exact wide-integer value to double
+    (identical IEEE rounding) and then run the SAME chain of +,-,*,/ —
+    no libm, so results are bit-identical before the 6 dp presentation
+    rounding. R² uses the regression-SS identity on the same sums."""
+    li = load(spark, sf_dir, "lineitem")
+    x1 = F.round(F.col("l_quantity") * 100).cast("bigint")
+    x2 = F.round(F.col("l_discount") * 10000).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    dec = "decimal(38,0)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("ni"),
+        F.sum(x1).alias("s1i"),
+        F.sum(x2).alias("s2i"),
+        F.sum(y).alias("syi"),
+        F.sum((x1 * x1).cast(dec)).alias("s11i"),
+        F.sum((x1 * x2).cast(dec)).alias("s12i"),
+        F.sum((x2 * x2).cast(dec)).alias("s22i"),
+        F.sum((x1 * y).cast(dec)).alias("s1yi"),
+        F.sum((x2 * y).cast(dec)).alias("s2yi"),
+        F.sum((y * y).cast(dec)).alias("syyi"),
+    )
+    d = m.select(
+        "l_returnflag",
+        *[
+            F.col(c + "i").cast("double").alias(c)
+            for c in ("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+        ],
+    )
+    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    r2 = 1 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / (syy - sy * sy / n)
+    return d.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(r2, 9).alias("r2"),
+    ).orderBy("l_returnflag")

@@ -182,3 +182,32 @@ def test_kmeans_converges_on_separated_points(spark, tmp_path):
     assert {c: r.n_members for c, r in out.items()} == {0: 1, 1: 1, 2: 2, 3: 1}
     assert all(r.inertia == 0 for r in out.values())
     assert out[0].c0 == 0.5 and out[1].c1 == 0.5 and out[2].c0 == 0.0
+
+
+def test_interpolation_bridges_gap_linearly(spark, tmp_path):
+    # type 'a' observed at hour 0 (value 10) and hour 3 (value 40):
+    # hours 1 and 2 interpolate to 20 and 30; observed rows keep their
+    # exact mean (two events at hour 3 -> mean of 30 and 50 = 40).
+    from bigdata_2025_1_spark.operators.events_ops import events_interpolated_hourly
+
+    rows = [
+        (0, datetime(2026, 1, 1, 0, 5), 1, "a", 10.0, "{}"),
+        (1, datetime(2026, 1, 1, 3, 10), 1, "a", 30.0, "{}"),
+        (2, datetime(2026, 1, 1, 3, 40), 1, "a", 50.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _write(ev, tmp_path, "events")
+    out = sorted(
+        events_interpolated_hourly(spark, str(tmp_path)).collect(),
+        key=lambda r: r.hour,
+    )
+    assert [(r.value, r.observed) for r in out] == [
+        (10.0, True),
+        (20.0, False),
+        (30.0, False),
+        (40.0, True),
+    ]
