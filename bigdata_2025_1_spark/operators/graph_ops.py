@@ -414,3 +414,117 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(strong.agg(F.count("*").alias("n_edges")))
         .crossJoin(tris)
     )
+
+
+BFS_HOPS = 3
+BFS_SOURCE = 0  # nation_key of the BFS root
+
+
+def _sql_bfs_stage(i: int) -> str:
+    return f"""d{i + 1} AS (
+      SELECT n.nation_key,
+             LEAST(n.dist, c.best + 1) AS dist
+      FROM d{i} n LEFT JOIN (
+        SELECT e.dst AS nation_key, MIN(p.dist) AS best
+        FROM d{i} p JOIN edges e ON e.src = p.nation_key
+        WHERE p.dist < {10**6}
+        GROUP BY e.dst
+      ) c USING (nation_key)
+    )"""
+
+
+_BFS_STAGES = ",\n    ".join(_sql_bfs_stage(i) for i in range(BFS_HOPS))
+
+
+@query(
+    "bfs_trade_reachability",
+    oracle=f"""
+    WITH raw AS MATERIALIZED (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    ), edges AS MATERIALIZED (SELECT src, dst FROM raw),
+    d0 AS (
+      SELECT n_nationkey AS nation_key,
+             CASE WHEN n_nationkey = {BFS_SOURCE} THEN 0 ELSE {10**6} END AS dist
+      FROM nation
+    ),
+    {_BFS_STAGES}
+    SELECT n.n_name AS nation,
+           CASE WHEN d.dist < {10**6} THEN CAST(d.dist AS INT) ELSE NULL END AS hops,
+           (d.dist < {10**6}) AS reachable
+    FROM d{BFS_HOPS} d JOIN nation n ON n.n_nationkey = d.nation_key
+    ORDER BY nation
+    """,
+)
+def bfs_trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest hop count from nation 0 over the directed trade
+    graph, 3 synchronous relaxation rounds (min-plus algebra:
+    dist' = min(dist, 1 + min over in-neighbors)) — the fourth iterative
+    graph shape beside min-label components, mode-vote LPA, and
+    weighted-sum PageRank; unreached nodes report NULL hops. Fixed
+    rounds bound the result to ≤3 hops by construction (exact BFS loops
+    until the frontier empties — same body, driver-checked convergence
+    as in ``dedup_connected_components``).
+
+    Determinism: distances are integers; min is total; no floats exist
+    anywhere in the query.
+
+    Scale shape: the DISTINCT fact-fact shuffle builds a ≤|nations|²
+    edge list once (broadcast dims); each round is one join+MIN-agg on
+    the persisted edges. At billion-node scale the same loop runs with
+    edges partitioned by src and the frontier persisted per round —
+    and frontier-only propagation (join from last round's CHANGED
+    nodes) is the standard optimization the small fixture doesn't
+    need."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    INF = 10**6
+    edges = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+        .persist()  # tiny (≤ |nations|²); released by harness clearCache
+    )
+    dist = nation.select(
+        F.col("n_nationkey").alias("nation_key"),
+        F.when(F.col("n_nationkey") == BFS_SOURCE, F.lit(0))
+        .otherwise(F.lit(INF))
+        .alias("dist"),
+    )
+    for _ in range(BFS_HOPS):
+        relaxed = (
+            edges.join(
+                dist.filter(F.col("dist") < INF),
+                edges.src == F.col("nation_key"),
+            )
+            .groupBy(F.col("dst").alias("nk"))
+            .agg(F.min("dist").alias("best"))
+        )
+        dist = (
+            dist.join(relaxed, dist.nation_key == relaxed.nk, "left")
+            .select(
+                "nation_key",
+                # LEAST skips NULLs in BOTH engines (no-in-edge nodes keep
+                # their current dist), verified: DuckDB LEAST(5,NULL)=5
+                F.least(F.col("dist"), F.col("best") + 1).alias("dist"),
+            )
+        )
+    return (
+        dist.join(F.broadcast(nation), dist.nation_key == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.when(F.col("dist") < INF, F.col("dist").cast("int")).alias("hops"),
+            (F.col("dist") < INF).alias("reachable"),
+        )
+        .orderBy("nation")
+    )

@@ -6,7 +6,7 @@ drops)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions import text as T
@@ -680,4 +680,87 @@ def frequent_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .orderBy(F.desc("support"), "tok_a", "tok_b")
         .limit(PAIR_TOP_K)
+    )
+
+
+LP_TOP_K = 20
+
+
+@query(
+    "unigram_logprob_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '') AS ts
+      FROM documents
+    ), uni AS (
+      SELECT doc_id, unnest(ts) AS w FROM tok
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), nt AS (
+      SELECT COUNT(*) AS n_tok FROM uni
+    ), lp AS (
+      SELECT w, CAST(ROUND(ln(c::DOUBLE / n_tok) * 1e6) AS BIGINT) AS l_i6
+      FROM ucnt CROSS JOIN nt
+    ), per_doc AS (
+      SELECT u.doc_id, COUNT(*) AS n_tokens, SUM(lp.l_i6) AS s_i6
+      FROM uni u JOIN lp ON lp.w = u.w
+      GROUP BY u.doc_id
+    ), scored AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             -CAST(s_i6 AS BIGINT)::DOUBLE / n_tokens / 1e6 AS nll
+      FROM per_doc
+    )
+    SELECT doc_id, n_tokens, nll, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY nll DESC, doc_id) AS rank
+          FROM scored)
+    WHERE rank <= {LP_TOP_K}
+    ORDER BY rank
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality proxy (the CCNet/RedPajama perplexity-filter
+    shape with a unigram LM standing in for KenLM): per-document mean
+    negative log-likelihood under the corpus's own unigram distribution;
+    the top-20 HIGHEST-NLL (most surprising) documents are the filter's
+    cut candidates. Swapping the scoring table for real LM logprobs
+    changes one broadcast join, not the plan.
+
+    Determinism: per-WORD logprobs are rounded to int64 millionths once
+    (vocabulary-sized table — the only libm ln, same 6 dp contract as
+    tfidf/BM25); each document then SUMS INTEGERS, so token order and
+    partitioning cannot move a bit; the final mean is one double divide.
+
+    Scale shape: unigram counts are a map-side-combinable groupBy; the
+    logprob table is vocabulary-sized and broadcasts onto the token
+    stream; the per-doc reduce is one doc_id-keyed aggregate. Top-k is
+    TakeOrdered."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    uni = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    nt = uni.agg(F.count("*").alias("n_tok"))
+    lp = ucnt.crossJoin(F.broadcast(nt)).select(
+        "w",
+        F.round(F.log(F.col("c").cast("double") / F.col("n_tok")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("l_i6"),
+    )
+    per_doc = (
+        uni.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("l_i6").alias("s_i6"))
+    )
+    scored = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        (-F.col("s_i6").cast("double") / F.col("n_tokens") / F.lit(1e6)).alias("nll"),
+    )
+    top = scored.orderBy(F.desc("nll"), "doc_id").limit(LP_TOP_K)
+    rank = F.row_number().over(Window.orderBy(F.desc("nll"), "doc_id"))
+    return (
+        top.withColumn("rank", rank.cast("int"))
+        .select("doc_id", "n_tokens", "nll", "rank")
+        .orderBy("rank")
     )
