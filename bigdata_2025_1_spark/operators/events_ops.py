@@ -993,3 +993,93 @@ def events_interpolated_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         value.alias("value"),
         F.col("v").isNotNull().alias("observed"),
     ).orderBy("event_type", "hour")
+
+
+@query(
+    "user_active_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + 60
+               + ((CAST(ROUND(value * 1e2) AS BIGINT) % 600 + 600) % 600) AS e
+      FROM events
+    ), ordered AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+      FROM iv
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END AS new_island
+      FROM ordered
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_seconds,
+           CAST(MAX(me - ms) AS BIGINT) AS longest_interval
+    FROM merged GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (total covered time): each event opens an activity
+    interval (60 s + a value-derived duration, deterministic stand-in
+    for a real duration column); overlapping intervals per user MERGE
+    before summing — the uptime/billing/SLA coverage computation, and a
+    DIFFERENT algebra from inactivity-gap sessionization
+    (``user_sessionization``): islands break on running-MAX-end overlap,
+    not on gap length.
+
+    The classic sweep: sort by start, a new island starts where start
+    exceeds the running max end of all earlier intervals, island id =
+    running sum of the flags, then min(start)/max(end) per island. All
+    integer epoch-second arithmetic.
+
+    Scale shape: both windows and both aggregations partition by
+    user_id — ONE exchange, per-user sort (bounded by a user's own
+    event count), no joins. The same plan shape at any scale."""
+    ev = load(spark, sf_dir, "events")
+    s = F.unix_seconds(F.col("ts"))
+    dur = F.lit(60) + F.pmod(F.round(F.col("value") * 100).cast("bigint"), F.lit(600))
+    iv = ev.select("user_id", s.alias("s"), (s + dur).alias("e"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.max("e").over(w_prev).isNull() | (F.col("s") > F.max("e").over(w_prev)),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(F.col("me") - F.col("ms")).alias("covered_seconds"),
+            F.max(F.col("me") - F.col("ms")).alias("longest_interval"),
+        )
+        .orderBy("user_id")
+    )
