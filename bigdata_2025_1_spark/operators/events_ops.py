@@ -1083,3 +1083,102 @@ def user_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+SEASONAL_LAG_H = 168  # one week of hours
+SEASONAL_TOP = 20
+
+
+@query(
+    "seasonal_hourly_residuals",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), spine AS (
+      SELECT t.event_type, h.hour
+      FROM hours h CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ), filled AS (
+      SELECT s.event_type, s.hour, COALESCE(o.n, 0) AS n
+      FROM spine s LEFT JOIN obs o
+        ON o.event_type = s.event_type AND o.hour = s.hour
+    ), lagged AS (
+      SELECT event_type, hour, n,
+             LAG(n, {SEASONAL_LAG_H}) OVER (PARTITION BY event_type ORDER BY hour)
+               AS n_prev_week
+      FROM filled
+    ), res AS (
+      SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+             CAST(n_prev_week AS BIGINT) AS n_prev_week,
+             CAST(n - n_prev_week AS BIGINT) AS residual
+      FROM lagged WHERE n_prev_week IS NOT NULL
+    )
+    SELECT event_type, hour, n, n_prev_week, residual, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(residual) DESC, event_type, hour)
+                 AS rank
+          FROM res)
+    WHERE rank <= {SEASONAL_TOP}
+    ORDER BY rank
+    """,
+)
+def seasonal_hourly_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly candidates: hourly event counts on a
+    zero-filled calendar spine minus the SAME HOUR LAST WEEK (lag 168 on
+    the spine — the spine makes the lag a calendar shift; a bare groupBy
+    would silently lag over present hours only), top-20 by absolute
+    residual. The simplest seasonal baseline in every monitoring stack,
+    and the input a proper forecaster (Holt-Winters, STL) would replace.
+
+    Determinism: counts and residuals are integers end-to-end; ranking
+    sorts (|residual|, type, hour) — total order.
+
+    Scale shape: one map-side-combinable hourly aggregate joins the
+    broadcast calendar spine; the lag is one (type)-partitioned window
+    over calendar-sized data; top-k is TakeOrdered."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    obs = ev.groupBy(F.col("event_type"), hour.alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+    filled = spine.join(obs, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    res = (
+        filled.withColumn("n_prev_week", F.lag("n", SEASONAL_LAG_H).over(w))
+        .filter(F.col("n_prev_week").isNotNull())
+        .select(
+            "event_type",
+            "hour",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_prev_week").cast("bigint").alias("n_prev_week"),
+            (F.col("n") - F.col("n_prev_week")).cast("bigint").alias("residual"),
+        )
+    )
+    top = res.orderBy(F.abs(F.col("residual")).desc(), "event_type", "hour").limit(
+        SEASONAL_TOP
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.abs(F.col("residual")).desc(), "event_type", "hour")
+    )
+    return (
+        top.withColumn("rank", rank.cast("int"))
+        .select("event_type", "hour", "n", "n_prev_week", "residual", "rank")
+        .orderBy("rank")
+    )
