@@ -369,3 +369,87 @@ def winsorized_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "quantile_normalize_doclen",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, n_chars FROM documents
+    ), per_src AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM d
+    ), granks AS (
+      SELECT n_chars AS gval,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gidx
+      FROM d
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM d
+    ), mapped AS (
+      SELECT p.doc_id, p.source, p.n_chars,
+             CASE WHEN p.ns = 1 THEN (SELECT n FROM tot) // 2
+                  ELSE ((p.rk - 1) * ((SELECT n FROM tot) - 1) * 2 + (p.ns - 1))
+                       // (2 * (p.ns - 1))
+             END + 1 AS gidx
+      FROM per_src p
+    )
+    SELECT m.doc_id, m.source, CAST(m.n_chars AS BIGINT) AS n_chars,
+           CAST(g.gval AS BIGINT) AS normalized
+    FROM mapped m JOIN granks g USING (gidx)
+    ORDER BY m.doc_id
+    """,
+)
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length ACROSS sources: each
+    doc's within-source percentile rank maps to the global value at the
+    same percentile, so every source's length distribution becomes the
+    global one while preserving within-source order — the standard
+    cross-batch/cross-source calibration trick (genomics' quantile
+    normalization; feature preprocessing for mixed-source corpora).
+
+    Determinism: percentile→index is EXACT integer half-up rounding,
+    ``((rk−1)·(N−1)·2 + (ns−1)) // (2·(ns−1))`` — no float percentile
+    anywhere; ranks are (value, doc_id)-tiebroken row_numbers. Safe in
+    int64 while N·max(rk) < 4.6e18 (N beyond ~2e9 rows would need the
+    formula in decimal — documented, loud, not silent).
+
+    Scale shape: the per-source windows partition by source; the global
+    rank is the one full-order window — at real scale swap it for the
+    distinct-value cum-count trick (``equi_depth_price_deciles``) or a
+    quantile-sketch lookup table; the join back is an integer equi-join
+    on gidx."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    per_src = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w_src).alias("rk"),
+        F.count("*").over(Window.partitionBy("source")).alias("ns"),
+    )
+    glob = d.select(
+        F.col("n_chars").alias("gval"),
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("gidx"),
+    )
+    tot = d.agg(F.count("*").alias("n"))
+    gidx = (
+        F.when(F.col("ns") == 1, F.expr("n div 2")).otherwise(
+            F.expr("((rk - 1) * (n - 1) * 2 + (ns - 1)) div (2 * (ns - 1))")
+        )
+        + 1
+    )
+    mapped = per_src.crossJoin(F.broadcast(tot)).select(
+        "doc_id", "source", "n_chars", gidx.alias("gidx")
+    )
+    return (
+        mapped.join(glob, "gidx")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("gval").cast("bigint").alias("normalized"),
+        )
+        .orderBy("doc_id")
+    )

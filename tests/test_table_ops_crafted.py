@@ -211,3 +211,25 @@ def test_interpolation_bridges_gap_linearly(spark, tmp_path):
         (30.0, False),
         (40.0, True),
     ]
+
+
+def test_quantile_normalize_maps_ranks_to_global_values(spark, tmp_path):
+    # source A lengths [10, 20]; source B [100, 200, 300]; global sorted
+    # [10, 20, 100, 200, 300] (N=5). A's ranks map to percentiles 0 and
+    # 1 -> values 10 and 300; B's to 0, .5, 1 -> 10, 100 (idx round(2)),
+    # 300. Within-source order is preserved, distributions align.
+    from bigdata_2025_1_spark.operators.pandas_surface import quantile_normalize_doclen
+
+    rows = [
+        (0, "t", "en", "A", 10),
+        (1, "t", "en", "A", 20),
+        (2, "t", "en", "B", 100),
+        (3, "t", "en", "B", 200),
+        (4, "t", "en", "B", 300),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    _write(df, tmp_path, "documents")
+    out = {r.doc_id: r.normalized for r in quantile_normalize_doclen(spark, str(tmp_path)).collect()}
+    assert out == {0: 10, 1: 300, 2: 10, 3: 100, 4: 300}
