@@ -297,3 +297,89 @@ def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events_gap_filled_hourly shows the F.sequence alternative)."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_MONTHS_SQL)
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH maxd AS (
+      SELECT MAX(o_orderdate) AS d1 FROM orders
+    ), base AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', MAX(o_orderdate), (SELECT d1 FROM maxd)) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+             CAST(frequency AS BIGINT) AS frequency,
+             CAST(monetary_cents AS BIGINT) AS monetary_cents,
+             NTILE(4) OVER (ORDER BY recency_days, custkey) AS r_seg,
+             NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS f_seg,
+             NTILE(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m_seg
+      FROM base
+    )
+    SELECT custkey, recency_days, frequency, monetary_cents,
+           CAST(r_seg AS INT) AS r_seg, CAST(f_seg AS INT) AS f_seg,
+           CAST(m_seg AS INT) AS m_seg,
+           CAST(r_seg * 100 + f_seg * 10 + m_seg AS INT) AS rfm
+    FROM scored
+    ORDER BY custkey
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the classic CRM cut): per customer, recency =
+    days since last order (vs the corpus max date), frequency = order
+    count, monetary = exact cent total; each dimension quartiled with
+    NTILE(4) (1 = best) and composed into the 3-digit RFM code.
+
+    Determinism: all three metrics are integers and every NTILE orders
+    with a custkey tiebreak — a total order, so both engines cut the
+    quartiles identically.
+
+    Scale shape: one map-side-combinable groupBy(custkey) does ALL the
+    data-sized work; the NTILEs then rank the CUSTOMER table (one row
+    per customer — orders of magnitude smaller than the fact table).
+    For customer counts that outgrow a sort, the same quartile cut
+    comes from the distinct-value cum-count bucketing demonstrated in
+    ``equi_depth_price_deciles``."""
+    orders = load(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("d1"))
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "custkey",
+            F.datediff(F.col("d1"), F.col("last_order")).cast("bigint").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r_seg = F.ntile(4).over(Window.orderBy("recency_days", "custkey"))
+    f_seg = F.ntile(4).over(Window.orderBy(F.desc("frequency"), "custkey"))
+    m_seg = F.ntile(4).over(Window.orderBy(F.desc("monetary_cents"), "custkey"))
+    return (
+        base.select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            r_seg.cast("int").alias("r_seg"),
+            f_seg.cast("int").alias("f_seg"),
+            m_seg.cast("int").alias("m_seg"),
+        )
+        .withColumn(
+            "rfm",
+            (F.col("r_seg") * 100 + F.col("f_seg") * 10 + F.col("m_seg")).cast("int"),
+        )
+        .orderBy("custkey")
+    )

@@ -260,3 +260,73 @@ def pmi_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+VOCAB_BUCKET_DOCS = 50
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+    ), first_seen AS (
+      SELECT w, MIN(doc_id) AS fdoc FROM tok GROUP BY w
+    ), new_per_doc AS (
+      SELECT fdoc AS doc_id, COUNT(*) AS new_words FROM first_seen GROUP BY fdoc
+    ), buckets AS (
+      SELECT p.doc_id // {VOCAB_BUCKET_DOCS} AS bucket,
+             SUM(p.n_tok) AS toks,
+             SUM(COALESCE(n.new_words, 0)) AS vocab,
+             COUNT(*) AS docs
+      FROM per_doc p LEFT JOIN new_per_doc n USING (doc_id)
+      GROUP BY bucket
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(docs) OVER w AS BIGINT) AS docs_seen,
+           CAST(SUM(toks) OVER w AS BIGINT) AS tokens_seen,
+           CAST(SUM(vocab) OVER w AS BIGINT) AS vocab_size
+    FROM buckets
+    WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY bucket
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law measurement): cumulative
+    distinct-word count as the corpus is consumed in doc_id order,
+    bucketed every 50 documents, alongside cumulative token counts —
+    the diagnostic a tokenizer-training / dedup pipeline reads to see
+    whether a corpus is still contributing novelty or has gone stale.
+
+    The cumulative-distinct trick: a word contributes exactly once, AT
+    its first-occurrence document (min doc_id per word) — so "distinct
+    so far" becomes a plain cumulative SUM of per-doc first-occurrence
+    counts. No quadratic re-scan, no stateful loop.
+
+    Scale shape: two map-side-combinable aggregates (per-doc token
+    counts; min-doc per word — the only vocabulary-keyed shuffle), one
+    bucket rollup, and a cumulative window over the BUCKET table
+    (corpus_size / 50 rows). All integers."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w"))
+    per_doc = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    first_seen = tok.groupBy("w").agg(F.min("doc_id").alias("doc_id"))
+    new_per_doc = first_seen.groupBy("doc_id").agg(F.count("*").alias("new_words"))
+    buckets = (
+        per_doc.join(new_per_doc, "doc_id", "left")
+        .groupBy(F.expr(f"doc_id div {VOCAB_BUCKET_DOCS}").alias("bucket"))
+        .agg(
+            F.sum("n_tok").alias("toks"),
+            F.sum(F.coalesce(F.col("new_words"), F.lit(0))).alias("vocab"),
+            F.count("*").alias("docs"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return buckets.select(
+        "bucket",
+        F.sum("docs").over(w).alias("docs_seen"),
+        F.sum("toks").over(w).alias("tokens_seen"),
+        F.sum("vocab").over(w).alias("vocab_size"),
+    ).orderBy("bucket")

@@ -72,7 +72,8 @@ ORACLES: dict[str, str] = {}
 # mad_value_outliers, dedup_containment, pmi_token_pairs,
 # kmeans_lloyd_clusters, linreg_price_model, events_interpolated_hourly,
 # unigram_logprob_quality, bfs_trade_reachability, user_active_coverage,
-# seasonal_hourly_residuals, quantile_normalize_doclen);
+# seasonal_hourly_residuals, quantile_normalize_doclen,
+# customer_rfm_segments, vocab_growth_curve);
 # (2) queries whose module changed in round 4 whose last green predates
 # the change (dedup_char_ngram_jaccard — prefilter flattened to codegen
 # columns late in round 4, r3 row predates it; simhash_values —
