@@ -1182,3 +1182,62 @@ def seasonal_hourly_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "hour", "n", "n_prev_week", "residual", "rank")
         .orderBy("rank")
     )
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ), totals AS (
+      SELECT from_type, SUM(n) AS row_total FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+           CAST(p.n AS BIGINT)::DOUBLE / t.row_total AS prob
+    FROM pairs p JOIN totals t USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    P(next event type | current), estimated from per-user (ts, event_id)
+    -ordered LEAD pairs — the behavioral model behind next-action
+    prediction and anomalous-flow detection
+    (``sessionized_path_3grams`` is the higher-order n-gram cousin).
+
+    Determinism: transition counts are integers over a total per-user
+    order; each probability is ONE double division of exact ints —
+    identical IEEE rounding both engines, emitted unrounded.
+
+    Scale shape: one user_id-keyed window (sequences never cross
+    users, so the shuffle is the sessionization exchange) feeding a
+    map-side-combinable pair count; the row-total join is
+    type-cardinality-sized (broadcast)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    pairs = (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("row_total")).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
