@@ -558,3 +558,38 @@ def test_equi_depth_aggregates_before_global_window(spark, sf_dir):
     agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", plan)]
     assert win_ids and agg_ids
     assert min(agg_ids) < min(win_ids), (agg_ids, win_ids)
+
+
+def test_kmeans_broadcasts_centroids(spark, sf_dir):
+    # each Lloyd pass joins the corpus with the BROADCAST k x d centroid
+    # table; the corpus itself must never cartesian against anything
+    # bigger than k rows (BroadcastNestedLoop with a k-row build side IS
+    # the intended cross join).
+    plan = formatted_plan(QUERIES["kmeans_lloyd_clusters"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_logprob_broadcasts_vocabulary(spark, sf_dir):
+    # the per-word logprob table is vocabulary-sized and must ride in as
+    # a broadcast onto the token stream — a shuffle join here would
+    # re-key the full corpus by word for no reason.
+    plan = formatted_plan(QUERIES["unigram_logprob_quality"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rfm_aggregates_before_ntile_windows(spark, sf_dir):
+    # all data-sized work is the custkey aggregate; the three NTILE
+    # windows rank the customer-sized result (agg node below window).
+    plan = formatted_plan(QUERIES["customer_rfm_segments"](spark, sf_dir))
+    win_ids = [int(m) for m in re.findall(r"Window \((\d+)\)", plan)]
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    assert win_ids and agg_ids
+    assert min(agg_ids) < min(win_ids), (agg_ids, win_ids)
+
+
+def test_vocab_growth_no_cartesian_two_aggs(spark, sf_dir):
+    plan = formatted_plan(QUERIES["vocab_growth_curve"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 4  # 2 aggs x partial/final
