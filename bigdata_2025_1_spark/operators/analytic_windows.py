@@ -383,3 +383,80 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@query(
+    "parts_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(ROUND(l_extendedprice * 1e2) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT SUM(cents) AS total FROM rev
+    ), ranked AS (
+      SELECT partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cents
+      FROM rev
+    ), classed AS (
+      SELECT partkey, cents, cum_cents,
+             CASE WHEN cum_cents * 100 <= 80 * (SELECT total FROM tot) THEN 'A'
+                  WHEN cum_cents * 100 <= 95 * (SELECT total FROM tot) THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_part_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_part_cents
+    FROM classed GROUP BY abc
+    ORDER BY abc
+    """,
+)
+def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: parts sorted by
+    revenue descending, class A = the prefix covering ≤80% of total
+    revenue, B to 95%, C the tail — the inventory-management 80/20 cut.
+
+    Determinism: the cumulative sum runs over a total (cents DESC,
+    partkey) order and the class test is an integer cross-multiplication
+    (``cum·100 ≤ 80·total``) — no float share is ever computed.
+
+    Scale shape: data-sized work is one map-side-combinable
+    groupBy(partkey); the running sum orders the PART-sized aggregate
+    (the documented swap-point at extreme part cardinality is the
+    distinct-value bucketing of ``equi_depth_price_deciles``); output is
+    three rows."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").alias("total"))
+    w = Window.orderBy(F.desc("cents"), "partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    classed = (
+        rev.withColumn("cum_cents", F.sum("cents").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "partkey",
+            "cents",
+            F.when(F.col("cum_cents") * 100 <= 80 * F.col("total"), F.lit("A"))
+            .when(F.col("cum_cents") * 100 <= 95 * F.col("total"), F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc"),
+        )
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("cents").alias("revenue_cents"),
+            F.min("cents").alias("min_part_cents"),
+            F.max("cents").alias("max_part_cents"),
+        )
+        .orderBy("abc")
+    )

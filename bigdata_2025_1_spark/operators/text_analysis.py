@@ -764,3 +764,109 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "nll", "rank")
         .orderBy("rank")
     )
+
+
+RULE_MIN_SUPPORT = 50
+RULE_TOP_K = 20
+
+
+@query(
+    "token_association_rules",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           t -> t <> ''),
+               t -> length(t) >= {MIN_PAIR_TOKEN_LEN}))) AS tok
+      FROM documents
+    ), singles AS (
+      SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+    ), ndocs AS (
+      SELECT COUNT(DISTINCT doc_id) AS nd FROM tok
+    ), pairs AS (
+      SELECT a.tok AS antecedent, b.tok AS consequent, COUNT(*) AS n_ab
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tok <> b.tok
+      GROUP BY antecedent, consequent
+    ), rules AS (
+      SELECT p.antecedent, p.consequent, CAST(p.n_ab AS BIGINT) AS n_ab,
+             CAST(p.n_ab AS BIGINT)::DOUBLE / sa.n AS confidence,
+             CAST(p.n_ab AS BIGINT)::DOUBLE * nd.nd / sa.n / sb.n AS lift
+      FROM pairs p
+      JOIN singles sa ON sa.tok = p.antecedent
+      JOIN singles sb ON sb.tok = p.consequent
+      CROSS JOIN ndocs nd
+      WHERE p.n_ab >= {RULE_MIN_SUPPORT}
+    )
+    SELECT antecedent, consequent, n_ab, confidence, lift, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, antecedent, consequent)
+                 AS rank
+          FROM rules)
+    WHERE rank <= {RULE_TOP_K}
+    ORDER BY rank
+    """,
+)
+def token_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over document-level token co-occurrence:
+    confidence = P(consequent | antecedent) and lift =
+    P(ab)/(P(a)·P(b)), min support 50 docs, top-20 by lift — the rule
+    -mining layer above ``frequent_token_pairs``' support counts (and
+    the doc-level sibling of ``pmi_token_pairs``' adjacency PMI).
+
+    Determinism: supports are integers; confidence is ONE exact-int
+    double division and lift ONE fixed chain (·nd, ÷n_a, ÷n_b) —
+    identical IEEE ops both engines, emitted unrounded; ranking breaks
+    lift ties by (antecedent, consequent).
+
+    Scale shape: the pair join is doc_id-co-keyed (never cross-doc),
+    fan-out bounded by the content-token filter; singles and the doc
+    count broadcast back; top-k is TakeOrdered."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    T.ws_tokens(F.lower(F.col("text"))),
+                    lambda t: F.length(t) >= MIN_PAIR_TOKEN_LEN,
+                )
+            )
+        ).alias("tok"),
+    )
+    singles = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    ndocs = toks.agg(F.count_distinct("doc_id").alias("nd"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") != F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("antecedent"), F.col("b.tok").alias("consequent")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= RULE_MIN_SUPPORT)
+    )
+    sa = singles.select(F.col("tok").alias("antecedent"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("tok").alias("consequent"), F.col("n").alias("n_b"))
+    rules = (
+        pairs.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sb), "consequent")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
+            (F.col("n_ab").cast("double") * F.col("nd") / F.col("n_a") / F.col("n_b")).alias(
+                "lift"
+            ),
+        )
+    )
+    top = rules.orderBy(F.desc("lift"), "antecedent", "consequent").limit(RULE_TOP_K)
+    rank = F.row_number().over(Window.orderBy(F.desc("lift"), "antecedent", "consequent"))
+    return (
+        top.withColumn("rank", rank.cast("int"))
+        .select("antecedent", "consequent", "n_ab", "confidence", "lift", "rank")
+        .orderBy("rank")
+    )

@@ -73,7 +73,8 @@ ORACLES: dict[str, str] = {}
 # kmeans_lloyd_clusters, linreg_price_model, events_interpolated_hourly,
 # unigram_logprob_quality, bfs_trade_reachability, user_active_coverage,
 # seasonal_hourly_residuals, quantile_normalize_doclen,
-# customer_rfm_segments, vocab_growth_curve, markov_event_transitions);
+# customer_rfm_segments, vocab_growth_curve, markov_event_transitions,
+# parts_abc_pareto, token_association_rules);
 # (2) queries whose module changed in round 4 whose last green predates
 # the change (dedup_char_ngram_jaccard — prefilter flattened to codegen
 # columns late in round 4, r3 row predates it; simhash_values —
