@@ -1241,3 +1241,70 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+LATENESS_BUDGETS_S = (300, 600, 1800)
+
+
+@query(
+    "watermark_lateness_audit",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_type, event_id,
+             epoch_us(ts) // 1000000 AS es,
+             MAX(epoch_us(ts) // 1000000) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_seen
+      FROM events
+    ), lat AS (
+      SELECT event_type,
+             CASE WHEN max_seen IS NULL THEN 0 ELSE
+               CASE WHEN max_seen - es > 0 THEN max_seen - es ELSE 0 END END AS late_s
+      FROM arr
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(late_s) AS BIGINT) AS max_disorder_s,
+           {", ".join(f"CAST(SUM(CASE WHEN late_s > {b} THEN 1 ELSE 0 END) AS BIGINT) AS dropped_at_{b}s" for b in LATENESS_BUDGETS_S)}
+    FROM lat GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark tuning audit: replaying events in arrival order
+    (event_id as the arrival sequence), how late is each event behind
+    the running max event time, and how many would a 5/10/30-minute
+    watermark DROP? This is the batch diagnostic that turns streaming
+    watermark choice from a guess into a measurement (run it before
+    setting ``withWatermark`` on the live pipeline — the F6 batch twins
+    use exactly these budgets).
+
+    Determinism: lateness is integer seconds against a running max over
+    a total (event_type, event_id) order; drop counts are integer
+    threshold sums.
+
+    Scale shape: one event_type-partitioned window (the same exchange
+    the streaming job's keyed state would use) feeding a map-side
+    -combinable aggregate; output is type-cardinality-sized."""
+    ev = load(spark, sf_dir, "events")
+    es = F.unix_seconds(F.col("ts"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = ev.select(
+        "event_type", es.alias("es"), F.max(es).over(w).alias("max_seen")
+    )
+    late = F.when(
+        F.col("max_seen").isNull() | (F.col("max_seen") - F.col("es") <= 0), F.lit(0)
+    ).otherwise(F.col("max_seen") - F.col("es"))
+    lat = arr.select("event_type", late.alias("late_s"))
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.max("late_s").alias("max_disorder_s"),
+    ] + [
+        F.sum(F.when(F.col("late_s") > b, 1).otherwise(0)).alias(f"dropped_at_{b}s")
+        for b in LATENESS_BUDGETS_S
+    ]
+    return lat.groupBy("event_type").agg(*aggs).orderBy("event_type")

@@ -870,3 +870,73 @@ def token_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("antecedent", "consequent", "n_ab", "confidence", "lift", "rank")
         .orderBy("rank")
     )
+
+
+@query(
+    "doc_readability_scores",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))
+               AS words,
+             greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                      s -> trim(s) <> '')), 1) AS sentences,
+             greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS syllables
+      FROM documents
+    )
+    SELECT doc_id, CAST(words AS BIGINT) AS words,
+           CAST(sentences AS BIGINT) AS sentences,
+           CAST(syllables AS BIGINT) AS syllables,
+           CASE WHEN words > 0 THEN
+             206.835e0 - 1.015e0 * (words::DOUBLE / sentences)
+                       - 84.6e0 * (syllables::DOUBLE / words)
+           END AS flesch
+    FROM feats
+    ORDER BY doc_id
+    """,
+)
+def doc_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with deterministic structural
+    proxies: sentences = non-empty [.!?]-separated segments, syllables =
+    vowel-group count (the standard cheap approximation) — another
+    orthogonal quality signal beside length ratios
+    (``doc_quality_scores``), Gopher flags, and LM surprise
+    (``unigram_logprob_quality``).
+
+    Determinism: the three counts are integers from identical regex
+    scans (Java regex and RE2 agree on these classes); the score is one
+    fixed chain of double ops on exact ints with e0-literal constants —
+    no libm, bit-identical both engines, emitted unrounded (empty docs
+    → NULL).
+
+    Scale shape: pure per-row projection — shuffle-free, whole-stage
+    codegen, embarrassingly parallel at any scale."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    words = F.size(T.ws_tokens(F.col("text")))
+    sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+", -1), lambda s: F.trim(s) != F.lit("")
+            )
+        ),
+        F.lit(1),
+    )
+    syllables = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)),
+        F.lit(1),
+    )
+    feats = docs.select(
+        "doc_id",
+        words.cast("bigint").alias("words"),
+        sentences.cast("bigint").alias("sentences"),
+        syllables.cast("bigint").alias("syllables"),
+    )
+    flesch = F.when(
+        F.col("words") > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences"))
+        - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words")),
+    )
+    return feats.select(
+        "doc_id", "words", "sentences", "syllables", flesch.alias("flesch")
+    ).orderBy("doc_id")
