@@ -460,3 +460,54 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+@query(
+    "monthly_seasonality_index",
+    oracle="""
+    WITH m AS (
+      SELECT EXTRACT(MONTH FROM o_orderdate) AS month,
+             SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS cents,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY month
+    ), tot AS (
+      SELECT SUM(cents) AS total, COUNT(*) AS n_months FROM m
+    )
+    SELECT CAST(m.month AS INT) AS month,
+           CAST(m.n_orders AS BIGINT) AS n_orders,
+           CAST(m.cents AS BIGINT) AS revenue_cents,
+           CAST(m.cents AS BIGINT)::DOUBLE * t.n_months / t.total AS seasonality_index
+    FROM m CROSS JOIN tot t
+    ORDER BY month
+    """,
+)
+def monthly_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonality index: each month-of-year's revenue
+    relative to the all-months mean (index 1.0 = average month) — the
+    multiplicative seasonal factor a demand forecaster divides out
+    before trend fitting (``seasonal_hourly_residuals`` is the
+    subtractive hourly cousin).
+
+    Determinism: integer cent sums; the index is one fixed double chain
+    (·n_months, ÷total) on exact ints, emitted unrounded.
+
+    Scale shape: a 12-group map-side-combinable aggregate plus a 1-row
+    broadcast — nothing else."""
+    orders = load(spark, sf_dir, "orders")
+    m = orders.groupBy(F.month("o_orderdate").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+        F.count("*").alias("n_orders"),
+    )
+    tot = m.agg(F.sum("cents").alias("total"), F.count("*").alias("n_months"))
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("month").cast("int").alias("month"),
+            "n_orders",
+            F.col("cents").alias("revenue_cents"),
+            (F.col("cents").cast("double") * F.col("n_months") / F.col("total")).alias(
+                "seasonality_index"
+            ),
+        )
+        .orderBy("month")
+    )

@@ -1079,3 +1079,71 @@ def q16_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p_type
         """
     )
+
+
+@query(
+    "supplier_shipping_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT l.l_suppkey AS suppkey,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), per_supp AS (
+      SELECT suppkey,
+             COUNT(*) AS n_shipments,
+             SUM(days) AS sum_days,
+             MAX(days) AS worst_days
+      FROM lat GROUP BY suppkey
+    )
+    SELECT s.s_name AS supplier,
+           CAST(p.n_shipments AS BIGINT) AS n_shipments,
+           CAST(p.sum_days AS BIGINT)::DOUBLE / p.n_shipments AS avg_days,
+           CAST(p.worst_days AS BIGINT) AS worst_days,
+           CAST(ROW_NUMBER() OVER (ORDER BY CAST(p.sum_days AS BIGINT) * 1000000
+                                            // p.n_shipments DESC, s.s_name)
+                AS INT) AS slowness_rank
+    FROM per_supp p JOIN supplier s ON s.s_suppkey = p.suppkey
+    ORDER BY slowness_rank
+    """,
+)
+def supplier_shipping_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier SLA scorecard: days between order date and each
+    lineitem's ship date, aggregated per supplier (count, exact mean,
+    worst case) and ranked slowest-first. The vendor-performance query
+    every procurement dashboard runs.
+
+    Determinism: day diffs are integers; the mean is one exact-int
+    double division; the RANK orders by the integer-scaled mean
+    (``sum·1e6 div n`` — never the double) with a name tiebreak, so
+    rank boundaries cannot hinge on float formatting.
+
+    Scale shape: ONE fact-fact join on the order key (the correct
+    shuffle), map-side-combinable per-supplier aggregate, and the rank
+    runs over the supplier-sized result with the dim table broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    lat = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("bigint").alias("days"),
+    )
+    per_supp = lat.groupBy("suppkey").agg(
+        F.count("*").alias("n_shipments"),
+        F.sum("days").alias("sum_days"),
+        F.max("days").alias("worst_days"),
+    )
+    joined = per_supp.join(
+        F.broadcast(supp), per_supp.suppkey == supp.s_suppkey
+    ).select(
+        F.col("s_name").alias("supplier"),
+        "n_shipments",
+        (F.col("sum_days").cast("double") / F.col("n_shipments")).alias("avg_days"),
+        "worst_days",
+        F.expr("sum_days * 1000000 div n_shipments").alias("slow_key"),
+    )
+    rank = F.row_number().over(Window.orderBy(F.desc("slow_key"), "supplier"))
+    return (
+        joined.withColumn("slowness_rank", rank.cast("int"))
+        .select("supplier", "n_shipments", "avg_days", "worst_days", "slowness_rank")
+        .orderBy("slowness_rank")
+    )
