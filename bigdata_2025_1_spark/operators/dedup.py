@@ -785,3 +785,103 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
         .orderBy("doc_small", "doc_big")
     )
+
+
+SNM_WINDOW = 3  # neighbors compared after sorting (classic w)
+SNM_KEY_CHARS = 40
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM tok
+    ), keyed AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, {SNM_KEY_CHARS})
+               AS snm_key
+      FROM documents
+    ), ordered AS (
+      SELECT doc_id, snm_key,
+             ROW_NUMBER() OVER (ORDER BY snm_key, doc_id) AS rn
+      FROM keyed
+    ), cand AS (
+      {" UNION ALL ".join(
+        f'''SELECT doc_id AS doc_a,
+                   LEAD(doc_id, {i}) OVER (ORDER BY rn) AS doc_b
+            FROM ordered''' for i in range(1, SNM_WINDOW + 1))}
+    ), pairs AS (
+      SELECT LEAST(doc_a, doc_b) AS doc_a, GREATEST(doc_a, doc_b) AS doc_b
+      FROM cand WHERE doc_b IS NOT NULL
+    )
+    SELECT p.doc_a, p.doc_b,
+           len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+             / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.doc_a
+    JOIN sh sb ON sb.doc_id = p.doc_b
+    WHERE len(sa.shingles) > 0 AND len(sb.shingles) > 0
+      AND len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / len(list_distinct(sa.shingles || sb.shingles)) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernandez-Stolfo): sort documents by a
+    cheap lexical key (first 40 normalized chars), compare each doc only
+    with its next 3 sorted neighbors, verify candidates with exact
+    shingle Jaccard ≥ 0.8 — the THIRD blocking family in this repo next
+    to hash-bucket LSH (probabilistic) and rare-token prefix filtering
+    (frequency-based): near-dups with shared openings land adjacent, so
+    candidates are O(n·w) by construction.
+
+    Determinism: the sort key and (key, doc_id) order are total; LEAD
+    offsets are fixed; verification is the same exact Jaccard as the
+    LSH family.
+
+    Scale shape: the global sort is the METHOD (Spark executes it as a
+    range-partitioned sort; the window needs only w rows of lookahead,
+    so multi-pass merge never materializes more than a partition);
+    candidate count is exactly n·w; shingle arrays are joined back for
+    candidates only."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", T.word_shingles(F.col("text"), k=3).alias("shingles")
+    ).persist()
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), 1, SNM_KEY_CHARS
+    )
+    ordered = docs.select("doc_id", key.alias("snm_key")).withColumn(
+        "rn", F.row_number().over(Window.orderBy("snm_key", "doc_id"))
+    )
+    w = Window.orderBy("rn")
+    cands = []
+    for i in range(1, SNM_WINDOW + 1):
+        cands.append(
+            ordered.select(
+                F.col("doc_id").alias("doc_a"),
+                F.lead("doc_id", i).over(w).alias("doc_b"),
+            ).filter(F.col("doc_b").isNotNull())
+        )
+    cand = cands[0]
+    for c in cands[1:]:
+        cand = cand.unionAll(c)
+    pairs = cand.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("ga"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_distinct(F.concat("ga", "gb")))
+    jaccard = inter.cast("double") / union
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((F.size("ga") > 0) & (F.size("gb") > 0))
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -790,3 +790,51 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "embedding_norm_profile",
+    oracle=f"""
+    WITH n AS (
+      SELECT label, {V.sql_dot_scaled('embedding', 'embedding', 64)} AS nsq
+      FROM embeddings
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(nsq) AS BIGINT) AS min_nsq_scaled,
+           CAST(MAX(nsq) AS BIGINT) AS max_nsq_scaled,
+           CAST(SUM(nsq) AS BIGINT)::DOUBLE / COUNT(*) / 1e18 AS mean_norm_sq,
+           CAST(SUM(CASE WHEN nsq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vectors
+    FROM n GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA: per label, the distribution of squared vector
+    norms (e9-scaled exact integers) and the zero-vector count — the
+    sanity gate an ANN pipeline runs on ingest, since zero/degenerate
+    vectors break cosine and inflated norms distort inner-product
+    rankings (every ANN query in this repo guards on nsq; this is the
+    table-level audit of the same quantity).
+
+    Determinism: norms are the exact int64-scaled dots used repo-wide;
+    min/max/count/zero-count are integers; the mean is one double chain
+    on the exact sum.
+
+    Scale shape: one per-row projection + a map-side-combinable
+    label-keyed aggregate; output is label-cardinality-sized."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    n = emb.select("label", V.norm_sq_scaled(F.col("embedding")).alias("nsq"))
+    return (
+        n.groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("nsq").alias("min_nsq_scaled"),
+            F.max("nsq").alias("max_nsq_scaled"),
+            (F.sum("nsq").cast("double") / F.count("*") / F.lit(1e18)).alias(
+                "mean_norm_sq"
+            ),
+            F.sum(F.when(F.col("nsq") == 0, 1).otherwise(0)).alias("n_zero_vectors"),
+        )
+        .orderBy("label")
+    )

@@ -975,3 +975,64 @@ def linreg_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b2, 6).alias("b2"),
         F.round(r2, 9).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+# candidate functional dependencies to audit (determinant -> dependent)
+FD_CANDIDATES = (
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderkey", "o_orderstatus"),
+    ("o_orderpriority", "o_orderstatus"),
+)
+
+
+def _fd_sql(det: str, dep: str) -> str:
+    return f"""
+    SELECT '{det}' AS determinant, '{dep}' AS dependent,
+           CAST(COUNT(DISTINCT {det}) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) - COUNT(DISTINCT {det}) AS BIGINT) AS n_violating_keys,
+           (COUNT(*) = COUNT(DISTINCT {det})) AS holds
+    FROM (SELECT DISTINCT {det}, {dep} FROM orders)
+    """
+
+
+@query(
+    "functional_dependency_profile",
+    oracle=" UNION ALL ".join(_fd_sql(d, p) for d, p in FD_CANDIDATES)
+    + " ORDER BY determinant, dependent",
+)
+def functional_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: does column A determine column B?
+    FD holds iff |distinct(A)| = |distinct(A,B)|; the violation count is
+    the number of EXTRA (A,B) combinations beyond one-per-key. The
+    schema-discovery/data-quality profiler behind normalization checks
+    and key candidate detection (o_orderkey→o_orderstatus should hold;
+    o_custkey→o_orderpriority should not).
+
+    Determinism: pure integer distinct counts.
+
+    Scale shape: per candidate FD, one DISTINCT projection (map-side
+    partial) and two counts over it; candidates evaluate independently
+    and union — each is its own narrow aggregate, no wide row ever
+    shuffles."""
+    orders = load(spark, sf_dir, "orders")
+    outs = []
+    for det, dep in FD_CANDIDATES:
+        pairs = orders.select(det, dep).distinct()
+        outs.append(
+            pairs.agg(
+                F.count_distinct(det).alias("n_keys"),
+                F.count("*").alias("n_pairs"),
+            ).select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_keys",
+                "n_pairs",
+                (F.col("n_pairs") - F.col("n_keys")).alias("n_violating_keys"),
+                (F.col("n_pairs") == F.col("n_keys")).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("determinant", "dependent")
