@@ -159,21 +159,28 @@ def quality_features(col: Column) -> dict[str, Column]:
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (space-joined), order of first appearance
-    irrelevant downstream (we only take mins / set ops over them).
+def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles from an ALREADY-TOKENIZED array column
+    (callers that have tokenized once reuse the array instead of paying
+    a second regex pass).
 
     Short-doc guard: ``F.sequence(1, 0)`` counts DOWN (step defaults to
     -1 when start > stop) and would then call slice(start=0) → runtime
     error; docs with fewer than k tokens must yield an empty shingle set
     explicitly."""
-    toks = ws_tokens(F.lower(col))
     n = F.size(toks)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
         F.array().cast("array<int>")
     )
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
     return F.array_distinct(sh)
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) of the lowercased text,
+    order of first appearance irrelevant downstream (we only take mins /
+    set ops over them)."""
+    return word_shingles_from_tokens(ws_tokens(F.lower(col)), k)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:

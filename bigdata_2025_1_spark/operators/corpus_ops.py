@@ -330,3 +330,197 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks").over(w).alias("tokens_seen"),
         F.sum("vocab").over(w).alias("vocab_size"),
     ).orderBy("bucket")
+
+
+CUR2_MIN_TOKENS = 20
+CUR2_NLL_KEEP_PCT = 90  # keep the least-surprising 90% by unigram NLL
+
+
+@query(
+    "corpus_curation_v2",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_SQL_TOKS} AS ts FROM documents
+    ), kept_len AS (
+      SELECT doc_id, source, len(ts) AS n_tokens FROM tok
+      WHERE len(ts) >= {CUR2_MIN_TOKENS}
+    ), exact_keep AS (
+      SELECT k.doc_id, k.source, k.n_tokens FROM kept_len k
+      JOIN (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+            FROM documents) e
+        ON e.doc_id = k.doc_id AND e.doc_id = e.keeper
+    ), sh2 AS (
+      SELECT t.doc_id,
+             list_distinct([array_to_string(t.ts[i:i+2], ' ')
+                            for i in range(1, greatest(len(t.ts) - 2, 0) + 1)]) AS grams,
+             len(list_distinct([array_to_string(t.ts[i:i+2], ' ')
+                                for i in range(1, greatest(len(t.ts) - 2, 0) + 1)])) AS sz
+      FROM tok t JOIN exact_keep USING (doc_id)
+      WHERE len(t.ts) >= 3
+    ), posts AS (
+      SELECT doc_id, sz, unnest(grams) AS g FROM sh2
+    ), gdf AS (
+      SELECT g, COUNT(*) AS df FROM posts GROUP BY g
+    ), rarest AS (
+      SELECT doc_id, g, sz FROM (
+        SELECT p.doc_id, p.g, p.sz,
+               ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.g) AS rk
+        FROM posts p JOIN gdf d USING (g)) WHERE rk = 1
+    ), contained AS (
+      SELECT DISTINCT r.doc_id
+      FROM rarest r
+      JOIN posts p USING (g)
+      JOIN sh2 sa ON sa.doc_id = r.doc_id
+      JOIN sh2 sb ON sb.doc_id = p.doc_id
+      WHERE r.doc_id <> p.doc_id
+        AND (r.sz < p.sz OR (r.sz = p.sz AND r.doc_id < p.doc_id))
+        AND len(list_intersect(sa.grams, sb.grams)) * 10 >= 8 * sa.sz
+    ), deduped AS (
+      SELECT e.* FROM exact_keep e
+      LEFT JOIN contained c USING (doc_id)
+      WHERE c.doc_id IS NULL
+    ), uni AS (
+      SELECT doc_id, unnest(ts) AS w FROM tok
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), nt AS (
+      SELECT COUNT(*) AS n_tok FROM uni
+    ), lp AS (
+      SELECT w, CAST(ROUND(ln(c::DOUBLE / n_tok) * 1e6) AS BIGINT) AS l_i6
+      FROM ucnt CROSS JOIN nt
+    ), nll AS (
+      SELECT u.doc_id, -SUM(lp.l_i6) // COUNT(*) AS nll_i6
+      FROM uni u JOIN lp ON lp.w = u.w GROUP BY u.doc_id
+    ), q AS (
+      SELECT d.doc_id, d.source, d.n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n.nll_i6, d.doc_id) AS nll_rank,
+             COUNT(*) OVER () AS n_docs
+      FROM deduped d JOIN nll n USING (doc_id)
+    ), final AS (
+      SELECT doc_id, source, n_tokens FROM q
+      WHERE nll_rank * 100 <= {CUR2_NLL_KEEP_PCT} * n_docs
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_after_len,
+           CAST(COUNT(dd.doc_id) AS BIGINT) AS n_after_dedup,
+           CAST(COUNT(f.doc_id) AS BIGINT) AS n_final,
+           CAST(COALESCE(SUM(f.n_tokens), 0) AS BIGINT) AS tokens_final
+    FROM documents d
+    LEFT JOIN kept_len k ON k.doc_id = d.doc_id
+    LEFT JOIN deduped dd ON dd.doc_id = d.doc_id
+    LEFT JOIN final f ON f.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 curation capstone, composing the NEW operator families in
+    ONE lazy plan: (1) token-count floor; (2) exact dedup (md5 keeper);
+    (3) containment dedup — drop docs whose 3-word shingle set is >=80%
+    inside a larger survivor (rare-shingle prefix-filter blocking,
+    integer cross-multiplied threshold 10*|intersect| >= 8*|A|);
+    (4) LM-surprise gate — keep the least-surprising 90% of the deduped
+    pool by unigram NLL (rank-based integer percentile cut, no float
+    threshold); then a per-source funnel report (raw -> length -> dedup
+    -> final, with surviving token mass). Dedup runs BEFORE the LM gate
+    so duplicate mass cannot skew the surprise distribution it is cut
+    against; ``corpus_end_to_end`` is the round-2 capstone over the
+    original families.
+
+    Determinism: every stage filters on integers (token counts, rank
+    cuts, containment cross-multiplication, int64 NLL millionths with
+    floor-div per-doc mean); the report is pure counts.
+
+    Scale shape: inherits each component's: one tokenization pass
+    persisted for all stages, 16-byte exact-dedup keys, rare-shingle
+    postings equi-join — candidates only, never all-pairs; broadcast
+    vocabulary logprobs; the funnel is LEFT JOINs of doc-keyed survivor
+    sets aggregated map-side per source."""
+    docs = spread(load(spark, sf_dir, "documents")).persist()
+    toks = docs.select(
+        "doc_id", "source", T.ws_tokens(F.lower(F.col("text"))).alias("ts")
+    ).persist()
+    kept_len = toks.select("doc_id", "source", F.size("ts").alias("n_tokens")).filter(
+        F.col("n_tokens") >= CUR2_MIN_TOKENS
+    )
+    keeper = docs.select(
+        "doc_id", F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("keeper")
+    )
+    exact_keep = (
+        kept_len.join(keeper, "doc_id")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "source", "n_tokens")
+    )
+    sh2 = (
+        toks.join(exact_keep.select("doc_id"), "doc_id")
+        .select("doc_id", T.word_shingles_from_tokens(F.col("ts"), 3).alias("grams"))
+        .withColumn("sz", F.size("grams"))
+        .filter(F.col("sz") > 0)
+        .persist()
+    )
+    posts = sh2.select("doc_id", "sz", F.explode("grams").alias("g"))
+    gdf = posts.groupBy("g").agg(F.count("*").alias("df"))
+    rarest = (
+        posts.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(F.min(F.struct(F.col("df"), F.col("g"))).alias("r"), F.min("sz").alias("sz"))
+        .select("doc_id", F.col("r.g").alias("g"), "sz")
+    )
+    r = rarest.select(F.col("doc_id").alias("doc_small"), "g", F.col("sz").alias("sz_a"))
+    p = posts.select(F.col("doc_id").alias("doc_big"), "g", F.col("sz").alias("sz_b"))
+    sa = sh2.select(F.col("doc_id").alias("doc_small"), F.col("grams").alias("ga"))
+    sb = sh2.select(F.col("doc_id").alias("doc_big"), F.col("grams").alias("gb"))
+    contained = (
+        r.join(p, "g")
+        .filter(
+            (F.col("doc_small") != F.col("doc_big"))
+            & (
+                (F.col("sz_a") < F.col("sz_b"))
+                | ((F.col("sz_a") == F.col("sz_b")) & (F.col("doc_small") < F.col("doc_big")))
+            )
+        )
+        .join(sa, "doc_small")
+        .join(sb, "doc_big")
+        .filter(F.size(F.array_intersect("ga", "gb")) * 10 >= 8 * F.col("sz_a"))
+        .select(F.col("doc_small").alias("doc_id"))
+        .distinct()
+    )
+    deduped = exact_keep.join(contained, "doc_id", "left_anti")
+    uni = toks.select("doc_id", F.explode("ts").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    nt = uni.agg(F.count("*").alias("n_tok"))
+    lp = ucnt.crossJoin(F.broadcast(nt)).select(
+        "w",
+        F.round(F.log(F.col("c").cast("double") / F.col("n_tok")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("l_i6"),
+    )
+    nll = (
+        uni.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(F.expr("-SUM(l_i6) div COUNT(*)").alias("nll_i6"))
+    )
+    q = (
+        deduped.join(nll, "doc_id")
+        .withColumn("nll_rank", F.row_number().over(Window.orderBy("nll_i6", "doc_id")))
+        .withColumn("n_docs", F.count("*").over(Window.partitionBy()))
+    )
+    final = q.filter(
+        F.col("nll_rank") * 100 <= CUR2_NLL_KEEP_PCT * F.col("n_docs")
+    ).select("doc_id", F.col("n_tokens").alias("ft"))
+    base = docs.select("doc_id", "source")
+    return (
+        base.join(kept_len.select("doc_id", F.lit(1).alias("kl")), "doc_id", "left")
+        .join(deduped.select("doc_id", F.lit(1).alias("dd")), "doc_id", "left")
+        .join(final, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.count("kl").alias("n_after_len"),
+            F.count("dd").alias("n_after_dedup"),
+            F.count("ft").alias("n_final"),
+            F.coalesce(F.sum("ft"), F.lit(0)).alias("tokens_final"),
+        )
+        .orderBy("source")
+    )

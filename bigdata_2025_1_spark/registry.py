@@ -77,7 +77,8 @@ ORACLES: dict[str, str] = {}
 # parts_abc_pareto, token_association_rules, watermark_lateness_audit,
 # doc_readability_scores, supplier_shipping_latency,
 # monthly_seasonality_index, dedup_sorted_neighborhood,
-# embedding_norm_profile, functional_dependency_profile);
+# embedding_norm_profile, functional_dependency_profile,
+# corpus_curation_v2);
 # (2) queries whose module changed in round 4 whose last green predates
 # the change (dedup_char_ngram_jaccard — prefilter flattened to codegen
 # columns late in round 4, r3 row predates it; simhash_values —
