@@ -92,6 +92,11 @@ HEADLINE = [
     "label_propagation_communities",
     "kmeans_lloyd_clusters",
     "pmi_token_pairs",
+    "dedup_sorted_neighborhood",
+    "unigram_logprob_quality",
+    "corpus_curation_v2",
+    "user_active_coverage",
+    "supplier_shipping_latency",
 ]
 
 

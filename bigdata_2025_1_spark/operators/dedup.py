@@ -885,3 +885,39 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_CC_LABELS_CTES},
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS removable_docs
+    FROM sizes GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster-size histogram: how many clusters of each
+    size the LSH pair graph's transitive closure produces, and how many
+    documents deduplication would remove from each size class
+    (size − 1 per cluster, keeping one canonical member) — the
+    before/after capacity estimate a dedup run is budgeted with.
+
+    Scale shape: composes the CC labels (diameter-bounded iterative
+    join, shared machinery with ``dedup_connected_components``) with two
+    map-side-combinable aggregates over cluster-count-sized data."""
+    labels = dedup_connected_components(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum(F.col("cluster_size") - 1).alias("removable_docs"),
+        )
+        .orderBy("cluster_size")
+    )

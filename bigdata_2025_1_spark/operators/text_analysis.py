@@ -940,3 +940,56 @@ def doc_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "words", "sentences", "syllables", flesch.alias("flesch")
     ).orderBy("doc_id")
+
+
+@query(
+    "source_language_mix",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, {_LANG_SCORES_SQL} FROM tok
+    ), detected AS (
+      SELECT source, {_ARGMAX_SQL} AS detected_lang FROM scored
+    ), mix AS (
+      SELECT source, detected_lang, COUNT(*) AS n
+      FROM detected GROUP BY source, detected_lang
+    ), tot AS (
+      SELECT source, SUM(n) AS src_total FROM mix GROUP BY source
+    )
+    SELECT m.source, m.detected_lang, CAST(m.n AS BIGINT) AS n,
+           CAST(m.n AS BIGINT)::DOUBLE / t.src_total AS share
+    FROM mix m JOIN tot t USING (source)
+    ORDER BY m.source, m.detected_lang
+    """,
+)
+def source_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language composition: the lang-ID heuristic rolled up
+    to (source × detected language) counts and shares — the monitoring
+    table a multilingual-corpus pipeline watches for source drift (a
+    crawl source suddenly flipping language mix is an upstream incident
+    before it is a data problem).
+
+    Determinism: detection is the integer marker-count argmax shared
+    with ``lang_id_heuristic``; shares are one exact-int double division
+    each.
+
+    Scale shape: per-row detection (shuffle-free JVM expressions) into a
+    (source, lang)-keyed map-side-combinable count; source totals are a
+    source-cardinality broadcast."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    detected = docs.select("source", T.lang_id(F.col("text")).alias("detected_lang"))
+    mix = detected.groupBy("source", "detected_lang").agg(F.count("*").alias("n"))
+    tot = mix.groupBy("source").agg(F.sum("n").alias("src_total"))
+    return (
+        mix.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "detected_lang",
+            "n",
+            (F.col("n").cast("double") / F.col("src_total")).alias("share"),
+        )
+        .orderBy("source", "detected_lang")
+    )
