@@ -1308,3 +1308,57 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in LATENESS_BUDGETS_S
     ]
     return lat.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+FEATURE_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "user_feature_matrix",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in FEATURE_EVENT_TYPES)},
+           CAST(SUM(CAST(ROUND(value * 1e2) AS BIGINT)) AS BIGINT) AS total_value_cents,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+           CAST(date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS BIGINT)
+             AS tenure_days,
+           CAST(COUNT(*) AS BIGINT)::DOUBLE / COUNT(DISTINCT CAST(ts AS DATE))
+             AS events_per_active_day
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-user feature assembly — the feature-store
+    materialization shape: event counts overall and per type
+    (conditional sums, no pivot shuffle), exact value totals, active-day
+    and tenure spans, and an intensity ratio. Downstream models read
+    THIS table; the raw events never leave the aggregation.
+
+    Determinism: all features are integers except the final ratio (one
+    exact-int double division); per-type counts use a fixed column list
+    so the schema is static (a dynamic pivot would make the schema
+    data-dependent — the one thing a feature store cannot have).
+
+    Scale shape: ONE map-side-combinable groupBy(user_id) computes every
+    feature — adding features widens the aggregate, never adds passes
+    (the count-distinct day is the only expanding accumulator, bounded
+    by the calendar)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    aggs = [F.count("*").alias("n_events")]
+    aggs += [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in FEATURE_EVENT_TYPES
+    ]
+    aggs += [
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_value_cents"),
+        F.count_distinct(day).alias("active_days"),
+        F.datediff(F.max(day), F.min(day)).cast("bigint").alias("tenure_days"),
+        (F.count("*").cast("double") / F.count_distinct(day)).alias(
+            "events_per_active_day"
+        ),
+    ]
+    return ev.groupBy("user_id").agg(*aggs).orderBy("user_id")

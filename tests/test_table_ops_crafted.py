@@ -233,3 +233,49 @@ def test_quantile_normalize_maps_ranks_to_global_values(spark, tmp_path):
     _write(df, tmp_path, "documents")
     out = {r.doc_id: r.normalized for r in quantile_normalize_doclen(spark, str(tmp_path)).collect()}
     assert out == {0: 10, 1: 300, 2: 10, 3: 100, 4: 300}
+
+
+def test_markov_transitions_hand_check(spark, tmp_path):
+    # user 1 sequence a->b->a ; user 2 sequence a->a.
+    # pairs: (a,b) x1, (b,a) x1, (a,a) x1 -> from 'a' total 2: P(b|a)=0.5,
+    # P(a|a)=0.5; from 'b' total 1: P(a|b)=1.0.
+    from bigdata_2025_1_spark.operators.events_ops import markov_event_transitions
+
+    rows = [
+        (0, datetime(2026, 1, 1, 0, 0), 1, "a", 1.0, "{}"),
+        (1, datetime(2026, 1, 1, 0, 1), 1, "b", 1.0, "{}"),
+        (2, datetime(2026, 1, 1, 0, 2), 1, "a", 1.0, "{}"),
+        (3, datetime(2026, 1, 1, 0, 0), 2, "a", 1.0, "{}"),
+        (4, datetime(2026, 1, 1, 0, 1), 2, "a", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _write(ev, tmp_path, "events")
+    out = {(r.from_type, r.to_type): (r.n, r.prob) for r in markov_event_transitions(spark, str(tmp_path)).collect()}
+    assert out == {("a", "b"): (1, 0.5), ("a", "a"): (1, 0.5), ("b", "a"): (1, 1.0)}
+
+
+def test_user_feature_matrix_hand_check(spark, tmp_path):
+    from bigdata_2025_1_spark.operators.events_ops import user_feature_matrix
+
+    rows = [
+        (0, datetime(2026, 1, 1, 10, 0), 1, "click", 2.5, "{}"),
+        (1, datetime(2026, 1, 1, 11, 0), 1, "purchase", 10.0, "{}"),
+        (2, datetime(2026, 1, 3, 9, 0), 1, "click", -1.5, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _write(ev, tmp_path, "events")
+    out = user_feature_matrix(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_events, r.n_click, r.n_purchase, r.n_view) == (3, 2, 1, 0)
+    assert r.total_value_cents == 250 + 1000 - 150
+    assert (r.active_days, r.tenure_days) == (2, 2)
+    assert r.events_per_active_day == 1.5
