@@ -282,3 +282,79 @@ def order_month_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@query(
+    "incremental_monthly_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate)
+               AS month,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS cents
+      FROM orders GROUP BY day, month
+    ), merged AS (
+      SELECT month, SUM(n) AS n_orders, SUM(cents) AS revenue_cents,
+             COUNT(*) AS n_partials
+      FROM daily GROUP BY month
+    ), direct AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate)
+               AS month,
+             COUNT(*) AS n_orders_d,
+             SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS revenue_cents_d
+      FROM orders GROUP BY month
+    )
+    SELECT CAST(m.month AS BIGINT) AS month,
+           CAST(m.n_partials AS BIGINT) AS n_partials,
+           CAST(m.n_orders AS BIGINT) AS n_orders,
+           CAST(m.revenue_cents AS BIGINT) AS revenue_cents,
+           (m.n_orders = d.n_orders_d AND m.revenue_cents = d.revenue_cents_d)
+             AS matches_direct
+    FROM merged m JOIN direct d USING (month)
+    ORDER BY month
+    """,
+)
+def incremental_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, demonstrated and VERIFIED in one
+    query: daily partial aggregates (what a nightly job persists) merge
+    into monthly totals, and every month is checked against the direct
+    full-scan aggregation — `matches_direct` must be uniformly true
+    because the partials are integers under associative SUM/COUNT. This
+    is the algebra that lets a 100 TB rollup reprocess ONE day instead
+    of rescanning history (and the same mergeability contract behind the
+    sketch family: HLL unions, CMS cells, quantile-sketch merge).
+
+    Determinism: all integers; the verdict is an integer comparison.
+
+    Scale shape: both branches are map-side-combinable aggregates; the
+    daily partial table is calendar-sized, so the merge and the
+    verification join cost nothing at any data volume."""
+    orders = load(spark, sf_dir, "orders")
+    month = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("month")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"), month
+    ).agg(F.count("*").alias("n"), F.sum(cents).alias("cents"))
+    merged = daily.groupBy("month").agg(
+        F.sum("n").alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+        F.count("*").alias("n_partials"),
+    )
+    direct = orders.groupBy(month).agg(
+        F.count("*").alias("n_orders_d"), F.sum(cents).alias("revenue_cents_d")
+    )
+    return (
+        merged.join(direct, "month")
+        .select(
+            F.col("month").cast("bigint").alias("month"),
+            "n_partials",
+            "n_orders",
+            "revenue_cents",
+            (
+                (F.col("n_orders") == F.col("n_orders_d"))
+                & (F.col("revenue_cents") == F.col("revenue_cents_d"))
+            ).alias("matches_direct"),
+        )
+        .orderBy("month")
+    )
