@@ -921,3 +921,126 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "minhash_estimation_error",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM tok
+    ), sig AS (
+      SELECT doc_id, shingles, {_SQL_SIG} FROM sh
+    ), bands AS (
+      SELECT doc_id, 0 AS band, md5(mh0 || mh1 || mh2 || mh3) AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(mh4 || mh5 || mh6 || mh7) AS band_key FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT c.doc_a, c.doc_b,
+             ({" + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES))})
+               AS n_agree,
+             len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+             len(list_distinct(sa.shingles || sb.shingles)) AS uni
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(n_agree AS BIGINT) AS n_agree,
+           CAST(n_agree AS BIGINT)::DOUBLE / {NUM_HASHES} AS jaccard_est,
+           inter::DOUBLE / uni AS jaccard_exact,
+           CAST(ABS(n_agree * uni - {NUM_HASHES} * inter) AS BIGINT) AS abs_err_scaled
+    FROM scored
+    ORDER BY doc_a, doc_b
+    """,
+)
+def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit: for every LSH candidate pair, the
+    signature-agreement Jaccard ESTIMATE (agreeing components / 8)
+    side-by-side with the EXACT shingle Jaccard, plus the absolute
+    error as the integer cross-product |agree·|∪| − 8·|∩|| — the
+    measurement that justifies (or resizes) the signature width before
+    a 100 TB dedup run trusts its candidate thresholds.
+
+    Determinism: agreement counts and set sizes are integers; the two
+    ratios are single exact-int double divisions; the error column is
+    pure integer arithmetic so even "how wrong" is bit-exact.
+
+    Scale shape: identical candidate discipline to ``dedup_minhash_lsh``
+    (band-bucket equi-join, signatures persisted once, full sets joined
+    back for candidates only) — the audit costs one more projection on
+    the pairs the pipeline already computes."""
+    docs = load(spark, sf_dir, "documents")
+    sig = (
+        spread(docs)
+        .select("doc_id", T.word_shingles(F.col("text"), k=3).alias("shingles"))
+        .select(
+            "doc_id",
+            "shingles",
+            T.minhash_signature(F.col("shingles"), NUM_HASHES).alias("sig"),
+        )
+        .persist()
+    )
+    per_band = NUM_HASHES // BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col("sig")[i] for i in range(b * per_band, (b + 1) * per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("ga"),
+        *[F.col("sig")[i].alias(f"ma{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("gb"),
+        *[F.col("sig")[i].alias(f"mb{i}") for i in range(NUM_HASHES)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"ma{i}") == F.col(f"mb{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    uni = F.size(F.array_distinct(F.concat("ga", "gb")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_agree.cast("bigint").alias("n_agree"),
+            (n_agree.cast("double") / NUM_HASHES).alias("jaccard_est"),
+            (inter.cast("double") / uni).alias("jaccard_exact"),
+            F.abs(n_agree * uni - NUM_HASHES * inter).cast("bigint").alias(
+                "abs_err_scaled"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

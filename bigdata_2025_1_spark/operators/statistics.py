@@ -1036,3 +1036,64 @@ def functional_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("determinant", "dependent")
+
+
+LATENCY_PCTS = (50, 90, 99)
+
+
+@query(
+    "shipping_latency_percentiles",
+    oracle=f"""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS days,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), ranked AS (
+      SELECT priority, days,
+             ROW_NUMBER() OVER (PARTITION BY priority
+                                ORDER BY days, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY priority) AS n
+      FROM lat
+    )
+    SELECT priority,
+           CAST(MAX(n) AS BIGINT) AS n,
+           {", ".join(f"CAST(MAX(CASE WHEN rn = (n * {p} + 99) // 100 THEN days END) AS BIGINT) AS p{p}" for p in LATENCY_PCTS)}
+    FROM ranked GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def shipping_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of days-to-ship per order priority by RANK
+    SELECTION (value at row ⌈n·p/100⌉ of the total (days, key) order —
+    the nearest-rank percentile definition): integer in, integer out,
+    no interpolation, so the SLA numbers are engine- and
+    partitioning-exact. ``order_value_percentiles``/
+    ``approx_percentiles`` are the interpolated/sketched cousins; this
+    is the one whose p99 you can put in a contract.
+
+    Scale shape: one fact-fact join on the order key, then one
+    priority-partitioned sort serving the rank window and one aggregate
+    — same single-exchange family as the MAD query. Exact percentiles
+    price one sort per group by definition; the sketch is the
+    documented relaxation."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    lat = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("bigint").alias("days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_ord = Window.partitionBy("priority").orderBy("days", "l_orderkey", "l_linenumber")
+    w_cnt = Window.partitionBy("priority")
+    ranked = lat.withColumn("rn", F.row_number().over(w_ord)).withColumn(
+        "n", F.count("*").over(w_cnt)
+    )
+    aggs = [F.max("n").alias("n")] + [
+        F.max(
+            F.when(F.col("rn") == F.expr(f"(n * {p} + 99) div 100"), F.col("days"))
+        ).alias(f"p{p}")
+        for p in LATENCY_PCTS
+    ]
+    return ranked.groupBy("priority").agg(*aggs).orderBy("priority")
