@@ -1362,3 +1362,65 @@ def user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return ev.groupBy("user_id").agg(*aggs).orderBy("user_id")
+
+
+WAU_WINDOW_DAYS = 7
+
+
+@query(
+    "rolling_weekly_active_users",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), contrib AS (
+      SELECT user_id, unnest(generate_series(day, day + INTERVAL {WAU_WINDOW_DAYS - 1} DAY,
+                                             INTERVAL 1 DAY))::DATE AS target_day
+      FROM du
+    ), bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+    )
+    SELECT c.target_day AS day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM contrib c CROSS JOIN bounds b
+    WHERE c.target_day BETWEEN b.d0 AND b.d1
+    GROUP BY c.target_day
+    ORDER BY day
+    """,
+)
+def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (WAU) — the
+    engagement KPI whose naive form (COUNT(DISTINCT) OVER a RANGE
+    window) Spark cannot evaluate and brute-force day×history rescans
+    cannot afford. The scalable algebra: collapse to DISTINCT
+    (user, day) pairs first, then each pair CONTRIBUTES itself to the 7
+    target days it is visible in (a bounded explode), and a plain
+    per-day count-distinct finishes — total work is 7×|distinct pairs|,
+    independent of raw event volume.
+
+    Determinism: pure integers/dates end-to-end.
+
+    Scale shape: one map-side distinct on (user, day) (calendar-bounded
+    per user), a 7× array explode, one day-keyed count-distinct. The
+    trailing window truncates at the corpus edge (days before d0+6 see
+    partial windows — the honest definition for a bounded extract)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    du = ev.select("user_id", day.alias("day")).distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), WAU_WINDOW_DAYS - 1),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("target_day"),
+    )
+    bounds = ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("target_day").between(F.col("d0"), F.col("d1")))
+        .groupBy(F.col("target_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .orderBy("day")
+    )

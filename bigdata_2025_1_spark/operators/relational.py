@@ -1147,3 +1147,64 @@ def supplier_shipping_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("supplier", "n_shipments", "avg_days", "worst_days", "slowness_rank")
         .orderBy("slowness_rank")
     )
+
+
+REC_TOP_K = 20
+
+
+@query(
+    "part_popularity_rec",
+    oracle=f"""
+    WITH pop AS (
+      SELECT l.l_partkey AS partkey,
+             COUNT(DISTINCT o.o_custkey) AS n_customers,
+             COUNT(*) AS n_lineitems
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_partkey
+    )
+    SELECT p.p_name AS part, pop.n_customers, CAST(pop.n_lineitems AS BIGINT) AS n_lineitems,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_customers DESC, n_lineitems DESC,
+                                                partkey) AS rank
+          FROM pop) pop
+    JOIN part p ON p.p_partkey = pop.partkey
+    WHERE rank <= {REC_TOP_K}
+    ORDER BY rank
+    """,
+)
+def part_popularity_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popularity-baseline recommender: rank parts by DISTINCT buying
+    customers (breadth beats volume — one whale ordering 1000 units is
+    not popularity), lineitem count as the tiebreak signal. Every
+    recommendation system ships this as the cold-start fallback and the
+    offline-eval baseline any personalized model must beat.
+
+    Determinism: distinct counts and integer tiebreaks under a total
+    (n_customers, n_lineitems, partkey) order.
+
+    Scale shape: one fact-fact join on the order key, a partkey-keyed
+    count-distinct (two-phase under AQE), top-k rank over the PART-sized
+    aggregate with the dim name joined back broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part")
+    pop = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+    top = pop.orderBy(
+        F.desc("n_customers"), F.desc("n_lineitems"), "partkey"
+    ).limit(REC_TOP_K)
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("n_customers"), F.desc("n_lineitems"), "partkey")
+    )
+    return (
+        top.withColumn("rank", rank.cast("int"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("partkey"))
+        .select(F.col("p_name").alias("part"), "n_customers", "n_lineitems", "rank")
+        .orderBy("rank")
+    )
