@@ -524,3 +524,94 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+SWEEP_KEEP_PCTS = (80, 85, 90, 95)
+
+
+@query(
+    "quality_threshold_sweep",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKS} AS ts FROM documents
+    ), uni AS (
+      SELECT doc_id, unnest(ts) AS w FROM tok
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), nt AS (
+      SELECT COUNT(*) AS n_tok FROM uni
+    ), lp AS (
+      SELECT w, CAST(ROUND(ln(c::DOUBLE / n_tok) * 1e6) AS BIGINT) AS l_i6
+      FROM ucnt CROSS JOIN nt
+    ), feats AS (
+      SELECT t.doc_id, len(t.ts) AS n_tokens, n.nll_i6
+      FROM tok t JOIN (
+        SELECT u.doc_id, -SUM(lp.l_i6) // COUNT(*) AS nll_i6
+        FROM uni u JOIN lp ON lp.w = u.w GROUP BY u.doc_id
+      ) n USING (doc_id)
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY nll_i6, doc_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM feats
+    )
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f'''SELECT {p} AS keep_pct,
+                   CAST(SUM(CASE WHEN rk * 100 <= {p} * n THEN 1 ELSE 0 END) AS BIGINT)
+                     AS docs_kept,
+                   CAST(SUM(CASE WHEN rk * 100 <= {p} * n THEN n_tokens ELSE 0 END) AS BIGINT)
+                     AS tokens_kept
+            FROM ranked''' for p in SWEEP_KEEP_PCTS)}
+    ) ORDER BY keep_pct
+    """,
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep for the LM-surprise quality gate: for each
+    candidate keep-percentile (80/85/90/95), how many documents and how
+    much token mass survive — the tuning table read before committing
+    ``corpus_curation_v2``'s cut to a 100 TB run (each row is a
+    candidate operating point; the cost is ONE rank pass, not one run
+    per candidate).
+
+    Determinism: NLL is the integer-millionths score shared with
+    ``unigram_logprob_quality``; each operating point is an integer
+    rank-cut conditional sum.
+
+    Scale shape: one rank over the doc-sized feature table; the sweep
+    adds conditional aggregates, never passes."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.ws_tokens(F.lower(F.col("text"))).alias("ts"))
+    uni = toks.select("doc_id", F.explode("ts").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    nt = uni.agg(F.count("*").alias("n_tok"))
+    lp = ucnt.crossJoin(F.broadcast(nt)).select(
+        "w",
+        F.round(F.log(F.col("c").cast("double") / F.col("n_tok")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("l_i6"),
+    )
+    nll = (
+        uni.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(F.expr("-SUM(l_i6) div COUNT(*)").alias("nll_i6"))
+    )
+    ranked = (
+        toks.select("doc_id", F.size("ts").alias("n_tokens"))
+        .join(nll, "doc_id")
+        .withColumn("rk", F.row_number().over(Window.orderBy("nll_i6", "doc_id")))
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+    )
+    outs = []
+    for p in SWEEP_KEEP_PCTS:
+        keep = F.col("rk") * 100 <= p * F.col("n")
+        outs.append(
+            ranked.agg(
+                F.sum(F.when(keep, 1).otherwise(0)).alias("docs_kept"),
+                F.sum(F.when(keep, F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
+            ).select(F.lit(p).alias("keep_pct"), "docs_kept", "tokens_kept")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("keep_pct")

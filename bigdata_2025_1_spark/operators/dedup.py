@@ -1044,3 +1044,114 @@ def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+SWEEP_JACCARD_PCTS = (70, 80, 90, 100)
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM tok
+    ), sig AS (
+      SELECT doc_id, shingles, {_SQL_SIG} FROM sh
+    ), bands AS (
+      SELECT doc_id, 0 AS band, md5(mh0 || mh1 || mh2 || mh3) AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(mh4 || mh5 || mh6 || mh7) AS band_key FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+             len(list_distinct(sa.shingles || sb.shingles)) AS uni
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+    )
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f'''SELECT {t} AS threshold_pct,
+                   CAST(SUM(CASE WHEN inter * 100 >= {t} * uni THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pairs
+            FROM scored''' for t in SWEEP_JACCARD_PCTS)}
+    ) ORDER BY threshold_pct
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold sweep over the LSH candidate pairs: how many
+    near-duplicate pairs each cut (0.7/0.8/0.9/1.0) would flag — the
+    sensitivity table read before fixing ``dedup_minhash_lsh``'s
+    threshold on a full corpus (candidates are scored ONCE; each
+    operating point is an integer cross-multiplied conditional count —
+    ``100·|∩| ≥ t·|∪|`` — so no float threshold and no rescoring).
+
+    Scale shape: identical candidate discipline to the LSH query; the
+    sweep adds conditional sums on the already-joined pairs."""
+    docs = load(spark, sf_dir, "documents")
+    sig = (
+        spread(docs)
+        .select("doc_id", T.word_shingles(F.col("text"), k=3).alias("shingles"))
+        .select(
+            "doc_id",
+            "shingles",
+            T.minhash_signature(F.col("shingles"), NUM_HASHES).alias("sig"),
+        )
+        .persist()
+    )
+    per_band = NUM_HASHES // BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col("sig")[i] for i in range(b * per_band, (b + 1) * per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("ga"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("gb"))
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.size(F.array_intersect("ga", "gb")).alias("inter"),
+            F.size(F.array_distinct(F.concat("ga", "gb"))).alias("uni"),
+        )
+        .persist()
+    )
+    outs = []
+    for t in SWEEP_JACCARD_PCTS:
+        outs.append(
+            scored.agg(
+                F.sum(
+                    F.when(F.col("inter") * 100 >= t * F.col("uni"), 1).otherwise(0)
+                ).alias("n_pairs")
+            ).select(F.lit(t).alias("threshold_pct"), "n_pairs")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("threshold_pct")

@@ -81,7 +81,8 @@ ORACLES: dict[str, str] = {}
 # corpus_curation_v2, dup_cluster_size_histogram, source_language_mix,
 # user_feature_matrix, incremental_monthly_rollup,
 # shipping_latency_percentiles, minhash_estimation_error,
-# rolling_weekly_active_users, part_popularity_rec);
+# rolling_weekly_active_users, part_popularity_rec,
+# quality_threshold_sweep, dedup_threshold_sweep);
 # (2) queries whose module changed in round 4 whose last green predates
 # the change (dedup_char_ngram_jaccard — prefilter flattened to codegen
 # columns late in round 4, r3 row predates it; simhash_values —
