@@ -528,3 +528,84 @@ def bfs_trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "trade_graph_degree_stats",
+    oracle="""
+    WITH raw AS MATERIALIZED (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    ), outd AS (
+      SELECT src AS nation_key, COUNT(*) AS out_degree FROM raw GROUP BY src
+    ), ind AS (
+      SELECT dst AS nation_key, COUNT(*) AS in_degree FROM raw GROUP BY dst
+    ), recip AS (
+      SELECT a.src AS nation_key, COUNT(*) AS reciprocated
+      FROM raw a JOIN raw b ON b.src = a.dst AND b.dst = a.src
+      GROUP BY a.src
+    )
+    SELECT n.n_name AS nation,
+           CAST(COALESCE(o.out_degree, 0) AS BIGINT) AS out_degree,
+           CAST(COALESCE(i.in_degree, 0) AS BIGINT) AS in_degree,
+           CAST(COALESCE(r.reciprocated, 0) AS BIGINT) AS reciprocated
+    FROM nation n
+    LEFT JOIN outd o ON o.nation_key = n.n_nationkey
+    LEFT JOIN ind i ON i.nation_key = n.n_nationkey
+    LEFT JOIN recip r ON r.nation_key = n.n_nationkey
+    ORDER BY nation
+    """,
+)
+def trade_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile of the directed trade graph: per nation, out-degree
+    (how many nations its customers buy from... supplier side), in-degree,
+    and reciprocated-edge count (A→B and B→A both present) — the
+    structural summary read before choosing graph algorithms (reciprocity
+    decides directed-vs-undirected treatment; degree skew decides salting
+    for the iterative kernels above).
+
+    Determinism: distinct edges and integer counts, nation-spine left
+    joins so isolated nations report zeros.
+
+    Scale shape: one DISTINCT fact-fact shuffle builds the edge list
+    (broadcast dims); degrees are map-side-combinable counts; the
+    reciprocity self-join runs on the ≤|nations|² edge set."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    raw = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+        .persist()  # tiny (≤ |nations|²); released by harness clearCache
+    )
+    outd = raw.groupBy(F.col("src").alias("nk")).agg(F.count("*").alias("out_degree"))
+    ind = raw.groupBy(F.col("dst").alias("nk")).agg(F.count("*").alias("in_degree"))
+    b = raw.select(F.col("src").alias("b_src"), F.col("dst").alias("b_dst"))
+    recip = (
+        raw.join(b, (F.col("b_src") == F.col("dst")) & (F.col("b_dst") == F.col("src")))
+        .groupBy(F.col("src").alias("nk"))
+        .agg(F.count("*").alias("reciprocated"))
+    )
+    return (
+        nation.select(F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation"))
+        .join(outd, "nk", "left")
+        .join(ind, "nk", "left")
+        .join(recip, "nk", "left")
+        .select(
+            "nation",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("reciprocated", F.lit(0)).alias("reciprocated"),
+        )
+        .orderBy("nation")
+    )

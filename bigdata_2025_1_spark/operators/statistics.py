@@ -1097,3 +1097,78 @@ def shipping_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in LATENCY_PCTS
     ]
     return ranked.groupBy("priority").agg(*aggs).orderBy("priority")
+
+
+# candidate partition columns for the layout advisor (orders table)
+PARTITION_CANDIDATES = (
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("order_month", "EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate)"),
+    ("o_custkey", "o_custkey"),
+)
+
+
+def _advisor_sql(name: str, expr: str) -> str:
+    return f"""
+    SELECT '{name}' AS candidate,
+           CAST(n_values AS BIGINT) AS n_values,
+           CAST(max_rows AS BIGINT) AS max_partition_rows,
+           CAST(total AS BIGINT) AS total_rows,
+           (n_values BETWEEN 4 AND 10000 AND max_rows * 100 <= 40 * total) AS recommended
+    FROM (
+      SELECT COUNT(*) AS n_values, MAX(c) AS max_rows, SUM(c) AS total
+      FROM (SELECT {expr} AS v, COUNT(*) AS c FROM orders GROUP BY v)
+    )"""
+
+
+@query(
+    "partition_key_advisor",
+    oracle=" UNION ALL ".join(_advisor_sql(n, e) for n, e in PARTITION_CANDIDATES)
+    + " ORDER BY candidate",
+)
+def partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout advisor: for each candidate partition column of the orders
+    table, its value cardinality and worst-partition share, and an
+    integer-rule verdict (4 ≤ cardinality ≤ 10k AND max partition ≤ 40%
+    of rows) — the two failure modes of physical partitioning are
+    exactly too-many-tiny-files (high cardinality: o_custkey) and
+    skewed-giant-partitions (low cardinality with a dominant value),
+    and this table catches both before a 100 TB rewrite
+    (``join_key_skew_profile`` is the join-side sibling;
+    ``tests/test_zorder_layout.py`` proves what a good layout buys).
+
+    Determinism: counts and an integer cross-multiplied share rule.
+
+    Scale shape: one map-side-combinable groupBy per candidate over its
+    own value domain, collapsed to a 3-number summary before the union."""
+    orders = load(spark, sf_dir, "orders")
+    month = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("v")
+    exprs = {
+        "o_orderpriority": F.col("o_orderpriority").alias("v"),
+        "o_orderstatus": F.col("o_orderstatus").alias("v"),
+        "order_month": month,
+        "o_custkey": F.col("o_custkey").alias("v"),
+    }
+    outs = []
+    for name, _ in PARTITION_CANDIDATES:
+        per_val = orders.groupBy(exprs[name]).agg(F.count("*").alias("c"))
+        outs.append(
+            per_val.agg(
+                F.count("*").alias("n_values"),
+                F.max("c").alias("max_partition_rows"),
+                F.sum("c").alias("total_rows"),
+            ).select(
+                F.lit(name).alias("candidate"),
+                "n_values",
+                "max_partition_rows",
+                "total_rows",
+                (
+                    F.col("n_values").between(4, 10000)
+                    & (F.col("max_partition_rows") * 100 <= 40 * F.col("total_rows"))
+                ).alias("recommended"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("candidate")
