@@ -143,3 +143,69 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     media = as_media_table(docs, "doc_id", "text", kind="image")
     return resize_payloads(media, _RESIZE_STRIDE).orderBy("media_id")
+
+
+PREFIX_BYTES = 64
+
+
+@query(
+    "media_prefix_clusters",
+    oracle=f"""
+    WITH pre AS (
+      SELECT doc_id AS media_id,
+             sha256(substr(text, 1, {PREFIX_BYTES})) AS prefix_sha,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ), clusters AS (
+      SELECT prefix_sha,
+             COUNT(*) AS n_members,
+             SUM(n_bytes) AS total_bytes,
+             array_to_string(list_sort(list(media_id)), '|') AS member_ids
+      FROM pre GROUP BY prefix_sha
+      HAVING COUNT(*) > 1
+    )
+    SELECT prefix_sha, CAST(n_members AS BIGINT) AS n_members,
+           CAST(total_bytes AS BIGINT) AS total_bytes, member_ids
+    FROM clusters
+    ORDER BY prefix_sha
+    """,
+)
+def media_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary near-duplicate clustering by PAYLOAD PREFIX hash (first 64
+    bytes): opaque media that share a header/opening cluster together —
+    the cheap first cut for binary dedup when full-content hashing finds
+    nothing (re-encoded or appended-to files keep their openings; the
+    fixture's planted near-dups surface here while exact dedup sees 0).
+    Pipelines then send only intra-cluster pairs to an expensive
+    byte-diff or perceptual hash.
+
+    Determinism: sha256 over identical bytes; member lists are sorted
+    and '|'-joined (the driver's canonicalizer cannot hash raw arrays —
+    ``inverted_index`` precedent).
+
+    Scale shape: the shuffle key is a 32-byte hash of a 64-byte prefix
+    — payload bodies never move; clustering is one map-side-combinable
+    groupBy with a HAVING filter."""
+    docs = load(spark, sf_dir, "documents")
+    media = as_media_table(docs, "doc_id", "text", kind="image")
+    pre = media.select(
+        "media_id",
+        F.sha2(F.expr(f"substring(payload, 1, {PREFIX_BYTES})"), 256).alias("prefix_sha"),
+        "n_bytes",
+    )
+    return (
+        pre.groupBy("prefix_sha")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("media_id")),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            ).alias("member_ids"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("prefix_sha")
+    )
