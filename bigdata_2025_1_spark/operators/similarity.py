@@ -838,3 +838,86 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_LC_SUMS = ", ".join(
+    f"SUM(CAST(ROUND(embedding[{i + 1}]::DOUBLE * 1e4) AS BIGINT) + {KM_SHIFT}) AS s{i}"
+    for i in range(KM_DIM)
+)
+_LC_CENT = "[" + ", ".join(f"CAST(s{i} // n AS BIGINT)" for i in range(KM_DIM)) + "]"
+
+
+@query(
+    "label_centroid_distances",
+    oracle=f"""
+    WITH sums AS (
+      SELECT label, COUNT(*) AS n, {_LC_SUMS}
+      FROM embeddings GROUP BY label
+    ), cents AS (
+      SELECT label, n, {_LC_CENT} AS cx FROM sums
+    )
+    SELECT CAST(a.label AS INT) AS label_a, CAST(b.label AS INT) AS label_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           CAST({_km_dist('a.cx', 'b.cx')} AS BIGINT) AS dist_sq_scaled,
+           sqrt(CAST({_km_dist('a.cx', 'b.cx')} AS BIGINT)::DOUBLE) / 1e4 AS dist
+    FROM cents a JOIN cents b ON a.label < b.label
+    ORDER BY label_a, label_b
+    """,
+)
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distances between per-label embedding centroids — the
+    drift/separation monitor an embedding pipeline tracks over time
+    (cohort centroids collapsing toward each other = the model stopped
+    separating classes; one centroid migrating = upstream distribution
+    shift). Uses the same fixed-point algebra as
+    ``kmeans_lloyd_clusters``: e4-scaled shifted integer component sums,
+    floor-quantized means, exact int64 squared distances; sqrt is the
+    single libm call, applied to an identical integer in both engines.
+
+    Scale shape: ONE map-side-combinable groupBy(label) collapses any
+    corpus to k×(d+1) integers; the pairwise join runs on k rows."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    x = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") * 1e4).cast("bigint") + F.lit(KM_SHIFT),
+    )
+    sums = (
+        emb.select("label", x.alias("x"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("x", i + 1)).alias(f"s{i}") for i in range(KM_DIM)],
+        )
+    )
+    cents = sums.select(
+        "label",
+        "n",
+        F.array(*[F.expr(f"s{i} div n") for i in range(KM_DIM)]).alias("cx"),
+    )
+    a = cents.select(
+        F.col("label").cast("int").alias("label_a"),
+        F.col("n").alias("n_a"),
+        F.col("cx").alias("cxa"),
+    )
+    b = cents.select(
+        F.col("label").cast("int").alias("label_b"),
+        F.col("n").alias("n_b"),
+        F.col("cx").alias("cxb"),
+    )
+    dist_sq = F.aggregate(
+        F.zip_with(F.col("cxa"), F.col("cxb"), lambda p, q: (p - q) * (p - q)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            dist_sq.alias("dist_sq_scaled"),
+            (F.sqrt(dist_sq.cast("double")) / F.lit(1e4)).alias("dist"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -83,7 +83,8 @@ ORACLES: dict[str, str] = {}
 # shipping_latency_percentiles, minhash_estimation_error,
 # rolling_weekly_active_users, part_popularity_rec,
 # quality_threshold_sweep, dedup_threshold_sweep,
-# trade_graph_degree_stats, partition_key_advisor, media_prefix_clusters);
+# trade_graph_degree_stats, partition_key_advisor, media_prefix_clusters,
+# label_centroid_distances);
 # (2) queries whose module changed in round 4 whose last green predates
 # the change (dedup_char_ngram_jaccard — prefilter flattened to codegen
 # columns late in round 4, r3 row predates it; simhash_values —
