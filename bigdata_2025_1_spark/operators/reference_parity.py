@@ -6,7 +6,7 @@ The fixture ``documents`` table maps onto the reference's streamed record
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions import metadata as M
@@ -257,3 +257,69 @@ def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.normalize_ws(F.col("text")).alias("normalized"),
         T.collapse_dashes(F.col("text")).alias("dashes_collapsed"),
     ).orderBy("doc_id")
+
+
+TOP_WITH_OTHER_K = 5
+
+
+@query(
+    "top_sources_with_other",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(CAST(n_chars AS BIGINT)) AS total_chars
+      FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT source, n_docs, total_chars,
+             ROW_NUMBER() OVER (ORDER BY n_docs DESC, source) AS rk
+      FROM counts
+    )
+    SELECT CASE WHEN rk <= {TOP_WITH_OTHER_K} THEN source ELSE 'OTHER' END AS source,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(total_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(rk) AS INT) AS rank
+    FROM ranked
+    GROUP BY CASE WHEN rk <= {TOP_WITH_OTHER_K} THEN source ELSE 'OTHER' END
+    ORDER BY rank
+    """,
+)
+def top_sources_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 sources by document count with everything else folded into
+    ONE 'OTHER' row — the reporting shape every dashboard needs and
+    plain top-k silently gets wrong (dropping the tail misstates
+    totals; the OTHER row keeps the report summing to the corpus).
+    Extends the reference's top-domains intent (spark/export_stats.py:
+    89-98) with the conservation property.
+
+    Determinism: ranks are (count DESC, source)-tiebroken; the relabel
+    + re-aggregate is integer; 'OTHER' takes the smallest absorbed rank
+    so ordering is stable.
+
+    Scale shape: source-cardinality aggregate → rank → conditional
+    relabel → re-aggregate, all on the tiny grouped table; the corpus
+    is touched by exactly one map-side-combinable count."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+    )
+    ranked = counts.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("n_docs"), "source"))
+    )
+    relabeled = ranked.select(
+        F.when(F.col("rk") <= TOP_WITH_OTHER_K, F.col("source"))
+        .otherwise(F.lit("OTHER"))
+        .alias("source"),
+        "n_docs",
+        "total_chars",
+        "rk",
+    )
+    return (
+        relabeled.groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_chars").alias("total_chars"),
+            F.min("rk").cast("int").alias("rank"),
+        )
+        .orderBy("rank")
+    )

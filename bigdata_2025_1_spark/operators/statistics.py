@@ -1172,3 +1172,68 @@ def partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("candidate")
+
+
+@query(
+    "customer_spend_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM spend
+    ), sums AS (
+      SELECT MAX(n) AS n,
+             SUM(i * cents) AS weighted,
+             SUM(cents) AS total
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(total AS BIGINT) AS total_cents,
+           (2e0 * CAST(weighted AS BIGINT)::DOUBLE / n / CAST(total AS BIGINT))
+             - (n + 1e0) / n AS gini
+    FROM sums
+    """,
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration — the inequality
+    scalar behind "the top x% drive y% of revenue" (``parts_abc_pareto``
+    gives the banded view; this is the single comparable-over-time
+    number). Computed by the rank-weighted identity
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over spend sorted ascending.
+
+    Determinism: the rank weighting is exact integer arithmetic
+    (Σ i·cents, i from a (cents, custkey) total order — ties in cents
+    contribute the same Σi whatever their internal order, so the
+    tiebreak is for rank stability, not the result); the final value is
+    one fixed double chain on exact ints.
+
+    Scale shape: a custkey aggregate collapses the fact table, then one
+    rank over the customer-sized result and a 3-number reduce. The int64
+    bound Σ i·cents < 2⁶³ holds to ~10⁸ customers at these magnitudes —
+    beyond that the same sums run in decimal(38) (documented, loud)."""
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i"),
+    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    sums = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("i") * F.col("cents")).alias("weighted"),
+        F.sum("cents").alias("total"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("weighted").cast("double") / F.col("n") / F.col("total")
+    ) - (F.col("n") + F.lit(1.0)) / F.col("n")
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        gini.alias("gini"),
+    )
