@@ -615,3 +615,79 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("keep_pct")
+
+
+@query(
+    "corpus_health_scorecard",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS ts FROM documents
+    ), uni AS (
+      SELECT unnest(ts) AS w FROM tok
+    ), fp AS (
+      SELECT doc_id,
+             list_min([md5(g) for g in list_distinct(
+               [array_to_string(ts[i:i+2], ' ')
+                for i in range(1, greatest(len(ts) - 2, 0) + 1)])]) AS fp
+      FROM tok WHERE len(ts) >= 3
+    )
+    SELECT CAST((SELECT COUNT(*) FROM tok) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT text) FROM tok) AS BIGINT)
+             AS n_exact_dups,
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT fp) FROM fp) AS BIGINT)
+             AS n_fingerprint_collisions,
+           CAST((SELECT COUNT(DISTINCT w) FROM uni) AS BIGINT) AS vocab_size,
+           CAST((SELECT COUNT(*) FROM uni) AS BIGINT) AS total_tokens,
+           (SELECT CAST(SUM(len(ts)) AS BIGINT)::DOUBLE / COUNT(*) FROM tok)
+             AS avg_tokens
+    """,
+)
+def corpus_health_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus scorecard — the executive summary a data-quality
+    dashboard polls per snapshot: document count, exact-duplicate count,
+    1-hash MinHash fingerprint collisions (the cheap near-dup upper
+    signal — collisions ≥ true near-dup clusters), vocabulary size,
+    token mass, and mean document length. Every number is a one-pass
+    aggregate; trend it over snapshots and the derivative of each column
+    is an alert.
+
+    Determinism: counts and distincts are integers; the mean is one
+    exact-int double division; the fingerprint is the md5-min shared
+    with ``doc_fingerprints``.
+
+    Scale shape: one tokenization feeding three map-side-combinable
+    aggregates (docs, vocabulary, fingerprints), cross-joined as 1-row
+    broadcasts — no joins of data-sized tables anywhere."""
+    docs = spread(load(spark, sf_dir, "documents")).persist()
+    toks = docs.select(
+        "doc_id", "text", T.ws_tokens(F.lower(F.col("text"))).alias("ts")
+    ).persist()
+    uni = toks.select(F.explode("ts").alias("w"))
+    base = toks.agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.count_distinct("text")).alias("n_exact_dups"),
+        (F.sum(F.size("ts")).cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+    fp = toks.filter(F.size("ts") >= 3).select(
+        F.array_min(
+            F.transform(
+                T.word_shingles_from_tokens(F.col("ts"), 3), lambda s: F.md5(s)
+            )
+        ).alias("fp")
+    )
+    fps = fp.agg((F.count("*") - F.count_distinct("fp")).alias("n_fingerprint_collisions"))
+    vocab = uni.agg(
+        F.count_distinct("w").alias("vocab_size"), F.count("*").alias("total_tokens")
+    )
+    return (
+        base.crossJoin(F.broadcast(fps))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "n_docs",
+            "n_exact_dups",
+            "n_fingerprint_collisions",
+            "vocab_size",
+            "total_tokens",
+            "avg_tokens",
+        )
+    )
