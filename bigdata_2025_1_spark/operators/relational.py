@@ -1208,3 +1208,37 @@ def part_popularity_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_name").alias("part"), "n_customers", "n_lineitems", "rank")
         .orderBy("rank")
     )
+
+
+@query(
+    "order_size_distribution",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lineitems
+    FROM per_order GROUP BY n_lines
+    ORDER BY n_lines
+    """,
+)
+def order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size (lineitems per order) distribution — the fan-out
+    histogram that sizes every orders⋈lineitem join's row-multiplication
+    and decides whether per-order payloads fit nested (the
+    ``nested_order_lines`` representation) or must stay flat.
+
+    Determinism: pure integer counts.
+
+    Scale shape: two map-side-combinable aggregates — the per-order
+    count collapses the fact table on its natural key; the histogram
+    keys on the count itself (tiny domain)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    return (
+        per_order.groupBy("n_lines")
+        .agg(F.count("*").alias("n_orders"), F.sum("n_lines").alias("n_lineitems"))
+        .orderBy("n_lines")
+    )

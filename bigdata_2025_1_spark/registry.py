@@ -85,7 +85,8 @@ ORACLES: dict[str, str] = {}
 # quality_threshold_sweep, dedup_threshold_sweep,
 # trade_graph_degree_stats, partition_key_advisor, media_prefix_clusters,
 # label_centroid_distances, top_sources_with_other, customer_spend_gini,
-# corpus_health_scorecard — 200 registered queries total);
+# corpus_health_scorecard, order_size_distribution — 201 registered
+# queries total);
 # (2) queries whose module changed in round 4 whose last green predates
 # the change (dedup_char_ngram_jaccard — prefilter flattened to codegen
 # columns late in round 4, r3 row predates it; simhash_values —
