@@ -435,8 +435,11 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: inherits each component's: one tokenization pass
     persisted for all stages, 16-byte exact-dedup keys, rare-shingle
     postings equi-join — candidates only, never all-pairs; broadcast
-    vocabulary logprobs; the funnel is LEFT JOINs of doc-keyed survivor
-    sets aggregated map-side per source."""
+    vocabulary logprobs; the LM gate's percentile cut buckets the
+    DISTINCT NLL value domain (equi_depth_price_deciles pattern — no
+    doc-sized unpartitioned window, pinned in tests/test_plans.py); the
+    funnel is LEFT JOINs of doc-keyed survivor sets aggregated map-side
+    per source."""
     docs = spread(load(spark, sf_dir, "documents")).persist()
     toks = docs.select(
         "doc_id", "source", T.ws_tokens(F.lower(F.col("text"))).alias("ts")
@@ -501,14 +504,41 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.expr("-SUM(l_i6) div COUNT(*)").alias("nll_i6"))
     )
-    q = (
-        deduped.join(nll, "doc_id")
-        .withColumn("nll_rank", F.row_number().over(Window.orderBy("nll_i6", "doc_id")))
-        .withColumn("n_docs", F.count("*").over(Window.partitionBy()))
+    # Percentile gate via distinct-value cum-count bucketing (the
+    # equi_depth_price_deciles pattern): rank cut K = PCT*n div 100, a
+    # doc with NLL value v and 1-based doc_id-order position j inside
+    # its value group has global rank cum_before(v) + j, so groups with
+    # cum_before+count <= K are kept whole, groups with cum_before >= K
+    # dropped whole, and only the ONE boundary group needs a per-doc
+    # window — partitioned by its value, never the full doc table. The
+    # only unpartitioned window runs over the DISTINCT NLL domain
+    # (bounded by the integer-millionths score range, not by corpus
+    # size).
+    dn = deduped.join(nll, "doc_id")
+    vals = dn.groupBy("nll_i6").agg(F.count("*").alias("vc"))
+    wv = Window.orderBy("nll_i6").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.withColumn("cum_before", F.coalesce(F.sum("vc").over(wv), F.lit(0)))
+    ntot = dn.agg(F.count("*").alias("n_docs"))
+    cuts = cum.crossJoin(F.broadcast(ntot)).select(
+        "nll_i6",
+        "vc",
+        "cum_before",
+        F.expr(f"{CUR2_NLL_KEEP_PCT} * n_docs div 100").alias("kcut"),
     )
-    final = q.filter(
-        F.col("nll_rank") * 100 <= CUR2_NLL_KEEP_PCT * F.col("n_docs")
-    ).select("doc_id", F.col("n_tokens").alias("ft"))
+    joined = dn.join(cuts, "nll_i6")
+    kept_full = joined.filter(F.col("cum_before") + F.col("vc") <= F.col("kcut"))
+    boundary = joined.filter(
+        (F.col("cum_before") < F.col("kcut")) & (F.col("cum_before") + F.col("vc") > F.col("kcut"))
+    )
+    wb = Window.partitionBy("nll_i6").orderBy("doc_id")
+    kept_part = boundary.withColumn("rb", F.row_number().over(wb)).filter(
+        F.col("cum_before") + F.col("rb") <= F.col("kcut")
+    )
+    final = (
+        kept_full.select("doc_id", "n_tokens")
+        .unionByName(kept_part.select("doc_id", "n_tokens"))
+        .select("doc_id", F.col("n_tokens").alias("ft"))
+    )
     base = docs.select("doc_id", "source")
     return (
         base.join(kept_len.select("doc_id", F.lit(1).alias("kl")), "doc_id", "left")
@@ -578,8 +608,13 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``unigram_logprob_quality``; each operating point is an integer
     rank-cut conditional sum.
 
-    Scale shape: one rank over the doc-sized feature table; the sweep
-    adds conditional aggregates, never passes."""
+    Scale shape: NO doc-sized unpartitioned window (pinned in
+    tests/test_plans.py). Docs collapse to per-NLL-value (count, token
+    mass) aggregates; the cum-count window runs over the DISTINCT value
+    domain (bounded by the integer-millionths score range); each
+    operating point is then a conditional sum over that value table,
+    plus a per-doc correction for the ONE boundary value group per cut
+    (window partitioned by (keep_pct, value) — tiny partitions)."""
     docs = spread(load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", T.ws_tokens(F.lower(F.col("text"))).alias("ts"))
     uni = toks.select("doc_id", F.explode("ts").alias("w"))
@@ -596,25 +631,50 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.expr("-SUM(l_i6) div COUNT(*)").alias("nll_i6"))
     )
-    ranked = (
-        toks.select("doc_id", F.size("ts").alias("n_tokens"))
-        .join(nll, "doc_id")
-        .withColumn("rk", F.row_number().over(Window.orderBy("nll_i6", "doc_id")))
-        .withColumn("n", F.count("*").over(Window.partitionBy()))
+    feats = toks.select("doc_id", F.size("ts").alias("n_tokens")).join(nll, "doc_id")
+    vals = feats.groupBy("nll_i6").agg(
+        F.count("*").alias("vc"), F.sum("n_tokens").alias("vtok")
     )
-    outs = []
-    for p in SWEEP_KEEP_PCTS:
-        keep = F.col("rk") * 100 <= p * F.col("n")
-        outs.append(
-            ranked.agg(
-                F.sum(F.when(keep, 1).otherwise(0)).alias("docs_kept"),
-                F.sum(F.when(keep, F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
-            ).select(F.lit(p).alias("keep_pct"), "docs_kept", "tokens_kept")
+    wv = Window.orderBy("nll_i6").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.withColumn("cum_before", F.coalesce(F.sum("vc").over(wv), F.lit(0)))
+    ntot = feats.agg(F.count("*").alias("n"))
+    pcts = spark.createDataFrame([(p,) for p in SWEEP_KEEP_PCTS], "keep_pct INT")
+    kdf = pcts.crossJoin(F.broadcast(ntot)).select(
+        "keep_pct", F.expr("keep_pct * n div 100").alias("kcut")
+    )
+    graded = cum.crossJoin(F.broadcast(kdf))
+    # value groups entirely below each cut: whole-group sums suffice
+    full = graded.groupBy("keep_pct").agg(
+        F.sum(
+            F.when(F.col("cum_before") + F.col("vc") <= F.col("kcut"), F.col("vc")).otherwise(0)
+        ).alias("docs_full"),
+        F.sum(
+            F.when(F.col("cum_before") + F.col("vc") <= F.col("kcut"), F.col("vtok")).otherwise(0)
+        ).alias("tok_full"),
+    )
+    # the one value group straddling each cut: count its first
+    # (kcut - cum_before) docs in doc_id order — a window partitioned by
+    # (keep_pct, value), at most one group per operating point
+    bvals = graded.filter(
+        (F.col("cum_before") < F.col("kcut")) & (F.col("cum_before") + F.col("vc") > F.col("kcut"))
+    ).select("keep_pct", "nll_i6", "cum_before", "kcut")
+    bdocs = feats.join(F.broadcast(bvals), "nll_i6")
+    wb = Window.partitionBy("keep_pct", "nll_i6").orderBy("doc_id")
+    bkept = bdocs.withColumn("rb", F.row_number().over(wb)).filter(
+        F.col("cum_before") + F.col("rb") <= F.col("kcut")
+    )
+    bagg = bkept.groupBy("keep_pct").agg(
+        F.count("*").alias("docs_b"), F.sum("n_tokens").alias("tok_b")
+    )
+    return (
+        full.join(bagg, "keep_pct", "left")
+        .select(
+            "keep_pct",
+            (F.col("docs_full") + F.coalesce(F.col("docs_b"), F.lit(0))).alias("docs_kept"),
+            (F.col("tok_full") + F.coalesce(F.col("tok_b"), F.lit(0))).alias("tokens_kept"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("keep_pct")
+        .orderBy("keep_pct")
+    )
 
 
 @query(

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions import text as T
+from bigdata_2025_1_spark.functions.ranks import with_global_rank
 from bigdata_2025_1_spark.io import load, spread
 from bigdata_2025_1_spark.registry import query
 
@@ -837,15 +838,19 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     (frequency-based): near-dups with shared openings land adjacent, so
     candidates are O(n·w) by construction.
 
-    Determinism: the sort key and (key, doc_id) order are total; LEAD
-    offsets are fixed; verification is the same exact Jaccard as the
-    LSH family.
+    Determinism: the sort key and (key, doc_id) order are total, so the
+    global rank (``with_global_rank``) is a pure function of the data;
+    neighbor offsets are fixed; verification is the same exact Jaccard
+    as the LSH family.
 
-    Scale shape: the global sort is the METHOD (Spark executes it as a
-    range-partitioned sort; the window needs only w rows of lookahead,
-    so multi-pass merge never materializes more than a partition);
-    candidate count is exactly n·w; shingle arrays are joined back for
-    candidates only."""
+    Scale shape: NO single-partition window anywhere (pinned in
+    tests/test_plans.py). The global (snm_key, doc_id) order is
+    materialized as an int64 rank via range-repartition +
+    partition-local numbering + a partition-count-sized offset table
+    (``functions/ranks.py``); the "next w neighbors" relation is then
+    the equi-join ``a.rn + off = b.rn`` with the w-row offsets table
+    broadcast — candidate count is exactly n·w and every join is an
+    equi-join; shingle arrays are joined back for candidates only."""
     docs = spread(load(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", T.word_shingles(F.col("text"), k=3).alias("shingles")
@@ -853,21 +858,17 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.substring(
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), 1, SNM_KEY_CHARS
     )
-    ordered = docs.select("doc_id", key.alias("snm_key")).withColumn(
-        "rn", F.row_number().over(Window.orderBy("snm_key", "doc_id"))
+    ordered = with_global_rank(
+        docs.select("doc_id", key.alias("snm_key")), ["snm_key", "doc_id"], "rn"
     )
-    w = Window.orderBy("rn")
-    cands = []
-    for i in range(1, SNM_WINDOW + 1):
-        cands.append(
-            ordered.select(
-                F.col("doc_id").alias("doc_a"),
-                F.lead("doc_id", i).over(w).alias("doc_b"),
-            ).filter(F.col("doc_b").isNotNull())
-        )
-    cand = cands[0]
-    for c in cands[1:]:
-        cand = cand.unionAll(c)
+    offsets = spark.range(1, SNM_WINDOW + 1).select(F.col("id").alias("off"))
+    a = ordered.select(F.col("doc_id").alias("doc_a"), "rn")
+    b = ordered.select(F.col("doc_id").alias("doc_b"), F.col("rn").alias("rn_b"))
+    cand = (
+        a.crossJoin(F.broadcast(offsets))
+        .withColumn("rn_b", F.col("rn") + F.col("off"))
+        .join(b, "rn_b")
+    )
     pairs = cand.select(
         F.least("doc_a", "doc_b").alias("doc_a"),
         F.greatest("doc_a", "doc_b").alias("doc_b"),

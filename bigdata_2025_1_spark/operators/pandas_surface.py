@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions.exact import sql_exact_sum, within_tol
+from bigdata_2025_1_spark.functions.ranks import with_global_rank
 from bigdata_2025_1_spark.io import load
 from bigdata_2025_1_spark.registry import query
 
@@ -416,10 +417,11 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula in decimal — documented, loud, not silent).
 
     Scale shape: the per-source windows partition by source; the global
-    rank is the one full-order window — at real scale swap it for the
-    distinct-value cum-count trick (``equi_depth_price_deciles``) or a
-    quantile-sketch lookup table; the join back is an integer equi-join
-    on gidx."""
+    value-at-rank table is built WITHOUT a single-partition window
+    (pinned in tests/test_plans.py) via ``with_global_rank``
+    (range-repartition + partition-local numbering + a
+    partition-count-sized offset table, ``functions/ranks.py``); the
+    join back is an integer equi-join on gidx."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     per_src = d.select(
@@ -429,10 +431,9 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_src).alias("rk"),
         F.count("*").over(Window.partitionBy("source")).alias("ns"),
     )
-    glob = d.select(
-        F.col("n_chars").alias("gval"),
-        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("gidx"),
-    )
+    glob = with_global_rank(
+        d.select(F.col("n_chars").alias("gval"), "doc_id"), ["gval", "doc_id"], "gidx"
+    ).drop("doc_id")
     tot = d.agg(F.count("*").alias("n"))
     gidx = (
         F.when(F.col("ns") == 1, F.expr("n div 2")).otherwise(

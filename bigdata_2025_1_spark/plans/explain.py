@@ -32,6 +32,35 @@ def plan_has(df: DataFrame, *needles: str) -> dict[str, bool]:
     return {n: (n in plan) for n in needles}
 
 
+def count_single_partition_exchanges(df: DataFrame) -> int:
+    """Number of ``Exchange SinglePartition`` nodes — the whole-data
+    funnel that unpartitioned windows and global sorts insert. Scalar
+    aggregates also produce one (they move one row per input partition:
+    harmless); tests pin the exact expected count per query so an
+    accidental doc-sized unpartitioned window fails CI."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"^Arguments: SinglePartition", plan, flags=re.MULTILINE))
+
+
+def single_partition_exchange_inputs(df: DataFrame) -> list[str]:
+    """The ``Input`` column list of every ``Exchange SinglePartition``
+    node in the formatted plan. The scale pin: none of these may carry a
+    row-per-document/row-per-fact column (e.g. ``doc_id``) — a
+    SinglePartition exchange is only acceptable for scalar-aggregate
+    rows and distinct-value-domain tables."""
+    plan = formatted_plan(df)
+    out = []
+    blocks = re.split(r"^\(\d+\) ", plan, flags=re.MULTILINE)
+    for b in blocks:
+        if not b.startswith("Exchange"):
+            continue
+        if not re.search(r"^Arguments: SinglePartition", b, flags=re.MULTILINE):
+            continue
+        m = re.search(r"^Input(?: \[\d+\])?: (.*)$", b, flags=re.MULTILINE)
+        out.append(m.group(1) if m else "")
+    return out
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan — the scale
     currency. (Broadcast exchanges are not counted; they are the cheap
