@@ -45,6 +45,19 @@ def _sql_rot_min(i: int) -> str:
 
 _SQL_SIG = ", ".join(f"{_sql_rot_min(i)} AS mh{i}" for i in range(NUM_HASHES))
 
+# The band layout is GENERATED from NUM_HASHES/BANDS exactly like the
+# Spark side (band b = md5 of the contiguous signature slice
+# [b*rows_per_band, (b+1)*rows_per_band)) so changing either constant
+# can never desynchronize oracle and implementation.
+assert NUM_HASHES % BANDS == 0, "band layout requires BANDS | NUM_HASHES"
+_ROWS_PER_BAND = NUM_HASHES // BANDS
+_SQL_BANDS = "\n      UNION ALL\n      ".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"md5({' || '.join(f'mh{i}' for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))})"
+    f" AS band_key FROM sig"
+    for b in range(BANDS)
+)
+
 
 @query(
     "dedup_exact",
@@ -118,9 +131,7 @@ WITH tok AS (
 ), sig AS (
   SELECT doc_id, shingles, {_SQL_SIG} FROM sh
 ), bands AS (
-  SELECT doc_id, 0 AS band, md5(mh0 || mh1 || mh2 || mh3) AS band_key FROM sig
-  UNION ALL
-  SELECT doc_id, 1 AS band, md5(mh4 || mh5 || mh6 || mh7) AS band_key FROM sig
+{_SQL_BANDS}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
@@ -934,9 +945,7 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sig AS (
       SELECT doc_id, shingles, {_SQL_SIG} FROM sh
     ), bands AS (
-      SELECT doc_id, 0 AS band, md5(mh0 || mh1 || mh2 || mh3) AS band_key FROM sig
-      UNION ALL
-      SELECT doc_id, 1 AS band, md5(mh4 || mh5 || mh6 || mh7) AS band_key FROM sig
+{_SQL_BANDS}
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
@@ -1060,9 +1069,7 @@ SWEEP_JACCARD_PCTS = (70, 80, 90, 100)
     ), sig AS (
       SELECT doc_id, shingles, {_SQL_SIG} FROM sh
     ), bands AS (
-      SELECT doc_id, 0 AS band, md5(mh0 || mh1 || mh2 || mh3) AS band_key FROM sig
-      UNION ALL
-      SELECT doc_id, 1 AS band, md5(mh4 || mh5 || mh6 || mh7) AS band_key FROM sig
+{_SQL_BANDS}
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key

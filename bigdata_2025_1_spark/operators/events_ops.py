@@ -955,7 +955,13 @@ def events_interpolated_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hour",
         (F.col("sc").cast("double") / F.col("n") / F.lit(1e2)).alias("v"),
-        F.expr("unix_seconds(hour) div 3600").alias("eh"),
+        # FLOOR division to match DuckDB's `epoch(hour) // 3600` (`div`
+        # truncates toward zero — diverges by 1 on pre-1970 hours, which
+        # would skew the interpolation weights): pmod is non-negative,
+        # so (x - pmod(x, y)) div y is an exact integer floor.
+        F.expr("(unix_seconds(hour) - pmod(unix_seconds(hour), 3600)) div 3600").alias(
+            "eh"
+        ),
     )
     w_back = (
         Window.partitionBy("event_type")
@@ -1050,6 +1056,10 @@ def user_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id — ONE exchange, per-user sort (bounded by a user's own
     event count), no joins. The same plan shape at any scale."""
     ev = load(spark, sf_dir, "events")
+    # unix_seconds truncates toward zero while the oracle's epoch_us //
+    # 1e6 floors; identical only for ts >= 1970-01-01 (fixture invariant
+    # — pre-epoch data would need the pmod floor-div form, see
+    # events_interpolated_hourly).
     s = F.unix_seconds(F.col("ts"))
     dur = F.lit(60) + F.pmod(F.round(F.col("value") * 100).cast("bigint"), F.lit(600))
     iv = ev.select("user_id", s.alias("s"), (s + dur).alias("e"))
@@ -1287,6 +1297,7 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming job's keyed state would use) feeding a map-side
     -combinable aggregate; output is type-cardinality-sized."""
     ev = load(spark, sf_dir, "events")
+    # trunc-vs-floor: safe for ts >= 1970 only (see user_active_coverage)
     es = F.unix_seconds(F.col("ts"))
     w = (
         Window.partitionBy("event_type")

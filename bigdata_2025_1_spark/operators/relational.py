@@ -1139,6 +1139,8 @@ def supplier_shipping_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shipments",
         (F.col("sum_days").cast("double") / F.col("n_shipments")).alias("avg_days"),
         "worst_days",
+        # `div` truncates, DuckDB `//` floors: identical here because
+        # sum_days >= 0 (receipt >= ship is a data invariant).
         F.expr("sum_days * 1000000 div n_shipments").alias("slow_key"),
     )
     rank = F.row_number().over(Window.orderBy(F.desc("slow_key"), "supplier"))

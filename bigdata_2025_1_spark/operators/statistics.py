@@ -1099,7 +1099,10 @@ def shipping_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("priority").agg(*aggs).orderBy("priority")
 
 
-# candidate partition columns for the layout advisor (orders table)
+# Candidate partition columns for the layout advisor (orders table).
+# ONE structure drives BOTH engines: each candidate's expression is an
+# ANSI fragment that DuckDB runs verbatim in the oracle and Spark parses
+# via F.expr — no hand-synchronized twin dict to drift.
 PARTITION_CANDIDATES = (
     ("o_orderpriority", "o_orderpriority"),
     ("o_orderstatus", "o_orderstatus"),
@@ -1142,16 +1145,10 @@ def partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-side-combinable groupBy per candidate over its
     own value domain, collapsed to a 3-number summary before the union."""
     orders = load(spark, sf_dir, "orders")
-    month = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("v")
-    exprs = {
-        "o_orderpriority": F.col("o_orderpriority").alias("v"),
-        "o_orderstatus": F.col("o_orderstatus").alias("v"),
-        "order_month": month,
-        "o_custkey": F.col("o_custkey").alias("v"),
-    }
     outs = []
-    for name, _ in PARTITION_CANDIDATES:
-        per_val = orders.groupBy(exprs[name]).agg(F.count("*").alias("c"))
+    for name, expr in PARTITION_CANDIDATES:
+        # the SAME ANSI fragment the oracle runs, parsed by Catalyst
+        per_val = orders.groupBy(F.expr(expr).alias("v")).agg(F.count("*").alias("c"))
         outs.append(
             per_val.agg(
                 F.count("*").alias("n_values"),

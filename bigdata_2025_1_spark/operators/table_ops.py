@@ -98,9 +98,17 @@ def merge_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CHECKSUM_BUCKETS = 16
 # row fingerprint: 12 hex chars of md5 (48 bits) → int64; summed mod-1e9
 # residues keep any realistic row count far inside int64.
+# Every fingerprint input goes through COALESCE(..., '') in BOTH engines:
+# without it Spark's concat_ws would skip a NULL column while DuckDB's ||
+# would null the whole fingerprint and silently drop the row from SUM —
+# the checksums would diverge on the first NULL to ever appear.
 _ROW_FP = (
-    "('0x' || substr(md5(o_orderkey || '|' || o_custkey || '|' || o_orderstatus"
-    " || '|' || CAST(ROUND(o_totalprice * 1e2) AS BIGINT)), 1, 12))::BIGINT % 1000000000"
+    "('0x' || substr(md5("
+    "COALESCE(CAST(o_orderkey AS VARCHAR), '') || '|' || "
+    "COALESCE(CAST(o_custkey AS VARCHAR), '') || '|' || "
+    "COALESCE(o_orderstatus, '') || '|' || "
+    "COALESCE(CAST(CAST(ROUND(o_totalprice * 1e2) AS BIGINT) AS VARCHAR), '')"
+    "), 1, 12))::BIGINT % 1000000000"
 )
 
 
@@ -147,12 +155,20 @@ def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
 
     def fingerprint() -> F.Column:
-        row = F.concat_ws(
-            "|",
-            F.col("o_orderkey"),
-            F.col("o_custkey"),
-            F.col("o_orderstatus"),
-            F.round(F.col("o_totalprice") * 100).cast("bigint"),
+        # explicit separators + per-column coalesce-to-'' (concat_ws
+        # would SKIP a NULL column, shifting the layout) — mirrors
+        # _ROW_FP's NULL semantics exactly
+        def _c(col: F.Column) -> F.Column:
+            return F.coalesce(col.cast("string"), F.lit(""))
+
+        row = F.concat(
+            _c(F.col("o_orderkey")),
+            F.lit("|"),
+            _c(F.col("o_custkey")),
+            F.lit("|"),
+            _c(F.col("o_orderstatus")),
+            F.lit("|"),
+            _c(F.round(F.col("o_totalprice") * 100).cast("bigint")),
         )
         return F.conv(F.substring(F.md5(row), 1, 12), 16, 10).cast("bigint") % 1000000000
 

@@ -37,3 +37,19 @@ def test_observe_on_streaming_batch(spark, sf_dir, tmp_path):
     ev.write.mode("overwrite").parquet(str(tmp_path / "sink.parquet"))
     m = obs.get
     assert m["n"] == load(spark, sf_dir, "events").count()
+
+
+def test_clear_cache_contract_releases_all_blocks(spark, sf_dir):
+    """Package cache contract (bigdata_2025_1_spark/__init__.py): queries
+    may persist() shared intermediates; the caller's clearCache() must
+    leave ZERO cached blocks behind — pinned here on a persisting query
+    from each family (LSH dedup, graph, corpus capstone)."""
+    from bigdata_2025_1_spark.registry import all_queries
+
+    queries = all_queries()
+    sc = spark.sparkContext
+    for q in ("dedup_minhash_lsh", "pagerank_nation_trade", "corpus_curation_v2"):
+        queries[q](spark, sf_dir).count()  # materialize → persists fill
+        assert len(sc._jsc.sc().getRDDStorageInfo()) > 0, f"{q} did not cache"
+        spark.catalog.clearCache()
+        assert len(sc._jsc.sc().getRDDStorageInfo()) == 0, f"{q} left cached blocks"
