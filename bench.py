@@ -97,6 +97,10 @@ HEADLINE = [
     "corpus_curation_v2",
     "user_active_coverage",
     "supplier_shipping_latency",
+    # round-5 additions: the rewritten value-domain percentile gate and
+    # the distributed-global-rank quantile normalizer
+    "quality_threshold_sweep",
+    "quantile_normalize_doclen",
 ]
 
 

@@ -666,8 +666,14 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bagg = bkept.groupBy("keep_pct").agg(
         F.count("*").alias("docs_b"), F.sum("n_tokens").alias("tok_b")
     )
+    # one output row per operating point even on EMPTY input (SQL
+    # aggregates-without-GROUP-BY emit a NULL-sum row; the grouped `full`
+    # would emit none) — anchor on the always-4-row pcts table; the
+    # NULL-propagating + keeps empty-input sums NULL exactly like the
+    # oracle's SUM over zero rows
     return (
-        full.join(bagg, "keep_pct", "left")
+        pcts.join(full, "keep_pct", "left")
+        .join(bagg, "keep_pct", "left")
         .select(
             "keep_pct",
             (F.col("docs_full") + F.coalesce(F.col("docs_b"), F.lit(0))).alias("docs_kept"),

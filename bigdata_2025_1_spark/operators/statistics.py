@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdata_2025_1_spark.functions.ranks import with_global_rank
 from bigdata_2025_1_spark.io import load
 from bigdata_2025_1_spark.registry import query
 
@@ -1209,20 +1210,22 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak is for rank stability, not the result); the final value is
     one fixed double chain on exact ints.
 
-    Scale shape: a custkey aggregate collapses the fact table, then one
-    rank over the customer-sized result and a 3-number reduce. The int64
-    bound Σ i·cents < 2⁶³ holds to ~10⁸ customers at these magnitudes —
+    Scale shape: a custkey aggregate collapses the fact table, then the
+    rank over the customer-sized result is DISTRIBUTED
+    (``with_global_rank``: range-repartition + partition-local numbering
+    + offset join — no single-partition window even when customers reach
+    fact-table cardinality) feeding a 3-number reduce. The int64 bound
+    Σ i·cents < 2⁶³ holds to ~10⁸ customers at these magnitudes —
     beyond that the same sums run in decimal(38) (documented, loud)."""
     orders = load(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
     )
-    ranked = spend.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i"),
-    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    ranked = with_global_rank(spend, ["cents", "o_custkey"], "i")
     sums = ranked.agg(
-        F.max("n").alias("n"),
+        # NULL (not 0) on empty input — the oracle's MAX(n) over zero
+        # rows is NULL and the empty-tables suite pins the match
+        F.when(F.count("*") > 0, F.count("*")).alias("n"),
         F.sum(F.col("i") * F.col("cents")).alias("weighted"),
         F.sum("cents").alias("total"),
     )

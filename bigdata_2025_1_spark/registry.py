@@ -28,131 +28,109 @@ ORACLES: dict[str, str] = {}
 
 # The driver walks ``queries()`` in dict order and checks exactly the
 # first 50 entries per round (each CORRECTNESS_r0N covers 50). Order is
-# therefore a correctness lever. Round-4 rotation (executes the plan the
-# round-3 VERDICT ratified): positions 0-27 are the 28 queries that had
-# never had a driver row (selfcheck-green at sf0.01 AND sf0.1, incl.
-# --vanilla, and independently re-run by the round-3 judge — 28/28);
-# position 28 is the new crawl-source oracle query (gives SURVEY A13 a
-# driver row); positions 29-49 refresh the round-2 greens whose modules
-# changed most since their green row (git diff 75d46e4..HEAD:
-# relational +407, statistics +377, text_analysis +382, similarity +355,
-# events_ops +322, pipeline_ops +228 — including every query whose
-# module is being touched again in round 4: count_min_sketch_words,
-# ann_ivf_topk, winsorized_segment_spend re-certify on round-4 code).
+# therefore a correctness lever. Round-5 rotation (executes the plan the
+# round-4 VERDICT ratified as its #1 ask): all 50 head slots go to
+# queries that have NEVER had a driver row (74 such after the round-4
+# registry growth; every one selfcheck-green at sf0.01, independently
+# re-verified 74/74 by the round-4 judge).
+#
+# Head composition:
+# - positions 0-8: the queries whose CODE CHANGED in round 5, so their
+#   first driver row certifies current code — the single-partition-
+#   window fixes (dedup_sorted_neighborhood, corpus_curation_v2,
+#   quality_threshold_sweep, quantile_normalize_doclen) and the
+#   ADVICE-item fixes (events_interpolated_hourly floor-div,
+#   minhash_estimation_error / dedup_threshold_sweep generated band SQL,
+#   table_checksum_buckets NULL-proof fingerprints,
+#   partition_key_advisor single-structure candidates);
+# - positions 9-24: the 16 TPC-H shapes completing the 22-query suite;
+# - positions 25-33: the corpus/retrieval/graph additions;
+# - positions 34-49: the late-round-4 batch, code-touched-in-r5 names
+#   first (user_active_coverage, supplier_shipping_latency got
+#   precondition comments).
 #
 # CAPACITY WARNING: the head is at exactly 50 entries. Anything past
 # position 49 gets no driver row this round — add new queries by
 # REPLACING a proven-green head entry, never by growing past 50.
 #
-# ROUND-5 ROTATION PLAN: after this head lands green, every query's
-# newest green row will be ≤1 round old except the r3 greens (the 50
-# names in the round-3 head) and the r2 greens not refreshed here
-# (cube_flag_status, scalar_subquery_big_orders, recursive_cte_month_spine,
-# media_*, udaf_median_order_value, grouped_map_spend_share,
-# order_value_percentiles, approx_percentiles, pivot_status_by_priority,
-# sql_cte_above_nation_avg, train_test_split, corpus_quality_filter,
-# sequence_packing, corpus_end_to_end, stratified_source_cap,
-# corpus_temperature_mix, domain_doc_stats, global_size_stats,
-# metadata_extract, wordcount, udtf_bigrams, date_features,
-# string_functions_showcase, cross_join_enumeration). Round 5's head:
-# (1) queries NEW in round 4 — the 16 TPC-H shapes completing the suite
-# (q2_min_cost_supplier, q4_order_priority, q6_forecast_revenue,
-# q7_volume_shipping, q8_market_share, q10_returned_items,
-# q11_value_concentration, q12_late_line_priorities,
-# q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
-# q17_small_quantity_revenue, q19_disjunctive_revenue,
-# q20_promo_heavy_suppliers, q21_waiting_suppliers,
-# q22_idle_rich_customers) and the corpus/retrieval additions
-# (corpus_duplicate_spans, bpe_pair_merge_step, rrf_rank_fusion,
-# lateral_top_orders_per_customer, ann_sq8_topk, triangle_count_trade,
-# group_by_all_revenue, join_key_skew_profile, hll_union_distinct) and
-# the late-round-4 batch (bm25_doc_ranking, label_propagation_communities,
-# merge_upsert_latest_state, table_checksum_buckets,
-# stratified_exact_sample, order_month_streaks, equi_depth_price_deciles,
-# mad_value_outliers, dedup_containment, pmi_token_pairs,
-# kmeans_lloyd_clusters, linreg_price_model, events_interpolated_hourly,
-# unigram_logprob_quality, bfs_trade_reachability, user_active_coverage,
-# seasonal_hourly_residuals, quantile_normalize_doclen,
-# customer_rfm_segments, vocab_growth_curve, markov_event_transitions,
-# parts_abc_pareto, token_association_rules, watermark_lateness_audit,
-# doc_readability_scores, supplier_shipping_latency,
-# monthly_seasonality_index, dedup_sorted_neighborhood,
-# embedding_norm_profile, functional_dependency_profile,
-# corpus_curation_v2, dup_cluster_size_histogram, source_language_mix,
-# user_feature_matrix, incremental_monthly_rollup,
-# shipping_latency_percentiles, minhash_estimation_error,
-# rolling_weekly_active_users, part_popularity_rec,
-# quality_threshold_sweep, dedup_threshold_sweep,
-# trade_graph_degree_stats, partition_key_advisor, media_prefix_clusters,
+# ROUND-6 ROTATION PLAN: after this head lands green the never-checked
+# backlog is the 24 names below — they take positions 0-23 of the
+# round-6 head (seasonal_hourly_residuals, vocab_growth_curve,
+# markov_event_transitions, parts_abc_pareto, token_association_rules,
+# watermark_lateness_audit, doc_readability_scores,
+# monthly_seasonality_index, embedding_norm_profile,
+# functional_dependency_profile, dup_cluster_size_histogram,
+# source_language_mix, user_feature_matrix, incremental_monthly_rollup,
+# shipping_latency_percentiles, rolling_weekly_active_users,
+# part_popularity_rec, trade_graph_degree_stats, media_prefix_clusters,
 # label_centroid_distances, top_sources_with_other, customer_spend_gini,
-# corpus_health_scorecard, order_size_distribution — 201 registered
-# queries total);
-# (2) queries whose module changed in round 4 whose last green predates
-# the change (dedup_char_ngram_jaccard — prefilter flattened to codegen
-# columns late in round 4, r3 row predates it; simhash_values —
-# dedup.py gained the k-banding helper, though the function itself is
-# untouched; events_json_decode — swapped out of this head for
-# dedup_simhash_hamming, which DID change; the pandas_surface/
-# statistics/similarity head entries re-certify THIS round already);
-# (3) oldest green rows first among the rest.
+# corpus_health_scorecard, order_size_distribution) and the remaining
+# 26 slots refresh the oldest greens — the r2-vintage rows
+# (cube_flag_status, scalar_subquery_big_orders,
+# recursive_cte_month_spine, media_metadata, media_feature_stats,
+# media_frame_sample, media_resize, udaf_median_order_value,
+# grouped_map_spend_share, order_value_percentiles, approx_percentiles,
+# pivot_status_by_priority, sql_cte_above_nation_avg, train_test_split,
+# corpus_quality_filter, sequence_packing, corpus_end_to_end,
+# stratified_source_cap, corpus_temperature_mix, domain_doc_stats,
+# global_size_stats, metadata_extract, wordcount, udtf_bigrams,
+# date_features, string_functions_showcase) — so after round 6 no green
+# row predates round 3.
 PRIORITY_HEAD: tuple[str, ...] = (
-    # -- 0-27: first-ever driver rows (judge-verified selfcheck-green)
-    "salted_skew_join_zipf",
-    "q9_profit_by_nation_year",
-    "fk_integrity_audit",
-    "rollup_time_hierarchy",
-    "revenue_mom_change",
-    "q18_large_volume_customers",
-    "cohort_retention",
-    "scd2_user_value_history",
-    "ewma_user_value",
-    "twap_user_daily",
-    "gopher_quality_flags",
-    "frequent_token_pairs",
-    "canonical_doc_per_cluster",
-    "embedding_centroid_distance",
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    "sql_pipe_revenue",
-    "winsorized_segment_spend",
-    "nested_order_lines",
-    "train_contamination_ngram",
-    "doc_chunk_overlap",
-    "heavy_hitters_mg",
-    "table_profile",
-    "stats_regression",
-    "zscore_outliers",
-    "count_min_sketch_words",
-    "pagerank_nation_trade",
-    "q16_null_aware_anti",
-    # -- 28: NEW this round — the crawl Python Data Source's oracle row
-    "crawl_source_page_stats",
-    # -- 29-49: r2 greens from the most-changed modules, re-certified
-    "q1_pricing_summary",
-    "salted_skew_join",
-    "approx_distinct_counts",
-    "stats_correlation",
-    "window_distribution_funcs",
-    "safe_math_ansi",
-    "price_histogram",
-    "fuzzy_source_pairs",
-    "argminmax_per_source",
-    "doc_ngram_repetition",
-    "ann_ivf_topk",
-    "ann_srp_lsh_pairs",
-    "embedding_srp_signatures",
-    # dedup_simhash_hamming's body changed THIS round (k-banding
-    # generalization) — re-certify on round-4 code; its slot comes from
-    # events_json_decode, whose parse path the r3-green
-    # kafka_roundtrip_counts already exercises (same consumer_parse).
-    "dedup_simhash_hamming",
-    "user_sessionization",
-    "asof_join_last_purchase",
-    "event_funnel_conversion",
-    "range_join_incident_windows",
-    "variant_json_shred",
-    "events_gap_filled_hourly",
-    "tfidf_top_terms",
+    # -- 0-8: first driver rows ON ROUND-5-CHANGED CODE
+    "dedup_sorted_neighborhood",
+    "corpus_curation_v2",
+    "quality_threshold_sweep",
+    "quantile_normalize_doclen",
+    "events_interpolated_hourly",
+    "minhash_estimation_error",
+    "dedup_threshold_sweep",
+    "table_checksum_buckets",
+    "partition_key_advisor",
+    # -- 9-24: the 16 TPC-H shapes completing all 22
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_value_concentration",
+    "q12_late_line_priorities",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_promo_heavy_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    # -- 25-33: corpus / retrieval / graph additions
+    "corpus_duplicate_spans",
+    "bpe_pair_merge_step",
+    "rrf_rank_fusion",
+    "lateral_top_orders_per_customer",
+    "ann_sq8_topk",
+    "triangle_count_trade",
+    "group_by_all_revenue",
+    "join_key_skew_profile",
+    "hll_union_distinct",
+    # -- 34-49: late-round-4 batch
+    "user_active_coverage",
+    "supplier_shipping_latency",
+    "bm25_doc_ranking",
+    "label_propagation_communities",
+    "merge_upsert_latest_state",
+    "stratified_exact_sample",
+    "order_month_streaks",
+    "equi_depth_price_deciles",
+    "mad_value_outliers",
+    "dedup_containment",
+    "pmi_token_pairs",
+    "kmeans_lloyd_clusters",
+    "linreg_price_model",
+    "unigram_logprob_quality",
+    "bfs_trade_reachability",
+    "customer_rfm_segments",
 )
 
 # Proven green in round 2 against current code: after the 50-row window.
