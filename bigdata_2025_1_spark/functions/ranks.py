@@ -37,21 +37,29 @@ def with_global_rank(
     order_cols: list[str],
     rank_col: str = "rn",
     num_parts: int | None = None,
+    prefix_of: str | None = None,
+    prefix_col: str = "cum",
 ) -> DataFrame:
     """Append ``rank_col``: the 1-based global row number of each row in
     the total order given by ``order_cols`` (which must be a unique key
-    for the rank to be deterministic).
+    for the rank to be deterministic). With ``prefix_of`` set, also
+    append ``prefix_col``: the INCLUSIVE global running sum of that
+    int64 column over the same order (the distributed form of
+    ``sum(x).over(orderBy(...).rowsBetween(unboundedPreceding,
+    currentRow))`` — running totals, Pareto prefixes, CDFs).
 
     Determinism: range-partition boundaries come from Spark's seeded
     reservoir sampling of a deterministic scan, and partitions are
     non-overlapping in the order key, so ``offset(partition) + local
-    position`` is the true global rank regardless of where boundaries
-    land.
+    position/sum`` is the true global rank/prefix regardless of where
+    boundaries land.
 
     Scale shape: ONE full-data shuffle (the range exchange, reused by
-    both the numbering branch and the tiny per-partition count); the
-    offset table is ``n_partitions`` rows broadcast back; output rank is
-    int64 (a 100 TB table overflows row_number's int32).
+    both the numbering branch and the tiny per-partition totals); the
+    offset table is ``n_partitions`` rows (its prefix sum is a
+    deliberate triangular broadcast join — n^2 pairs of a tiny table, so
+    no single-partition exchange exists anywhere here) broadcast back;
+    output rank is int64 (a 100 TB table overflows row_number's int32).
     """
     spark = df.sparkSession
     n = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -61,31 +69,44 @@ def with_global_rank(
         .withColumn("_pid", F.spark_partition_id())
     )
 
-    sizes = parts.groupBy("_pid").agg(F.count("*").alias("_c"))
-    # Prefix-sum over the partition-count-sized table WITHOUT an
-    # unpartitioned window: a triangular broadcast join (at most n^2
-    # pairs of an n-row table) keeps the plan free of single-partition
-    # exchanges.
-    contrib = sizes.select(F.col("_pid").alias("_bpid"), F.col("_c").alias("_bc"))
+    size_aggs = [F.count("*").alias("_c")]
+    if prefix_of is not None:
+        size_aggs.append(F.coalesce(F.sum(prefix_of), F.lit(0)).alias("_vc"))
+    sizes = parts.groupBy("_pid").agg(*size_aggs)
+    contrib = sizes.select(
+        *[F.col(c).alias(f"_b{c.lstrip('_')}") for c in sizes.columns]
+    )
+    off_aggs = [F.coalesce(F.sum("_bc"), F.lit(0)).alias("_off")]
+    if prefix_of is not None:
+        off_aggs.append(F.coalesce(F.sum("_bvc"), F.lit(0)).alias("_voff"))
     offs = (
         sizes.join(F.broadcast(contrib), F.col("_bpid") < F.col("_pid"), "left")
         .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_bc"), F.lit(0)).alias("_off"))
+        .agg(*off_aggs)
     )
 
     out_fields = list(parts.schema.fields) + [StructField("_pos", LongType(), False)]
+    if prefix_of is not None:
+        out_fields.append(StructField("_vpos", LongType(), False))
 
     def _number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pos = 0
+        vpos = 0
         for pdf in batches:
             pdf = pdf.copy()
             pdf["_pos"] = range(pos + 1, pos + 1 + len(pdf))
             pos += len(pdf)
+            if prefix_of is not None:
+                c = pdf[prefix_of].astype("int64").cumsum() + vpos
+                pdf["_vpos"] = c
+                vpos = int(c.iloc[-1]) if len(c) else vpos
             yield pdf
 
     numbered = parts.mapInPandas(_number, schema=type(parts.schema)(out_fields))
-    return (
+    out = (
         numbered.join(F.broadcast(offs), "_pid")
         .withColumn(rank_col, F.col("_off") + F.col("_pos"))
-        .drop("_pid", "_pos", "_off")
     )
+    if prefix_of is not None:
+        out = out.withColumn(prefix_col, F.col("_voff") + F.col("_vpos")).drop("_voff")
+    return out.drop("_pid", "_pos", "_off", "_vpos")

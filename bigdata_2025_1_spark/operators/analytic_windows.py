@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions.exact import exact_sum, sql_exact_sum
+from bigdata_2025_1_spark.functions.ranks import with_global_rank
 from bigdata_2025_1_spark.io import load
 from bigdata_2025_1_spark.registry import query
 
@@ -338,11 +339,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartiles identically.
 
     Scale shape: one map-side-combinable groupBy(custkey) does ALL the
-    data-sized work; the NTILEs then rank the CUSTOMER table (one row
-    per customer — orders of magnitude smaller than the fact table).
-    For customer counts that outgrow a sort, the same quartile cut
-    comes from the distinct-value cum-count bucketing demonstrated in
-    ``equi_depth_price_deciles``."""
+    data-sized work; each NTILE is then computed from a DISTRIBUTED
+    global rank (``with_global_rank`` — no single-partition window even
+    at fact-scale customer counts) plus the closed-form NTILE bucket
+    arithmetic (first n%4 buckets take n/4+1 rows). Value-domain
+    bucketing is NOT a valid substitute here: NTILE splits ties
+    positionally, so a dominant tied value (e.g. frequency=1) must
+    straddle buckets — exactly what the positional rank preserves."""
     orders = load(spark, sf_dir, "orders")
     maxd = orders.agg(F.max("o_orderdate").alias("d1"))
     base = (
@@ -364,18 +367,48 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    r_seg = F.ntile(4).over(Window.orderBy("recency_days", "custkey"))
-    f_seg = F.ntile(4).over(Window.orderBy(F.desc("frequency"), "custkey"))
-    m_seg = F.ntile(4).over(Window.orderBy(F.desc("monetary_cents"), "custkey"))
+    # one distributed global rank per dimension (desc dims rank on the
+    # exact integer negation), joined back on custkey
+    r_rank = with_global_rank(
+        base.select("custkey", "recency_days"), ["recency_days", "custkey"], "ri"
+    ).select("custkey", "ri")
+    f_rank = with_global_rank(
+        base.select("custkey", (-F.col("frequency")).alias("_negf")),
+        ["_negf", "custkey"],
+        "fi",
+    ).select("custkey", "fi")
+    m_rank = with_global_rank(
+        base.select("custkey", (-F.col("monetary_cents")).alias("_negm")),
+        ["_negm", "custkey"],
+        "mi",
+    ).select("custkey", "mi")
+    n1 = base.agg(F.count("*").alias("n"))
+
+    def ntile4(i: str) -> F.Column:
+        # closed-form NTILE(4) from a 1-based global rank: q = n div 4,
+        # r = n mod 4; the first r buckets hold q+1 rows, the rest q.
+        # greatest(q, 1) guards the (unreachable when q = 0) else branch
+        # against ANSI division-by-zero.
+        return F.expr(
+            f"CASE WHEN {i} <= (n div 4 + 1) * (n % 4) "
+            f"THEN ({i} + n div 4) div (n div 4 + 1) "
+            f"ELSE n % 4 + ({i} - (n div 4 + 1) * (n % 4) + greatest(n div 4, 1) - 1) "
+            f"div greatest(n div 4, 1) END"
+        )
+
     return (
-        base.select(
+        base.join(r_rank, "custkey")
+        .join(f_rank, "custkey")
+        .join(m_rank, "custkey")
+        .crossJoin(F.broadcast(n1))
+        .select(
             "custkey",
             "recency_days",
             "frequency",
             "monetary_cents",
-            r_seg.cast("int").alias("r_seg"),
-            f_seg.cast("int").alias("f_seg"),
-            m_seg.cast("int").alias("m_seg"),
+            ntile4("ri").cast("int").alias("r_seg"),
+            ntile4("fi").cast("int").alias("f_seg"),
+            ntile4("mi").cast("int").alias("m_seg"),
         )
         .withColumn(
             "rfm",
@@ -426,21 +459,27 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``cum·100 ≤ 80·total``) — no float share is ever computed.
 
     Scale shape: data-sized work is one map-side-combinable
-    groupBy(partkey); the running sum orders the PART-sized aggregate
-    (the documented swap-point at extreme part cardinality is the
-    distinct-value bucketing of ``equi_depth_price_deciles``); output is
-    three rows."""
+    groupBy(partkey); the running sum over the PART-sized aggregate is
+    DISTRIBUTED (``with_global_rank`` prefix-sum form: range-repartition
+    on the (-cents, partkey) order + partition-local cumsum + a
+    partition-count-sized offset table — no single-partition window even
+    at extreme part cardinality); output is three rows."""
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents")
     )
     tot = rev.agg(F.sum("cents").alias("total"))
-    w = Window.orderBy(F.desc("cents"), "partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # (-cents, partkey) ascending == (cents DESC, partkey) — integer
+    # negation keeps the prefix order exact
+    ranked = with_global_rank(
+        rev.withColumn("_negc", -F.col("cents")),
+        ["_negc", "partkey"],
+        "_rk",
+        prefix_of="cents",
+        prefix_col="cum_cents",
+    ).drop("_negc", "_rk")
     classed = (
-        rev.withColumn("cum_cents", F.sum("cents").over(w))
-        .crossJoin(F.broadcast(tot))
+        ranked.crossJoin(F.broadcast(tot))
         .select(
             "partkey",
             "cents",

@@ -757,3 +757,79 @@ def corpus_health_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_tokens",
         )
     )
+
+
+@query(
+    "corpus_drift_psi",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id % 2 AS snap,
+             CAST(FLOOR(LOG2(n_chars + 1)) AS INT) AS bucket
+      FROM documents
+    ), counts AS (
+      SELECT bucket,
+             SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS n_b
+      FROM feat GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             (CAST(n_a AS BIGINT)::DOUBLE / ta - CAST(n_b AS BIGINT)::DOUBLE / tb)
+               * ln((CAST(n_a AS BIGINT)::DOUBLE * tb) / (CAST(n_b AS BIGINT)::DOUBLE * ta))
+           END AS psi_contrib
+    FROM counts CROSS JOIN tot
+    ORDER BY bucket
+    """,
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of document length between two corpus
+    snapshots — the drift alarm a production data pipeline computes
+    between ingests (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 broken;
+    here the "snapshots" are the deterministic doc_id-parity split, the
+    stand-in for last-week/this-week). Lengths land in log2 buckets
+    (FIXED integer boundaries — a quantile-based binning would make the
+    reference frame drift with the data it is supposed to audit); each
+    bucket row carries both counts and its signed PSI contribution
+    (p_a − p_b)·ln(p_a/p_b), NULL where either side is empty (the
+    standard emit-don't-smooth choice: a vanished bucket is its own
+    alarm, not a number). Σ psi_contrib over non-NULL rows is the PSI.
+
+    Determinism: counts are exact ints; each contribution is one fixed
+    chain of double ops on exact-int ratios (the ln argument is formed
+    as (n_a·tb)/(n_b·ta) — int64 products divided once — identically in
+    both engines); log2 bucket edges fall only on exact powers of two
+    where IEEE log2 is exact.
+
+    Scale shape: one map-side-combinable groupBy over the ~60-value
+    log2-bucket domain; totals broadcast back as a 1-row table. No
+    joins, no windows, no shuffle wider than the bucket domain."""
+    docs = load(spark, sf_dir, "documents")
+    feat = docs.select(
+        (F.col("doc_id") % 2).alias("snap"),
+        F.expr("CAST(FLOOR(LOG2(n_chars + 1)) AS INT)").alias("bucket"),
+    )
+    counts = feat.groupBy("bucket").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    tot = counts.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    pa = F.col("n_a").cast("double") / F.col("ta")
+    pb = F.col("n_b").cast("double") / F.col("tb")
+    ratio = (F.col("n_a").cast("double") * F.col("tb")) / (
+        F.col("n_b").cast("double") * F.col("ta")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_a",
+            "n_b",
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), (pa - pb) * F.log(ratio))
+            .alias("psi_contrib"),
+        )
+        .orderBy("bucket")
+    )

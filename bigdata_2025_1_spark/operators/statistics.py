@@ -589,8 +589,11 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     division crosses engines).
 
     Scale shape: ONE aggregation keyed by the join key itself (the same
-    shuffle the real join would do, but carrying only counts); the
-    percentile rank runs over the |keys|-row frequency table, not facts.
+    shuffle the real join would do, but carrying only counts); the p99
+    cut then runs over the DISTINCT frequency-value domain (bounded by
+    the maximum multiplicity, orders of magnitude below key count — the
+    equi_depth_price_deciles pattern; exact because the rank-K minimum
+    inside a tie group is the group's value however the tie is split).
     At 100 TB you run this on a sample partition or sketch (CMS gives
     max_freq bounds) — the exact form is the correctness anchor."""
     orders = load(spark, sf_dir, "orders")
@@ -602,14 +605,19 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("total_rows"),
         F.max("n").alias("max_freq"),
     )
-    w = Window.orderBy(F.desc("n"), "key")
-    ranked = freq.select(
-        "n",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("nk"),
-    )
-    tail = ranked.filter(F.col("rk") * 100 <= F.col("nk")).agg(
-        F.min("n").alias("t_p99")
+    vals = freq.groupBy("n").agg(F.count("*").alias("c"))
+    wv = Window.orderBy(F.desc("n")).rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.withColumn("cb", F.coalesce(F.sum("c").over(wv), F.lit(0)))
+    nk = freq.agg(F.count("*").alias("nk"))
+    # the value group containing desc-rank K = nk div 100 (empty when
+    # K = 0 → NULL → coalesced to max_freq, matching the oracle)
+    tail = (
+        cum.crossJoin(F.broadcast(nk))
+        .filter(
+            (F.col("cb") < F.expr("nk div 100"))
+            & (F.col("cb") + F.col("c") >= F.expr("nk div 100"))
+        )
+        .agg(F.min("n").alias("t_p99"))
     )
     return stats.crossJoin(F.broadcast(tail)).select(
         "n_keys",

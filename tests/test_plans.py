@@ -580,13 +580,13 @@ def test_logprob_broadcasts_vocabulary(spark, sf_dir):
 
 
 def test_rfm_aggregates_before_ntile_windows(spark, sf_dir):
-    # all data-sized work is the custkey aggregate; the three NTILE
-    # windows rank the customer-sized result (agg node below window).
+    # round-5 strengthening of the r4 pin: the three NTILE(4)s are now
+    # computed CLOSED-FORM from with_global_rank ranks, so the plan has
+    # NO Window node at all (r4 shape: windows above the custkey
+    # aggregate; r5 shape: aggregate + distributed ranks + arithmetic).
     plan = formatted_plan(QUERIES["customer_rfm_segments"](spark, sf_dir))
-    win_ids = [int(m) for m in re.findall(r"Window \((\d+)\)", plan)]
-    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", plan)]
-    assert win_ids and agg_ids
-    assert min(agg_ids) < min(win_ids), (agg_ids, win_ids)
+    assert not re.findall(r"Window \(\d+\)", plan)
+    assert re.findall(r"HashAggregate \(\d+\)", plan)
 
 
 def test_vocab_growth_no_cartesian_two_aggs(spark, sf_dir):
@@ -604,14 +604,24 @@ def test_no_doc_sized_single_partition_exchange(spark, sf_dir):
     SinglePartition inputs — nothing carrying doc_id."""
     from bigdata_2025_1_spark.plans.explain import single_partition_exchange_inputs
 
-    for q in (
-        "dedup_sorted_neighborhood",
-        "quantile_normalize_doclen",
-        "corpus_curation_v2",
-        "quality_threshold_sweep",
+    for q, entity_cols in (
+        ("dedup_sorted_neighborhood", ("doc_id",)),
+        ("quantile_normalize_doclen", ("doc_id",)),
+        ("corpus_curation_v2", ("doc_id",)),
+        ("quality_threshold_sweep", ("doc_id",)),
+        # round-5 wave 2: entity-scale ranks through with_global_rank /
+        # value-domain bucketing
+        ("customer_spend_gini", ("custkey",)),
+        ("customer_rfm_segments", ("custkey",)),
+        ("parts_abc_pareto", ("partkey",)),
+        ("join_key_skew_profile", ("key#", "custkey")),
     ):
         df = QUERIES[q](spark, sf_dir)
-        bad = [i for i in single_partition_exchange_inputs(df) if "doc_id" in i]
+        bad = [
+            i
+            for i in single_partition_exchange_inputs(df)
+            if any(c in i for c in entity_cols)
+        ]
         assert not bad, (q, bad)
         spark.catalog.clearCache()
     # the sorted-neighborhood rewrite has NO single-partition exchange at
@@ -644,3 +654,53 @@ def test_global_rank_matches_window_row_number(spark):
     )
     assert got.count() == 2003
     assert with_global_rank(df.filter("k < 0"), ["k", "doc_id"]).count() == 0
+
+
+def test_global_prefix_sum_matches_window(spark):
+    """with_global_rank's prefix_of form == the unbounded-preceding
+    running-sum window over the same total order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdata_2025_1_spark.functions.ranks import with_global_rank
+
+    df = spark.range(0, 1511).select(
+        (F.col("id") % 37).alias("k"),
+        F.col("id").alias("pk"),
+        ((F.col("id") * 7919) % 1000).alias("v"),
+    )
+    got = with_global_rank(df, ["k", "pk"], "rn", prefix_of="v", prefix_col="cv")
+    w = Window.orderBy("k", "pk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exp = df.withColumn("cv_exp", F.sum("v").over(w))
+    assert (
+        got.join(exp, ["k", "pk"]).filter(F.col("cv") != F.col("cv_exp")).count() == 0
+    )
+
+
+def test_closed_form_ntile_matches_builtin(spark):
+    """customer_rfm_segments' closed-form NTILE(4) arithmetic == Spark's
+    ntile(4) window on every row count 1..13 (covers all n mod 4 shapes
+    and the q=0 tiny-n edge)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    for n in range(1, 14):
+        df = spark.range(1, n + 1).select(F.col("id").alias("i"))
+        exp = df.withColumn(
+            "t", F.ntile(4).over(Window.orderBy("i"))
+        )
+        got = df.crossJoin(
+            df.agg(F.count("*").alias("n"))
+        ).withColumn(
+            "t2",
+            F.expr(
+                "CASE WHEN i <= (n div 4 + 1) * (n % 4) "
+                "THEN (i + n div 4) div (n div 4 + 1) "
+                "ELSE n % 4 + (i - (n div 4 + 1) * (n % 4) + greatest(n div 4, 1) - 1) "
+                "div greatest(n div 4, 1) END"
+            ),
+        )
+        bad = (
+            got.join(exp, "i").filter(F.col("t2") != F.col("t")).count()
+        )
+        assert bad == 0, f"n={n}"
