@@ -489,7 +489,11 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_small").alias("doc_id"))
         .distinct()
     )
-    deduped = exact_keep.join(contained, "doc_id", "left_anti")
+    # persisted: feeds the NLL gate (via dn) AND the final funnel join —
+    # without it the whole containment-dedup pipeline above re-executes
+    # once per consumer (measured 5.4 s -> 14.2 s at sf0.1 when the
+    # round-5 gate rewrite added consumers without this persist)
+    deduped = exact_keep.join(contained, "doc_id", "left_anti").persist()
     uni = toks.select("doc_id", F.explode("ts").alias("w"))
     ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
     nt = uni.agg(F.count("*").alias("n_tok"))
@@ -514,7 +518,9 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only unpartitioned window runs over the DISTINCT NLL domain
     # (bounded by the integer-millionths score range, not by corpus
     # size).
-    dn = deduped.join(nll, "doc_id")
+    # persisted: three consumers below (value histogram, total count,
+    # the per-doc join) — narrow doc-sized rows
+    dn = deduped.join(nll, "doc_id").persist()
     vals = dn.groupBy("nll_i6").agg(F.count("*").alias("vc"))
     wv = Window.orderBy("nll_i6").rowsBetween(Window.unboundedPreceding, -1)
     cum = vals.withColumn("cum_before", F.coalesce(F.sum("vc").over(wv), F.lit(0)))
@@ -631,7 +637,13 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.expr("-SUM(l_i6) div COUNT(*)").alias("nll_i6"))
     )
-    feats = toks.select("doc_id", F.size("ts").alias("n_tokens")).join(nll, "doc_id")
+    # persisted: the tokenize+NLL pipeline above feeds three consumers
+    # (value histogram, total count, boundary-group docs)
+    feats = (
+        toks.select("doc_id", F.size("ts").alias("n_tokens"))
+        .join(nll, "doc_id")
+        .persist()
+    )
     vals = feats.groupBy("nll_i6").agg(
         F.count("*").alias("vc"), F.sum("n_tokens").alias("vtok")
     )

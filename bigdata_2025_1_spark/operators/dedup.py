@@ -59,6 +59,44 @@ _SQL_BANDS = "\n      UNION ALL\n      ".join(
 )
 
 
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles, sig) with the MinHash signature array —
+    persisted because it feeds both the band join and the verify join
+    (the 'materialize the signature table' step of every LSH pipeline)."""
+    return (
+        spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", T.word_shingles(F.col("text"), k=3).alias("shingles"))
+        .select(
+            "doc_id",
+            "shingles",
+            T.minhash_signature(F.col("shingles"), NUM_HASHES).alias("sig"),
+        )
+        .persist()
+    )
+
+
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — one row per band, key = md5 of the
+    contiguous signature slice (the Spark twin of _SQL_BANDS)."""
+    per_band = NUM_HASHES // BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col("sig")[i] for i in range(b * per_band, (b + 1) * per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -165,38 +203,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.15–1.35 s; a sig-only persist variant (re-deriving shingles for the
     verify joins) was measured SLOWER (3 shingle computations vs 1), so
     the wide persist stays."""
-    docs = load(spark, sf_dir, "documents")
     # Signatures are expensive (8 seeded md5 passes over every shingle) and
-    # feed BOTH the band join (twice) and the verify join (twice) — persist
-    # so the lineage computes them exactly once. At cluster scale this is
-    # the "materialize the signature table" step of every LSH pipeline.
-    sig = (
-        spread(docs).select("doc_id", T.word_shingles(F.col("text"), k=3).alias("shingles"))
-        .select(
-            "doc_id",
-            "shingles",
-            T.minhash_signature(F.col("shingles"), NUM_HASHES).alias("sig"),
-        )
-        .persist()
-    )
+    # feed BOTH the band join (twice) and the verify join (twice) —
+    # _signatures persists so the lineage computes them exactly once. A
+    # sig-only persist variant (re-deriving shingles for the verify joins)
+    # was measured SLOWER (3 shingle computations vs 1): the wide persist
+    # stays.
+    sig = _signatures(spark, sf_dir)
     sh = sig.select("doc_id", "shingles")
-    per_band = NUM_HASHES // BANDS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat(
-                        *[F.col("sig")[i] for i in range(b * per_band, (b + 1) * per_band)]
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
+    bands = _band_rows(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -869,9 +884,11 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.substring(
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), 1, SNM_KEY_CHARS
     )
+    # persisted: both sides of the neighbor equi-join read the ranked
+    # table — without it the Arrow numbering pass runs twice
     ordered = with_global_rank(
         docs.select("doc_id", key.alias("snm_key")), ["snm_key", "doc_id"], "rn"
-    )
+    ).persist()
     offsets = spark.range(1, SNM_WINDOW + 1).select(F.col("id").alias("off"))
     a = ordered.select(F.col("doc_id").alias("doc_a"), "rn")
     b = ordered.select(F.col("doc_id").alias("doc_b"), F.col("rn").alias("rn_b"))
@@ -984,34 +1001,8 @@ def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band-bucket equi-join, signatures persisted once, full sets joined
     back for candidates only) — the audit costs one more projection on
     the pairs the pipeline already computes."""
-    docs = load(spark, sf_dir, "documents")
-    sig = (
-        spread(docs)
-        .select("doc_id", T.word_shingles(F.col("text"), k=3).alias("shingles"))
-        .select(
-            "doc_id",
-            "shingles",
-            T.minhash_signature(F.col("shingles"), NUM_HASHES).alias("sig"),
-        )
-        .persist()
-    )
-    per_band = NUM_HASHES // BANDS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat(
-                        *[F.col("sig")[i] for i in range(b * per_band, (b + 1) * per_band)]
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
+    sig = _signatures(spark, sf_dir)
+    bands = _band_rows(sig)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -1100,34 +1091,8 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical candidate discipline to the LSH query; the
     sweep adds conditional sums on the already-joined pairs."""
-    docs = load(spark, sf_dir, "documents")
-    sig = (
-        spread(docs)
-        .select("doc_id", T.word_shingles(F.col("text"), k=3).alias("shingles"))
-        .select(
-            "doc_id",
-            "shingles",
-            T.minhash_signature(F.col("shingles"), NUM_HASHES).alias("sig"),
-        )
-        .persist()
-    )
-    per_band = NUM_HASHES // BANDS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat(
-                        *[F.col("sig")[i] for i in range(b * per_band, (b + 1) * per_band)]
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
+    sig = _signatures(spark, sf_dir)
+    bands = _band_rows(sig)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -1163,3 +1128,113 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("threshold_pct")
+
+
+@query(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM tok
+    ), sig AS (
+      SELECT doc_id, shingles, {_SQL_SIG} FROM sh
+    ), bands AS (
+      {_SQL_BANDS}
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+      FROM bands n JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
+      WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+    ), scored AS (
+      SELECT c.doc_new, c.doc_old,
+             len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+               / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_new
+      JOIN sh sb ON sb.doc_id = c.doc_old
+      WHERE len(sa.shingles) > 0 AND len(sb.shingles) > 0
+        AND len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(sa.shingles || sb.shingles)) >= {JACCARD_THRESHOLD}
+    ), best AS (
+      SELECT doc_new, doc_old, jaccard,
+             COUNT(*) OVER (PARTITION BY doc_new) AS n_dups,
+             ROW_NUMBER() OVER (PARTITION BY doc_new
+                                ORDER BY jaccard DESC, doc_old) AS rn
+      FROM scored
+    )
+    SELECT d.doc_id AS doc_new,
+           CAST(COALESCE(b.n_dups, 0) AS BIGINT) AS n_dups,
+           b.doc_old AS dup_of,
+           b.jaccard AS jaccard,
+           b.doc_old IS NULL AS is_new_content
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_new = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    ORDER BY doc_new
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup — the ingestion shape: a new batch
+    (doc_id odd, the stand-in for today's crawl) is checked against the
+    EXISTING corpus (doc_id even) only, never against itself. Per new
+    document: how many corpus near-dups it has, its best match
+    (highest Jaccard, smallest doc_id tiebreak), and an is_new_content
+    verdict — what an ingest job actually writes to its admission log.
+    The self-join family (``dedup_minhash_lsh``) answers "clean this
+    corpus"; this answers "may this batch enter", the query that runs
+    every day at 100 TB while the full self-join runs once a quarter.
+
+    Determinism: same md5 MinHash/band machinery as the LSH family
+    (shared ``_signatures``/``_band_rows``/``_SQL_BANDS``); the best
+    match is a (jaccard DESC, doc_id) window pick per new doc — a total
+    order because Jaccard is an exact int ratio.
+
+    Scale shape: the band join is new-batch × corpus-bands on band-key
+    equality — candidate count scales with the BATCH, not the corpus;
+    at deploy time the corpus band table is a materialized index
+    (bucketed by band_key) so the daily cost is one equi-join against
+    an existing layout plus verification of candidates only. The final
+    per-new-doc window partitions by doc_new (tiny groups)."""
+    sig = _signatures(spark, sf_dir)
+    sh = sig.select("doc_id", "shingles")
+    bands = _band_rows(sig)
+    is_new = F.col("doc_id") % 2 == 1
+    nb = bands.filter(is_new).select(
+        F.col("doc_id").alias("doc_new"), "band", "band_key"
+    )
+    ob = bands.filter(~is_new).select(
+        F.col("doc_id").alias("doc_old"), "band", "band_key"
+    )
+    cand = nb.join(ob, ["band", "band_key"]).select("doc_new", "doc_old").distinct()
+    sa = sh.select(F.col("doc_id").alias("doc_new"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_old"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    scored = (
+        cand.join(sa, "doc_new")
+        .join(sb, "doc_old")
+        .filter((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
+        .select("doc_new", "doc_old", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    wn = Window.partitionBy("doc_new")
+    best = (
+        scored.withColumn("n_dups", F.count("*").over(wn))
+        .withColumn(
+            "rn",
+            F.row_number().over(wn.orderBy(F.desc("jaccard"), "doc_old")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    new_docs = sig.filter(is_new).select(F.col("doc_id").alias("doc_new"))
+    return (
+        new_docs.join(best, "doc_new", "left")
+        .select(
+            "doc_new",
+            F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"),
+            F.col("doc_old").alias("dup_of"),
+            "jaccard",
+            F.col("doc_old").isNull().alias("is_new_content"),
+        )
+        .orderBy("doc_new")
+    )

@@ -921,3 +921,114 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@query(
+    "embedding_dispersion",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label, u.i AS dim,
+             CAST(ROUND(embedding[u.i]::DOUBLE * 1e6) AS BIGINT) AS iv
+      FROM embeddings, unnest(range(1, {_DIM + 1})) AS u(i)
+    ), sd AS (
+      SELECT label, dim, SUM(iv) AS sdim, SUM(CAST(iv * iv AS HUGEINT)) AS ssqd
+      FROM ex GROUP BY label, dim
+    ), nl AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    ), lab AS (
+      SELECT s.label, MAX(n.n) AS n,
+             SUM(s.ssqd) AS ssq,
+             SUM(CAST(s.sdim AS HUGEINT) * s.sdim) AS s2
+      FROM sd s JOIN nl n USING (label) GROUP BY s.label
+    ), gd AS (
+      SELECT dim, SUM(sdim) AS gsdim, SUM(ssqd) AS gssq FROM sd GROUP BY dim
+    ), gall AS (
+      SELECT -1 AS label, (SELECT COUNT(*) FROM embeddings) AS n,
+             SUM(gssq) AS ssq, SUM(CAST(gsdim AS HUGEINT) * gsdim) AS s2
+      FROM gd
+    ), unioned AS (
+      SELECT label, n, ssq, s2 FROM lab
+      UNION ALL SELECT label, n, ssq, s2 FROM gall
+    )
+    SELECT CAST(label AS INT) AS label, CAST(n AS BIGINT) AS n_vectors,
+           CASE WHEN n > 1 THEN
+             ROUND(CAST(2 * (n * ssq - s2) AS DOUBLE)
+                   / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE) / 1e12, 9)
+           END AS mean_sq_dist,
+           ROUND(sqrt(CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6, 9)
+             AS centroid_norm
+    FROM unioned
+    ORDER BY label
+    """,
+)
+def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dispersion per label (and label = -1 for the whole
+    corpus): the mean squared pairwise distance between distinct vectors
+    and the centroid norm — the diversity dashboard a curation pipeline
+    watches so that aggressive dedup/filtering does not collapse
+    representation coverage (dispersion falling while volume holds =
+    mode collapse; computed WITHOUT any pairwise work via the centroid
+    identity E||x−y||² = 2·(Σ||x||²/n − ||μ||²)).
+
+    Determinism: per-dimension component sums and sums of squares are
+    EXACT integers (components scaled ×1e6 to int64; squares summed in
+    decimal/HUGEINT so no 64-bit overflow at any n); the two output
+    doubles are single fixed cast-divide chains on those exact integers,
+    rounded to 9 decimals on both engines.
+
+    Scale shape: one posexplode shuffles (label, dim) pairs that
+    collapse map-side to |labels|×|dims| rows; label totals AND the
+    global row both derive from that tiny table (the global per-dim sums
+    are sums over labels — no second data pass); no joins of data-sized
+    tables, no windows."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = (
+        spread(emb)
+        .select("label", F.posexplode(F.col("embedding")))
+        .select(
+            "label",
+            (F.col("pos") + 1).alias("dim"),
+            F.round(F.col("col").cast("double") * 1e6).cast("bigint").alias("iv"),
+        )
+    )
+    sd = ex.groupBy("label", "dim").agg(
+        F.sum("iv").alias("sdim"),
+        F.sum((F.col("iv") * F.col("iv")).cast("decimal(20,0)")).alias("ssqd"),
+    )
+    nl = emb.groupBy("label").agg(F.count("*").alias("n"))
+    lab = (
+        sd.join(nl, "label")
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum("ssqd").alias("ssq"),
+            F.sum(F.col("sdim").cast("decimal(19,0)") * F.col("sdim")).alias("s2"),
+        )
+    )
+    gd = sd.groupBy("dim").agg(F.sum("sdim").alias("gsdim"), F.sum("ssqd").alias("gssq"))
+    ntot = emb.agg(F.count("*").alias("n"))
+    glob = (
+        gd.agg(
+            F.sum("gssq").alias("ssq"),
+            F.sum(F.col("gsdim").cast("decimal(19,0)") * F.col("gsdim")).alias("s2"),
+        )
+        .crossJoin(F.broadcast(ntot))
+        .select(F.lit(-1).alias("label"), "n", "ssq", "s2")
+    )
+    unioned = lab.select("label", "n", "ssq", "s2").unionByName(glob)
+    mean_sq = F.round(
+        (2 * (F.col("n") * F.col("ssq") - F.col("s2"))).cast("double")
+        / F.col("n").cast("double")
+        / (F.col("n") - 1).cast("double")
+        / F.lit(1e12),
+        9,
+    )
+    cnorm = F.round(
+        F.sqrt(F.col("s2").cast("double")) / F.col("n").cast("double") / F.lit(1e6), 9
+    )
+    return unioned.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.when(F.col("n") > 1, mean_sq).alias("mean_sq_dist"),
+        cnorm.alias("centroid_norm"),
+    ).orderBy("label")

@@ -993,3 +993,62 @@ def source_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "detected_lang")
     )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x <> '')) AS n_tok,
+             n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CASE WHEN SUM(n_tok) > 0
+                THEN CAST(SUM(n_chars) AS BIGINT)::DOUBLE / CAST(SUM(n_tok) AS BIGINT)
+           END AS chars_per_token
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — chars consumed per token, the
+    budget number behind multilingual sampling quotas (a language whose
+    fertility is 2x pays 2x the context window per character; pipelines
+    re-weight corpus mix by it, and a fertility SHIFT between snapshots
+    means the tokenizer no longer fits the data).
+
+    Determinism: counts and char/token sums are exact ints; the ratio is
+    one double division of two exact ints (NULL when a language has zero
+    tokens, matching SQL).
+
+    Scale shape: one map-side-combinable groupBy(lang) over a projection
+    — token counts computed per-row with higher-order expressions, no
+    UDF, no shuffle wider than the language domain."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", F.size(T.ws_tokens(F.lower(F.col("text")))).alias("n_tok"), "n_chars"
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            F.when(
+                F.col("total_tokens") > 0,
+                F.col("total_chars").cast("double") / F.col("total_tokens"),
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

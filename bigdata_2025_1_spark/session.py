@@ -35,6 +35,15 @@ def get_spark(
         builder = builder.master(master)
     builder = (
         builder
+        # In local mode the driver JVM IS the executor: Spark's 1g
+        # default heap is executor-undersized for local[32] (the round-5
+        # bench hit a broadcast-build OOM at sf0.1 under it). Only takes
+        # effect when this factory launches the JVM; a cluster deploy
+        # sizes driver/executor memory in spark-submit as usual.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "8g"),
+        )
         # Reference parity: spark/consumer.py:23-24
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
