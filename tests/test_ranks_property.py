@@ -1,0 +1,48 @@
+"""Property tests for functions/ranks.py: with_global_rank must agree
+with a driver-side sorted enumeration for ANY key distribution — heavy
+ties, all-equal keys, singletons, sizes straddling partition counts —
+and for the prefix-sum form, with the running total of the same order.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bigdata_2025_1_spark.functions.ranks import with_global_rank
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=-5, max_value=5),  # key: few values => many ties
+        st.integers(min_value=0, max_value=1000),  # value for prefix sums
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.data_too_large,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(rows=ROWS, nparts=st.integers(min_value=1, max_value=7))
+def test_rank_and_prefix_match_sorted_enumeration(spark, rows, nparts):
+    data = [(k, i, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k INT, uid INT, v INT")
+    got = {
+        r.uid: (r.rn, r.cv)
+        for r in with_global_rank(
+            df, ["k", "uid"], "rn", num_parts=nparts, prefix_of="v", prefix_col="cv"
+        ).collect()
+    }
+    expected = {}
+    run = 0
+    for rank, (k, uid, v) in enumerate(sorted(data), start=1):
+        run += v
+        expected[uid] = (rank, run)
+    assert got == expected
