@@ -1032,3 +1032,101 @@ def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n") > 1, mean_sq).alias("mean_sq_dist"),
         cnorm.alias("centroid_norm"),
     ).orderBy("label")
+
+
+# --- SemDeDup: cluster-then-pair semantic deduplication ------------------
+
+
+@query(
+    "semantic_dedup_pairs",
+    oracle=f"""
+    WITH se AS MATERIALIZED (
+      SELECT vec_id, embedding, {_SQL_NORM} AS nsq,
+             {V.sql_scaled_e9('embedding', _DIM)} AS se
+      FROM embeddings
+    ), proj AS MATERIALIZED (
+      SELECT vec_id, embedding, nsq,
+             {V.sql_ivf_projs_from('se', _CENTROIDS)} AS projs
+      FROM se
+    ), cells AS (
+      SELECT vec_id, embedding, nsq, CAST(r.cell AS INT) AS cell,
+             projs[r.cell + 1] AS p
+      FROM proj CROSS JOIN range({N_CELLS}) r(cell)
+    ), assigned AS MATERIALIZED (
+      SELECT vec_id, embedding, nsq, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY p DESC, cell) AS crk
+        FROM cells
+      ) WHERE crk = 1
+    ), scored AS (
+      SELECT a.cell AS cell, a.vec_id AS keep_id, b.vec_id AS drop_id,
+             {V.sql_dot_scaled('a.embedding', 'b.embedding', _DIM)}::DOUBLE
+               / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE)) AS cosine
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT cell, keep_id, drop_id, cosine
+    FROM scored WHERE cosine >= {NEAR_DUP_COS}
+    ORDER BY cell, keep_id, drop_id
+    """,
+)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign every
+    embedding to a coarse cluster, then search for semantic near-dups
+    ONLY within each cluster — pairwise cosine is quadratic per cell, not
+    per corpus. ``keep_id`` is the lower vec_id of each ≥-threshold pair
+    (the paper keeps one representative per dup group; composing with
+    ``dedup_connected_components`` on these pairs yields exactly that).
+
+    vs the repo's other embedding-dedup paths: ``dedup_embedding_cosine``
+    brute-forces a guarded anchor set, ``ann_srp_lsh_pairs`` buckets by
+    random hyperplane signs; this one buckets by a LEARNED-style coarse
+    quantizer (here the deterministic IVF directions, so the oracle can
+    mirror it), which is the shape that lets the 100 TB run write the
+    corpus partitioned by cell and dedup each cell independently.
+
+    Determinism: cell = argmax of exact int64 projections (ties to the
+    lowest cell); cosine from exact int64 dots/norms — identical IEEE
+    ops in both engines.
+
+    Scale shape: one Arrow pass for cell+norm, a cell-keyed equi-join
+    (never all-pairs — the quadratic term is bounded by the largest
+    cell; cells are capped in practice by re-splitting oversized cells,
+    the same remedy the paper applies), exact cosine on candidates only.
+    Shuffle keys are (cell) then nothing — no global sort; the output
+    ordering is the driver-side presentation ORDER BY."""
+    emb = load(spark, sf_dir, "embeddings")
+    cell_pd = V.make_ivf_cell_pandas(_CENTROIDS)
+    dot_pd = V.make_dot_scaled_pandas()
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        cell_pd(F.col("embedding")).alias("cn"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("cn.cell").alias("cell"),
+        F.col("cn.nsq").alias("nsq"),
+    )
+    a = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("keep_id"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nsq").alias("nsq_a"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("drop_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nsq").alias("nsq_b"),
+    )
+    cosine = V.cosine_from_scaled(
+        dot_pd(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
+    )
+    return (
+        a.join(b, ["cell"])
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .select("cell", "keep_id", "drop_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+        .orderBy("cell", "keep_id", "drop_id")
+    )

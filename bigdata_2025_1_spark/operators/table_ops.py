@@ -374,3 +374,81 @@ def incremental_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --- weighted sampling without replacement (exponential race) ------------
+
+WSAMPLE_K = 25
+# deterministic uniform in (0, 1]: md5(doc_id) -> 12 hex digits -> int ->
+# residue in [0, 1e9) -> (r + 1) / (1e9 + 1). Identical arithmetic in
+# both engines; no engine RNG anywhere.
+_SQL_U = (
+    "((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000000000)"
+    " + 1)::DOUBLE / 1000000001"
+)
+
+
+@query(
+    "weighted_sample_wor",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(ROUND(-ln({_SQL_U}) / n_chars * 1e12) AS BIGINT) AS key_i12
+      FROM documents
+      WHERE n_chars > 0
+    ), ranked AS (
+      SELECT doc_id, n_chars, key_i12,
+             ROW_NUMBER() OVER (ORDER BY key_i12, doc_id) AS sample_rank
+      FROM keyed
+    )
+    SELECT CAST(sample_rank AS INT) AS sample_rank, doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           key_i12::DOUBLE / 1e12 AS race_key
+    FROM ranked WHERE sample_rank <= {WSAMPLE_K}
+    ORDER BY sample_rank
+    """,
+)
+def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006 in
+    its exponential-race form): each row draws key = -ln(u)/w with u
+    uniform in (0,1] and w = its weight (n_chars); the k smallest keys
+    ARE a weighted sample without replacement. The standard way to take
+    a size-k weighted sample from a distributed table in ONE pass — no
+    sequential draws, no rejection loop, no total-weight pre-pass.
+
+    Determinism: u derives from md5(doc_id) (both engines, identical
+    integer arithmetic), the single per-row ln is rounded once to int64
+    1e-12ths (same libm-rounding contract as the ln/log family), and the
+    race ranks on (key_i12, doc_id) — bit-stable everywhere.
+
+    Scale shape: a map-only key computation followed by TakeOrdered(k)
+    — per-partition top-k then a k-row merge on the driver; no shuffle
+    of the table, no global sort. Rerunning with a different md5 salt
+    gives an independent replicate (bootstrap loops reuse the plan)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+            .cast("bigint")
+            % 1000000000
+            + 1
+        ).cast("double")
+        / 1000000001
+    )
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(-F.log(u) / F.col("n_chars") * F.lit(1e12)).cast("bigint").alias("key_i12"),
+    )
+    top = keyed.orderBy("key_i12", "doc_id").limit(WSAMPLE_K)
+    rank = F.row_number().over(Window.orderBy("key_i12", "doc_id"))
+    return (
+        top.withColumn("sample_rank", rank.cast("int"))
+        .select(
+            "sample_rank",
+            "doc_id",
+            "n_chars",
+            (F.col("key_i12").cast("double") / F.lit(1e12)).alias("race_key"),
+        )
+        .orderBy("sample_rank")
+    )

@@ -1052,3 +1052,233 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- interpolated bigram LM quality (the KenLM-filter shape, order 2) ----
+
+BG_LAMBDA = "0.75"  # interpolation weight on the bigram term (literal in
+# both engines so the mixture arithmetic is the same IEEE op sequence)
+BG_TOP_K = 20
+_SQL_TS = (
+    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+)
+
+
+@query(
+    "bigram_backoff_logprob",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, {_SQL_TS} AS ts FROM documents
+    ), docs1 AS (
+      SELECT doc_id, ts, len(ts) AS n_tokens FROM tok WHERE len(ts) >= 1
+    ), uni AS (
+      SELECT doc_id, unnest(ts) AS w FROM docs1
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), nt AS (
+      SELECT COUNT(*) AS n_tok FROM uni
+    ), lp1 AS (
+      SELECT w, CAST(ROUND(ln(c::DOUBLE / n_tok) * 1e6) AS BIGINT) AS l_i6
+      FROM ucnt CROSS JOIN nt
+    ), bg AS (
+      SELECT doc_id, unnest([struct_pack(a := ts[i], b := ts[i + 1])
+                             for i in range(1, len(ts))]) AS p
+      FROM docs1
+    ), bgs AS (
+      SELECT doc_id, p.a AS a, p.b AS b FROM bg
+    ), bcnt AS (
+      SELECT a, b, COUNT(*) AS c_ab FROM bgs GROUP BY a, b
+    ), acnt AS (
+      SELECT a, SUM(c_ab) AS c_a FROM bcnt GROUP BY a
+    ), lp2 AS (
+      SELECT bc.a, bc.b,
+             CAST(ROUND(ln({BG_LAMBDA} * bc.c_ab::DOUBLE / ac.c_a
+                           + (1 - {BG_LAMBDA}) * uc.c::DOUBLE / nt.n_tok) * 1e6)
+                  AS BIGINT) AS l_i6
+      FROM bcnt bc
+      JOIN acnt ac ON ac.a = bc.a
+      JOIN ucnt uc ON uc.w = bc.b
+      CROSS JOIN nt
+    ), s_first AS (
+      SELECT d.doc_id, l1.l_i6 AS s1_i6
+      FROM docs1 d JOIN lp1 l1 ON l1.w = d.ts[1]
+    ), s_bg AS (
+      SELECT g.doc_id, SUM(l2.l_i6) AS s2_i6
+      FROM bgs g JOIN lp2 l2 ON l2.a = g.a AND l2.b = g.b
+      GROUP BY g.doc_id
+    ), scored AS (
+      SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+             -(f.s1_i6 + COALESCE(b.s2_i6, 0))::DOUBLE / d.n_tokens / 1e6 AS nll2
+      FROM docs1 d
+      JOIN s_first f USING (doc_id)
+      LEFT JOIN s_bg b USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, nll2, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY nll2 DESC, doc_id) AS rank
+          FROM scored)
+    WHERE rank <= {BG_TOP_K}
+    ORDER BY rank
+    """,
+)
+def bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model quality filter (order-2 step of
+    the CCNet/KenLM perplexity gate; Jelinek-Mercer smoothing,
+    λ = 0.75 bigram + 0.25 unigram): per document, the mean negative
+    log-likelihood where the first token scores under the unigram model
+    and every following token under λ·P(w|prev) + (1−λ)·P(w); the top-20
+    highest-NLL documents are the cut candidates. Compared with
+    ``unigram_logprob_quality`` it penalizes improbable SEQUENCES, not
+    just rare words — the thing that actually separates boilerplate/spam
+    from fluent text.
+
+    Determinism: the mixture is computed per BIGRAM TYPE (a
+    vocabulary-pairs-sized table) with one fixed IEEE op sequence and
+    rounded once to int64 millionths — the same 6-dp ln contract as
+    tfidf/BM25/unigram; per-document scores are then pure integer sums,
+    so token order and partitioning cannot move a bit.
+
+    Scale shape: bigram-type counts are a map-side-combinable groupBy on
+    (a,b); context totals c(a·) reduce the TYPE table, not the token
+    stream; the scored lp2 table is bigram-vocabulary-sized and joins
+    the bigram stream on (a,b) — at 100 TB that join is shuffle-keyed by
+    bigram type with the token stream never resorted; top-k is
+    TakeOrdered. The first-token unigram join is doc-sized."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", T.ws_tokens(F.lower(F.col("text"))).alias("ts"))
+    docs1 = tok.filter(F.size("ts") >= 1).select(
+        "doc_id", "ts", F.size("ts").cast("bigint").alias("n_tokens")
+    )
+    uni = docs1.select("doc_id", F.explode("ts").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    nt = uni.agg(F.count("*").alias("n_tok"))
+    lp1 = ucnt.crossJoin(F.broadcast(nt)).select(
+        "w",
+        F.round(F.log(F.col("c").cast("double") / F.col("n_tok")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("l_i6"),
+    )
+    bgs = docs1.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.expr("transform(sequence(1, size(ts) - 1), i -> struct(ts[i - 1] AS a, ts[i] AS b))"),
+            ).otherwise(F.expr("array()::array<struct<a string, b string>>"))
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bcnt = bgs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    acnt = bcnt.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    lam = float(BG_LAMBDA)
+    mix = (
+        F.lit(lam) * F.col("c_ab").cast("double") / F.col("c_a")
+        + F.lit(1 - lam) * F.col("c").cast("double") / F.col("n_tok")
+    )
+    lp2 = (
+        bcnt.join(acnt, "a")
+        .join(ucnt.select(F.col("w").alias("b"), "c"), "b")
+        .crossJoin(F.broadcast(nt))
+        .select("a", "b", F.round(F.log(mix) * F.lit(1e6)).cast("bigint").alias("l_i6"))
+    )
+    s_first = docs1.select("doc_id", F.element_at("ts", 1).alias("w")).join(
+        F.broadcast(lp1), "w"
+    ).select("doc_id", F.col("l_i6").alias("s1_i6"))
+    s_bg = (
+        bgs.join(lp2, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(F.sum("l_i6").alias("s2_i6"))
+    )
+    scored = (
+        docs1.select("doc_id", "n_tokens")
+        .join(s_first, "doc_id")
+        .join(s_bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                -(F.col("s1_i6") + F.coalesce(F.col("s2_i6"), F.lit(0))).cast("double")
+                / F.col("n_tokens")
+                / F.lit(1e6)
+            ).alias("nll2"),
+        )
+    )
+    top = scored.orderBy(F.desc("nll2"), "doc_id").limit(BG_TOP_K)
+    rank = F.row_number().over(Window.orderBy(F.desc("nll2"), "doc_id"))
+    return (
+        top.withColumn("rank", rank.cast("int"))
+        .select("doc_id", "n_tokens", "nll2", "rank")
+        .orderBy("rank")
+    )
+
+
+# --- hashing-trick feature buckets (collision audit) ---------------------
+
+FH_BUCKETS = 128
+_SQL_TOK_MD5 = "('0x' || substr(md5(w), 1, 12))::BIGINT % " + str(FH_BUCKETS)
+
+
+@query(
+    "feature_hashing_buckets",
+    oracle=f"""
+    WITH uni AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    t -> t <> '')) AS w
+      FROM documents
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), hashed AS (
+      SELECT w, c, {_SQL_TOK_MD5} AS bucket FROM ucnt
+    ), ranked AS (
+      SELECT bucket, w, c,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY c DESC, w) AS rk
+      FROM hashed
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           MAX(CASE WHEN rk = 1 THEN w END) AS top_token,
+           CAST(MAX(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS top_count
+    FROM ranked
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def feature_hashing_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature space (Weinberger et al. 2009) collision
+    audit: every token type is hashed into one of 128 buckets
+    (md5-derived, engine-independent); per bucket the occupancy (total
+    token mass, number of colliding types, and the dominant type). This
+    is the audit a feature-hashed model runs before trusting its input
+    dimension — overloaded buckets alias unrelated features. The per-doc
+    sparse matrix itself is the same pipeline minus the final rollup:
+    ``(doc_id, bucket, sum(count))`` — bounded at 128 columns however
+    large the vocabulary grows.
+
+    Determinism: bucket = int(md5(token)[:12 hex]) % 128 with identical
+    arithmetic in both engines; the dominant type breaks count ties
+    lexicographically.
+
+    Scale shape: the hash is computed on the TYPE table (one row per
+    distinct token — the vocabulary), not the token stream; the stream
+    is only touched by the map-side-combinable word count. The bucket
+    rollup is a 128-group aggregate; the per-bucket argmax is a window
+    over vocabulary/128 rows per bucket."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    uni = docs.select(F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 12), 16, 10).cast("bigint")
+        % FH_BUCKETS
+    )
+    hashed = ucnt.select("w", "c", bucket.cast("int").alias("bucket"))
+    rk = F.row_number().over(Window.partitionBy("bucket").orderBy(F.desc("c"), "w"))
+    ranked = hashed.withColumn("rk", rk)
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.max(F.when(F.col("rk") == 1, F.col("w"))).alias("top_token"),
+            F.max(F.when(F.col("rk") == 1, F.col("c"))).alias("top_count"),
+        )
+        .orderBy("bucket")
+    )
