@@ -1238,3 +1238,119 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_new")
     )
+
+
+# --- content-defined chunking (CDC) shared-chunk detection ---------------
+
+CDC_WINDOW = 8  # rolling fingerprint window (chars)
+CDC_MASK = 64  # boundary when fp % 64 == 0 -> ~64-char expected chunks
+CDC_TOP_K = 50
+_SQL_CDC_FP = f"('0x' || substr(md5(substr(text, pos, {CDC_WINDOW})), 1, 6))::BIGINT"
+
+
+@query(
+    "cdc_chunk_dedup",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, text, unnest(range(1, len(text) - {CDC_WINDOW - 2})) AS pos
+      FROM documents WHERE len(text) >= {CDC_WINDOW}
+    ), bounds AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS s FROM p
+      WHERE {_SQL_CDC_FP} % {CDC_MASK} = 0
+      UNION
+      SELECT doc_id, 1 AS s FROM documents WHERE len(text) >= {CDC_WINDOW}
+    ), spans AS (
+      SELECT b.doc_id, b.s,
+             COALESCE(LEAD(b.s) OVER (PARTITION BY b.doc_id ORDER BY b.s),
+                      len(d.text) + 1) - b.s AS chunk_len,
+             d.text
+      FROM bounds b JOIN documents d USING (doc_id)
+    ), chunks AS (
+      SELECT doc_id, md5(substr(text, s, chunk_len)) AS chunk_md5,
+             chunk_len
+      FROM spans WHERE chunk_len > 0
+    ), shared AS (
+      SELECT chunk_md5, MAX(chunk_len) AS chunk_len,
+             COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+             MIN(doc_id) AS first_doc
+      FROM chunks GROUP BY chunk_md5
+    )
+    SELECT chunk_md5, CAST(chunk_len AS BIGINT) AS chunk_len,
+           CAST(n_docs AS BIGINT) AS n_docs, CAST(n_occ AS BIGINT) AS n_occ,
+           first_doc
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, n_occ DESC,
+                                       chunk_md5) AS rk
+          FROM shared WHERE n_docs >= 2)
+    WHERE rk <= {CDC_TOP_K}
+    ORDER BY n_docs DESC, n_occ DESC, chunk_md5
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the FastCDC/LBFS shape used by
+    dedup storage and by training-data pipelines to find SHIFTED shared
+    content that fixed-offset shingles miss): a boundary is declared
+    wherever the fingerprint of the 8-char window starting at a position
+    ≡ 0 (mod 64) — so boundaries move WITH the content under insertions;
+    chunks between boundaries are hashed and shared chunks (appearing in
+    ≥2 distinct documents) are surfaced with their document reach.
+
+    Determinism: the rolling fingerprint is md5 of the window (identical
+    hex in both engines, 6-hex-digit prefix → int), boundaries and spans
+    are pure integer arithmetic, chunk identity is md5 of the substring.
+
+    Scale shape: position explosion is linear in corpus BYTES (the same
+    pass a real CDC chunker makes); boundary detection is map-only; span
+    assembly is a per-document window (partitioned by doc_id — never
+    global); the cross-corpus shuffle moves only 16-byte chunk hashes,
+    grouped map-side-combinably. Top-k is a rank over the ≥2-doc shared
+    subset only. At 100 TB the chunk table is the dedup store: new
+    documents chunk independently and join against it incrementally —
+    the same update path as ``dedup_incremental_lsh``."""
+    docs = spread(load(spark, sf_dir, "documents")).filter(
+        F.length("text") >= CDC_WINDOW
+    )
+    p = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - (CDC_WINDOW - 1))).alias("pos"),
+    )
+    fp = F.conv(
+        F.substring(F.md5(F.expr(f"substring(text, pos, {CDC_WINDOW})")), 1, 6), 16, 10
+    ).cast("bigint")
+    bounds = (
+        p.filter(fp % CDC_MASK == 0)
+        .select("doc_id", F.col("pos").cast("bigint").alias("s"))
+        .union(docs.select("doc_id", F.lit(1).cast("bigint").alias("s")))
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    spans = (
+        bounds.join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn(
+            "chunk_len",
+            F.coalesce(F.lead("s").over(w), F.length("text").cast("bigint") + 1)
+            - F.col("s"),
+        )
+        .filter(F.col("chunk_len") > 0)
+    )
+    chunks = spans.select(
+        "doc_id",
+        F.md5(F.expr("substring(text, s, chunk_len)")).alias("chunk_md5"),
+        "chunk_len",
+    )
+    shared = (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.max("chunk_len").alias("chunk_len"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        shared.orderBy(F.desc("n_docs"), F.desc("n_occ"), "chunk_md5")
+        .limit(CDC_TOP_K)
+        .select("chunk_md5", "chunk_len", "n_docs", "n_occ", "first_doc")
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), "chunk_md5")
+    )

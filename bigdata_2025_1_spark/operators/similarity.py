@@ -1130,3 +1130,115 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= NEAR_DUP_COS)
         .orderBy("cell", "keep_id", "drop_id")
     )
+
+
+# --- margin-based candidate mining (ratio margin) ------------------------
+
+MARGIN_K = 4  # neighborhood size for the margin denominator
+MARGIN_TOP = 40  # pairs reported
+
+
+@query(
+    "margin_candidate_mining",
+    oracle=f"""
+    WITH norms AS MATERIALIZED (
+      SELECT vec_id, embedding, {_SQL_NORM} AS nsq FROM embeddings
+    ), pairs AS (
+      SELECT qa.vec_id AS src_id, qb.vec_id AS tgt_id,
+             {_SQL_DOT_AB}::DOUBLE
+               / (sqrt(qa.nsq::DOUBLE) * sqrt(qb.nsq::DOUBLE)) AS cosine
+      FROM norms qa JOIN norms qb
+        ON qa.vec_id < {N_QUERY_VECS} AND qb.vec_id >= {N_QUERY_VECS}
+    ), ranked AS MATERIALIZED (
+      SELECT src_id, tgt_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src_id
+                                ORDER BY cosine DESC, tgt_id) AS rk
+      FROM pairs
+    ), denom AS (
+      SELECT src_id,
+             SUM(CAST(ROUND(cosine * 1e12) AS BIGINT))::DOUBLE
+               / {MARGIN_K} / 1e12 AS avg_topk
+      FROM ranked WHERE rk <= {MARGIN_K} GROUP BY src_id
+    ), best AS (
+      SELECT r.src_id, r.tgt_id, r.cosine, r.cosine / d.avg_topk AS margin
+      FROM ranked r JOIN denom d USING (src_id) WHERE r.rk = 1
+    )
+    SELECT src_id, tgt_id, cosine, margin, CAST(mrank AS INT) AS mrank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY margin DESC, src_id) AS mrank
+          FROM best)
+    WHERE mrank <= {MARGIN_TOP}
+    ORDER BY mrank
+    """,
+)
+def margin_candidate_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based candidate mining (Artetxe & Schwenk 2019 — the LASER
+    bitext-mining criterion, equally the dedup/alignment scorer for any
+    two embedded corpora): for each source vector (vec_id < 50) against
+    the target side (vec_id ≥ 50), score its best match by the RATIO
+    margin — cosine divided by the mean cosine of its k=4 nearest
+    targets — and rank all source pairs by margin. A high absolute
+    cosine in a dense hub region scores LOW margin (hub penalty), which
+    is precisely why this beats a raw cosine threshold for mining.
+
+    Determinism: cosines from exact int64 dots/norms; the margin is two
+    IEEE divides from integer-derived doubles; every rank breaks ties on
+    ids.
+
+    Scale shape: identical to ``ann_topk_cosine`` — the source probes
+    broadcast against the target corpus, per-source top-k is a
+    WindowGroupLimit (never a global sort), the denominator reduces k
+    rows per source, and the final margin ranking orders a
+    source-set-sized table (50 rows here; at scale, rank-after-limit).
+    Swap the brute-force pair stage for the IVF/PQ candidate stage and
+    the margin arithmetic is unchanged — it only needs (src, tgt,
+    cosine) triples."""
+    emb = load(spark, sf_dir, "embeddings")
+    norms = spread(emb).select(
+        "vec_id", "embedding", V.norm_sq_scaled(F.col("embedding")).alias("nsq")
+    )
+    src = norms.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("s_emb"),
+        F.col("nsq").alias("s_nsq"),
+    )
+    tgt = norms.filter(F.col("vec_id") >= N_QUERY_VECS).select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("embedding").alias("t_emb"),
+        F.col("nsq").alias("t_nsq"),
+    )
+    cosine = V.cosine_from_scaled(
+        V.dot_scaled(F.col("s_emb"), F.col("t_emb")), F.col("s_nsq"), F.col("t_nsq")
+    )
+    wk = Window.partitionBy("src_id").orderBy(F.desc("cosine"), "tgt_id")
+    ranked = (
+        tgt.join(F.broadcast(src), F.lit(True))
+        .select("src_id", "tgt_id", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= MARGIN_K)
+    ).persist()  # k rows per source, feeds numerator AND denominator
+    # e12-rounded integer sum — a 4-double SUM would be partition-order-
+    # dependent in the last bits (the exact.py contract)
+    denom = ranked.groupBy("src_id").agg(
+        (
+            F.sum(F.round(F.col("cosine") * F.lit(1e12)).cast("bigint")).cast("double")
+            / F.lit(MARGIN_K)
+            / F.lit(1e12)
+        ).alias("avg_topk")
+    )
+    best = (
+        ranked.filter(F.col("rk") == 1)
+        .join(denom, "src_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cosine",
+            (F.col("cosine") / F.col("avg_topk")).alias("margin"),
+        )
+    )
+    top = best.orderBy(F.desc("margin"), "src_id").limit(MARGIN_TOP)
+    mrank = F.row_number().over(Window.orderBy(F.desc("margin"), "src_id"))
+    return (
+        top.withColumn("mrank", mrank.cast("int"))
+        .select("src_id", "tgt_id", "cosine", "margin", "mrank")
+        .orderBy("mrank")
+    )

@@ -1245,3 +1245,153 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").alias("total_cents"),
         gini.alias("gini"),
     )
+
+
+# --- column-pair mutual information (feature-dependency profiler) --------
+
+_MI_MONTH_SQL = "CAST(strftime(o_orderdate, '%m') AS INT)"
+_MI_PAIRS_SQL = f"""
+      SELECT 'priority_month' AS pair, o_orderpriority AS x,
+             CAST({_MI_MONTH_SQL} AS VARCHAR) AS y FROM orders
+      UNION ALL
+      SELECT 'status_month' AS pair, o_orderstatus AS x,
+             CAST({_MI_MONTH_SQL} AS VARCHAR) AS y FROM orders
+      UNION ALL
+      SELECT 'status_priority' AS pair, o_orderstatus AS x,
+             o_orderpriority AS y FROM orders
+"""
+
+
+@query(
+    "column_mutual_information",
+    oracle=f"""
+    WITH melted AS ({_MI_PAIRS_SQL}
+    ), cells AS (
+      SELECT pair, x, y, COUNT(*) AS c_xy FROM melted GROUP BY pair, x, y
+    ), mx AS (
+      SELECT pair, x, SUM(c_xy) AS c_x FROM cells GROUP BY pair, x
+    ), my AS (
+      SELECT pair, y, SUM(c_xy) AS c_y FROM cells GROUP BY pair, y
+    ), nn AS (
+      SELECT pair, SUM(c_xy) AS n FROM cells GROUP BY pair
+    ), mi AS (
+      SELECT c.pair,
+             COUNT(*) AS n_cells,
+             SUM(c.c_xy * CAST(ROUND(ln(c.c_xy::DOUBLE * nn.n
+                                        / (mx.c_x::DOUBLE * my.c_y)) * 1e6)
+                               AS BIGINT)) AS mi_w_i6
+      FROM cells c
+      JOIN mx ON mx.pair = c.pair AND mx.x = c.x
+      JOIN my ON my.pair = c.pair AND my.y = c.y
+      JOIN nn ON nn.pair = c.pair
+      GROUP BY c.pair
+    ), hx AS (
+      SELECT mx.pair,
+             -SUM(mx.c_x * CAST(ROUND(ln(mx.c_x::DOUBLE / nn.n) * 1e6)
+                                AS BIGINT)) AS hx_w_i6
+      FROM mx JOIN nn ON nn.pair = mx.pair GROUP BY mx.pair
+    ), hy AS (
+      SELECT my.pair,
+             -SUM(my.c_y * CAST(ROUND(ln(my.c_y::DOUBLE / nn.n) * 1e6)
+                                AS BIGINT)) AS hy_w_i6
+      FROM my JOIN nn ON nn.pair = my.pair GROUP BY my.pair
+    )
+    SELECT mi.pair, CAST(mi.n_cells AS BIGINT) AS n_cells,
+           mi.mi_w_i6::DOUBLE / nn.n / 1e6 AS mi_nats,
+           hx.hx_w_i6::DOUBLE / nn.n / 1e6 AS h_x,
+           hy.hy_w_i6::DOUBLE / nn.n / 1e6 AS h_y,
+           mi.mi_w_i6::DOUBLE / least(hx.hx_w_i6, hy.hy_w_i6) AS nmi
+    FROM mi
+    JOIN nn USING (pair) JOIN hx USING (pair) JOIN hy USING (pair)
+    ORDER BY pair
+    """,
+)
+def column_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pair mutual information / entropy profiler (the
+    feature-selection and FD-discovery signal: NMI→1 means one column
+    determines the other — redundant feature or denormalization;
+    NMI→0 means independent): MI(X;Y), H(X), H(Y) and normalized MI for
+    three orders column pairs (status×priority and each × order month).
+
+    Determinism: all probabilities stay as integer COUNTS; each
+    contingency/marginal cell contributes ``count · round(ln(ratio)·1e6)``
+    — an exact int64 product summed exactly — and the single divide by N
+    happens once at the end (same weighted-integer-ln contract as PMI).
+
+    Scale shape: ONE table scan melted to (pair, x, y) rows; cell counts
+    are a map-side-combinable groupBy whose output is contingency-table-
+    sized (≤ |X|·|Y| per pair — tens of rows); marginals reduce the CELL
+    table, never the row stream; everything downstream is broadcast-size.
+    Adding a pair adds one struct to the melt array, not a scan."""
+    orders = load(spark, sf_dir, "orders")
+    month = F.month("o_orderdate").cast("string")
+    melted = orders.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("priority_month").alias("pair"),
+                    F.col("o_orderpriority").alias("x"),
+                    month.alias("y"),
+                ),
+                F.struct(
+                    F.lit("status_month").alias("pair"),
+                    F.col("o_orderstatus").alias("x"),
+                    month.alias("y"),
+                ),
+                F.struct(
+                    F.lit("status_priority").alias("pair"),
+                    F.col("o_orderstatus").alias("x"),
+                    F.col("o_orderpriority").alias("y"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.pair", "m.x", "m.y")
+    cells = melted.groupBy("pair", "x", "y").agg(F.count("*").alias("c_xy"))
+    mx = cells.groupBy("pair", "x").agg(F.sum("c_xy").alias("c_x"))
+    my = cells.groupBy("pair", "y").agg(F.sum("c_xy").alias("c_y"))
+    nn = cells.groupBy("pair").agg(F.sum("c_xy").alias("n"))
+
+    def iln(ratio: Column) -> Column:
+        return F.round(F.log(ratio) * F.lit(1e6)).cast("bigint")
+
+    mi = (
+        cells.join(mx, ["pair", "x"])
+        .join(my, ["pair", "y"])
+        .join(F.broadcast(nn), "pair")
+        .groupBy("pair")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum(
+                F.col("c_xy")
+                * iln(
+                    F.col("c_xy").cast("double")
+                    * F.col("n")
+                    / (F.col("c_x").cast("double") * F.col("c_y"))
+                )
+            ).alias("mi_w_i6"),
+        )
+    )
+    hx = (
+        mx.join(F.broadcast(nn), "pair")
+        .groupBy("pair")
+        .agg((-F.sum(F.col("c_x") * iln(F.col("c_x").cast("double") / F.col("n")))).alias("hx_w_i6"))
+    )
+    hy = (
+        my.join(F.broadcast(nn), "pair")
+        .groupBy("pair")
+        .agg((-F.sum(F.col("c_y") * iln(F.col("c_y").cast("double") / F.col("n")))).alias("hy_w_i6"))
+    )
+    return (
+        mi.join(nn, "pair")
+        .join(hx, "pair")
+        .join(hy, "pair")
+        .select(
+            "pair",
+            F.col("n_cells").cast("bigint").alias("n_cells"),
+            (F.col("mi_w_i6").cast("double") / F.col("n") / F.lit(1e6)).alias("mi_nats"),
+            (F.col("hx_w_i6").cast("double") / F.col("n") / F.lit(1e6)).alias("h_x"),
+            (F.col("hy_w_i6").cast("double") / F.col("n") / F.lit(1e6)).alias("h_y"),
+            (F.col("mi_w_i6").cast("double") / F.least("hx_w_i6", "hy_w_i6")).alias("nmi"),
+        )
+        .orderBy("pair")
+    )
