@@ -116,6 +116,14 @@ HEADLINE = [
     # the distributed-global-rank quantile normalizer
     "quality_threshold_sweep",
     "quantile_normalize_doclen",
+    # round-5 curation batch
+    "semantic_dedup_pairs",
+    "cdc_chunk_dedup",
+    "bigram_backoff_logprob",
+    "feature_hashing_buckets",
+    "margin_candidate_mining",
+    "column_mutual_information",
+    "weighted_sample_wor",
 ]
 
 
