@@ -124,6 +124,10 @@ HEADLINE = [
     "margin_candidate_mining",
     "column_mutual_information",
     "weighted_sample_wor",
+    "skyline_price_size",
+    "vocab_frequency_spectrum",
+    "source_token_kl",
+    "benford_price_audit",
 ]
 
 

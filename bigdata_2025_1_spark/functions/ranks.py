@@ -110,3 +110,57 @@ def with_global_rank(
     if prefix_of is not None:
         out = out.withColumn(prefix_col, F.col("_voff") + F.col("_vpos")).drop("_voff")
     return out.drop("_pid", "_pos", "_off", "_vpos")
+
+
+def with_prefix_min(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "prefix_min",
+) -> DataFrame:
+    """Append ``out_col``: the EXCLUSIVE global running minimum of int64
+    ``value_col`` over the total order given by ``order_cols`` (NULL for
+    the globally-first row — nothing precedes it). The distributed form
+    of ``min(x).over(orderBy(...).rowsBetween(unboundedPreceding, -1))``
+    — the sweep primitive behind skyline/frontier operators — built the
+    same way as :func:`with_global_rank`: ONE range exchange, partition-
+    local Arrow cummin, and a partition-count-sized min-offset table
+    broadcast back (no single-partition window anywhere)."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    sizes = parts.groupBy("_pid").agg(F.min(value_col).alias("_m"))
+    contrib = sizes.select(F.col("_pid").alias("_bpid"), F.col("_m").alias("_bm"))
+    offs = (
+        sizes.join(F.broadcast(contrib), F.col("_bpid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.min("_bm").alias("_moff"))
+    )
+
+    out_fields = list(parts.schema.fields) + [StructField("_lmin", LongType(), True)]
+
+    def _cummin(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = None
+        for pdf in batches:
+            pdf = pdf.copy()
+            vals = pdf[value_col].astype("int64")
+            # exclusive cummin: shift the inclusive cummin down one row
+            inc = vals.cummin()
+            exc = inc.shift(1)
+            if run is not None:
+                exc = exc.fillna(run).clip(upper=run)
+            pdf["_lmin"] = exc
+            if len(vals):
+                run = int(inc.iloc[-1]) if run is None else min(run, int(inc.iloc[-1]))
+            yield pdf
+
+    numbered = parts.mapInPandas(_cummin, schema=type(parts.schema)(out_fields))
+    return (
+        numbered.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, F.least(F.col("_lmin"), F.col("_moff")))
+        .drop("_pid", "_lmin", "_moff")
+    )

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigdata_2025_1_spark.functions.ranks import with_global_rank
+from bigdata_2025_1_spark.functions.ranks import with_global_rank, with_prefix_min
 from bigdata_2025_1_spark.io import load
 from bigdata_2025_1_spark.registry import query
 
@@ -1394,4 +1394,149 @@ def column_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mi_w_i6").cast("double") / F.least("hx_w_i6", "hy_w_i6")).alias("nmi"),
         )
         .orderBy("pair")
+    )
+
+
+# --- 2-D skyline (Pareto frontier) ---------------------------------------
+
+
+@query(
+    "skyline_price_size",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS sz
+      FROM part
+    )
+    SELECT a.price_cents, a.sz AS size
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.price_cents <= a.price_cents AND b.sz <= a.sz
+        AND (b.price_cents < a.price_cents OR b.sz < a.sz)
+    )
+    ORDER BY a.price_cents
+    """,
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (minimize BOTH price and size — the
+    dominance query behind any cost-vs-quality curation trade-off, e.g.
+    "which quality-score/compute-cost operating points are undominated"):
+    a point survives iff no other point is ≤ in both dimensions and <
+    in at least one.
+
+    The oracle states the O(n²) NOT-EXISTS definition; the engine runs
+    the SWEEP instead: collapse to min-size per distinct price (the only
+    possible survivor at each price), then one pass of the distributed
+    exclusive prefix-min (``functions/ranks.py:with_prefix_min``) over
+    ascending price — a point survives iff its size beats every
+    cheaper point's size. Same rows, linear work.
+
+    Determinism: prices as exact integer cents; sweep comparisons all
+    int64; null prefix-min (the globally cheapest point) survives by
+    definition.
+
+    Scale shape: DISTINCT + min-per-price are map-side-combinable
+    reductions to the value domain; the sweep is ONE range exchange +
+    Arrow cummin + a partition-count-sized broadcast (no
+    single-partition window — the trap a row_number-over-global-order
+    formulation would hit). Dimensions beyond 2 generalize by sweeping
+    the first dimension and testing dominance in the rest against a
+    broadcast frontier-so-far (block-nested loop over the FRONTIER, not
+    the data)."""
+    part = load(spark, sf_dir, "part")
+    pts = part.select(
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("sz"),
+    ).distinct()
+    best = pts.groupBy("price_cents").agg(F.min("sz").alias("sz"))
+    swept = with_prefix_min(best, ["price_cents"], "sz", out_col="ahead_min")
+    return (
+        swept.filter(F.col("ahead_min").isNull() | (F.col("sz") < F.col("ahead_min")))
+        .select("price_cents", F.col("sz").alias("size"))
+        .orderBy("price_cents")
+    )
+
+
+# --- Benford first-digit audit -------------------------------------------
+
+import math as _math
+
+# Benford probabilities as shared 1e-6 integer literals (computed once in
+# Python, inlined in BOTH engines — no cross-engine libm dependency, the
+# _md5_pm1_matrix approach applied to constants)
+_BENFORD_I6 = {
+    d: round(_math.log10(1 + 1 / d) * 1e6) for d in range(1, 10)
+}
+_SQL_BENFORD = (
+    "(CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_I6.items())
+    + " END)"
+)
+
+
+@query(
+    "benford_price_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    ), obs AS (
+      SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit
+    ), tot AS (
+      SELECT SUM(n_obs) AS n FROM obs
+    )
+    SELECT o.digit, CAST(o.n_obs AS BIGINT) AS n_obs,
+           o.n_obs::DOUBLE / t.n AS obs_share,
+           {_SQL_BENFORD}::DOUBLE / 1e6 AS benford_share,
+           CAST(o.n_obs * 1000000 - t.n * {_SQL_BENFORD} AS BIGINT) AS dev_i6n
+    FROM obs o CROSS JOIN tot t
+    ORDER BY o.digit
+    """,
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over order totals —
+    the classic fabricated-/synthetic-data smell test a data-quality
+    gate runs on monetary columns: natural multiplicative amounts put
+    ~30.1% of first digits at 1; uniform or hand-made data does not.
+    ``dev_i6n`` is the exact integer deviation ``n_obs·1e6 − N·p_i6``
+    (positive = overrepresented digit), comparable across digits
+    without any float subtraction.
+
+    Determinism: first digit via integer-cents → string (identical
+    cast/substr in both engines — no log10 on data); the nine Benford
+    probabilities are PYTHON-computed 1e-6 integer literals shared by
+    both engines, so no libm call exists anywhere in the query.
+
+    Scale shape: map-side-combinable 9-group count; everything after is
+    nine rows. The digit extraction is a scan-local expression —
+    pushdown-friendly, no shuffle beyond the 9-row exchange."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_obs")
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    p_i6 = F.element_at(
+        F.create_map(
+            *[F.lit(x) for dp in _BENFORD_I6.items() for x in dp]
+        ),
+        F.col("digit"),
+    ).cast("bigint")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            (F.col("n_obs").cast("double") / F.col("n")).alias("obs_share"),
+            (p_i6.cast("double") / F.lit(1e6)).alias("benford_share"),
+            (F.col("n_obs") * F.lit(1000000) - F.col("n") * p_i6)
+            .cast("bigint")
+            .alias("dev_i6n"),
+        )
+        .orderBy("digit")
     )

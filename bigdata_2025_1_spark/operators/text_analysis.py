@@ -1282,3 +1282,151 @@ def feature_hashing_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- vocabulary frequency spectrum (Zipf tail / Good-Turing input) -------
+
+FREQ_EXACT_MAX = 10
+
+
+@query(
+    "vocab_frequency_spectrum",
+    oracle=f"""
+    WITH uni AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    t -> t <> '')) AS w
+      FROM documents
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), classed AS (
+      SELECT CASE WHEN c <= {FREQ_EXACT_MAX} THEN c
+                  ELSE CAST(2 ** (length(bin(c)) - 1) AS BIGINT) END AS freq_class,
+             c
+      FROM ucnt
+    )
+    SELECT CAST(freq_class AS BIGINT) AS freq_class,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS token_mass
+    FROM classed
+    GROUP BY freq_class
+    ORDER BY freq_class
+    """,
+)
+def vocab_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency-of-frequencies spectrum (the Good-Turing
+    input table and the Zipf-tail audit a tokenizer/LM pipeline reads
+    before choosing vocabulary size and smoothing): how many word TYPES
+    occur exactly c times (exact classes for c ≤ 10 — the hapax and
+    near-hapax region where smoothing decisions live), and power-of-two
+    classes above. ``n_types`` at freq_class=1 is the hapax count; its
+    share of types predicts unseen-vocabulary mass (Good-Turing).
+
+    Determinism: the log2 bucket is ``2^(len(bin(c))-1)`` — pure integer
+    bit arithmetic in both engines, no libm floor(log2) edge cases at
+    exact powers of two.
+
+    Scale shape: token stream → map-side-combinable type counts; the
+    spectrum then reduces the VOCABULARY table to ≤ 10 + log2(max_count)
+    rows. Nothing downstream of the type table is corpus-sized."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    uni = docs.select(F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    freq_class = F.when(F.col("c") <= FREQ_EXACT_MAX, F.col("c")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(c)) - 1)")
+    )
+    return (
+        ucnt.select(freq_class.cast("bigint").alias("freq_class"), "c")
+        .groupBy("freq_class")
+        .agg(F.count("*").alias("n_types"), F.sum("c").alias("token_mass"))
+        .orderBy("freq_class")
+    )
+
+
+# --- per-source KL divergence from the corpus unigram mix ----------------
+
+
+@query(
+    "source_token_kl",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    t -> t <> '')) AS w
+      FROM documents
+    ), sw AS (
+      SELECT source, w, COUNT(*) AS c_sw FROM tok GROUP BY source, w
+    ), ns AS (
+      SELECT source, SUM(c_sw) AS n_s FROM sw GROUP BY source
+    ), cw AS (
+      SELECT w, SUM(c_sw) AS c_w FROM sw GROUP BY w
+    ), nt AS (
+      SELECT SUM(c_sw) AS n FROM sw
+    ), contrib AS (
+      SELECT s.source,
+             SUM(s.c_sw * CAST(ROUND(ln(s.c_sw::DOUBLE * nt.n
+                                        / (ns.n_s::DOUBLE * cw.c_w)) * 1e6)
+                               AS BIGINT)) AS kl_w_i6,
+             COUNT(*) AS vocab
+      FROM sw s
+      JOIN ns ON ns.source = s.source
+      JOIN cw ON cw.w = s.w
+      CROSS JOIN nt
+      GROUP BY s.source
+    )
+    SELECT c.source, CAST(ns.n_s AS BIGINT) AS n_tokens,
+           CAST(c.vocab AS BIGINT) AS vocab,
+           c.kl_w_i6::DOUBLE / ns.n_s / 1e6 AS kl_nats
+    FROM contrib c JOIN ns ON ns.source = c.source
+    ORDER BY c.source
+    """,
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus-wide unigram distribution
+    — the mixture diagnostic a multi-source training run reads next to
+    ``corpus_temperature_mix``: a source with high KL(P_source‖P_corpus)
+    is lexically idiosyncratic (duplicated boilerplate, wrong language,
+    or genuinely novel domain), and the temperature exponent trades
+    exactly against this number. KL is computed over each source's OWN
+    support (c_sw > 0 everywhere), so every term is finite.
+
+    Determinism: the weighted-integer-ln contract — each (source, word)
+    TYPE contributes ``count · round(ln(ratio)·1e6)`` summed in int64;
+    one divide by the source's token count at the end.
+
+    Scale shape: one (source, word)-keyed map-side-combinable count —
+    the per-source vocabulary table; marginals (per-source totals,
+    corpus word counts) reduce THAT table, not the stream; the KL join
+    is type-keyed. Adding sources changes row counts, never the plan."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    sw = tok.groupBy("source", "w").agg(F.count("*").alias("c_sw"))
+    ns = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    nt = sw.agg(F.sum("c_sw").alias("n"))
+    term = F.col("c_sw") * F.round(
+        F.log(
+            F.col("c_sw").cast("double")
+            * F.col("n")
+            / (F.col("n_s").cast("double") * F.col("c_w"))
+        )
+        * F.lit(1e6)
+    ).cast("bigint")
+    contrib = (
+        sw.join(F.broadcast(ns), "source")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(nt))
+        .groupBy("source")
+        .agg(F.sum(term).alias("kl_w_i6"), F.count("*").alias("vocab"))
+    )
+    return (
+        contrib.join(F.broadcast(ns), "source")
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            F.col("vocab").cast("bigint").alias("vocab"),
+            (F.col("kl_w_i6").cast("double") / F.col("n_s") / F.lit(1e6)).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
