@@ -128,6 +128,10 @@ HEADLINE = [
     "vocab_frequency_spectrum",
     "source_token_kl",
     "benford_price_audit",
+    "cross_source_overlap",
+    "reciprocal_nn_pairs",
+    "doc_novelty_decay",
+    "bootstrap_mean_ci",
 ]
 
 

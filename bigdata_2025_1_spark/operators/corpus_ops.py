@@ -845,3 +845,176 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- cross-source contamination matrix -----------------------------------
+
+
+@query(
+    "cross_source_overlap",
+    oracle=f"""
+    WITH ex AS (
+      SELECT DISTINCT source, md5(unnest(spans)) AS h
+      FROM (SELECT source, {_SQL_SPANS} AS spans
+            FROM (SELECT source, {_SQL_TOKS} AS toks FROM documents))
+    ), sz AS (
+      SELECT source, COUNT(*) AS n_grams FROM ex GROUP BY source
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS shared_grams
+      FROM ex a JOIN ex b ON a.h = b.h AND a.source < b.source
+      GROUP BY source_a, source_b
+    )
+    SELECT s.source_a, s.source_b,
+           CAST(s.shared_grams AS BIGINT) AS shared_grams,
+           CAST(za.n_grams AS BIGINT) AS n_grams_a,
+           CAST(zb.n_grams AS BIGINT) AS n_grams_b,
+           s.shared_grams::DOUBLE
+             / (za.n_grams + zb.n_grams - s.shared_grams) AS jaccard
+    FROM shared s
+    JOIN sz za ON za.source = s.source_a
+    JOIN sz zb ON zb.source = s.source_b
+    ORDER BY s.source_a, s.source_b
+    """,
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, how
+    many distinct 8-word span fingerprints they SHARE, and the Jaccard
+    of their span sets — the corpus-level read of where syndicated /
+    mirrored content flows between feeds (``corpus_duplicate_spans``
+    finds WHICH docs; this says WHICH PAIRS OF SOURCES leak into each
+    other, the thing a crawl-source curation decision needs). Also the
+    source-granular form of train/eval contamination checking: make one
+    side the eval benchmark and read its row.
+
+    Scale shape: spans are md5'd to 16-byte keys per SOURCE (distinct
+    within source — source-vocabulary-sized, not token-stream-sized);
+    the pair count is an equi-join ON THE HASH, so fan-out per hash is
+    (sources containing it)² ≤ |sources|², never docs² — the postings
+    trick of ``dedup_containment`` lifted to source granularity. Set
+    sizes reduce the same table; the matrix output is |sources|² rows.
+
+    Determinism: pure integer counts; one double divide per pair."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    ex = (
+        docs.select(
+            "source", F.explode(T.word_shingles(F.col("text"), k=SPAN_K)).alias("span")
+        )
+        .select("source", F.md5("span").alias("h"))
+        .distinct()
+        .persist()
+    )
+    sz = ex.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = ex.select(F.col("source").alias("source_a"), "h")
+    b = ex.select(F.col("source").alias("source_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    za = sz.select(F.col("source").alias("source_a"), F.col("n_grams").alias("n_grams_a"))
+    zb = sz.select(F.col("source").alias("source_b"), F.col("n_grams").alias("n_grams_b"))
+    return (
+        shared.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "n_grams_a",
+            "n_grams_b",
+            (
+                F.col("shared_grams").cast("double")
+                / (F.col("n_grams_a") + F.col("n_grams_b") - F.col("shared_grams"))
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# --- per-batch novelty decay curve ---------------------------------------
+
+NOV_BUCKET_DOCS = 50
+
+
+@query(
+    "doc_novelty_decay",
+    oracle=f"""
+    WITH ex AS MATERIALIZED (
+      SELECT DISTINCT doc_id, md5(unnest(spans)) AS h
+      FROM (SELECT doc_id, {_SQL_SPANS} AS spans
+            FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents))
+    ), first_seen AS (
+      SELECT h, MIN(doc_id) AS fdoc FROM ex GROUP BY h
+    ), per_doc AS (
+      SELECT e.doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN f.fdoc = e.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM ex e JOIN first_seen f USING (h)
+      GROUP BY e.doc_id
+    )
+    SELECT CAST(doc_id // {NOV_BUCKET_DOCS} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(n_grams) AS BIGINT) AS grams,
+           CAST(SUM(n_novel) AS BIGINT) AS novel_grams,
+           CAST(SUM(n_novel) AS BIGINT)::DOUBLE / SUM(n_grams) AS novelty
+    FROM per_doc
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def doc_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty-decay curve: consuming documents in doc_id order, what
+    fraction of each 50-doc batch's distinct 8-word spans has NEVER been
+    seen before? The ingestion-time read of diminishing returns — a
+    crawl feed whose novelty curve collapses is recrawling itself, and
+    the dedup budget should move elsewhere. Doc-level n-gram twin of
+    ``vocab_growth_curve`` (words) and the decision input behind
+    ``corpus_temperature_mix``.
+
+    The same first-occurrence trick as Heaps' law: a span is novel
+    exactly at its min-doc_id appearance, so "seen before" needs no
+    quadratic backward scan and no stateful sweep — one groupBy(h).
+
+    Scale shape: the only vocabulary-keyed shuffle is min-doc-per-hash
+    over 16-byte keys (map-side combinable); per-doc and per-bucket
+    reductions are doc-keyed; output is corpus/50 rows. All counts
+    integer; one double divide per bucket."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    ex = (
+        docs.select(
+            "doc_id", F.explode(T.word_shingles(F.col("text"), k=SPAN_K)).alias("span")
+        )
+        .select("doc_id", F.md5("span").alias("h"))
+        .distinct()
+        .persist()
+    )
+    first_seen = ex.groupBy("h").agg(F.min("doc_id").alias("fdoc"))
+    per_doc = (
+        ex.join(first_seen, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("fdoc") == F.col("doc_id"), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        per_doc.groupBy(
+            F.expr(f"doc_id div {NOV_BUCKET_DOCS}").cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_grams").alias("grams"),
+            F.sum("n_novel").alias("novel_grams"),
+        )
+        .select(
+            "bucket",
+            "docs",
+            "grams",
+            "novel_grams",
+            (F.col("novel_grams").cast("double") / F.col("grams")).alias("novelty"),
+        )
+        .orderBy("bucket")
+    )

@@ -363,3 +363,105 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+# --- SQ8 quantization-distortion audit -----------------------------------
+
+
+@query(
+    "sq8_quantization_error",
+    oracle=f"""
+    WITH coded AS MATERIALIZED (
+      SELECT vec_id, label,
+             {_SQL_NORM} AS nsq,
+             list_max([abs(embedding[i]::DOUBLE) for i in range(1, {_DIM + 1})]) AS s,
+             embedding
+      FROM embeddings
+    ), errs AS (
+      SELECT label, nsq,
+             CASE WHEN s = 0 THEN 0
+                  ELSE list_sum([CAST(ROUND(
+                         (embedding[i]::DOUBLE
+                          - s * ROUND(127 * embedding[i]::DOUBLE / s) / 127)
+                         * (embedding[i]::DOUBLE
+                            - s * ROUND(127 * embedding[i]::DOUBLE / s) / 127)
+                         * 1e12) AS BIGINT) for i in range(1, {_DIM + 1})])
+             END AS err_i12
+      FROM coded
+    ), rel AS (
+      SELECT label,
+             CAST(ROUND(err_i12::DOUBLE / nsq * 1e9) AS BIGINT) AS rel_i9
+      FROM errs WHERE nsq > 0
+    ), z AS (
+      SELECT label, COUNT(*) AS nz FROM errs WHERE nsq = 0 GROUP BY label
+    )
+    SELECT r.label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(r.rel_i9) AS BIGINT)::DOUBLE / COUNT(*) / 1e9 AS mean_rel_err,
+           CAST(MAX(r.rel_i9) AS BIGINT)::DOUBLE / 1e9 AS max_rel_err,
+           CAST(COALESCE(MAX(z.nz), 0) AS BIGINT) AS n_zero_vectors
+    FROM rel r LEFT JOIN z ON z.label = r.label
+    GROUP BY r.label
+    ORDER BY r.label
+    """,
+)
+def sq8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 reconstruction-distortion audit — the measurement that
+    justifies (or vetoes) running ANN over compressed codes
+    (``ann_sq8_topk``): per label cohort, the mean and max RELATIVE
+    squared reconstruction error ‖x − dequant(quant(x))‖²/‖x‖² of the
+    round(127·x/maxabs) quantizer, plus the zero-vector count the
+    quantizer maps to all-zero codes. FAISS publishes exactly this
+    distortion-vs-compression read before picking SQ8 vs PQ vs float.
+
+    Determinism: the reconstruction delta is a fixed IEEE op sequence
+    per element rounded once to 1e-12ths and summed in int64; the
+    per-vector relative ratio is rounded once to 1e-9ths; cohort mean =
+    exact int sum / count. nsq = 0 vectors are EXCLUDED from the ratio
+    (ANSI divide-by-zero is a job failure, not a NaN) and reported.
+
+    Scale shape: map-only per-vector arithmetic; one label-keyed
+    map-side-combinable aggregate; output is cohort-sized. The audit
+    reads the SAME coded columns the ANN query scans, so at 100 TB it
+    runs as a side aggregation of the encode pass, not a second scan."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    absed = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    s = F.array_max(absed)
+    delta = F.transform(
+        F.col("embedding"),
+        lambda x: x.cast("double")
+        - F.col("s") * F.round(F.lit(127) * x.cast("double") / F.col("s")) / F.lit(127),
+    )
+    err_i12 = F.aggregate(
+        F.transform(delta, lambda d: F.round(d * d * F.lit(1e12)).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    errs = emb.select(
+        "label",
+        V.norm_sq_scaled(F.col("embedding")).alias("nsq"),
+        s.alias("s"),
+        "embedding",
+    ).select(
+        "label",
+        "nsq",
+        F.when(F.col("s") == 0, F.lit(0).cast("bigint")).otherwise(err_i12).alias("err_i12"),
+    )
+    rel = errs.filter(F.col("nsq") > 0).select(
+        "label",
+        F.round(F.col("err_i12").cast("double") / F.col("nsq") * F.lit(1e9))
+        .cast("bigint")
+        .alias("rel_i9"),
+    )
+    z = errs.filter(F.col("nsq") == 0).groupBy("label").agg(F.count("*").alias("nz"))
+    return (
+        rel.join(F.broadcast(z), "label", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            (F.sum("rel_i9").cast("double") / F.count("*") / F.lit(1e9)).alias("mean_rel_err"),
+            (F.max("rel_i9").cast("double") / F.lit(1e9)).alias("max_rel_err"),
+            F.coalesce(F.max("nz"), F.lit(0)).cast("bigint").alias("n_zero_vectors"),
+        )
+        .orderBy("label")
+    )

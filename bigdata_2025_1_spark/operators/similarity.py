@@ -1242,3 +1242,86 @@ def margin_candidate_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_id", "tgt_id", "cosine", "margin", "mrank")
         .orderBy("mrank")
     )
+
+
+# --- reciprocal (mutual) nearest neighbors -------------------------------
+
+RNN_SUBSET = 200  # candidate pool: full pairwise is the oracle contract;
+# the scale path swaps this stage for SRP/IVF candidate lists unchanged
+
+
+@query(
+    "reciprocal_nn_pairs",
+    oracle=f"""
+    WITH norms AS MATERIALIZED (
+      SELECT vec_id, embedding, {_SQL_NORM} AS nsq
+      FROM embeddings WHERE vec_id < {RNN_SUBSET}
+    ), pairs AS (
+      SELECT qa.vec_id AS a, qb.vec_id AS b,
+             {_SQL_DOT_AB}::DOUBLE
+               / (sqrt(qa.nsq::DOUBLE) * sqrt(qb.nsq::DOUBLE)) AS cosine
+      FROM norms qa JOIN norms qb ON qa.vec_id <> qb.vec_id
+    ), top1 AS (
+      SELECT a, b, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY a
+                                     ORDER BY cosine DESC, b) AS rk
+        FROM pairs
+      ) WHERE rk = 1
+    )
+    SELECT x.a AS vec_a, x.b AS vec_b, x.cosine
+    FROM top1 x JOIN top1 y ON y.a = x.b AND y.b = x.a AND x.a < x.b
+    ORDER BY vec_a
+    """,
+)
+def reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal (mutual) nearest neighbors: pairs where each vector is
+    the OTHER's top-1 cosine neighbor. The highest-precision pairing
+    rule in embedding-space matching — used by bitext mining as the
+    strict alternative to the margin criterion
+    (``margin_candidate_mining``), by SemDeDup-style pipelines as the
+    conservative dup pair set, and by cluster seeding (mutual-NN chains).
+    Hub vectors (everyone's neighbor, nobody's mutual) drop out for
+    free — the property raw top-1 matching lacks.
+
+    Determinism: cosine from exact int64 dots/norms; per-vector argmax
+    breaks ties on neighbor id; the mutuality join is exact.
+
+    Scale shape: per-vector top-1 is a WindowGroupLimit behind one
+    vec_id partition; mutuality is a self-equi-join of the TOP-1 table
+    (one row per vector — corpus-sized, 16 bytes wide, never pairs).
+    The all-pairs candidate stage here is the oracle-checkable contract;
+    at 100 TB it is replaced by any candidate generator in this module
+    (SRP bands / IVF cells) with the top-1 + mutuality stages unchanged."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < RNN_SUBSET)
+    norms = spread(emb).select(
+        "vec_id", "embedding", V.norm_sq_scaled(F.col("embedding")).alias("nsq")
+    )
+    qa = norms.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nsq").alias("nsq_a"),
+    )
+    qb = norms.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nsq").alias("nsq_b"),
+    )
+    dot_pd = V.make_dot_scaled_pandas()
+    cosine = V.cosine_from_scaled(
+        dot_pd(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
+    )
+    rk = Window.partitionBy("a").orderBy(F.desc("cosine"), "b")
+    top1 = (
+        qb.join(F.broadcast(qa), F.col("a") != F.col("b"))
+        .select("a", "b", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("a", "b", "cosine")
+    )
+    y = top1.select(F.col("a").alias("b"), F.col("b").alias("a"))
+    return (
+        top1.join(y, ["a", "b"])
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"), "cosine")
+        .orderBy("vec_a")
+    )
