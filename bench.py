@@ -132,6 +132,8 @@ HEADLINE = [
     "reciprocal_nn_pairs",
     "doc_novelty_decay",
     "bootstrap_mean_ci",
+    "harmonic_centrality_trade",
+    "contrastive_triplet_mining",
 ]
 
 

@@ -609,3 +609,151 @@ def trade_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --- harmonic centrality (all-sources BFS) -------------------------------
+
+HC_HOPS = 3
+# exact integer reciprocals round(1e6/d) for d = 1..HC_HOPS — the only
+# arithmetic on distances, so centrality sums are pure int64
+_HC_RECIP = {d: round(1e6 / d) for d in range(1, HC_HOPS + 1)}
+_SQL_HC_RECIP = (
+    "(CASE dist "
+    + " ".join(f"WHEN {d} THEN {r}" for d, r in _HC_RECIP.items())
+    + " ELSE 0 END)"
+)
+
+
+def _sql_hc_stage(i: int) -> str:
+    return f"""h{i + 1} AS (
+      SELECT n.src, n.nation_key,
+             LEAST(n.dist, c.best + 1) AS dist
+      FROM h{i} n LEFT JOIN (
+        SELECT p.src, e.dst AS nation_key, MIN(p.dist) AS best
+        FROM h{i} p JOIN edges e ON e.src_n = p.nation_key
+        WHERE p.dist < {10**6}
+        GROUP BY p.src, e.dst
+      ) c USING (src, nation_key)
+    )"""
+
+
+_HC_STAGES = ",\n    ".join(_sql_hc_stage(i) for i in range(HC_HOPS))
+
+
+@query(
+    "harmonic_centrality_trade",
+    oracle=f"""
+    WITH raw AS MATERIALIZED (
+      SELECT DISTINCT c.c_nationkey AS src_n, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    ), edges AS MATERIALIZED (SELECT src_n, dst FROM raw),
+    h0 AS (
+      SELECT a.n_nationkey AS src, b.n_nationkey AS nation_key,
+             CASE WHEN a.n_nationkey = b.n_nationkey THEN 0
+                  ELSE {10**6} END AS dist
+      FROM nation a CROSS JOIN nation b
+    ),
+    {_HC_STAGES}
+    SELECT n.n_name AS nation,
+           CAST(SUM(CASE WHEN d.src <> d.nation_key AND d.dist < {10**6}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_reached_from,
+           CAST(SUM(CASE WHEN d.src <> d.nation_key THEN {_SQL_HC_RECIP}
+                         ELSE 0 END) AS BIGINT)::DOUBLE / 1e6 AS harmonic
+    FROM h{HC_HOPS} d JOIN nation n ON n.n_nationkey = d.nation_key
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def harmonic_centrality_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic (in-)centrality over the directed nation trade graph:
+    HC(v) = Σ_{u≠v} 1/d(u,v) with d = shortest hop count, summed over
+    sources that reach v within 3 hops — the centrality that handles
+    disconnected graphs gracefully (unreachable pairs contribute 0, no
+    infinite closeness). The fifth iterative-graph shape here: BFS
+    (`bfs_trade_reachability`) from ALL sources simultaneously — state
+    is the (src, node, dist) matrix, relaxed per round in ONE join+MIN
+    instead of |V| sequential BFS runs — the standard trick for
+    all-pairs centralities on coarse graphs.
+
+    Determinism: distances are integers; 1/d enters only as exact
+    integer literals round(1e6/d) (the Benford-constants pattern), so
+    centrality sums are pure int64 with one final divide.
+
+    Scale shape: facts collapse once to the ≤|nations|² edge list
+    (broadcast dims); each round relaxes the |V|²-row state with an
+    edge equi-join + MIN agg — at web scale the exact same loop runs
+    on a SAMPLED source set (HyperBall/ANF replaces the exact matrix
+    with registers; the plan shape is identical, the state column
+    becomes a sketch)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    INF = 10**6
+    edges = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("src_n"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+        .persist()  # tiny (≤ |nations|²); released by harness clearCache
+    )
+    a = nation.select(F.col("n_nationkey").alias("src"))
+    b = nation.select(F.col("n_nationkey").alias("nation_key"))
+    dist = a.crossJoin(b).select(
+        "src",
+        "nation_key",
+        F.when(F.col("src") == F.col("nation_key"), F.lit(0))
+        .otherwise(F.lit(INF))
+        .alias("dist"),
+    )
+    for _ in range(HC_HOPS):
+        relaxed = (
+            edges.join(
+                dist.filter(F.col("dist") < INF),
+                edges.src_n == F.col("nation_key"),
+            )
+            .groupBy(F.col("src").alias("rsrc"), F.col("dst").alias("nk"))
+            .agg(F.min("dist").alias("best"))
+        )
+        dist = (
+            dist.join(
+                relaxed,
+                (F.col("src") == F.col("rsrc")) & (F.col("nation_key") == F.col("nk")),
+                "left",
+            )
+            .select(
+                "src",
+                "nation_key",
+                F.least(F.col("dist"), F.col("best") + 1).alias("dist"),
+            )
+        )
+    recip = F.when(
+        F.col("src") == F.col("nation_key"), F.lit(0).cast("bigint")
+    ).otherwise(
+        F.element_at(
+            F.create_map(*[F.lit(x) for dr in _HC_RECIP.items() for x in dr]),
+            F.col("dist"),
+        ).cast("bigint")
+    )
+    agg = (
+        dist.select("src", "nation_key", F.coalesce(recip, F.lit(0)).alias("r_i6"),
+                    ((F.col("src") != F.col("nation_key")) & (F.col("dist") < INF))
+                    .cast("int").alias("reached"))
+        .groupBy("nation_key")
+        .agg(
+            F.sum("reached").cast("bigint").alias("n_reached_from"),
+            (F.sum("r_i6").cast("double") / F.lit(1e6)).alias("harmonic"),
+        )
+    )
+    return (
+        agg.join(F.broadcast(nation), agg.nation_key == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "n_reached_from", "harmonic")
+        .orderBy("nation")
+    )

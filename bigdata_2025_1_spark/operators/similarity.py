@@ -1325,3 +1325,112 @@ def reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"), "cosine")
         .orderBy("vec_a")
     )
+
+
+# --- contrastive triplet mining ------------------------------------------
+
+
+@query(
+    "contrastive_triplet_mining",
+    oracle=f"""
+    WITH norms AS MATERIALIZED (
+      SELECT vec_id, embedding, {_SQL_NORM} AS nsq FROM embeddings
+    ), pairs AS (
+      SELECT qa.vec_id AS anchor_id, qb.vec_id AS cand_id,
+             {_SQL_DOT_AB}::DOUBLE
+               / (sqrt(qa.nsq::DOUBLE) * sqrt(qb.nsq::DOUBLE)) AS cosine
+      FROM norms qa JOIN norms qb
+        ON qa.vec_id < {N_QUERY_VECS} AND qa.vec_id <> qb.vec_id
+    ), pos AS (
+      SELECT anchor_id, cand_id AS positive_id, cosine AS pos_cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY cosine DESC, cand_id) AS rk
+        FROM pairs WHERE cosine >= {NEAR_DUP_COS}
+      ) WHERE rk = 1
+    ), neg AS (
+      SELECT anchor_id, cand_id AS negative_id, cosine AS neg_cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY cosine DESC, cand_id) AS rk
+        FROM pairs WHERE cosine < {NEAR_DUP_COS}
+      ) WHERE rk = 1
+    )
+    SELECT p.anchor_id, p.positive_id, n.negative_id,
+           p.pos_cosine, n.neg_cosine,
+           p.pos_cosine - n.neg_cosine AS separation
+    FROM pos p JOIN neg n USING (anchor_id)
+    ORDER BY p.anchor_id
+    """,
+)
+def contrastive_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining (anchor, positive, hard-negative) — the
+    training-data generator for embedding fine-tuning (SimCSE/SBERT
+    style): per anchor, the positive is its most-similar ≥-threshold
+    neighbor (a near-dup / paraphrase stand-in) and the hard negative is
+    the MOST similar below-threshold candidate — the negatives that
+    actually move a contrastive loss, unlike random negatives which are
+    trivially separable. Anchors lacking a positive drop out (inner
+    join). ``separation`` is the pos−neg cosine gap the loss will widen.
+
+    Determinism: cosines from exact int64 dots/norms; both argmaxes
+    break ties on candidate id; the threshold split uses one comparison
+    per pair on bit-identical doubles.
+
+    Scale shape: same broadcast-probe candidate stage as every ANN twin
+    (swap in SRP/IVF candidates at scale, stages above unchanged); both
+    per-anchor argmaxes are WindowGroupLimit behind ONE anchor_id
+    exchange; the final join matches two anchor-sized tables."""
+    emb = load(spark, sf_dir, "embeddings")
+    norms = spread(emb).select(
+        "vec_id", "embedding", V.norm_sq_scaled(F.col("embedding")).alias("nsq")
+    )
+    anchors = norms.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nsq").alias("a_nsq"),
+    )
+    cands = norms.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    cosine = V.cosine_from_scaled(
+        V.dot_scaled(F.col("a_emb"), F.col("c_emb")), F.col("a_nsq"), F.col("c_nsq")
+    )
+    pairs = (
+        cands.join(F.broadcast(anchors), F.col("anchor_id") != F.col("cand_id"))
+        .select("anchor_id", "cand_id", cosine.alias("cosine"))
+        .persist()  # feeds both argmax branches; released by harness clearCache
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), "cand_id")
+    pos = (
+        pairs.filter(F.col("cosine") >= NEAR_DUP_COS)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("positive_id"),
+            F.col("cosine").alias("pos_cosine"),
+        )
+    )
+    neg = (
+        pairs.filter(F.col("cosine") < NEAR_DUP_COS)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("negative_id"),
+            F.col("cosine").alias("neg_cosine"),
+        )
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            "positive_id",
+            "negative_id",
+            "pos_cosine",
+            "neg_cosine",
+            (F.col("pos_cosine") - F.col("neg_cosine")).alias("separation"),
+        )
+        .orderBy("anchor_id")
+    )

@@ -109,3 +109,24 @@ def test_bootstrap_replicates_concentrate(spark, sf_dir):
         assert abs(r.mean_value - true_mean) / true_mean < 0.05
     means = [r.mean_value for r in rows]
     assert min(means) < true_mean < max(means)
+
+
+def test_harmonic_centrality_bounds(spark, sf_dir):
+    rows = QUERIES["harmonic_centrality_trade"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_reached_from <= 25
+        # each reaching source contributes at most 1.0 (d=1) and at
+        # least 1/3 (d=3)
+        assert r.harmonic <= r.n_reached_from + 1e-9
+        assert r.harmonic >= r.n_reached_from / 3 - 1e-9
+    assert any(r.harmonic > 0 for r in rows)
+
+
+def test_contrastive_triplets_separate(spark, sf_dir):
+    rows = QUERIES["contrastive_triplet_mining"](spark, sf_dir).collect()
+    assert rows, "fixture has near-dup pairs above the positive threshold"
+    for r in rows:
+        assert r.pos_cosine >= 0.45 > r.neg_cosine
+        assert r.separation > 0
+        assert len({r.anchor_id, r.positive_id, r.negative_id}) == 3
