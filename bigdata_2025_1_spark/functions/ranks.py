@@ -27,7 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField
 
@@ -97,6 +97,11 @@ def with_global_rank(
             pdf["_pos"] = range(pos + 1, pos + 1 + len(pdf))
             pos += len(pdf)
             if prefix_of is not None:
+                if pdf[prefix_of].isna().any():
+                    raise ValueError(
+                        f"with_global_rank: prefix_of column {prefix_of!r} "
+                        "must be non-null int64 (coalesce before ranking)"
+                    )
                 c = pdf[prefix_of].astype("int64").cumsum() + vpos
                 pdf["_vpos"] = c
                 vpos = int(c.iloc[-1]) if len(c) else vpos
@@ -144,18 +149,32 @@ def with_prefix_min(
     out_fields = list(parts.schema.fields) + [StructField("_lmin", LongType(), True)]
 
     def _cummin(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        run = None
+        import numpy as np
+
+        run = None  # inclusive min over all prior rows of this partition
         for pdf in batches:
             pdf = pdf.copy()
-            vals = pdf[value_col].astype("int64")
-            # exclusive cummin: shift the inclusive cummin down one row
-            inc = vals.cummin()
-            exc = inc.shift(1)
-            if run is not None:
-                exc = exc.fillna(run).clip(upper=run)
-            pdf["_lmin"] = exc
-            if len(vals):
-                run = int(inc.iloc[-1]) if run is None else min(run, int(inc.iloc[-1]))
+            if pdf[value_col].isna().any():
+                raise ValueError(
+                    f"with_prefix_min: {value_col!r} must be non-null int64"
+                )
+            # all-integer path — a float64 shift/fillna round-trip would
+            # silently lose precision for |value| >= 2^53 (the e12-scaled
+            # fixed-point range this repo actually uses)
+            vals = pdf[value_col].to_numpy(dtype="int64")
+            n_rows = len(vals)
+            out = pd.array([pd.NA] * n_rows, dtype="Int64")
+            if n_rows:
+                inc = np.minimum.accumulate(vals)
+                exc = np.empty(n_rows, dtype="int64")
+                exc[1:] = inc[:-1]
+                if run is None:
+                    out[1:] = exc[1:]
+                else:
+                    exc[0] = run
+                    out[:] = np.minimum(exc, run)
+                run = int(inc[-1]) if run is None else min(run, int(inc[-1]))
+            pdf["_lmin"] = out
             yield pdf
 
     numbered = parts.mapInPandas(_cummin, schema=type(parts.schema)(out_fields))
@@ -163,4 +182,46 @@ def with_prefix_min(
         numbered.join(F.broadcast(offs), "_pid")
         .withColumn(out_col, F.least(F.col("_lmin"), F.col("_moff")))
         .drop("_pid", "_lmin", "_moff")
+    )
+
+
+def cum_counts_over_values(
+    vals: DataFrame,
+    value_col: str,
+    count_col: str = "vc",
+    out_col: str = "cum_before",
+    descending: bool = False,
+) -> DataFrame:
+    """Append ``out_col``: the EXCLUSIVE cumulative sum of ``count_col``
+    over ``value_col`` order — the shared first step of every
+    distinct-value rank-cut in this repo (equi-depth buckets, percentile
+    gates, threshold sweeps, tail quantiles). ``vals`` must be one row
+    per DISTINCT value (a count histogram), so the deliberate
+    unpartitioned window runs over the VALUE DOMAIN — bounded by value
+    cardinality, not data size (the documented exception to the
+    no-global-window rule)."""
+    order = F.desc(value_col) if descending else F.col(value_col)
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    return vals.withColumn(out_col, F.coalesce(F.sum(count_col).over(w), F.lit(0)))
+
+
+def boundary_rank_keep(
+    rows: DataFrame,
+    id_col: str,
+    part_cols: list[str],
+    cum_col: str = "cum_before",
+    kcut_col: str = "kcut",
+) -> DataFrame:
+    """Keep the first ``kcut − cum_before`` rows (in ``id_col`` order) of
+    each boundary value group — the second shared step of a rank cut:
+    a row with 1-based in-group position j has global rank cum_before+j,
+    so it survives iff cum_before + j ≤ kcut. The window is partitioned
+    by the boundary group (``part_cols``) — per construction at most ONE
+    value group per cut straddles the boundary, so this touches a single
+    group's rows, never the table."""
+    w = Window.partitionBy(*part_cols).orderBy(id_col)
+    return (
+        rows.withColumn("_rb", F.row_number().over(w))
+        .filter(F.col(cum_col) + F.col("_rb") <= F.col(kcut_col))
+        .drop("_rb")
     )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions import text as T
+from bigdata_2025_1_spark.functions.ranks import boundary_rank_keep, cum_counts_over_values
 from bigdata_2025_1_spark.io import load, spread
 from bigdata_2025_1_spark.registry import query
 
@@ -522,8 +523,7 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-doc join) — narrow doc-sized rows
     dn = deduped.join(nll, "doc_id").persist()
     vals = dn.groupBy("nll_i6").agg(F.count("*").alias("vc"))
-    wv = Window.orderBy("nll_i6").rowsBetween(Window.unboundedPreceding, -1)
-    cum = vals.withColumn("cum_before", F.coalesce(F.sum("vc").over(wv), F.lit(0)))
+    cum = cum_counts_over_values(vals, "nll_i6")
     ntot = dn.agg(F.count("*").alias("n_docs"))
     cuts = cum.crossJoin(F.broadcast(ntot)).select(
         "nll_i6",
@@ -536,10 +536,7 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary = joined.filter(
         (F.col("cum_before") < F.col("kcut")) & (F.col("cum_before") + F.col("vc") > F.col("kcut"))
     )
-    wb = Window.partitionBy("nll_i6").orderBy("doc_id")
-    kept_part = boundary.withColumn("rb", F.row_number().over(wb)).filter(
-        F.col("cum_before") + F.col("rb") <= F.col("kcut")
-    )
+    kept_part = boundary_rank_keep(boundary, "doc_id", ["nll_i6"])
     final = (
         kept_full.select("doc_id", "n_tokens")
         .unionByName(kept_part.select("doc_id", "n_tokens"))
@@ -647,8 +644,7 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = feats.groupBy("nll_i6").agg(
         F.count("*").alias("vc"), F.sum("n_tokens").alias("vtok")
     )
-    wv = Window.orderBy("nll_i6").rowsBetween(Window.unboundedPreceding, -1)
-    cum = vals.withColumn("cum_before", F.coalesce(F.sum("vc").over(wv), F.lit(0)))
+    cum = cum_counts_over_values(vals, "nll_i6")
     ntot = feats.agg(F.count("*").alias("n"))
     pcts = spark.createDataFrame([(p,) for p in SWEEP_KEEP_PCTS], "keep_pct INT")
     kdf = pcts.crossJoin(F.broadcast(ntot)).select(
@@ -671,10 +667,7 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_before") < F.col("kcut")) & (F.col("cum_before") + F.col("vc") > F.col("kcut"))
     ).select("keep_pct", "nll_i6", "cum_before", "kcut")
     bdocs = feats.join(F.broadcast(bvals), "nll_i6")
-    wb = Window.partitionBy("keep_pct", "nll_i6").orderBy("doc_id")
-    bkept = bdocs.withColumn("rb", F.row_number().over(wb)).filter(
-        F.col("cum_before") + F.col("rb") <= F.col("kcut")
-    )
+    bkept = boundary_rank_keep(bdocs, "doc_id", ["keep_pct", "nll_i6"])
     bagg = bkept.groupBy("keep_pct").agg(
         F.count("*").alias("docs_b"), F.sum("n_tokens").alias("tok_b")
     )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions import text as T
+from bigdata_2025_1_spark.functions.hashing import md5_int, sql_md5_int
 from bigdata_2025_1_spark.functions.ranks import with_global_rank
 from bigdata_2025_1_spark.io import load, spread
 from bigdata_2025_1_spark.registry import query
@@ -1245,7 +1246,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_WINDOW = 8  # rolling fingerprint window (chars)
 CDC_MASK = 64  # boundary when fp % 64 == 0 -> ~64-char expected chunks
 CDC_TOP_K = 50
-_SQL_CDC_FP = f"('0x' || substr(md5(substr(text, pos, {CDC_WINDOW})), 1, 6))::BIGINT"
+_SQL_CDC_FP = sql_md5_int(f"substr(text, pos, {CDC_WINDOW})", hex_digits=6)
 
 
 @query(
@@ -1314,9 +1315,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.explode(F.sequence(F.lit(1), F.length("text") - (CDC_WINDOW - 1))).alias("pos"),
     )
-    fp = F.conv(
-        F.substring(F.md5(F.expr(f"substring(text, pos, {CDC_WINDOW})")), 1, 6), 16, 10
-    ).cast("bigint")
+    fp = md5_int(F.expr(f"substring(text, pos, {CDC_WINDOW})"), hex_digits=6)
     bounds = (
         p.filter(fp % CDC_MASK == 0)
         .select("doc_id", F.col("pos").cast("bigint").alias("s"))

@@ -971,10 +971,14 @@ def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity E||x−y||² = 2·(Σ||x||²/n − ||μ||²)).
 
     Determinism: per-dimension component sums and sums of squares are
-    EXACT integers (components scaled ×1e6 to int64; squares summed in
-    decimal/HUGEINT so no 64-bit overflow at any n); the two output
-    doubles are single fixed cast-divide chains on those exact integers,
-    rounded to 9 decimals on both engines.
+    EXACT integers — components scaled ×1e6 to int64, squares summed in
+    Spark decimal(38) / DuckDB HUGEINT. Exactness bound: decimal(38)
+    holds while s2 ≈ n²·1e12 per label stays under 38 digits (n ≲ 1e13
+    vectors per label — far past any real corpus); beyond it Spark
+    yields NULL (non-ANSI decimal overflow), never a silently wrong
+    value, while HUGEINT (128-bit) runs on. The two output doubles are
+    single fixed cast-divide chains on those exact integers, rounded to
+    9 decimals on both engines.
 
     Scale shape: one posexplode shuffles (label, dim) pairs that
     collapse map-side to |labels|×|dims| rows; label totals AND the

@@ -6,10 +6,17 @@ are engine- and partition-order-specific)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigdata_2025_1_spark.functions.ranks import with_global_rank, with_prefix_min
+from bigdata_2025_1_spark.functions.hashing import md5_int, sql_md5_int
+from bigdata_2025_1_spark.functions.ranks import (
+    cum_counts_over_values,
+    with_global_rank,
+    with_prefix_min,
+)
 from bigdata_2025_1_spark.io import load, spread
 from bigdata_2025_1_spark.registry import query
 
@@ -606,8 +613,7 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_freq"),
     )
     vals = freq.groupBy("n").agg(F.count("*").alias("c"))
-    wv = Window.orderBy(F.desc("n")).rowsBetween(Window.unboundedPreceding, -1)
-    cum = vals.withColumn("cb", F.coalesce(F.sum("c").over(wv), F.lit(0)))
+    cum = cum_counts_over_values(vals, "n", count_col="c", out_col="cb", descending=True)
     nk = freq.agg(F.count("*").alias("nk"))
     # the value group containing desc-rank K = nk div 100 (empty when
     # K = 0 → NULL → coalesced to max_freq, matching the oracle)
@@ -1460,13 +1466,11 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Benford first-digit audit -------------------------------------------
 
-import math as _math
-
 # Benford probabilities as shared 1e-6 integer literals (computed once in
 # Python, inlined in BOTH engines — no cross-engine libm dependency, the
 # _md5_pm1_matrix approach applied to constants)
 _BENFORD_I6 = {
-    d: round(_math.log10(1 + 1 / d) * 1e6) for d in range(1, 10)
+    d: round(math.log10(1 + 1 / d) * 1e6) for d in range(1, 10)
 }
 _SQL_BENFORD = (
     "(CASE digit "
@@ -1553,6 +1557,9 @@ _SQL_BOOT_W = (
     f"(CASE WHEN r < {_POIS_T[0]} THEN 0 WHEN r < {_POIS_T[1]} THEN 1 "
     f"WHEN r < {_POIS_T[2]} THEN 2 WHEN r < {_POIS_T[3]} THEN 3 ELSE 4 END)"
 )
+_SQL_BOOT_R = sql_md5_int(
+    "CAST(o.o_orderkey AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)"
+)
 
 
 @query(
@@ -1562,9 +1569,7 @@ _SQL_BOOT_W = (
       SELECT o.o_orderkey,
              CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
              CAST(b.b AS INT) AS b,
-             ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || ':' ||
-                                 CAST(b.b AS VARCHAR)), 1, 12))::BIGINT
-               % 1000000000 AS r
+             {_SQL_BOOT_R} % 1000000000 AS r
       FROM orders o CROSS JOIN range({BOOT_B}) b(b)
     ), w AS (
       SELECT b, cents, {_SQL_BOOT_W} AS w FROM reps
@@ -1608,19 +1613,19 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.col("b").cast("int").alias("b"),
         (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":", F.col("o_orderkey").cast("string"), F.col("b").cast("string")
-                        )
-                    ),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            ).cast("bigint")
+            # F.concat (not concat_ws): propagates NULL like the
+            # oracle's `||` so the two derivations stay symmetric.
+            # NOTE a NULL o_orderkey would land in the ELSE/otherwise(4)
+            # arm on BOTH engines (r NULL -> all comparisons NULL) —
+            # identical results, but weight 4; precondition: o_orderkey
+            # is the non-null PK
+            md5_int(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            )
             % 1000000000
         ).alias("r"),
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdata_2025_1_spark.functions.hashing import md5_int, sql_md5_int
 from bigdata_2025_1_spark.io import load
 from bigdata_2025_1_spark.registry import query
 
@@ -103,12 +104,13 @@ N_CHECKSUM_BUCKETS = 16
 # would null the whole fingerprint and silently drop the row from SUM —
 # the checksums would diverge on the first NULL to ever appear.
 _ROW_FP = (
-    "('0x' || substr(md5("
-    "COALESCE(CAST(o_orderkey AS VARCHAR), '') || '|' || "
-    "COALESCE(CAST(o_custkey AS VARCHAR), '') || '|' || "
-    "COALESCE(o_orderstatus, '') || '|' || "
-    "COALESCE(CAST(CAST(ROUND(o_totalprice * 1e2) AS BIGINT) AS VARCHAR), '')"
-    "), 1, 12))::BIGINT % 1000000000"
+    sql_md5_int(
+        "COALESCE(CAST(o_orderkey AS VARCHAR), '') || '|' || "
+        "COALESCE(CAST(o_custkey AS VARCHAR), '') || '|' || "
+        "COALESCE(o_orderstatus, '') || '|' || "
+        "COALESCE(CAST(CAST(ROUND(o_totalprice * 1e2) AS BIGINT) AS VARCHAR), '')"
+    )
+    + " % 1000000000"
 )
 
 
@@ -170,7 +172,7 @@ def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("|"),
             _c(F.round(F.col("o_totalprice") * 100).cast("bigint")),
         )
-        return F.conv(F.substring(F.md5(row), 1, 12), 16, 10).cast("bigint") % 1000000000
+        return md5_int(row) % 1000000000
 
     def bucketed(df: DataFrame, n_name: str, c_name: str) -> DataFrame:
         return df.groupBy((F.col("o_orderkey") % N_CHECKSUM_BUCKETS).alias("bucket")).agg(
@@ -383,7 +385,7 @@ WSAMPLE_K = 25
 # residue in [0, 1e9) -> (r + 1) / (1e9 + 1). Identical arithmetic in
 # both engines; no engine RNG anywhere.
 _SQL_U = (
-    "((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000000000)"
+    f"(({sql_md5_int('CAST(doc_id AS VARCHAR)')} % 1000000000)"
     " + 1)::DOUBLE / 1000000001"
 )
 
@@ -427,12 +429,7 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives an independent replicate (bootstrap loops reuse the plan)."""
     docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = (
-        (
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
-            .cast("bigint")
-            % 1000000000
-            + 1
-        ).cast("double")
+        (md5_int(F.col("doc_id").cast("string")) % 1000000000 + 1).cast("double")
         / 1000000001
     )
     keyed = docs.select(

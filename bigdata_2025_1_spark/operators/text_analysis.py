@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions import text as T
+from bigdata_2025_1_spark.functions.hashing import md5_int, sql_md5_int
 from bigdata_2025_1_spark.functions.exact import sql_int_avg
 from bigdata_2025_1_spark.io import load, spread
 from bigdata_2025_1_spark.registry import query
@@ -1213,7 +1214,7 @@ def bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- hashing-trick feature buckets (collision audit) ---------------------
 
 FH_BUCKETS = 128
-_SQL_TOK_MD5 = "('0x' || substr(md5(w), 1, 12))::BIGINT % " + str(FH_BUCKETS)
+_SQL_TOK_MD5 = sql_md5_int("w") + f" % {FH_BUCKETS}"
 
 
 @query(
@@ -1265,10 +1266,7 @@ def feature_hashing_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents"))
     uni = docs.select(F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w"))
     ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("w")), 1, 12), 16, 10).cast("bigint")
-        % FH_BUCKETS
-    )
+    bucket = md5_int(F.col("w")) % FH_BUCKETS
     hashed = ucnt.select("w", "c", bucket.cast("int").alias("bucket"))
     rk = F.row_number().over(Window.partitionBy("bucket").orderBy(F.desc("c"), "w"))
     ranked = hashed.withColumn("rk", rk)

@@ -54,15 +54,17 @@ ORACLES: dict[str, str] = {}
 # REPLACING a proven-green head entry, never by growing past 50.
 #
 # ROUND-6 ROTATION PLAN: after this head lands green the never-checked
-# backlog is 42 names — the 24 round-4 leftovers plus the 18 round-5
-# additions (semantic_dedup_pairs, cdc_chunk_dedup,
-# bigram_backoff_logprob, feature_hashing_buckets, weighted_sample_wor,
-# column_mutual_information, margin_candidate_mining,
-# skyline_price_size, vocab_frequency_spectrum, source_token_kl,
-# benford_price_audit, cross_source_overlap, sq8_quantization_error,
-# reciprocal_nn_pairs, doc_novelty_decay, bootstrap_mean_ci,
-# harmonic_centrality_trade, contrastive_triplet_mining) — they
-# take positions 0-41 of the round-6 head (seasonal_hourly_residuals,
+# backlog is 46 names — the 24 round-4 leftovers plus the 22 round-5
+# additions (dedup_incremental_lsh, tokenizer_fertility_by_lang,
+# embedding_dispersion, corpus_drift_psi, semantic_dedup_pairs,
+# cdc_chunk_dedup, bigram_backoff_logprob, feature_hashing_buckets,
+# weighted_sample_wor, column_mutual_information,
+# margin_candidate_mining, skyline_price_size, vocab_frequency_spectrum,
+# source_token_kl, benford_price_audit, cross_source_overlap,
+# sq8_quantization_error, reciprocal_nn_pairs, doc_novelty_decay,
+# bootstrap_mean_ci, harmonic_centrality_trade,
+# contrastive_triplet_mining) — they take positions 0-45 of the
+# round-6 head (seasonal_hourly_residuals,
 # vocab_growth_curve,
 # markov_event_transitions, parts_abc_pareto, token_association_rules,
 # watermark_lateness_audit, doc_readability_scores,
@@ -73,7 +75,7 @@ ORACLES: dict[str, str] = {}
 # part_popularity_rec, trade_graph_degree_stats, media_prefix_clusters,
 # label_centroid_distances, top_sources_with_other, customer_spend_gini,
 # corpus_health_scorecard, order_size_distribution) and the remaining
-# 8 slots refresh the oldest of the r2-vintage greens — drawn from
+# 4 slots refresh the oldest of the r2-vintage greens — drawn from
 # (cube_flag_status, scalar_subquery_big_orders,
 # recursive_cte_month_spine, media_metadata, media_feature_stats,
 # media_frame_sample, media_resize, udaf_median_order_value,
@@ -82,8 +84,8 @@ ORACLES: dict[str, str] = {}
 # corpus_quality_filter, sequence_packing, corpus_end_to_end,
 # stratified_source_cap, corpus_temperature_mix, domain_doc_stats,
 # global_size_stats, metadata_extract, wordcount, udtf_bigrams,
-# date_features, string_functions_showcase) — the 18 oldest such rows
-# roll to round 7; after rounds 6-7 no green row predates round 3.
+# date_features, string_functions_showcase) — the 22 oldest such rows
+# roll to rounds 7-8; after that no green row predates round 3.
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 0-8: first driver rows ON ROUND-5-CHANGED CODE
     "dedup_sorted_neighborhood",

@@ -130,3 +130,28 @@ def test_benford_shares_and_deviations(spark, sf_dir):
         assert r.dev_i6n == r.n_obs * 1_000_000 - sum(
             x.n_obs for x in rows
         ) * round(r.benford_share * 1e6)
+
+
+def test_prefix_min_exact_beyond_double_precision(spark):
+    """Values >= 2^53 must survive exactly (the e12-scaled fixed-point
+    range) — a float64 shift/fillna implementation fails this."""
+    from bigdata_2025_1_spark.functions.ranks import with_prefix_min
+
+    base = (1 << 60) + 1
+    rows = [(i, base + ((i * 37) % 11)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r.k: r.pm for r in with_prefix_min(df, ["k"], "v", out_col="pm").collect()}
+    run = None
+    for k, v in rows:
+        assert got[k] == run, (k, got[k], run)
+        run = v if run is None else min(run, v)
+
+
+def test_prefix_min_rejects_nulls(spark):
+    import pytest as _pytest
+
+    from bigdata_2025_1_spark.functions.ranks import with_prefix_min
+
+    df = spark.createDataFrame([(1, 5), (2, None)], "k long, v long")
+    with _pytest.raises(Exception, match="non-null"):
+        with_prefix_min(df, ["k"], "v").collect()
