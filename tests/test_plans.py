@@ -704,3 +704,37 @@ def test_closed_form_ntile_matches_builtin(spark):
             got.join(exp, "i").filter(F.col("t2") != F.col("t")).count()
         )
         assert bad == 0, f"n={n}"
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """The race must be TakeOrdered (per-partition top-k + k-row driver
+    merge), not a global sort of the table."""
+    plan = formatted_plan(QUERIES["weighted_sample_wor"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bootstrap_single_aggregate(spark, sf_dir):
+    """32 replicates = ONE map-side-combinable aggregate: partial+final
+    HashAggregate around a 32-row exchange; no join, no window."""
+    import re as _re
+
+    df = QUERIES["bootstrap_mean_ci"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(_re.findall(r"^\(\d+\) HashAggregate", plan, _re.M)) == 2
+    assert ") Window" not in plan
+    assert "Join" not in plan
+
+
+def test_benford_digit_pushdown(spark, sf_dir):
+    """The o_totalprice > 0 filter reaches the parquet scan and only the
+    needed column is read."""
+    plan = formatted_plan(QUERIES["benford_price_audit"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_totalprice" in read_schema and "o_orderkey" not in read_schema
+
+
+def test_cross_source_overlap_no_cartesian(spark, sf_dir):
+    plan = formatted_plan(QUERIES["cross_source_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
