@@ -46,3 +46,56 @@ def test_rank_and_prefix_match_sorted_enumeration(spark, rows, nparts):
         run += v
         expected[uid] = (rank, run)
     assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.data_too_large,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(-3, 3), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(0, 100),
+)
+def test_rank_cut_helpers_match_sequential(spark, rows, pct):
+    """cum_counts_over_values + boundary_rank_keep == the sequential
+    'keep the globally lowest-ranked K rows ordered by (value, id)' —
+    for ANY tie distribution and ANY cut percentage. This is the exact
+    machinery behind the corpus NLL gate and the threshold sweep."""
+    from pyspark.sql import functions as F
+
+    from bigdata_2025_1_spark.functions.ranks import (
+        boundary_rank_keep,
+        cum_counts_over_values,
+    )
+
+    data = [(i, v) for i, (v, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, v long")
+    n = len(data)
+    kcut = pct * n // 100
+
+    vals = df.groupBy("v").agg(F.count("*").alias("vc"))
+    cum = cum_counts_over_values(vals, "v")
+    joined = df.join(cum, "v").withColumn("kcut", F.lit(kcut))
+    kept_full = joined.filter(F.col("cum_before") + F.col("vc") <= F.col("kcut"))
+    boundary = joined.filter(
+        (F.col("cum_before") < F.col("kcut"))
+        & (F.col("cum_before") + F.col("vc") > F.col("kcut"))
+    )
+    kept_part = boundary_rank_keep(boundary, "id", ["v"])
+    got = sorted(
+        r.id for r in kept_full.select("id").union(kept_part.select("id")).collect()
+    )
+
+    expect = sorted(
+        i for i, _ in sorted(data, key=lambda t: (t[1], t[0]))[:kcut]
+    )
+    assert got == expect, (kcut, got, expect)
