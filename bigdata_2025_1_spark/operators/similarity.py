@@ -1111,7 +1111,8 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.col("cn.cell").alias("cell"),
         F.col("cn.nsq").alias("nsq"),
-    )
+    ).persist()  # feeds BOTH sides of the cell self-join — without this
+    # the Arrow encode pass runs twice; released by harness clearCache
     a = assigned.select(
         F.col("cell"),
         F.col("vec_id").alias("keep_id"),

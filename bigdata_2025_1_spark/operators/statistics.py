@@ -1306,7 +1306,9 @@ _MI_PAIRS_SQL = f"""
            mi.mi_w_i6::DOUBLE / nn.n / 1e6 AS mi_nats,
            hx.hx_w_i6::DOUBLE / nn.n / 1e6 AS h_x,
            hy.hy_w_i6::DOUBLE / nn.n / 1e6 AS h_y,
-           mi.mi_w_i6::DOUBLE / least(hx.hx_w_i6, hy.hy_w_i6) AS nmi
+           CASE WHEN least(hx.hx_w_i6, hy.hy_w_i6) > 0
+                THEN mi.mi_w_i6::DOUBLE / least(hx.hx_w_i6, hy.hy_w_i6)
+           END AS nmi
     FROM mi
     JOIN nn USING (pair) JOIN hx USING (pair) JOIN hy USING (pair)
     ORDER BY pair
@@ -1397,7 +1399,13 @@ def column_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mi_w_i6").cast("double") / F.col("n") / F.lit(1e6)).alias("mi_nats"),
             (F.col("hx_w_i6").cast("double") / F.col("n") / F.lit(1e6)).alias("h_x"),
             (F.col("hy_w_i6").cast("double") / F.col("n") / F.lit(1e6)).alias("h_y"),
-            (F.col("mi_w_i6").cast("double") / F.least("hx_w_i6", "hy_w_i6")).alias("nmi"),
+            # NULL (not a crash) when a column is constant: H = 0 makes
+            # the NMI ratio undefined, and ANSI mode turns the bare
+            # division into a job failure exactly there
+            F.when(
+                F.least("hx_w_i6", "hy_w_i6") > 0,
+                F.col("mi_w_i6").cast("double") / F.least("hx_w_i6", "hy_w_i6"),
+            ).alias("nmi"),
         )
         .orderBy("pair")
     )
