@@ -1165,7 +1165,8 @@ MARGIN_TOP = 40  # pairs reported
                / {MARGIN_K} / 1e12 AS avg_topk
       FROM ranked WHERE rk <= {MARGIN_K} GROUP BY src_id
     ), best AS (
-      SELECT r.src_id, r.tgt_id, r.cosine, r.cosine / d.avg_topk AS margin
+      SELECT r.src_id, r.tgt_id, r.cosine,
+             CASE WHEN d.avg_topk <> 0 THEN r.cosine / d.avg_topk END AS margin
       FROM ranked r JOIN denom d USING (src_id) WHERE r.rk = 1
     )
     SELECT src_id, tgt_id, cosine, margin, CAST(mrank AS INT) AS mrank
@@ -1237,7 +1238,12 @@ def margin_candidate_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_id",
             "tgt_id",
             "cosine",
-            (F.col("cosine") / F.col("avg_topk")).alias("margin"),
+            # NULL margin when the k-neighborhood sums to exactly zero
+            # cosine (orthogonal probe) — ANSI would fail the job on the
+            # bare division; DuckDB would emit inf; CASE on both sides
+            F.when(
+                F.col("avg_topk") != 0, F.col("cosine") / F.col("avg_topk")
+            ).alias("margin"),
         )
     )
     top = best.orderBy(F.desc("margin"), "src_id").limit(MARGIN_TOP)

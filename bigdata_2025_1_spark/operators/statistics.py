@@ -1586,7 +1586,9 @@ _SQL_BOOT_R = sql_md5_int(
       FROM w GROUP BY b
     )
     SELECT b, CAST(n_eff AS BIGINT) AS n_eff,
-           CAST(s_cents AS BIGINT)::DOUBLE / n_eff / 100 AS mean_value
+           CASE WHEN n_eff > 0
+                THEN CAST(s_cents AS BIGINT)::DOUBLE / n_eff / 100
+           END AS mean_value
     FROM agg
     ORDER BY b
     """,
@@ -1651,7 +1653,13 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "b",
             F.col("n_eff").cast("bigint").alias("n_eff"),
-            (F.col("s_cents").cast("double") / F.col("n_eff") / F.lit(100)).alias("mean_value"),
+            # a replicate can draw weight 0 for EVERY row of a tiny
+            # table (P ≈ 0.37 per replicate at n = 1) — NULL mean, not
+            # an ANSI divide-by-zero failure
+            F.when(
+                F.col("n_eff") > 0,
+                F.col("s_cents").cast("double") / F.col("n_eff") / F.lit(100),
+            ).alias("mean_value"),
         )
         .orderBy("b")
     )
