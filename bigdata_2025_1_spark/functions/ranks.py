@@ -133,6 +133,16 @@ def with_prefix_min(
     broadcast back (no single-partition window anywhere)."""
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # DETERMINISM ASSUMPTION (shared with with_global_rank): the
+    # `parts` subtree below is evaluated TWICE — once for the tiny
+    # per-partition min table, once inside mapInPandas — and
+    # correctness requires both evaluations to assign IDENTICAL
+    # spark_partition_id values to identical rows. That holds because
+    # RangePartitioner's boundary sampling is seed-deterministic over a
+    # deterministic scan (same input → same boundaries → same pid). If
+    # a future Spark version or an AQE change breaks that, persist
+    # `parts` before fanning out to the two consumers;
+    # tests/test_ranks_property.py would catch the drift.
     parts = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
@@ -183,6 +193,32 @@ def with_prefix_min(
         .withColumn(out_col, F.least(F.col("_lmin"), F.col("_moff")))
         .drop("_pid", "_lmin", "_moff")
     )
+
+
+def rank_after_limit(
+    df: DataFrame,
+    order_by: list,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Distributed top-k, then rank ONLY the survivors: ``orderBy(...)
+    .limit(k)`` compiles to ``TakeOrderedAndProject`` (per-partition
+    partial top-k merged on the driver — no global sort, no data-sized
+    shuffle), and the unpartitioned ``row_number`` window that follows
+    runs over AT MOST ``k`` rows. Spark logs its "No Partition Defined
+    for Window operation" warning at that second step — here it is
+    EXPECTED AND BENIGN: the window input is k-bounded by construction,
+    never data-sized, so the single partition holds ≤ k rows at any
+    corpus scale. Every top-k-with-rank query in the repo routes through
+    this helper so the idiom is self-documenting and grep-able.
+
+    ``order_by`` is the shared total order (Columns, e.g.
+    ``[F.desc("score"), F.col("id")]``); it must be a total order (unique
+    tiebreaker) for the rank to be deterministic. ``rank_col`` is int32 —
+    safe because k bounds it."""
+    top = df.orderBy(*order_by).limit(k)
+    rank = F.row_number().over(Window.orderBy(*order_by))
+    return top.withColumn(rank_col, rank.cast("int"))
 
 
 def cum_counts_over_values(

@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions import text as T
-from bigdata_2025_1_spark.functions.ranks import boundary_rank_keep, cum_counts_over_values
+from bigdata_2025_1_spark.functions.ranks import (
+    boundary_rank_keep,
+    cum_counts_over_values,
+    rank_after_limit,
+)
 from bigdata_2025_1_spark.io import load, spread
 from bigdata_2025_1_spark.registry import query
 
@@ -248,10 +252,10 @@ def pmi_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(pmi_arg) * F.lit(1e6)).cast("bigint").alias("pmi_i6"),
         )
     )
-    top = scored.orderBy(F.desc("pmi_i6"), "tok_a", "tok_b").limit(PMI_TOP_K)
-    rank = F.row_number().over(Window.orderBy(F.desc("pmi_i6"), "tok_a", "tok_b"))
     return (
-        top.withColumn("rank", rank.cast("int"))
+        rank_after_limit(
+            scored, [F.desc("pmi_i6"), F.col("tok_a"), F.col("tok_b")], PMI_TOP_K
+        )
         .select(
             "tok_a",
             "tok_b",

@@ -14,6 +14,7 @@ from pyspark.sql import types as T
 from bigdata_2025_1_spark.functions.asof import asof_attach_last
 from bigdata_2025_1_spark.functions.exact import exact_sum, sql_exact_sum
 from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.functions.ranks import rank_after_limit
 from bigdata_2025_1_spark.registry import query
 from bigdata_2025_1_spark.sources.kafka_shape import to_kafka_message
 
@@ -1181,14 +1182,12 @@ def seasonal_hourly_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - F.col("n_prev_week")).cast("bigint").alias("residual"),
         )
     )
-    top = res.orderBy(F.abs(F.col("residual")).desc(), "event_type", "hour").limit(
-        SEASONAL_TOP
-    )
-    rank = F.row_number().over(
-        Window.orderBy(F.abs(F.col("residual")).desc(), "event_type", "hour")
-    )
     return (
-        top.withColumn("rank", rank.cast("int"))
+        rank_after_limit(
+            res,
+            [F.abs(F.col("residual")).desc(), F.col("event_type"), F.col("hour")],
+            SEASONAL_TOP,
+        )
         .select("event_type", "hour", "n", "n_prev_week", "residual", "rank")
         .orderBy("rank")
     )

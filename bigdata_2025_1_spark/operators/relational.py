@@ -27,6 +27,7 @@ from bigdata_2025_1_spark.functions.exact import (
 )
 from bigdata_2025_1_spark.functions import text as T
 from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.functions.ranks import rank_after_limit
 from bigdata_2025_1_spark.registry import query
 
 
@@ -1198,14 +1199,12 @@ def part_popularity_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lineitems"),
         )
     )
-    top = pop.orderBy(
-        F.desc("n_customers"), F.desc("n_lineitems"), "partkey"
-    ).limit(REC_TOP_K)
-    rank = F.row_number().over(
-        Window.orderBy(F.desc("n_customers"), F.desc("n_lineitems"), "partkey")
-    )
     return (
-        top.withColumn("rank", rank.cast("int"))
+        rank_after_limit(
+            pop,
+            [F.desc("n_customers"), F.desc("n_lineitems"), F.col("partkey")],
+            REC_TOP_K,
+        )
         .join(F.broadcast(part), F.col("p_partkey") == F.col("partkey"))
         .select(F.col("p_name").alias("part"), "n_customers", "n_lineitems", "rank")
         .orderBy("rank")

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from bigdata_2025_1_spark.functions import text as T
 from bigdata_2025_1_spark.functions import vectors as V
 from bigdata_2025_1_spark.io import load, spread
+from bigdata_2025_1_spark.functions.ranks import rank_after_limit
 from bigdata_2025_1_spark.registry import query
 
 RRF_K = 60
@@ -223,10 +224,8 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Top-k FIRST (TakeOrdered — distributed partial top-k, no global
     # sort/window over every scoring doc), then rank the k survivors.
-    top = agg.orderBy(F.desc("bm25_i6"), "doc_id").limit(BM25_TOP)
-    rank = F.row_number().over(Window.orderBy(F.desc("bm25_i6"), "doc_id"))
     return (
-        top.withColumn("rank", rank.cast("int"))
+        rank_after_limit(agg, [F.desc("bm25_i6"), F.col("doc_id")], BM25_TOP)
         .select(
             "doc_id",
             (F.col("bm25_i6").cast("double") / F.lit(1e6)).alias("bm25"),

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions import vectors as V
 from bigdata_2025_1_spark.io import load, spread
+from bigdata_2025_1_spark.functions.ranks import rank_after_limit
 from bigdata_2025_1_spark.registry import query
 
 N_QUERY_VECS = 50  # brute-force query subset: realistic "probe set" shape
@@ -1246,10 +1247,8 @@ def margin_candidate_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("margin"),
         )
     )
-    top = best.orderBy(F.desc("margin"), "src_id").limit(MARGIN_TOP)
-    mrank = F.row_number().over(Window.orderBy(F.desc("margin"), "src_id"))
     return (
-        top.withColumn("mrank", mrank.cast("int"))
+        rank_after_limit(best, [F.desc("margin"), F.col("src_id")], MARGIN_TOP, rank_col="mrank")
         .select("src_id", "tgt_id", "cosine", "margin", "mrank")
         .orderBy("mrank")
     )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions.hashing import md5_int, sql_md5_int
 from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.functions.ranks import rank_after_limit
 from bigdata_2025_1_spark.registry import query
 
 # SCD1 cutover: orders before the cutoff form the standing snapshot, the
@@ -437,10 +438,10 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.round(-F.log(u) / F.col("n_chars") * F.lit(1e12)).cast("bigint").alias("key_i12"),
     )
-    top = keyed.orderBy("key_i12", "doc_id").limit(WSAMPLE_K)
-    rank = F.row_number().over(Window.orderBy("key_i12", "doc_id"))
     return (
-        top.withColumn("sample_rank", rank.cast("int"))
+        rank_after_limit(
+            keyed, [F.col("key_i12"), F.col("doc_id")], WSAMPLE_K, rank_col="sample_rank"
+        )
         .select(
             "sample_rank",
             "doc_id",

@@ -13,6 +13,7 @@ from bigdata_2025_1_spark.functions import text as T
 from bigdata_2025_1_spark.functions.hashing import md5_int, sql_md5_int
 from bigdata_2025_1_spark.functions.exact import sql_int_avg
 from bigdata_2025_1_spark.io import load, spread
+from bigdata_2025_1_spark.functions.ranks import rank_after_limit
 from bigdata_2025_1_spark.registry import query
 
 # DuckDB mirror of functions/text.py lang_id: score = count of tokens in
@@ -758,10 +759,8 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (-F.col("s_i6").cast("double") / F.col("n_tokens") / F.lit(1e6)).alias("nll"),
     )
-    top = scored.orderBy(F.desc("nll"), "doc_id").limit(LP_TOP_K)
-    rank = F.row_number().over(Window.orderBy(F.desc("nll"), "doc_id"))
     return (
-        top.withColumn("rank", rank.cast("int"))
+        rank_after_limit(scored, [F.desc("nll"), F.col("doc_id")], LP_TOP_K)
         .select("doc_id", "n_tokens", "nll", "rank")
         .orderBy("rank")
     )
@@ -864,10 +863,10 @@ def token_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    top = rules.orderBy(F.desc("lift"), "antecedent", "consequent").limit(RULE_TOP_K)
-    rank = F.row_number().over(Window.orderBy(F.desc("lift"), "antecedent", "consequent"))
     return (
-        top.withColumn("rank", rank.cast("int"))
+        rank_after_limit(
+            rules, [F.desc("lift"), F.col("antecedent"), F.col("consequent")], RULE_TOP_K
+        )
         .select("antecedent", "consequent", "n_ab", "confidence", "lift", "rank")
         .orderBy("rank")
     )
@@ -1202,10 +1201,8 @@ def bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll2"),
         )
     )
-    top = scored.orderBy(F.desc("nll2"), "doc_id").limit(BG_TOP_K)
-    rank = F.row_number().over(Window.orderBy(F.desc("nll2"), "doc_id"))
     return (
-        top.withColumn("rank", rank.cast("int"))
+        rank_after_limit(scored, [F.desc("nll2"), F.col("doc_id")], BG_TOP_K)
         .select("doc_id", "n_tokens", "nll2", "rank")
         .orderBy("rank")
     )
