@@ -1301,12 +1301,22 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: position explosion is linear in corpus BYTES (the same
     pass a real CDC chunker makes); boundary detection is map-only; span
-    assembly is a per-document window (partitioned by doc_id — never
-    global); the cross-corpus shuffle moves only 16-byte chunk hashes,
-    grouped map-side-combinably. Top-k is a rank over the ≥2-doc shared
-    subset only. At 100 TB the chunk table is the dedup store: new
-    documents chunk independently and join against it incrementally —
-    the same update path as ``dedup_incremental_lsh``."""
+    assembly is a per-document window over the SKINNY ``(doc_id, s)``
+    bounds table — 16-byte rows, so the window sort buffers ~len/64 tiny
+    rows per document, never the text (joining ``text`` before the
+    window would make each buffered row carry the full document:
+    ~len²/64 bytes through the sort for one document — the shape
+    ``tests/test_plans.py::test_cdc_window_input_is_skinny`` pins
+    against). ``text`` joins back AFTER span assembly and the substring
+    runs in a pipelined projection, never buffered. The cross-corpus
+    shuffle moves only 16-byte chunk hashes, grouped map-side-
+    combinably. Top-k is a rank over the ≥2-doc shared subset only. At
+    100 TB the chunk table is the dedup store: new documents chunk
+    independently and join against it incrementally — the same update
+    path as ``dedup_incremental_lsh``. (The position explode
+    materializes an int array per doc — ~8 bytes/char of transient heap,
+    acceptable; a width-bounded generator would remove even that
+    spike.)"""
     docs = spread(load(spark, sf_dir, "documents")).filter(
         F.length("text") >= CDC_WINDOW
     )
@@ -1323,11 +1333,14 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     w = Window.partitionBy("doc_id").orderBy("s")
+    # lead() over the 16-byte (doc_id, s) rows FIRST; text joins back
+    # after the window so the sort never buffers document bodies
     spans = (
-        bounds.join(docs.select("doc_id", "text"), "doc_id")
+        bounds.withColumn("nxt", F.lead("s").over(w))
+        .join(docs.select("doc_id", "text"), "doc_id")
         .withColumn(
             "chunk_len",
-            F.coalesce(F.lead("s").over(w), F.length("text").cast("bigint") + 1)
+            F.coalesce(F.col("nxt"), F.length("text").cast("bigint") + 1)
             - F.col("s"),
         )
         .filter(F.col("chunk_len") > 0)

@@ -61,6 +61,23 @@ def single_partition_exchange_inputs(df: DataFrame) -> list[str]:
     return out
 
 
+def window_node_inputs(df: DataFrame) -> list[str]:
+    """The ``Input`` column list of every ``Window`` node in the
+    formatted plan. The row-width pin: a window's sort buffers its whole
+    input rows, so no wide payload column (e.g. a document ``text``
+    body) may enter a window — compute on skinny keys first, join the
+    payload back after."""
+    plan = formatted_plan(df)
+    out = []
+    blocks = re.split(r"^\(\d+\) ", plan, flags=re.MULTILINE)
+    for b in blocks:
+        if not (b.startswith("Window ") or b.startswith("Window\n")):
+            continue
+        m = re.search(r"^Input(?: \[\d+\])?: (.*)$", b, flags=re.MULTILINE)
+        out.append(m.group(1) if m else "")
+    return out
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan — the scale
     currency. (Broadcast exchanges are not counted; they are the cheap

@@ -738,3 +738,18 @@ def test_cross_source_overlap_no_cartesian(spark, sf_dir):
     plan = formatted_plan(QUERIES["cross_source_overlap"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_window_input_is_skinny(spark, sf_dir):
+    """Round-6 fix pin (VERDICT r5 "What's wrong" #1): cdc_chunk_dedup's
+    span-assembly window must sort only the 16-byte (doc_id, s) bounds
+    rows. If `text` joins in before the window, WindowExec buffers
+    ~len/64 rows EACH carrying the full document — ~len²/64 bytes spilled
+    for one large document."""
+    from bigdata_2025_1_spark.plans.explain import window_node_inputs
+
+    df = QUERIES["cdc_chunk_dedup"](spark, sf_dir)
+    inputs = window_node_inputs(df)
+    assert inputs, "expected a span-assembly Window node"
+    wide = [i for i in inputs if "text" in i]
+    assert not wide, wide
