@@ -201,12 +201,14 @@ def sql_srp_signature_from(se: str, planes: list[list[int]]) -> str:
 # ---------------------------------------------------------------------------
 
 
-def ivf_centroids(cells: int = 16, dim: int = 64) -> list[list[int]]:
+def ivf_centroids(cells: int = 16, dim: int = 64, prefix: str = "ivf") -> list[list[int]]:
     """Deterministic ±1 coarse-quantizer directions (see
     :func:`_md5_pm1_matrix`; distinct prefix keeps them independent of
-    the SRP planes). Cell of a vector = argmax over centroids of the
-    exact int64-scaled projection; ties break to the lowest cell index."""
-    return _md5_pm1_matrix("ivf", cells, dim)
+    the SRP planes — pass a different ``prefix`` for an independent
+    second-level quantizer). Cell of a vector = argmax over centroids of
+    the exact int64-scaled projection; ties break to the lowest cell
+    index."""
+    return _md5_pm1_matrix(prefix, cells, dim)
 
 
 def _exact_proj_from(E: np.ndarray, C: np.ndarray) -> np.ndarray:
@@ -242,6 +244,36 @@ def make_ivf_cell_pandas(centroids: list[list[int]]):
         return pd.DataFrame({"cell": cell, "nsq": _exact_norm_from(E)})
 
     return ivf_cell_pd
+
+
+def make_ivf_cell2_pandas(centroids: list[list[int]], sub_centroids: list[list[int]]):
+    """Fused TWO-LEVEL coarse-quantizer assignment + norm in ONE Arrow
+    pass: first-level cell (argmax over ``centroids``), second-level
+    sub-cell (argmax over the independent ``sub_centroids`` — the
+    oversized-cell re-split key of ``semantic_dedup_pairs``), and the
+    exact scaled squared norm. The batch is stacked and int64-scaled
+    ONCE and shared by all three computations. np.argmax returns the
+    FIRST max — the lowest-index tie-break the SQL mirror reproduces
+    with ``list_position(projs, list_max(projs))``."""
+    from pyspark.sql.functions import pandas_udf
+
+    C1 = np.array(centroids, dtype=np.int64)
+    C2 = np.array(sub_centroids, dtype=np.int64)
+
+    @pandas_udf("struct<cell: int, sub: int, nsq: bigint>")
+    def ivf_cell2_pd(emb: pd.Series) -> pd.DataFrame:
+        E = np.stack(emb.to_numpy()).astype(np.float64)
+        E9 = E * 1e9
+        S = (np.sign(E9) * np.floor(np.abs(E9) + 0.5)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "cell": np.argmax(S @ C1.T, axis=1).astype(np.int32),
+                "sub": np.argmax(S @ C2.T, axis=1).astype(np.int32),
+                "nsq": _exact_norm_from(E),
+            }
+        )
+
+    return ivf_cell2_pd
 
 
 def make_ivf_probes_pandas(centroids: list[list[int]], n_probe: int):

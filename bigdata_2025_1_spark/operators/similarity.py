@@ -1041,6 +1041,47 @@ def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SemDeDup: cluster-then-pair semantic deduplication ------------------
 
+SEM_CELL_CAP = 20  # first-level cells larger than this re-split (sf0.01
+# max cell is 25, so the driver compare exercises BOTH key paths)
+SEM_HARD_CAP = 10_000  # largest allowed (cell, subkey) group — the same
+# never-silently-quadratic bound as dedup_embedding_cosine's anchor guard
+N_SUBCELLS = 8  # second-level quantizer fan-out
+_SUB_CENTROIDS = V.ivf_centroids(cells=N_SUBCELLS, dim=_DIM, prefix="ivf-sub")
+
+
+def semdedup_keyed_assignment(emb: DataFrame, cell_cap: int) -> DataFrame:
+    """The SemDeDup pairing-key stage, reusable so tests can drive it
+    with adversarial inputs: one fused Arrow pass assigns every vector
+    its first-level ``cell``, second-level ``sub`` and exact ``nsq``;
+    a cell-cardinality-sized count then re-splits every cell larger
+    than ``cell_cap`` by the second-level key (``subkey = sub`` inside
+    oversized cells, 0 elsewhere — small cells pair whole, exactly as
+    the un-split operator did). Returns (vec_id, embedding, cell, nsq,
+    subkey); persisted — it feeds both sides of the pair self-join AND
+    the hard-cap guard."""
+    cell2_pd = V.make_ivf_cell2_pandas(_CENTROIDS, _SUB_CENTROIDS)
+    assigned = (
+        emb.select("vec_id", "embedding", cell2_pd(F.col("embedding")).alias("cn"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("cn.cell").alias("cell"),
+            F.col("cn.sub").alias("sub"),
+            F.col("cn.nsq").alias("nsq"),
+        )
+        .persist()  # feeds both join sides + the guard count — without
+        # this the Arrow encode pass runs 3x; released by harness clearCache
+    )
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("n_cell"))
+    return (
+        assigned.join(F.broadcast(sizes), "cell")
+        .withColumn(
+            "subkey",
+            F.when(F.col("n_cell") > cell_cap, F.col("sub")).otherwise(F.lit(0)),
+        )
+        .drop("n_cell", "sub")
+    )
+
 
 @query(
     "semantic_dedup_pairs",
@@ -1051,24 +1092,26 @@ def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), proj AS MATERIALIZED (
       SELECT vec_id, embedding, nsq,
-             {V.sql_ivf_projs_from('se', _CENTROIDS)} AS projs
+             {V.sql_ivf_projs_from('se', _CENTROIDS)} AS projs,
+             {V.sql_ivf_projs_from('se', _SUB_CENTROIDS)} AS sprojs
       FROM se
-    ), cells AS (
-      SELECT vec_id, embedding, nsq, CAST(r.cell AS INT) AS cell,
-             projs[r.cell + 1] AS p
-      FROM proj CROSS JOIN range({N_CELLS}) r(cell)
     ), assigned AS MATERIALIZED (
-      SELECT vec_id, embedding, nsq, cell FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY p DESC, cell) AS crk
-        FROM cells
-      ) WHERE crk = 1
+      SELECT vec_id, embedding, nsq,
+             CAST(list_position(projs, list_max(projs)) - 1 AS INT) AS cell,
+             CAST(list_position(sprojs, list_max(sprojs)) - 1 AS INT) AS sub
+      FROM proj
+    ), sized AS (
+      SELECT cell, COUNT(*) AS n_cell FROM assigned GROUP BY cell
+    ), keyed AS MATERIALIZED (
+      SELECT a.vec_id, a.embedding, a.nsq, a.cell,
+             CASE WHEN s.n_cell > {SEM_CELL_CAP} THEN a.sub ELSE 0 END AS subkey
+      FROM assigned a JOIN sized s USING (cell)
     ), scored AS (
       SELECT a.cell AS cell, a.vec_id AS keep_id, b.vec_id AS drop_id,
              {V.sql_dot_scaled('a.embedding', 'b.embedding', _DIM)}::DOUBLE
                / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE)) AS cosine
-      FROM assigned a JOIN assigned b
-        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      FROM keyed a JOIN keyed b
+        ON a.cell = b.cell AND a.subkey = b.subkey AND a.vec_id < b.vec_id
     )
     SELECT cell, keep_id, drop_id, cosine
     FROM scored WHERE cosine >= {NEAR_DUP_COS}
@@ -1090,38 +1133,55 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror it), which is the shape that lets the 100 TB run write the
     corpus partitioned by cell and dedup each cell independently.
 
-    Determinism: cell = argmax of exact int64 projections (ties to the
-    lowest cell); cosine from exact int64 dots/norms — identical IEEE
-    ops in both engines.
+    Oversized cells RE-SPLIT (the paper's own remedy, implemented): any
+    first-level cell with more than ``SEM_CELL_CAP`` members is further
+    keyed by an independent second-level quantizer (``N_SUBCELLS``
+    directions), so the pairing key becomes (cell, subkey) and the
+    quadratic term is bounded by the largest SUB-cell. Cross-sub pairs
+    inside an oversized cell are the documented recall trade — the same
+    one the first level already makes between cells. A hard guard
+    (``SEM_HARD_CAP``, the ``dedup_embedding_cosine`` pattern) raises if
+    any pairing group is still oversized — identical-vector floods
+    belong to exact dedup upstream; this operator is never silently
+    quadratic (``tests/test_scale_guards.py``).
 
-    Scale shape: one Arrow pass for cell+norm, a cell-keyed equi-join
-    (never all-pairs — the quadratic term is bounded by the largest
-    cell; cells are capped in practice by re-splitting oversized cells,
-    the same remedy the paper applies), exact cosine on candidates only.
-    Shuffle keys are (cell) then nothing — no global sort; the output
-    ordering is the driver-side presentation ORDER BY."""
+    Determinism: cell/sub = argmax of exact int64 projections (ties to
+    the lowest index — np.argmax first-max == list_position first
+    occurrence); cosine from exact int64 dots/norms — identical IEEE ops
+    in both engines.
+
+    Scale shape: one Arrow pass for cell+sub+norm, a cell-cardinality-
+    sized count to pick the re-split cells, a (cell, subkey)-keyed
+    equi-join (never all-pairs), exact cosine on candidates only.
+    Shuffle keys are (cell, subkey) then nothing — no global sort; the
+    output ordering is the driver-side presentation ORDER BY."""
     emb = load(spark, sf_dir, "embeddings")
-    cell_pd = V.make_ivf_cell_pandas(_CENTROIDS)
+    keyed = semdedup_keyed_assignment(emb, SEM_CELL_CAP)
+    biggest = (
+        keyed.groupBy("cell", "subkey")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("m"))
+        .first()["m"]
+    )
+    if biggest is not None and biggest > SEM_HARD_CAP:
+        raise ValueError(
+            f"semantic_dedup_pairs: a pairing group holds {biggest} vectors "
+            f"(limit {SEM_HARD_CAP}) even after the second-level re-split — "
+            "near-identical embedding flood; run dedup_exact_hash / "
+            "dedup_embedding_cosine on the offending group or raise "
+            "N_SUBCELLS before pairing"
+        )
     dot_pd = V.make_dot_scaled_pandas()
-    assigned = emb.select(
-        "vec_id",
-        "embedding",
-        cell_pd(F.col("embedding")).alias("cn"),
-    ).select(
-        "vec_id",
-        "embedding",
-        F.col("cn.cell").alias("cell"),
-        F.col("cn.nsq").alias("nsq"),
-    ).persist()  # feeds BOTH sides of the cell self-join — without this
-    # the Arrow encode pass runs twice; released by harness clearCache
-    a = assigned.select(
+    a = keyed.select(
         F.col("cell"),
+        F.col("subkey"),
         F.col("vec_id").alias("keep_id"),
         F.col("embedding").alias("emb_a"),
         F.col("nsq").alias("nsq_a"),
     )
-    b = assigned.select(
+    b = keyed.select(
         F.col("cell"),
+        F.col("subkey"),
         F.col("vec_id").alias("drop_id"),
         F.col("embedding").alias("emb_b"),
         F.col("nsq").alias("nsq_b"),
@@ -1130,7 +1190,7 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_pd(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
     )
     return (
-        a.join(b, ["cell"])
+        a.join(b, ["cell", "subkey"])
         .filter(F.col("keep_id") < F.col("drop_id"))
         .select("cell", "keep_id", "drop_id", cosine.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)

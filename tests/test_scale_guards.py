@@ -28,3 +28,70 @@ def test_embedding_cosine_guard_raises_on_large_input(spark, tmp_path):
 def test_embedding_cosine_runs_on_fixture(spark, sf_dir):
     # below the guard threshold the anchor still works
     assert dedup_embedding_cosine(spark, sf_dir).count() >= 0
+
+
+def _one_cell_embeddings(spark, n, noise_scale):
+    """n 64-dim vectors engineered to all land in first-level cell
+    argmax(proj onto _CENTROIDS): 10x the first centroid direction plus
+    (optionally) small deterministic noise. Base projection onto C0 is
+    640e9 scaled units; |cross-projections| stay well under half that."""
+    import numpy as np
+
+    from bigdata_2025_1_spark.operators.similarity import _CENTROIDS
+
+    rng = np.random.default_rng(7)
+    c0 = np.array(_CENTROIDS[0], dtype=np.float64)
+    vecs = 10.0 * c0 + noise_scale * rng.standard_normal((n, 64))
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id: long, embedding: array<double>",
+    )
+
+
+def test_semdedup_oversized_cell_resplits(spark):
+    """VERDICT r5 #2: an adversarial all-one-first-level-cell input must
+    RE-SPLIT by the second-level quantizer, never pair quadratically in
+    one group."""
+    from pyspark.sql import functions as F
+
+    from bigdata_2025_1_spark.operators.similarity import semdedup_keyed_assignment
+
+    n = 200
+    # noise 6.0 empirically keeps ALL vectors in first-level cell 0
+    # (projection gap ~55 sigma) while spreading them over >=3 sub-cells
+    keyed = semdedup_keyed_assignment(_one_cell_embeddings(spark, n, 6.0), cell_cap=20)
+    groups = keyed.groupBy("cell", "subkey").count().collect()
+    assert len({r.cell for r in groups}) == 1  # adversarial premise holds
+    assert len(groups) > 1, "oversized cell did not re-split"
+    assert max(r["count"] for r in groups) < n
+    spark.catalog.clearCache()
+
+
+def test_semdedup_hard_guard_raises_on_identical_flood(spark, tmp_path):
+    """Identical vectors defeat any quantizer re-split — the hard cap
+    must raise (routing to exact dedup), never silently go quadratic."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_2025_1_spark.operators import similarity as S
+
+    sf = str(tmp_path)
+    n = S.SEM_HARD_CAP + 1
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 64).alias("embedding"),
+    )
+    emb.write.parquet(f"{sf}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="never.*quadratic|re-split|dedup_exact_hash"):
+        S.semantic_dedup_pairs(spark, sf)
+    spark.catalog.clearCache()
+
+
+def test_semdedup_small_cells_pair_whole(spark):
+    """Below the cap the subkey collapses to 0 — small cells keep the
+    un-split pairing semantics."""
+    from bigdata_2025_1_spark.operators.similarity import semdedup_keyed_assignment
+
+    keyed = semdedup_keyed_assignment(_one_cell_embeddings(spark, 15, 0.5), cell_cap=20)
+    assert keyed.filter("subkey != 0").count() == 0
+    spark.catalog.clearCache()
