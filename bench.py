@@ -134,6 +134,7 @@ HEADLINE = [
     "bootstrap_mean_ci",
     "harmonic_centrality_trade",
     "contrastive_triplet_mining",
+    "sq8_quantization_error",  # ADVICE r5: was the one r5 query unbenched
 ]
 
 

@@ -388,20 +388,23 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS err_i12
       FROM coded
     ), rel AS (
-      SELECT label,
-             CAST(ROUND(err_i12::DOUBLE / nsq * 1e9) AS BIGINT) AS rel_i9
-      FROM errs WHERE nsq > 0
-    ), z AS (
-      SELECT label, COUNT(*) AS nz FROM errs WHERE nsq = 0 GROUP BY label
+      SELECT label, nsq,
+             CASE WHEN nsq > 0
+                  THEN CAST(ROUND(err_i12::DOUBLE / nsq * 1e9) AS BIGINT)
+             END AS rel_i9
+      FROM errs
     )
-    SELECT r.label AS label,
+    SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           CAST(SUM(r.rel_i9) AS BIGINT)::DOUBLE / COUNT(*) / 1e9 AS mean_rel_err,
-           CAST(MAX(r.rel_i9) AS BIGINT)::DOUBLE / 1e9 AS max_rel_err,
-           CAST(COALESCE(MAX(z.nz), 0) AS BIGINT) AS n_zero_vectors
-    FROM rel r LEFT JOIN z ON z.label = r.label
-    GROUP BY r.label
-    ORDER BY r.label
+           CASE WHEN COUNT(rel_i9) > 0
+                THEN SUM(rel_i9)::DOUBLE / COUNT(rel_i9) / 1e9 END AS mean_rel_err,
+           CASE WHEN COUNT(rel_i9) > 0
+                THEN MAX(rel_i9)::DOUBLE / 1e9 END AS max_rel_err,
+           CAST(SUM(CASE WHEN nsq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_vectors
+    FROM rel
+    GROUP BY label
+    ORDER BY label
     """,
 )
 def sq8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,8 +419,12 @@ def sq8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the reconstruction delta is a fixed IEEE op sequence
     per element rounded once to 1e-12ths and summed in int64; the
     per-vector relative ratio is rounded once to 1e-9ths; cohort mean =
-    exact int sum / count. nsq = 0 vectors are EXCLUDED from the ratio
-    (ANSI divide-by-zero is a job failure, not a NaN) and reported.
+    exact int sum / count-of-ratios. nsq = 0 vectors are EXCLUDED from
+    the ratio (ANSI divide-by-zero is a job failure, not a NaN) but
+    COUNTED: every label appears — n_vectors counts ALL its vectors,
+    n_zero_vectors its all-zero ones, and mean/max are NULL for a label
+    with no nonzero vector, so the zero-vector audit reports exactly
+    the cohort it exists to flag (an all-zero label formerly vanished).
 
     Scale shape: map-only per-vector arithmetic; one label-keyed
     map-side-combinable aggregate; output is cohort-sized. The audit
@@ -446,21 +453,30 @@ def sq8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nsq",
         F.when(F.col("s") == 0, F.lit(0).cast("bigint")).otherwise(err_i12).alias("err_i12"),
     )
-    rel = errs.filter(F.col("nsq") > 0).select(
+    rel = errs.select(
         "label",
-        F.round(F.col("err_i12").cast("double") / F.col("nsq") * F.lit(1e9))
-        .cast("bigint")
-        .alias("rel_i9"),
+        "nsq",
+        F.when(
+            F.col("nsq") > 0,
+            F.round(F.col("err_i12").cast("double") / F.col("nsq") * F.lit(1e9)).cast(
+                "bigint"
+            ),
+        ).alias("rel_i9"),
     )
-    z = errs.filter(F.col("nsq") == 0).groupBy("label").agg(F.count("*").alias("nz"))
+    n_rel = F.count("rel_i9")  # counts non-null only: the nonzero-vector count
     return (
-        rel.join(F.broadcast(z), "label", "left")
-        .groupBy("label")
+        rel.groupBy("label")
         .agg(
             F.count("*").alias("n_vectors"),
-            (F.sum("rel_i9").cast("double") / F.count("*") / F.lit(1e9)).alias("mean_rel_err"),
-            (F.max("rel_i9").cast("double") / F.lit(1e9)).alias("max_rel_err"),
-            F.coalesce(F.max("nz"), F.lit(0)).cast("bigint").alias("n_zero_vectors"),
+            F.when(
+                n_rel > 0, F.sum("rel_i9").cast("double") / n_rel / F.lit(1e9)
+            ).alias("mean_rel_err"),
+            F.when(n_rel > 0, F.max("rel_i9").cast("double") / F.lit(1e9)).alias(
+                "max_rel_err"
+            ),
+            F.sum(F.when(F.col("nsq") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero_vectors"),
         )
         .orderBy("label")
     )

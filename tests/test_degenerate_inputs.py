@@ -82,3 +82,66 @@ def test_benford_constant_price_is_one_digit(spark, degenerate_sf_dir):
     rows = QUERIES["benford_price_audit"](spark, degenerate_sf_dir).collect()
     assert len(rows) == 1
     assert rows[0].digit == 1 and rows[0].obs_share == 1.0
+
+
+@pytest.fixture(scope="module")
+def zero_label_sf_dir(spark, sf_dir, tmp_path_factory):
+    """embeddings where label 0 is ENTIRELY zero vectors (plus a normal
+    label 1 cohort); every other table empty. Written as single parquet
+    FILES (duckdb) so connect_oracle can read them too."""
+    import duckdb
+
+    d = str(tmp_path_factory.mktemp("zero_label_sf"))
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT CAST(i AS BIGINT) AS vec_id,
+                 [0.0 for _ in range(64)]::DOUBLE[] AS embedding,
+                 0::INT AS label
+          FROM range(5) r(i)
+          UNION ALL
+          SELECT vec_id + 100, embedding::DOUBLE[], 1::INT
+          FROM (SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')
+                ORDER BY vec_id LIMIT 5)
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in TABLES:
+        if t == "embeddings":
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet') LIMIT 0) "
+            f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return d
+
+
+def test_sq8_all_zero_label_reported_not_dropped(spark, zero_label_sf_dir):
+    """ADVICE r5: a label whose vectors ALL have zero norm must still
+    appear — with its n_zero_vectors count and NULL mean/max — and the
+    oracle must agree on the crafted input (the fixture has no zero
+    vectors, so this path is test-exercised)."""
+    from bigdata_2025_1_spark.oracle import check_query, connect_oracle
+    from bigdata_2025_1_spark.registry import all_oracles
+
+    rows = {
+        r.label: r
+        for r in QUERIES["sq8_quantization_error"](spark, zero_label_sf_dir).collect()
+    }
+    assert set(rows) == {0, 1}
+    z = rows[0]
+    assert z.n_vectors == 5 and z.n_zero_vectors == 5
+    assert z.mean_rel_err is None and z.max_rel_err is None
+    assert rows[1].n_zero_vectors == 0 and rows[1].mean_rel_err is not None
+
+    con = connect_oracle(zero_label_sf_dir)
+    problems = check_query(
+        spark,
+        con,
+        QUERIES["sq8_quantization_error"],
+        all_oracles()["sq8_quantization_error"],
+        zero_label_sf_dir,
+    )
+    assert not problems, problems
