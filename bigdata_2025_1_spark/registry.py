@@ -28,119 +28,96 @@ ORACLES: dict[str, str] = {}
 
 # The driver walks ``queries()`` in dict order and checks exactly the
 # first 50 entries per round (each CORRECTNESS_r0N covers 50). Order is
-# therefore a correctness lever. Round-5 rotation (executes the plan the
-# round-4 VERDICT ratified as its #1 ask): all 50 head slots go to
-# queries that have NEVER had a driver row (74 such after the round-4
-# registry growth; every one selfcheck-green at sf0.01, independently
-# re-verified 74/74 by the round-4 judge).
+# therefore a correctness lever. Round-6 rotation (executes the plan the
+# round-5 VERDICT ratified as its #1 ask): all 46 queries that have
+# NEVER had a driver row take positions 0-45, and the 4 spare slots
+# refresh the oldest r2-vintage greens. After this head lands green the
+# never-checked backlog is ZERO for the first time since round 2.
 #
 # Head composition:
-# - positions 0-8: the queries whose CODE CHANGED in round 5, so their
-#   first driver row certifies current code — the single-partition-
-#   window fixes (dedup_sorted_neighborhood, corpus_curation_v2,
-#   quality_threshold_sweep, quantile_normalize_doclen) and the
-#   ADVICE-item fixes (events_interpolated_hourly floor-div,
-#   minhash_estimation_error / dedup_threshold_sweep generated band SQL,
-#   table_checksum_buckets NULL-proof fingerprints,
-#   partition_key_advisor single-structure candidates);
-# - positions 9-24: the 16 TPC-H shapes completing the 22-query suite;
-# - positions 25-33: the corpus/retrieval/graph additions;
-# - positions 34-49: the late-round-4 batch, code-touched-in-r5 names
-#   first (user_active_coverage, supplier_shipping_latency got
-#   precondition comments).
+# - positions 0-8: never-checked queries whose CODE CHANGED in round 6,
+#   so their first driver row certifies current code — the CDC
+#   skinny-window fix (cdc_chunk_dedup), the SemDeDup second-level
+#   re-split (semantic_dedup_pairs), the all-zero-label fix
+#   (sq8_quantization_error), and the six never-checked queries routed
+#   through the shared rank_after_limit helper;
+# - positions 9-24: the remaining 16 round-5 additions;
+# - positions 25-45: the remaining 21 round-4 leftovers;
+# - positions 46-49: stale-green refresh — the 4 oldest r2-vintage rows
+#   (cube_flag_status, scalar_subquery_big_orders,
+#   recursive_cte_month_spine, media_metadata).
 #
 # CAPACITY WARNING: the head is at exactly 50 entries. Anything past
 # position 49 gets no driver row this round — add new queries by
-# REPLACING a proven-green head entry, never by growing past 50.
+# REPLACING a proven-green head entry, never by growing past 50. New
+# round-6 queries therefore queue for round 7, NOT the head.
 #
-# ROUND-6 ROTATION PLAN: after this head lands green the never-checked
-# backlog is 46 names — the 24 round-4 leftovers plus the 22 round-5
-# additions (dedup_incremental_lsh, tokenizer_fertility_by_lang,
-# embedding_dispersion, corpus_drift_psi, semantic_dedup_pairs,
-# cdc_chunk_dedup, bigram_backoff_logprob, feature_hashing_buckets,
-# weighted_sample_wor, column_mutual_information,
-# margin_candidate_mining, skyline_price_size, vocab_frequency_spectrum,
-# source_token_kl, benford_price_audit, cross_source_overlap,
-# sq8_quantization_error, reciprocal_nn_pairs, doc_novelty_decay,
-# bootstrap_mean_ci, harmonic_centrality_trade,
-# contrastive_triplet_mining) — they take positions 0-45 of the
-# round-6 head (seasonal_hourly_residuals,
-# vocab_growth_curve,
-# markov_event_transitions, parts_abc_pareto, token_association_rules,
-# watermark_lateness_audit, doc_readability_scores,
-# monthly_seasonality_index, embedding_norm_profile,
-# functional_dependency_profile, dup_cluster_size_histogram,
-# source_language_mix, user_feature_matrix, incremental_monthly_rollup,
-# shipping_latency_percentiles, rolling_weekly_active_users,
-# part_popularity_rec, trade_graph_degree_stats, media_prefix_clusters,
-# label_centroid_distances, top_sources_with_other, customer_spend_gini,
-# corpus_health_scorecard, order_size_distribution) and the remaining
-# 4 slots refresh the oldest of the r2-vintage greens — drawn from
-# (cube_flag_status, scalar_subquery_big_orders,
-# recursive_cte_month_spine, media_metadata, media_feature_stats,
-# media_frame_sample, media_resize, udaf_median_order_value,
-# grouped_map_spend_share, order_value_percentiles, approx_percentiles,
-# pivot_status_by_priority, sql_cte_above_nation_avg, train_test_split,
-# corpus_quality_filter, sequence_packing, corpus_end_to_end,
-# stratified_source_cap, corpus_temperature_mix, domain_doc_stats,
-# global_size_stats, metadata_extract, wordcount, udtf_bigrams,
-# date_features, string_functions_showcase) — the 22 oldest such rows
-# roll to rounds 7-8; after that no green row predates round 3.
+# ROUND-7/8 ROTATION PLAN: with the never-checked backlog at zero, the
+# head becomes a stale-green refresh rotation. 22 r2-vintage greens
+# remain after this round's 4: (media_feature_stats, media_frame_sample,
+# media_resize, udaf_median_order_value, grouped_map_spend_share,
+# order_value_percentiles, approx_percentiles, pivot_status_by_priority,
+# sql_cte_above_nation_avg, train_test_split, corpus_quality_filter,
+# sequence_packing, corpus_end_to_end, stratified_source_cap,
+# corpus_temperature_mix, domain_doc_stats, global_size_stats,
+# metadata_extract, wordcount, udtf_bigrams, date_features,
+# string_functions_showcase) — roll them plus any round-6/7 additions
+# through rounds 7-8; after that no green row predates round 3.
 PRIORITY_HEAD: tuple[str, ...] = (
-    # -- 0-8: first driver rows ON ROUND-5-CHANGED CODE
-    "dedup_sorted_neighborhood",
-    "corpus_curation_v2",
-    "quality_threshold_sweep",
-    "quantile_normalize_doclen",
-    "events_interpolated_hourly",
-    "minhash_estimation_error",
-    "dedup_threshold_sweep",
-    "table_checksum_buckets",
-    "partition_key_advisor",
-    # -- 9-24: the 16 TPC-H shapes completing all 22
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_value_concentration",
-    "q12_late_line_priorities",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_promo_heavy_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    # -- 25-33: corpus / retrieval / graph additions
-    "corpus_duplicate_spans",
-    "bpe_pair_merge_step",
-    "rrf_rank_fusion",
-    "lateral_top_orders_per_customer",
-    "ann_sq8_topk",
-    "triangle_count_trade",
-    "group_by_all_revenue",
-    "join_key_skew_profile",
-    "hll_union_distinct",
-    # -- 34-49: late-round-4 batch
-    "user_active_coverage",
-    "supplier_shipping_latency",
-    "bm25_doc_ranking",
-    "label_propagation_communities",
-    "merge_upsert_latest_state",
-    "stratified_exact_sample",
-    "order_month_streaks",
-    "equi_depth_price_deciles",
-    "mad_value_outliers",
-    "dedup_containment",
-    "pmi_token_pairs",
-    "kmeans_lloyd_clusters",
-    "linreg_price_model",
-    "unigram_logprob_quality",
-    "bfs_trade_reachability",
-    "customer_rfm_segments",
+    # -- 0-8: first driver rows ON ROUND-6-CHANGED CODE
+    "cdc_chunk_dedup",
+    "semantic_dedup_pairs",
+    "sq8_quantization_error",
+    "bigram_backoff_logprob",
+    "margin_candidate_mining",
+    "weighted_sample_wor",
+    "seasonal_hourly_residuals",
+    "token_association_rules",
+    "part_popularity_rec",
+    # -- 9-24: the remaining round-5 additions (never driver-checked)
+    "dedup_incremental_lsh",
+    "tokenizer_fertility_by_lang",
+    "embedding_dispersion",
+    "corpus_drift_psi",
+    "feature_hashing_buckets",
+    "column_mutual_information",
+    "skyline_price_size",
+    "vocab_frequency_spectrum",
+    "source_token_kl",
+    "benford_price_audit",
+    "cross_source_overlap",
+    "reciprocal_nn_pairs",
+    "doc_novelty_decay",
+    "bootstrap_mean_ci",
+    "harmonic_centrality_trade",
+    "contrastive_triplet_mining",
+    # -- 25-45: the round-4 leftovers (never driver-checked)
+    "vocab_growth_curve",
+    "markov_event_transitions",
+    "parts_abc_pareto",
+    "watermark_lateness_audit",
+    "doc_readability_scores",
+    "monthly_seasonality_index",
+    "embedding_norm_profile",
+    "functional_dependency_profile",
+    "dup_cluster_size_histogram",
+    "source_language_mix",
+    "user_feature_matrix",
+    "incremental_monthly_rollup",
+    "shipping_latency_percentiles",
+    "rolling_weekly_active_users",
+    "trade_graph_degree_stats",
+    "media_prefix_clusters",
+    "label_centroid_distances",
+    "top_sources_with_other",
+    "customer_spend_gini",
+    "corpus_health_scorecard",
+    "order_size_distribution",
+    # -- 46-49: stale-green refresh (oldest r2-vintage rows)
+    "cube_flag_status",
+    "scalar_subquery_big_orders",
+    "recursive_cte_month_spine",
+    "media_metadata",
 )
 
 # Proven green in round 2 against current code: after the 50-row window.
