@@ -135,6 +135,12 @@ HEADLINE = [
     "harmonic_centrality_trade",
     "contrastive_triplet_mining",
     "sq8_quantization_error",  # ADVICE r5: was the one r5 query unbenched
+    # round-6 additions
+    "benchmark_decontamination",
+    "char_entropy_quality",
+    "scd2_status_history",
+    "kcore_trade_graph",
+    "margin_candidate_mining_ivf",
 ]
 
 

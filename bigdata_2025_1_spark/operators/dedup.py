@@ -1366,3 +1366,140 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("chunk_md5", "chunk_len", "n_docs", "n_occ", "first_doc")
         .orderBy(F.desc("n_docs"), F.desc("n_occ"), "chunk_md5")
     )
+
+
+# --- benchmark decontamination (train x eval n-gram overlap) --------------
+
+DECON_K = 5  # word n-gram size: the contamination unit (13 is the common
+# LLM-eval standard; 5 fits the fixture's ~50-word documents)
+DECON_DF_CAP = 10  # shingles present in more than this many documents are
+# boilerplate, not evidence — excluded BEFORE the pair join so one hot
+# n-gram can never create a quadratic candidate cluster
+
+
+def _sql_shingles_k(k: int) -> str:
+    """DuckDB twin of ``word_shingles(col, k)`` reading a ``toks`` column
+    (generalizes the module-level k=3 ``_SQL_SHINGLES``)."""
+    return (
+        f"list_distinct([array_to_string(toks[i:i+{k - 1}], ' ') "
+        f"for i in range(1, greatest(len(toks) - {k - 1}, 0) + 1)])"
+    )
+
+
+@query(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT doc_id, {_sql_shingles_k(DECON_K)} AS shingles FROM tok
+    ), posts AS (
+      SELECT doc_id, md5(s) AS sh
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    ), dfc AS (
+      SELECT sh FROM posts GROUP BY sh
+      HAVING COUNT(DISTINCT doc_id) <= {DECON_DF_CAP}
+    ), kept AS MATERIALIZED (
+      SELECT p.doc_id, p.sh FROM posts p JOIN dfc USING (sh)
+    ), pairs AS (
+      SELECT e.doc_id AS doc_eval, t.doc_id AS doc_train,
+             COUNT(*) AS n_shared
+      FROM kept e JOIN kept t ON e.sh = t.sh
+      WHERE e.doc_id % 10 = 7 AND t.doc_id % 10 <> 7
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT doc_eval, doc_train, n_shared,
+             ROW_NUMBER() OVER (PARTITION BY doc_eval
+                                ORDER BY n_shared DESC, doc_train) AS rn,
+             COUNT(*) OVER (PARTITION BY doc_eval) AS n_train_matches
+      FROM pairs
+    )
+    SELECT s.doc_id AS doc_id,
+           CAST(len(s.shingles) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(b.n_train_matches, 0) AS BIGINT) AS n_train_matches,
+           b.doc_train AS top_train_doc,
+           CAST(b.n_shared AS BIGINT) AS top_shared,
+           CASE WHEN b.n_shared IS NOT NULL AND len(s.shingles) > 0
+                THEN b.n_shared::DOUBLE / len(s.shingles) END AS overlap_frac,
+           b.n_shared IS NOT NULL AS contaminated
+    FROM sh s LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON b.doc_eval = s.doc_id
+    WHERE s.doc_id % 10 = 7
+    ORDER BY doc_id
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit — the eval-set hygiene pass every
+    LLM training pipeline runs before releasing a model (the GPT-3 paper
+    's 13-gram check; Dodge et al. 2021 on C4/benchmark overlap): treat
+    docs with ``doc_id % 10 == 7`` as the held-out benchmark and report,
+    per eval document, how many TRAIN documents share at least one
+    distinct ``DECON_K``-word shingle, the single worst offender (most
+    shared shingles, lowest doc_id tiebreak) and its overlap fraction of
+    the eval doc's shingle set.
+
+    The document-frequency cap (``DECON_DF_CAP``) drops shingles present
+    in many documents before pairing: they are boilerplate, and at scale
+    one hot n-gram would otherwise fan out to a near-quadratic candidate
+    cluster (the same rare-feature blocking idea as
+    ``dedup_containment``'s postings).
+
+    Determinism: shingles are exact string sets; counts are integers;
+    the only double is one int/int division (identical IEEE op in both
+    engines); the top offender is a (n_shared DESC, doc_id) total order.
+
+    Scale shape: postings are (16-byte md5, doc_id) rows; the DF cap is
+    one map-side-combinable aggregate; the pair join is an equi-join on
+    the capped shingle key whose fan-out is bounded by DF_CAP per
+    shingle; per-eval aggregation is a groupBy with a struct-max (no
+    window over data-sized input). At 100 TB the train postings table is
+    a standing index — the daily eval sweep joins against it exactly
+    like ``dedup_incremental_lsh``'s band index."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", T.word_shingles(F.col("text"), k=DECON_K).alias("shingles")
+    ).persist()  # feeds postings AND the per-eval shingle counts;
+    # released by harness clearCache
+    posts = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.md5("s").alias("sh")
+    )
+    rare = (
+        posts.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= DECON_DF_CAP)
+        .select("sh")
+    )
+    kept = posts.join(rare, "sh")
+    is_eval = F.col("doc_id") % 10 == 7
+    ev = kept.filter(is_eval).select(F.col("doc_id").alias("doc_eval"), "sh")
+    tr = kept.filter(~is_eval).select(F.col("doc_id").alias("doc_train"), "sh")
+    pairs = ev.join(tr, "sh").groupBy("doc_eval", "doc_train").agg(
+        F.count("*").alias("n_shared")
+    )
+    per = pairs.groupBy("doc_eval").agg(
+        F.count("*").alias("n_train_matches"),
+        F.max(
+            F.struct(F.col("n_shared"), (-F.col("doc_train")).alias("neg_t"))
+        ).alias("b"),
+    )
+    base = sh.filter(is_eval).select(
+        "doc_id", F.size("shingles").cast("bigint").alias("n_shingles")
+    )
+    return (
+        base.join(per, base.doc_id == per.doc_eval, "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_train_matches"), F.lit(0))
+            .cast("bigint")
+            .alias("n_train_matches"),
+            (-F.col("b.neg_t")).cast("bigint").alias("top_train_doc"),
+            F.col("b.n_shared").cast("bigint").alias("top_shared"),
+            F.when(
+                F.col("b.n_shared").isNotNull() & (F.col("n_shingles") > 0),
+                F.col("b.n_shared").cast("double") / F.col("n_shingles"),
+            ).alias("overlap_frac"),
+            F.col("b.n_shared").isNotNull().alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -757,3 +757,196 @@ def harmonic_centrality_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), "n_reached_from", "harmonic")
         .orderBy("nation")
     )
+
+
+# --- k-core decomposition (3-core of the strong trade graph) --------------
+
+KCORE_K = 3
+_KC_ROUNDS = 25  # ≥ |nations|: peeling removes ≥1 node per active round,
+# so 25 unrolled oracle rounds provably reach the fixed point
+
+
+def kcore_peel_kernel(df, k: int):
+    """Exact k-core peeling on a combined frame of undirected edge rows
+    ``(u, v)`` (both directions present). Returns one row per node that
+    ever had an edge: (u, removed_round ≥ 1 or None, core_degree or
+    None). Module-level so the peeling is property-testable against a
+    brute-force reference (same contract as ``pagerank_int_kernel``)."""
+    import pandas as pd
+
+    if df.empty:
+        return pd.DataFrame({"u": [], "removed_round": [], "core_degree": []})
+    edges = set(zip(df["u"].astype(int), df["v"].astype(int)))
+    alive = {u for u, _ in edges} | {v for _, v in edges}
+    removed: dict[int, int] = {}
+    rnd = 0
+    while True:
+        rnd += 1
+        deg: dict[int, int] = {}
+        for u, _ in edges:
+            deg[u] = deg.get(u, 0) + 1
+        gone = {u for u in alive if deg.get(u, 0) < k}
+        if not gone:
+            break
+        for u in gone:
+            removed[u] = rnd
+        alive -= gone
+        edges = {(u, v) for (u, v) in edges if u in alive and v in alive}
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    rows = sorted(removed) + sorted(alive)
+    return pd.DataFrame(
+        {
+            "u": rows,
+            "removed_round": [removed.get(u) for u in rows],
+            "core_degree": [deg.get(u, 0) if u in alive else None for u in rows],
+        }
+    )
+
+
+def _sql_kcore_stage(i: int) -> str:
+    # every per-round CTE is MATERIALIZED: each is referenced 2-3 times
+    # by later rounds, and without the barrier DuckDB inlines (= re-runs)
+    # the whole chain per reference — a 3^25 blowup
+    return f"""d{i} AS MATERIALIZED (
+      SELECT u, COUNT(*) AS d FROM s{i - 1} GROUP BY u
+    ), a{i} AS MATERIALIZED (
+      SELECT a.u FROM a{i - 1} a JOIN d{i} d USING (u) WHERE d.d >= {KCORE_K}
+    ), s{i} AS MATERIALIZED (
+      SELECT e.u, e.v FROM s{i - 1} e
+      JOIN a{i} x ON x.u = e.u JOIN a{i} y ON y.u = e.v
+    ), r{i} AS MATERIALIZED (
+      SELECT u, {i} AS rr FROM (SELECT u FROM a{i - 1} EXCEPT SELECT u FROM a{i})
+    )"""
+
+
+_KC_STAGES = ",\n    ".join(_sql_kcore_stage(i) for i in range(1, _KC_ROUNDS + 1))
+_KC_REMOVED = "\n      UNION ALL\n      ".join(
+    f"SELECT u, rr FROM r{i}" for i in range(1, _KC_ROUNDS + 1)
+)
+
+
+@query(
+    "kcore_trade_graph",
+    oracle=f"""
+    WITH raw AS MATERIALIZED (
+      SELECT c.c_nationkey AS uu, s.s_nationkey AS vv, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ), und AS MATERIALIZED (
+      SELECT LEAST(uu, vv) AS a, GREATEST(uu, vv) AS b, SUM(w) AS w
+      FROM raw WHERE uu <> vv
+      GROUP BY LEAST(uu, vv), GREATEST(uu, vv)
+    ), strong AS MATERIALIZED (
+      SELECT a, b FROM und WHERE 625 * w > (SELECT SUM(w) FROM und)
+    ), s0 AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM strong
+      UNION ALL SELECT b AS u, a AS v FROM strong
+    ), a0 AS (
+      SELECT DISTINCT u FROM s0
+    ),
+    {_KC_STAGES},
+    removed AS (
+      {_KC_REMOVED}
+    ), dfin AS (
+      SELECT u, COUNT(*) AS d FROM s{_KC_ROUNDS} GROUP BY u
+    )
+    SELECT n.n_nationkey AS nation_key,
+           CAST(CASE WHEN rem.rr IS NOT NULL THEN rem.rr
+                     WHEN a0x.u IS NULL THEN 0 END AS INT) AS removed_round,
+           (rem.rr IS NULL AND a0x.u IS NOT NULL) AS in_core,
+           CAST(df.d AS BIGINT) AS core_degree
+    FROM nation n
+    LEFT JOIN (SELECT u FROM a0) a0x ON a0x.u = n.n_nationkey
+    LEFT JOIN removed rem ON rem.u = n.n_nationkey
+    LEFT JOIN dfin df ON df.u = n.n_nationkey
+    ORDER BY nation_key
+    """,
+)
+def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-core decomposition (k=3) of the STRONG nation-trade graph
+    (same above-average-volume edge set as ``triangle_count_trade``):
+    iteratively peel nodes of degree < k until the fixed point; report
+    per nation the peel round that removed it (0 = never in the strong
+    graph, NULL = survives in the core) and the core member's final
+    degree. The k-core is the standard cohesion screen before community
+    detection — LPA/PageRank on the raw graph waste iterations on
+    pendant vertices the core excludes.
+
+    Determinism: pure integer set arithmetic; peeling is confluent (the
+    k-core is unique and round-synchronous peeling is deterministic).
+    The oracle unrolls {_KC_ROUNDS} rounds — ≥ |nations|, provably past
+    the fixed point — while the kernel stops at the first round with no
+    removals; both compute the same unique core.
+
+    Scale shape: 100 TB of facts collapse to the ≤|nations|² strong edge
+    list in ONE fact-fact shuffle with broadcast dims (the
+    triangle-count shape); the peeling then runs in a single tiny-state
+    kernel partition, exactly like ``pagerank_nation_trade``'s int
+    kernel. For graphs whose edge list is itself huge, swap the kernel
+    for the round-synchronous join form (the ``_sql_kcore_stage`` shape
+    run as DataFrame steps — each round one degree agg + one semi-join)."""
+    import pandas as pd
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    raw = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("c_nationkey").alias("uu"), F.col("s_nationkey").alias("vv"))
+        .agg(F.count("*").alias("w"))
+    )
+    und = (
+        raw.filter(F.col("uu") != F.col("vv"))
+        .select(F.least("uu", "vv").alias("a"), F.greatest("uu", "vv").alias("b"), "w")
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    total = und.agg(F.sum("w").alias("tw"))
+    strong = (
+        und.crossJoin(F.broadcast(total))
+        .filter(625 * F.col("w") > F.col("tw"))
+        .select("a", "b")
+    )
+    sym = strong.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        strong.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+
+    def peel(batches):
+        frames = [pdf for pdf in batches]
+        df = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame({"u": [], "v": []})
+        )
+        yield kcore_peel_kernel(df, KCORE_K)
+
+    peeled = sym.coalesce(1).mapInPandas(
+        peel, schema="u long, removed_round int, core_degree long"
+    )
+    nation = load(spark, sf_dir, "nation")
+    ever = peeled.select(F.col("u").alias("nk")).distinct()
+    return (
+        nation.select(F.col("n_nationkey").alias("nation_key"))
+        .join(F.broadcast(peeled), F.col("u") == F.col("nation_key"), "left")
+        .join(F.broadcast(ever), F.col("nk") == F.col("nation_key"), "left")
+        .select(
+            "nation_key",
+            F.when(F.col("removed_round").isNotNull(), F.col("removed_round"))
+            .when(F.col("nk").isNull(), F.lit(0))
+            .cast("int")
+            .alias("removed_round"),
+            (F.col("removed_round").isNull() & F.col("nk").isNotNull()).alias(
+                "in_core"
+            ),
+            F.col("core_degree").cast("bigint").alias("core_degree"),
+        )
+        .orderBy("nation_key")
+    )

@@ -1504,3 +1504,151 @@ def contrastive_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+# --- margin mining over IVF candidates (the swap-point, made real) --------
+
+
+@query(
+    "margin_candidate_mining_ivf",
+    oracle=f"""
+    WITH se AS MATERIALIZED (
+      SELECT vec_id, embedding, {_SQL_NORM} AS nsq,
+             {V.sql_scaled_e9('embedding', _DIM)} AS se
+      FROM embeddings
+    ), proj AS MATERIALIZED (
+      SELECT vec_id, embedding, nsq,
+             {V.sql_ivf_projs_from('se', _CENTROIDS)} AS projs
+      FROM se
+    ), cells AS (
+      SELECT vec_id, embedding, nsq, CAST(r.cell AS INT) AS cell,
+             projs[r.cell + 1] AS p
+      FROM proj CROSS JOIN range({N_CELLS}) r(cell)
+    ), ranked_cells AS MATERIALIZED (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY p DESC, cell) AS crk
+      FROM cells
+    ), corpus AS (
+      SELECT vec_id, embedding, nsq, cell FROM ranked_cells
+      WHERE crk = 1 AND vec_id >= {N_QUERY_VECS}
+    ), probes AS (
+      SELECT vec_id AS src_id, embedding AS s_emb, nsq AS s_nsq, cell
+      FROM ranked_cells WHERE vec_id < {N_QUERY_VECS} AND crk <= {N_PROBE}
+    ), pairs AS (
+      SELECT p.src_id, c.vec_id AS tgt_id,
+             {V.sql_dot_scaled('p.s_emb', 'c.embedding', _DIM)}::DOUBLE
+               / (sqrt(p.s_nsq::DOUBLE) * sqrt(c.nsq::DOUBLE)) AS cosine
+      FROM probes p JOIN corpus c USING (cell)
+    ), ranked AS MATERIALIZED (
+      SELECT src_id, tgt_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src_id
+                                ORDER BY cosine DESC, tgt_id) AS rk
+      FROM pairs
+    ), denom AS (
+      SELECT src_id,
+             SUM(CAST(ROUND(cosine * 1e12) AS BIGINT))::DOUBLE
+               / {MARGIN_K} / 1e12 AS avg_topk
+      FROM ranked WHERE rk <= {MARGIN_K} GROUP BY src_id
+    ), best AS (
+      SELECT r.src_id, r.tgt_id, r.cosine,
+             CASE WHEN d.avg_topk <> 0 THEN r.cosine / d.avg_topk END AS margin
+      FROM ranked r JOIN denom d USING (src_id) WHERE r.rk = 1
+    )
+    SELECT src_id, tgt_id, cosine, margin, CAST(mrank AS INT) AS mrank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY margin DESC, src_id) AS mrank
+          FROM best)
+    WHERE mrank <= {MARGIN_TOP}
+    ORDER BY mrank
+    """,
+)
+def margin_candidate_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``margin_candidate_mining`` with its all-pairs candidate stage
+    SWAPPED for the IVF candidate generator — the exact substitution the
+    brute-force operator's docstring names as its 100 TB path, now an
+    oracle-checked query of its own: each source probes its ``N_PROBE``
+    best quantizer cells and the ratio-margin arithmetic (cosine over
+    the mean of the k=4 nearest CANDIDATES) runs unchanged on the
+    (src, tgt, cosine) triples the generator emits. Comparing its output
+    against the brute-force twin measures exactly what the approximation
+    trades: sources whose true neighborhood lies outside the probed
+    cells rank by a shallower denominator.
+
+    Determinism: inherits the IVF argmax (exact int64 projections, ties
+    to the lowest cell) and the margin arithmetic's e12-rounded integer
+    sums; every rank breaks ties on ids.
+
+    Scale shape: the probe×cell table is tiny and broadcast; candidates
+    come from a cell equi-join against the corpus assignment (at 100 TB:
+    a partition-pruned read of the cell-partitioned corpus —
+    ``tests/test_ivf_layout.py``); per-source top-k is a
+    WindowGroupLimit; the final margin ranking is rank-after-limit over
+    ≤ ``MARGIN_TOP`` rows. Nothing all-pairs anywhere — this is the
+    shape the subset-bounded miners swap to."""
+    emb = load(spark, sf_dir, "embeddings")
+    cell_pd = V.make_ivf_cell_pandas(_CENTROIDS)
+    probes_pd = V.make_ivf_probes_pandas(_CENTROIDS, N_PROBE)
+    dot_pd = V.make_dot_scaled_pandas()
+    corpus = (
+        emb.filter(F.col("vec_id") >= N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("tgt_id"),
+            F.col("embedding").alias("t_emb"),
+            cell_pd(F.col("embedding")).alias("cn"),
+        )
+        .select(
+            "tgt_id",
+            "t_emb",
+            F.col("cn.cell").alias("cell"),
+            F.col("cn.nsq").alias("t_nsq"),
+        )
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("src_id"),
+            F.col("embedding").alias("s_emb"),
+            probes_pd(F.col("embedding")).alias("pn"),
+        )
+        .select(
+            "src_id",
+            "s_emb",
+            F.col("pn.nsq").alias("s_nsq"),
+            F.explode(F.col("pn.cells")).alias("cell"),
+        )
+    )
+    cosine = V.cosine_from_scaled(
+        dot_pd(F.col("s_emb"), F.col("t_emb")), F.col("s_nsq"), F.col("t_nsq")
+    )
+    wk = Window.partitionBy("src_id").orderBy(F.desc("cosine"), "tgt_id")
+    ranked = (
+        corpus.join(F.broadcast(probes), "cell")
+        .select("src_id", "tgt_id", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= MARGIN_K)
+    ).persist()  # k rows per source, feeds numerator AND denominator
+    denom = ranked.groupBy("src_id").agg(
+        (
+            F.sum(F.round(F.col("cosine") * F.lit(1e12)).cast("bigint")).cast("double")
+            / F.lit(MARGIN_K)
+            / F.lit(1e12)
+        ).alias("avg_topk")
+    )
+    best = (
+        ranked.filter(F.col("rk") == 1)
+        .join(denom, "src_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cosine",
+            F.when(
+                F.col("avg_topk") != 0, F.col("cosine") / F.col("avg_topk")
+            ).alias("margin"),
+        )
+    )
+    return (
+        rank_after_limit(
+            best, [F.desc("margin"), F.col("src_id")], MARGIN_TOP, rank_col="mrank"
+        )
+        .select("src_id", "tgt_id", "cosine", "margin", "mrank")
+        .orderBy("mrank")
+    )

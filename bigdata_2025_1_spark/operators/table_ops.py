@@ -450,3 +450,96 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sample_rank")
     )
+
+
+# --- SCD2 history build (validity intervals from a change stream) ---------
+
+
+@query(
+    "scd2_status_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey AS custkey, o_orderstatus AS status,
+             o_orderdate, o_orderkey,
+             LAG(o_orderstatus) OVER w AS prev_status
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_status IS NULL
+                       OR prev_status <> status THEN 1 ELSE 0 END AS chg
+      FROM ordered
+    ), versioned AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged
+    ), spans AS (
+      SELECT custkey, CAST(version AS INT) AS version, status,
+             MIN(o_orderdate) AS valid_from,
+             COUNT(*) AS n_orders
+      FROM versioned GROUP BY custkey, version, status
+    )
+    SELECT custkey, version, status, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY version)
+             AS valid_to,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY version)
+             IS NULL AS is_current
+    FROM spans
+    ORDER BY custkey, version
+    """,
+)
+def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build from a change stream — the
+    standard lakehouse dimension-history pattern (Kimball SCD2): collapse
+    each customer's order-status sequence into validity intervals
+    [valid_from, valid_to) with a version number, one row per
+    consecutive-status run, flagging the open (current) interval.
+    Complements ``merge_upsert_latest_state`` (SCD1 latest-wins): SCD1
+    answers "what is the state", SCD2 answers "what was it when".
+
+    Determinism: the change ordering is the total order (o_orderdate,
+    o_orderkey); versions are integer prefix sums of change flags; no
+    floats anywhere.
+
+    Scale shape: every window partitions by custkey — entity-sized
+    groups (~10 rows each at any corpus size; a customer's history is
+    bounded), never data-sized; one hash shuffle on custkey reused by
+    all three window/agg steps (same-key windows and groupBy pipeline
+    on one exchange). At 100 TB this is the daily dimension rebuild:
+    new CDC rows append, only affected custkeys recompute."""
+    w = Window.partitionBy("custkey").orderBy("o_orderdate", "o_orderkey")
+    ordered = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        "o_orderdate",
+        "o_orderkey",
+    ).withColumn("prev_status", F.lag("status").over(w))
+    versioned = ordered.withColumn(
+        "chg",
+        F.when(
+            F.col("prev_status").isNull() | (F.col("prev_status") != F.col("status")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    spans = versioned.groupBy("custkey", "version", "status").agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    wv = Window.partitionBy("custkey").orderBy("version")
+    return (
+        spans.withColumn("valid_to", F.lead("valid_from").over(wv))
+        .select(
+            "custkey",
+            "version",
+            "status",
+            "valid_from",
+            "valid_to",
+            "n_orders",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("custkey", "version")
+    )

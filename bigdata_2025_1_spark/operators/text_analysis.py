@@ -1425,3 +1425,88 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- character-entropy quality gate ---------------------------------------
+
+ENTROPY_LOW_I9 = 2_000_000_000  # flag threshold: 2.0 nats (scaled 1e9) —
+# well under any natural-language character distribution (~2.8-3.3 nats),
+# catching padding floods, repeated-char fills, and single-token spam
+
+
+@query(
+    "char_entropy_quality",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, unnest(
+               list_filter(regexp_split_to_array(lower(text), ''), c -> c <> '')
+             ) AS ch
+      FROM documents
+    ), hist AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+    ), per AS (
+      SELECT doc_id,
+             SUM(c) AS n,
+             COUNT(*) AS n_distinct_chars,
+             SUM(CAST(ROUND(c * ln(c::DOUBLE) * 1e9) AS BIGINT)) AS s_i9
+      FROM hist GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars_counted,
+           CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+           CAST(ROUND((ln(n::DOUBLE) - s_i9::DOUBLE / n::DOUBLE / 1e9) * 1e9)
+                AS BIGINT)::DOUBLE / 1e9 AS entropy_nats,
+           CAST(ROUND((ln(n::DOUBLE) - s_i9::DOUBLE / n::DOUBLE / 1e9) * 1e9)
+                AS BIGINT) < {ENTROPY_LOW_I9} AS is_low_entropy
+    FROM per
+    ORDER BY doc_id
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap quality
+    signal CCNet/Gopher-style filters use to drop padding floods,
+    repeated-character fills and single-token spam before any LM is
+    consulted: H = ln(n) − (Σ c·ln c)/n over the per-doc character
+    histogram of the lowercased text (natural log → nats).
+
+    Determinism: counts are exact integers; each c·ln(c) term is rounded
+    once to 1e-9ths and summed in int64 (order-free), and the final
+    entropy is one fixed IEEE op sequence rounded once — the same
+    exact-scaling discipline as the PMI/LM operators.
+
+    Scale shape: the char explode is linear in corpus bytes but feeds a
+    (doc_id, ch)-keyed aggregate whose map-side combine collapses it to
+    ≤ |alphabet| rows per document BEFORE the shuffle; the second
+    aggregate is doc-keyed. No UDF, no window — whole-stage codegen end
+    to end. At 100 TB this rides the same scan as the other per-doc
+    quality features."""
+    docs = load(spark, sf_dir, "documents")
+    hist = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "")).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    per = hist.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_distinct_chars"),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c").cast("double")) * F.lit(1e9)).cast(
+                "bigint"
+            )
+        ).alias("s_i9"),
+    )
+    nd = F.col("n").cast("double")
+    ent_i9 = F.round(
+        (F.log(nd) - F.col("s_i9").cast("double") / nd / F.lit(1e9)) * F.lit(1e9)
+    ).cast("bigint")
+    return per.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars_counted"),
+        F.col("n_distinct_chars").cast("bigint").alias("n_distinct_chars"),
+        (ent_i9.cast("double") / F.lit(1e9)).alias("entropy_nats"),
+        (ent_i9 < F.lit(ENTROPY_LOW_I9)).alias("is_low_entropy"),
+    ).orderBy("doc_id")

@@ -753,3 +753,29 @@ def test_cdc_window_input_is_skinny(spark, sf_dir):
     assert inputs, "expected a span-assembly Window node"
     wide = [i for i in inputs if "text" in i]
     assert not wide, wide
+
+
+def test_decontamination_postings_join_no_cartesian(spark, sf_dir):
+    """The eval x train pairing must stay an equi-join on the capped
+    shingle key — a nested-loop here is the all-pairs scale-killer the
+    DF cap exists to prevent."""
+    plan = formatted_plan(QUERIES["benchmark_decontamination"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
+
+
+def test_margin_ivf_broadcasts_probes_no_cartesian(spark, sf_dir):
+    plan = formatted_plan(QUERIES["margin_candidate_mining_ivf"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # probes broadcast against corpus cells
+    spark.catalog.clearCache()
+
+
+def test_char_entropy_single_pass_no_udf(spark, sf_dir):
+    """Entropy must stay JVM-side: no Python evaluation node, and the
+    char histogram collapses map-side (partial+final HashAggregate
+    pairs), never shipping raw char rows through Python."""
+    plan = formatted_plan(QUERIES["char_entropy_quality"](spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
