@@ -34,6 +34,16 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # data volume: the extra stages are narrow-row shuffles that scale
 # linearly while the removed window funnel scales not at all.
 #
+# Round-6 plan-change note (best-of-4 at sf0.1, clearCache between
+# runs): the two round-6 rewrites measure inside the round-4/5 variance
+# envelope — semantic_dedup_pairs 1.34 (r5) → 1.52 s on the
+# second-level re-split + hard-cap guard (one extra tiny cell-count
+# agg + an eager ≤(cells·subs)-row guard job — the fixed price of
+# never-silently-quadratic), cdc_chunk_dedup 1.56 (r5) → 1.44 s on the
+# skinny-window rewrite (the span window now sorts 16-byte rows). The
+# rank_after_limit migrations are plan-identical (same TakeOrdered +
+# k-row window), not re-measured.
+#
 # Round-4 variance note: five full runs on the same code measured the
 # 34-query shared subtotal at 24.7 / 27.8 / 29.8 / 31.1 / 34.9 s (r3
 # recorded 27.5 s) and single queries swung 2.5x between consecutive
