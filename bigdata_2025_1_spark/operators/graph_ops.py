@@ -685,10 +685,10 @@ def harmonic_centrality_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: facts collapse once to the ≤|nations|² edge list
     (broadcast dims); each round relaxes the |V|²-row state with an
-    edge equi-join + MIN agg — at web scale the exact same loop runs
-    on a SAMPLED source set (HyperBall/ANF replaces the exact matrix
-    with registers; the plan shape is identical, the state column
-    becomes a sketch)."""
+    edge equi-join + MIN agg — the exact answer for coarse graphs. At
+    web scale swap to the IMPLEMENTED sketch twin
+    ``hyperball_harmonic_trade``: same loop, O(|V|·m) register state
+    instead of the |V|² matrix."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -950,3 +950,173 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_key")
     )
+
+
+# --- HyperBall harmonic centrality (HLL-register neighbourhood sketch) ----
+
+HB_ROUNDS = 3  # same radius as the exact twin (harmonic_centrality_trade)
+HB_M = 16  # HLL buckets (b = 4 bits)
+_HB_NUM = 0.673 * 256.0 * float(2**49)  # alpha_16 * m^2 * 2^49 — the raw-
+# estimate numerator against the 2^49-scaled INTEGER register denominator
+
+
+def _sql_hb_est(i: int) -> str:
+    return f"""est{i} AS MATERIALIZED (
+      SELECT v, CAST(ROUND(CASE WHEN raw <= 40.0 AND zeros > 0
+                                THEN 16.0 * ln(16.0 / zeros)
+                                ELSE raw END * 1e6) AS BIGINT) AS e
+      FROM (
+        SELECT v, {_HB_NUM!r} / den::DOUBLE AS raw, zeros FROM (
+          SELECT v,
+                 SUM(1::BIGINT << (49 - reg))
+                   + (16 - COUNT(*)) * {2**49}::BIGINT AS den,
+                 16 - COUNT(*) AS zeros
+          FROM s{i} GROUP BY v
+        )
+      )
+    )"""
+
+
+def _sql_hb_stage(i: int) -> str:
+    return f"""u{i} AS MATERIALIZED (
+      SELECT e.dst AS v, s.bucket, MAX(s.reg) AS reg
+      FROM s{i - 1} s JOIN edges e ON e.src_n = s.v
+      GROUP BY e.dst, s.bucket
+    ), s{i} AS MATERIALIZED (
+      SELECT v, bucket, MAX(reg) AS reg
+      FROM (SELECT * FROM s{i - 1} UNION ALL SELECT * FROM u{i})
+      GROUP BY v, bucket
+    ), {_sql_hb_est(i)}"""
+
+
+_HB_STAGES = ",\n    ".join(_sql_hb_stage(i) for i in range(1, HB_ROUNDS + 1))
+
+
+@query(
+    "hyperball_harmonic_trade",
+    oracle=f"""
+    WITH raw AS MATERIALIZED (
+      SELECT DISTINCT c.c_nationkey AS src_n, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    ), edges AS MATERIALIZED (SELECT src_n, dst FROM raw),
+    s0 AS MATERIALIZED (
+      SELECT n_nationkey AS v,
+             CAST(('0x' || substr(md5(CAST(n_nationkey AS VARCHAR)), 1, 1))
+                  AS INT) AS bucket,
+             CAST(CASE WHEN ('0x' || substr(md5(CAST(n_nationkey AS VARCHAR)), 2, 12))::BIGINT > 0
+                       THEN 49 - length(bin(('0x' || substr(md5(CAST(n_nationkey AS VARCHAR)), 2, 12))::BIGINT))
+                       ELSE 49 END AS INT) AS reg
+      FROM nation
+    ), {_sql_hb_est(0)},
+    {_HB_STAGES}
+    SELECT n.n_name AS nation,
+           e1.e::DOUBLE / 1e6 AS ball_r1,
+           e2.e::DOUBLE / 1e6 AS ball_r2,
+           e3.e::DOUBLE / 1e6 AS ball_r3,
+           ((e1.e - e0.e)
+             + CAST(ROUND((e2.e - e1.e)::DOUBLE / 2) AS BIGINT)
+             + CAST(ROUND((e3.e - e2.e)::DOUBLE / 3) AS BIGINT))::DOUBLE / 1e6
+             AS harmonic_est
+    FROM nation n
+    JOIN est0 e0 ON e0.v = n.n_nationkey
+    JOIN est1 e1 ON e1.v = n.n_nationkey
+    JOIN est2 e2 ON e2.v = n.n_nationkey
+    JOIN est3 e3 ON e3.v = n.n_nationkey
+    ORDER BY nation
+    """,
+)
+def hyperball_harmonic_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013) harmonic centrality — the SKETCH
+    twin of ``harmonic_centrality_trade`` and the implemented version of
+    the swap that query's docstring names for web scale: per-node
+    neighbourhood size at radius r is estimated by an HLL register set
+    (m=16 md5-derived buckets), balls grow by pushing registers along
+    edges with a per-(node, bucket) MAX — so the iterated state is
+    O(|V|·m) rows, never the exact twin's O(|V|²) distance matrix — and
+    HC(v) ≈ Σ_r (|B_r(v)| − |B_{{r-1}}(v)|)/r on the estimates.
+
+    Determinism (the part HLL sketches usually lack cross-engine): the
+    register hash is md5-derived (bucket = first hex nibble, rho = 49 −
+    bit_length of the next 48 bits via ``bin()`` — identical in both
+    engines); the estimate denominator Σ2^(−reg) is kept as a 2^49-
+    scaled INTEGER sum (≤ 16·2^49 = 2^53, exact in int64 — a double sum
+    here would be partition-order-dependent in the last bit); the raw
+    estimate is ONE division; the small-range correction's ln is
+    rounded once to 1e-6ths; the harmonic accumulation is pure int64.
+
+    Scale shape: facts collapse once to the edge list; each round is an
+    edge equi-join + two map-side-combinable MAX aggregates over
+    |V|·m-row state. At web scale registers pack into a single
+    BINARY(m) column updated by an Arrow kernel — the plan shape (join,
+    MAX-merge) is unchanged."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    edges = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("src_n"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+        .persist()  # tiny (≤ |nations|²); released by harness clearCache
+    )
+    h = F.md5(F.col("v").cast("string"))
+    x = F.conv(F.substring(h, 2, 12), 16, 10).cast("bigint")
+    state = nation.select(F.col("n_nationkey").alias("v")).select(
+        "v",
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("int").alias("bucket"),
+        F.when(x > 0, F.lit(49) - F.length(F.bin(x)))
+        .otherwise(F.lit(49))
+        .cast("int")
+        .alias("reg"),
+    ).persist()
+
+    def est(s: DataFrame, r: int) -> DataFrame:
+        den = F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - reg AS INT))")
+        ) + (F.lit(16) - F.count("*")) * F.lit(2**49).cast("bigint")
+        zeros = F.lit(16) - F.count("*")
+        g = s.groupBy("v").agg(den.alias("den"), zeros.alias("zeros"))
+        raw = F.lit(_HB_NUM) / F.col("den").cast("double")
+        e = F.when(
+            (raw <= F.lit(40.0)) & (F.col("zeros") > 0),
+            F.lit(16.0) * F.log(F.lit(16.0) / F.col("zeros")),
+        ).otherwise(raw)
+        return g.select("v", F.round(e * F.lit(1e6)).cast("bigint").alias(f"e{r}"))
+
+    ests = [est(state, 0)]
+    for r in range(1, HB_ROUNDS + 1):
+        contrib = (
+            edges.join(state, edges.src_n == state.v)
+            .groupBy(F.col("dst").alias("v"), "bucket")
+            .agg(F.max("reg").alias("reg"))
+        )
+        state = (
+            state.unionByName(contrib)
+            .groupBy("v", "bucket")
+            .agg(F.max("reg").alias("reg"))
+            .persist()
+        )
+        ests.append(est(state, r))
+    joined = nation.select(F.col("n_nationkey").alias("v"), F.col("n_name").alias("nation"))
+    for e in ests:
+        joined = joined.join(F.broadcast(e), "v")
+    harm_i6 = (
+        (F.col("e1") - F.col("e0"))
+        + F.round((F.col("e2") - F.col("e1")).cast("double") / 2).cast("bigint")
+        + F.round((F.col("e3") - F.col("e2")).cast("double") / 3).cast("bigint")
+    )
+    return joined.select(
+        "nation",
+        (F.col("e1").cast("double") / 1e6).alias("ball_r1"),
+        (F.col("e2").cast("double") / 1e6).alias("ball_r2"),
+        (F.col("e3").cast("double") / 1e6).alias("ball_r3"),
+        (harm_i6.cast("double") / 1e6).alias("harmonic_est"),
+    ).orderBy("nation")
