@@ -932,18 +932,18 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         peel, schema="u long, removed_round int, core_degree long"
     )
     nation = load(spark, sf_dir, "nation")
-    ever = peeled.select(F.col("u").alias("nk")).distinct()
+    # ONE reference to the kernel output: `u` NULL after the left join
+    # already means "never in the strong graph" — no second distinct pass
     return (
         nation.select(F.col("n_nationkey").alias("nation_key"))
         .join(F.broadcast(peeled), F.col("u") == F.col("nation_key"), "left")
-        .join(F.broadcast(ever), F.col("nk") == F.col("nation_key"), "left")
         .select(
             "nation_key",
             F.when(F.col("removed_round").isNotNull(), F.col("removed_round"))
-            .when(F.col("nk").isNull(), F.lit(0))
+            .when(F.col("u").isNull(), F.lit(0))
             .cast("int")
             .alias("removed_round"),
-            (F.col("removed_round").isNull() & F.col("nk").isNotNull()).alias(
+            (F.col("removed_round").isNull() & F.col("u").isNotNull()).alias(
                 "in_core"
             ),
             F.col("core_degree").cast("bigint").alias("core_degree"),

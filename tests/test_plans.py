@@ -779,3 +779,46 @@ def test_char_entropy_single_pass_no_udf(spark, sf_dir):
     pairs), never shipping raw char rows through Python."""
     plan = formatted_plan(QUERIES["char_entropy_quality"](spark, sf_dir))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_semdedup_pair_join_is_keyed(spark, sf_dir):
+    """The (cell, subkey) pair join must stay a hash/merge equi-join —
+    with the re-split live (sf0.01 has 8 over-cap cells) a nested loop
+    here would be the quadratic the cap exists to bound."""
+    df = QUERIES["semantic_dedup_pairs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
+
+
+def test_hyperball_state_is_node_times_buckets(spark, sf_dir):
+    """HyperBall's whole point: iterated state is O(|V|*m) register rows,
+    never |V|^2. Drive the final round's state row count out via the
+    registered query's own plan inputs — here, just re-derive the bound
+    from the output (each nation appears once) and pin no-cartesian."""
+    df = QUERIES["hyperball_harmonic_trade"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    n_nations = 25
+    assert len(rows) == n_nations
+    # ball estimates are monotone per node (registers only grow)
+    for r in rows:
+        assert r.ball_r1 <= r.ball_r2 + 1e-9 <= r.ball_r3 + 2e-9
+    spark.catalog.clearCache()
+
+
+def test_kcore_collapses_facts_before_kernel(spark, sf_dir):
+    """The peel kernel must receive the aggregated strong edge list —
+    HashAggregate (the nation-pair collapse) below the single Python
+    node, and no cartesian anywhere."""
+    import re as _re
+
+    plan = formatted_plan(QUERIES["kcore_trade_graph"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # exactly ONE kernel node (node-detail lines): a second one means the
+    # kernel subtree is referenced twice and the peel re-executes
+    assert len(_re.findall(r"^\(\d+\) MapInPandas", plan, _re.M)) == 1
+    assert "HashAggregate" in plan
+    spark.catalog.clearCache()
