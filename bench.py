@@ -151,6 +151,8 @@ HEADLINE = [
     "scd2_status_history",
     "kcore_trade_graph",
     "margin_candidate_mining_ivf",
+    "domain_mixture_reweight",
+    "hyperball_harmonic_trade",
 ]
 
 

@@ -1015,3 +1015,145 @@ def doc_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- domain mixture reweighting (DoReMi-lite) ------------------------------
+
+
+@query(
+    "domain_mixture_reweight",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(toks) AS w
+      FROM (SELECT source, {_SQL_TOKS} AS toks FROM documents)
+    ), sw AS MATERIALIZED (
+      SELECT source, w, COUNT(*) AS c_sw FROM tok GROUP BY source, w
+    ), ns AS (
+      SELECT source, SUM(c_sw) AS n_s FROM sw GROUP BY source
+    ), cw AS (
+      SELECT w, SUM(c_sw) AS c_w FROM sw GROUP BY w
+    ), nt AS (
+      SELECT SUM(c_w) AS n FROM cw
+    ), nd AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), ce AS (
+      SELECT s.source,
+             SUM(s.c_sw * CAST(ROUND(ln(nt.n::DOUBLE / cw.c_w) * 1e6)
+                               AS BIGINT)) AS a_i6
+      FROM sw s JOIN cw ON cw.w = s.w CROSS JOIN nt
+      GROUP BY s.source
+    ), gl AS (
+      SELECT SUM(cw.c_w * CAST(ROUND(ln(nt.n::DOUBLE / cw.c_w) * 1e6)
+                               AS BIGINT)) AS g_i6,
+             ANY_VALUE(nt.n) AS n
+      FROM cw CROSS JOIN nt
+    ), scored AS (
+      SELECT ce.source, ns.n_s, nd.n_docs, ce.a_i6,
+             GREATEST(0, CAST(ROUND((ce.a_i6::DOUBLE / ns.n_s
+                                     - g.g_i6::DOUBLE / g.n) / 1e6 * 1e6)
+                              AS BIGINT)) AS excess_i6
+      FROM ce JOIN ns USING (source) JOIN nd USING (source) CROSS JOIN gl g
+    ), weighted AS (
+      SELECT *, n_s * (1000000 + excess_i6) AS prod FROM scored
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_s AS BIGINT) AS n_tokens,
+           a_i6::DOUBLE / n_s / 1e6 AS cross_entropy_nats,
+           excess_i6::DOUBLE / 1e6 AS excess_nats,
+           CAST(ROUND(prod::DOUBLE / (SELECT SUM(prod) FROM weighted) * 1e6)
+                AS BIGINT) AS weight_ppm
+    FROM weighted
+    ORDER BY source
+    """,
+)
+def domain_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture reweighting, DoReMi-lite (Xie et al. 2023,
+    arXiv:2305.10429, linearized): per source, the cross-entropy of its
+    token stream under the CORPUS unigram LM; sources whose
+    cross-entropy exceeds the corpus mean carry positive "excess loss"
+    and get upweighted — weight ∝ n_tokens · (1 + excess) — yielding the
+    sampling mixture (ppm) the next training epoch draws with. The
+    linear (not exponentiated) reweight keeps every step
+    engine-exact; the paper's softmax form swaps in one expression.
+    Complements ``corpus_temperature_mix`` (size-only smoothing) and
+    ``source_token_kl`` (divergence alarm): this one emits the actual
+    allocation.
+
+    Determinism: per-TYPE nll is ``round(ln(n/c_w)·1e6)`` summed as
+    int64 weighted by counts (the repo's weighted-integer-ln contract);
+    excess is one fixed double op sequence rounded once; weights are
+    int64 products with a single final normalization divide.
+
+    Scale shape: one (source, word)-keyed map-side-combinable count;
+    marginals reduce the TYPE table, never the token stream; everything
+    after is source-cardinality-sized. The n_s·(1e6+excess) product is
+    int64-safe to ~9e12 tokens per source — beyond that, compute the
+    weights on the per-source token counts divided by a common 2^k
+    (allocation is scale-invariant)."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    sw = tok.groupBy("source", "w").agg(F.count("*").alias("c_sw"))
+    ns = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    nt = cw.agg(F.sum("c_w").alias("n"))
+    nd = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    nll_i6 = F.round(
+        F.log(F.col("n").cast("double") / F.col("c_w")) * F.lit(1e6)
+    ).cast("bigint")
+    ce = (
+        sw.join(cw, "w")
+        .crossJoin(F.broadcast(nt))
+        .groupBy("source")
+        .agg(F.sum(F.col("c_sw") * nll_i6).alias("a_i6"))
+    )
+    glob = (
+        cw.crossJoin(F.broadcast(nt))
+        .agg(
+            F.sum(F.col("c_w") * nll_i6).alias("g_i6"),
+            F.any_value(F.col("n")).alias("n"),
+        )
+    )
+    excess_i6 = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.round(
+            (
+                F.col("a_i6").cast("double") / F.col("n_s")
+                - F.col("g_i6").cast("double") / F.col("n")
+            )
+            / F.lit(1e6)
+            * F.lit(1e6)
+        ).cast("bigint"),
+    )
+    weighted = (
+        ce.join(F.broadcast(ns), "source")
+        .join(F.broadcast(nd), "source")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            "n_docs",
+            "n_s",
+            "a_i6",
+            excess_i6.alias("excess_i6"),
+        )
+        .withColumn("prod", F.col("n_s") * (F.lit(1_000_000) + F.col("excess_i6")))
+    )
+    tot = weighted.agg(F.sum("prod").alias("tot"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            (F.col("a_i6").cast("double") / F.col("n_s") / F.lit(1e6)).alias(
+                "cross_entropy_nats"
+            ),
+            (F.col("excess_i6").cast("double") / F.lit(1e6)).alias("excess_nats"),
+            F.round(F.col("prod").cast("double") / F.col("tot") * F.lit(1e6))
+            .cast("bigint")
+            .alias("weight_ppm"),
+        )
+        .orderBy("source")
+    )
