@@ -60,20 +60,23 @@ _SQL_BANDS = "\n      UNION ALL\n      ".join(
 )
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles, sig) with the MinHash signature array —
-    persisted because it feeds both the band join and the verify join
-    (the 'materialize the signature table' step of every LSH pipeline)."""
-    return (
-        spread(load(spark, sf_dir, "documents"))
-        .select("doc_id", T.word_shingles(F.col("text"), k=3).alias("shingles"))
-        .select(
-            "doc_id",
-            "shingles",
-            T.minhash_signature(F.col("shingles"), NUM_HASHES).alias("sig"),
-        )
-        .persist()
+def signatures_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles, sig) from a (doc_id, text, ...) frame — the
+    'materialize the signature table' step of every LSH pipeline, shared
+    by the batch queries and the streaming micro-batch ingest twin."""
+    return docs.select(
+        "doc_id", T.word_shingles(F.col("text"), k=3).alias("shingles")
+    ).select(
+        "doc_id",
+        "shingles",
+        T.minhash_signature(F.col("shingles"), NUM_HASHES).alias("sig"),
     )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader wrapper around :func:`signatures_from_docs` — persisted
+    because it feeds both the band join and the verify join."""
+    return signatures_from_docs(spread(load(spark, sf_dir, "documents"))).persist()
 
 
 def _band_rows(sig: DataFrame) -> DataFrame:
@@ -1193,22 +1196,37 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the band join is new-batch × corpus-bands on band-key
     equality — candidate count scales with the BATCH, not the corpus;
     at deploy time the corpus band table is a materialized index
-    (bucketed by band_key) so the daily cost is one equi-join against
-    an existing layout plus verification of candidates only. The final
-    per-new-doc window partitions by doc_new (tiny groups)."""
+    (bucketed by band_key — proven shuffle-free on the corpus side in
+    ``tests/test_lsh_index_layout.py``) so the daily cost is one
+    equi-join against an existing layout plus verification of candidates
+    only. The final per-new-doc window partitions by doc_new (tiny
+    groups). The core is :func:`lsh_admission_log`, shared verbatim with
+    the streaming micro-batch ingest twin (``tests/test_streaming.py``)."""
     sig = _signatures(spark, sf_dir)
-    sh = sig.select("doc_id", "shingles")
-    bands = _band_rows(sig)
     is_new = F.col("doc_id") % 2 == 1
-    nb = bands.filter(is_new).select(
+    return lsh_admission_log(sig.filter(is_new), sig.filter(~is_new))
+
+
+def lsh_admission_log(new_sig: DataFrame, corpus_sig: DataFrame) -> DataFrame:
+    """Admission log for a NEW batch of signature rows against a STANDING
+    corpus signature table (both in the :func:`signatures_from_docs`
+    schema): per new doc, its corpus near-dup count, best match and
+    is_new_content verdict. Pure function of its two inputs — the batch
+    query and the streaming foreachBatch ingest both call it, so the
+    two paths cannot drift."""
+    nb = _band_rows(new_sig).select(
         F.col("doc_id").alias("doc_new"), "band", "band_key"
     )
-    ob = bands.filter(~is_new).select(
+    ob = _band_rows(corpus_sig).select(
         F.col("doc_id").alias("doc_old"), "band", "band_key"
     )
     cand = nb.join(ob, ["band", "band_key"]).select("doc_new", "doc_old").distinct()
-    sa = sh.select(F.col("doc_id").alias("doc_new"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_old"), F.col("shingles").alias("sh_b"))
+    sa = new_sig.select(
+        F.col("doc_id").alias("doc_new"), F.col("shingles").alias("sh_a")
+    )
+    sb = corpus_sig.select(
+        F.col("doc_id").alias("doc_old"), F.col("shingles").alias("sh_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
     scored = (
@@ -1227,7 +1245,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
     )
-    new_docs = sig.filter(is_new).select(F.col("doc_id").alias("doc_new"))
+    new_docs = new_sig.select(F.col("doc_id").alias("doc_new"))
     return (
         new_docs.join(best, "doc_new", "left")
         .select(

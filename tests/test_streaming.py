@@ -558,3 +558,67 @@ def test_consumer_parse_dlq_split(spark):
     assert got["k3"][0] == "missing_domain"
     assert got["k4"][0] == "missing_content"
     assert valid.count() + rejects.count() == len(rows)
+
+
+def test_incremental_lsh_admission_in_foreachbatch(spark, sf_dir, tmp_path):
+    """The daily-ingest dedup shape, streamed: odd docs arrive in TWO
+    micro-batches (maxFilesPerTrigger=1), each probed against the
+    STANDING corpus signature table via the same lsh_admission_log the
+    batch query calls — the accumulated admission log must equal
+    dedup_incremental_lsh over the same data, proving the per-batch path
+    and the batch path cannot drift."""
+    from bigdata_2025_1_spark.operators.dedup import (
+        lsh_admission_log,
+        signatures_from_docs,
+    )
+    from bigdata_2025_1_spark.registry import all_queries
+
+    expected = {
+        r.doc_new: (r.n_dups, r.dup_of, r.jaccard, r.is_new_content)
+        for r in all_queries()["dedup_incremental_lsh"](spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+
+    docs = load(spark, sf_dir, "documents")
+    corpus_sig = signatures_from_docs(
+        docs.filter(F.col("doc_id") % 2 == 0)
+    ).persist()
+    corpus_sig.count()  # materialize the standing index once, up front
+
+    stream_dir = str(tmp_path / "incoming")
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    new_docs.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+    new_docs.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+
+    out: dict = {}
+    batches: list[int] = []
+
+    def per_batch(batch_df, bid):
+        batches.append(bid)
+        log = lsh_admission_log(signatures_from_docs(batch_df), corpus_sig)
+        for r in log.collect():
+            out[r.doc_new] = (r.n_dups, r.dup_of, r.jaccard, r.is_new_content)
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "lsh_ckpt"))
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "stream did not finish in 180s"
+    finally:
+        q.stop()
+    assert len(batches) == 2, batches  # genuinely incremental, not one gulp
+    assert out == expected
+    spark.catalog.clearCache()
