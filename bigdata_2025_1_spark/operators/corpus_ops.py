@@ -1049,8 +1049,8 @@ def doc_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cw CROSS JOIN nt
     ), scored AS (
       SELECT ce.source, ns.n_s, nd.n_docs, ce.a_i6,
-             GREATEST(0, CAST(ROUND((ce.a_i6::DOUBLE / ns.n_s
-                                     - g.g_i6::DOUBLE / g.n) / 1e6 * 1e6)
+             GREATEST(0, CAST(ROUND(ce.a_i6::DOUBLE / ns.n_s
+                                     - g.g_i6::DOUBLE / g.n)
                               AS BIGINT)) AS excess_i6
       FROM ce JOIN ns USING (source) JOIN nd USING (source) CROSS JOIN gl g
     ), weighted AS (
@@ -1119,12 +1119,8 @@ def domain_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     excess_i6 = F.greatest(
         F.lit(0).cast("bigint"),
         F.round(
-            (
-                F.col("a_i6").cast("double") / F.col("n_s")
-                - F.col("g_i6").cast("double") / F.col("n")
-            )
-            / F.lit(1e6)
-            * F.lit(1e6)
+            F.col("a_i6").cast("double") / F.col("n_s")
+            - F.col("g_i6").cast("double") / F.col("n")
         ).cast("bigint"),
     )
     weighted = (

@@ -1474,6 +1474,11 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy is one fixed IEEE op sequence rounded once — the same
     exact-scaling discipline as the PMI/LM operators.
 
+    Unicode note: both engines split ASCII identically (the fixture's
+    domain); astral-plane codepoints would split differently (Java
+    UTF-16 units vs DuckDB codepoints) — normalize or strip them first
+    on a corpus where they matter.
+
     Scale shape: the char explode is linear in corpus bytes but feeds a
     (doc_id, ch)-keyed aggregate whose map-side combine collapses it to
     ≤ |alphabet| rows per document BEFORE the shuffle; the second
