@@ -153,6 +153,7 @@ HEADLINE = [
     "margin_candidate_mining_ivf",
     "domain_mixture_reweight",
     "hyperball_harmonic_trade",
+    "event_rate_anomaly",
 ]
 
 

@@ -1434,3 +1434,140 @@ def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("wau"))
         .orderBy("day")
     )
+
+
+# --- Poisson-deviance rate anomaly -----------------------------------------
+
+ANOM_TOP = 30
+
+
+@query(
+    "event_rate_anomaly",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), spine AS (
+      SELECT t.event_type, h.hour
+      FROM hours h CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ), filled AS (
+      SELECT s.event_type, s.hour, COALESCE(o.n, 0) AS n,
+             EXTRACT(hour FROM s.hour) AS hod
+      FROM spine s LEFT JOIN obs o
+        ON o.event_type = s.event_type AND o.hour = s.hour
+    ), slot AS (
+      SELECT event_type, hod, SUM(n) AS tot, COUNT(*) AS m
+      FROM filled GROUP BY event_type, hod
+    ), scored AS (
+      SELECT f.event_type, f.hour, CAST(f.n AS BIGINT) AS n,
+             CAST(ROUND(s.tot::DOUBLE / s.m * 1e6) AS BIGINT) AS e_i6,
+             2 * (CASE WHEN f.n > 0
+                       THEN f.n * CAST(ROUND(ln(f.n::DOUBLE * s.m / s.tot) * 1e6)
+                                       AS BIGINT)
+                       ELSE 0 END
+                  - CAST(ROUND((f.n * s.m - s.tot)::DOUBLE / s.m * 1e6)
+                         AS BIGINT)) AS dev_i6
+      FROM filled f JOIN slot s USING (event_type, hod)
+    )
+    SELECT event_type, hour, n,
+           e_i6::DOUBLE / 1e6 AS expected,
+           dev_i6::DOUBLE / 1e6 AS deviance,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY dev_i6 DESC, event_type, hour)
+                 AS rank
+          FROM scored)
+    WHERE rank <= {ANOM_TOP}
+    ORDER BY rank
+    """,
+)
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-deviance rate anomaly: each (event_type, hour) cell is
+    scored by the deviance 2·(o·ln(o/e) − (o − e)) against its
+    hour-of-day slot baseline e = slot total / slot hours — the GLM
+    goodness-of-fit statistic, so a quiet hour (o = 0 → D = 2e) alarms
+    as loudly as a spike of equal evidence, which a raw residual
+    (``seasonal_hourly_residuals``) understates. Baseline includes the
+    scored hour itself (the usual one-pass simplification; a held-out
+    baseline is the same query minus one row).
+
+    Determinism: o, slot totals and slot sizes are integers; ln runs on
+    one exact integer ratio and is rounded once to 1e-6ths; expected
+    and the linear term are rounded once; the deviance is then pure
+    int64. Top-k breaks ties on (event_type, hour).
+
+    Scale shape: one (type, hour)-keyed count with map-side combine;
+    the calendar spine is generated, not shuffled (broadcast fill —
+    same shape as the gap-fill family); slot baselines reduce the
+    CELL table (24·|types| rows); scoring is a broadcast join back.
+    Top-k is rank-after-limit."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+    filled = (
+        spine.join(F.broadcast(obs), ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.hour("hour").alias("hod"),
+        )
+    )
+    slot = filled.groupBy("event_type", "hod").agg(
+        F.sum("n").alias("tot"), F.count("*").alias("m")
+    )
+    e_i6 = F.round(F.col("tot").cast("double") / F.col("m") * F.lit(1e6)).cast(
+        "bigint"
+    )
+    ln_i6 = F.round(
+        F.log(F.col("n").cast("double") * F.col("m") / F.col("tot")) * F.lit(1e6)
+    ).cast("bigint")
+    diff_i6 = F.round(
+        (F.col("n") * F.col("m") - F.col("tot")).cast("double")
+        / F.col("m")
+        * F.lit(1e6)
+    ).cast("bigint")
+    scored = filled.join(F.broadcast(slot), ["event_type", "hod"]).select(
+        "event_type",
+        "hour",
+        F.col("n").cast("bigint").alias("n"),
+        e_i6.alias("e_i6"),
+        (
+            2
+            * (
+                F.when(F.col("n") > 0, F.col("n") * ln_i6)
+                .otherwise(F.lit(0).cast("bigint"))
+                - diff_i6
+            )
+        ).alias("dev_i6"),
+    )
+    return (
+        rank_after_limit(
+            scored,
+            [F.desc("dev_i6"), F.col("event_type"), F.col("hour")],
+            ANOM_TOP,
+        )
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            (F.col("e_i6").cast("double") / F.lit(1e6)).alias("expected"),
+            (F.col("dev_i6").cast("double") / F.lit(1e6)).alias("deviance"),
+            "rank",
+        )
+        .orderBy("rank")
+    )
