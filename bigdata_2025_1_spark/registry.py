@@ -52,17 +52,24 @@ ORACLES: dict[str, str] = {}
 # REPLACING a proven-green head entry, never by growing past 50. New
 # round-6 queries therefore queue for round 7, NOT the head.
 #
-# ROUND-7/8 ROTATION PLAN: with the never-checked backlog at zero, the
-# head becomes a stale-green refresh rotation. 22 r2-vintage greens
-# remain after this round's 4: (media_feature_stats, media_frame_sample,
+# ROUND-7/8 ROTATION PLAN: with the pre-round-6 never-checked backlog
+# at zero, round 7's head takes (a) the 8 round-6 additions, none yet
+# driver-checked (benchmark_decontamination, char_entropy_quality,
+# scd2_status_history, kcore_trade_graph, margin_candidate_mining_ivf,
+# hyperball_harmonic_trade, domain_mixture_reweight,
+# event_rate_anomaly — all selfcheck-green at sf0.01 under the vanilla
+# session), then (b) dedup_minhash_lsh + minhash_signatures (code
+# touched by the round-6 signatures_from_docs refactor — re-certify on
+# current code), then (c) stale-green refresh from the 22 remaining
+# r2-vintage greens: (media_feature_stats, media_frame_sample,
 # media_resize, udaf_median_order_value, grouped_map_spend_share,
 # order_value_percentiles, approx_percentiles, pivot_status_by_priority,
 # sql_cte_above_nation_avg, train_test_split, corpus_quality_filter,
 # sequence_packing, corpus_end_to_end, stratified_source_cap,
 # corpus_temperature_mix, domain_doc_stats, global_size_stats,
 # metadata_extract, wordcount, udtf_bigrams, date_features,
-# string_functions_showcase) — roll them plus any round-6/7 additions
-# through rounds 7-8; after that no green row predates round 3.
+# string_functions_showcase) — roll the remainder through round 8;
+# after that no green row predates round 3.
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 0-8: first driver rows ON ROUND-6-CHANGED CODE
     "cdc_chunk_dedup",
