@@ -154,6 +154,7 @@ HEADLINE = [
     "domain_mixture_reweight",
     "hyperball_harmonic_trade",
     "event_rate_anomaly",
+    "sketch_join_size_estimate",
 ]
 
 

@@ -1663,3 +1663,124 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b")
     )
+
+
+# --- CMS inner-product join-size estimation (AMS-style) -------------------
+
+
+@query(
+    "sketch_join_size_estimate",
+    oracle=f"""
+    WITH co AS MATERIALIZED (
+      SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ), ce AS MATERIALIZED (
+      SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY user_id
+    ), cmso AS (
+      SELECT hrow, substr(md5(hrow || ':' || k), 1, 2) AS bucket, SUM(n) AS cell
+      FROM co CROSS JOIN {_CMS_ROWS_SQL} r GROUP BY hrow, bucket
+    ), cmse AS (
+      SELECT hrow, substr(md5(hrow || ':' || k), 1, 2) AS bucket, SUM(n) AS cell
+      FROM ce CROSS JOIN {_CMS_ROWS_SQL} r GROUP BY hrow, bucket
+    ), per_row AS (
+      SELECT o.hrow, SUM(o.cell * e.cell) AS row_estimate
+      FROM cmso o JOIN cmse e USING (hrow, bucket)
+      GROUP BY o.hrow
+    ), mn AS (
+      SELECT MIN(row_estimate) AS cms_estimate FROM per_row
+    ), ex AS (
+      SELECT SUM(co.n * ce.n) AS exact_size FROM co JOIN ce USING (k)
+    )
+    SELECT CAST(p.hrow AS INT) AS hrow,
+           CAST(p.row_estimate AS BIGINT) AS row_estimate,
+           CAST(mn.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(ex.exact_size AS BIGINT) AS exact_size,
+           (mn.cms_estimate - ex.exact_size)::DOUBLE / ex.exact_size AS rel_err
+    FROM per_row p CROSS JOIN mn CROSS JOIN ex
+    ORDER BY hrow
+    """,
+)
+def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from count-min sketches (the AMS/CM
+    inner-product estimator, Alon-Matias-Szegedy 1996 / Cormode-
+    Muthukrishnan 2005): |orders ⋈ events ON custkey = user_id| =
+    Σ_k c_o(k)·c_e(k), estimated per hash row as the inner product of
+    the two tables' CMS rows, taking the minimum across rows — the
+    statistic a planner consults to size a join (or pick a broadcast
+    side) WITHOUT touching either table again; the self-join case
+    (both sketches from one column) is the classic F₂ moment. The query
+    reports each row's estimate, the min, the exact answer and the
+    relative error, so the sketch's overcount bias is measured, not
+    assumed.
+
+    Determinism: buckets are md5 hex-byte prefixes (identical in both
+    engines); cells and inner products are pure int64 (cells bounded by
+    table rows; products by |A|·|B| — at larger scales widen the bucket
+    count, not the arithmetic).
+
+    Scale shape: each sketch is a ≤ depth×256-cell map-side-combinable
+    aggregate of its table's KEY COUNTS (never raw rows over the wire);
+    the inner product joins two 1024-row summaries. The exact twin
+    (for the audit) is one count-table equi-join. Sketches are
+    mergeable across partitions/days exactly like
+    ``count_min_sketch_words``'s cells."""
+    co = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n"))
+    )
+    ce = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count("*").alias("n"))
+    )
+    hrows = F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
+
+    def cms(counts: DataFrame) -> DataFrame:
+        return (
+            counts.select("k", "n", F.explode(hrows).alias("hrow"))
+            .select(
+                "hrow",
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("hrow").cast("string"),
+                            F.lit(":"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ).alias("bucket"),
+                "n",
+            )
+            .groupBy("hrow", "bucket")
+            .agg(F.sum("n").alias("cell"))
+        )
+    per_row = (
+        cms(co)
+        .withColumnRenamed("cell", "cell_o")
+        .join(cms(ce).withColumnRenamed("cell", "cell_e"), ["hrow", "bucket"])
+        .groupBy("hrow")
+        .agg(F.sum(F.col("cell_o") * F.col("cell_e")).alias("row_estimate"))
+    )
+    mn = per_row.agg(F.min("row_estimate").alias("cms_estimate"))
+    ex = (
+        co.withColumnRenamed("n", "n_o")
+        .join(ce.withColumnRenamed("n", "n_e"), "k")
+        .agg(F.sum(F.col("n_o") * F.col("n_e")).alias("exact_size"))
+    )
+    return (
+        per_row.crossJoin(F.broadcast(mn))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.col("hrow").cast("int").alias("hrow"),
+            F.col("row_estimate").cast("bigint").alias("row_estimate"),
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            F.col("exact_size").cast("bigint").alias("exact_size"),
+            (
+                (F.col("cms_estimate") - F.col("exact_size")).cast("double")
+                / F.col("exact_size")
+            ).alias("rel_err"),
+        )
+        .orderBy("hrow")
+    )
