@@ -155,6 +155,7 @@ HEADLINE = [
     "hyperball_harmonic_trade",
     "event_rate_anomaly",
     "sketch_join_size_estimate",
+    "pca_power_iteration",
 ]
 
 

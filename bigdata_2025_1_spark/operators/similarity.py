@@ -1652,3 +1652,123 @@ def margin_candidate_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_id", "tgt_id", "cosine", "margin", "mrank")
         .orderBy("mrank")
     )
+
+
+# --- distributed PCA (power iteration, cross-engine exact) ----------------
+
+PCA_ITERS = 4
+_PCA_W0 = 125_000  # uniform start direction, 1e6-scaled (1/8 per component)
+_SE6 = (
+    f"[CAST(ROUND(embedding[i]::DOUBLE * 1e6) AS BIGINT) "
+    f"for i in range(1, {_DIM + 1})]"
+)
+_PCA_SUMS = ", ".join(f"SUM(dq * se[{j}])" for j in range(1, _DIM + 1))
+
+
+def _sql_pca_stage(t: int) -> str:
+    return f"""d{t} AS MATERIALIZED (
+      SELECT CAST(ROUND(CAST(list_dot_product(se::DOUBLE[],
+                               (SELECT w FROM w{t - 1})::DOUBLE[]) AS BIGINT)::DOUBLE
+                        / 1e6) AS BIGINT) AS dq,
+             se
+      FROM sem
+    ), w{t} AS MATERIALIZED (
+      SELECT [CAST(ROUND(vq[i]::DOUBLE
+                         / sqrt(list_sum([vq[j] * vq[j]
+                                          for j in range(1, {_DIM + 1})])::DOUBLE)
+                         * 1e6) AS BIGINT)
+              for i in range(1, {_DIM + 1})] AS w
+      FROM (SELECT [CAST(ROUND(v[i]::DOUBLE / 1e9) AS BIGINT)
+                    for i in range(1, {_DIM + 1})] AS vq
+            FROM (SELECT list_value({_PCA_SUMS}) AS v FROM d{t}))
+    )"""
+
+
+_PCA_STAGES = ",\n    ".join(_sql_pca_stage(t) for t in range(1, PCA_ITERS + 1))
+
+
+@query(
+    "pca_power_iteration",
+    oracle=f"""
+    WITH sem AS MATERIALIZED (
+      SELECT {_SE6} AS se FROM embeddings
+    ), w0 AS (
+      SELECT [{_PCA_W0} for i in range(1, {_DIM + 1})]::BIGINT[] AS w
+    ),
+    {_PCA_STAGES}
+    SELECT CAST(r.i AS INT) AS dim, w[r.i]::DOUBLE / 1e6 AS loading
+    FROM w{PCA_ITERS}, range(1, {_DIM + 1}) r(i)
+    WHERE (SELECT COUNT(*) FROM embeddings) > 0
+    ORDER BY dim
+    """,
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix by POWER
+    ITERATION — the distributed linear-algebra shape (w ← XᵀXw,
+    normalize) behind PCA whitening, spectral dedup (the SemDeDup
+    paper's preprocessing), and embedding-drift monitors. Uncentered
+    (top singular direction): the dominant axis of the raw embeddings.
+
+    Determinism across engines is the point: every step is either exact
+    int64 (scaled dots — |x|≤1 ⇒ terms ≤1e12, 64-dim sums ≤6.4e13;
+    per-dimension Σ dq·xs sums, bounded by n·3.7e13 — int64-safe to
+    ~10⁵ rows, rescale dq for more) or a deterministic IEEE op sequence
+    (int→double casts, one divide, one sqrt, one half-away round) that
+    both engines evaluate identically. The iterated 64-vector state is
+    collected to the driver as INTEGERS each round (the kmeans
+    broadcast-centroid shape) — no float ever crosses an engine
+    boundary. Oracle = the same {PCA_ITERS} iterations unrolled as
+    materialized CTEs.
+
+    Scale shape: each iteration is one map-side dot product + one
+    (dimension)-keyed sum — 64·n skinny rows collapsing map-side to 64
+    per partition (swap the posexplode for an Arrow partial-sum kernel
+    at extreme scale; the algebra is identical); the normalization is
+    arithmetic on a 64-row table. Exactly the shape of distributed
+    Lanczos/orthogonal iteration with more vectors."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    se6 = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(1e6)).cast("bigint"),
+    )
+    sem = emb.select(se6.alias("se")).persist()
+    w = [_PCA_W0] * _DIM
+    for _ in range(PCA_ITERS):
+        warr = F.array(*[F.lit(int(wj)).cast("bigint") for wj in w])
+        dot = F.aggregate(
+            F.zip_with(F.col("se"), warr, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        d = sem.select(
+            F.round(dot.cast("double") / F.lit(1e6)).cast("bigint").alias("dq"),
+            "se",
+        )
+        v = (
+            d.select("dq", F.posexplode("se").alias("j", "xv"))
+            .groupBy("j")
+            .agg(F.sum(F.col("dq") * F.col("xv")).alias("v"))
+            .select("j", F.round(F.col("v").cast("double") / F.lit(1e9)).cast("bigint").alias("vq"))
+        )
+        norm2 = v.agg(F.sum(F.col("vq") * F.col("vq")).alias("n2"))
+        wrows = (
+            v.crossJoin(F.broadcast(norm2))
+            .select(
+                "j",
+                F.round(
+                    F.col("vq").cast("double")
+                    / F.sqrt(F.col("n2").cast("double"))
+                    * F.lit(1e6)
+                )
+                .cast("bigint")
+                .alias("wj"),
+            )
+            .collect()
+        )
+        if not wrows:  # empty input: no direction to report
+            return spark.createDataFrame([], "dim int, loading double")
+        got = {r.j: r.wj for r in wrows}
+        w = [int(got[j]) for j in range(_DIM)]
+    return spark.createDataFrame(
+        [(j + 1, w[j] / 1e6) for j in range(_DIM)], "dim int, loading double"
+    ).orderBy("dim")
