@@ -156,6 +156,7 @@ HEADLINE = [
     "event_rate_anomaly",
     "sketch_join_size_estimate",
     "pca_power_iteration",
+    "bpe_merge_sequence",
 ]
 
 

@@ -1153,3 +1153,138 @@ def domain_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- BPE merge loop (tokenizer training, 3 steps) --------------------------
+
+BPE_MERGES = 3
+
+
+def _sql_bpe_stage(t: int) -> str:
+    return f"""p{t} AS MATERIALIZED (
+      SELECT pair, SUM(cnt) AS n FROM (
+        SELECT unnest([syms[i] || ' ' || syms[i + 1]
+                       for i in range(1, len(syms))]) AS pair, cnt
+        FROM (SELECT list_filter(regexp_split_to_array(trim(s), ' '),
+                                 x -> x <> '') AS syms, cnt
+              FROM v{t - 1})
+      ) GROUP BY pair
+    ), b{t} AS MATERIALIZED (
+      SELECT pair, n FROM p{t} ORDER BY n DESC, pair LIMIT 1
+    ), v{t} AS MATERIALIZED (
+      SELECT replace(s, ' ' || (SELECT pair FROM b{t}) || ' ',
+                     ' ' || replace((SELECT pair FROM b{t}), ' ', '') || ' ')
+               AS s,
+             cnt
+      FROM v{t - 1}
+    )"""
+
+
+_BPE_STAGES = ",\n    ".join(_sql_bpe_stage(t) for t in range(1, BPE_MERGES + 1))
+_BPE_FINAL = "\n      UNION ALL\n      ".join(
+    f"SELECT {t} AS step, pair, CAST(n AS BIGINT) AS n, "
+    f"replace(pair, ' ', '') AS merged FROM b{t}"
+    for t in range(1, BPE_MERGES + 1)
+)
+
+
+@query(
+    "bpe_merge_sequence",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest({_SQL_TOKS}) AS w FROM documents
+    ), vocab AS (
+      SELECT w, COUNT(*) AS cnt FROM words WHERE length(w) >= 1 GROUP BY w
+    ), v0 AS MATERIALIZED (
+      SELECT ' ' || array_to_string([substr(w, i, 1)
+                                     for i in range(1, length(w) + 1)], ' ')
+                 || ' ' AS s,
+             cnt
+      FROM vocab
+    ),
+    {_BPE_STAGES}
+    SELECT step, pair, n, merged FROM (
+      {_BPE_FINAL}
+    ) ORDER BY step
+    """,
+)
+def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the actual LOOP ({BPE_MERGES} merges):
+    count corpus-weighted adjacent symbol pairs over the word-type
+    vocabulary, merge the argmax pair ((n DESC, pair ASC) total order),
+    re-segment, repeat — ``bpe_pair_merge_step`` is one scan of this
+    loop; this runs the fixed point the Sennrich et al. 2016 trainer
+    runs, emitting the merge table (step, pair, frequency, new symbol)
+    that IS a BPE tokenizer's artifact.
+
+    Determinism: pair counts are word-frequency-weighted integers over
+    the TYPE vocabulary; the merge pick is a total order; the merge
+    application is literal left-to-right non-overlapping string
+    replacement on space-separated symbol strings — identical semantics
+    in both engines (greedy BPE's own convention).
+
+    Scale shape: the loop state is the word-TYPE vocabulary (s, cnt) —
+    vocabulary-sized, never the token stream, exactly how real BPE
+    trainers batch (count words once, train on types); each iteration
+    is one map-side-combinable pair count + one broadcast literal
+    replace. The top-pair pick collects ONE row per round (the
+    kmeans/PCA broadcast-state shape). The oracle unrolls the same
+    {BPE_MERGES} rounds."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # split(w, '') yields one element per char in Spark 4 (no trailing
+    # empty); the padded ' a b ' form makes every pair replacement a
+    # boundary-safe literal substring
+    v = vocab.select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.split(F.col("w"), ""), " "),
+            F.lit(" "),
+        ).alias("s"),
+        "cnt",
+    ).persist()
+    log = []
+    for step in range(1, BPE_MERGES + 1):
+        # single-symbol guard: sequence(1, 0) counts DOWN (the repo-wide
+        # trap) and would then element_at past the end under ANSI
+        pairs = v.select(
+            F.explode(
+                F.expr(
+                    "transform("
+                    "  if(size(split(trim(s), ' ')) >= 2,"
+                    "     sequence(1, size(split(trim(s), ' ')) - 1),"
+                    "     cast(array() as array<int>)), "
+                    "i -> concat(element_at(split(trim(s), ' '), i), ' ', "
+                    "element_at(split(trim(s), ' '), i + 1)))"
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, n = top[0].pair, int(top[0].n)
+        merged = pair.replace(" ", "")
+        log.append((step, pair, n, merged))
+        v = v.select(
+            F.replace(
+                F.col("s"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+            ).alias("s"),
+            "cnt",
+        ).persist()
+    if not log:
+        return spark.createDataFrame([], "step int, pair string, n bigint, merged string")
+    return spark.createDataFrame(
+        log, "step int, pair string, n bigint, merged string"
+    ).orderBy("step")

@@ -53,12 +53,14 @@ ORACLES: dict[str, str] = {}
 # round-6 queries therefore queue for round 7, NOT the head.
 #
 # ROUND-7/8 ROTATION PLAN: with the pre-round-6 never-checked backlog
-# at zero, round 7's head takes (a) the 8 round-6 additions, none yet
+# at zero, round 7's head takes (a) the 11 round-6 additions, none yet
 # driver-checked (benchmark_decontamination, char_entropy_quality,
+# bpe_merge_sequence,
 # scd2_status_history, kcore_trade_graph, margin_candidate_mining_ivf,
-# hyperball_harmonic_trade, domain_mixture_reweight,
-# event_rate_anomaly — all selfcheck-green at sf0.01 under the vanilla
-# session), then (b) dedup_minhash_lsh + minhash_signatures (code
+# hyperball_harmonic_trade, domain_mixture_reweight, event_rate_anomaly,
+# sketch_join_size_estimate, pca_power_iteration — all selfcheck-green
+# at sf0.01, the round-6-batch also at sf0.1), then (b)
+# dedup_minhash_lsh + minhash_signatures (code
 # touched by the round-6 signatures_from_docs refactor — re-certify on
 # current code), then (c) stale-green refresh from the 22 remaining
 # r2-vintage greens: (media_feature_stats, media_frame_sample,
