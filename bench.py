@@ -157,6 +157,7 @@ HEADLINE = [
     "sketch_join_size_estimate",
     "pca_power_iteration",
     "bpe_merge_sequence",
+    "density_core_clusters",
 ]
 
 

@@ -1772,3 +1772,211 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(j + 1, w[j] / 1e6) for j in range(_DIM)], "dim int, loading double"
     ).orderBy("dim")
+
+
+# --- density-based clustering (DBSCAN over the SemDeDup cell graph) -------
+
+DENS_COS = 0.25  # epsilon: neighbor iff cosine >= this (looser than the
+# dedup threshold — clustering wants neighborhoods, not near-copies)
+DENS_MINPTS = 2  # core point needs >= this many neighbors
+
+# Same two-level keyed assignment as semantic_dedup_pairs' oracle —
+# generated from the same constants so the two cannot desynchronize.
+_SEM_KEYED_SQL = f"""se AS MATERIALIZED (
+      SELECT vec_id, embedding, {_SQL_NORM} AS nsq,
+             {V.sql_scaled_e9('embedding', _DIM)} AS se
+      FROM embeddings
+    ), proj AS MATERIALIZED (
+      SELECT vec_id, embedding, nsq,
+             {V.sql_ivf_projs_from('se', _CENTROIDS)} AS projs,
+             {V.sql_ivf_projs_from('se', _SUB_CENTROIDS)} AS sprojs
+      FROM se
+    ), assigned AS MATERIALIZED (
+      SELECT vec_id, embedding, nsq,
+             CAST(list_position(projs, list_max(projs)) - 1 AS INT) AS cell,
+             CAST(list_position(sprojs, list_max(sprojs)) - 1 AS INT) AS sub
+      FROM proj
+    ), sized AS (
+      SELECT cell, COUNT(*) AS n_cell FROM assigned GROUP BY cell
+    ), keyed AS MATERIALIZED (
+      SELECT a.vec_id, a.embedding, a.nsq, a.cell,
+             CASE WHEN s.n_cell > {SEM_CELL_CAP} THEN a.sub ELSE 0 END AS subkey
+      FROM assigned a JOIN sized s USING (cell)
+    )"""
+
+
+@query(
+    "density_core_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SEM_KEYED_SQL}, dpairs AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM keyed a JOIN keyed b
+        ON a.cell = b.cell AND a.subkey = b.subkey AND a.vec_id < b.vec_id
+      WHERE {V.sql_dot_scaled('a.embedding', 'b.embedding', _DIM)}::DOUBLE
+              / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE)) >= {DENS_COS}
+    ), sym AS MATERIALIZED (
+      SELECT a, b FROM dpairs UNION ALL SELECT b AS a, a AS b FROM dpairs
+    ), deg AS MATERIALIZED (
+      SELECT a AS vec_id, COUNT(*) AS degree FROM sym GROUP BY a
+    ), core AS MATERIALIZED (
+      SELECT vec_id FROM deg WHERE degree >= {DENS_MINPTS}
+    ), cedges AS MATERIALIZED (
+      SELECT s.a, s.b FROM sym s
+      JOIN core x ON x.vec_id = s.a JOIN core y ON y.vec_id = s.b
+    ), reach(v, label) AS (
+      SELECT vec_id, vec_id FROM core
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN cedges e ON e.a = r.v
+      WHERE r.label < e.b
+    ), clab AS MATERIALIZED (
+      SELECT v AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY v
+    ), border AS MATERIALIZED (
+      SELECT s.a AS vec_id, MIN(c.cluster_id) AS cluster_id
+      FROM sym s JOIN clab c ON c.vec_id = s.b
+      WHERE s.a NOT IN (SELECT vec_id FROM core)
+      GROUP BY s.a
+    )
+    SELECT e.vec_id,
+           CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+           CASE WHEN cl.cluster_id IS NOT NULL THEN 'core'
+                WHEN bo.cluster_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(cl.cluster_id, bo.cluster_id) AS cluster_id
+    FROM embeddings e
+    LEFT JOIN deg d ON d.vec_id = e.vec_id
+    LEFT JOIN clab cl ON cl.vec_id = e.vec_id
+    LEFT JOIN border bo ON bo.vec_id = e.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def density_core_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the embedding space, composed from the repo's own
+    primitives (Ester et al. 1996, the LSH-bucketed variant): the
+    ε-neighborhood is cosine ≥ {DENS_COS} WITHIN the SemDeDup two-level
+    cell key (``semdedup_keyed_assignment`` — the quantizer bounds the
+    pair search exactly as it bounds dedup), core points have ≥
+    {DENS_MINPTS} neighbors, clusters are connected components of the
+    core-core graph (min-label propagation to the fixed point), border
+    points attach to their lowest-id core cluster, the rest is noise.
+    Cross-cell neighbors are the documented recall trade inherited from
+    the quantizer.
+
+    Determinism: cosine from exact int64 dots/norms; degrees and labels
+    are integers; border assignment and component ids MIN-total-ordered.
+    Oracle runs the same closure as a recursive CTE (the
+    ``dedup_connected_components`` pattern).
+
+    Scale shape: pair finding inherits the cell equi-join (+ re-split
+    cap) from SemDeDup; degree/core are map-side-combinable aggregates;
+    the component loop iterates on the CORE-CORE edge list only
+    (diameter-bounded, each step one join+MIN-agg, localCheckpoint'd
+    frontier so the logical plan stays O(1) per iteration);
+    the border join touches the pair list once."""
+    emb = load(spark, sf_dir, "embeddings")
+    keyed = semdedup_keyed_assignment(emb, SEM_CELL_CAP)
+    dot_pd = V.make_dot_scaled_pandas()
+    a = keyed.select(
+        "cell", "subkey",
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nsq").alias("nsq_a"),
+    )
+    b = keyed.select(
+        "cell", "subkey",
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nsq").alias("nsq_b"),
+    )
+    cosine = V.cosine_from_scaled(
+        dot_pd(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
+    )
+    dpairs = (
+        a.join(b, ["cell", "subkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= DENS_COS)
+        .select("a", "b")
+    )
+    # Lineage truncation, NOT just caching: the loop below references
+    # `labels` twice per iteration (in prop and in the convergence join),
+    # so with persist() alone the LOGICAL plan doubles every round — at
+    # iteration 4 Catalyst analysis already takes >60 s on 160 edges and
+    # the full query OOMs formatting the tree. localCheckpoint()
+    # materializes AND cuts the plan at each step, keeping analysis O(1)
+    # per iteration. (On a real cluster with dynamic allocation, swap for
+    # reliable checkpoint() — localCheckpoint blocks die with executors.)
+    sym = dpairs.unionByName(
+        dpairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count("*").alias("degree"))
+        .withColumnRenamed("a", "vec_id")
+        .persist()
+    )
+    core = deg.filter(F.col("degree") >= DENS_MINPTS).select("vec_id")
+    cedges = (
+        sym.join(core.withColumnRenamed("vec_id", "a"), "a")
+        .join(core.withColumnRenamed("vec_id", "b"), "b")
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    # min-label propagation, the dedup_connected_components loop shape:
+    # per-iteration checkpoint for the frontier, driver convergence check,
+    # bounded iterations
+    labels = core.select(
+        F.col("vec_id").alias("v"), F.col("vec_id").alias("label")
+    ).localCheckpoint()
+    for _ in range(32):  # diameter bound; dense clusters are shallow
+        prop = (
+            cedges.join(labels, cedges.a == labels.v)
+            .groupBy(F.col("b").alias("v2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(prop, labels.v == F.col("v2"), "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            "density_core_clusters: label propagation did not converge in "
+            "32 iterations (core-graph diameter > 32?)"
+        )
+    clab = labels.select(F.col("v").alias("vec_id"), F.col("label").alias("cluster_id"))
+    border = (
+        sym.join(clab.withColumnRenamed("vec_id", "b"), "b")
+        .join(core.withColumnRenamed("vec_id", "a"), "a", "left_anti")
+        .groupBy(F.col("a").alias("vec_id"))
+        .agg(F.min("cluster_id").alias("b_cluster"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(deg, "vec_id", "left")
+        .join(clab.withColumnRenamed("cluster_id", "c_cluster"), "vec_id", "left")
+        .join(border, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("degree"), F.lit(0)).cast("bigint").alias("degree"),
+            F.when(F.col("c_cluster").isNotNull(), F.lit("core"))
+            .when(F.col("b_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("c_cluster"), F.col("b_cluster")).alias("cluster_id"),
+        )
+        .orderBy("vec_id")
+    )

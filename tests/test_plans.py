@@ -822,3 +822,32 @@ def test_kcore_collapses_facts_before_kernel(spark, sf_dir):
     assert len(_re.findall(r"^\(\d+\) MapInPandas", plan, _re.M)) == 1
     assert "HashAggregate" in plan
     spark.catalog.clearCache()
+
+
+def test_density_clusters_roles_and_truncated_lineage(spark, sf_dir):
+    """DBSCAN roles obey the definition, and the iterated label state is
+    localCheckpoint'd — the final plan reads ExistingRDD scans instead of
+    chaining the whole loop lineage. persist()-only looping doubles the
+    logical plan every iteration (labels is referenced twice per step)
+    and OOMs Catalyst at iteration ~5 even on 160 edges."""
+    from bigdata_2025_1_spark.operators.similarity import DENS_MINPTS
+
+    df = QUERIES["density_core_clusters"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed loop state
+    rows = df.collect()
+    by_role: dict[str, list] = {}
+    for r in rows:
+        by_role.setdefault(r.role, []).append(r)
+    assert by_role.get("core"), "fixture should produce at least one core"
+    for r in by_role.get("core", []):
+        assert r.degree >= DENS_MINPTS and r.cluster_id is not None
+    for r in by_role.get("border", []):
+        assert r.degree < DENS_MINPTS and r.cluster_id is not None
+    for r in by_role.get("noise", []):
+        assert r.degree < DENS_MINPTS and r.cluster_id is None
+    # every cluster id is a core point's own id (min-label representative)
+    cores = {r.vec_id for r in by_role["core"]}
+    assert {r.cluster_id for r in rows if r.cluster_id is not None} <= cores
+    spark.catalog.clearCache()
