@@ -158,6 +158,10 @@ HEADLINE = [
     "pca_power_iteration",
     "bpe_merge_sequence",
     "density_core_clusters",
+    "cusum_changepoint",
+    "chi_square_independence",
+    "naive_bayes_source_classifier",
+    "textrank_keywords",
 ]
 
 

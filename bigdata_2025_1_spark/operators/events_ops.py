@@ -14,7 +14,7 @@ from pyspark.sql import types as T
 from bigdata_2025_1_spark.functions.asof import asof_attach_last
 from bigdata_2025_1_spark.functions.exact import exact_sum, sql_exact_sum
 from bigdata_2025_1_spark.io import load
-from bigdata_2025_1_spark.functions.ranks import rank_after_limit
+from bigdata_2025_1_spark.functions.ranks import rank_after_limit, with_global_rank
 from bigdata_2025_1_spark.registry import query
 from bigdata_2025_1_spark.sources.kafka_shape import to_kafka_message
 
@@ -1569,5 +1569,77 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dev_i6").cast("double") / F.lit(1e6)).alias("deviance"),
             "rank",
         )
+        .orderBy("rank")
+    )
+
+
+CUSUM_TOP_K = 10
+
+
+@query(
+    "cusum_changepoint",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY h
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(cnt) AS BIGINT) AS total
+      FROM hourly
+    ), pre AS (
+      SELECT h, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS k,
+             CAST(SUM(cnt) OVER (ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+      FROM hourly
+    ), dev AS (
+      SELECT h AS hour_ts, cnt,
+             t.n_hours * p - k * t.total AS cusum_scaled,
+             ABS(t.n_hours * p - k * t.total) AS absdev
+      FROM pre CROSS JOIN tot t
+    )
+    SELECT hour_ts, cnt, cusum_scaled, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY absdev DESC, hour_ts) AS rank
+          FROM dev)
+    WHERE rank <= {CUSUM_TOP_K}
+    ORDER BY rank
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint location over the hourly event rate (Page 1954,
+    the offline max-|S| form): S_k = sum_{{i<=k}} (x_i - mean), and the
+    hour maximizing |S_k| is the most likely shift point in the arrival
+    rate. Kept in EXACT integers by scaling through the hour count:
+    n·S_k = n·prefix_k − k·total, so no mean division ever happens and
+    both engines agree to the bit. Top-{CUSUM_TOP_K} |deviation| hours.
+
+    Overflow: n_hours·prefix ≤ hours·events ≈ 1e5·1e12 = 1e17 < 2^63 at
+    a century of 100 TB/yr ingest.
+
+    Scale shape: hourly counts are one map-side-combinable groupBy; the
+    running sum is the DISTRIBUTED prefix-sum primitive
+    (``with_global_rank(prefix_of=...)`` — range exchange + broadcast
+    offsets, no single-partition window over the hour spine); the totals
+    are a 1-row broadcast; top-k is ``rank_after_limit``."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("cnt")
+    )
+    tot = hourly.agg(
+        F.count("*").alias("n_hours"), F.sum("cnt").alias("total")
+    )
+    pre = with_global_rank(
+        hourly, ["h"], rank_col="k", prefix_of="cnt", prefix_col="p"
+    )
+    cusum = F.col("n_hours") * F.col("p") - F.col("k") * F.col("total")
+    dev = pre.crossJoin(F.broadcast(tot)).select(
+        F.col("h").alias("hour_ts"),
+        "cnt",
+        cusum.alias("cusum_scaled"),
+        F.abs(cusum).alias("absdev"),
+    )
+    return (
+        rank_after_limit(dev, [F.desc("absdev"), F.col("hour_ts")], CUSUM_TOP_K)
+        .select("hour_ts", "cnt", "cusum_scaled", "rank")
         .orderBy("rank")
     )

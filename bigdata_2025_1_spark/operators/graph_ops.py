@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.io import load, spread
 from bigdata_2025_1_spark.registry import query
 
 PR_ITERS = 10
@@ -1120,3 +1120,165 @@ def hyperball_harmonic_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e3").cast("double") / 1e6).alias("ball_r3"),
         (harm_i6.cast("double") / 1e6).alias("harmonic_est"),
     ).orderBy("nation")
+
+
+# --- TextRank keyword extraction (PageRank over the token graph) ----------
+
+TR_ITERS = 5
+TR_MIN_TOKEN_LEN = 3
+TR_TOP_K = 20
+
+_TR_SQL_TOKS = (
+    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+    f" t -> length(t) >= {TR_MIN_TOKEN_LEN})"
+)
+
+
+def _sql_tr_stage(i: int) -> str:
+    return f"""trk{i + 1} AS MATERIALIZED (
+      SELECT n.w,
+             (15 * (SELECT r0 FROM trinit)) // 100
+               + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+      FROM trnodes n LEFT JOIN (
+        SELECT e.dst AS w, SUM(p.rank * e.w_ppm // {PR_PPM}) AS contrib
+        FROM trk{i} p JOIN tredges e ON e.src = p.w
+        GROUP BY e.dst
+      ) c USING (w)
+    )"""
+
+
+_TR_STAGES = ",\n    ".join(_sql_tr_stage(i) for i in range(TR_ITERS))
+
+
+@query(
+    "textrank_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT {_TR_SQL_TOKS} AS ts FROM documents
+    ), big AS (
+      SELECT unnest([ts[i] || ' ' || ts[i + 1] for i in range(1, len(ts))]) AS bg
+      FROM tok
+    ), adj AS (
+      SELECT split_part(bg, ' ', 1) AS a, split_part(bg, ' ', 2) AS b
+      FROM big
+      WHERE split_part(bg, ' ', 1) <> split_part(bg, ' ', 2)
+    ), raw_edges AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+        SELECT a AS src, b AS dst FROM adj
+        UNION ALL
+        SELECT b AS src, a AS dst FROM adj
+      ) GROUP BY src, dst
+    ), out_w AS (
+      SELECT src, SUM(w) AS total FROM raw_edges GROUP BY src
+    ), tredges AS MATERIALIZED (
+      SELECT e.src, e.dst, e.w * {PR_PPM} // o.total AS w_ppm
+      FROM raw_edges e JOIN out_w o USING (src)
+    ), trnodes AS MATERIALIZED (
+      SELECT DISTINCT unnest(ts) AS w FROM tok
+    ), trinit AS (
+      SELECT {PR_ONE} // COUNT(*) AS r0 FROM trnodes
+    ), trk0 AS (
+      SELECT w, (SELECT r0 FROM trinit) AS rank FROM trnodes
+    ),
+    {_TR_STAGES}
+    SELECT w AS token, CAST(rank AS BIGINT) AS rank_scaled,
+           rank::DOUBLE / {PR_ONE} AS score, CAST(pos AS INT) AS pos
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rank DESC, w) AS pos
+          FROM trk{TR_ITERS})
+    WHERE pos <= {TR_TOP_K}
+    ORDER BY pos
+    """,
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the corpus-wide token co-occurrence graph — nodes are token types of
+    length >= {TR_MIN_TOKEN_LEN}, undirected edges weight adjacent
+    co-occurrence in the filtered token sequence, {TR_ITERS} damped
+    iterations of the module's all-integer scheme, top-{TR_TOP_K} tokens.
+
+    This is the VOCABULARY-SIZED-state counterpart to
+    ``pagerank_nation_trade``: there the graph collapses to <=|nations|^2
+    edges and the fixed point runs as one Arrow kernel; here the state is
+    the vocabulary (Heaps-law sublinear but NOT driver-sized at 100 TB —
+    tens of millions of types), so the iteration is the DISTRIBUTED
+    loop-of-joins with a localCheckpoint'd rank frontier per step (the
+    ``density_core_clusters`` lineage-truncation pattern; persist alone
+    doubles the logical plan per iteration). The only driver scalar is
+    the node COUNT (one job) feeding the integer base rank.
+
+    Determinism: identical int64 arithmetic to PageRank (ppm edge
+    normalization by floor division, rank*w_ppm // 1e6 contributions,
+    15/85 damping in integer hundredths); the oracle unrolls the same
+    {TR_ITERS} stages as CTEs keyed by token string."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    from bigdata_2025_1_spark.functions import text as T
+    from bigdata_2025_1_spark.functions.ranks import rank_after_limit
+
+    toks = docs.select(
+        F.filter(
+            T.ws_tokens(F.lower(F.col("text"))),
+            lambda t: F.length(t) >= TR_MIN_TOKEN_LEN,
+        ).alias("ts")
+    )
+    ts = F.col("ts")
+    idx = F.when(F.size(ts) >= 2, F.sequence(F.lit(1), F.size(ts) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pair = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(ts, i).alias("a"), F.element_at(ts, i + 1).alias("b")
+        ),
+    )
+    adj = (
+        toks.select(F.explode(pair).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    sym = adj.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        adj.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    raw_edges = sym.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    out_w = raw_edges.groupBy("src").agg(F.sum("w").alias("total"))
+    edges = (
+        raw_edges.join(out_w, "src")
+        .select("src", "dst", F.expr(f"w * {PR_PPM} div total").alias("w_ppm"))
+        .localCheckpoint()
+    )
+    nodes = (
+        toks.select(F.explode("ts").alias("w")).distinct().localCheckpoint()
+    )
+    n = nodes.count()  # the one driver scalar: node count for the base rank
+    if n == 0:
+        raise ValueError("textrank_keywords: empty token graph")
+    r0 = PR_ONE // n
+    base = (15 * r0) // 100
+    ranks = nodes.select(
+        "w", F.lit(r0).cast("bigint").alias("rank")
+    ).localCheckpoint()
+    for _ in range(TR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.w)
+            .groupBy(F.col("dst").alias("w2"))
+            .agg(F.sum(F.expr(f"rank * w_ppm div {PR_PPM}")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.w == F.col("w2"), "left")
+            .select(
+                "w",
+                F.expr(f"{base} + (85 * coalesce(contrib, 0)) div 100").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    scored = ranks.select(
+        F.col("w").alias("token"),
+        F.col("rank").alias("rank_scaled"),
+        (F.col("rank").cast("double") / F.lit(float(PR_ONE))).alias("score"),
+    )
+    return (
+        rank_after_limit(
+            scored, [F.desc("rank_scaled"), F.col("token")], TR_TOP_K, rank_col="pos"
+        )
+        .select("token", "rank_scaled", "score", "pos")
+        .orderBy("pos")
+    )

@@ -1784,3 +1784,120 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hrow")
     )
+
+
+@query(
+    "chi_square_independence",
+    oracle="""
+    WITH obs0 AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS observed
+      FROM orders GROUP BY priority, status
+    ), pr AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+       st AS (SELECT DISTINCT o_orderstatus AS status FROM orders),
+       grid AS (
+      SELECT p.priority, s.status, COALESCE(o.observed, 0) AS observed
+      FROM pr p CROSS JOIN st s
+      LEFT JOIN obs0 o ON o.priority = p.priority AND o.status = s.status
+    ), rt AS (SELECT priority, SUM(observed) AS r FROM grid GROUP BY priority),
+       ct AS (SELECT status, SUM(observed) AS c FROM grid GROUP BY status),
+       nn AS (SELECT SUM(observed) AS n FROM grid),
+       cells AS (
+      SELECT g.priority, g.status, g.observed, r.r, c.c, nn.n,
+             g.observed * nn.n - r.r * c.c AS d
+      FROM grid g
+      JOIN rt r ON r.priority = g.priority
+      JOIN ct c ON c.status = g.status
+      CROSS JOIN nn
+    ), scored AS (
+      SELECT priority, status, observed,
+             r::DOUBLE * c / n AS expected,
+             CAST(ROUND(d::DOUBLE * d / n / r / c * 1e6) AS BIGINT) AS contrib_i6
+      FROM cells
+    ), tot AS (
+      SELECT CAST(SUM(contrib_i6) AS BIGINT) AS chi2_i6 FROM scored
+    ), dofs AS (
+      SELECT CAST(((SELECT COUNT(*) FROM pr) - 1)
+                  * ((SELECT COUNT(*) FROM st) - 1) AS INT) AS dof
+    )
+    SELECT s.priority, s.status, s.observed, s.expected,
+           s.contrib_i6::DOUBLE / 1e6 AS contrib,
+           t.chi2_i6::DOUBLE / 1e6 AS chi2,
+           d.dof
+    FROM scored s CROSS JOIN tot t CROSS JOIN dofs d
+    ORDER BY s.priority, s.status
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between order priority and
+    order status: the full R x S contingency grid (zero-observed cells
+    included), each cell's contribution (obs - exp)^2 / exp, the statistic
+    and its degrees of freedom on every row. The per-column profiling
+    sibling of ``column_mutual_information`` — chi-square is the
+    classical categorical-association screen a data-quality pass runs.
+
+    Determinism: counts are integers; the deviation d = obs*N - r*c is
+    int64-exact (obs*N <= N^2 = 2.25e18 < 2^63 even at 1.5e9 orders); the
+    contribution is ONE pinned chain of double ops (d*d, /N, /r, /c)
+    rounded once to 6 dp, and the statistic sums those INTEGERS.
+
+    Scale shape: one map-side-combinable groupBy over the fact table
+    collapses 100 TB to <= R*S cells; everything after (margins, grid,
+    statistic) is arithmetic on that provably tiny aggregate with
+    broadcast margins; dof is computed declaratively in the same plan."""
+    orders = load(spark, sf_dir, "orders")
+    obs0 = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count("*").alias("observed"))
+    pr = orders.select(F.col("o_orderpriority").alias("priority")).distinct()
+    st = orders.select(F.col("o_orderstatus").alias("status")).distinct()
+    grid = (
+        pr.crossJoin(F.broadcast(st))
+        .join(F.broadcast(obs0), ["priority", "status"], "left")
+        .select(
+            "priority",
+            "status",
+            F.coalesce(F.col("observed"), F.lit(0)).cast("bigint").alias("observed"),
+        )
+    )
+    rt = grid.groupBy("priority").agg(F.sum("observed").alias("r"))
+    ct = grid.groupBy("status").agg(F.sum("observed").alias("c"))
+    nn = grid.agg(F.sum("observed").alias("n"))
+    d = F.col("observed") * F.col("n") - F.col("r") * F.col("c")
+    scored = (
+        grid.join(F.broadcast(rt), "priority")
+        .join(F.broadcast(ct), "status")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "priority",
+            "status",
+            "observed",
+            (F.col("r").cast("double") * F.col("c") / F.col("n")).alias("expected"),
+            F.round(
+                d.cast("double") * d / F.col("n") / F.col("r") / F.col("c") * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("contrib_i6"),
+        )
+    )
+    tot = scored.agg(F.sum("contrib_i6").alias("chi2_i6"))
+    dofs = (
+        pr.agg(F.count("*").alias("np"))
+        .crossJoin(st.agg(F.count("*").alias("ns")))
+        .select(((F.col("np") - 1) * (F.col("ns") - 1)).cast("int").alias("dof"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dofs))
+        .select(
+            "priority",
+            "status",
+            "observed",
+            "expected",
+            (F.col("contrib_i6").cast("double") / F.lit(1e6)).alias("contrib"),
+            (F.col("chi2_i6").cast("double") / F.lit(1e6)).alias("chi2"),
+            "dof",
+        )
+        .orderBy("priority", "status")
+    )

@@ -1515,3 +1515,152 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ent_i9.cast("double") / F.lit(1e9)).alias("entropy_nats"),
         (ent_i9 < F.lit(ENTROPY_LOW_I9)).alias("is_low_entropy"),
     ).orderBy("doc_id")
+
+
+_NB_SQL_TOKS = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+
+
+@query(
+    "naive_bayes_source_classifier",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_NB_SQL_TOKS} AS ts FROM documents
+    ), uni AS (
+      SELECT doc_id, source, unnest(ts) AS w FROM tok
+    ), cls AS (
+      SELECT source AS cls, COUNT(*) AS n_docs_c FROM documents GROUP BY source
+    ), nd AS (
+      SELECT COUNT(*) AS nd FROM documents
+    ), wc AS (
+      SELECT w, source AS cls, COUNT(*) AS c_wc FROM uni GROUP BY w, source
+    ), ncls AS (
+      SELECT source AS cls, COUNT(*) AS n_tok_c FROM uni GROUP BY source
+    ), vv AS (
+      SELECT COUNT(DISTINCT w) AS v FROM uni
+    ), consts AS (
+      SELECT c.cls,
+             CAST(ROUND(ln(c.n_docs_c::DOUBLE / nd.nd) * 1e6) AS BIGINT) AS prior_i6,
+             CAST(ROUND(ln((COALESCE(t.n_tok_c, 0) + vv.v)::DOUBLE) * 1e6) AS BIGINT) AS denom_i6
+      FROM cls c LEFT JOIN ncls t ON t.cls = c.cls CROSS JOIN nd CROSS JOIN vv
+    ), wl AS (
+      SELECT w, cls, CAST(ROUND(ln((c_wc + 1)::DOUBLE) * 1e6) AS BIGINT) AS l_i6
+      FROM wc
+    ), ev AS (
+      SELECT u.doc_id, wl.cls, CAST(SUM(wl.l_i6) AS BIGINT) AS s_i6
+      FROM uni u JOIN wl ON wl.w = u.w
+      GROUP BY u.doc_id, wl.cls
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS n_tok_d FROM uni GROUP BY doc_id
+    ), grid AS (
+      SELECT d.doc_id, d.source, k.cls,
+             k.prior_i6 + COALESCE(e.s_i6, 0)
+               - COALESCE(l.n_tok_d, 0) * k.denom_i6 AS score_i6
+      FROM documents d CROSS JOIN consts k
+      LEFT JOIN ev e ON e.doc_id = d.doc_id AND e.cls = k.cls
+      LEFT JOIN dl l ON l.doc_id = d.doc_id
+    ), pred AS (
+      SELECT doc_id, source, cls FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY score_i6 DESC, cls) AS rn
+        FROM grid) WHERE rn = 1
+    )
+    SELECT source AS actual, cls AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY actual, predicted
+    ORDER BY actual, predicted
+    """,
+)
+def naive_bayes_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained on the corpus itself to predict
+    each document's SOURCE from its unigrams, reported as the source x
+    predicted confusion matrix — the fastText-classifier shape every LLM
+    curation stack runs (CCNet / quality classifiers), and as a
+    self-test a SEPARABILITY audit: a diagonal-heavy matrix means
+    sources have distinctive vocabulary; heavy off-diagonal mass flags
+    near-duplicate feeds. Laplace-smoothed: score(d, c) = ln P(c) +
+    sum_w ln((c_wc + 1) / (N_c + V)), decomposed as sum_w ln(c_wc + 1)
+    (absent terms contribute ln 1 = 0 — sparsity for free) minus
+    n_tokens(d) * ln(N_c + V).
+
+    Determinism: the only libm calls are per (token, class) TYPE and per
+    class, rounded once to int64 millionths; per-document evidence SUMS
+    INTEGERS, the argmax orders by (score_i6 DESC, class) — total order.
+
+    Scale shape: token counts and class totals are map-side-combinable
+    groupBys; the (token, class) log table is vocabulary-x-classes-sized
+    and broadcasts onto the token stream (swap for a w-keyed shuffle
+    join past ~10M-type vocabularies); the evidence join fans out each
+    token by at most n_classes; the argmax window partitions by doc_id
+    over exactly n_classes rows — never data-sized."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    uni = docs.select(
+        "doc_id", "source", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    cls = docs.groupBy(F.col("source").alias("cls")).agg(
+        F.count("*").alias("n_docs_c")
+    )
+    nd = docs.agg(F.count("*").alias("nd"))
+    wc = uni.groupBy("w", F.col("source").alias("cls")).agg(
+        F.count("*").alias("c_wc")
+    )
+    ncls = uni.groupBy(F.col("source").alias("cls")).agg(
+        F.count("*").alias("n_tok_c")
+    )
+    vv = uni.agg(F.count_distinct("w").alias("v"))
+    consts = (
+        cls.join(ncls.withColumnRenamed("n_tok_c", "ntc"), "cls", "left")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "cls",
+            F.round(F.log(F.col("n_docs_c").cast("double") / F.col("nd")) * F.lit(1e6))
+            .cast("bigint")
+            .alias("prior_i6"),
+            F.round(
+                F.log((F.coalesce(F.col("ntc"), F.lit(0)) + F.col("v")).cast("double"))
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("denom_i6"),
+        )
+    )
+    wl = wc.select(
+        "w",
+        "cls",
+        F.round(F.log((F.col("c_wc") + 1).cast("double")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("l_i6"),
+    )
+    ev = (
+        uni.select("doc_id", "w")
+        .join(F.broadcast(wl), "w")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum("l_i6").alias("s_i6"))
+    )
+    dl = uni.groupBy("doc_id").agg(F.count("*").alias("n_tok_d"))
+    grid = (
+        docs.select("doc_id", "source")
+        .crossJoin(F.broadcast(consts))
+        .join(ev, ["doc_id", "cls"], "left")
+        .join(dl, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "cls",
+            (
+                F.col("prior_i6")
+                + F.coalesce(F.col("s_i6"), F.lit(0))
+                - F.coalesce(F.col("n_tok_d"), F.lit(0)) * F.col("denom_i6")
+            ).alias("score_i6"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score_i6"), F.col("cls"))
+    )
+    pred = grid.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy(
+            F.col("source").alias("actual"), F.col("cls").alias("predicted")
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )

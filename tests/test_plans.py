@@ -851,3 +851,77 @@ def test_density_clusters_roles_and_truncated_lineage(spark, sf_dir):
     cores = {r.vec_id for r in by_role["core"]}
     assert {r.cluster_id for r in rows if r.cluster_id is not None} <= cores
     spark.catalog.clearCache()
+
+
+def test_cusum_prefix_sum_is_distributed(spark, sf_dir):
+    """The CUSUM running sum must come from the distributed prefix-sum
+    primitive, not a global unpartitioned window over the hour spine:
+    no SinglePartition exchange carries hour-spine rows (the only
+    tolerated ones are the k-bounded rank_after_limit and the 1-row
+    totals), and the top-k is TakeOrdered."""
+    from bigdata_2025_1_spark.plans.explain import single_partition_exchange_inputs
+
+    df = QUERIES["cusum_changepoint"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" in plan  # with_global_rank's numbering kernel
+    bad = [i for i in single_partition_exchange_inputs(df) if "hour_ts" in i or ("h#" in i and "cnt#" in i)]
+    assert not bad, bad
+    spark.catalog.clearCache()
+
+
+def test_chi_square_collapses_before_arithmetic(spark, sf_dir):
+    """Chi-square touches the fact table exactly where it must: the
+    contingency groupBys, with everything after running on the R*S
+    aggregate via broadcast margins — no cartesian, no data-sized
+    window, all 15 cells present including any zero-observed."""
+    df = QUERIES["chi_square_independence"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    rows = df.collect()
+    # complete grid: |priorities| x |statuses| cells, chi2/dof constant
+    prios = {r.priority for r in rows}
+    stats = {r.status for r in rows}
+    assert len(rows) == len(prios) * len(stats)
+    assert len({r.chi2 for r in rows}) == 1 and len({r.dof for r in rows}) == 1
+    assert rows[0].dof == (len(prios) - 1) * (len(stats) - 1)
+    spark.catalog.clearCache()
+
+
+def test_naive_bayes_argmax_is_doc_partitioned(spark, sf_dir):
+    """The class-argmax window partitions by doc_id (n_classes rows per
+    key) — never a global window; the evidence join fans out by at most
+    n_classes; confusion-matrix mass equals the document count."""
+    df = QUERIES["naive_bayes_source_classifier"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    from bigdata_2025_1_spark.plans.explain import single_partition_exchange_inputs
+
+    assert [i for i in single_partition_exchange_inputs(df) if "doc_id" in i] == []
+    rows = df.collect()
+    from bigdata_2025_1_spark.io import load
+
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    spark.catalog.clearCache()
+
+
+def test_textrank_loop_state_is_truncated(spark, sf_dir):
+    """TextRank's distributed iteration reads checkpointed state
+    (ExistingRDD scans — the lineage-truncation contract shared with
+    density_core_clusters) and ranks sum to ~1 in the integer scheme."""
+    from bigdata_2025_1_spark.operators.graph_ops import PR_ONE
+
+    df = QUERIES["textrank_keywords"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert len(rows) > 0 and all(0 < r.rank_scaled <= PR_ONE for r in rows)
+    # monotone by position, tiebreak on token
+    for x, y in zip(rows, rows[1:]):
+        assert x.rank_scaled > y.rank_scaled or (
+            x.rank_scaled == y.rank_scaled and x.token < y.token
+        )
+    spark.catalog.clearCache()
