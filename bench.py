@@ -162,6 +162,8 @@ HEADLINE = [
     "chi_square_independence",
     "naive_bayes_source_classifier",
     "textrank_keywords",
+    "typo_variant_pairs",
+    "greedy_stock_allocation",
 ]
 
 

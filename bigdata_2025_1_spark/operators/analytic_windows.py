@@ -550,3 +550,99 @@ def monthly_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "greedy_stock_allocation",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+             CAST(ROUND(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+    ), cap AS (
+      SELECT l_partkey, CAST(SUM(qty) // 2 AS BIGINT) AS capacity,
+             CAST(SUM(qty) AS BIGINT) AS demand
+      FROM li GROUP BY l_partkey
+    ), runs AS (
+      SELECT l_partkey, qty,
+             COALESCE(SUM(qty) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM li
+    ), alloc AS (
+      SELECT r.l_partkey, r.qty,
+             LEAST(r.qty, GREATEST(c.capacity - r.prior, 0)) AS allocated
+      FROM runs r JOIN cap c USING (l_partkey)
+    )
+    SELECT a.l_partkey AS partkey, c.capacity, c.demand,
+           CAST(SUM(CASE WHEN a.allocated = a.qty THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+           CAST(SUM(CASE WHEN a.allocated > 0 AND a.allocated < a.qty THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+           CAST(SUM(CASE WHEN a.allocated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(SUM(a.allocated) AS BIGINT) AS qty_allocated
+    FROM alloc a JOIN cap c USING (l_partkey)
+    GROUP BY partkey, c.capacity, c.demand
+    ORDER BY partkey
+    """,
+)
+def greedy_stock_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy stock allocation (the warehouse waterfall): each part's
+    order lines, in ship-date arrival order, draw from a finite capacity
+    (here half the part's total demand — a deterministic stand-in for an
+    inventory feed) until it runs dry; a line gets
+    min(qty, max(capacity - prior_demand, 0)), so the tail splits into
+    exactly one partial fill and a fully-starved remainder. Per part:
+    capacity, demand, full/partial/zero line counts, allocated quantity.
+
+    Determinism: quantities round to int64 once; the running demand
+    orders by (shipdate, orderkey, linenumber) — a unique total order —
+    and allocation is integer min/max arithmetic.
+
+    Scale shape: the window partitions by PART (fan-in bounded by
+    lines-per-part, ~30 at any TPC-H scale — never a global window);
+    capacity is one map-side-combinable groupBy joined back on the
+    part key; the output is part-cardinality."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    cap = li.groupBy("l_partkey").agg(
+        F.expr("sum(qty) div 2").alias("capacity"),
+        F.sum("qty").alias("demand"),
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = li.select(
+        "l_partkey", "qty", F.coalesce(F.sum("qty").over(w), F.lit(0)).alias("prior")
+    )
+    alloc = runs.join(cap, "l_partkey").select(
+        "l_partkey",
+        "capacity",
+        "demand",
+        "qty",
+        F.least(
+            F.col("qty"), F.greatest(F.col("capacity") - F.col("prior"), F.lit(0))
+        ).alias("allocated"),
+    )
+    return (
+        alloc.groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("capacity"), F.col("demand")
+        )
+        .agg(
+            F.sum((F.col("allocated") == F.col("qty")).cast("bigint")).alias("n_full"),
+            F.sum(
+                (
+                    (F.col("allocated") > 0) & (F.col("allocated") < F.col("qty"))
+                ).cast("bigint")
+            ).alias("n_partial"),
+            F.sum((F.col("allocated") == 0).cast("bigint")).alias("n_zero"),
+            F.sum("allocated").alias("qty_allocated"),
+        )
+        .orderBy("partkey")
+    )

@@ -1664,3 +1664,105 @@ def naive_bayes_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("n_docs"))
         .orderBy("actual", "predicted")
     )
+
+
+TYPO_MIN_LEN = 3
+TYPO_TOP_K = 25
+
+
+@query(
+    "typo_variant_pairs",
+    oracle=f"""
+    WITH uni AS (
+      SELECT unnest(regexp_split_to_array(lower(p_name), ' ')) AS w FROM part
+    ), vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM uni GROUP BY w
+      HAVING length(w) >= {TYPO_MIN_LEN}
+    ), keys AS (
+      SELECT w, c, unnest(list_distinct(list_append(
+               [substr(w, 1, i - 1) || substr(w, i + 1, length(w))
+                for i in range(1, length(w) + 1)], w))) AS k
+      FROM vocab
+    ), cand AS (
+      SELECT a.w AS tok_a, b.w AS tok_b, a.c AS c_a, b.c AS c_b
+      FROM keys a JOIN keys b ON a.k = b.k AND a.w < b.w
+      GROUP BY tok_a, tok_b, c_a, c_b
+    ), verified AS (
+      SELECT tok_a, tok_b, c_a, c_b, c_a + c_b AS combined
+      FROM cand
+      WHERE levenshtein(tok_a, tok_b) = 1
+    )
+    SELECT tok_a, tok_b, c_a, c_b, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY combined DESC, tok_a, tok_b) AS rank
+          FROM verified)
+    WHERE rank <= {TYPO_TOP_K}
+    ORDER BY rank
+    """,
+)
+def typo_variant_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling-variant detection by the SymSpell / FastSS
+    deletion-neighborhood similarity join, over the part-name ATTRIBUTE
+    vocabulary (catalog normalization: "cold"/"old", "red"/"rod" are the
+    merge-review candidates): every word (length >= {TYPO_MIN_LEN})
+    emits itself plus its single-character-deletion variants as join
+    keys; two words sharing a key are candidates (this blocking is
+    EXACT for Levenshtein distance 1 — deletion, insertion, and
+    substitution all collide on a shared variant), then one
+    levenshtein()==1 verification keeps true pairs, top-{TYPO_TOP_K} by
+    combined frequency.
+
+    Determinism: pure integer counts and string comparisons — no floats
+    anywhere; ranking orders by (combined count DESC, tok_a, tok_b).
+
+    Scale shape: the candidate join is an EQUI-join on deletion keys
+    over the VOCABULARY (one map-side-combinable groupBy collapses the
+    catalog scan first) — |w|+1 keys per type, fan-out per key bounded
+    by the alphabet-adjacent variant count; verification runs only on
+    candidates; top-k is TakeOrdered. The classic all-pairs
+    edit-distance join never appears at any scale, and the same
+    operator applies unchanged to any string-attribute vocabulary."""
+    part = load(spark, sf_dir, "part")
+    uni = part.select(
+        F.explode(F.split(F.lower(F.col("p_name")), " ")).alias("w")
+    )
+    vocab = (
+        uni.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .filter(F.length("w") >= TYPO_MIN_LEN)
+    )
+    variants = F.expr(
+        "transform(sequence(1, length(w)), "
+        "i -> concat(substring(w, 1, i - 1), substring(w, i + 1, length(w))))"
+    )
+    keys = vocab.select(
+        "w",
+        "c",
+        F.explode(
+            F.array_distinct(F.concat(variants, F.array(F.col("w"))))
+        ).alias("k"),
+    )
+    a = keys.select(
+        F.col("k").alias("ka"), F.col("w").alias("tok_a"), F.col("c").alias("c_a")
+    )
+    b = keys.select(
+        F.col("k").alias("kb"), F.col("w").alias("tok_b"), F.col("c").alias("c_b")
+    )
+    cand = (
+        a.join(b, (F.col("ka") == F.col("kb")) & (F.col("tok_a") < F.col("tok_b")))
+        .groupBy("tok_a", "tok_b", "c_a", "c_b")
+        .agg(F.count("*").alias("_nk"))
+        .drop("_nk")
+    )
+    verified = cand.filter(
+        F.levenshtein(F.col("tok_a"), F.col("tok_b")) == 1
+    ).withColumn("combined", F.col("c_a") + F.col("c_b"))
+    return (
+        rank_after_limit(
+            verified,
+            [F.desc("combined"), F.col("tok_a"), F.col("tok_b")],
+            TYPO_TOP_K,
+        )
+        .select("tok_a", "tok_b", "c_a", "c_b", "rank")
+        .orderBy("rank")
+    )

@@ -925,3 +925,33 @@ def test_textrank_loop_state_is_truncated(spark, sf_dir):
             x.rank_scaled == y.rank_scaled and x.token < y.token
         )
     spark.catalog.clearCache()
+
+
+def test_typo_blocking_is_equi_join(spark, sf_dir):
+    """The deletion-neighborhood join must stay an equi-join on variant
+    keys (never an all-pairs edit-distance comparison), and the fixture
+    catalog yields the two known distance-1 word pairs."""
+    df = QUERIES["typo_variant_pairs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r.tok_a, r.tok_b) for r in df.collect()}
+    assert ("cold", "old") in got and ("red", "rod") in got
+    spark.catalog.clearCache()
+
+
+def test_greedy_allocation_invariants(spark, sf_dir):
+    """The waterfall window partitions by part (no part rows through a
+    SinglePartition exchange) and the greedy algebra holds: allocation
+    never exceeds capacity, exactly min(capacity, demand) is allocated,
+    and at most one line per part is a partial fill."""
+    from bigdata_2025_1_spark.plans.explain import single_partition_exchange_inputs
+
+    df = QUERIES["greedy_stock_allocation"](spark, sf_dir)
+    assert [i for i in single_partition_exchange_inputs(df) if "l_partkey" in i] == []
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.qty_allocated == min(r.capacity, r.demand)
+        assert r.n_partial <= 1
+    spark.catalog.clearCache()
