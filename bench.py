@@ -164,6 +164,8 @@ HEADLINE = [
     "textrank_keywords",
     "typo_variant_pairs",
     "greedy_stock_allocation",
+    "item_cofiltering_similarity",
+    "theil_sen_trend",
 ]
 
 

@@ -1243,3 +1243,119 @@ def order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"), F.sum("n_lines").alias("n_lineitems"))
         .orderBy("n_lines")
     )
+
+
+COFILTER_MIN_CO = 4
+COFILTER_BASKET_CAP = 200
+COFILTER_TOP_K = 25
+
+
+@query(
+    "item_cofiltering_similarity",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), sized AS (
+      SELECT ck FROM baskets GROUP BY ck
+      HAVING COUNT(*) <= {COFILTER_BASKET_CAP}
+    ), kept AS (
+      SELECT b.ck, b.pk FROM baskets b JOIN sized s ON s.ck = b.ck
+    ), pop AS (
+      SELECT pk, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY pk
+    ), co AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS co
+      FROM kept a JOIN kept b ON a.ck = b.ck AND a.pk < b.pk
+      GROUP BY part_a, part_b
+      HAVING COUNT(*) >= {COFILTER_MIN_CO}
+    ), scored AS (
+      SELECT c.part_a, c.part_b, c.co, pa.n AS n_a, pb.n AS n_b,
+             CAST(ROUND(c.co::DOUBLE / sqrt(pa.n::DOUBLE * pb.n) * 1e6) AS BIGINT) AS cos_i6
+      FROM co c
+      JOIN pop pa ON pa.pk = c.part_a
+      JOIN pop pb ON pb.pk = c.part_b
+    )
+    SELECT part_a, part_b, co, n_a, n_b, cos_i6::DOUBLE / 1e6 AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cos_i6 DESC, part_a, part_b) AS rank
+          FROM scored)
+    WHERE rank <= {COFILTER_TOP_K}
+    ORDER BY rank
+    """,
+)
+def item_cofiltering_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering by co-purchase cosine (the
+    classic Amazon item-to-item shape, Linden et al. 2003): two parts
+    are similar when the customers who buy one tend to buy the other —
+    cosine(a, b) = co(a,b) / sqrt(n_a * n_b) over distinct
+    customer-part baskets, support floor co >= {COFILTER_MIN_CO},
+    top-{COFILTER_TOP_K} pairs.
+
+    Determinism: all counts are integers; the cosine is ONE pinned
+    double chain (co / sqrt(n_a*n_b)) rounded once to 6 dp per PAIR
+    type; ranking breaks ties by (part_a, part_b).
+
+    Scale shape: the pair generation is the customer-keyed self-join —
+    fan-out is basket-size^2 per customer, so baskets above
+    {COFILTER_BASKET_CAP} distinct parts are dropped FIRST (the
+    standard co-counting cap: mega-accounts are bots/aggregators and
+    would dominate the shuffle; the cap makes worst-case fan-out a
+    constant). Distinct-ification and both count layers are
+    map-side-combinable; popularity joins are vocabulary-sized
+    broadcasts; top-k is TakeOrdered."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    baskets = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    sized = baskets.groupBy("ck").agg(F.count("*").alias("_bs")).filter(
+        F.col("_bs") <= COFILTER_BASKET_CAP
+    )
+    kept = baskets.join(sized.select("ck"), "ck").persist()
+    pop = kept.groupBy("pk").agg(F.count("*").alias("n"))
+    a = kept.select("ck", F.col("pk").alias("part_a"))
+    b = kept.select("ck", F.col("pk").alias("part_b"))
+    co = (
+        a.join(b, "ck")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= COFILTER_MIN_CO)
+    )
+    pa = pop.select(F.col("pk").alias("part_a"), F.col("n").alias("n_a"))
+    pb = pop.select(F.col("pk").alias("part_b"), F.col("n").alias("n_b"))
+    scored = (
+        co.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "co",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("co").cast("double")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b"))
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("cos_i6"),
+        )
+    )
+    return (
+        rank_after_limit(
+            scored, [F.desc("cos_i6"), F.col("part_a"), F.col("part_b")], COFILTER_TOP_K
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "co",
+            "n_a",
+            "n_b",
+            (F.col("cos_i6").cast("double") / F.lit(1e6)).alias("cosine"),
+            "rank",
+        )
+        .orderBy("rank")
+    )

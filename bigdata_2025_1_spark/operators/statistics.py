@@ -1901,3 +1901,120 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "status")
     )
+
+
+@query(
+    "theil_sen_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY m
+    ), pairs AS (
+      SELECT b.rev_c - a.rev_c AS num, b.m - a.m AS den,
+             (b.rev_c - a.rev_c)::DOUBLE / (b.m - a.m) AS slope_d
+      FROM monthly a JOIN monthly b ON a.m < b.m
+    ), np AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs
+    ), slope AS (
+      SELECT p.num, p.den, p.slope_d
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY slope_d, num, den) AS rn
+            FROM pairs) p CROSS JOIN np
+      WHERE p.rn = (np.n_pairs + 1) // 2
+    ), resid AS (
+      SELECT m.rev_c * s.den - s.num * m.m AS rnum, s.den AS rden,
+             (m.rev_c * s.den - s.num * m.m)::DOUBLE / s.den AS resid_d
+      FROM monthly m CROSS JOIN slope s
+    ), nm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM monthly
+    ), icept AS (
+      SELECT r.resid_d
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY resid_d, rnum, rden) AS rn
+            FROM resid) r CROSS JOIN nm
+      WHERE r.rn = (nm.n_months + 1) // 2
+    )
+    SELECT nm.n_months, np.n_pairs,
+           s.slope_d / 1e2 AS slope_per_month,
+           i.resid_d / 1e2 AS intercept
+    FROM nm CROSS JOIN np CROSS JOIN slope s CROSS JOIN icept i
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly order revenue: the slope is the
+    LOWER MEDIAN of all pairwise month-to-month slopes and the intercept
+    the lower median of the residuals under that slope — the
+    outlier-resistant alternative to ``linreg_price_model``'s OLS (one
+    wild month moves OLS, not the median of C(n,2) slopes).
+
+    Determinism: monthly revenues are exact cents; every pairwise slope
+    is the RATIONAL (num, den) with den > 0, compared as the identical
+    IEEE divide in both engines with (num, den) as the exact tiebreak
+    (two distinct rationals rounding to one double still order
+    identically); medians are rank-selected, never averaged — no float
+    accumulation anywhere.
+
+    Scale shape: the fact table collapses to the MONTH domain (time-
+    bounded: 80 months at every SF — calendar, not data, sized) in one
+    map-side-combinable groupBy; the all-pairs slope table is
+    months^2-sized by construction; both median selections are
+    row_number over that bounded domain. Overflow: rev_c*den <=
+    1e15 cents-months at 100 TB/yr — int64-safe."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (
+            (F.year("o_orderdate") - F.lit(1992)) * 12
+            + F.month("o_orderdate")
+            - F.lit(1)
+        )
+        .cast("bigint")
+        .alias("m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c")
+    )
+    monthly = monthly.persist()
+    a = monthly.select(F.col("m").alias("ma"), F.col("rev_c").alias("ra"))
+    b = monthly.select(F.col("m").alias("mb"), F.col("rev_c").alias("rb"))
+    pairs = (
+        a.join(b, F.col("ma") < F.col("mb"))
+        .select(
+            (F.col("rb") - F.col("ra")).alias("num"),
+            (F.col("mb") - F.col("ma")).alias("den"),
+        )
+        .withColumn("slope_d", F.col("num").cast("double") / F.col("den"))
+        .persist()
+    )
+    np_ = pairs.agg(F.count("*").alias("n_pairs"))
+    ranked = with_global_rank(pairs, ["slope_d", "num", "den"], rank_col="rn")
+    # 1-row frame consumed by BOTH the residual branch and the output —
+    # localCheckpoint cuts the ranked->pairs lineage so the intercept
+    # branch does not re-execute the slope selection
+    slope = (
+        ranked.crossJoin(F.broadcast(np_))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select("num", "den", "slope_d")
+        .localCheckpoint()
+    )
+    resid = monthly.crossJoin(F.broadcast(slope)).select(
+        (F.col("rev_c") * F.col("den") - F.col("num") * F.col("m")).alias("rnum"),
+        F.col("den").alias("rden"),
+    ).withColumn("resid_d", F.col("rnum").cast("double") / F.col("rden"))
+    nm = monthly.agg(F.count("*").alias("n_months"))
+    rranked = with_global_rank(resid, ["resid_d", "rnum", "rden"], rank_col="rn")
+    icept = (
+        rranked.crossJoin(F.broadcast(nm))
+        .filter(F.col("rn") == F.expr("(n_months + 1) div 2"))
+        .select("resid_d")
+    )
+    return (
+        nm.crossJoin(F.broadcast(np_))
+        .crossJoin(
+            F.broadcast(
+                slope.select((F.col("slope_d") / F.lit(1e2)).alias("slope_per_month"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(icept.select((F.col("resid_d") / F.lit(1e2)).alias("intercept")))
+        )
+        .select("n_months", "n_pairs", "slope_per_month", "intercept")
+    )

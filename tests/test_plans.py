@@ -955,3 +955,32 @@ def test_greedy_allocation_invariants(spark, sf_dir):
         assert r.qty_allocated == min(r.capacity, r.demand)
         assert r.n_partial <= 1
     spark.catalog.clearCache()
+
+
+def test_cofiltering_caps_and_broadcasts(spark, sf_dir):
+    """The co-purchase self-join must stay a customer-keyed equi-join
+    with broadcast popularity sides, and the cosine algebra holds:
+    co <= min(n_a, n_b) and cosine in (0, 1]."""
+    df = QUERIES["item_cofiltering_similarity"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    for r in rows:
+        assert r.co <= min(r.n_a, r.n_b)
+        assert 0.0 < r.cosine <= 1.0
+    spark.catalog.clearCache()
+
+
+def test_theil_sen_bounded_domain(spark, sf_dir):
+    """Theil-Sen's all-pairs table is month-domain-sized: n_pairs is
+    exactly C(n_months, 2), the output is one row, and no
+    CartesianProduct appears (the 1-row assembly frames are broadcast)."""
+    df = QUERIES["theil_sen_trend"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_pairs == r.n_months * (r.n_months - 1) // 2
+    spark.catalog.clearCache()
