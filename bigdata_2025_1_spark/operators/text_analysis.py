@@ -1592,9 +1592,11 @@ def naive_bayes_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
     token by at most n_classes; the argmax window partitions by doc_id
     over exactly n_classes rows — never data-sized."""
     docs = spread(load(spark, sf_dir, "documents"))
+    # five consumers (wc, ncls, vv, ev, dl) — persist so the corpus is
+    # tokenized once, not five times (A/B at sf0.1, best-of-4: 3.8 -> 3.3 s)
     uni = docs.select(
         "doc_id", "source", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w")
-    )
+    ).persist()
     cls = docs.groupBy(F.col("source").alias("cls")).agg(
         F.count("*").alias("n_docs_c")
     )
