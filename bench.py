@@ -166,6 +166,8 @@ HEADLINE = [
     "greedy_stock_allocation",
     "item_cofiltering_similarity",
     "theil_sen_trend",
+    "zipf_exponent_fit",
+    "slo_burn_rate",
 ]
 
 

@@ -1643,3 +1643,90 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hour_ts", "cnt", "cusum_scaled", "rank")
         .orderBy("rank")
     )
+
+
+SLO_BUDGET_INV = 5  # error budget 20% => burn = error_rate * 5 (the
+# fixture's synthetic feed runs a ~19% median error rate; a realistic
+# 0.1-1% budget is the same arithmetic with a bigger constant)
+SLO_BURN_ALERT = 1.5  # page when BOTH windows burn >= 1.5x budget
+SLO_LONG_HOURS = 6
+
+
+@query(
+    "slo_burn_rate",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err,
+             CAST(COUNT(*) AS BIGINT) AS tot
+      FROM events GROUP BY h
+    ), roll AS (
+      SELECT b.h, CAST(SUM(a.err) AS BIGINT) AS err_6h,
+             CAST(SUM(a.tot) AS BIGINT) AS tot_6h
+      FROM hourly a JOIN hourly b
+        ON a.h <= b.h AND a.h >= b.h - INTERVAL {SLO_LONG_HOURS - 1} HOUR
+      GROUP BY b.h
+    )
+    SELECT o.h AS hour_ts, o.err AS err_1h, o.tot AS tot_1h,
+           o.err::DOUBLE * {SLO_BUDGET_INV} / o.tot AS burn_1h,
+           r.err_6h, r.tot_6h,
+           r.err_6h::DOUBLE * {SLO_BUDGET_INV} / r.tot_6h AS burn_6h,
+           (o.err::DOUBLE * {SLO_BUDGET_INV} / o.tot >= {SLO_BURN_ALERT}
+            AND r.err_6h::DOUBLE * {SLO_BUDGET_INV} / r.tot_6h >= {SLO_BURN_ALERT}) AS alert
+    FROM hourly o JOIN roll r ON r.h = o.h
+    ORDER BY hour_ts
+    """,
+)
+def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    shape): with a 20% error budget, each hour's burn is
+    error_rate x {SLO_BUDGET_INV}, computed over BOTH the 1-hour and the
+    trailing {SLO_LONG_HOURS}-hour window; a page fires only when both
+    exceed {SLO_BURN_ALERT}x (the short window gives speed, the long
+    window suppresses blips).
+
+    Determinism: error/total counts are integers; each burn is ONE
+    pinned chain (err * {SLO_BUDGET_INV} / tot) and the alert compares
+    those identical doubles.
+
+    Scale shape: the fact table collapses to the hour spine in one
+    map-side-combinable groupBy; the trailing window is the BOUNDED
+    CONTRIBUTION EXPLODE (each hour fans out to its {SLO_LONG_HOURS}
+    target hours — constant fan-out, map-side-combinable re-aggregate,
+    equi-join back; the ``rolling_weekly_active_users`` idiom), so no
+    range join and no data-sized window ever appears."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias("err"),
+        F.count("*").alias("tot"),
+    ).persist()
+    contrib = hourly.select(
+        F.explode(
+            F.sequence(
+                F.col("h"),
+                F.col("h") + F.expr(f"INTERVAL {SLO_LONG_HOURS - 1} HOURS"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h"),
+        "err",
+        "tot",
+    )
+    roll = contrib.groupBy("h").agg(
+        F.sum("err").alias("err_6h"), F.sum("tot").alias("tot_6h")
+    )
+    burn1 = F.col("err").cast("double") * SLO_BUDGET_INV / F.col("tot")
+    burn6 = F.col("err_6h").cast("double") * SLO_BUDGET_INV / F.col("tot_6h")
+    return (
+        hourly.join(roll, "h")
+        .select(
+            F.col("h").alias("hour_ts"),
+            F.col("err").alias("err_1h"),
+            F.col("tot").alias("tot_1h"),
+            burn1.alias("burn_1h"),
+            "err_6h",
+            "tot_6h",
+            burn6.alias("burn_6h"),
+            ((burn1 >= SLO_BURN_ALERT) & (burn6 >= SLO_BURN_ALERT)).alias("alert"),
+        )
+        .orderBy("hour_ts")
+    )

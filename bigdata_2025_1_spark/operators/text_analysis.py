@@ -1768,3 +1768,94 @@ def typo_variant_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok_a", "tok_b", "c_a", "c_b", "rank")
         .orderBy("rank")
     )
+
+
+@query(
+    "zipf_exponent_fit",
+    oracle=f"""
+    WITH uni AS (
+      SELECT unnest({_NB_SQL_TOKS}) AS w FROM documents
+    ), ucnt AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w
+    ), ranked AS (
+      SELECT w, c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
+      FROM ucnt
+    ), pts AS (
+      SELECT CAST(ROUND(ln(r::DOUBLE) * 1e4) AS BIGINT) AS x,
+             CAST(ROUND(ln(c::DOUBLE) * 1e4) AS BIGINT) AS y
+      FROM ranked
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pts
+    )
+    SELECT n AS n_types,
+           -((sxy::DOUBLE - sx::DOUBLE * sy / n)
+             / (sxx::DOUBLE - sx::DOUBLE * sx / n)) AS zipf_alpha,
+           (sy::DOUBLE - (sxy::DOUBLE - sx::DOUBLE * sy / n)
+              / (sxx::DOUBLE - sx::DOUBLE * sx / n) * sx) / n / 1e4 AS intercept,
+           (sxy::DOUBLE - sx::DOUBLE * sy / n)
+             * (sxy::DOUBLE - sx::DOUBLE * sy / n)
+             / (sxx::DOUBLE - sx::DOUBLE * sx / n)
+             / (syy::DOUBLE - sy::DOUBLE * sy / n) AS r2
+    FROM sums
+    """,
+)
+def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: OLS fit of ln(count) on ln(rank)
+    over the whole frequency spectrum — alpha ~ 1 is natural language,
+    alpha far off flags template/boilerplate corpora (the power-law
+    companion to ``vocab_frequency_spectrum``'s Good-Turing view).
+
+    Determinism: ranks come from the distributed global-rank primitive
+    on the total order (count DESC, token); ln(rank)/ln(count) round
+    once per TYPE to int64 1e-4 units; all five moment sums are exact
+    integer sums, and the slope/intercept/r2 are pinned chains of double
+    ops on those sums (the ``stats_correlation`` contract, reassociated
+    to divide-early so x*x sums stay under 2^63 through ~7e7 types).
+
+    Scale shape: one map-side-combinable vocabulary count, ONE range
+    exchange for the global rank, one scalar aggregate — nothing
+    data-sized past the first groupBy."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    from bigdata_2025_1_spark.functions.ranks import with_global_rank
+
+    ucnt = (
+        docs.select(F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .withColumn("negc", -F.col("c"))
+    )
+    ranked = with_global_rank(ucnt, ["negc", "w"], rank_col="r")
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * F.lit(1e4))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * F.lit(1e4))
+        .cast("bigint")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    mxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n
+    mxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n
+    myy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n
+    slope = mxy / mxx
+    return sums.select(
+        n.alias("n_types"),
+        (-slope).alias("zipf_alpha"),
+        ((F.col("sy").cast("double") - slope * F.col("sx")) / n / F.lit(1e4)).alias(
+            "intercept"
+        ),
+        (mxy * mxy / mxx / myy).alias("r2"),
+    )

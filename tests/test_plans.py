@@ -984,3 +984,52 @@ def test_theil_sen_bounded_domain(spark, sf_dir):
     r = rows[0]
     assert r.n_pairs == r.n_months * (r.n_months - 1) // 2
     spark.catalog.clearCache()
+
+
+def test_zipf_fit_single_scalar_pass(spark, sf_dir):
+    """The Zipf fit is one vocabulary groupBy + one distributed rank +
+    one scalar moment aggregate; r2 is a valid coefficient and n_types
+    matches the true vocabulary size."""
+    from pyspark.sql import functions as F
+
+    from bigdata_2025_1_spark.functions import text as T
+    from bigdata_2025_1_spark.io import load
+
+    df = QUERIES["zipf_exponent_fit"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan  # with_global_rank numbering
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0.0 <= r.r2 <= 1.0
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w"))
+        .select("w")
+        .distinct()
+        .count()
+    )
+    assert r.n_types == vocab
+    spark.catalog.clearCache()
+
+
+def test_slo_burn_rolling_is_bounded_explode(spark, sf_dir):
+    """The trailing window must be the bounded contribution explode —
+    equi-joins only, no range-join BroadcastNestedLoop — and the alert
+    column is exactly the conjunction of the two burn thresholds."""
+    from bigdata_2025_1_spark.operators.events_ops import SLO_BURN_ALERT
+
+    df = QUERIES["slo_burn_rate"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows
+    n_alerts = 0
+    for r in rows:
+        expected = r.burn_1h >= SLO_BURN_ALERT and r.burn_6h >= SLO_BURN_ALERT
+        assert r.alert == expected
+        n_alerts += int(r.alert)
+    # the tuned threshold discriminates: some hours page, most do not
+    assert 0 < n_alerts < len(rows)
+    spark.catalog.clearCache()
