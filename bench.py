@@ -168,6 +168,8 @@ HEADLINE = [
     "theil_sen_trend",
     "zipf_exponent_fit",
     "slo_burn_rate",
+    "k_anonymity_audit",
+    "ab_test_uplift",
 ]
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import types as T
 
 from bigdata_2025_1_spark.functions.asof import asof_attach_last
 from bigdata_2025_1_spark.functions.exact import exact_sum, sql_exact_sum
+from bigdata_2025_1_spark.functions.hashing import md5_int, sql_md5_int
 from bigdata_2025_1_spark.io import load
 from bigdata_2025_1_spark.functions.ranks import rank_after_limit, with_global_rank
 from bigdata_2025_1_spark.registry import query
@@ -1729,4 +1730,99 @@ def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((burn1 >= SLO_BURN_ALERT) & (burn6 >= SLO_BURN_ALERT)).alias("alert"),
         )
         .orderBy("hour_ts")
+    )
+
+
+@query(
+    "ab_test_uplift",
+    oracle=f"""
+    WITH units AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id, h
+    ), arms AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM units GROUP BY variant
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+        MAX(CASE WHEN variant = 0 THEN conv END) AS conv_a,
+        MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+        MAX(CASE WHEN variant = 1 THEN conv END) AS conv_b
+      FROM arms
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           conv_a::DOUBLE / n_a AS p_a,
+           conv_b::DOUBLE / n_b AS p_b,
+           conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b AS uplift,
+           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL
+                ELSE (conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b)
+                  / sqrt((conv_a + conv_b)::DOUBLE / (n_a + n_b)
+                         * (1 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b)) END AS z_score
+    FROM wide
+    """,
+)
+def ab_test_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: users hash-split 50/50 into arms A/B
+    (md5 of a salted user id — deterministic unit-of-randomization
+    assignment, reproducible across runs and engines), exposure unit =
+    ACTIVE USER-HOUR, conversion = that hour contains a purchase, and
+    the two-proportion pooled z-test on the uplift. On this un-treated
+    feed the z-score is an A/A test — |z| < 2 is the expected null
+    read; the query's real job is wiring assignment, exposure
+    granularity, and the variance algebra.
+
+    Determinism: the split is md5-exact; counts are integers; every
+    rate and the z-score are pinned chains of double ops identical in
+    both engines; all-converted / none-converted feeds return NULL z
+    via an identical CASE guard (ANSI-safe — the branch is never
+    evaluated) instead of dividing by a zero pooled variance.
+
+    Scale shape: the unit collapse is one map-side-combinable groupBy
+    on (user, hour) (conversion as MAX of an indicator — no distinct),
+    arms is a 2-row aggregate, and the z arithmetic runs on the 1-row
+    pivot."""
+    ev = load(spark, sf_dir, "events")
+    units = ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    ).select(
+        "converted",
+        (
+            md5_int(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2
+        ).alias("variant"),
+    )
+    arms = units.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    raw_z = (p_a - p_b) / F.sqrt(
+        pool * (1 - pool) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    degenerate = (
+        (F.col("conv_a") + F.col("conv_b") == 0)
+        | (F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b"))
+    )
+    z = F.when(degenerate, F.lit(None).cast("double")).otherwise(raw_z)
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        (p_a - p_b).alias("uplift"),
+        z.alias("z_score"),
     )

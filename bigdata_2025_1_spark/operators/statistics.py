@@ -2018,3 +2018,68 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_months", "n_pairs", "slope_per_month", "intercept")
     )
+
+
+K_ANON_CLASS_CAP = 10
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             (c_acctbal < 0) AS in_debt
+      FROM customer
+    ), grp AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT in_debt) AS BIGINT) AS l
+      FROM qi GROUP BY c_nationkey, c_mktsegment, bal_band
+    )
+    SELECT LEAST(k, {K_ANON_CLASS_CAP}) AS k_class,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_homogeneous
+    FROM grp
+    GROUP BY k_class
+    ORDER BY k_class
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release audit (Sweeney k-anonymity + l-diversity): bucket
+    customers by the quasi-identifier tuple (nation, market segment,
+    account-balance band) and histogram the equivalence-class sizes —
+    k=1 rows are directly re-identifiable, and k-classes whose sensitive
+    attribute (in-debt flag) is homogeneous (l=1) leak it to anyone who
+    can name the group. The k-class axis caps at {K_ANON_CLASS_CAP}
+    (everything safer lumps together).
+
+    Determinism: all counts are integers; the balance band is one
+    floor-divide; no floats anywhere.
+
+    Scale shape: one map-side-combinable groupBy to QI-group cardinality
+    (bounded by |nations| x |segments| x |bands|), then a second tiny
+    aggregate over the group table — the fact scan is touched once."""
+    cust = load(spark, sf_dir, "customer")
+    qi = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        (F.col("c_acctbal") < 0).alias("in_debt"),
+    )
+    grp = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("k"),
+        F.count_distinct("in_debt").cast("bigint").alias("l"),
+    )
+    return (
+        grp.groupBy(
+            F.least(F.col("k"), F.lit(K_ANON_CLASS_CAP)).alias("k_class")
+        )
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("k").alias("n_customers"),
+            F.sum((F.col("l") == 1).cast("bigint")).alias("n_homogeneous"),
+        )
+        .orderBy("k_class")
+    )

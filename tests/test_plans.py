@@ -1033,3 +1033,38 @@ def test_slo_burn_rolling_is_bounded_explode(spark, sf_dir):
     # the tuned threshold discriminates: some hours page, most do not
     assert 0 < n_alerts < len(rows)
     spark.catalog.clearCache()
+
+
+def test_k_anonymity_collapses_to_qi_domain(spark, sf_dir):
+    """The privacy audit touches the customer scan once; class counts
+    reconcile with the table and every k-class is within bounds."""
+    from bigdata_2025_1_spark.io import load
+    from bigdata_2025_1_spark.operators.statistics import K_ANON_CLASS_CAP
+
+    df = QUERIES["k_anonymity_audit"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    n_cust = load(spark, sf_dir, "customer").count()
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.k_class <= K_ANON_CLASS_CAP
+        assert r.n_homogeneous <= r.n_groups
+    spark.catalog.clearCache()
+
+
+def test_ab_split_is_balanced_null_read(spark, sf_dir):
+    """The md5 hash split is near-50/50, the un-treated feed reads as an
+    A/A test (|z| < 4 — generous against unlucky splits), and the unit
+    counts reconcile: conversions never exceed exposures."""
+    df = QUERIES["ab_test_uplift"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.conv_a <= r.n_a and r.conv_b <= r.n_b
+    # both arms populated (50 users at sf0.001 -> volume imbalance is
+    # expected; the unit-of-randomization property is non-emptiness +
+    # the null z read, not exact balance at tiny n)
+    assert r.n_a > 0 and r.n_b > 0
+    assert r.z_score is not None and abs(r.z_score) < 4.0
+    spark.catalog.clearCache()
