@@ -1697,10 +1697,24 @@ def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join back; the ``rolling_weekly_active_users`` idiom), so no
     range join and no data-sized window ever appears."""
     ev = load(spark, sf_dir, "events")
-    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+    return burn_from_hourly(hourly_error_counts(ev).persist())
+
+
+def hourly_error_counts(ev: DataFrame) -> DataFrame:
+    """Hour-spine error/total counts — the MERGEABLE core shared by the
+    batch query and the streaming foreachBatch twin: partial counts from
+    micro-batches sum to exactly this table (see
+    ``tests/test_streaming.py::test_slo_burn_accumulates_in_foreachbatch``),
+    so the alerting arithmetic cannot drift between the two modes."""
+    return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
         F.sum((F.col("event_type") == "error").cast("bigint")).alias("err"),
         F.count("*").alias("tot"),
-    ).persist()
+    )
+
+
+def burn_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Two-window burn rates + paging decision from an (h, err, tot)
+    hour table (the second half of ``slo_burn_rate``)."""
     contrib = hourly.select(
         F.explode(
             F.sequence(

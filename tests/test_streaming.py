@@ -622,3 +622,70 @@ def test_incremental_lsh_admission_in_foreachbatch(spark, sf_dir, tmp_path):
     assert len(batches) == 2, batches  # genuinely incremental, not one gulp
     assert out == expected
     spark.catalog.clearCache()
+
+
+def test_slo_burn_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
+    """SRE paging, streamed: events arrive in TWO micro-batches; each
+    batch contributes its hourly_error_counts PARTIALS to a standing
+    store (counts are mergeable — the streaming-state algebra), and
+    burn_from_hourly over the merged store must equal the batch
+    slo_burn_rate over the same events, proving the micro-batch path and
+    the batch path cannot drift."""
+    from bigdata_2025_1_spark.operators.events_ops import (
+        burn_from_hourly,
+        hourly_error_counts,
+    )
+    from bigdata_2025_1_spark.registry import all_queries
+
+    expected = {
+        r.hour_ts: (r.err_1h, r.tot_1h, r.err_6h, r.tot_6h, r.alert)
+        for r in all_queries()["slo_burn_rate"](spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    stream_dir = str(tmp_path / "ev_incoming")
+    ev.filter(F.col("ts") < "2024-01-16").coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+    ev.filter(F.col("ts") >= "2024-01-16").coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+
+    partials: list = []
+    batches: list[int] = []
+
+    def per_batch(batch_df, bid):
+        batches.append(bid)
+        partials.extend(
+            (r.h, r.err, r.tot) for r in hourly_error_counts(batch_df).collect()
+        )
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "slo_ckpt"))
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "stream did not finish in 180s"
+    finally:
+        q.stop()
+    assert len(batches) == 2, batches  # genuinely incremental
+
+    merged = (
+        spark.createDataFrame(partials, "h TIMESTAMP, err BIGINT, tot BIGINT")
+        .groupBy("h")
+        .agg(F.sum("err").alias("err"), F.sum("tot").alias("tot"))
+    )
+    got = {
+        r.hour_ts: (r.err_1h, r.tot_1h, r.err_6h, r.tot_6h, r.alert)
+        for r in burn_from_hourly(merged).collect()
+    }
+    assert got == expected
+    spark.catalog.clearCache()
