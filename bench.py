@@ -170,6 +170,8 @@ HEADLINE = [
     "slo_burn_rate",
     "k_anonymity_audit",
     "ab_test_uplift",
+    "abc_xyz_matrix",
+    "decayed_part_demand",
 ]
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions.exact import exact_sum, sql_exact_sum
-from bigdata_2025_1_spark.functions.ranks import with_global_rank
+from bigdata_2025_1_spark.functions.ranks import rank_after_limit, with_global_rank
 from bigdata_2025_1_spark.io import load
 from bigdata_2025_1_spark.registry import query
 
@@ -645,4 +645,216 @@ def greedy_stock_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("allocated").alias("qty_allocated"),
         )
         .orderBy("partkey")
+    )
+
+
+@query(
+    "abc_xyz_matrix",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(ROUND(l_extendedprice * 1e2) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY partkey
+    ), tot AS (
+      SELECT SUM(cents) AS total FROM rev
+    ), ranked AS (
+      SELECT partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cents
+      FROM rev
+    ), abc AS (
+      SELECT partkey,
+             CASE WHEN cum_cents * 100 <= 80 * (SELECT total FROM tot) THEN 'A'
+                  WHEN cum_cents * 100 <= 95 * (SELECT total FROM tot) THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    ), horizon AS (
+      SELECT CAST(COUNT(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT) AS n
+      FROM lineitem
+    ), pq AS (
+      SELECT l_partkey AS partkey, date_trunc('month', l_shipdate) AS m,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY partkey, m
+    ), mom AS (
+      SELECT partkey, CAST(SUM(q) AS BIGINT) AS s,
+             CAST(SUM(q * q) AS BIGINT) AS sq
+      FROM pq GROUP BY partkey
+    ), xyz AS (
+      SELECT partkey, s,
+             CASE WHEN 4 * (h.n * sq - s * s) <= s * s THEN 'X'
+                  WHEN h.n * sq - s * s <= s * s THEN 'Y'
+                  ELSE 'Z' END AS xyz
+      FROM mom CROSS JOIN horizon h
+    )
+    SELECT a.abc, x.xyz,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(x.s) AS BIGINT) AS qty_total
+    FROM abc a JOIN xyz x ON x.partkey = a.partkey
+    GROUP BY a.abc, x.xyz
+    ORDER BY a.abc, x.xyz
+    """,
+)
+def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC-XYZ inventory planning matrix: revenue importance
+    (``parts_abc_pareto``'s 80/95 Pareto cut, same integer
+    cross-multiplication) crossed with demand VOLATILITY — X/Y/Z by the
+    coefficient of variation of monthly demand over the full month
+    horizon (zero-demand months included implicitly: they add nothing
+    to either moment sum while the horizon count n covers them).
+    AX items are forecastable cash cows; CZ items are the long tail
+    that should be make-to-order.
+
+    Determinism: CV classes compare INTEGERS — CV^2 = (n*Sq2 - S^2)/S^2
+    against 1/4 and 1 by cross-multiplication, so no sqrt, no division,
+    no float anywhere; the ABC prefix runs over the exact (cents DESC,
+    partkey) order.
+
+    Scale shape: two map-side-combinable groupBys collapse the fact
+    table (per-part revenue; per-part-month demand then per-part
+    moments); the ABC running sum is the distributed prefix-sum
+    primitive; the matrix join is part-keyed; output is <= 9 rows.
+    Overflow: n*Sq2 <= 84 months * (5e5 qty)^2-scale sums ~ 2e15 —
+    int64-safe at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").alias("total"))
+    ranked = with_global_rank(
+        rev.withColumn("_negc", -F.col("cents")),
+        ["_negc", "partkey"],
+        "_rk",
+        prefix_of="cents",
+        prefix_col="cum_cents",
+    ).drop("_negc", "_rk")
+    abc = ranked.crossJoin(F.broadcast(tot)).select(
+        "partkey",
+        F.when(F.col("cum_cents") * 100 <= 80 * F.col("total"), F.lit("A"))
+        .when(F.col("cum_cents") * 100 <= 95 * F.col("total"), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+    )
+    horizon = li.agg(
+        F.count_distinct(F.date_trunc("month", F.col("l_shipdate"))).alias("n")
+    )
+    pq = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("m"),
+    ).agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("q"))
+    mom = pq.groupBy("partkey").agg(
+        F.sum("q").alias("s"), F.sum(F.col("q") * F.col("q")).alias("sq")
+    )
+    disp = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    xyz = mom.crossJoin(F.broadcast(horizon)).select(
+        "partkey",
+        "s",
+        F.when(4 * disp <= F.col("s") * F.col("s"), F.lit("X"))
+        .when(disp <= F.col("s") * F.col("s"), F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz"),
+    )
+    return (
+        abc.join(xyz, "partkey")
+        .groupBy("abc", "xyz")
+        .agg(F.count("*").alias("n_parts"), F.sum("s").alias("qty_total"))
+        .orderBy("abc", "xyz")
+    )
+
+
+DECAY_CAP_MONTHS = 119
+DECAY_TOP_K = 20
+
+
+def _decay_weights() -> list[tuple[int, int]]:
+    """Integer geometric decay table w(0)=1e6, w(a+1) = w(a)*9 // 10 —
+    a pure int64 recurrence, so both engines regenerate IDENTICAL
+    weights (libm pow() is implementation-specific; this is not)."""
+    out, w = [], 10**6
+    for age in range(DECAY_CAP_MONTHS + 1):
+        out.append((age, w))
+        w = w * 9 // 10
+    return out
+
+
+@query(
+    "decayed_part_demand",
+    oracle=f"""
+    WITH RECURSIVE wts(age, w) AS (
+      SELECT 0, CAST(1000000 AS BIGINT)
+      UNION ALL
+      SELECT age + 1, w * 9 // 10 FROM wts WHERE age < {DECAY_CAP_MONTHS}
+    ), mi AS (
+      SELECT l_partkey AS partkey,
+             CAST((EXTRACT(year FROM l_shipdate) - 1992) * 12
+                  + EXTRACT(month FROM l_shipdate) - 1 AS BIGINT) AS m,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY partkey, m
+    ), ref AS (
+      SELECT MAX(m) AS mx FROM mi
+    ), aged AS (
+      SELECT partkey, q,
+             LEAST(ref.mx - m, {DECAY_CAP_MONTHS}) AS age
+      FROM mi CROSS JOIN ref
+    ), scored AS (
+      SELECT a.partkey,
+             CAST(SUM(a.q * w.w) AS BIGINT) AS decayed_i6,
+             CAST(SUM(a.q) AS BIGINT) AS raw_qty
+      FROM aged a JOIN wts w ON w.age = a.age
+      GROUP BY a.partkey
+    )
+    SELECT partkey, decayed_i6, raw_qty, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY decayed_i6 DESC, partkey) AS rank
+          FROM scored)
+    WHERE rank <= {DECAY_TOP_K}
+    ORDER BY rank
+    """,
+)
+def decayed_part_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted demand ranking (the feature-store popularity
+    signal): each part's monthly quantities are weighted by a geometric
+    decay in months-ago (half-life ~6.6 months), so currently-moving
+    parts outrank has-beens with identical lifetime totals.
+    Top-{DECAY_TOP_K} by decayed demand, raw totals alongside.
+
+    Determinism: the decay table is an INTEGER recurrence
+    (w*9 // 10 per month, capped at {DECAY_CAP_MONTHS}) regenerated
+    identically in both engines — no libm pow(), whose last bit is
+    implementation-specific; quantities and weighted sums are exact
+    int64 (q*w <= 5e11/month-cell at 100 TB — safe).
+
+    Scale shape: one map-side-combinable groupBy to part-month cells;
+    the weight table is {DECAY_CAP_MONTHS}+1 rows broadcast; the
+    reference month is a 1-row broadcast; the weighted reduce is
+    part-keyed; top-k is TakeOrdered."""
+    li = load(spark, sf_dir, "lineitem")
+    mi = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        (
+            (F.year("l_shipdate") - F.lit(1992)) * 12 + F.month("l_shipdate") - 1
+        )
+        .cast("bigint")
+        .alias("m"),
+    ).agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("q"))
+    ref = mi.agg(F.max("m").alias("mx"))
+    wts = spark.createDataFrame(_decay_weights(), "age bigint, w bigint")
+    aged = mi.crossJoin(F.broadcast(ref)).select(
+        "partkey",
+        "q",
+        F.least(F.col("mx") - F.col("m"), F.lit(DECAY_CAP_MONTHS)).alias("age"),
+    )
+    scored = (
+        aged.join(F.broadcast(wts), "age")
+        .groupBy("partkey")
+        .agg(
+            F.sum(F.col("q") * F.col("w")).alias("decayed_i6"),
+            F.sum("q").alias("raw_qty"),
+        )
+    )
+    return (
+        rank_after_limit(
+            scored, [F.desc("decayed_i6"), F.col("partkey")], DECAY_TOP_K
+        )
+        .select("partkey", "decayed_i6", "raw_qty", "rank")
+        .orderBy("rank")
     )

@@ -1068,3 +1068,43 @@ def test_ab_split_is_balanced_null_read(spark, sf_dir):
     assert r.n_a > 0 and r.n_b > 0
     assert r.z_score is not None and abs(r.z_score) < 4.0
     spark.catalog.clearCache()
+
+
+def test_abc_xyz_matrix_reconciles(spark, sf_dir):
+    """The planning matrix covers every part exactly once, the class
+    axes stay in their alphabets, and the ABC prefix runs through the
+    distributed rank primitive (MapInPandas), never a global window."""
+    from pyspark.sql import functions as F
+
+    from bigdata_2025_1_spark.io import load
+
+    df = QUERIES["abc_xyz_matrix"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    rows = df.collect()
+    assert {r.abc for r in rows} <= {"A", "B", "C"}
+    assert {r.xyz for r in rows} <= {"X", "Y", "Z"}
+    n_parts = (
+        load(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r.n_parts for r in rows) == n_parts
+    spark.catalog.clearCache()
+
+
+def test_decayed_demand_weight_algebra(spark, sf_dir):
+    """The integer decay table is positive and strictly decreasing until
+    it floors, and every decayed total is bounded by raw_qty * 1e6
+    (weight <= w(0))."""
+    from bigdata_2025_1_spark.operators.analytic_windows import _decay_weights
+
+    wts = _decay_weights()
+    assert wts[0] == (0, 10**6)
+    for (a1, w1), (a2, w2) in zip(wts, wts[1:]):
+        assert a2 == a1 + 1 and 0 <= w2 <= w1 and w2 == w1 * 9 // 10
+    df = QUERIES["decayed_part_demand"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.decayed_i6 <= r.raw_qty * 10**6
+    spark.catalog.clearCache()
