@@ -44,6 +44,16 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # rank_after_limit migrations are plan-identical (same TakeOrdered +
 # k-row window), not re-measured.
 #
+# Round-6 correctness-fix note (best-of-4 at sf0.1 vs the same-session
+# pre-fix run): persisting with_global_rank/with_prefix_min's
+# post-shuffle frame (the fix for the double-evaluation boundary
+# mismatch that produced missing/duplicate ranks on a theta-join
+# input) costs a fixed cache-write per rank query —
+# dedup_sorted_neighborhood 2.23→2.66 s, quantile_normalize_doclen
+# 1.40→1.73 s, cusum_changepoint 1.00→1.18 s. Correctness price, flat
+# in data volume (one in-memory materialization of the already-shuffled
+# frame that both consumers then read).
+#
 # Round-4 variance note: five full runs on the same code measured the
 # 34-query shared subtotal at 24.7 / 27.8 / 29.8 / 31.1 / 34.9 s (r3
 # recorded 27.5 s) and single queries swung 2.5x between consecutive

@@ -63,10 +63,22 @@ def with_global_rank(
     """
     spark = df.sparkSession
     n = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # persist() is CORRECTNESS here, not caching: `parts` is consumed
+    # twice (the per-partition size/sum table and the mapInPandas
+    # numbering), and each un-persisted evaluation plans its own
+    # repartitionByRange whose RangePartitioner samples independently —
+    # boundaries can differ between the two runs (observed on a
+    # theta-join input: ranks went missing/duplicated), making
+    # offset(pid) disagree with the partition layout the kernel saw.
+    # With the post-shuffle frame persisted, both consumers read ONE
+    # materialization, so _pid and row order are identical by
+    # construction. (Same contract in with_prefix_min; cache released
+    # by the harnesses' per-query clearCache.)
     parts = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
 
     size_aggs = [F.count("*").alias("_c")]
@@ -133,20 +145,17 @@ def with_prefix_min(
     broadcast back (no single-partition window anywhere)."""
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # DETERMINISM ASSUMPTION (shared with with_global_rank): the
-    # `parts` subtree below is evaluated TWICE — once for the tiny
-    # per-partition min table, once inside mapInPandas — and
-    # correctness requires both evaluations to assign IDENTICAL
-    # spark_partition_id values to identical rows. That holds because
-    # RangePartitioner's boundary sampling is seed-deterministic over a
-    # deterministic scan (same input → same boundaries → same pid). If
-    # a future Spark version or an AQE change breaks that, persist
-    # `parts` before fanning out to the two consumers;
-    # tests/test_ranks_property.py would catch the drift.
+    # persist() is CORRECTNESS, not caching (same contract as
+    # with_global_rank): `parts` is consumed twice, and un-persisted
+    # evaluations each plan their own range exchange whose boundary
+    # sampling can differ — observed producing missing/duplicated ranks
+    # on a theta-join input in the global-rank twin. One
+    # materialization, one partition layout for both consumers.
     parts = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     sizes = parts.groupBy("_pid").agg(F.min(value_col).alias("_m"))
     contrib = sizes.select(F.col("_pid").alias("_bpid"), F.col("_m").alias("_bm"))

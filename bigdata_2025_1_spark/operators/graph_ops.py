@@ -1250,7 +1250,12 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = nodes.count()  # the one driver scalar: node count for the base rank
     if n == 0:
-        raise ValueError("textrank_keywords: empty token graph")
+        # empty corpus -> empty ranking, same as the oracle (whose
+        # trnodes CTE is empty); raising would fail the empty-input
+        # robustness contract (tests/test_empty_tables.py)
+        return spark.createDataFrame(
+            [], "token string, rank_scaled bigint, score double, pos int"
+        )
     r0 = PR_ONE // n
     base = (15 * r0) // 100
     ranks = nodes.select(

@@ -99,3 +99,34 @@ def test_rank_cut_helpers_match_sequential(spark, rows, pct):
         i for i, _ in sorted(data, key=lambda t: (t[1], t[0]))[:kcut]
     )
     assert got == expect, (kcut, got, expect)
+
+
+def test_global_rank_is_permutation_on_join_input(spark):
+    """Regression pin for the double-evaluation boundary mismatch: over
+    a theta-join input (whose un-persisted range exchange used to sample
+    DIFFERENT boundaries for the size table vs the numbering kernel,
+    yielding missing/duplicated ranks), with_global_rank must assign
+    every rank in 1..n exactly once — on every invocation."""
+    from pyspark.sql import functions as F
+
+    from bigdata_2025_1_spark.functions.ranks import with_global_rank
+
+    base = spark.range(0, 120).select(
+        F.col("id").alias("k"), (F.col("id") * 37 % 101).alias("v")
+    )
+    a = base.select(F.col("k").alias("ka"), F.col("v").alias("va"))
+    b = base.select(F.col("k").alias("kb"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .select(
+            (F.col("vb") - F.col("va")).alias("num"),
+            (F.col("kb") - F.col("ka")).alias("den"),
+        )
+        .withColumn("slope_d", F.col("num").cast("double") / F.col("den"))
+    )
+    n = pairs.count()
+    for _ in range(3):
+        ranked = with_global_rank(pairs, ["slope_d", "num", "den"], rank_col="rn")
+        got = sorted(r.rn for r in ranked.select("rn").collect())
+        assert got == list(range(1, n + 1))
+        spark.catalog.clearCache()
