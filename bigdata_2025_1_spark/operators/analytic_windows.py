@@ -609,6 +609,14 @@ def greedy_stock_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate",
         F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
     )
+    return allocate_greedy(li)
+
+
+def allocate_greedy(li: DataFrame) -> DataFrame:
+    """The allocation core of ``greedy_stock_allocation`` over a
+    ``(l_partkey, l_orderkey, l_linenumber, l_shipdate, qty)`` frame —
+    module-level so the waterfall algebra is directly property-testable
+    against a scalar Python loop (``tests/test_r6_property.py``)."""
     cap = li.groupBy("l_partkey").agg(
         F.expr("sum(qty) div 2").alias("capacity"),
         F.sum("qty").alias("demand"),

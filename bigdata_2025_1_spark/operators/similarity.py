@@ -1897,6 +1897,17 @@ def density_core_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= DENS_COS)
         .select("a", "b")
     )
+    return dbscan_roles_from_pairs(emb.select("vec_id"), dpairs, DENS_MINPTS)
+
+
+def dbscan_roles_from_pairs(
+    ids: DataFrame, dpairs: DataFrame, minpts: int
+) -> DataFrame:
+    """The DBSCAN role/labeling core of ``density_core_clusters`` over an
+    undirected neighbor-pair frame ``(a, b)`` with ``a < b`` and an id
+    universe ``ids(vec_id)`` — module-level so the degree/core/
+    component/border algebra is directly property-testable against a
+    scalar BFS reference (``tests/test_r6_property.py``)."""
     # Lineage truncation, NOT just caching: the loop below references
     # `labels` twice per iteration (in prop and in the convergence join),
     # so with persist() alone the LOGICAL plan doubles every round — at
@@ -1914,7 +1925,7 @@ def density_core_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("a", "vec_id")
         .persist()
     )
-    core = deg.filter(F.col("degree") >= DENS_MINPTS).select("vec_id")
+    core = deg.filter(F.col("degree") >= minpts).select("vec_id")
     cedges = (
         sym.join(core.withColumnRenamed("vec_id", "a"), "a")
         .join(core.withColumnRenamed("vec_id", "b"), "b")
@@ -1965,7 +1976,7 @@ def density_core_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cluster_id").alias("b_cluster"))
     )
     return (
-        emb.select("vec_id")
+        ids
         .join(deg, "vec_id", "left")
         .join(clab.withColumnRenamed("cluster_id", "c_cluster"), "vec_id", "left")
         .join(border, "vec_id", "left")
