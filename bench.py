@@ -182,6 +182,8 @@ HEADLINE = [
     "ab_test_uplift",
     "abc_xyz_matrix",
     "decayed_part_demand",
+    "retrieval_mrr_eval",
+    "funnel_latency_percentiles",
 ]
 
 

@@ -1840,3 +1840,93 @@ def ab_test_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p_a - p_b).alias("uplift"),
         z.alias("z_score"),
     )
+
+
+FUNNEL_PCTS = (50, 90, 99)
+
+
+@query(
+    "funnel_latency_percentiles",
+    oracle=f"""
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), pu AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN su ON su.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > su.s_ts
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT su.user_id,
+             epoch_us(pu.p_ts) - epoch_us(su.s_ts) AS lat_us
+      FROM su JOIN pu ON pu.user_id = su.user_id
+    ), ranked AS (
+      SELECT lat_us,
+             ROW_NUMBER() OVER (ORDER BY lat_us, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM lat
+    ), base AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM su) AS n_signup_users,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lat) AS n_converted
+    )
+    SELECT b.n_signup_users, b.n_converted,
+           {", ".join(f"CAST(MAX(CASE WHEN rn = (n * {p} + 99) // 100 THEN lat_us END) AS BIGINT) AS p{p}_us" for p in FUNNEL_PCTS)}
+    FROM ranked CROSS JOIN base b
+    GROUP BY b.n_signup_users, b.n_converted
+    """,
+)
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase latency distribution (the activation
+    funnel's time axis): for each user, microseconds from first signup
+    to the first STRICTLY LATER purchase; exact nearest-rank p50/p90/p99
+    over converting users plus the cohort sizes — the
+    ``shipping_latency_percentiles`` contract applied to product
+    analytics.
+
+    Determinism: latencies are exact integer microseconds; percentiles
+    are RANK-SELECTED (value at row ceil(n*p/100) of the total
+    (latency, user) order), never interpolated.
+
+    Scale shape: two map-side-combinable per-user MINs and one user-
+    keyed join build the latency table (user-cardinality); the rank
+    runs through the DISTRIBUTED global-rank primitive (users are
+    entity-scale — 1e9 at 100 TB — so no single-partition window);
+    the percentile pick is one conditional aggregate."""
+    ev = load(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = su.join(pu, "user_id").select(
+        "user_id",
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("s_ts"))).alias("lat_us"),
+    )
+    ranked = with_global_rank(lat, ["lat_us", "user_id"], rank_col="rn")
+    base = (
+        su.agg(F.count("*").alias("n_signup_users"))
+        .crossJoin(F.broadcast(lat.agg(F.count("*").alias("n_converted"))))
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n_converted * {p} + 99) div 100"),
+                F.col("lat_us"),
+            )
+        )
+        .cast("bigint")
+        .alias(f"p{p}_us")
+        for p in FUNNEL_PCTS
+    ]
+    return (
+        ranked.crossJoin(F.broadcast(base))
+        .groupBy("n_signup_users", "n_converted")
+        .agg(*picks)
+    )

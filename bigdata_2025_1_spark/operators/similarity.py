@@ -1991,3 +1991,84 @@ def dbscan_roles_from_pairs(
         )
         .orderBy("vec_id")
     )
+
+
+# --- retrieval evaluation (system-vs-truth metrics) -----------------------
+
+from bigdata_2025_1_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query(
+    "retrieval_mrr_eval",
+    oracle=f"""
+    WITH exact_res AS (
+      SELECT * FROM ({_ORACLES["ann_topk_cosine"]})
+    ), sys_res AS (
+      SELECT * FROM ({_ORACLES["ann_ivf_topk"]})
+    ), nq AS (
+      SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries FROM exact_res
+    ), hits AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM exact_res e JOIN sys_res s
+        ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+    ), rr AS (
+      SELECT CAST(COALESCE(SUM(COALESCE(60 // s.rank, 0)), 0) AS BIGINT) AS rr60
+      FROM exact_res e LEFT JOIN sys_res s
+        ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+      WHERE e.rank = 1
+    )
+    SELECT nq.n_queries, hits.n_hits,
+           hits.n_hits::DOUBLE / (nq.n_queries * {TOP_K}) AS recall_at_k,
+           rr.rr60::DOUBLE / nq.n_queries / 60 AS mrr
+    FROM nq CROSS JOIN hits CROSS JOIN rr
+    """,
+)
+def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the IVF index against exact
+    truth, in one query: recall@{TOP_K} (how much of the true top-k the
+    index returns) and MRR (the reciprocal of where the TRUE nearest
+    neighbor lands in the index's ranking, 0 when missed) over the
+    shared probe set — the metric pair an ANN deployment gates on
+    before swapping brute force for the index.
+
+    Determinism: both ranked lists are the REGISTERED queries
+    (``ann_topk_cosine``, ``ann_ivf_topk``) and their oracles verbatim
+    (composed as subqueries, so the eval can never drift from what the
+    correctness gate checks); reciprocal ranks are summed as INTEGER
+    sixtieths (60/rank for rank <= {TOP_K} — lcm(1..5) clears every
+    denominator), one double chain at the end.
+
+    Scale shape: two candidate-bounded rankings (brute force is
+    probe-bounded, IVF is cell-pruned), two equi-joins on
+    (query, neighbor), three scalar aggregates broadcast into one row."""
+    exact = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    system = ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_s")
+    )
+    nq = exact.agg(F.count_distinct("query_id").alias("n_queries"))
+    hits = exact.join(system, ["query_id", "neighbor_id"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    rr = (
+        exact.filter(F.col("rank") == 1)
+        .join(system, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.coalesce(
+                F.sum(F.coalesce(F.expr("60 div rank_s"), F.lit(0))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("rr60")
+        )
+    )
+    return (
+        nq.crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(rr))
+        .select(
+            "n_queries",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double") / (F.col("n_queries") * TOP_K)
+            ).alias("recall_at_k"),
+            (F.col("rr60").cast("double") / F.col("n_queries") / 60).alias("mrr"),
+        )
+    )

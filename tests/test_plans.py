@@ -1108,3 +1108,35 @@ def test_decayed_demand_weight_algebra(spark, sf_dir):
     for r in rows:
         assert 0 < r.decayed_i6 <= r.raw_qty * 10**6
     spark.catalog.clearCache()
+
+
+def test_retrieval_eval_bounds(spark, sf_dir):
+    """Recall@k and MRR are proper fractions, hit counts are bounded by
+    the truth size, and the fixture's IVF recall stays above the same
+    floor the IVF plan test pins."""
+    df = QUERIES["retrieval_mrr_eval"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    from bigdata_2025_1_spark.operators.similarity import TOP_K
+
+    assert 0 < r.n_queries
+    assert 0 <= r.n_hits <= r.n_queries * TOP_K
+    assert 0.0 <= r.recall_at_k <= 1.0 and 0.0 <= r.mrr <= 1.0
+    assert r.recall_at_k >= 0.6
+    spark.catalog.clearCache()
+
+
+def test_funnel_latency_is_ordered_and_distributed(spark, sf_dir):
+    """The percentile ladder is monotone, conversions never exceed the
+    signup cohort, and the rank selection runs through the distributed
+    primitive (MapInPandas), not a global window over users."""
+    df = QUERIES["funnel_latency_percentiles"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 < r.n_converted <= r.n_signup_users
+    assert 0 < r.p50_us <= r.p90_us <= r.p99_us
+    spark.catalog.clearCache()
