@@ -2018,8 +2018,10 @@ from bigdata_2025_1_spark.registry import ORACLES as _ORACLES  # noqa: E402
       WHERE e.rank = 1
     )
     SELECT nq.n_queries, hits.n_hits,
-           hits.n_hits::DOUBLE / (nq.n_queries * {TOP_K}) AS recall_at_k,
-           rr.rr60::DOUBLE / nq.n_queries / 60 AS mrr
+           CASE WHEN nq.n_queries = 0 THEN NULL
+                ELSE hits.n_hits::DOUBLE / (nq.n_queries * {TOP_K}) END AS recall_at_k,
+           CASE WHEN nq.n_queries = 0 THEN NULL
+                ELSE rr.rr60::DOUBLE / nq.n_queries / 60 END AS mrr
     FROM nq CROSS JOIN hits CROSS JOIN rr
     """,
 )
@@ -2066,9 +2068,13 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_queries",
             "n_hits",
-            (
+            F.when(F.col("n_queries") == 0, F.lit(None).cast("double"))
+            .otherwise(
                 F.col("n_hits").cast("double") / (F.col("n_queries") * TOP_K)
-            ).alias("recall_at_k"),
-            (F.col("rr60").cast("double") / F.col("n_queries") / 60).alias("mrr"),
+            )
+            .alias("recall_at_k"),
+            F.when(F.col("n_queries") == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("rr60").cast("double") / F.col("n_queries") / 60)
+            .alias("mrr"),
         )
     )
