@@ -184,6 +184,8 @@ HEADLINE = [
     "decayed_part_demand",
     "retrieval_mrr_eval",
     "funnel_latency_percentiles",
+    "hourly_autocorrelation",
+    "cohort_ltv_matrix",
 ]
 
 

@@ -1930,3 +1930,174 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_signup_users", "n_converted")
         .agg(*picks)
     )
+
+
+ACF_LAGS = (1, 24, 168)
+
+
+@query(
+    "hourly_autocorrelation",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hidx,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY hidx
+    ), lags AS (
+      SELECT unnest([{", ".join(str(l) for l in ACF_LAGS)}]) AS lag_hours
+    ), paired AS (
+      SELECT l.lag_hours, a.x AS xa, b.x AS xb
+      FROM lags l
+      JOIN hourly a ON TRUE
+      JOIN hourly b ON b.hidx = a.hidx + l.lag_hours
+    ), sums AS (
+      SELECT lag_hours,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xa) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+             CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+             CAST(SUM(xb * xb) AS BIGINT) AS syy,
+             CAST(SUM(xa * xb) AS BIGINT) AS sxy
+      FROM paired GROUP BY lag_hours
+    )
+    SELECT lag_hours, n AS n_pairs,
+           CASE WHEN n < 2 THEN NULL
+                ELSE (sxy::DOUBLE - sx::DOUBLE * sy / n)
+                  / (sqrt(sxx::DOUBLE - sx::DOUBLE * sx / n)
+                     * sqrt(syy::DOUBLE - sy::DOUBLE * sy / n)) END AS r
+    FROM sums
+    ORDER BY lag_hours
+    """,
+)
+def hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality fingerprint of the event stream: Pearson
+    autocorrelation of the hourly arrival counts at lags
+    {ACF_LAGS} hours (adjacent / daily / weekly) over hour pairs where
+    both endpoints exist — r(24) near 1 says the load is diurnal, and
+    the (1, 24, 168) triple is the input a capacity model fits.
+
+    Determinism: counts are integers; per-lag moment sums are exact
+    int64 (divide-early chain, the ``zipf_exponent_fit`` contract —
+    safe while hourly_count^2 x n_hours < 2^63, i.e. to ~3e6
+    events/hour on a decade spine; past that, pre-scale the counts);
+    each r is one pinned double chain; degenerate spines (n < 2)
+    return NULL via an identical CASE.
+
+    Scale shape: the fact table collapses to the hour spine once; the
+    lag pairing is an integer EQUI-join (hidx + lag) fanned by the
+    3-row lag table — no window, no range join; one tiny aggregate per
+    lag."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("bigint")
+        .alias("hidx")
+    ).agg(F.count("*").alias("x")).persist()
+    lags = spark.createDataFrame([(l,) for l in ACF_LAGS], "lag_hours bigint")
+    a = hourly.select("hidx", F.col("x").alias("xa"))
+    b = hourly.select(F.col("hidx").alias("hidx_b"), F.col("x").alias("xb"))
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hidx_b") == F.col("hidx") + F.col("lag_hours"))
+    )
+    sums = paired.groupBy("lag_hours").agg(
+        F.count("*").alias("n"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+    )
+    n = F.col("n")
+    mxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n
+    mxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n
+    myy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n
+    return (
+        sums.select(
+            "lag_hours",
+            n.alias("n_pairs"),
+            F.when(n < 2, F.lit(None).cast("double"))
+            .otherwise(mxy / (F.sqrt(mxx) * F.sqrt(myy)))
+            .alias("r"),
+        )
+        .orderBy("lag_hours")
+    )
+
+
+@query(
+    "cohort_ltv_matrix",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                      + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT)) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ), sized AS (
+      SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_m
+    ), spend AS (
+      SELECT f.cohort_m,
+             CAST((EXTRACT(year FROM o.o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o.o_orderdate) - 1 AS BIGINT) - f.cohort_m AS age_months,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+      GROUP BY f.cohort_m, age_months
+    ), cum AS (
+      SELECT cohort_m, age_months,
+             CAST(SUM(rev_c) OVER (PARTITION BY cohort_m ORDER BY age_months
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_c
+      FROM spend
+    )
+    SELECT c.cohort_m AS cohort_month, c.age_months, s.cohort_size,
+           c.cum_rev_c AS cum_revenue_cents
+    FROM cum c JOIN sized s ON s.cohort_m = c.cohort_m
+    ORDER BY cohort_month, age_months
+    """,
+)
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by the month of
+    their FIRST order, each cohort's cumulative revenue tracked by
+    months-since-acquisition — the matrix every growth model reads LTV
+    curves from (``cohort_retention`` counts heads; this follows the
+    money).
+
+    Determinism: revenue is exact cents; cohort/age are integer month
+    indexes; the cumulative sum is an integer window over the
+    (cohort, age) total order.
+
+    Scale shape: first-order months and per-(cohort, age) revenue are
+    map-side-combinable groupBys over one customer-keyed join; the
+    running sum partitions by cohort over a CALENDAR-bounded axis (<=
+    n_months rows per cohort — never data-sized); output is the
+    months^2/2 triangle."""
+    orders = load(spark, sf_dir, "orders")
+    midx = (
+        (F.year("o_orderdate") - F.lit(1992)) * 12 + F.month("o_orderdate") - 1
+    ).cast("bigint")
+    firsts = orders.groupBy("o_custkey").agg(F.min(midx).alias("cohort_m"))
+    sized = firsts.groupBy("cohort_m").agg(F.count("*").alias("cohort_size"))
+    spend = (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_m", (midx - F.col("cohort_m")).alias("age_months")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = spend.select(
+        "cohort_m", "age_months", F.sum("rev_c").over(w).alias("cum_rev_c")
+    )
+    return (
+        cum.join(sized, "cohort_m")
+        .select(
+            F.col("cohort_m").alias("cohort_month"),
+            "age_months",
+            "cohort_size",
+            F.col("cum_rev_c").alias("cum_revenue_cents"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )

@@ -1140,3 +1140,45 @@ def test_funnel_latency_is_ordered_and_distributed(spark, sf_dir):
     assert 0 < r.n_converted <= r.n_signup_users
     assert 0 < r.p50_us <= r.p90_us <= r.p99_us
     spark.catalog.clearCache()
+
+
+def test_autocorrelation_is_lag_equi_join(spark, sf_dir):
+    """The lag pairing must be an integer equi-join on hidx+lag (the
+    3-row lag table broadcast), never a range join; r values are valid
+    correlations and the dense fixture pairs almost the whole spine."""
+    df = QUERIES["hourly_autocorrelation"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    rows = {r.lag_hours: r for r in df.collect()}
+    from bigdata_2025_1_spark.operators.events_ops import ACF_LAGS
+
+    assert set(rows) == set(ACF_LAGS)
+    for lag, r in rows.items():
+        assert r.n_pairs > 0
+        assert r.r is None or -1.0 - 1e-9 <= r.r <= 1.0 + 1e-9
+    spark.catalog.clearCache()
+
+
+def test_cohort_ltv_is_monotone_triangle(spark, sf_dir):
+    """Cumulative LTV never decreases with age within a cohort, ages
+    are non-negative and calendar-bounded, and cohort sizes total the
+    customer base with at least one order."""
+    from pyspark.sql import functions as F
+
+    from bigdata_2025_1_spark.io import load
+
+    rows = QUERIES["cohort_ltv_matrix"](spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        assert r.age_months >= 0
+        by_cohort.setdefault(r.cohort_month, []).append(r)
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r.age_months)
+        for x, y in zip(rs, rs[1:]):
+            assert y.cum_revenue_cents >= x.cum_revenue_cents
+    n_buyers = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum({r.cohort_month: r.cohort_size for r in rows}.values()) == n_buyers
+    spark.catalog.clearCache()
