@@ -186,6 +186,8 @@ HEADLINE = [
     "funnel_latency_percentiles",
     "hourly_autocorrelation",
     "cohort_ltv_matrix",
+    "data_expectations_report",
+    "semantic_decontamination",
 ]
 
 

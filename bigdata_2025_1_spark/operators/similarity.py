@@ -2078,3 +2078,94 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mrr"),
         )
     )
+
+
+N_EVAL_VECS = 100  # vec_id < this = the held-out "benchmark" set
+
+
+@query(
+    "semantic_decontamination",
+    oracle=f"""
+    WITH {_SEM_KEYED_SQL}, cand AS (
+      SELECT e.vec_id AS eval_id,
+             {V.sql_dot_scaled('e.embedding', 't.embedding', _DIM)}::DOUBLE
+               / (sqrt(e.nsq::DOUBLE) * sqrt(t.nsq::DOUBLE)) AS cosine
+      FROM keyed e JOIN keyed t
+        ON e.cell = t.cell AND e.subkey = t.subkey
+       AND e.vec_id < {N_EVAL_VECS} AND t.vec_id >= {N_EVAL_VECS}
+    ), agg AS (
+      SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             MAX(cosine) AS max_cosine
+      FROM cand GROUP BY eval_id
+    )
+    SELECT k.vec_id AS eval_id,
+           COALESCE(a.n_candidates, 0) AS n_candidates,
+           a.max_cosine,
+           COALESCE(a.max_cosine >= {NEAR_DUP_COS}, FALSE) AS contaminated
+    FROM keyed k LEFT JOIN agg a ON a.eval_id = k.vec_id
+    WHERE k.vec_id < {N_EVAL_VECS}
+    ORDER BY eval_id
+    """,
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC train-eval leakage audit — the embedding-space
+    counterpart of ``benchmark_decontamination``'s n-gram overlap scan
+    (paraphrased leaks share no 8-gram but sit next to each other in
+    embedding space): treat vec_id < {N_EVAL_VECS} as the held-out
+    benchmark and the rest as training data, and for every eval item
+    report the nearest training cosine WITHIN the SemDeDup two-level
+    cell key plus the >= {NEAR_DUP_COS} contamination verdict.
+
+    Determinism: the quantizer and cosine are the exact int64 machinery
+    shared with ``semantic_dedup_pairs``; MAX over identical doubles is
+    order-free; eval items with no in-cell training neighbor report
+    zero candidates and a FALSE verdict via identical COALESCEs.
+
+    Scale shape: the eval x train pairing inherits the (cell, subkey)
+    equi-join — cost is eval-side-bounded (the benchmark is tiny; the
+    100 TB corpus contributes only same-cell candidates), exactly the
+    incremental-LSH asymmetry in embedding space; the per-eval reduce
+    is a max/count aggregate."""
+    emb = load(spark, sf_dir, "embeddings")
+    keyed = semdedup_keyed_assignment(emb, SEM_CELL_CAP)
+    dot_pd = V.make_dot_scaled_pandas()
+    ev = keyed.filter(F.col("vec_id") < N_EVAL_VECS).select(
+        "cell",
+        "subkey",
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("emb_e"),
+        F.col("nsq").alias("nsq_e"),
+    )
+    tr = keyed.filter(F.col("vec_id") >= N_EVAL_VECS).select(
+        "cell",
+        "subkey",
+        F.col("embedding").alias("emb_t"),
+        F.col("nsq").alias("nsq_t"),
+    )
+    cosine = V.cosine_from_scaled(
+        dot_pd(F.col("emb_e"), F.col("emb_t")), F.col("nsq_e"), F.col("nsq_t")
+    )
+    agg = (
+        ev.join(tr, ["cell", "subkey"])
+        .select("eval_id", cosine.alias("cosine"))
+        .groupBy("eval_id")
+        .agg(
+            F.count("*").alias("n_candidates"), F.max("cosine").alias("max_cosine")
+        )
+    )
+    return (
+        keyed.filter(F.col("vec_id") < N_EVAL_VECS)
+        .select(F.col("vec_id").alias("eval_id"))
+        .join(agg, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            "max_cosine",
+            F.coalesce(
+                F.col("max_cosine") >= NEAR_DUP_COS, F.lit(False)
+            ).alias("contaminated"),
+        )
+        .orderBy("eval_id")
+    )

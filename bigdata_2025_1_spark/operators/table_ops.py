@@ -543,3 +543,135 @@ def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "version")
     )
+
+
+@query(
+    "data_expectations_report",
+    oracle="""
+    WITH checks AS (
+      SELECT 'lineitem_discount_range' AS check_name,
+             CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_fk_orderkey',
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem_qty_range',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders_fk_custkey',
+             CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'orders_pk_unique',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_status_domain',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_totalprice_positive',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+    )
+    SELECT check_name, n_checked, n_violations,
+           CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM checks
+    ORDER BY check_name
+    """,
+)
+def data_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract suite (the dbt-test / Great Expectations
+    shape): one row per expectation — primary-key uniqueness,
+    referential integrity both directions, value domains, and range
+    checks — with checked/violation counts and a pass/fail verdict, so
+    a pipeline gate can consume the report directly.
+
+    Determinism: every check is integer counting; the verdict is a CASE
+    on an exact count.
+
+    Scale shape: each expectation is one scan-collapse (conditional-sum
+    aggregate or LEFT ANTI join count) over its table; the report is
+    the UNION of one-row frames. The two FK checks are anti-joins on
+    the join keys — broadcast when the dimension fits, shuffle
+    otherwise; nothing holds more than an aggregate."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+
+    def check(name: str, df) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n_checked").cast("bigint"),
+            F.col("n_violations").cast("bigint"),
+        )
+
+    pk = orders.agg(
+        F.count("*").alias("n_checked"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("n_violations"),
+    )
+    fk_cust = orders.agg(F.count("*").alias("n_checked")).crossJoin(
+        F.broadcast(
+            orders.join(
+                cust, orders.o_custkey == cust.c_custkey, "left_anti"
+            ).agg(F.count("*").alias("n_violations"))
+        )
+    )
+    fk_ord = li.agg(F.count("*").alias("n_checked")).crossJoin(
+        F.broadcast(
+            li.join(
+                orders, li.l_orderkey == orders.o_orderkey, "left_anti"
+            ).agg(F.count("*").alias("n_violations"))
+        )
+    )
+    price = orders.agg(
+        F.count("*").alias("n_checked"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias("n_violations"),
+    )
+    status = orders.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("bigint")
+        ).alias("n_violations"),
+    )
+    qty = li.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("bigint")
+        ).alias("n_violations"),
+    )
+    disc = li.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)).cast("bigint")
+        ).alias("n_violations"),
+    )
+    report = (
+        check("orders_pk_unique", pk)
+        .unionByName(check("orders_fk_custkey", fk_cust))
+        .unionByName(check("lineitem_fk_orderkey", fk_ord))
+        .unionByName(check("orders_totalprice_positive", price))
+        .unionByName(check("orders_status_domain", status))
+        .unionByName(check("lineitem_qty_range", qty))
+        .unionByName(check("lineitem_discount_range", disc))
+    )
+    return report.select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        F.when(F.col("n_violations") == 0, F.lit("pass"))
+        .otherwise(F.lit("fail"))
+        .alias("status"),
+    ).orderBy("check_name")

@@ -1182,3 +1182,38 @@ def test_cohort_ltv_is_monotone_triangle(spark, sf_dir):
     )
     assert sum({r.cohort_month: r.cohort_size for r in rows}.values()) == n_buyers
     spark.catalog.clearCache()
+
+
+def test_expectations_report_all_checks_present(spark, sf_dir):
+    """The contract suite emits every expectation exactly once with
+    reconciling counts, and the clean fixture passes everything."""
+    rows = QUERIES["data_expectations_report"](spark, sf_dir).collect()
+    names = [r.check_name for r in rows]
+    assert names == sorted(names) and len(names) == len(set(names)) == 7
+    for r in rows:
+        assert 0 <= r.n_violations <= r.n_checked
+        assert r.status == ("pass" if r.n_violations == 0 else "fail")
+    assert all(r.status == "pass" for r in rows)  # fixture is clean
+    spark.catalog.clearCache()
+
+
+def test_semantic_decontamination_covers_eval_set(spark, sf_dir):
+    """Every eval item gets exactly one row; verdicts follow the
+    threshold; the pairing stays a keyed equi-join (no cartesian)."""
+    from bigdata_2025_1_spark.operators.similarity import (
+        N_EVAL_VECS,
+        NEAR_DUP_COS,
+    )
+
+    df = QUERIES["semantic_decontamination"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) == min(N_EVAL_VECS, 500)
+    assert [r.eval_id for r in rows] == sorted(r.eval_id for r in rows)
+    for r in rows:
+        if r.max_cosine is None:
+            assert r.n_candidates == 0 and not r.contaminated
+        else:
+            assert r.contaminated == (r.max_cosine >= NEAR_DUP_COS)
+    spark.catalog.clearCache()
