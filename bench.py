@@ -188,6 +188,8 @@ HEADLINE = [
     "cohort_ltv_matrix",
     "data_expectations_report",
     "semantic_decontamination",
+    "seasonal_naive_backtest",
+    "jain_fairness_index",
 ]
 
 

@@ -2101,3 +2101,88 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age_months")
     )
+
+
+BACKTEST_SEASON_HOURS = 168
+
+
+@query(
+    "seasonal_naive_backtest",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hidx,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY hidx
+    ), mx AS (
+      SELECT MAX(hidx) AS mh FROM hourly
+    ), holdout AS (
+      SELECT h.hidx, h.x FROM hourly h CROSS JOIN mx
+      WHERE h.hidx > mx.mh - {BACKTEST_SEASON_HOURS}
+    ), joined AS (
+      SELECT t.hidx, t.x, f.x AS fcst
+      FROM holdout t JOIN hourly f
+        ON f.hidx = t.hidx - {BACKTEST_SEASON_HOURS}
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ABS(x - fcst)) AS BIGINT) AS sae,
+             CAST(SUM(x - fcst) AS BIGINT) AS se,
+             CAST(SUM(x) AS BIGINT) AS sx
+      FROM joined
+    )
+    SELECT n AS n_hours,
+           CASE WHEN n = 0 THEN NULL ELSE sae::DOUBLE / n END AS mae,
+           CASE WHEN n = 0 THEN NULL ELSE se::DOUBLE / n END AS bias,
+           CASE WHEN sx = 0 THEN NULL ELSE sae::DOUBLE / sx END AS wape
+    FROM sums
+    """,
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality floor for the event stream: the seasonal-naive
+    model (predict this hour = same hour last week) backtested on the
+    final {BACKTEST_SEASON_HOURS}-hour holdout — MAE, signed bias, and
+    WAPE (sum |err| / sum actual — the weighted MAPE that never divides
+    by a zero-traffic hour). Any real model must beat these numbers;
+    the diurnal/weekly strength feeding the model choice is
+    ``hourly_autocorrelation``'s output.
+
+    Determinism: counts, errors, and all three numerators/denominators
+    are exact int64 sums; each metric is one double divide behind an
+    identical zero-guard CASE.
+
+    Scale shape: the fact table collapses to the hour spine once; the
+    forecast join is an integer equi-join (hidx - {BACKTEST_SEASON_HOURS});
+    metrics are one scalar aggregate."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("bigint")
+        .alias("hidx")
+    ).agg(F.count("*").alias("x")).persist()
+    mx = hourly.agg(F.max("hidx").alias("mh"))
+    holdout = hourly.crossJoin(F.broadcast(mx)).filter(
+        F.col("hidx") > F.col("mh") - BACKTEST_SEASON_HOURS
+    )
+    fcst = hourly.select(
+        (F.col("hidx") + BACKTEST_SEASON_HOURS).alias("hidx"),
+        F.col("x").alias("fcst"),
+    )
+    joined = holdout.select("hidx", "x").join(fcst, "hidx")
+    sums = joined.agg(
+        F.count("*").alias("n"),
+        F.sum(F.abs(F.col("x") - F.col("fcst"))).alias("sae"),
+        F.sum(F.col("x") - F.col("fcst")).alias("se"),
+        F.sum("x").alias("sx"),
+    )
+    n = F.col("n")
+    return sums.select(
+        n.alias("n_hours"),
+        F.when(n == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("sae").cast("double") / n)
+        .alias("mae"),
+        F.when(n == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("se").cast("double") / n)
+        .alias("bias"),
+        F.when(F.col("sx") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("sae").cast("double") / F.col("sx"))
+        .alias("wape"),
+    )

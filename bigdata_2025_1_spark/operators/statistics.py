@@ -2083,3 +2083,83 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_class")
     )
+
+
+@query(
+    "jain_fairness_index",
+    oracle="""
+    WITH ue AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY user_id
+    ), usums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM ue
+    ), sd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS x FROM documents GROUP BY source
+    ), ssums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM sd
+    ), both_dims AS (
+      SELECT 'source_docs' AS dimension, n, sx, sxx FROM ssums
+      UNION ALL
+      SELECT 'user_events', n, sx, sxx FROM usums
+    )
+    SELECT dimension, n,
+           CASE WHEN n = 0 OR sxx = 0 THEN NULL
+                ELSE sx::DOUBLE / n * sx / sxx END AS fairness
+    FROM both_dims
+    ORDER BY dimension
+    """,
+)
+def jain_fairness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jain's fairness index (Jain et al. 1984) of two allocation
+    dimensions — events per user and documents per source:
+    J = (sum x)^2 / (n * sum x^2), 1 when perfectly even, 1/n when one
+    participant holds everything. The single-scalar companion to
+    ``customer_spend_gini``/``join_key_skew_profile`` for capacity and
+    corpus-mix monitoring.
+
+    Determinism: the moment sums are exact int64; J is ONE pinned
+    divide-early double chain (sx/n * sx / sxx — never the int64
+    (sum)^2 that overflows at 1e12 events), NULL-guarded for empty
+    dimensions by an identical CASE.
+
+    Scale shape: one map-side-combinable groupBy per dimension to
+    entity-sized counts, one scalar moment aggregate each, a 2-row
+    union."""
+    ev = load(spark, sf_dir, "events")
+    docs = load(spark, sf_dir, "documents")
+
+    def moments(df, key):
+        per = df.groupBy(key).agg(F.count("*").alias("x"))
+        return per.agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+
+    both = (
+        moments(docs, "source")
+        .select(F.lit("source_docs").alias("dimension"), "n", "sx", "sxx")
+        .unionByName(
+            moments(ev, "user_id").select(
+                F.lit("user_events").alias("dimension"), "n", "sx", "sxx"
+            )
+        )
+    )
+    return (
+        both.select(
+            "dimension",
+            "n",
+            F.when(
+                (F.col("n") == 0) | (F.col("sxx") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.col("sx").cast("double") / F.col("n") * F.col("sx") / F.col("sxx")
+            )
+            .alias("fairness"),
+        )
+        .orderBy("dimension")
+    )

@@ -53,7 +53,7 @@ ORACLES: dict[str, str] = {}
 # round-6 queries therefore queue for round 7, NOT the head.
 #
 # ROUND-7/8 ROTATION PLAN: with the pre-round-6 never-checked backlog
-# at zero, round 7's head takes (a) the 32 round-6 additions, none yet
+# at zero, round 7's head takes (a) the 34 round-6 additions, none yet
 # driver-checked (benchmark_decontamination, char_entropy_quality,
 # bpe_merge_sequence, density_core_clusters, cusum_changepoint,
 # chi_square_independence, naive_bayes_source_classifier,
@@ -62,9 +62,10 @@ ORACLES: dict[str, str] = {}
 # slo_burn_rate, k_anonymity_audit, ab_test_uplift, abc_xyz_matrix,
 # decayed_part_demand, retrieval_mrr_eval, funnel_latency_percentiles,
 # hourly_autocorrelation, cohort_ltv_matrix, data_expectations_report,
-# semantic_decontamination,
-# NOTE 32 + 2 re-certs = 34 head slots; the 22-name stale list in (c)
-# overflows round 7 by 6 — roll the last 6 of (c) to round 8.
+# semantic_decontamination, seasonal_naive_backtest,
+# jain_fairness_index,
+# NOTE 34 + 2 re-certs = 36 head slots; the 22-name stale list in (c)
+# overflows round 7 by 8 — roll the last 8 of (c) to round 8.
 # scd2_status_history, kcore_trade_graph, margin_candidate_mining_ivf,
 # hyperball_harmonic_trade, domain_mixture_reweight, event_rate_anomaly,
 # sketch_join_size_estimate, pca_power_iteration — all selfcheck-green

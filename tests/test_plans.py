@@ -1217,3 +1217,27 @@ def test_semantic_decontamination_covers_eval_set(spark, sf_dir):
         else:
             assert r.contaminated == (r.max_cosine >= NEAR_DUP_COS)
     spark.catalog.clearCache()
+
+
+def test_backtest_metrics_consistency(spark, sf_dir):
+    """Holdout size is bounded by the season length, WAPE/MAE are
+    non-negative, and |bias| can never exceed MAE."""
+    from bigdata_2025_1_spark.operators.events_ops import BACKTEST_SEASON_HOURS
+
+    rows = QUERIES["seasonal_naive_backtest"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 < r.n_hours <= BACKTEST_SEASON_HOURS
+    assert r.mae >= 0 and r.wape >= 0
+    assert abs(r.bias) <= r.mae + 1e-9
+    spark.catalog.clearCache()
+
+
+def test_jain_fairness_bounds(spark, sf_dir):
+    """J lies in [1/n, 1] for every dimension on non-empty input."""
+    rows = QUERIES["jain_fairness_index"](spark, sf_dir).collect()
+    assert {r.dimension for r in rows} == {"user_events", "source_docs"}
+    for r in rows:
+        assert r.n > 0
+        assert 1.0 / r.n - 1e-12 <= r.fairness <= 1.0 + 1e-12
+    spark.catalog.clearCache()
