@@ -190,6 +190,7 @@ HEADLINE = [
     "semantic_decontamination",
     "seasonal_naive_backtest",
     "jain_fairness_index",
+    "recsys_holdout_hitrate",
 ]
 
 

@@ -1359,3 +1359,141 @@ def item_cofiltering_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+REC_SPLIT_DATE = "2000-01-01"
+REC_PER_ITEM = 3
+
+
+@query(
+    "recsys_holdout_hitrate",
+    oracle=f"""
+    WITH train_b AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate < '{REC_SPLIT_DATE}'
+    ), sized AS (
+      SELECT ck FROM train_b GROUP BY ck
+      HAVING COUNT(*) <= {COFILTER_BASKET_CAP}
+    ), train AS (
+      SELECT b.ck, b.pk FROM train_b b JOIN sized s ON s.ck = b.ck
+    ), test_raw AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate >= '{REC_SPLIT_DATE}'
+    ), test AS (
+      SELECT t.ck, t.pk FROM test_raw t
+      WHERE NOT EXISTS (SELECT 1 FROM train tr
+                        WHERE tr.ck = t.ck AND tr.pk = t.pk)
+    ), co AS (
+      SELECT a.pk AS src, b.pk AS rec, CAST(COUNT(*) AS BIGINT) AS co
+      FROM train a JOIN train b ON a.ck = b.ck AND a.pk <> b.pk
+      GROUP BY src, rec
+    ), top3 AS (
+      SELECT src, rec FROM (
+        SELECT src, rec,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY co DESC, rec) AS rn
+        FROM co) WHERE rn <= {REC_PER_ITEM}
+    ), recset AS (
+      SELECT DISTINCT tr.ck, t3.rec
+      FROM train tr JOIN top3 t3 ON t3.src = tr.pk
+    ), counts AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM test) AS n_test,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM test t
+         WHERE EXISTS (SELECT 1 FROM train tr WHERE tr.ck = t.ck)) AS n_covered,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM test t
+         JOIN recset r ON r.ck = t.ck AND r.rec = t.pk) AS n_hits
+    )
+    SELECT n_test, n_covered, n_hits,
+           CASE WHEN n_covered = 0 THEN NULL
+                ELSE n_hits::DOUBLE / n_covered END AS hit_rate
+    FROM counts
+    """,
+)
+def recsys_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recommender evaluation with a TEMPORAL split (the only
+    honest one — random splits leak the future): co-purchase top-
+    {REC_PER_ITEM} item-item recommendations are trained on orders
+    before {REC_SPLIT_DATE}, then scored on whether each customer's NEW
+    post-split purchases appear in the union of recommendations seeded
+    by their training basket. Reports test size, coverage (customers
+    with any training history), hits, and hit rate.
+
+    Determinism: splits, baskets, co-counts, and the per-item top-k
+    (co DESC, rec) are all integers with total-order tiebreaks; the
+    hit rate is one guarded double divide.
+
+    Scale shape: the training pair join inherits
+    ``item_cofiltering_similarity``'s basket cap; the per-item top-k is
+    a part-partitioned WindowGroupLimit; rec-set expansion and scoring
+    are customer/part equi-joins; the three counts are scalar
+    aggregates assembled broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    all_b = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("l_partkey").alias("pk"),
+            "o_orderdate",
+        )
+    )
+    train_b = all_b.filter(F.col("o_orderdate") < REC_SPLIT_DATE).select(
+        "ck", "pk"
+    ).distinct()
+    sized = train_b.groupBy("ck").agg(F.count("*").alias("_bs")).filter(
+        F.col("_bs") <= COFILTER_BASKET_CAP
+    )
+    train = train_b.join(sized.select("ck"), "ck").persist()
+    test = (
+        all_b.filter(F.col("o_orderdate") >= REC_SPLIT_DATE)
+        .select("ck", "pk")
+        .distinct()
+        .join(train, ["ck", "pk"], "left_anti")
+        .persist()
+    )
+    a = train.select("ck", F.col("pk").alias("src"))
+    b = train.select("ck", F.col("pk").alias("rec"))
+    co = (
+        a.join(b, "ck")
+        .filter(F.col("src") != F.col("rec"))
+        .groupBy("src", "rec")
+        .agg(F.count("*").alias("co"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("co"), "rec")
+    top3 = (
+        co.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= REC_PER_ITEM)
+        .select("src", "rec")
+    )
+    recset = (
+        train.join(top3, train.pk == top3.src)
+        .select(F.col("ck").alias("rck"), "rec")
+        .distinct()
+    )
+    n_test = test.agg(F.count("*").alias("n_test"))
+    n_covered = (
+        test.join(train.select("ck").distinct(), "ck")
+        .agg(F.count("*").alias("n_covered"))
+    )
+    n_hits = (
+        test.join(
+            recset,
+            (F.col("ck") == F.col("rck")) & (F.col("pk") == F.col("rec")),
+        )
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        n_test.crossJoin(F.broadcast(n_covered))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_test",
+            "n_covered",
+            "n_hits",
+            F.when(F.col("n_covered") == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("n_hits").cast("double") / F.col("n_covered"))
+            .alias("hit_rate"),
+        )
+    )

@@ -1241,3 +1241,20 @@ def test_jain_fairness_bounds(spark, sf_dir):
         assert r.n > 0
         assert 1.0 / r.n - 1e-12 <= r.fairness <= 1.0 + 1e-12
     spark.catalog.clearCache()
+
+
+def test_recsys_eval_counts_reconcile(spark, sf_dir):
+    """Hits never exceed covered, covered never exceeds test, the
+    hit rate matches its own counts, and the per-item top-k compiles to
+    WindowGroupLimit (partitioned, pushed-down)."""
+    df = QUERIES["recsys_holdout_hitrate"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 <= r.n_hits <= r.n_covered <= r.n_test
+    if r.n_covered:
+        assert abs(r.hit_rate - r.n_hits / r.n_covered) < 1e-12
+    spark.catalog.clearCache()
