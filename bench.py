@@ -191,6 +191,7 @@ HEADLINE = [
     "seasonal_naive_backtest",
     "jain_fairness_index",
     "recsys_holdout_hitrate",
+    "kaplan_meier_retention",
 ]
 
 

@@ -2186,3 +2186,143 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("sae").cast("double") / F.col("sx"))
         .alias("wape"),
     )
+
+
+KM_CENSOR_DAYS = 30
+
+
+@query(
+    "kaplan_meier_retention",
+    oracle=f"""
+    WITH spans AS (
+      SELECT l_orderkey,
+             CAST(date_diff('day', MIN(l_shipdate), MAX(l_shipdate)) AS BIGINT) AS dur,
+             MAX(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY l_orderkey
+    ), horizon AS (
+      SELECT MAX(l_shipdate) AS max_ship FROM lineitem
+    ), durs AS (
+      SELECT s.dur,
+             (s.last_ship > h.max_ship - INTERVAL {KM_CENSOR_DAYS} DAY) AS censored
+      FROM spans s CROSS JOIN horizon h
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM durs
+    ), daily AS (
+      SELECT dur AS t,
+             CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM durs GROUP BY dur
+    ), ordered AS (
+      SELECT t, d, leaving,
+             CAST(COALESCE(SUM(leaving) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS left_before
+      FROM daily
+    ), factored AS (
+      SELECT t, d, nn.n_total - left_before AS n_at_risk,
+             CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+                  WHEN d = nn.n_total - left_before THEN NULL
+                  ELSE CAST(ROUND(ln((nn.n_total - left_before - d)::DOUBLE
+                                     / (nn.n_total - left_before)) * 1e6) AS BIGINT)
+             END AS lf_i6
+      FROM ordered CROSS JOIN nn
+    ), summed AS (
+      SELECT t, d, n_at_risk,
+             CAST(SUM(COALESCE(lf_i6, 0)) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_i6,
+             MAX(CASE WHEN lf_i6 IS NULL THEN 1 ELSE 0 END) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+      FROM factored
+    )
+    SELECT t AS day, n_at_risk, d AS n_completed,
+           CASE WHEN hit_zero = 1 THEN NULL
+                ELSE cum_i6::DOUBLE / 1e6 END AS log_survival
+    FROM summed
+    WHERE d > 0
+    ORDER BY day
+    """,
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of order fulfillment with right-censoring
+    (Kaplan & Meier 1958): an order's lifetime is the days from its
+    first to its last shipment; orders whose last observed shipment
+    falls within {KM_CENSOR_DAYS} days of the feed's edge are CENSORED
+    (they may still be shipping — counting them as complete biases the
+    curve optimistic, the classic mistake this estimator exists to
+    avoid). Output: each completion day with its risk-set size and the
+    LOG survival (ln S(t) = sum ln(1 - d_i/n_i) — emitted as the log
+    because the repo's determinism contract rounds ln once per day-TYPE
+    and sums integers; exponentiating would add a second,
+    engine-specific libm call. S(t) = exp(log_survival); NULL marks
+    the curve hitting zero).
+
+    Determinism: day counts and risk sets are exact integers from one
+    prefix sum over the DAY domain; per-day log factors round once to
+    int64 millionths; the survival log is an integer prefix sum.
+
+    Scale shape: the fact table collapses to per-order spans (one
+    map-side-combinable groupBy), then to the day domain (calendar-
+    bounded); both running quantities are windows over that bounded
+    value domain — the ``equi_depth_price_deciles`` tolerated class,
+    never data-sized."""
+    li = load(spark, sf_dir, "lineitem")
+    spans = li.groupBy("l_orderkey").agg(
+        F.datediff(F.max("l_shipdate"), F.min("l_shipdate"))
+        .cast("bigint")
+        .alias("dur"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    horizon = li.agg(F.max("l_shipdate").alias("max_ship"))
+    durs = spans.crossJoin(F.broadcast(horizon)).select(
+        "dur",
+        (
+            F.col("last_ship")
+            > F.date_sub(F.col("max_ship"), KM_CENSOR_DAYS)
+        ).alias("censored"),
+    )
+    nn = durs.agg(F.count("*").alias("n_total"))
+    daily = durs.groupBy(F.col("dur").alias("t")).agg(
+        F.sum((~F.col("censored")).cast("bigint")).alias("d"),
+        F.count("*").alias("leaving"),
+    )
+    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_incl = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # bounded value domain (distinct lifetime days) — the tolerated
+    # single-partition window class; see docstring
+    ordered = daily.select(
+        "t",
+        "d",
+        F.coalesce(F.sum("leaving").over(w_before), F.lit(0)).alias("left_before"),
+    )
+    at_risk = F.col("n_total") - F.col("left_before")
+    lf = (
+        F.when(F.col("d") == 0, F.lit(0).cast("bigint"))
+        .when(F.col("d") == at_risk, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.round(
+                F.log((at_risk - F.col("d")).cast("double") / at_risk) * F.lit(1e6)
+            ).cast("bigint")
+        )
+    )
+    factored = ordered.crossJoin(F.broadcast(nn)).select(
+        "t", "d", at_risk.alias("n_at_risk"), lf.alias("lf_i6")
+    )
+    summed = factored.select(
+        "t",
+        "d",
+        "n_at_risk",
+        F.sum(F.coalesce(F.col("lf_i6"), F.lit(0))).over(w_incl).alias("cum_i6"),
+        F.max(F.col("lf_i6").isNull().cast("int")).over(w_incl).alias("hit_zero"),
+    )
+    return (
+        summed.filter(F.col("d") > 0)
+        .select(
+            F.col("t").alias("day"),
+            "n_at_risk",
+            F.col("d").alias("n_completed"),
+            F.when(F.col("hit_zero") == 1, F.lit(None).cast("double"))
+            .otherwise(F.col("cum_i6").cast("double") / F.lit(1e6))
+            .alias("log_survival"),
+        )
+        .orderBy("day")
+    )

@@ -53,7 +53,7 @@ ORACLES: dict[str, str] = {}
 # round-6 queries therefore queue for round 7, NOT the head.
 #
 # ROUND-7/8 ROTATION PLAN: with the pre-round-6 never-checked backlog
-# at zero, round 7's head takes (a) the 35 round-6 additions, none yet
+# at zero, round 7's head takes (a) the 36 round-6 additions, none yet
 # driver-checked (benchmark_decontamination, char_entropy_quality,
 # bpe_merge_sequence, density_core_clusters, cusum_changepoint,
 # chi_square_independence, naive_bayes_source_classifier,
@@ -63,9 +63,9 @@ ORACLES: dict[str, str] = {}
 # decayed_part_demand, retrieval_mrr_eval, funnel_latency_percentiles,
 # hourly_autocorrelation, cohort_ltv_matrix, data_expectations_report,
 # semantic_decontamination, seasonal_naive_backtest,
-# jain_fairness_index, recsys_holdout_hitrate,
-# NOTE 35 + 2 re-certs = 37 head slots; the 22-name stale list in (c)
-# overflows round 7 by 9 — roll the last 9 of (c) to round 8.
+# jain_fairness_index, recsys_holdout_hitrate, kaplan_meier_retention,
+# NOTE 36 + 2 re-certs = 38 head slots; the 22-name stale list in (c)
+# overflows round 7 by 10 — roll the last 10 of (c) to round 8.
 # scd2_status_history, kcore_trade_graph, margin_candidate_mining_ivf,
 # hyperball_harmonic_trade, domain_mixture_reweight, event_rate_anomaly,
 # sketch_join_size_estimate, pca_power_iteration — all selfcheck-green

@@ -1258,3 +1258,20 @@ def test_recsys_eval_counts_reconcile(spark, sf_dir):
     if r.n_covered:
         assert abs(r.hit_rate - r.n_hits / r.n_covered) < 1e-12
     spark.catalog.clearCache()
+
+
+def test_kaplan_meier_curve_monotone(spark, sf_dir):
+    """KM invariants: the risk set shrinks with time, completions never
+    exceed it, and log-survival is non-increasing until (if ever) the
+    curve hits zero."""
+    rows = QUERIES["kaplan_meier_retention"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_completed <= r.n_at_risk
+    for x, y in zip(rows, rows[1:]):
+        assert x.day < y.day
+        assert y.n_at_risk < x.n_at_risk
+        if x.log_survival is not None and y.log_survival is not None:
+            assert y.log_survival <= x.log_survival + 1e-12
+    assert rows[0].log_survival <= 0
+    spark.catalog.clearCache()
