@@ -73,7 +73,11 @@ def with_global_rank(
     # With the post-shuffle frame persisted, both consumers read ONE
     # materialization, so _pid and row order are identical by
     # construction. (Same contract in with_prefix_min; cache released
-    # by the harnesses' per-query clearCache.)
+    # by the harnesses' per-query clearCache. The default
+    # MEMORY_AND_DISK level spills rather than OOMs on a 100 TB input;
+    # clusters that cannot spare the disk should swap persist() for a
+    # reliable checkpoint() — the requirement is ONE materialization,
+    # not caching per se.)
     parts = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)

@@ -1593,7 +1593,10 @@ def naive_bayes_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
     over exactly n_classes rows — never data-sized."""
     docs = spread(load(spark, sf_dir, "documents"))
     # five consumers (wc, ncls, vv, ev, dl) — persist so the corpus is
-    # tokenized once, not five times (A/B at sf0.1, best-of-4: 3.8 -> 3.3 s)
+    # tokenized once, not five times (A/B at sf0.1, best-of-4: 3.8 -> 3.3 s).
+    # At 100 TB this is a corpus-sized MEMORY_AND_DISK cache (spills, never
+    # OOMs); if executor disk is the constraint, drop the persist and pay
+    # five scans — a pure time/space knob, not a correctness one
     uni = docs.select(
         "doc_id", "source", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w")
     ).persist()
