@@ -1161,6 +1161,16 @@ BPE_MERGES = 3
 
 
 def _sql_bpe_stage(t: int) -> str:
+    # The merge application is a left-to-right greedy fold in SYMBOL
+    # space (Sennrich et al. 2016 semantics): a literal replace of
+    # ' A B ' with ' AB ' would skip every second occurrence of an
+    # adjacent run ('abab' -> ' ab a b ', not ' ab ab ' — consecutive
+    # matches share the delimiter space). list_reduce seeds the
+    # accumulator with the first symbol; each next symbol either fuses
+    # with the accumulator's last token (exactly when that token is A
+    # and the symbol is B — a just-merged token 'AB' can never equal A,
+    # so non-overlap is automatic) or appends. Symbols never contain
+    # spaces, so the suffix test ' ' || A is token-exact.
     return f"""p{t} AS MATERIALIZED (
       SELECT pair, SUM(cnt) AS n FROM (
         SELECT unnest([syms[i] || ' ' || syms[i + 1]
@@ -1170,14 +1180,52 @@ def _sql_bpe_stage(t: int) -> str:
               FROM v{t - 1})
       ) GROUP BY pair
     ), b{t} AS MATERIALIZED (
-      SELECT pair, n FROM p{t} ORDER BY n DESC, pair LIMIT 1
+      SELECT pair, n, split_part(pair, ' ', 1) AS pa,
+             split_part(pair, ' ', 2) AS pb,
+             replace(pair, ' ', '') AS pm
+      FROM p{t} ORDER BY n DESC, pair LIMIT 1
     ), v{t} AS MATERIALIZED (
-      SELECT replace(s, ' ' || (SELECT pair FROM b{t}) || ' ',
-                     ' ' || replace((SELECT pair FROM b{t}), ' ', '') || ' ')
-               AS s,
-             cnt
-      FROM v{t - 1}
+      SELECT ' ' || list_reduce(
+               list_filter(regexp_split_to_array(trim(v.s), ' '), x -> x <> ''),
+               (acc, x) -> CASE
+                 WHEN x = b.pb AND (acc = b.pa OR ends_with(acc, ' ' || b.pa))
+                 THEN substr(acc, 1, length(acc) - length(b.pa)) || b.pm
+                 ELSE acc || ' ' || x END
+             ) || ' ' AS s,
+             v.cnt
+      FROM v{t - 1} v, b{t} b
     )"""
+
+
+def bpe_apply_merge(s: "F.Column", pair: str, merged: str) -> "F.Column":
+    """Apply ONE BPE merge rule to a padded ``' a b c '`` symbol string:
+    left-to-right greedy fold over the symbol array (Sennrich et al.
+    2016), merging every non-overlapping adjacent (A, B) occurrence —
+    NOT a literal ``replace(' A B ', ' AB ')``, which skips every
+    second occurrence of an adjacent run because consecutive matches
+    share the delimiter space ('abab' would yield ' ab a b ').
+
+    The fold appends each symbol to a space-joined accumulator unless
+    the accumulator's last token is A and the symbol is B, in which
+    case the tail token is rewritten to AB. Non-overlap is automatic:
+    a just-merged tail 'AB' can never equal A (symbols are non-empty,
+    so A·B ≠ A). Symbols never contain spaces, so the ``' ' || A``
+    suffix test is token-exact. Mirrors the oracle's ``list_reduce``
+    lambda bit-for-bit; property-tested against a scalar greedy
+    reference in tests/test_bpe_property.py."""
+    a, b = pair.split(" ")
+    la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
+
+    def step(acc: "F.Column", x: "F.Column") -> "F.Column":
+        last_is_a = (acc == la) | F.endswith(acc, F.concat(F.lit(" "), la))
+        fused = F.concat(acc.substr(F.lit(1), F.length(acc) - F.length(la)), lm)
+        appended = F.when(acc == F.lit(""), x).otherwise(
+            F.concat(acc, F.lit(" "), x)
+        )
+        return F.when(last_is_a & (x == lb), fused).otherwise(appended)
+
+    folded = F.aggregate(F.split(F.trim(s), " "), F.lit(""), step)
+    return F.concat(F.lit(" "), folded, F.lit(" "))
 
 
 _BPE_STAGES = ",\n    ".join(_sql_bpe_stage(t) for t in range(1, BPE_MERGES + 1))
@@ -1219,17 +1267,22 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: pair counts are word-frequency-weighted integers over
     the TYPE vocabulary; the merge pick is a total order; the merge
-    application is literal left-to-right non-overlapping string
-    replacement on space-separated symbol strings — identical semantics
-    in both engines (greedy BPE's own convention).
+    application is a left-to-right greedy symbol-space fold
+    (``bpe_apply_merge`` / the oracle's ``list_reduce`` lambda —
+    identical CASE logic in both engines), which merges EVERY
+    non-overlapping adjacent occurrence per round the way the Sennrich
+    trainer does ('abab' -> ' ab ab ', not the first-occurrence-only
+    result a literal replace would give).
 
     Scale shape: the loop state is the word-TYPE vocabulary (s, cnt) —
     vocabulary-sized, never the token stream, exactly how real BPE
     trainers batch (count words once, train on types); each iteration
-    is one map-side-combinable pair count + one broadcast literal
-    replace. The top-pair pick collects ONE row per round (the
-    kmeans/PCA broadcast-state shape). The oracle unrolls the same
-    {BPE_MERGES} rounds."""
+    is one map-side-combinable pair count + one per-row fold with the
+    merge rule baked in as literals. The top-pair pick collects ONE row
+    per round (the kmeans/PCA broadcast-state shape), and the
+    superseded vocabulary cache is released each round, so the cache
+    footprint is ≤ 2 vocabularies at any instant regardless of
+    BPE_MERGES. The oracle unrolls the same {BPE_MERGES} rounds."""
     docs = spread(load(spark, sf_dir, "documents"))
     vocab = (
         docs.select(F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w"))
@@ -1249,6 +1302,7 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
     ).persist()
     log = []
+    prev = None
     for step in range(1, BPE_MERGES + 1):
         # single-symbol guard: sequence(1, 0) counts DOWN (the repo-wide
         # trap) and would then element_at past the end under ANSI
@@ -1272,17 +1326,21 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .collect()
         )
+        # the collect above materialized v's cache (reading prev's), so
+        # the round-before-last vocabulary is now superseded — release
+        # it here rather than accumulating BPE_MERGES caches
+        if prev is not None:
+            prev.unpersist()
         if not top:
             break
         pair, n = top[0].pair, int(top[0].n)
         merged = pair.replace(" ", "")
         log.append((step, pair, n, merged))
-        v = v.select(
-            F.replace(
-                F.col("s"), F.lit(f" {pair} "), F.lit(f" {merged} ")
-            ).alias("s"),
-            "cnt",
-        ).persist()
+        prev = v
+        v = v.select(bpe_apply_merge(F.col("s"), pair, merged).alias("s"), "cnt").persist()
+    v.unpersist()
+    if prev is not None:
+        prev.unpersist()
     if not log:
         return spark.createDataFrame([], "step int, pair string, n bigint, merged string")
     return spark.createDataFrame(

@@ -1395,6 +1395,27 @@ DECON_DF_CAP = 10  # shingles present in more than this many documents are
 # n-gram can never create a quadratic candidate cluster
 
 
+def decon_kept_postings(sh: DataFrame) -> DataFrame:
+    """DF-capped shingle postings ``(doc_id, sh)`` from a ``(doc_id,
+    shingles)`` frame — the decontamination index rows. Shared by
+    ``benchmark_decontamination`` and the standing-index layout proof
+    (tests/test_decon_index_layout.py): at 100 TB the TRAIN half of
+    these rows is a materialized parquet table bucketed on ``sh``, and
+    the daily eval sweep equi-joins it corpus-side shuffle-free — the
+    ``dedup_incremental_lsh`` band-index deployment, proven the same
+    way."""
+    posts = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.md5("s").alias("sh")
+    )
+    rare = (
+        posts.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= DECON_DF_CAP)
+        .select("sh")
+    )
+    return posts.join(rare, "sh")
+
+
 def _sql_shingles_k(k: int) -> str:
     """DuckDB twin of ``word_shingles(col, k)`` reading a ``toks`` column
     (generalizes the module-level k=3 ``_SQL_SHINGLES``)."""
@@ -1472,22 +1493,15 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle; per-eval aggregation is a groupBy with a struct-max (no
     window over data-sized input). At 100 TB the train postings table is
     a standing index — the daily eval sweep joins against it exactly
-    like ``dedup_incremental_lsh``'s band index."""
+    like ``dedup_incremental_lsh``'s band index (the sh-bucketed layout
+    and its shuffle-free corpus-side join are proven from parquet in
+    tests/test_decon_index_layout.py)."""
     docs = spread(load(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", T.word_shingles(F.col("text"), k=DECON_K).alias("shingles")
     ).persist()  # feeds postings AND the per-eval shingle counts;
     # released by harness clearCache
-    posts = sh.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.md5("s").alias("sh")
-    )
-    rare = (
-        posts.groupBy("sh")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") <= DECON_DF_CAP)
-        .select("sh")
-    )
-    kept = posts.join(rare, "sh")
+    kept = decon_kept_postings(sh)
     is_eval = F.col("doc_id") % 10 == 7
     ev = kept.filter(is_eval).select(F.col("doc_id").alias("doc_eval"), "sh")
     tr = kept.filter(~is_eval).select(F.col("doc_id").alias("doc_train"), "sh")

@@ -27,7 +27,7 @@ from bigdata_2025_1_spark.functions.exact import (
 )
 from bigdata_2025_1_spark.functions import text as T
 from bigdata_2025_1_spark.io import load
-from bigdata_2025_1_spark.functions.ranks import rank_after_limit
+from bigdata_2025_1_spark.functions.ranks import rank_after_limit, with_global_rank
 from bigdata_2025_1_spark.registry import query
 
 
@@ -1119,8 +1119,14 @@ def supplier_shipping_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank boundaries cannot hinge on float formatting.
 
     Scale shape: ONE fact-fact join on the order key (the correct
-    shuffle), map-side-combinable per-supplier aggregate, and the rank
-    runs over the supplier-sized result with the dim table broadcast."""
+    shuffle), map-side-combinable per-supplier aggregate, dim table
+    broadcast. Suppliers are a data-proportional entity (TPC-H: 10k ×
+    SF → ~1e9 at 100 TB), so the full slowest-first ranking goes
+    through ``with_global_rank`` on ``(-slow_key, supplier)`` — range
+    exchange + partition-local numbering + broadcast offset table —
+    NEVER an unpartitioned ``row_number`` window that would funnel
+    every supplier row into one partition (pinned in
+    tests/test_plans.py::test_supplier_latency_no_single_partition)."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     supp = load(spark, sf_dir, "supplier")
@@ -1141,12 +1147,13 @@ def supplier_shipping_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_days").cast("double") / F.col("n_shipments")).alias("avg_days"),
         "worst_days",
         # `div` truncates, DuckDB `//` floors: identical here because
-        # sum_days >= 0 (receipt >= ship is a data invariant).
-        F.expr("sum_days * 1000000 div n_shipments").alias("slow_key"),
+        # sum_days >= 0 (receipt >= ship is a data invariant). Negated
+        # so the ASCENDING with_global_rank order means slowest-first.
+        (-F.expr("sum_days * 1000000 div n_shipments")).alias("neg_slow_key"),
     )
-    rank = F.row_number().over(Window.orderBy(F.desc("slow_key"), "supplier"))
+    ranked = with_global_rank(joined, ["neg_slow_key", "supplier"], rank_col="rn")
     return (
-        joined.withColumn("slowness_rank", rank.cast("int"))
+        ranked.withColumn("slowness_rank", F.col("rn").cast("int"))
         .select("supplier", "n_shipments", "avg_days", "worst_days", "slowness_rank")
         .orderBy("slowness_rank")
     )

@@ -1658,6 +1658,9 @@ def margin_candidate_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PCA_ITERS = 4
 _PCA_W0 = 125_000  # uniform start direction, 1e6-scaled (1/8 per component)
+# int64-exactness bound for the per-dimension Σ dq·xv sums: terms are
+# ≤ |dq|max(6.4e7) · |xv|max(1e6) = 6.4e13, and 9.2e18 / 6.4e13 ≈ 1.4e5
+PCA_MAX_ROWS = 140_000
 _SE6 = (
     f"[CAST(ROUND(embedding[i]::DOUBLE * 1e6) AS BIGINT) "
     f"for i in range(1, {_DIM + 1})]"
@@ -1732,6 +1735,20 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.round(x.cast("double") * F.lit(1e6)).cast("bigint"),
     )
     sem = emb.select(se6.alias("se")).persist()
+    # Never-silently-wrong guard (ADVICE r6): the per-dimension
+    # Σ dq·xv accumulates |term| ≤ 6.4e7 · 1e6 = 6.4e13, so int64
+    # (9.2e18) is exact only to ~1.4e5 rows. Past the bound raise with
+    # the rescale route instead of returning silently-overflowed
+    # loadings (count() doubles as the cache materialization).
+    n_rows = sem.count()
+    if n_rows > PCA_MAX_ROWS:
+        raise ValueError(
+            f"pca_power_iteration: {n_rows} embedding rows exceed the "
+            f"int64-exact bound {PCA_MAX_ROWS} for the e6·e6-scaled "
+            "per-dimension sums — drop the dq scale to e3 (keeping the "
+            "oracle in lockstep) or shard the Σ dq·x accumulation "
+            "before raising the cap"
+        )
     w = [_PCA_W0] * _DIM
     for _ in range(PCA_ITERS):
         warr = F.array(*[F.lit(int(wj)).cast("bigint") for wj in w])

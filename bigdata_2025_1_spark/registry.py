@@ -28,115 +28,98 @@ ORACLES: dict[str, str] = {}
 
 # The driver walks ``queries()`` in dict order and checks exactly the
 # first 50 entries per round (each CORRECTNESS_r0N covers 50). Order is
-# therefore a correctness lever. Round-6 rotation (executes the plan the
-# round-5 VERDICT ratified as its #1 ask): all 46 queries that have
-# NEVER had a driver row take positions 0-45, and the 4 spare slots
-# refresh the oldest r2-vintage greens. After this head lands green the
-# never-checked backlog is ZERO for the first time since round 2.
+# therefore a correctness lever. Round-7 rotation (executes the plan the
+# round-6 VERDICT ratified as its #1 ask, with the ratified amendment
+# that the rewritten supplier_shipping_latency takes a stale-refresh
+# slot so its first fresh row certifies the with_global_rank fix).
 #
 # Head composition:
-# - positions 0-8: never-checked queries whose CODE CHANGED in round 6,
-#   so their first driver row certifies current code — the CDC
-#   skinny-window fix (cdc_chunk_dedup), the SemDeDup second-level
-#   re-split (semantic_dedup_pairs), the all-zero-label fix
-#   (sq8_quantization_error), and the six never-checked queries routed
-#   through the shared rank_after_limit helper;
-# - positions 9-24: the remaining 16 round-5 additions;
-# - positions 25-45: the remaining 21 round-4 leftovers;
-# - positions 46-49: stale-green refresh — the 4 oldest r2-vintage rows
-#   (cube_flag_status, scalar_subquery_big_orders,
-#   recursive_cte_month_spine, media_metadata).
+# - positions 0-35: the 36 round-6 additions — the only queries that
+#   have never had a driver row (all selfcheck-green tuned AND vanilla
+#   per the round-6 VERDICT). bpe_merge_sequence and
+#   pca_power_iteration were FIXED in round 7 (true non-overlapping
+#   BPE merges per the ADVICE; PCA overflow guard), so their first
+#   driver row certifies current code;
+# - positions 36-37: dedup_minhash_lsh + minhash_signatures — code
+#   touched by the round-6 signatures_from_docs refactor, re-certified
+#   on current code;
+# - position 38: supplier_shipping_latency — REWRITTEN round 7
+#   (supplier-sized unpartitioned row_number → with_global_rank, the
+#   round-6 VERDICT's What's-wrong #1); its r2-vintage green is
+#   retired by this fresh row on the fixed code;
+# - positions 39-49: stale-green refresh — the 11 oldest of the 22
+#   remaining r2-vintage greens.
 #
 # CAPACITY WARNING: the head is at exactly 50 entries. Anything past
 # position 49 gets no driver row this round — add new queries by
 # REPLACING a proven-green head entry, never by growing past 50. New
-# round-6 queries therefore queue for round 7, NOT the head.
+# round-7 queries therefore queue for round 8, NOT the head.
 #
-# ROUND-7/8 ROTATION PLAN: with the pre-round-6 never-checked backlog
-# at zero, round 7's head takes (a) the 36 round-6 additions, none yet
-# driver-checked (benchmark_decontamination, char_entropy_quality,
-# bpe_merge_sequence, density_core_clusters, cusum_changepoint,
-# chi_square_independence, naive_bayes_source_classifier,
-# textrank_keywords, typo_variant_pairs, greedy_stock_allocation,
-# item_cofiltering_similarity, theil_sen_trend, zipf_exponent_fit,
-# slo_burn_rate, k_anonymity_audit, ab_test_uplift, abc_xyz_matrix,
-# decayed_part_demand, retrieval_mrr_eval, funnel_latency_percentiles,
-# hourly_autocorrelation, cohort_ltv_matrix, data_expectations_report,
-# semantic_decontamination, seasonal_naive_backtest,
-# jain_fairness_index, recsys_holdout_hitrate, kaplan_meier_retention,
-# NOTE 36 + 2 re-certs = 38 head slots; the 22-name stale list in (c)
-# overflows round 7 by 10 — roll the last 10 of (c) to round 8.
-# scd2_status_history, kcore_trade_graph, margin_candidate_mining_ivf,
-# hyperball_harmonic_trade, domain_mixture_reweight, event_rate_anomaly,
-# sketch_join_size_estimate, pca_power_iteration — all selfcheck-green
-# at sf0.01, the round-6-batch also at sf0.1), then (b)
-# dedup_minhash_lsh + minhash_signatures (code
-# touched by the round-6 signatures_from_docs refactor — re-certify on
-# current code), then (c) stale-green refresh from the 22 remaining
-# r2-vintage greens: (media_feature_stats, media_frame_sample,
-# media_resize, udaf_median_order_value, grouped_map_spend_share,
-# order_value_percentiles, approx_percentiles, pivot_status_by_priority,
-# sql_cte_above_nation_avg, train_test_split, corpus_quality_filter,
-# sequence_packing, corpus_end_to_end, stratified_source_cap,
-# corpus_temperature_mix, domain_doc_stats, global_size_stats,
-# metadata_extract, wordcount, udtf_bigrams, date_features,
-# string_functions_showcase) — roll the remainder through round 8;
-# after that no green row predates round 3.
+# ROUND-8 ROTATION PLAN: head takes (a) every round-7 addition (none
+# will have a driver row — enumerate them from QUERIES.md's round-7
+# section when building the head), then (b) the 11 remaining r2-vintage
+# stale greens: (sequence_packing, corpus_end_to_end,
+# stratified_source_cap, corpus_temperature_mix, domain_doc_stats,
+# global_size_stats, metadata_extract, wordcount, udtf_bigrams,
+# date_features, string_functions_showcase). After that lands green,
+# no green row predates round 3 and the never-checked backlog is the
+# round-8 additions alone.
 PRIORITY_HEAD: tuple[str, ...] = (
-    # -- 0-8: first driver rows ON ROUND-6-CHANGED CODE
-    "cdc_chunk_dedup",
-    "semantic_dedup_pairs",
-    "sq8_quantization_error",
-    "bigram_backoff_logprob",
-    "margin_candidate_mining",
-    "weighted_sample_wor",
-    "seasonal_hourly_residuals",
-    "token_association_rules",
-    "part_popularity_rec",
-    # -- 9-24: the remaining round-5 additions (never driver-checked)
-    "dedup_incremental_lsh",
-    "tokenizer_fertility_by_lang",
-    "embedding_dispersion",
-    "corpus_drift_psi",
-    "feature_hashing_buckets",
-    "column_mutual_information",
-    "skyline_price_size",
-    "vocab_frequency_spectrum",
-    "source_token_kl",
-    "benford_price_audit",
-    "cross_source_overlap",
-    "reciprocal_nn_pairs",
-    "doc_novelty_decay",
-    "bootstrap_mean_ci",
-    "harmonic_centrality_trade",
-    "contrastive_triplet_mining",
-    # -- 25-45: the round-4 leftovers (never driver-checked)
-    "vocab_growth_curve",
-    "markov_event_transitions",
-    "parts_abc_pareto",
-    "watermark_lateness_audit",
-    "doc_readability_scores",
-    "monthly_seasonality_index",
-    "embedding_norm_profile",
-    "functional_dependency_profile",
-    "dup_cluster_size_histogram",
-    "source_language_mix",
-    "user_feature_matrix",
-    "incremental_monthly_rollup",
-    "shipping_latency_percentiles",
-    "rolling_weekly_active_users",
-    "trade_graph_degree_stats",
-    "media_prefix_clusters",
-    "label_centroid_distances",
-    "top_sources_with_other",
-    "customer_spend_gini",
-    "corpus_health_scorecard",
-    "order_size_distribution",
-    # -- 46-49: stale-green refresh (oldest r2-vintage rows)
-    "cube_flag_status",
-    "scalar_subquery_big_orders",
-    "recursive_cte_month_spine",
-    "media_metadata",
+    # -- 0-35: the 36 round-6 additions (never driver-checked);
+    #    bpe_merge_sequence + pca_power_iteration carry round-7 fixes
+    "benchmark_decontamination",
+    "char_entropy_quality",
+    "bpe_merge_sequence",
+    "density_core_clusters",
+    "cusum_changepoint",
+    "chi_square_independence",
+    "naive_bayes_source_classifier",
+    "textrank_keywords",
+    "typo_variant_pairs",
+    "greedy_stock_allocation",
+    "item_cofiltering_similarity",
+    "theil_sen_trend",
+    "zipf_exponent_fit",
+    "slo_burn_rate",
+    "k_anonymity_audit",
+    "ab_test_uplift",
+    "abc_xyz_matrix",
+    "decayed_part_demand",
+    "retrieval_mrr_eval",
+    "funnel_latency_percentiles",
+    "hourly_autocorrelation",
+    "cohort_ltv_matrix",
+    "data_expectations_report",
+    "semantic_decontamination",
+    "seasonal_naive_backtest",
+    "jain_fairness_index",
+    "recsys_holdout_hitrate",
+    "kaplan_meier_retention",
+    "scd2_status_history",
+    "kcore_trade_graph",
+    "margin_candidate_mining_ivf",
+    "hyperball_harmonic_trade",
+    "domain_mixture_reweight",
+    "event_rate_anomaly",
+    "sketch_join_size_estimate",
+    "pca_power_iteration",
+    # -- 36-37: re-certify the round-6 signatures_from_docs refactor
+    "dedup_minhash_lsh",
+    "minhash_signatures",
+    # -- 38: first row on the round-7 with_global_rank rewrite
+    "supplier_shipping_latency",
+    # -- 39-49: stale-green refresh (11 oldest r2-vintage rows)
+    "media_feature_stats",
+    "media_frame_sample",
+    "media_resize",
+    "udaf_median_order_value",
+    "grouped_map_spend_share",
+    "order_value_percentiles",
+    "approx_percentiles",
+    "pivot_status_by_priority",
+    "sql_cte_above_nation_avg",
+    "train_test_split",
+    "corpus_quality_filter",
 )
 
 # Proven green in round 2 against current code: after the 50-row window.

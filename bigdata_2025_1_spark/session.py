@@ -60,6 +60,11 @@ def get_spark(
         # Parquet scans: default 128m is right for the big tables; keep it
         # explicit so the intent survives config drift.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Stage progress bars are carriage-return spam in non-tty logs
+        # (they glue onto selfcheck/bench result lines and break
+        # `grep -c "^ok"`). Static conf — must be set before the
+        # SparkContext launches.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -95,3 +95,61 @@ def test_semdedup_small_cells_pair_whole(spark):
     keyed = semdedup_keyed_assignment(_one_cell_embeddings(spark, 15, 0.5), cell_cap=20)
     assert keyed.filter("subkey != 0").count() == 0
     spark.catalog.clearCache()
+
+
+def test_pca_guard_raises_past_int64_bound(spark, tmp_path, monkeypatch):
+    """ADVICE r6: the per-dimension Σ dq·xv sums are int64-exact only to
+    PCA_MAX_ROWS embedding rows — past the bound the query must raise
+    with the rescale route, never return silently-overflowed loadings.
+    (Bound shrunk via monkeypatch; the arithmetic bound itself is a
+    constant documented at the definition.)"""
+    from pyspark.sql import functions as F
+
+    from bigdata_2025_1_spark.operators import similarity as S
+
+    sf = str(tmp_path)
+    spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.5)] * 64).alias("embedding"),
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    monkeypatch.setattr(S, "PCA_MAX_ROWS", 9)
+    with pytest.raises(ValueError, match="int64-exact bound"):
+        S.pca_power_iteration(spark, sf)
+    spark.catalog.clearCache()
+    # at or below the bound the guard is silent
+    monkeypatch.setattr(S, "PCA_MAX_ROWS", 10)
+    assert S.pca_power_iteration(spark, sf).count() == 64
+    spark.catalog.clearCache()
+
+
+def test_naive_bayes_vocab_guard_switches_join(spark, sf_dir, monkeypatch):
+    """VERDICT r6 #6: past NB_BROADCAST_VOCAB_MAX measured token types
+    the (token, class) log table must NOT carry a broadcast hint — the
+    evidence join is left to hash-partition on w (AQE may still
+    broadcast a genuinely tiny side at runtime; the guard governs the
+    DECLARED plan, which is what survives a 10M-type vocabulary). Pin:
+    forcing the bound to 0 removes exactly one broadcast HINT from the
+    analyzed logical plan, and the confusion matrix is identical
+    either way."""
+    from bigdata_2025_1_spark.operators import text_analysis as TA
+
+    def n_hints(df):
+        # hints live in the ANALYZED plan (the optimizer consumes them
+        # when planning the join)
+        return df._jdf.queryExecution().analyzed().toString().count(
+            "ResolvedHint"
+        )
+
+    wide = TA.naive_bayes_source_classifier(spark, sf_dir)
+    rows_wide = sorted(map(tuple, wide.collect()))
+    h_wide = n_hints(wide)
+    spark.catalog.clearCache()
+
+    monkeypatch.setattr(TA, "NB_BROADCAST_VOCAB_MAX", 0)
+    narrow = TA.naive_bayes_source_classifier(spark, sf_dir)
+    rows_narrow = sorted(map(tuple, narrow.collect()))
+    h_narrow = n_hints(narrow)
+    spark.catalog.clearCache()
+
+    assert rows_wide == rows_narrow
+    assert h_narrow == h_wide - 1, (h_narrow, h_wide)

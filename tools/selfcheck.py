@@ -36,12 +36,20 @@ def main() -> int:
     if head:
         queries = dict(list(queries.items())[:head])
     oracles = all_oracles()
+    # Carriage-return stage bars interleave with the `ok <name>` result
+    # lines in a non-tty log (gluing bars onto results and breaking
+    # `grep -c "^ok"`); keep the selfcheck log machine-parseable. The
+    # config only affects console noise, so the vanilla session stays
+    # driver-representative.
     if vanilla:
         from pyspark.sql import SparkSession
 
-        spark = SparkSession.builder.appName("selfcheck-vanilla").master(
-            "local[8]"
-        ).getOrCreate()
+        spark = (
+            SparkSession.builder.appName("selfcheck-vanilla")
+            .master("local[8]")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
     else:
         spark = get_spark("selfcheck", master="local[8]")
     con = connect_oracle(sf_dir)
