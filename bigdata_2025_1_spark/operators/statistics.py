@@ -2163,3 +2163,403 @@ def jain_fairness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dimension")
     )
+
+
+# --- rank-based two-sample tests (round 7) ---------------------------------
+
+MW_SEG_A = "BUILDING"
+MW_SEG_B = "MACHINERY"
+
+
+@query(
+    "mann_whitney_segment_spend",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(ROUND(o.o_totalprice * 1e2) AS BIGINT) AS v,
+             CASE WHEN c.c_mktsegment = '{MW_SEG_A}' THEN 1 ELSE 0 END AS is_a
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('{MW_SEG_A}', '{MW_SEG_B}')
+    ), hist AS (
+      SELECT v, SUM(is_a) AS c1, COUNT(*) AS ct FROM rows_ GROUP BY v
+    ), cum AS (
+      SELECT v, c1, ct,
+             COALESCE(SUM(ct) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM hist
+    ), moms AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(ct) AS BIGINT) AS n,
+             SUM(CAST(c1 AS HUGEINT) * (2 * cb + ct + 1)) AS r1x2,
+             SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS tsum
+      FROM cum
+    )
+    SELECT n1, CAST(n - n1 AS BIGINT) AS n2,
+           CASE WHEN n1 > 0 AND n - n1 > 0 THEN
+             CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2 END AS u1,
+           CASE WHEN n1 > 0 AND n - n1 > 0 AND tsum < CAST(n AS HUGEINT) * n * n - n
+           THEN ROUND(
+             (CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2
+              - CAST(n1 AS DOUBLE) * (n - n1) / 2)
+             / sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 12
+                    * ((CAST(n AS DOUBLE) + 1)
+                       - CAST(tsum AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))),
+             9) END AS z_score
+    FROM moms
+    """,
+)
+def mann_whitney_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: do {MW_SEG_A} and
+    {MW_SEG_B} customers spend from the same order-value distribution?
+    The nonparametric two-sample test every experimentation platform
+    offers next to the t-test — robust to the heavy-tailed spend
+    distributions where mean-based tests mislead. Reports U for group A
+    and the tie-corrected normal-approximation z.
+
+    Determinism: ranks never materialize per row — the VALUE-DOMAIN
+    histogram gives every distinct value its midrank exactly as the
+    integer ``2·cum_before + ct + 1`` (doubled to stay integral), so the
+    rank sum, the tie term Σ(t³−t), and U are exact integer/decimal
+    arithmetic in both engines; z is one pinned chain of double ops,
+    rounded to 9. Degenerate feeds (an empty group, or all values tied)
+    return NULL z via identical CASE guards.
+
+    Scale shape: one broadcast dim join + a map-side-combinable
+    value-domain histogram; the only window is the exclusive cum-count
+    over DISTINCT ORDER VALUES (``cum_counts_over_values`` — bounded by
+    value cardinality, the documented exception); the moments are one
+    scalar aggregate in decimal(38,0) (HUGEINT oracle-side), so rank
+    sums cannot overflow int64 even at 1e9 orders."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(MW_SEG_A, MW_SEG_B)
+    )
+    rows = orders.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        (F.col("c_mktsegment") == MW_SEG_A).cast("bigint").alias("is_a"),
+    )
+    hist = rows.groupBy("v").agg(
+        F.sum("is_a").alias("c1"), F.count("*").alias("ct")
+    )
+    cum = cum_counts_over_values(hist, "v", "ct", "cb")
+    dec = "decimal(38,0)"
+    moms = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("ct").alias("n"),
+        F.sum(
+            F.col("c1").cast(dec) * (2 * F.col("cb") + F.col("ct") + 1)
+        ).alias("r1x2"),
+        F.sum(
+            F.col("ct").cast(dec) * F.col("ct") * F.col("ct") - F.col("ct")
+        ).alias("tsum"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2 = F.col("n") - F.col("n1")
+    nd = F.col("n").cast("double")
+    u1 = (
+        (F.col("r1x2") - F.col("n1").cast(dec) * (F.col("n1") + 1)).cast("double")
+        / 2
+    )
+    ok = (F.col("n1") > 0) & (n2 > 0)
+    var = (
+        n1d * n2 / 12
+        * ((nd + 1) - F.col("tsum").cast("double") / (nd * (nd - 1)))
+    )
+    z = F.round((u1 - n1d * n2 / 2) / F.sqrt(var), 9)
+    no_var = F.col("tsum") >= F.col("n").cast(dec) * F.col("n") * F.col("n") - F.col("n")
+    return moms.select(
+        "n1",
+        n2.cast("bigint").alias("n2"),
+        F.when(ok, u1).alias("u1"),
+        F.when(ok & ~no_var, z).alias("z_score"),
+    )
+
+
+@query(
+    "spearman_qty_price",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(ROUND(l_quantity * 1e2) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 1e2) AS BIGINT) AS y
+      FROM lineitem
+    ), hx AS (
+      SELECT x, COUNT(*) AS ct,
+             COALESCE(SUM(COUNT(*)) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM rows_ GROUP BY x
+    ), hy AS (
+      SELECT y, COUNT(*) AS ct,
+             COALESCE(SUM(COUNT(*)) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM rows_ GROUP BY y
+    ), ranked AS (
+      SELECT (2 * hx.cb + hx.ct + 1) AS rx2, (2 * hy.cb + hy.ct + 1) AS ry2
+      FROM rows_ r JOIN hx ON hx.x = r.x JOIN hy ON hy.y = r.y
+    ), m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(rx2 AS HUGEINT)) AS sx, SUM(CAST(ry2 AS HUGEINT)) AS sy,
+             SUM(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+             SUM(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+             SUM(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN n > 1 AND n * sxx > sx * sx AND n * syy > sy * sy
+           THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9)
+           END AS spearman_rho
+    FROM m
+    """,
+)
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price over
+    lineitem — the monotone-association measure data-profiling suites
+    report next to Pearson (robust to outliers and nonlinearity; the two
+    diverging flags a nonlinear relationship). Tie-heavy by
+    construction: quantity has ~50 distinct values, so midrank handling
+    is the whole test.
+
+    Determinism: midranks come from the two VALUE-DOMAIN histograms as
+    exact integers (``2·cum_before + ct + 1``, doubled to stay
+    integral — scaling both rank vectors by 2 leaves rho unchanged);
+    the Pearson-on-ranks moments accumulate in decimal(38,0)/HUGEINT
+    (n·Σrxry reaches ~4n⁴ — past int64 at 6e5 rows, inside 38 digits to
+    ~1e9); rho is one pinned double chain rounded to 9. Constant
+    columns return NULL via identical guards.
+
+    Scale shape: two map-side-combinable histograms; the midrank maps
+    join back value→rank (the quantity map broadcasts at 50 rows; the
+    price map is an equi-join on the value key — row-scale at 100 TB
+    and correctly shuffled); the only windows are exclusive cum-counts
+    over DISTINCT VALUES; moments are one scalar aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    hx = cum_counts_over_values(
+        rows.groupBy("x").agg(F.count("*").alias("ct")), "x", "ct", "cb"
+    ).select("x", (2 * F.col("cb") + F.col("ct") + 1).alias("rx2"))
+    hy = cum_counts_over_values(
+        rows.groupBy("y").agg(F.count("*").alias("ct")), "y", "ct", "cb"
+    ).select("y", (2 * F.col("cb") + F.col("ct") + 1).alias("ry2"))
+    ranked = rows.join(F.broadcast(hx), "x").join(hy, "y")
+    dec = "decimal(38,0)"
+    m = ranked.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("rx2").cast(dec)).alias("sx"),
+        F.sum(F.col("ry2").cast(dec)).alias("sy"),
+        F.sum(F.col("rx2").cast(dec) * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2").cast(dec) * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2").cast(dec) * F.col("ry2")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    ok = (F.col("n") > 1) & (dx > 0) & (dy > 0)
+    rho = F.round(
+        num.cast("double") / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+        9,
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.when(ok, rho).alias("spearman_rho"),
+    )
+
+
+# --- distribution drift + stump induction (round 7) ------------------------
+
+KS_TYPE_A = "view"
+KS_TYPE_B = "click"
+
+
+@query(
+    "ks_value_drift",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(ROUND(value * 1e2) AS BIGINT) AS v,
+             CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+    ), hist AS (
+      SELECT v, SUM(a) AS c1, SUM(b) AS c2 FROM rows_ GROUP BY v
+    ), cum AS (
+      SELECT v,
+             SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+             SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2
+      FROM hist
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM hist
+    ), diffs AS (
+      SELECT v, abs(CAST(f1 AS HUGEINT) * n2 - CAST(f2 AS HUGEINT) * n1) AS dnum
+      FROM cum, tot
+    ), best AS (
+      SELECT v, dnum FROM diffs ORDER BY dnum DESC, v LIMIT 1
+    )
+    SELECT n1, n2,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             ROUND(CAST(b.dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 9) END AS d_stat,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             CAST(b.v AS DOUBLE) / 100 END AS at_value
+    FROM tot, best b
+    """,
+)
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the
+    '{KS_TYPE_A}' and '{KS_TYPE_B}' event-value distributions: D =
+    max |F1(v) − F2(v)| plus the value where the CDFs diverge most —
+    the standard feature-drift monitor between a training snapshot and
+    live traffic.
+
+    Determinism: CDF differences never touch floats — the max runs over
+    the INTEGER cross-product form |f1·n2 − f2·n1| (HUGEINT /
+    decimal(38,0), exact at any scale); the argmax is a (dnum DESC, v)
+    total order; D divides once at the end, rounded to 9.
+
+    Scale shape: one map-side-combinable value-domain histogram; the
+    CDFs are inclusive running sums over DISTINCT VALUE CENTS (bounded
+    by the value range — a constant as data grows — the documented
+    global-window exception); the argmax is TakeOrdered(1); totals
+    broadcast."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    )
+    rows = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        (F.col("event_type") == KS_TYPE_A).cast("bigint").alias("a"),
+        (F.col("event_type") == KS_TYPE_B).cast("bigint").alias("b"),
+    )
+    hist = rows.groupBy("v").agg(F.sum("a").alias("c1"), F.sum("b").alias("c2"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    dec = "decimal(38,0)"
+    cum = hist.select(
+        "v", F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
+    )
+    tot = hist.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("f1").cast(dec) * F.col("n2") - F.col("f2").cast(dec) * F.col("n1")
+        ).alias("dnum"),
+    )
+    best = diffs.orderBy(F.desc("dnum"), "v").limit(1)
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return best.select(
+        "n1",
+        "n2",
+        F.when(
+            ok,
+            F.round(
+                F.col("dnum").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2")),
+                9,
+            ),
+        ).alias("d_stat"),
+        F.when(ok, F.col("v").cast("double") / 100).alias("at_value"),
+    )
+
+
+@query(
+    "gini_stump_threshold",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(ROUND(l_extendedprice * 1e2) AS BIGINT) AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+    ), hist AS (
+      SELECT v, SUM(pos) AS p, COUNT(*) AS ct FROM rows_ GROUP BY v
+    ), cum AS (
+      SELECT v,
+             SUM(p) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS pl,
+             SUM(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS nl
+      FROM hist
+    ), tot AS (
+      SELECT CAST(SUM(p) AS BIGINT) AS ptot, CAST(SUM(ct) AS BIGINT) AS ntot FROM hist
+    ), scored AS (
+      SELECT v, nl, pl, ntot - nl AS nr, ptot - pl AS pr,
+             CAST(ROUND((
+               (CAST(pl AS DOUBLE) * pl + CAST(nl - pl AS DOUBLE) * (nl - pl)) / nl
+               + (CAST(ptot - pl AS DOUBLE) * (ptot - pl)
+                  + CAST((ntot - nl) - (ptot - pl) AS DOUBLE) * ((ntot - nl) - (ptot - pl)))
+                 / (ntot - nl)
+             ) * 1e6) AS BIGINT) AS score_i6
+      FROM cum, tot
+      WHERE nl > 0 AND ntot - nl > 0
+    ), best AS (
+      SELECT * FROM scored ORDER BY score_i6 DESC, v LIMIT 1
+    )
+    SELECT CAST(b.v AS DOUBLE) / 100 AS threshold,
+           CAST(b.nl AS BIGINT) AS n_left, CAST(b.nr AS BIGINT) AS n_right,
+           CAST(b.pl AS BIGINT) AS pos_left, CAST(b.pr AS BIGINT) AS pos_right,
+           ROUND((CAST(t.ntot AS DOUBLE) - CAST(b.score_i6 AS DOUBLE) / 1e6)
+                 / t.ntot, 6) AS weighted_gini
+    FROM best b, tot t
+    """,
+)
+def gini_stump_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump induction: the single best price threshold
+    splitting returned ('R') from kept lineitems by minimum weighted
+    Gini impurity — one node of a distributed decision-tree / GBDT
+    trainer, which is exactly this histogram-and-prefix-sum sweep per
+    feature (the XGBoost/LightGBM 'hist' algorithm's inner loop).
+
+    Determinism: candidate thresholds are the DISTINCT price cents;
+    class counts per side come from integer prefix sums; minimizing
+    weighted Gini ⇔ maximizing Σ_k c_Lk²/n_L + Σ_k c_Rk²/n_R, computed
+    as a pinned double chain from exact ints and rounded to i6 before
+    the (score DESC, v) argmax, so the winning split cannot hinge on a
+    last bit. Exact to ~9e7 rows per class (c² < 2^53); past that,
+    rescale counts or widen to decimal — documented, not silent (the
+    argmax ordering saturates long before the counts do).
+
+    Scale shape: the 'hist' trick — one map-side-combinable value
+    histogram, prefix sums over DISTINCT VALUES (bounded by the cents
+    range, the documented exception), scalar totals broadcast, argmax
+    as TakeOrdered(1). The fact table is scanned once."""
+    li = load(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+    )
+    hist = rows.groupBy("v").agg(F.sum("pos").alias("p"), F.count("*").alias("ct"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "v", F.sum("p").over(w).alias("pl"), F.sum("ct").over(w).alias("nl")
+    )
+    tot = hist.agg(F.sum("p").alias("ptot"), F.sum("ct").alias("ntot"))
+    nl, pl = F.col("nl"), F.col("pl")
+    nr = F.col("ntot") - nl
+    pr = F.col("ptot") - pl
+    side = lambda c, n: (  # noqa: E731 — Σ_k c_k² / n for a 2-class side
+        c.cast("double") * c + (n - c).cast("double") * (n - c)
+    ) / n
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter((nl > 0) & (nr > 0))
+        .select(
+            "v",
+            "nl",
+            "pl",
+            nr.alias("nr"),
+            pr.alias("pr"),
+            F.col("ntot"),
+            F.round((side(pl, nl) + side(pr, nr)) * 1e6).cast("bigint").alias("score_i6"),
+        )
+    )
+    best = scored.orderBy(F.desc("score_i6"), "v").limit(1)
+    return best.select(
+        (F.col("v").cast("double") / 100).alias("threshold"),
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        F.col("pl").alias("pos_left"),
+        F.col("pr").alias("pos_right"),
+        F.round(
+            (F.col("ntot").cast("double") - F.col("score_i6").cast("double") / 1e6)
+            / F.col("ntot"),
+            6,
+        ).alias("weighted_gini"),
+    )
