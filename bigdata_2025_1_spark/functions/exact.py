@@ -65,6 +65,25 @@ def sql_int_avg(expr: str) -> str:
     return f"CAST(SUM({expr}) AS DOUBLE) / COUNT({expr})"
 
 
+def int_div_exact(num: Column, den: Column) -> Column:
+    """Exact integer division for decimal(38,0) operands: (num − num % den)
+    / den, cast back to decimal(38,0).
+
+    Spark's ``div`` operator silently narrows DECIMAL operands to int64
+    (a 27-digit dividend comes back as a wrapped-around bigint), so it
+    cannot be used past the int64 range. The pmod form stays entirely in
+    decimal: the modulo is exact, the subtraction makes the dividend an
+    exact multiple, and the final division therefore has a zero
+    fractional part — the (38,6) intermediate rounds nothing. Operands
+    must be non-negative (both call-site uses are counts/rank sums), and
+    the QUOTIENT must stay below 10^32 (the (38,6) result type's integer
+    digits — ANSI raises loudly past it, never wraps; call sites here
+    are ratio-scaled quantizations with quotients ≤ 10^12).
+    DuckDB mirror: ``//`` on HUGEINT (exact at any magnitude we reach).
+    """
+    return ((num - num % den) / den).cast("decimal(38,0)")
+
+
 APPROX_TOL = 0.05  # sketch-vs-exact relative tolerance (shared by the
 # approx_* tolerance-verdict queries and their oracle docstrings)
 

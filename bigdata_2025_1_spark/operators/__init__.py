@@ -23,6 +23,7 @@ _MODULES = (
     "crawl_ops",
     "corpus_ops",
     "retrieval_ops",
+    "model_eval",
     "table_ops",
 )
 

@@ -1,0 +1,441 @@
+"""Classifier-evaluation suite over a real holdout protocol: a
+leakage-free hash split of lineitem by order key, a conditional-rate
+model P(return | discount) estimated ON TRAIN ONLY, and the four
+evaluation readouts every model-quality dashboard carries — ROC AUC,
+average precision (with best-F1 threshold selection), a calibration
+reliability table with ECE, and a decile lift/gains table.
+
+Reference parity: the reference repo has no model evaluation at all
+(`/root/reference` core is ingest + group-by stats); this family is
+charter scope — the eval layer a training-data pipeline puts between
+"we built a dataset/model" and "we shipped it".
+
+Cross-engine determinism is the design driver. Every metric here is
+rank- or count-based, so each query reduces its input to a SCORE
+HISTOGRAM (one row per distinct model score — the value-domain shape
+shared with the rank-cut primitives) and then computes the metric from
+integer prefix sums:
+
+- ROC AUC: the Mann-Whitney identity AUC = U/(n1·n2) with midrank tie
+  handling — rank sums stay integral via the doubled-midrank trick
+  (``2·cum_before + ct + 1``), accumulated in decimal(38,0)/HUGEINT.
+- Average precision: precision@threshold is materialized as an EXACT
+  i12 integer via :func:`int_div_exact` (Spark's decimal ``div``
+  silently narrows to int64 — measured, documented there), so the AP
+  sum is an integer sum, order-independent by construction.
+- ECE: the per-bin weighted gap telescopes — Σ_b (n_b/N)·|avg_pred_b −
+  rate_b| = Σ_b |S_b − pos_b·1e9| / (N·1e9) where S_b is the integer
+  sum of i9 predictions — so ECE is ONE division over an exact integer
+  total.
+- Lift: equi-depth deciles come from the shared ``cum·10 div n`` bucket
+  rule on the descending score histogram.
+
+Scale shape (all four): one map-side-combinable histogram per split off
+a single fact scan; the train→test score map is an ≤|score-domain|-row
+broadcast; windows run only over the DISTINCT SCORE DOMAIN (bounded by
+value cardinality, the documented global-window exception); final
+metrics are scalar aggregates. The split itself is a pure function of
+the key (multiplicative hash — reruns/backfills land every order in the
+same split; past ~1e10 keys the int64 product would ANSI-error loudly,
+never wrap — switch the bucketing to xxhash64 there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.functions.exact import int_div_exact
+from bigdata_2025_1_spark.functions.ranks import cum_counts_over_values
+from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.registry import query
+
+# Knuth multiplicative constant < 2^31 (same family as pipeline_ops'
+# split): orderkey*PRIME stays in int64 to ~1e10 orders, and ANSI mode
+# errors loudly past that rather than silently wrapping.
+_PRIME = 2654435761 % (2**31)
+TRAIN_PCT = 80
+I9 = 1_000_000_000  # predictions quantized to 1e-9
+I12 = 10**12  # precision@threshold quantized to 1e-12
+_DEC = "decimal(38,0)"
+
+# test-split score histogram: one row per distinct train-estimated
+# Laplace-smoothed P(return|discount), with test-side class counts
+_SQL_HIST = f"""
+    rows_ AS (
+      SELECT CAST(ROUND(l_discount * 1e2) AS BIGINT) AS d,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos,
+             (l_orderkey * {_PRIME}) % 100 < {TRAIN_PCT} AS is_train
+      FROM lineitem
+    ), pred AS (
+      SELECT d, CAST((SUM(pos) + 1) * {I9} // (COUNT(*) + 2) AS BIGINT) AS s
+      FROM rows_ WHERE is_train GROUP BY d
+    ), hist AS (
+      SELECT p.s AS s, SUM(r.pos) AS c1, COUNT(*) AS ct
+      FROM rows_ r JOIN pred p USING (d)
+      WHERE NOT r.is_train GROUP BY p.s
+    )
+"""
+
+
+def _holdout_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_SQL_HIST``: test-split score histogram."""
+    li = load(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+        ((F.col("l_orderkey") * _PRIME) % 100 < TRAIN_PCT).alias("is_train"),
+    )
+    pred = (
+        rows.filter("is_train")
+        .groupBy("d")
+        .agg(F.sum("pos").alias("p"), F.count("*").alias("n"))
+        .select("d", F.expr(f"(p + 1) * {I9} div (n + 2)").alias("s"))
+    )
+    return (
+        rows.filter(~F.col("is_train"))
+        .join(F.broadcast(pred), "d")
+        .groupBy("s")
+        .agg(F.sum("pos").alias("c1"), F.count("*").alias("ct"))
+    )
+
+
+@query(
+    "roc_auc_holdout",
+    oracle=f"""
+    WITH {_SQL_HIST}, cum AS (
+      SELECT s, c1, ct,
+             COALESCE(SUM(ct) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM hist
+    ), m AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(ct) AS BIGINT) AS n,
+             SUM(CAST(c1 AS HUGEINT) * (2 * cb + ct + 1)) AS r1x2
+      FROM cum
+    )
+    SELECT n1, CAST(n - n1 AS BIGINT) AS n2,
+           CASE WHEN n1 > 0 AND n - n1 > 0 THEN
+             ROUND(CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+                   / 2 / (CAST(n1 AS DOUBLE) * (n - n1)), 9) END AS auc,
+           CASE WHEN n1 > 0 AND n - n1 > 0 THEN
+             ROUND(CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * (n - n1)) - 1, 9) END AS somers_d
+    FROM m
+    """,
+)
+def roc_auc_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the train-estimated return-probability model on the
+    holdout split, via the Mann-Whitney identity AUC = U1/(n1·n2): the
+    probability a random positive outscores a random negative, with
+    midrank tie handling (the score domain is tiny, so ties ARE the
+    metric). Somers' D = 2·AUC − 1 alongside, the gini-style rescaling
+    credit-scoring teams quote.
+
+    Determinism: rank sums never materialize per row — the doubled
+    midrank ``2·cb + ct + 1`` per distinct score keeps everything
+    integral (decimal(38,0)/HUGEINT) up to the two final pinned double
+    divisions, rounded to 9. Degenerate holdouts (single-class) return
+    NULL via identical guards.
+
+    Scale shape: see module docstring — histogram + broadcast score
+    map + one value-domain cum window + scalar moments."""
+    hist = _holdout_hist(spark, sf_dir)
+    cum = cum_counts_over_values(hist, "s", "ct", "cb")
+    m = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("ct").alias("n"),
+        F.sum(
+            F.col("c1").cast(_DEC) * (2 * F.col("cb") + F.col("ct") + 1)
+        ).alias("r1x2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2 = F.col("n") - F.col("n1")
+    num = (F.col("r1x2") - F.col("n1").cast(_DEC) * (F.col("n1") + 1)).cast("double")
+    ok = (F.col("n1") > 0) & (n2 > 0)
+    return m.select(
+        "n1",
+        n2.cast("bigint").alias("n2"),
+        F.when(ok, F.round(num / 2 / (n1d * n2), 9)).alias("auc"),
+        F.when(ok, F.round(num / (n1d * n2) - 1, 9)).alias("somers_d"),
+    )
+
+
+@query(
+    "average_precision_holdout",
+    oracle=f"""
+    WITH {_SQL_HIST}, tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS np, CAST(SUM(ct) AS BIGINT) AS nt
+      FROM hist
+    ), cumd AS (
+      SELECT s, c1,
+             SUM(c1) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS tp,
+             SUM(ct) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS pp
+      FROM hist
+    ), terms AS (
+      SELECT s, c1, tp, pp,
+             CAST(tp AS HUGEINT) * {I12} // pp AS q12,
+             CAST(2 * CAST(tp AS HUGEINT) * 1000000 // (pp + np) AS BIGINT)
+               AS f1_i6
+      FROM cumd, tot
+    ), ap AS (
+      SELECT SUM(CAST(c1 AS HUGEINT) * q12) AS s12 FROM terms
+    ), best AS (
+      SELECT s, f1_i6 FROM terms ORDER BY f1_i6 DESC, s DESC LIMIT 1
+    )
+    SELECT nt AS n_test, np AS n_pos,
+           CASE WHEN np > 0 THEN
+             ROUND(CAST(s12 AS DOUBLE) / (CAST(np AS DOUBLE) * {I12}), 9)
+           END AS average_precision,
+           CASE WHEN np > 0 THEN CAST(b.f1_i6 AS DOUBLE) / 1e6 END AS best_f1,
+           CASE WHEN np > 0 THEN CAST(b.s AS DOUBLE) / {I9} END
+             AS best_f1_threshold
+    FROM tot, ap, best b
+    """,
+)
+def average_precision_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    definition over distinct score thresholds — sklearn's estimator) of
+    the holdout model, plus the threshold that maximizes F1 — the
+    companion readout to ROC AUC when positives are rare, and the
+    standard way an alerting/filtering pipeline picks its operating
+    point.
+
+    Determinism: AP = Σ_t (Δrecall_t · precision_t) is an ORDERED sum of
+    rationals with varying denominators — summed as doubles it would be
+    partition-order-dependent. Instead precision@t is frozen to an exact
+    i12 integer (``int_div_exact`` — truncation is the pinned, shared
+    definition), making the AP numerator an exact integer sum (any
+    order), divided once at the end. F1 is frozen to i6 the same way and
+    arg-maxed under a (f1 DESC, s DESC) total order.
+
+    Scale shape: module-docstring shape; the threshold sweep is rows =
+    |score domain|, the argmax is TakeOrdered(1)."""
+    hist = _holdout_hist(spark, sf_dir)
+    tot = hist.agg(F.sum("c1").alias("np"), F.sum("ct").alias("nt"))
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    cumd = hist.select(
+        "s", "c1", F.sum("c1").over(w).alias("tp"), F.sum("ct").over(w).alias("pp")
+    )
+    terms = cumd.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "c1",
+        "np",
+        "nt",
+        int_div_exact(F.col("tp").cast(_DEC) * I12, F.col("pp").cast(_DEC)).alias(
+            "q12"
+        ),
+        int_div_exact(
+            2 * F.col("tp").cast(_DEC) * 1000000,
+            (F.col("pp") + F.col("np")).cast(_DEC),
+        )
+        .cast("bigint")
+        .alias("f1_i6"),
+    )
+    ap = terms.agg(
+        F.first("np").alias("np"),
+        F.first("nt").alias("nt"),
+        F.sum(F.col("c1").cast(_DEC) * F.col("q12")).alias("s12"),
+    )
+    best = terms.orderBy(F.desc("f1_i6"), F.desc("s")).limit(1).select("s", "f1_i6")
+    ok = F.col("np") > 0
+    return ap.crossJoin(F.broadcast(best)).select(
+        F.col("nt").alias("n_test"),
+        F.col("np").alias("n_pos"),
+        F.when(
+            ok,
+            F.round(
+                F.col("s12").cast("double") / (F.col("np").cast("double") * I12), 9
+            ),
+        ).alias("average_precision"),
+        F.when(ok, F.col("f1_i6").cast("double") / 1e6).alias("best_f1"),
+        F.when(ok, F.col("s").cast("double") / I9).alias("best_f1_threshold"),
+    )
+
+
+@query(
+    "calibration_ece_bins",
+    oracle=f"""
+    WITH {_SQL_HIST}, binned AS (
+      SELECT s // 100000000 AS bin,
+             SUM(c1) AS pos_b, SUM(ct) AS n_b,
+             SUM(CAST(s AS HUGEINT) * ct) AS s_b
+      FROM hist GROUP BY 1
+    ), tote AS (
+      SELECT SUM(n_b) AS n,
+             SUM(ABS(s_b - CAST(pos_b AS HUGEINT) * {I9})) AS gap_total
+      FROM binned
+    )
+    SELECT CAST(bin AS DOUBLE) / 10 AS bin_lo,
+           CAST(n_b AS BIGINT) AS n_rows,
+           ROUND(CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * {I9}), 9)
+             AS avg_pred,
+           ROUND(CAST(pos_b AS DOUBLE) / n_b, 9) AS emp_rate,
+           ROUND(CAST(ABS(s_b - CAST(pos_b AS HUGEINT) * {I9}) AS DOUBLE)
+                 / (CAST(n_b AS DOUBLE) * {I9}), 9) AS abs_gap,
+           ROUND(CAST(t.gap_total AS DOUBLE) / (CAST(t.n AS DOUBLE) * {I9}), 9)
+             AS ece
+    FROM binned, tote t ORDER BY bin_lo
+    """,
+)
+def calibration_ece_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration reliability table of the holdout model: predictions
+    bucketed into ten equal-width probability bins, each bin's mean
+    prediction vs its empirical positive rate, the per-bin gap, and the
+    expected calibration error (ECE) — the readout that tells you
+    whether a 0.7 score MEANS 70%, which rank metrics (AUC) cannot see.
+
+    Determinism: the weighted-gap sum telescopes — (n_b/N)·|avg_pred_b −
+    rate_b| = |S_b − pos_b·1e9| / (N·1e9) with S_b the integer sum of i9
+    predictions — so every per-bin gap AND the ECE total are exact
+    integer arithmetic (decimal/HUGEINT) with one final division each,
+    rounded to 9.
+
+    Scale shape: module-docstring shape; binning is an integer div on
+    the score histogram; the ECE total is a ≤10-row aggregate broadcast
+    back onto the bin rows."""
+    hist = _holdout_hist(spark, sf_dir)
+    binned = (
+        hist.groupBy(F.expr("s div 100000000").alias("bin"))
+        .agg(
+            F.sum("c1").alias("pos_b"),
+            F.sum("ct").alias("n_b"),
+            F.sum(F.col("s").cast(_DEC) * F.col("ct")).alias("s_b"),
+        )
+    )
+    gap = F.abs(F.col("s_b") - F.col("pos_b").cast(_DEC) * I9)
+    tote = binned.agg(
+        F.sum("n_b").alias("n"), F.sum(gap).alias("gap_total")
+    )
+    nbd = F.col("n_b").cast("double")
+    return (
+        binned.crossJoin(F.broadcast(tote))
+        .select(
+            (F.col("bin").cast("double") / 10).alias("bin_lo"),
+            F.col("n_b").alias("n_rows"),
+            F.round(F.col("s_b").cast("double") / (nbd * I9), 9).alias("avg_pred"),
+            F.round(F.col("pos_b").cast("double") / F.col("n_b"), 9).alias(
+                "emp_rate"
+            ),
+            F.round(gap.cast("double") / (nbd * I9), 9).alias("abs_gap"),
+            F.round(
+                F.col("gap_total").cast("double") / (F.col("n").cast("double") * I9),
+                9,
+            ).alias("ece"),
+        )
+        .orderBy("bin_lo")
+    )
+
+
+N_LIFT_DECILES = 10
+
+
+@query(
+    "decile_lift_table",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(ROUND(l_discount * 1e2) AS BIGINT) AS d,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+    ), hist AS (
+      SELECT d, SUM(pos) AS c1, COUNT(*) AS ct FROM rows_ GROUP BY d
+    ), tot AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS n, CAST(SUM(c1) AS BIGINT) AS p
+      FROM hist
+    ), cum AS (
+      SELECT d, c1, ct,
+             COALESCE(SUM(ct) OVER (ORDER BY d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM hist
+    ), bucketed AS (
+      SELECT CAST(cb * {N_LIFT_DECILES} // (SELECT n FROM tot) AS INT)
+               AS decile, d, c1, ct
+      FROM cum
+    ), agg AS (
+      SELECT decile, CAST(SUM(ct) AS BIGINT) AS n_rows,
+             CAST(SUM(c1) AS BIGINT) AS n_pos,
+             MAX(d) AS hi, MIN(d) AS lo
+      FROM bucketed GROUP BY decile
+    ), gains AS (
+      SELECT *, SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+               AS cum_pos
+      FROM agg
+    )
+    SELECT decile, n_rows, n_pos,
+           CAST(hi AS DOUBLE) / 100 AS score_hi,
+           CAST(lo AS DOUBLE) / 100 AS score_lo,
+           ROUND(CAST(n_pos AS DOUBLE) / n_rows, 6) AS response_rate,
+           CASE WHEN t.p > 0 THEN
+             ROUND(CAST(n_pos AS DOUBLE) * t.n / (CAST(n_rows AS DOUBLE) * t.p), 6)
+           END AS lift,
+           CASE WHEN t.p > 0 THEN
+             ROUND(CAST(cum_pos AS DOUBLE) / t.p, 6) END AS cum_gain
+    FROM gains, tot t ORDER BY decile
+    """,
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table: rank all lineitems by discount
+    (best-score-first), cut into ten equi-depth deciles, and report each
+    decile's return rate, lift over the base rate, and cumulative gain —
+    the campaign-targeting readout ("the top 20% of scores capture X% of
+    responders") that turns a score into a budget decision.
+
+    Determinism: deciles come from the shared ``cum_before·10 div n``
+    integer bucket rule on the DESCENDING score histogram (the
+    equi_depth_price_deciles convention — a straddling value mass lands
+    wholly in its cum_before bucket, so some deciles may merge; the rule
+    is deterministic and engine-identical). Rates/lift/gain are pinned
+    per-row double chains over exact integer counts, rounded to 6; the
+    gains prefix runs over ≤10 decile rows.
+
+    Scale shape: one map-side-combinable histogram off one fact scan;
+    the only windows are the value-domain cum and the ≤10-row gains
+    prefix; totals broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+    )
+    hist = rows.groupBy("d").agg(F.sum("pos").alias("c1"), F.count("*").alias("ct"))
+    tot = hist.agg(F.sum("ct").alias("n"), F.sum("c1").alias("p"))
+    cum = cum_counts_over_values(hist, "d", "ct", "cb", descending=True)
+    bucketed = cum.crossJoin(F.broadcast(tot)).select(
+        F.expr(f"cb * {N_LIFT_DECILES} div n").cast("int").alias("decile"),
+        "d",
+        "c1",
+        "ct",
+        "n",
+        "p",
+    )
+    agg = bucketed.groupBy("decile").agg(
+        F.sum("ct").alias("n_rows"),
+        F.sum("c1").alias("n_pos"),
+        F.max("d").alias("hi"),
+        F.min("d").alias("lo"),
+        F.first("n").alias("n"),
+        F.first("p").alias("p"),
+    )
+    wg = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    gains = agg.withColumn("cum_pos", F.sum("n_pos").over(wg))
+    okp = F.col("p") > 0
+    return gains.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        (F.col("hi").cast("double") / 100).alias("score_hi"),
+        (F.col("lo").cast("double") / 100).alias("score_lo"),
+        F.round(F.col("n_pos").cast("double") / F.col("n_rows"), 6).alias(
+            "response_rate"
+        ),
+        F.when(
+            okp,
+            F.round(
+                F.col("n_pos").cast("double")
+                * F.col("n")
+                / (F.col("n_rows").cast("double") * F.col("p")),
+                6,
+            ),
+        ).alias("lift"),
+        F.when(
+            okp, F.round(F.col("cum_pos").cast("double") / F.col("p"), 6)
+        ).alias("cum_gain"),
+    ).orderBy("decile")

@@ -1,0 +1,118 @@
+"""Model-eval suite: the exact-decimal division primitive vs Python
+integers, the rank-sum AUC vs an independent pairwise-counting
+reference, and the internal consistency identities of the calibration
+and lift tables."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.functions.exact import int_div_exact
+from bigdata_2025_1_spark.operators.model_eval import (
+    _PRIME,
+    I9,
+    TRAIN_PCT,
+    calibration_ece_bins,
+    decile_lift_table,
+    roc_auc_holdout,
+)
+
+
+def test_int_div_exact_matches_python_bigints(spark):
+    """(num - num % den)/den in decimal(38,0) == Python // far past
+    int64 (the range where Spark's own `div` silently wraps)."""
+    rng = random.Random(11)
+    # construct a = q*d + r with quotients far past int64 but inside the
+    # helper's documented 10^32 quotient bound
+    cases = []
+    for kq in (3, 9, 18, 28):
+        for kd in (1, 5, 9):
+            for _ in range(3):
+                q = rng.randrange(10**kq)
+                d = rng.randrange(1, 10**kd)
+                cases.append((q * d + rng.randrange(d), d))
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in cases], "a string, b string"
+    ).select(
+        F.col("a").cast("decimal(38,0)").alias("a"),
+        F.col("b").cast("decimal(38,0)").alias("b"),
+    )
+    out = df.select("a", "b", int_div_exact(F.col("a"), F.col("b")).alias("q"))
+    for r in out.collect():
+        assert int(r.q) == int(r.a) // int(r.b), (r.a, r.b)
+
+
+def _holdout_hist_py(sf_dir: str) -> list[tuple[int, int, int]]:
+    """Independent (DuckDB-scalar) rebuild of the test-split score
+    histogram: [(score_i9, n_pos, n_total)]."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CAST(ROUND(l_discount * 1e2) AS BIGINT) AS d,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos,
+               (l_orderkey * {_PRIME}) % 100 < {TRAIN_PCT} AS is_train
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        """
+    ).fetchall()
+    train: dict[int, list[int]] = {}
+    for d, pos, is_train in rows:
+        if is_train:
+            c = train.setdefault(d, [0, 0])
+            c[0] += pos
+            c[1] += 1
+    pred = {d: (p + 1) * I9 // (n + 2) for d, (p, n) in train.items()}
+    hist: dict[int, list[int]] = {}
+    for d, pos, is_train in rows:
+        if not is_train and d in pred:
+            c = hist.setdefault(pred[d], [0, 0])
+            c[0] += pos
+            c[1] += 1
+    return sorted((s, c[0], c[1]) for s, c in hist.items())
+
+
+def test_roc_auc_matches_pairwise_counting(spark, sf_dir):
+    """The rank-sum AUC must equal the direct definition: (wins +
+    ties/2) / (n1*n2) counted pairwise over the score histogram — a
+    different derivation than the query's Mann-Whitney identity."""
+    hist = _holdout_hist_py(sf_dir)
+    wins = ties = 0
+    neg_below = 0  # negatives with strictly smaller score
+    n1 = n2 = 0
+    for s, c1, ct in hist:  # ascending score order
+        c0 = ct - c1
+        wins += c1 * neg_below
+        ties += c1 * c0
+        neg_below += c0
+        n1 += c1
+        n2 += c0
+    expected = (wins + ties / 2) / (n1 * n2)
+    row = roc_auc_holdout(spark, sf_dir).collect()[0]
+    assert row.n1 == n1 and row.n2 == n2
+    assert abs(row.auc - expected) < 1e-8
+    assert abs(row.somers_d - (2 * expected - 1)) < 1e-8
+
+
+def test_ece_is_the_weighted_bin_gap_sum(spark, sf_dir):
+    rows = calibration_ece_bins(spark, sf_dir).collect()
+    n_total = sum(r.n_rows for r in rows)
+    weighted = sum(r.n_rows * r.abs_gap for r in rows) / n_total
+    assert abs(rows[0].ece - weighted) < 1e-6
+    for r in rows:
+        assert abs(r.abs_gap - abs(r.avg_pred - r.emp_rate)) < 1e-6
+
+
+def test_decile_lift_internal_identities(spark, sf_dir):
+    rows = decile_lift_table(spark, sf_dir).collect()
+    li_count = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert sum(r.n_rows for r in rows) == li_count
+    # final cumulative gain covers every positive
+    assert abs(rows[-1].cum_gain - 1.0) < 1e-6
+    # lift averages to 1 under decile weights
+    w = sum(r.n_rows * r.lift for r in rows) / li_count
+    assert abs(w - 1.0) < 1e-3
+    # deciles are descending, disjoint score bands
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt.score_hi < prev.score_lo
