@@ -11,6 +11,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdata_2025_1_spark.functions.exact import int_div_exact
 from bigdata_2025_1_spark.functions.hashing import md5_int, sql_md5_int
 from bigdata_2025_1_spark.functions.ranks import (
     cum_counts_over_values,
@@ -2562,4 +2563,295 @@ def gini_stump_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("ntot"),
             6,
         ).alias("weighted_gini"),
+    )
+
+
+# --- classical test completion (round 7): ANOVA / normality / variance ------
+
+def _sql_anova_tail(k_min: int = 2) -> str:
+    """Oracle tail shared by the ANOVA-family tests: expects a CTE
+    ``rows_(g, v)`` with integer v; produces (k, n, f_stat, eta_squared)
+    from i2-quantized exact sums of squares."""
+    return f"""
+    grp AS (
+      SELECT g, COUNT(*) AS n_g, SUM(CAST(v AS HUGEINT)) AS s_g,
+             SUM(CAST(v AS HUGEINT) * v) AS q_g
+      FROM rows_ GROUP BY g
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+             SUM(s_g) AS t1, SUM(q_g) AS q,
+             SUM(s_g * s_g * 100 // n_g) AS bsum
+      FROM grp
+    ), scal AS (
+      SELECT k, n,
+             bsum - t1 * t1 * 100 // n AS ssb_i2,
+             q * 100 - bsum AS ssw_i2
+      FROM t
+    )
+    SELECT k, n,
+           CASE WHEN k >= {k_min} AND n > k AND ssw_i2 > 0 THEN
+             ROUND(CAST(ssb_i2 AS DOUBLE) / (k - 1)
+                   / (CAST(ssw_i2 AS DOUBLE) / (n - k)), 6) END AS f_stat,
+           CASE WHEN ssb_i2 + ssw_i2 > 0 THEN
+             ROUND(CAST(ssb_i2 AS DOUBLE) / CAST(ssb_i2 + ssw_i2 AS DOUBLE), 6)
+           END AS eta_squared
+    FROM scal
+    """
+
+
+def _anova_from_rows(rows: DataFrame, k_min: int = 2) -> DataFrame:
+    """Spark twin of :func:`_sql_anova_tail`: one-way ANOVA F over a
+    (g, v) frame with integer v. One map-side-combinable group aggregate
+    (the group count is the only state), one k-row reduction; every sum
+    of squares is an exact i2-quantized integer (``int_div_exact``), so
+    partitioning cannot move the statistic."""
+    dec = "decimal(38,0)"
+    grp = rows.groupBy("g").agg(
+        F.count("*").alias("n_g"),
+        F.sum(F.col("v").cast(dec)).alias("s_g"),
+        F.sum(F.col("v").cast(dec) * F.col("v")).alias("q_g"),
+    )
+    t = grp.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("t1"),
+        F.sum("q_g").alias("q"),
+        F.sum(
+            int_div_exact(F.col("s_g") * F.col("s_g") * 100, F.col("n_g").cast(dec))
+        ).alias("bsum"),
+    )
+    scal = t.select(
+        "k",
+        "n",
+        (
+            F.col("bsum")
+            - int_div_exact(F.col("t1") * F.col("t1") * 100, F.col("n").cast(dec))
+        ).alias("ssb_i2"),
+        (F.col("q") * 100 - F.col("bsum")).alias("ssw_i2"),
+    )
+    ok = (F.col("k") >= k_min) & (F.col("n") > F.col("k")) & (F.col("ssw_i2") > 0)
+    tot = F.col("ssb_i2") + F.col("ssw_i2")
+    return scal.select(
+        "k",
+        "n",
+        F.when(
+            ok,
+            F.round(
+                F.col("ssb_i2").cast("double")
+                / (F.col("k") - 1)
+                / (F.col("ssw_i2").cast("double") / (F.col("n") - F.col("k"))),
+                6,
+            ),
+        ).alias("f_stat"),
+        F.when(
+            tot > 0, F.round(F.col("ssb_i2").cast("double") / tot.cast("double"), 6)
+        ).alias("eta_squared"),
+    )
+
+
+@query(
+    "anova_f_segment_spend",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT c.c_mktsegment AS g,
+             CAST(ROUND(o.o_totalprice * 1e2) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), {_sql_anova_tail()}
+    """,
+)
+def anova_f_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the five market segments on order value: the
+    F statistic (between-group vs within-group variance) plus eta² (the
+    share of spend variance the segmentation explains) — the k-group
+    generalization of the t-test, and the first question asked of any
+    segmentation ("does it separate spend at all?").
+
+    Determinism: each group contributes three exact integer moments
+    (n, Σv, Σv² in cents, HUGEINT/decimal(38,0)); the sums of squares
+    are frozen to exact i2 integers via ``int_div_exact`` (Σ S_g²·100
+    div n_g), so SSB/SSW are integers and F/eta² are pinned scalar
+    double chains rounded to 6. Degenerate inputs (k<2, n≤k, zero
+    within-variance) return NULL under identical guards.
+
+    Scale shape: ONE map-side-combinable group aggregate over the fact
+    join (customer dim broadcast by AQE at real scale), then a k-row
+    reduction — no windows at all. S_g²·100 stays inside decimal(38) to
+    ~1e9 orders per group in cents; rescale v to dollars past that."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    rows = orders.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    return _anova_from_rows(rows)
+
+
+@query(
+    "brown_forsythe_spend_variance",
+    oracle=f"""
+    WITH base AS (
+      SELECT c.c_mktsegment AS g,
+             CAST(ROUND(o.o_totalprice * 1e2) AS BIGINT) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), h AS (
+      SELECT g, x, COUNT(*) AS ct FROM base GROUP BY g, x
+    ), hc AS (
+      SELECT g, x, ct,
+             COALESCE(SUM(ct) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM h
+    ), gn AS (
+      SELECT g, SUM(ct) AS n_g FROM h GROUP BY g
+    ), med AS (
+      SELECT hc.g, x AS med
+      FROM hc JOIN gn USING (g)
+      WHERE cb < (n_g + 1) // 2 AND (n_g + 1) // 2 <= cb + ct
+    ), rows_ AS (
+      SELECT b.g AS g, ABS(b.x - m.med) AS v
+      FROM base b JOIN med m ON m.g = b.g
+    ), {_sql_anova_tail()}
+    """,
+)
+def brown_forsythe_spend_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-based Levene) test: do the five market
+    segments have EQUAL spend variance? ANOVA's F assumes homoscedastic
+    groups; this is the standard robust pre-check — a one-way ANOVA on
+    the absolute deviations from each group's median.
+
+    Determinism: group medians are picked from per-group value
+    histograms by exact integer rank position (lower median,
+    pos = (n_g+1) div 2 — the pinned convention; BF is insensitive to
+    the median tie rule), the deviations are exact integers, and the
+    F tail reuses the i2-quantized ANOVA machinery.
+
+    Scale shape: the median histogram is map-side-combinable and its
+    cum window partitions BY GROUP over distinct values (never a global
+    funnel); the 5-row median map broadcasts back onto the fact rows;
+    then one group aggregate + k-row reduction, as the ANOVA."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    base = orders.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+    )
+    h = base.groupBy("g", "x").agg(F.count("*").alias("ct"))
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hc = h.withColumn("cb", F.coalesce(F.sum("ct").over(wc), F.lit(0)))
+    gn = h.groupBy("g").agg(F.sum("ct").alias("n_g"))
+    pos = F.expr("(n_g + 1) div 2")
+    med = (
+        hc.join(F.broadcast(gn), "g")
+        .filter((F.col("cb") < pos) & (pos <= F.col("cb") + F.col("ct")))
+        .select("g", F.col("x").alias("med"))
+    )
+    rows = base.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("x") - F.col("med")).alias("v")
+    )
+    return _anova_from_rows(rows)
+
+
+@query(
+    "jarque_bera_order_values",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS v FROM orders
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(v AS HUGEINT)) AS s1,
+             SUM(CAST(v AS HUGEINT) * v) AS s2,
+             SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+             SUM(CAST(v AS HUGEINT) * v * v * v) AS s4
+      FROM rows_
+    )
+    SELECT n,
+           ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_value,
+           ROUND((CAST(s3 AS DOUBLE) / n
+                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                  + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n))
+                 / POW(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                       1.5), 6) AS skewness,
+           ROUND((CAST(s4 AS DOUBLE) / n
+                  - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                  + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s2 AS DOUBLE) / n)
+                  - 3 * POW(CAST(s1 AS DOUBLE) / n, 4.0))
+                 / POW(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                       2.0) - 3, 6) AS excess_kurtosis,
+           ROUND(n / 6.0 * (
+             POW((CAST(s3 AS DOUBLE) / n
+                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                  + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n))
+                 / POW(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                       1.5), 2.0)
+             + POW((CAST(s4 AS DOUBLE) / n
+                    - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                    + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s2 AS DOUBLE) / n)
+                    - 3 * POW(CAST(s1 AS DOUBLE) / n, 4.0))
+                   / POW(CAST(s2 AS DOUBLE) / n
+                         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                         2.0) - 3, 2.0) / 4), 6) AS jb_stat
+    FROM m
+    """,
+)
+def jarque_bera_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on order values: skewness, excess
+    kurtosis, and JB = n/6·(S² + K²/4) — the moment-based normality
+    check run before any test that assumes Gaussian residuals (and a
+    one-scan distribution profiler in its own right: heavy-tailed spend
+    shows up as kurtosis long before a histogram is drawn).
+
+    Determinism: the four raw power sums Σv..Σv⁴ are exact integers
+    (HUGEINT / decimal(38,0)) over DOLLAR-rounded values — the unit is
+    the documented overflow bound: dollars keep Σv⁴ under 1e33 at 1e9
+    orders where cents would burst decimal(38) — and every derived
+    moment is the same pinned scalar double chain in both engines,
+    rounded to 6. No cancellation instability at this CV (central
+    moments from exact raw sums, one subtraction each).
+
+    Scale shape: ONE scalar aggregate over one scan. Nothing else."""
+    orders = load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    v = F.round(F.col("o_totalprice")).cast("bigint")
+    rows = orders.select(v.alias("v"))
+    vd = F.col("v").cast(dec)
+    m = rows.agg(
+        F.count("*").alias("n"),
+        F.sum(vd).alias("s1"),
+        F.sum(vd * F.col("v")).alias("s2"),
+        F.sum(vd * F.col("v") * F.col("v")).alias("s3"),
+        F.sum(vd * F.col("v") * F.col("v") * F.col("v")).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - mu * mu
+    m3 = F.col("s3").cast("double") / n - 3 * mu * (F.col("s2").cast("double") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4").cast("double") / n
+        - 4 * mu * (F.col("s3").cast("double") / n)
+        + 6 * mu * mu * (F.col("s2").cast("double") / n)
+        - 3 * F.pow(mu, F.lit(4.0))
+    )
+    skew = m3 / F.pow(m2, F.lit(1.5))
+    kurt = m4 / F.pow(m2, F.lit(2.0)) - 3
+    jb = n / 6.0 * (F.pow(skew, F.lit(2.0)) + F.pow(kurt, F.lit(2.0)) / 4)
+    return m.select(
+        "n",
+        F.round(mu, 6).alias("mean_value"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(jb, 6).alias("jb_stat"),
     )

@@ -1,0 +1,79 @@
+"""Classical-test cores vs straightforward Python references on random
+inputs: the i2-quantized ANOVA F and the moment-chain JB statistic must
+agree with textbook scalar formulas (within quantization tolerance)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from bigdata_2025_1_spark.operators.statistics import _anova_from_rows
+
+
+def _ref_anova(groups: dict[str, list[int]]):
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    allv = [x for v in groups.values() for x in v]
+    gm = sum(allv) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - gm) ** 2 for v in groups.values())
+    ssw = sum(
+        (x - sum(v) / len(v)) ** 2 for v in groups.values() for x in v
+    )
+    if k < 2 or n <= k or ssw <= 0:
+        return k, n, None
+    return k, n, (ssb / (k - 1)) / (ssw / (n - k))
+
+
+def test_anova_f_matches_reference_on_random_groups(spark):
+    rng = random.Random(13)
+    for trial in range(5):
+        groups = {
+            f"g{i}": [rng.randrange(1, 5000) for _ in range(rng.randint(2, 40))]
+            for i in range(rng.randint(2, 6))
+        }
+        rows = spark.createDataFrame(
+            [(g, v) for g, vals in groups.items() for v in vals], "g string, v long"
+        )
+        out = _anova_from_rows(rows).collect()[0]
+        k, n, f_ref = _ref_anova(groups)
+        assert out.k == k and out.n == n
+        # i2 quantization of SSB/SSW bounds the F error by ~1e-2/SSW
+        assert abs(out.f_stat - f_ref) < max(1e-4, f_ref * 1e-6), (trial, f_ref)
+
+
+def test_anova_f_degenerate_single_group_is_null(spark):
+    rows = spark.createDataFrame([("a", 1), ("a", 5), ("a", 9)], "g string, v long")
+    out = _anova_from_rows(rows).collect()[0]
+    assert out.k == 1 and out.f_stat is None
+
+
+def test_anova_f_zero_within_variance_is_null(spark):
+    rows = spark.createDataFrame(
+        [("a", 4), ("a", 4), ("b", 7), ("b", 7)], "g string, v long"
+    )
+    out = _anova_from_rows(rows).collect()[0]
+    assert out.f_stat is None and out.eta_squared == 1.0
+
+
+def test_jarque_bera_matches_reference(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.statistics import jarque_bera_order_values
+
+    vals = [
+        int(round(r.o_totalprice))
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_totalprice")
+        .collect()
+    ]
+    n = len(vals)
+    mu = sum(vals) / n
+    m2 = sum((x - mu) ** 2 for x in vals) / n
+    m3 = sum((x - mu) ** 3 for x in vals) / n
+    m4 = sum((x - mu) ** 4 for x in vals) / n
+    skew = m3 / m2**1.5
+    kurt = m4 / m2**2 - 3
+    jb = n / 6 * (skew**2 + kurt**2 / 4)
+    out = jarque_bera_order_values(spark, sf_dir).collect()[0]
+    assert out.n == n
+    assert abs(out.skewness - skew) < 1e-4
+    assert abs(out.excess_kurtosis - kurt) < 1e-4
+    assert abs(out.jb_stat - jb) < max(1e-3, jb * 1e-5)
