@@ -1287,3 +1287,251 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "rank_scaled", "score", "pos")
         .orderBy("pos")
     )
+
+
+# --- link prediction + mixing structure (round 7) ---------------------------
+
+LP_TOP = 20
+_I12 = 10**12
+
+_SQL_UND = """
+    raw AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    ), und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM raw
+    ), adj AS (
+      SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
+    ), deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u
+    )
+"""
+
+
+def _und_adj(spark: SparkSession, sf_dir: str):
+    """Spark twin of ``_SQL_UND``: the undirected nation trade graph as
+    (und pairs a<b, directed adj, integer degrees)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    raw = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    und = raw.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    return und, adj, deg
+
+
+def link_scores_from_und(und: DataFrame, adj: DataFrame, deg: DataFrame) -> DataFrame:
+    """Neighborhood link-prediction scores for every NON-adjacent pair
+    of an undirected graph: (x, y, common_neighbors,
+    resource_allocation, jaccard). Module-level so the arithmetic is
+    property-testable against a scalar reference. ``und`` holds each
+    edge once as (a<b); ``adj`` both directions as (u,v); ``deg``
+    (u, d). RA weights freeze to i12 integers (1e12 div deg) so the
+    score is an exact integer sum."""
+    wgt = deg.select("u", F.expr(f"{_I12} div d").alias("w12"))
+    e2 = adj.select(F.col("u").alias("m2"), F.col("v").alias("y"))
+    two = adj.select(F.col("u").alias("x"), F.col("v").alias("m")).join(
+        e2, (F.col("m") == F.col("m2")) & (F.col("x") < F.col("y"))
+    )
+    cand = (
+        two.join(F.broadcast(wgt.select(F.col("u").alias("m"), "w12")), "m")
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("common_neighbors"), F.sum("w12").alias("ra12"))
+    )
+    nonadj = cand.join(
+        und,
+        (F.col("a") == F.col("x")) & (F.col("b") == F.col("y")),
+        "left_anti",
+    )
+    dx = F.broadcast(deg.select(F.col("u").alias("x"), F.col("d").alias("deg_x")))
+    dy = F.broadcast(deg.select(F.col("u").alias("y"), F.col("d").alias("deg_y")))
+    return (
+        nonadj.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            "x",
+            "y",
+            "common_neighbors",
+            F.round(F.col("ra12").cast("double") / _I12, 9).alias(
+                "resource_allocation"
+            ),
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("deg_x") + F.col("deg_y") - F.col("common_neighbors")),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "link_prediction_trade",
+    oracle=f"""
+    WITH {_SQL_UND}, wgt AS (
+      SELECT u, d, {_I12} // d AS w12 FROM deg
+    ), two AS (
+      SELECT e1.u AS x, e1.v AS m, e2.v AS y
+      FROM adj e1 JOIN adj e2 ON e2.u = e1.v AND e1.u < e2.v
+    ), cand AS (
+      SELECT t.x, t.y, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             SUM(w.w12) AS ra12
+      FROM two t JOIN wgt w ON w.u = t.m
+      GROUP BY t.x, t.y
+    ), nonadj AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.a = c.x AND e.b = c.y)
+    ), scored AS (
+      SELECT x, y, common_neighbors, ra12,
+             dx.d AS deg_x, dy.d AS deg_y
+      FROM nonadj JOIN deg dx ON dx.u = x JOIN deg dy ON dy.u = y
+    )
+    SELECT nx.n_name AS nation_a, ny.n_name AS nation_b,
+           common_neighbors,
+           ROUND(CAST(ra12 AS DOUBLE) / {_I12}, 9) AS resource_allocation,
+           ROUND(CAST(common_neighbors AS DOUBLE)
+                 / (deg_x + deg_y - common_neighbors), 9) AS jaccard
+    FROM scored
+    JOIN nation nx ON nx.n_nationkey = x
+    JOIN nation ny ON ny.n_nationkey = y
+    ORDER BY ra12 DESC, common_neighbors DESC, nation_a, nation_b
+    LIMIT {LP_TOP}
+    """,
+)
+def link_prediction_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the undirected nation trade graph: for every
+    NON-adjacent pair, the three classical neighborhood scores — common
+    neighbors, Jaccard, and the resource-allocation index (Zhou et al.
+    2009, Σ_m 1/deg(m) over shared neighbors — the exact-arithmetic
+    sibling of Adamic-Adar, whose 1/ln(deg) weights would hang
+    cross-engine determinism on libm last bits). Top candidates =
+    "which trade lanes should exist but don't".
+
+    Determinism: per-node weights freeze to exact i12 integers
+    (1e12 div deg), so RA scores are integer sums; Jaccard divides two
+    exact ints once; ordering is a (ra12, cn, names) total order.
+
+    Scale shape: the candidate generator is the two-hop equi-join
+    adj⋈adj on the middle vertex (with x<y dedup) — the canonical
+    distributed shape whose cost is Σ_m deg(m)², bounded by the
+    hub-capping the dedup family documents, NOT an all-pairs product;
+    existing edges drop via an anti-join; degrees broadcast. On the
+    25-nation graph every frame is tiny — the plan is the operator."""
+    und, adj, deg = _und_adj(spark, sf_dir)
+    nation = load(spark, sf_dir, "nation")
+    scored = link_scores_from_und(und, adj, deg)
+    nx = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("x"), F.col("n_name").alias("nation_a"))
+    )
+    ny = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("y"), F.col("n_name").alias("nation_b"))
+    )
+    return (
+        scored.join(nx, "x")
+        .join(ny, "y")
+        .select(
+            "nation_a",
+            "nation_b",
+            "common_neighbors",
+            "resource_allocation",
+            "jaccard",
+        )
+        .orderBy(
+            F.desc("resource_allocation"),
+            F.desc("common_neighbors"),
+            "nation_a",
+            "nation_b",
+        )
+        .limit(LP_TOP)
+    )
+
+
+@query(
+    "degree_assortativity_trade",
+    oracle=f"""
+    WITH {_SQL_UND}, ends AS (
+      SELECT du.d AS dx, dv.d AS dy
+      FROM adj e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(dx AS HUGEINT)) AS sx, SUM(CAST(dy AS HUGEINT)) AS sy,
+             SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+             SUM(CAST(dy AS HUGEINT) * dy) AS syy,
+             SUM(CAST(dx AS HUGEINT) * dy) AS sxy
+      FROM ends
+    )
+    SELECT n AS n_edge_ends,
+           CASE WHEN n > 1 AND n * sxx > sx * sx THEN
+             ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9)
+           END AS assortativity
+    FROM m
+    """,
+)
+def degree_assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trade graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over all directed edge ends
+    — positive means hubs trade with hubs (a resilient core), negative
+    means hubs serve the periphery (hub-and-spoke, fragile to hub
+    loss). The one-scalar mixing diagnostic that tells you which
+    skew-handling strategy a graph workload needs.
+
+    Determinism: degrees are exact integers; the five correlation
+    moments accumulate in HUGEINT/decimal(38,0); r is one pinned double
+    chain rounded to 9, NULL when degenerate (no edges or constant
+    degree) under identical guards. Using both edge directions makes
+    the correlation symmetric without a /2 convention.
+
+    Scale shape: two broadcast-degree joins onto the edge list + one
+    scalar moment aggregate — no windows, no self-join."""
+    _, adj, deg = _und_adj(spark, sf_dir)
+    dec = "decimal(38,0)"
+    ends = adj.join(
+        F.broadcast(deg.select(F.col("u").alias("_u"), F.col("d").alias("dx"))),
+        F.col("u") == F.col("_u"),
+    ).join(
+        F.broadcast(deg.select(F.col("u").alias("_v"), F.col("d").alias("dy"))),
+        F.col("v") == F.col("_v"),
+    )
+    m = ends.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("dx").cast(dec)).alias("sx"),
+        F.sum(F.col("dy").cast(dec)).alias("sy"),
+        F.sum(F.col("dx").cast(dec) * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy").cast(dec) * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx").cast(dec) * F.col("dy")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    ok = (F.col("n") > 1) & (vx > 0)
+    return m.select(
+        F.col("n").alias("n_edge_ends"),
+        F.when(
+            ok,
+            F.round(
+                num.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                9,
+            ),
+        ).alias("assortativity"),
+    )
