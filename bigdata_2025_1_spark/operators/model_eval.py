@@ -439,3 +439,152 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             okp, F.round(F.col("cum_pos").cast("double") / F.col("p"), 6)
         ).alias("cum_gain"),
     ).orderBy("decile")
+
+
+# --- isotonic calibration (round 7) -----------------------------------------
+
+ISO_DOMAIN_CAP = 2048  # minimax grid is O(D^2) pair rows — fine for
+# probability grids / quantized scores, wrong for raw high-cardinality
+# values; fail loudly rather than let the grid go quadratic in data.
+
+
+def isotonic_fit_from_hist(hist: DataFrame) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of a binary rate
+    onto an ordered score, from a per-distinct-score histogram
+    ``(s, p, c)`` — the calibration map sklearn's IsotonicRegression
+    fits, computed NOT by the sequential pool-adjacent-violators stack
+    but by the closed-form minimax identity
+
+        fit(i) = max_{j<i} min_{k>=i} (P_k - P_j) / (N_k - N_j)
+
+    over prefix sums — every quantity a join/window/group-by away, so
+    the whole fit is declarative. Block means freeze to exact i12
+    integers; floor is monotone, so freezing commutes with min/max and
+    the result is EXACTLY floor(1e12 · the rational PAV solution)
+    (property-tested against a Fraction-exact scalar PAV).
+
+    Returns (s, c, p, fit12). Scale: the (j,k) grid is |domain|² rows —
+    bounded by SCORE cardinality, never data size; the eager cap raises
+    past ISO_DOMAIN_CAP with routing advice (quantize the score first,
+    e.g. to i4 probabilities) instead of going quadratic. Windows run
+    over the value domain (the documented exception); the j-side
+    broadcast makes the inequality join a nested-loop over tiny rows."""
+    d = hist.count()
+    if d > ISO_DOMAIN_CAP:
+        raise ValueError(
+            f"isotonic_fit_from_hist: score domain {d} > {ISO_DOMAIN_CAP} — "
+            "the minimax grid is O(D^2); quantize the score (e.g. round to "
+            "i4 probabilities) before fitting"
+        )
+    dec = "decimal(38,0)"
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    pre = (
+        hist.withColumn("idx", F.row_number().over(Window.orderBy("s")))
+        .withColumn("np", F.sum("c").over(w))
+        .withColumn("pp", F.sum("p").over(w))
+    )
+    jside = pre.select("idx", "np", "pp").unionAll(
+        hist.sparkSession.createDataFrame([(0, 0, 0)], "idx int, np bigint, pp bigint")
+    )
+    k = pre.select(
+        F.col("idx").alias("kidx"),
+        "s",
+        "c",
+        "p",
+        F.col("np").alias("nk"),
+        F.col("pp").alias("pk"),
+    )
+    pairs = F.broadcast(
+        jside.select(
+            F.col("idx").alias("jidx"),
+            F.col("np").alias("nj"),
+            F.col("pp").alias("pj"),
+        )
+    ).join(k, F.col("jidx") < F.col("kidx"))
+    pairs = pairs.withColumn(
+        "mean12",
+        int_div_exact(
+            (F.col("pk") - F.col("pj")).cast(dec) * I12,
+            (F.col("nk") - F.col("nj")).cast(dec),
+        ),
+    )
+    ws = (
+        Window.partitionBy("jidx")
+        .orderBy(F.desc("kidx"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    suf = pairs.withColumn("sufmin", F.min("mean12").over(ws))
+    return (
+        suf.groupBy("kidx", "s", "c", "p")
+        .agg(F.max("sufmin").alias("fit12"))
+        .select("s", "c", "p", "fit12")
+    )
+
+
+@query(
+    "isotonic_calibration",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(ROUND(l_discount * 1e2) AS BIGINT) AS s,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+    ), hist AS (
+      SELECT s, SUM(pos) AS p, COUNT(*) AS c FROM rows_ GROUP BY s
+    ), pre AS (
+      SELECT s, p, c, ROW_NUMBER() OVER (ORDER BY s) AS idx,
+             SUM(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS np,
+             SUM(p) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS pp
+      FROM hist
+    ), jside AS (
+      SELECT idx, np, pp FROM pre UNION ALL SELECT 0, 0, 0
+    ), pairs AS (
+      SELECT k.idx AS kidx, k.s, k.c, k.p, j.idx AS jidx,
+             CAST(k.pp - j.pp AS HUGEINT) * 1000000000000
+               // (k.np - j.np) AS mean12
+      FROM jside j JOIN pre k ON j.idx < k.idx
+    ), suf AS (
+      SELECT kidx, s, c, p, jidx,
+             MIN(mean12) OVER (PARTITION BY jidx ORDER BY kidx DESC
+               ROWS UNBOUNDED PRECEDING) AS sufmin
+      FROM pairs
+    ), fit AS (
+      SELECT kidx, s, c, p, MAX(sufmin) AS fit12
+      FROM suf GROUP BY kidx, s, c, p
+    )
+    SELECT CAST(s AS DOUBLE) / 100 AS score,
+           CAST(c AS BIGINT) AS n, CAST(p AS BIGINT) AS n_pos,
+           ROUND(CAST(p AS DOUBLE) / c, 9) AS emp_rate,
+           ROUND(CAST(fit12 AS DOUBLE) / 1e12, 9) AS calibrated_p
+    FROM fit ORDER BY score
+    """,
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration curve: the monotone non-decreasing map from
+    discount level to return probability that minimizes squared error —
+    what you fit when a score is known to rank well but its raw values
+    aren't probabilities (the other calibrator next to Platt scaling,
+    and the one that needs no parametric form). Each distinct score
+    reports its raw empirical rate next to the pooled monotone fit.
+
+    Determinism and the PAV-free formulation: see
+    :func:`isotonic_fit_from_hist` — the minimax closed form over exact
+    integer prefix sums, with block means frozen to i12 (floor commutes
+    with min/max, so the output is exactly the floored rational PAV
+    solution).
+
+    Scale shape: one map-side-combinable histogram off one scan, then
+    value-domain-bounded grid work (|D|² tiny rows, eagerly capped)."""
+    li = load(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("s"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+    )
+    hist = rows.groupBy("s").agg(F.sum("pos").alias("p"), F.count("*").alias("c"))
+    fit = isotonic_fit_from_hist(hist)
+    return fit.select(
+        (F.col("s").cast("double") / 100).alias("score"),
+        F.col("c").alias("n"),
+        F.col("p").alias("n_pos"),
+        F.round(F.col("p").cast("double") / F.col("c"), 9).alias("emp_rate"),
+        F.round(F.col("fit12").cast("double") / 1e12, 9).alias("calibrated_p"),
+    ).orderBy("score")

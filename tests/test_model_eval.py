@@ -116,3 +116,74 @@ def test_decile_lift_internal_identities(spark, sf_dir):
     # deciles are descending, disjoint score bands
     for prev, nxt in zip(rows, rows[1:]):
         assert nxt.score_hi < prev.score_lo
+
+
+def _pav_exact(hist):
+    """Fraction-exact pool-adjacent-violators on [(s, pos, n)] ascending:
+    the textbook sequential stack algorithm the minimax query must equal."""
+    from fractions import Fraction
+
+    blocks = []  # (pos_sum, n_sum)
+    for _s, p, n in hist:
+        blocks.append((p, n))
+        while len(blocks) > 1 and Fraction(blocks[-2][0], blocks[-2][1]) >= Fraction(
+            blocks[-1][0], blocks[-1][1]
+        ):
+            p2, n2 = blocks.pop()
+            p1, n1 = blocks.pop()
+            blocks.append((p1 + p2, n1 + n2))
+    # expand block means back to per-value fits
+    out = []
+    bi = 0
+    covered = 0
+    for _s, _p, n in hist:
+        if covered == 0:
+            covered = blocks[bi][1]
+            val = Fraction(blocks[bi][0], blocks[bi][1])
+            bi += 1
+        out.append(val)
+        covered -= n
+    return out
+
+
+def test_isotonic_minimax_equals_exact_pav(spark):
+    from bigdata_2025_1_spark.operators.model_eval import (
+        I12,
+        isotonic_fit_from_hist,
+    )
+
+    rng = random.Random(37)
+    for trial in range(6):
+        d = rng.randint(1, 9)
+        hist = []
+        for s in range(d):
+            n = rng.randint(1, 20)
+            p = rng.randint(0, n)
+            hist.append((s, p, n))
+        df = spark.createDataFrame(hist, "s long, p long, c long")
+        got = {
+            r.s: int(r.fit12)
+            for r in isotonic_fit_from_hist(df).collect()
+        }
+        ref = _pav_exact(hist)
+        for (s, _p, _n), frac in zip(hist, ref):
+            want = (frac.numerator * I12) // frac.denominator
+            assert got[s] == want, (trial, hist, s, got[s], want)
+        # monotone non-decreasing
+        fits = [got[s] for s, _, _ in hist]
+        assert fits == sorted(fits)
+
+
+def test_isotonic_domain_cap_raises(spark):
+    import pytest as _pytest
+
+    from bigdata_2025_1_spark.operators.model_eval import (
+        ISO_DOMAIN_CAP,
+        isotonic_fit_from_hist,
+    )
+
+    big = spark.range(ISO_DOMAIN_CAP + 1).selectExpr(
+        "id as s", "1 as p", "2 as c"
+    )
+    with _pytest.raises(ValueError, match="quantize"):
+        isotonic_fit_from_hist(big)
