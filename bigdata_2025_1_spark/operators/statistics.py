@@ -2855,3 +2855,153 @@ def jarque_bera_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(kurt, 6).alias("excess_kurtosis"),
         F.round(jb, 6).alias("jb_stat"),
     )
+
+
+def kendall_tau_from_rows(rows: DataFrame) -> DataFrame:
+    """Kendall's tau-b over a (x, y) integer frame via 2D dominance
+    counting on the VALUE GRID: concordant/discordant pair totals come
+    from two-stage prefix sums over the (x, y) histogram — never a pair
+    join. Module-level so the arithmetic is property-testable against a
+    scalar O(n²) reference.
+
+    For each grid cell, LL = #points strictly below-left (prefix over x
+    within y, then prefix over y within x) and LU = #points above-left;
+    C = Σ n_xy·LL and D = Σ n_xy·LU count each concordant/discordant
+    pair exactly once (at its larger-x end). Tie corrections use the
+    doubled form n0x2 = n(n−1), nx2 = Σ r(r−1), so everything stays
+    integral until tau = 2(C−D)/√(a·b) — one pinned double chain.
+
+    Scale shape: one map-side-combinable 2D histogram; the three
+    windows PARTITION BY one grid axis and order by the other — bounded
+    by value cardinality per partition, never a global funnel; moments
+    are scalar aggregates in decimal(38,0)."""
+    dec = "decimal(38,0)"
+    g0 = rows.groupBy("x", "y").agg(F.count("*").alias("n0"))
+    # densify: the prefix over y within x must carry ax through (x, y')
+    # cells with no observations — the 2D prefix is only correct on the
+    # full |Dx|·|Dy| grid (bounded by value cardinality, not data)
+    cells = g0.select("x").distinct().crossJoin(g0.select("y").distinct())
+    g = cells.join(g0, ["x", "y"], "left").select(
+        "x", "y", F.coalesce(F.col("n0"), F.lit(0)).alias("n_xy")
+    )
+    wx = (
+        Window.partitionBy("y")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wa = g.withColumn("ax", F.coalesce(F.sum("n_xy").over(wx), F.lit(0)))
+    wll = (
+        Window.partitionBy("x")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wlu = (
+        Window.partitionBy("x")
+        .orderBy(F.desc("y"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wc = wa.withColumn(
+        "ll", F.coalesce(F.sum("ax").over(wll), F.lit(0))
+    ).withColumn("lu", F.coalesce(F.sum("ax").over(wlu), F.lit(0)))
+    m = wc.agg(
+        F.sum(F.col("n_xy").cast(dec) * F.col("ll")).alias("conc"),
+        F.sum(F.col("n_xy").cast(dec) * F.col("lu")).alias("disc"),
+    )
+    rx = g.groupBy("x").agg(F.sum("n_xy").alias("r"))
+    ry = g.groupBy("y").agg(F.sum("n_xy").alias("r"))
+    t1 = rx.agg(
+        F.sum("r").alias("n"),
+        F.sum(F.col("r").cast(dec) * (F.col("r") - 1)).alias("n1x2"),
+    )
+    t2 = ry.agg(F.sum(F.col("r").cast(dec) * (F.col("r") - 1)).alias("n2x2"))
+    j = m.crossJoin(t1).crossJoin(t2)
+    n0x2 = F.col("n").cast(dec) * (F.col("n") - 1)
+    a = (n0x2 - F.col("n1x2")).cast("double")
+    b = (n0x2 - F.col("n2x2")).cast("double")
+    ok = (F.col("n") > 1) & (a > 0) & (b > 0)
+    tau = F.round(
+        2 * (F.col("conc") - F.col("disc")).cast("double")
+        / (F.sqrt(a) * F.sqrt(b)),
+        9,
+    )
+    return j.select(
+        F.col("n").alias("n"),
+        F.col("conc").cast("bigint").alias("n_concordant"),
+        F.col("disc").cast("bigint").alias("n_discordant"),
+        F.when(ok, tau).alias("tau_b"),
+    )
+
+
+@query(
+    "kendall_tau_qty_discount",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+             CAST(ROUND(l_discount * 1e2) AS BIGINT) AS y
+      FROM lineitem
+    ), g0 AS (
+      SELECT x, y, COUNT(*) AS n0 FROM rows_ GROUP BY x, y
+    ), cells AS (
+      SELECT xs.x, ys.y
+      FROM (SELECT DISTINCT x FROM g0) xs CROSS JOIN (SELECT DISTINCT y FROM g0) ys
+    ), g AS (
+      SELECT c.x, c.y, COALESCE(g0.n0, 0) AS n_xy
+      FROM cells c LEFT JOIN g0 ON g0.x = c.x AND g0.y = c.y
+    ), wa AS (
+      SELECT x, y, n_xy,
+             COALESCE(SUM(n_xy) OVER (PARTITION BY y ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ax
+      FROM g
+    ), wc AS (
+      SELECT x, y, n_xy,
+             COALESCE(SUM(ax) OVER (PARTITION BY x ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ll,
+             COALESCE(SUM(ax) OVER (PARTITION BY x ORDER BY y DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lu
+      FROM wa
+    ), m AS (
+      SELECT SUM(CAST(n_xy AS HUGEINT) * ll) AS conc,
+             SUM(CAST(n_xy AS HUGEINT) * lu) AS disc
+      FROM wc
+    ), t1 AS (
+      SELECT CAST(SUM(r) AS BIGINT) AS n,
+             SUM(CAST(r AS HUGEINT) * (r - 1)) AS n1x2
+      FROM (SELECT x, SUM(n_xy) AS r FROM g GROUP BY x)
+    ), t2 AS (
+      SELECT SUM(CAST(r AS HUGEINT) * (r - 1)) AS n2x2
+      FROM (SELECT y, SUM(n_xy) AS r FROM g GROUP BY y)
+    )
+    SELECT n, CAST(conc AS BIGINT) AS n_concordant,
+           CAST(disc AS BIGINT) AS n_discordant,
+           CASE WHEN n > 1
+                 AND CAST(n AS HUGEINT) * (n - 1) - n1x2 > 0
+                 AND CAST(n AS HUGEINT) * (n - 1) - n2x2 > 0 THEN
+             ROUND(2 * CAST(conc - disc AS DOUBLE)
+                   / (sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - n1x2 AS DOUBLE))
+                      * sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - n2x2 AS DOUBLE))),
+                   9) END AS tau_b
+    FROM m, t1, t2
+    """,
+)
+def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between quantity and discount — the third leg of
+    the correlation family (Pearson `stats_correlation`, Spearman
+    `spearman_qty_price`): the probability-scaled excess of concordant
+    over discordant pairs, with the tie correction that matters when
+    both axes are small integer domains (every pair here hits the tie
+    terms).
+
+    The naive definition is an O(n²) pair join; this computes it from
+    the (x, y) VALUE GRID with two-stage partitioned prefix sums — see
+    :func:`kendall_tau_from_rows` for the dominance-counting identity
+    and determinism argument (all-integer until one pinned √ chain).
+
+    Scale shape: grid cardinality = |x-domain|·|y-domain| (50·11 here),
+    constant in data size; the fact table is scanned once into the
+    map-side-combinable histogram."""
+    li = load(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.round(F.col("l_quantity")).cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("y"),
+    )
+    return kendall_tau_from_rows(rows)

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions import text as T
 from bigdata_2025_1_spark.functions.hashing import md5_int, sql_md5_int
-from bigdata_2025_1_spark.functions.exact import sql_int_avg
+from bigdata_2025_1_spark.functions.exact import int_div_exact, sql_int_avg
 from bigdata_2025_1_spark.io import load, spread
 from bigdata_2025_1_spark.functions.ranks import rank_after_limit
 from bigdata_2025_1_spark.registry import query
@@ -1878,4 +1878,128 @@ def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
         (mxy * mxy / mxx / myy).alias("r2"),
+    )
+
+
+# --- Kneser-Ney bigram model (round 7) --------------------------------------
+
+KN_TOP_K = 20
+_KN_I12 = 10**12
+
+
+@query(
+    "kneser_ney_bigram",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, {_SQL_TS} AS ts FROM documents
+    ), docs1 AS (
+      SELECT doc_id, ts FROM tok WHERE len(ts) >= 2
+    ), bg AS (
+      SELECT unnest([struct_pack(a := ts[i], b := ts[i + 1])
+                     for i in range(1, len(ts))]) AS p
+      FROM docs1
+    ), bcnt AS (
+      SELECT p.a AS a, p.b AS b, COUNT(*) AS c_ab FROM bg GROUP BY p.a, p.b
+    ), acnt AS (
+      SELECT a, SUM(c_ab) AS c_a, COUNT(*) AS n1r FROM bcnt GROUP BY a
+    ), bcont AS (
+      SELECT b, COUNT(*) AS n1l FROM bcnt GROUP BY b
+    ), tt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bcnt
+    ), scored AS (
+      SELECT bc.a, bc.b, CAST(bc.c_ab AS BIGINT) AS c_ab,
+             (CAST(4 * bc.c_ab - 3 AS HUGEINT) * t
+              + 3 * CAST(ac.n1r AS HUGEINT) * co.n1l) * {_KN_I12}
+               // (4 * CAST(ac.c_a AS HUGEINT) * t) AS p12,
+             CAST(3 AS HUGEINT) * ac.n1r * {_KN_I12}
+               // (4 * CAST(ac.c_a AS HUGEINT)) AS bow12
+      FROM bcnt bc
+      JOIN acnt ac USING (a)
+      JOIN bcont co ON co.b = bc.b
+      CROSS JOIN tt
+    )
+    SELECT a, b, c_ab,
+           ROUND(CAST(p12 AS DOUBLE) / 1e12, 9) AS p_kn,
+           ROUND(CAST(bow12 AS DOUBLE) / 1e12, 9) AS backoff_weight
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY c_ab DESC, a, b) AS rk
+          FROM scored)
+    WHERE rk <= {KN_TOP_K}
+    ORDER BY c_ab DESC, a, b
+    """,
+)
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (δ = 0.75) — the
+    smoothing that made n-gram LMs work (Kneser & Ney 1995; KenLM's
+    default) and the classical yardstick a corpus pipeline scores text
+    against. Unlike the Jelinek-Mercer mixture in
+    ``bigram_backoff_logprob``, the backoff distribution is the
+    CONTINUATION count N1+(·w) — "how many contexts does w follow" —
+    which is what kills the "Francisco is frequent, so P(Francisco |
+    anything) is high" failure. Reports the top-20 bigrams with their
+    smoothed probability and the context's backoff weight.
+
+    Determinism: δ = 3/4 makes every term rational — p_kn(b|a) =
+    ((4c_ab−3)·T + 3·N1+(a·)·N1+(·b)) / (4·c_a·T) — frozen to exact i12
+    integers via HUGEINT/decimal floor division; no logs, no float
+    accumulation anywhere; ordering is a (count, a, b) total order.
+
+    Scale shape: all statistics are BIGRAM-TYPE-level — the token
+    stream reduces once into the map-side-combinable (a,b) count table
+    and is never touched again; context totals, fan-outs (N1+(a·)) and
+    continuation counts (N1+(·b)) are three reductions OF THE TYPE
+    TABLE (grep: no COUNT(DISTINCT) over tokens); the scalar type total
+    broadcasts; top-k is TakeOrdered."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", T.ws_tokens(F.lower(F.col("text"))).alias("ts"))
+    docs1 = tok.filter(F.size("ts") >= 2)
+    bgs = docs1.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> struct(ts[i - 1] AS a, ts[i] AS b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bcnt = bgs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    acnt = bcnt.groupBy("a").agg(
+        F.sum("c_ab").alias("c_a"), F.count("*").alias("n1r")
+    )
+    bcont = bcnt.groupBy("b").agg(F.count("*").alias("n1l"))
+    tt = bcnt.agg(F.count("*").alias("t"))
+    dec = "decimal(38,0)"
+    scored = (
+        bcnt.join(acnt, "a")
+        .join(bcont, "b")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            int_div_exact(
+                (
+                    (4 * F.col("c_ab") - 3).cast(dec) * F.col("t")
+                    + 3 * F.col("n1r").cast(dec) * F.col("n1l")
+                )
+                * _KN_I12,
+                4 * F.col("c_a").cast(dec) * F.col("t"),
+            ).alias("p12"),
+            int_div_exact(
+                F.lit(3).cast(dec) * F.col("n1r") * _KN_I12,
+                4 * F.col("c_a").cast(dec),
+            ).alias("bow12"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("c_ab"), "a", "b")
+        .limit(KN_TOP_K)
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(F.col("p12").cast("double") / 1e12, 9).alias("p_kn"),
+            F.round(F.col("bow12").cast("double") / 1e12, 9).alias(
+                "backoff_weight"
+            ),
+        )
+        .orderBy(F.desc("c_ab"), "a", "b")
     )

@@ -77,3 +77,49 @@ def test_jarque_bera_matches_reference(spark, sf_dir):
     assert abs(out.skewness - skew) < 1e-4
     assert abs(out.excess_kurtosis - kurt) < 1e-4
     assert abs(out.jb_stat - jb) < max(1e-3, jb * 1e-5)
+
+
+def _ref_kendall(pairs):
+    n = len(pairs)
+    conc = disc = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pairs[i][0] - pairs[j][0]
+            dy = pairs[i][1] - pairs[j][1]
+            s = dx * dy
+            if s > 0:
+                conc += 1
+            elif s < 0:
+                disc += 1
+    from collections import Counter
+
+    n1 = sum(r * (r - 1) // 2 for r in Counter(x for x, _ in pairs).values())
+    n2 = sum(r * (r - 1) // 2 for r in Counter(y for _, y in pairs).values())
+    n0 = n * (n - 1) // 2
+    if n < 2 or n0 == n1 or n0 == n2:
+        return conc, disc, None
+    return conc, disc, (conc - disc) / ((n0 - n1) ** 0.5 * (n0 - n2) ** 0.5)
+
+
+def test_kendall_tau_matches_pairwise_reference(spark):
+    from bigdata_2025_1_spark.operators.statistics import kendall_tau_from_rows
+
+    rng = random.Random(41)
+    for trial in range(5):
+        n = rng.randint(2, 60)
+        pairs = [(rng.randrange(6), rng.randrange(5)) for _ in range(n)]
+        df = spark.createDataFrame(pairs, "x long, y long")
+        out = kendall_tau_from_rows(df).collect()[0]
+        conc, disc, tau = _ref_kendall(pairs)
+        assert out.n_concordant == conc and out.n_discordant == disc, (trial, pairs)
+        if tau is None:
+            assert out.tau_b is None
+        else:
+            assert abs(out.tau_b - tau) < 1e-8
+
+
+def test_kendall_tau_constant_axis_is_null(spark):
+    from bigdata_2025_1_spark.operators.statistics import kendall_tau_from_rows
+
+    df = spark.createDataFrame([(1, 7), (2, 7), (3, 7)], "x long, y long")
+    assert kendall_tau_from_rows(df).collect()[0].tau_b is None
