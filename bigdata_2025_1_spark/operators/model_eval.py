@@ -588,3 +588,160 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p").cast("double") / F.col("c"), 9).alias("emp_rate"),
         F.round(F.col("fit12").cast("double") / 1e12, 9).alias("calibrated_p"),
     ).orderBy("score")
+
+
+# --- one-pass k-fold cross-validation (round 7) -----------------------------
+
+N_FOLDS = 5
+
+
+@query(
+    "crossval_auc_folds",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(ROUND(l_discount * 1e2) AS BIGINT) AS d,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos,
+             (l_orderkey * {_PRIME}) % {N_FOLDS} AS fold
+      FROM lineitem
+    ), fd AS (
+      SELECT fold, d, SUM(pos) AS p, COUNT(*) AS n FROM rows_ GROUP BY fold, d
+    ), dtot AS (
+      SELECT d, SUM(p) AS pt, SUM(n) AS nt FROM fd GROUP BY d
+    ), pred AS (
+      -- complement model: trained on everything OUTSIDE the fold
+      SELECT f.fold, f.d,
+             CAST((t.pt - f.p + 1) * {I9} // (t.nt - f.n + 2) AS BIGINT) AS s
+      FROM fd f JOIN dtot t USING (d)
+    ), hist AS (
+      SELECT r.fold, p.s AS s, SUM(r.pos) AS c1, COUNT(*) AS ct
+      FROM rows_ r JOIN pred p ON p.fold = r.fold AND p.d = r.d
+      GROUP BY r.fold, p.s
+    ), cum AS (
+      SELECT fold, s, c1, ct,
+             COALESCE(SUM(ct) OVER (PARTITION BY fold ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM hist
+    ), m AS (
+      SELECT fold, CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(ct) AS BIGINT) AS n,
+             SUM(CAST(c1 AS HUGEINT) * (2 * cb + ct + 1)) AS r1x2
+      FROM cum GROUP BY fold
+    ), scored AS (
+      SELECT CAST(fold AS BIGINT) AS fold, n1, CAST(n - n1 AS BIGINT) AS n2,
+             CASE WHEN n1 > 0 AND n - n1 > 0 THEN
+               ROUND(CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+                     / 2 / (CAST(n1 AS DOUBLE) * (n - n1)), 9) END AS auc
+      FROM m
+    ), summ AS (
+      SELECT CAST(SUM(CAST(auc * 1e9 AS BIGINT)) AS BIGINT) AS sa9,
+             CAST(SUM(CAST(auc * 1e9 AS BIGINT) * CAST(auc * 1e9 AS BIGINT))
+                  AS HUGEINT) AS qa18,
+             COUNT(auc) AS kf
+      FROM scored
+    )
+    SELECT fold, n1, n2, auc,
+           CASE WHEN kf > 0 THEN
+             ROUND(CAST(sa9 AS DOUBLE) / kf / 1e9, 9) END AS mean_auc,
+           CASE WHEN kf > 1 THEN
+             ROUND(sqrt((CAST(qa18 AS DOUBLE)
+                         - CAST(sa9 AS DOUBLE) * sa9 / kf)
+                        / (kf - 1)) / 1e9, 9) END AS std_auc
+    FROM scored, summ ORDER BY fold
+    """,
+)
+def crossval_auc_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validated AUC in ONE pass over the fact table: every
+    order lands in one of {N_FOLDS} hash folds; each fold is scored by
+    the model trained on its COMPLEMENT — computed not by re-scanning
+    per fold but by subtracting the fold's (fold, d) counts from the
+    per-d totals (the algebra that makes distributed CV a single
+    aggregation). Per-fold AUC plus the mean and sample-std across
+    folds — the variance readout that tells you whether a metric delta
+    is real or split noise.
+
+    Determinism: fold membership is the pure key hash; complement
+    counts are exact integer subtractions; per-fold AUC is the shared
+    midrank machinery (cum window PARTITIONED BY FOLD over the score
+    domain); the cross-fold mean/std quantize each AUC to i9 first so
+    the k-row moments are integer sums.
+
+    Scale shape: two map-side-combinable aggregates ((fold,d) then
+    (fold,s)) off one scan; the (fold×score-domain) model table is tiny
+    and broadcast into the second aggregate's build; no global windows;
+    k-row summary broadcast back onto the fold rows."""
+    li = load(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+        ((F.col("l_orderkey") * _PRIME) % N_FOLDS).alias("fold"),
+    )
+    fd = rows.groupBy("fold", "d").agg(
+        F.sum("pos").alias("p"), F.count("*").alias("n")
+    )
+    dtot = fd.groupBy("d").agg(F.sum("p").alias("pt"), F.sum("n").alias("nt"))
+    pred = fd.join(F.broadcast(dtot), "d").select(
+        "fold",
+        "d",
+        F.expr(f"(pt - p + 1) * {I9} div (nt - n + 2)").alias("s"),
+    )
+    hist = (
+        rows.join(F.broadcast(pred), ["fold", "d"])
+        .groupBy("fold", "s")
+        .agg(F.sum("pos").alias("c1"), F.count("*").alias("ct"))
+    )
+    wc = (
+        Window.partitionBy("fold")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn("cb", F.coalesce(F.sum("ct").over(wc), F.lit(0)))
+    m = cum.groupBy("fold").agg(
+        F.sum("c1").alias("n1"),
+        F.sum("ct").alias("n"),
+        F.sum(
+            F.col("c1").cast(_DEC) * (2 * F.col("cb") + F.col("ct") + 1)
+        ).alias("r1x2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2 = F.col("n") - F.col("n1")
+    num = (F.col("r1x2") - F.col("n1").cast(_DEC) * (F.col("n1") + 1)).cast("double")
+    ok = (F.col("n1") > 0) & (n2 > 0)
+    scored = m.select(
+        F.col("fold").cast("bigint").alias("fold"),
+        "n1",
+        n2.cast("bigint").alias("n2"),
+        F.when(ok, F.round(num / 2 / (n1d * n2), 9)).alias("auc"),
+    )
+    a9 = (F.col("auc") * 1e9).cast("bigint")
+    summ = scored.agg(
+        F.sum(a9).alias("sa9"),
+        F.sum(a9.cast(_DEC) * a9).alias("qa18"),
+        F.count("auc").alias("kf"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(summ))
+        .select(
+            "fold",
+            "n1",
+            "n2",
+            "auc",
+            F.when(
+                F.col("kf") > 0,
+                F.round(F.col("sa9").cast("double") / F.col("kf") / 1e9, 9),
+            ).alias("mean_auc"),
+            F.when(
+                F.col("kf") > 1,
+                F.round(
+                    F.sqrt(
+                        (
+                            F.col("qa18").cast("double")
+                            - F.col("sa9").cast("double") * F.col("sa9") / F.col("kf")
+                        )
+                        / (F.col("kf") - 1)
+                    )
+                    / 1e9,
+                    9,
+                ),
+            ).alias("std_auc"),
+        )
+        .orderBy("fold")
+    )

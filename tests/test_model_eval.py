@@ -187,3 +187,52 @@ def test_isotonic_domain_cap_raises(spark):
     )
     with _pytest.raises(ValueError, match="quantize"):
         isotonic_fit_from_hist(big)
+
+
+def test_crossval_fold0_matches_two_pass_reference(spark, sf_dir):
+    """The one-pass complement-count CV must equal literally retraining
+    without fold 0 and scoring fold 0 (scalar two-pass reference)."""
+    from bigdata_2025_1_spark.operators.model_eval import (
+        N_FOLDS,
+        crossval_auc_folds,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CAST(ROUND(l_discount * 1e2) AS BIGINT) AS d,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos,
+               (l_orderkey * {_PRIME}) % {N_FOLDS} AS fold
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        """
+    ).fetchall()
+    train: dict[int, list[int]] = {}
+    for d, pos, fold in rows:
+        if fold != 0:
+            c = train.setdefault(d, [0, 0])
+            c[0] += pos
+            c[1] += 1
+    pred = {d: (p + 1) * I9 // (n + 2) for d, (p, n) in train.items()}
+    hist: dict[int, list[int]] = {}
+    for d, pos, fold in rows:
+        if fold == 0 and d in pred:
+            c = hist.setdefault(pred[d], [0, 0])
+            c[0] += pos
+            c[1] += 1
+    wins = ties = neg_below = n1 = n2 = 0
+    for s in sorted(hist):
+        c1, ct = hist[s]
+        c0 = ct - c1
+        wins += c1 * neg_below
+        ties += c1 * c0
+        neg_below += c0
+        n1 += c1
+        n2 += c0
+    expected = (wins + ties / 2) / (n1 * n2)
+    out = {r.fold: r for r in crossval_auc_folds(spark, sf_dir).collect()}
+    assert out[0].n1 == n1 and out[0].n2 == n2
+    assert abs(out[0].auc - expected) < 1e-8
+    # summary columns agree with the fold column
+    aucs = [r.auc for r in out.values() if r.auc is not None]
+    mean = sum(aucs) / len(aucs)
+    assert abs(out[0].mean_auc - mean) < 1e-6
