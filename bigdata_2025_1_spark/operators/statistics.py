@@ -2433,6 +2433,29 @@ def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == KS_TYPE_B).cast("bigint").alias("b"),
     )
     hist = rows.groupBy("v").agg(F.sum("a").alias("c1"), F.sum("b").alias("c2"))
+    return ks_from_hist(hist)
+
+
+def ks_class_hist(ev: DataFrame) -> DataFrame:
+    """Per-micro-batch KS drift partials from an (event_type, value)
+    frame: the (v, c1, c2) value histogram — mergeable by addition, the
+    standing state of the streaming drift monitor."""
+    rows = ev.filter(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)).select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        (F.col("event_type") == KS_TYPE_A).cast("bigint").alias("a"),
+        (F.col("event_type") == KS_TYPE_B).cast("bigint").alias("b"),
+    )
+    return rows.groupBy("v").agg(F.sum("a").alias("c1"), F.sum("b").alias("c2"))
+
+
+def ks_from_hist(hist: DataFrame) -> DataFrame:
+    """Finalize a two-sample KS statistic from a (v, c1, c2) value
+    histogram. Split out because the histogram is the MERGEABLE state of
+    a streaming drift monitor: micro-batches contribute (v, c1, c2)
+    partials (counts add), and this tail over the merged store equals
+    the batch statistic exactly — the summary/finalize split every
+    sketch in statistics.py follows (pinned by the foreachBatch twin in
+    tests/test_streaming.py)."""
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     dec = "decimal(38,0)"
     cum = hist.select(

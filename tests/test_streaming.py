@@ -689,3 +689,65 @@ def test_slo_burn_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
     }
     assert got == expected
     spark.catalog.clearCache()
+
+
+def test_ks_drift_monitor_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
+    """Feature-drift monitoring, streamed: events arrive in TWO
+    micro-batches; each batch contributes its (v, c1, c2) histogram
+    PARTIALS to a standing store (counts are mergeable), and
+    ks_from_hist over the merged store must equal the batch
+    ks_value_drift over the same events — the summary/finalize split
+    that lets the KS monitor run per-trigger without reprocessing
+    history."""
+    from bigdata_2025_1_spark.operators.statistics import (
+        ks_class_hist,
+        ks_from_hist,
+    )
+    from bigdata_2025_1_spark.registry import all_queries
+
+    expected = all_queries()["ks_value_drift"](spark, sf_dir).collect()[0]
+    spark.catalog.clearCache()
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    stream_dir = str(tmp_path / "ks_incoming")
+    ev.filter(F.col("ts") < "2024-01-16").coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+    ev.filter(F.col("ts") >= "2024-01-16").coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+
+    partials: list = []
+    batches: list[int] = []
+
+    def per_batch(batch_df, bid):
+        batches.append(bid)
+        partials.extend(
+            (r.v, r.c1, r.c2) for r in ks_class_hist(batch_df).collect()
+        )
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ks_ckpt"))
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "stream did not finish in 180s"
+    finally:
+        q.stop()
+    assert len(batches) == 2, batches  # genuinely incremental
+
+    store = spark.createDataFrame(partials, "v long, c1 long, c2 long")
+    merged = store.groupBy("v").agg(
+        F.sum("c1").alias("c1"), F.sum("c2").alias("c2")
+    )
+    got = ks_from_hist(merged).collect()[0]
+    assert (got.n1, got.n2) == (expected.n1, expected.n2)
+    assert abs(got.d_stat - expected.d_stat) < 1e-12
+    assert got.at_value == expected.at_value
