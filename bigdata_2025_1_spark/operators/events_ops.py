@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bigdata_2025_1_spark.functions.asof import asof_attach_last
-from bigdata_2025_1_spark.functions.exact import exact_sum, sql_exact_sum
+from bigdata_2025_1_spark.functions.exact import exact_sum, int_div_exact, sql_exact_sum
 from bigdata_2025_1_spark.functions.hashing import md5_int, sql_md5_int
 from bigdata_2025_1_spark.io import load
 from bigdata_2025_1_spark.functions.ranks import rank_after_limit, with_global_rank
@@ -2325,4 +2325,111 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("log_survival"),
         )
         .orderBy("day")
+    )
+
+
+# --- multi-touch attribution (round 7) --------------------------------------
+
+ATTR_WINDOW_DAYS = 7
+ATTR_TOUCH_TYPES = ("view", "click")
+
+
+@query(
+    "linear_attribution_revenue",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts,
+             CAST(ROUND(value * 1e2) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, ts AS tts, event_type AS touch_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ), pairs AS (
+      SELECT p.pid, p.cents, t.touch_type
+      FROM p JOIN t ON t.user_id = p.user_id
+       AND t.tts < p.ts AND t.tts >= p.ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+    ), ntch AS (
+      SELECT pid, COUNT(*) AS n_t FROM pairs GROUP BY pid
+    ), credited AS (
+      SELECT pr.touch_type,
+             CAST(pr.cents AS HUGEINT) * 1000000 // n.n_t AS credit_i6
+      FROM pairs pr JOIN ntch n USING (pid)
+    ), per_type AS (
+      SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+             SUM(credit_i6) AS c6
+      FROM credited GROUP BY touch_type
+    ), direct AS (
+      SELECT 'direct' AS touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+             SUM(CAST(cents AS HUGEINT) * 1000000) AS c6
+      FROM p WHERE NOT EXISTS (SELECT 1 FROM ntch n WHERE n.pid = p.pid)
+    )
+    SELECT touch_type, n_touches,
+           ROUND(CAST(c6 AS DOUBLE) / 1e8, 6) AS credited_revenue
+    FROM (SELECT * FROM per_type UNION ALL SELECT * FROM direct)
+    ORDER BY touch_type
+    """,
+)
+def linear_attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (even-split) multi-touch attribution: each purchase's
+    revenue is credited equally across every view/click touch by the
+    same user in the preceding {ATTR_WINDOW_DAYS} days; purchases with
+    no preceding touch report as 'direct'. The marketing readout that
+    decides channel budgets — and the multi-touch generalization of the
+    as-of join's last-touch answer.
+
+    Determinism: per-(purchase, touch) credit freezes to exact i6
+    cents via integer floor division (truncation dust stays inside the
+    purchase, bounded by n_touches·1e-6 cents — conservation is pinned
+    by test); per-type totals are integer sums with one final division.
+
+    Scale shape: the touch window is a USER-KEYED range join bounded by
+    the attribution window (the range_join_incident_windows class: one
+    shuffle on user_id, per-user sort-merge within ±{ATTR_WINDOW_DAYS}
+    days — never a global inequality product); touch counts reduce by
+    purchase id; the 'direct' remainder is a keyed anti-join."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        F.col("user_id").alias("tuser"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = p.join(
+        t,
+        (F.col("tuser") == F.col("puser"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.expr(f"pts - INTERVAL {ATTR_WINDOW_DAYS} DAY")),
+    ).select("pid", "cents", "touch_type")
+    ntch = pairs.groupBy("pid").agg(F.count("*").alias("n_t"))
+    dec = "decimal(38,0)"
+    credited = pairs.join(ntch, "pid").select(
+        "touch_type",
+        int_div_exact(
+            F.col("cents").cast(dec) * 1000000, F.col("n_t").cast(dec)
+        ).alias("credit_i6"),
+    )
+    per_type = credited.groupBy("touch_type").agg(
+        F.count("*").alias("n_touches"), F.sum("credit_i6").alias("c6")
+    )
+    direct = (
+        p.join(ntch, "pid", "left_anti")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum(F.col("cents").cast(dec) * 1000000).alias("c6"),
+        )
+        .select(F.lit("direct").alias("touch_type"), "n_touches", "c6")
+    )
+    return (
+        per_type.unionByName(direct)
+        .select(
+            "touch_type",
+            "n_touches",
+            F.round(F.col("c6").cast("double") / 1e8, 6).alias("credited_revenue"),
+        )
+        .orderBy("touch_type")
     )

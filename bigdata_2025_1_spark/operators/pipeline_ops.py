@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions import text as T
+from bigdata_2025_1_spark.functions.hashing import md5_int, sql_md5_int
 from bigdata_2025_1_spark.io import load, spread
 from bigdata_2025_1_spark.registry import query
 
@@ -718,4 +719,103 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_occurrences") / (F.col("n") / 1.0), 6).alias("share"),
         )
         .orderBy(F.desc("n_occurrences"), "word")
+    )
+
+
+# --- deterministic negative sampling (round 7) ------------------------------
+
+NEG_K = 5  # negatives kept per user
+NEG_DRAWS = 10  # oversample factor 2: survive anti-join underfill
+NEG_PROBE_USERS = 50  # bounded probe set, the repo's output convention
+
+
+@query(
+    "negative_sampling_pairs",
+    oracle=f"""
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey < {NEG_PROBE_USERS}
+    ), probe AS (
+      SELECT DISTINCT u FROM pos
+    ), pmax AS (
+      SELECT MAX(p_partkey) AS np FROM part
+    ), draws AS (
+      SELECT u, CAST(t.range AS BIGINT) AS k,
+             1 + {sql_md5_int("u || ':' || t.range")} % (SELECT np FROM pmax)
+               AS cand
+      FROM probe, range({NEG_DRAWS}) t
+    ), dedup AS (
+      SELECT u, cand, MIN(k) AS k FROM draws GROUP BY u, cand
+    ), neg AS (
+      SELECT d.u, d.cand, d.k FROM dedup d
+      WHERE NOT EXISTS (SELECT 1 FROM pos p WHERE p.u = d.u AND p.item = d.cand)
+    )
+    SELECT u AS custkey, CAST(rk - 1 AS BIGINT) AS draw_idx,
+           CAST(cand AS BIGINT) AS neg_partkey
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY u ORDER BY k) AS rk
+          FROM neg)
+    WHERE rk <= {NEG_K}
+    ORDER BY custkey, draw_idx
+    """,
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    (the negatives a BPR/contrastive recommender or embedding model
+    trains against): for each probe customer, {NEG_K} part ids they did
+    NOT buy, drawn by keyed hashing — md5(user:k) mod |catalog| — with
+    2× oversampling, an anti-join against the positives, and a
+    keep-first-by-draw-order rank. No RNG state anywhere: reruns,
+    backfills, and both engines produce byte-identical negatives (the
+    property that makes training reproducible and incremental).
+
+    Determinism: the draw is a pure function of (user, k); collisions
+    within a user dedup to the smallest k; underfill after the
+    anti-join (a user whose draws all hit positives) is possible and
+    deterministic — production loops another oversampling round, the
+    contract here pins one round.
+
+    Scale shape: draws = |probe|×{NEG_DRAWS} rows built by explode (no
+    data shuffle); the anti-join is keyed (u, item) against the
+    positives table — at 100 TB that is the standing user-item index,
+    shuffle-keyed once; the keep-k window partitions BY USER over ≤
+    {NEG_DRAWS} rows. The catalog size is one broadcast scalar."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    pos = (
+        orders.filter(F.col("o_custkey") < NEG_PROBE_USERS)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    probe = pos.select("u").distinct()
+    pmax = part.agg(F.max("p_partkey").alias("np"))
+    draws = (
+        probe.crossJoin(F.broadcast(pmax))
+        .select("u", "np", F.explode(F.sequence(F.lit(0), F.lit(NEG_DRAWS - 1))).alias("k"))
+        .select(
+            "u",
+            F.col("k").cast("bigint").alias("k"),
+            (
+                1
+                + md5_int(F.concat_ws(":", F.col("u"), F.col("k")))
+                % F.col("np")
+            ).alias("cand"),
+        )
+    )
+    dedup = draws.groupBy("u", "cand").agg(F.min("k").alias("k"))
+    neg = dedup.join(
+        pos, (pos["u"] == dedup["u"]) & (pos["item"] == dedup["cand"]), "left_anti"
+    )
+    wk = Window.partitionBy("u").orderBy("k")
+    return (
+        neg.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= NEG_K)
+        .select(
+            F.col("u").alias("custkey"),
+            (F.col("rk") - 1).cast("bigint").alias("draw_idx"),
+            F.col("cand").cast("bigint").alias("neg_partkey"),
+        )
+        .orderBy("custkey", "draw_idx")
     )

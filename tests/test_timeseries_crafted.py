@@ -51,3 +51,52 @@ def test_twap_weights_by_holding_duration(spark):
     )
     assert len(out) == 1
     assert abs(out[0].twap - 17.5) < 1e-12
+
+
+def test_linear_attribution_conserves_revenue(spark, sf_dir):
+    """Credited + direct revenue must equal total purchase revenue up to
+    the documented truncation dust (n_pairs * 1e-6 cents)."""
+    from bigdata_2025_1_spark.operators.events_ops import (
+        linear_attribution_revenue,
+    )
+
+    rows = linear_attribution_revenue(spark, sf_dir).collect()
+    credited = sum(r.credited_revenue for r in rows)
+    n_pairs = sum(r.n_touches for r in rows)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = (
+        ev.filter(F.col("event_type") == "purchase")
+        .selectExpr("sum(cast(round(value * 100) as bigint)) as c")
+        .collect()[0]
+        .c
+        / 100.0
+    )
+    dust = n_pairs * 1e-8 + 1e-6
+    assert total - dust <= credited <= total + 1e-6, (credited, total)
+    assert {r.touch_type for r in rows} <= {"view", "click", "direct"}
+
+
+def test_negative_samples_never_hit_positives(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.pipeline_ops import (
+        NEG_K,
+        negative_sampling_pairs,
+    )
+
+    out = negative_sampling_pairs(spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pos = {
+        (r.o_custkey, r.l_partkey)
+        for r in orders.join(
+            li, li["l_orderkey"] == orders["o_orderkey"]
+        )
+        .select("o_custkey", "l_partkey")
+        .collect()
+    }
+    per_user: dict[int, list[int]] = {}
+    for r in out:
+        assert (r.custkey, r.neg_partkey) not in pos
+        per_user.setdefault(r.custkey, []).append(r.draw_idx)
+    for u, idxs in per_user.items():
+        assert idxs == list(range(len(idxs)))  # dense, ordered draw idx
+        assert len(idxs) <= NEG_K
