@@ -207,6 +207,27 @@ HEADLINE = [
     "jain_fairness_index",
     "recsys_holdout_hitrate",
     "kaplan_meier_retention",
+    # round-7 additions: rank/two-sample tests, classifier evals,
+    # calibration, link prediction, sampling, attribution
+    "mann_whitney_segment_spend",
+    "spearman_qty_price",
+    "ks_value_drift",
+    "gini_stump_threshold",
+    "roc_auc_holdout",
+    "average_precision_holdout",
+    "calibration_ece_bins",
+    "decile_lift_table",
+    "isotonic_calibration",
+    "crossval_auc_folds",
+    "anova_f_segment_spend",
+    "brown_forsythe_spend_variance",
+    "jarque_bera_order_values",
+    "kendall_tau_qty_discount",
+    "kneser_ney_bigram",
+    "link_prediction_trade",
+    "degree_assortativity_trade",
+    "negative_sampling_pairs",
+    "linear_attribution_revenue",
 ]
 
 

@@ -745,3 +745,227 @@ def crossval_auc_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# --- uplift evaluation + feature screening (round 7) ------------------------
+
+
+@query(
+    "qini_uplift_curve",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(ROUND(l_discount * 1e2) AS BIGINT) AS d,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos,
+             CASE WHEN (l_orderkey * {_PRIME}) % 2 = 1 THEN 1 ELSE 0 END AS tr
+      FROM lineitem
+    ), hist AS (
+      SELECT d, COUNT(*) AS ct,
+             SUM(tr) AS nt, SUM(tr * pos) AS pt,
+             SUM((1 - tr) * pos) AS pc
+      FROM rows_ GROUP BY d
+    ), tot AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS n FROM hist
+    ), cum AS (
+      SELECT d, ct, nt, pt, pc,
+             COALESCE(SUM(ct) OVER (ORDER BY d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM hist
+    ), bucketed AS (
+      SELECT CAST(cb * 10 // (SELECT n FROM tot) AS INT) AS decile,
+             ct, nt, pt, pc
+      FROM cum
+    ), agg AS (
+      SELECT decile, CAST(SUM(nt) AS BIGINT) AS n_treat,
+             CAST(SUM(ct - nt) AS BIGINT) AS n_ctrl,
+             CAST(SUM(pt) AS BIGINT) AS p_treat,
+             CAST(SUM(pc) AS BIGINT) AS p_ctrl
+      FROM bucketed GROUP BY decile
+    ), gains AS (
+      SELECT *,
+             SUM(n_treat) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cnt,
+             SUM(n_ctrl) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cnc,
+             SUM(p_treat) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cpt,
+             SUM(p_ctrl) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cpc
+      FROM agg
+    )
+    SELECT decile, n_treat, n_ctrl,
+           CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+             ROUND(CAST(p_treat AS DOUBLE) / n_treat
+                   - CAST(p_ctrl AS DOUBLE) / n_ctrl, 6) END AS uplift_rate,
+           CASE WHEN cnc > 0 THEN
+             ROUND((CAST(cpt AS HUGEINT) * 1000000
+                    - CAST(cpc AS HUGEINT) * cnt * 1000000 // cnc)
+                   / 1e6, 6) END AS qini
+    FROM gains ORDER BY decile
+    """,
+)
+def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve (Radcliffe) for uplift evaluation: orders split into a
+    hypothetical treated/control arm by key hash; lineitems ranked into
+    descending-discount deciles; per decile the incremental response
+    rate (treated − control) and the cumulative Qini value — CP_t −
+    CP_c·(CN_t/CN_c), the excess responders the targeting captured over
+    a same-size random control. The readout that evaluates a TARGETING
+    policy rather than a classifier: AUC asks "who responds", Qini asks
+    "who responds BECAUSE we acted".
+
+    Determinism: arm membership is the key hash; deciles come from the
+    shared cum·10 div n rule on the descending score histogram; the
+    control-scaling term freezes via exact integer floor division
+    (HUGEINT/decimal), so the Qini values are i6-exact before one final
+    division; cumulative sums run over ≤10 decile rows.
+
+    Scale shape: one (d)-histogram with arm-split conditional sums off
+    one scan; everything after it is ≤10-row arithmetic."""
+    li = load(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+        ((F.col("l_orderkey") * _PRIME) % 2 == 1).cast("bigint").alias("tr"),
+    )
+    hist = rows.groupBy("d").agg(
+        F.count("*").alias("ct"),
+        F.sum("tr").alias("nt"),
+        F.sum(F.col("tr") * F.col("pos")).alias("pt"),
+        F.sum((1 - F.col("tr")) * F.col("pos")).alias("pc"),
+    )
+    tot = hist.agg(F.sum("ct").alias("n"))
+    cum = cum_counts_over_values(hist, "d", "ct", "cb", descending=True)
+    bucketed = cum.crossJoin(F.broadcast(tot)).select(
+        F.expr("cb * 10 div n").cast("int").alias("decile"),
+        "ct",
+        "nt",
+        "pt",
+        "pc",
+    )
+    agg = bucketed.groupBy("decile").agg(
+        F.sum("nt").alias("n_treat"),
+        F.sum(F.col("ct") - F.col("nt")).alias("n_ctrl"),
+        F.sum("pt").alias("p_treat"),
+        F.sum("pc").alias("p_ctrl"),
+    )
+    wg = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    gains = (
+        agg.withColumn("cnt", F.sum("n_treat").over(wg))
+        .withColumn("cnc", F.sum("n_ctrl").over(wg))
+        .withColumn("cpt", F.sum("p_treat").over(wg))
+        .withColumn("cpc", F.sum("p_ctrl").over(wg))
+    )
+    ok_u = (F.col("n_treat") > 0) & (F.col("n_ctrl") > 0)
+    qini = (
+        F.col("cpt").cast(_DEC) * 1000000
+        - int_div_exact(
+            F.col("cpc").cast(_DEC) * F.col("cnt") * 1000000, F.col("cnc").cast(_DEC)
+        )
+    ).cast("double") / 1e6
+    return gains.select(
+        "decile",
+        "n_treat",
+        "n_ctrl",
+        F.when(
+            ok_u,
+            F.round(
+                F.col("p_treat").cast("double") / F.col("n_treat")
+                - F.col("p_ctrl").cast("double") / F.col("n_ctrl"),
+                6,
+            ),
+        ).alias("uplift_rate"),
+        F.when(F.col("cnc") > 0, F.round(qini, 6)).alias("qini"),
+    ).orderBy("decile")
+
+
+@query(
+    "woe_information_value",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(ROUND(l_discount * 1e2) AS BIGINT) AS d,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+    ), hist AS (
+      SELECT d, SUM(pos) AS p, COUNT(*) - SUM(pos) AS q FROM rows_ GROUP BY d
+    ), tot AS (
+      SELECT CAST(SUM(p) AS BIGINT) AS pt, CAST(SUM(q) AS BIGINT) AS qt
+      FROM hist
+    ), scored AS (
+      SELECT d, CAST(p AS BIGINT) AS n_pos, CAST(q AS BIGINT) AS n_neg,
+             CAST(p AS HUGEINT) * 1000000000 // pt
+               - CAST(q AS HUGEINT) * 1000000000 // qt AS d9,
+             CASE WHEN p > 0 AND q > 0 THEN
+               CAST(ROUND(ln((CAST(p AS DOUBLE) * qt)
+                             / (CAST(q AS DOUBLE) * pt)) * 1e6) AS BIGINT)
+             END AS woe_i6
+      FROM hist, tot
+    ), iv AS (
+      SELECT SUM(CAST(d9 AS HUGEINT) * woe_i6) AS iv15
+      FROM scored WHERE woe_i6 IS NOT NULL
+    )
+    SELECT CAST(s.d AS DOUBLE) / 100 AS bin_value, s.n_pos, s.n_neg,
+           CASE WHEN s.woe_i6 IS NOT NULL THEN
+             CAST(s.woe_i6 AS DOUBLE) / 1e6 END AS woe,
+           ROUND(CAST(i.iv15 AS DOUBLE) / 1e15, 6) AS information_value
+    FROM scored s, iv i ORDER BY bin_value
+    """,
+)
+def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning and information value of the discount
+    feature against the return label — the credit-scoring feature
+    screen (IV < 0.02 useless, > 0.3 strong) and the encoding scorecard
+    models consume. Per bin: WOE = ln(share_of_positives /
+    share_of_negatives); IV = Σ (Δshare · WOE).
+
+    Determinism: shares freeze to i9 integers by exact floor division;
+    WOE is ln of a ratio ASSEMBLED FROM EXACT INTS in one pinned chain,
+    rounded to i6 (the repo's tfidf/BM25 ln contract); the IV sum is
+    then a pure integer sum (i9·i6 products), divided once. Bins
+    containing a single class have undefined WOE and are excluded from
+    IV (NULL woe, the documented convention — production pipelines
+    merge such bins first).
+
+    Scale shape: one map-side-combinable histogram; totals broadcast;
+    the IV reduction is |bin-domain|-sized."""
+    li = load(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+    )
+    hist = rows.groupBy("d").agg(
+        F.sum("pos").alias("p"), (F.count("*") - F.sum("pos")).alias("q")
+    )
+    tot = hist.agg(F.sum("p").alias("pt"), F.sum("q").alias("qt"))
+    scored = hist.crossJoin(F.broadcast(tot)).select(
+        "d",
+        F.col("p").alias("n_pos"),
+        F.col("q").alias("n_neg"),
+        (
+            int_div_exact(F.col("p").cast(_DEC) * I9, F.col("pt").cast(_DEC))
+            - int_div_exact(F.col("q").cast(_DEC) * I9, F.col("qt").cast(_DEC))
+        ).alias("d9"),
+        F.when(
+            (F.col("p") > 0) & (F.col("q") > 0),
+            F.round(
+                F.log(
+                    (F.col("p").cast("double") * F.col("qt"))
+                    / (F.col("q").cast("double") * F.col("pt"))
+                )
+                * 1e6
+            ).cast("bigint"),
+        ).alias("woe_i6"),
+    )
+    iv = scored.filter(F.col("woe_i6").isNotNull()).agg(
+        F.sum(F.col("d9") * F.col("woe_i6")).alias("iv15")
+    )
+    return (
+        scored.crossJoin(F.broadcast(iv))
+        .select(
+            (F.col("d").cast("double") / 100).alias("bin_value"),
+            "n_pos",
+            "n_neg",
+            F.when(
+                F.col("woe_i6").isNotNull(), F.col("woe_i6").cast("double") / 1e6
+            ).alias("woe"),
+            F.round(F.col("iv15").cast("double") / 1e15, 6).alias(
+                "information_value"
+            ),
+        )
+        .orderBy("bin_value")
+    )
