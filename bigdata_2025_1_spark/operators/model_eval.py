@@ -969,3 +969,268 @@ def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_value")
     )
+
+
+# --- conformal prediction (round 7) -----------------------------------------
+
+CONF_ALPHA_PCT = 10  # 90% target coverage
+
+
+@query(
+    "conformal_interval_coverage",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT c.c_mktsegment AS g,
+             CAST(ROUND(o.o_totalprice * 1e2) AS BIGINT) AS y,
+             (o.o_orderkey * {_PRIME}) % 100 AS bucket
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), train AS (
+      SELECT g, CAST(SUM(y) // COUNT(*) AS BIGINT) AS pred
+      FROM rows_ WHERE bucket < 60 GROUP BY g
+    ), cal AS (
+      SELECT ABS(r.y - t.pred) AS resid
+      FROM rows_ r JOIN train t USING (g)
+      WHERE bucket >= 60 AND bucket < 80
+    ), nc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal
+    ), rh AS (
+      SELECT resid, COUNT(*) AS ct FROM cal GROUP BY resid
+    ), rc AS (
+      SELECT resid,
+             SUM(ct) OVER (ORDER BY resid ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rh
+    ), qhat AS (
+      -- split-conformal rank: ceil((1-alpha)(n+1)) = (90*(n+1)+99)//100
+      SELECT MIN(resid) AS q
+      FROM rc, nc
+      WHERE cum >= ((100 - {CONF_ALPHA_PCT}) * (n_cal + 1) + 99) // 100
+    ), test AS (
+      SELECT r.y, t.pred FROM rows_ r JOIN train t USING (g)
+      WHERE bucket >= 80
+    ), cov AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN ABS(y - pred) <= q.q THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_covered
+      FROM test, qhat q
+    )
+    SELECT nc.n_cal, cov.n_test,
+           CAST(q.q AS DOUBLE) / 100 AS q_hat,
+           CASE WHEN cov.n_test > 0 THEN
+             ROUND(CAST(cov.n_covered AS DOUBLE) / cov.n_test, 6)
+           END AS coverage,
+           {100 - CONF_ALPHA_PCT} / 100.0 AS target_coverage
+    FROM nc, cov, qhat q
+    """,
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals with a coverage audit: a
+    per-segment mean model trained on 60% of orders, the conformal
+    quantile q̂ = the ⌈0.9·(n_cal+1)⌉-th smallest calibration residual
+    (the finite-sample-valid rank, not the plug-in percentile), and the
+    achieved coverage of pred ± q̂ on the untouched test split — the
+    distribution-free guarantee (coverage ≥ 90% in expectation,
+    regardless of model quality) that modern ML systems wrap around ANY
+    point predictor.
+
+    Determinism: the model is integer floor-division means; residuals
+    are exact integer cents; q̂ is an exact integer RANK SELECTION from
+    the residual histogram (min resid with cum ≥ k); coverage is one
+    integer ratio. Nothing floats until the output columns.
+
+    Scale shape: one fact scan feeds all three splits; the model map
+    broadcasts (|segments| rows); the rank selection's window runs over
+    the residual VALUE domain (cents-bounded); coverage is a scalar
+    conditional sum."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    rows = orders.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+        ((F.col("o_orderkey") * _PRIME) % 100).alias("bucket"),
+    )
+    train = (
+        rows.filter(F.col("bucket") < 60)
+        .groupBy("g")
+        .agg(F.expr("sum(y) div count(*)").alias("pred"))
+    )
+    cal = (
+        rows.filter((F.col("bucket") >= 60) & (F.col("bucket") < 80))
+        .join(F.broadcast(train), "g")
+        .select(F.abs(F.col("y") - F.col("pred")).alias("resid"))
+    )
+    nc = cal.agg(F.count("*").alias("n_cal"))
+    rh = cal.groupBy("resid").agg(F.count("*").alias("ct"))
+    wr = Window.orderBy("resid").rowsBetween(Window.unboundedPreceding, 0)
+    rc = rh.withColumn("cum", F.sum("ct").over(wr))
+    k = F.expr(f"((100 - {CONF_ALPHA_PCT}) * (n_cal + 1) + 99) div 100")
+    qhat = (
+        rc.crossJoin(F.broadcast(nc))
+        .filter(F.col("cum") >= k)
+        .agg(F.min("resid").alias("q"))
+    )
+    test = rows.filter(F.col("bucket") >= 80).join(F.broadcast(train), "g")
+    cov = test.crossJoin(F.broadcast(qhat)).agg(
+        F.count("*").alias("n_test"),
+        F.sum(
+            (F.abs(F.col("y") - F.col("pred")) <= F.col("q")).cast("bigint")
+        ).alias("n_covered"),
+    )
+    return (
+        nc.crossJoin(cov)
+        .crossJoin(F.broadcast(qhat))
+        .select(
+            "n_cal",
+            "n_test",
+            (F.col("q").cast("double") / 100).alias("q_hat"),
+            F.when(
+                F.col("n_test") > 0,
+                F.round(
+                    F.col("n_covered").cast("double") / F.col("n_test"), 6
+                ),
+            ).alias("coverage"),
+            F.lit((100 - CONF_ALPHA_PCT) / 100.0).alias("target_coverage"),
+        )
+    )
+
+
+# --- empirical-Bayes rate shrinkage (round 7) -------------------------------
+
+EB_TOP = 10
+
+
+@query(
+    "eb_shrunk_supplier_rates",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM lineitem GROUP BY l_suppkey
+    ), r AS (
+      SELECT l_suppkey, n, pos,
+             CAST(pos * {I9} // n AS BIGINT) AS r9
+      FROM s
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(r9 AS HUGEINT)) AS sr,
+             SUM(CAST(r9 AS HUGEINT) * r9) AS srr
+      FROM r
+    ), ab AS (
+      SELECT k, sr, srr,
+             CAST(sr AS DOUBLE) / k / {I9} AS mu,
+             (CAST(srr AS DOUBLE) / k
+              - (CAST(sr AS DOUBLE) / k) * (CAST(sr AS DOUBLE) / k))
+               / ({I9} * 1e9) AS v
+      FROM mom
+    ), pri AS (
+      SELECT k, mu, v,
+             CASE WHEN v > 0 AND mu > 0 AND mu < 1
+                   AND mu * (1 - mu) / v - 1 > 0 THEN
+               CAST(ROUND(mu * (mu * (1 - mu) / v - 1) * 1e6) AS BIGINT)
+             END AS a6,
+             CASE WHEN v > 0 AND mu > 0 AND mu < 1
+                   AND mu * (1 - mu) / v - 1 > 0 THEN
+               CAST(ROUND((1 - mu) * (mu * (1 - mu) / v - 1) * 1e6) AS BIGINT)
+             END AS b6
+      FROM ab
+    ), shr AS (
+      SELECT r.l_suppkey, r.n, r.pos,
+             ROUND(CAST(r.r9 AS DOUBLE) / {I9}, 9) AS raw_rate,
+             CASE WHEN p.a6 IS NOT NULL THEN
+               ROUND((r.pos + p.a6 / 1e6)
+                     / (r.n + (p.a6 + p.b6) / 1e6), 9)
+             ELSE ROUND(CAST(r.r9 AS DOUBLE) / {I9}, 9) END AS shrunk_rate,
+             CASE WHEN p.a6 IS NOT NULL THEN
+               CAST(ROUND(ABS((r.pos + p.a6 / 1e6)
+                              / (r.n + (p.a6 + p.b6) / 1e6)
+                              - CAST(r.r9 AS DOUBLE) / {I9}) * 1e9) AS BIGINT)
+             ELSE 0 END AS delta9
+      FROM r, pri p
+    )
+    SELECT l_suppkey AS suppkey, n, pos, raw_rate, shrunk_rate,
+           ROUND(delta9 / 1e9, 9) AS abs_correction
+    FROM shr
+    ORDER BY delta9 DESC, suppkey LIMIT {EB_TOP}
+    """,
+)
+def eb_shrunk_supplier_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    per-supplier return rates toward the population: small-sample
+    suppliers with extreme raw rates get pulled in proportionally to
+    their evidence — the estimator every "worst supplier" dashboard
+    should rank by instead of raw rates (which a 2-of-3 supplier
+    dominates). Reports the {EB_TOP} suppliers the prior corrects most.
+
+    Determinism: per-supplier rates freeze to i9 integers; the prior's
+    mean/variance come from exact integer moments over those i9 rates
+    (unweighted across suppliers — the moment-matching convention);
+    α, β round to i6 once and every shrunk rate is then the same
+    pinned chain from (pos, n, α6, β6); the ranking key is the
+    i9-rounded correction with a suppkey tiebreak. Degenerate priors
+    (zero between-supplier variance, boundary mean) fall back to raw
+    rates under identical guards.
+
+    Scale shape: one map-side-combinable supplier aggregate (suppliers
+    are entity-scale — the aggregate shuffles on the key, nothing
+    funnels); the 2-scalar prior broadcasts back; top-k is
+    TakeOrdered({EB_TOP})."""
+    li = load(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("bigint")).alias("pos"),
+    )
+    r = s.select(
+        "l_suppkey", "n", "pos", F.expr(f"pos * {I9} div n").alias("r9")
+    )
+    mom = r.agg(
+        F.count("*").alias("k"),
+        F.sum(F.col("r9").cast(_DEC)).alias("sr"),
+        F.sum(F.col("r9").cast(_DEC) * F.col("r9")).alias("srr"),
+    )
+    mu = F.col("sr").cast("double") / F.col("k") / I9
+    v = (
+        F.col("srr").cast("double") / F.col("k")
+        - (F.col("sr").cast("double") / F.col("k"))
+        * (F.col("sr").cast("double") / F.col("k"))
+    ) / (I9 * 1e9)
+    kk = mu * (1 - mu) / v - 1
+    okp = (v > 0) & (mu > 0) & (mu < 1) & (kk > 0)
+    pri = mom.select(
+        F.when(okp, F.round(mu * kk * 1e6).cast("bigint")).alias("a6"),
+        F.when(okp, F.round((1 - mu) * kk * 1e6).cast("bigint")).alias("b6"),
+    )
+    shr_expr = (F.col("pos") + F.col("a6") / 1e6) / (
+        F.col("n") + (F.col("a6") + F.col("b6")) / 1e6
+    )
+    raw = F.round(F.col("r9").cast("double") / I9, 9)
+    has = F.col("a6").isNotNull()
+    shr = r.crossJoin(F.broadcast(pri)).select(
+        "l_suppkey",
+        "n",
+        "pos",
+        raw.alias("raw_rate"),
+        F.when(has, F.round(shr_expr, 9)).otherwise(raw).alias("shrunk_rate"),
+        F.when(
+            has,
+            F.round(
+                F.abs(shr_expr - F.col("r9").cast("double") / I9) * 1e9
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("delta9"),
+    )
+    return (
+        shr.orderBy(F.desc("delta9"), "l_suppkey")
+        .limit(EB_TOP)
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "n",
+            "pos",
+            "raw_rate",
+            "shrunk_rate",
+            F.round(F.col("delta9") / 1e9, 9).alias("abs_correction"),
+        )
+        .orderBy(F.desc("abs_correction"), "suppkey")
+    )
