@@ -60,43 +60,50 @@ I12 = 10**12  # precision@threshold quantized to 1e-12
 _DEC = "decimal(38,0)"
 
 # test-split score histogram: one row per distinct train-estimated
-# Laplace-smoothed P(return|discount), with test-side class counts
+# Laplace-smoothed P(return|discount), with test-side class counts.
+# The fact table reduces ONCE into the (d, is_train) contingency table;
+# the model and the test histogram are both algebra over that tiny
+# table — one scan total, no per-split rescans.
 _SQL_HIST = f"""
-    rows_ AS (
+    cnt AS (
       SELECT CAST(ROUND(l_discount * 1e2) AS BIGINT) AS d,
-             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos,
-             (l_orderkey * {_PRIME}) % 100 < {TRAIN_PCT} AS is_train
-      FROM lineitem
+             (l_orderkey * {_PRIME}) % 100 < {TRAIN_PCT} AS is_train,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS p,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
     ), pred AS (
-      SELECT d, CAST((SUM(pos) + 1) * {I9} // (COUNT(*) + 2) AS BIGINT) AS s
-      FROM rows_ WHERE is_train GROUP BY d
+      SELECT d, CAST((p + 1) * {I9} // (n + 2) AS BIGINT) AS s
+      FROM cnt WHERE is_train
     ), hist AS (
-      SELECT p.s AS s, SUM(r.pos) AS c1, COUNT(*) AS ct
-      FROM rows_ r JOIN pred p USING (d)
-      WHERE NOT r.is_train GROUP BY p.s
+      SELECT pr.s AS s, SUM(c.p) AS c1, SUM(c.n) AS ct
+      FROM cnt c JOIN pred pr USING (d)
+      WHERE NOT c.is_train GROUP BY pr.s
     )
 """
 
 
 def _holdout_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of ``_SQL_HIST``: test-split score histogram."""
+    """Spark twin of ``_SQL_HIST``: test-split score histogram off ONE
+    fact scan (the (d, is_train) contingency reduce; everything after
+    is |score-domain|-sized algebra)."""
     li = load(spark, sf_dir, "lineitem")
-    rows = li.select(
-        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
-        (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
-        ((F.col("l_orderkey") * _PRIME) % 100 < TRAIN_PCT).alias("is_train"),
-    )
-    pred = (
-        rows.filter("is_train")
-        .groupBy("d")
+    cnt = (
+        li.select(
+            F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+            (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+            ((F.col("l_orderkey") * _PRIME) % 100 < TRAIN_PCT).alias("is_train"),
+        )
+        .groupBy("d", "is_train")
         .agg(F.sum("pos").alias("p"), F.count("*").alias("n"))
-        .select("d", F.expr(f"(p + 1) * {I9} div (n + 2)").alias("s"))
+    )
+    pred = cnt.filter("is_train").select(
+        "d", F.expr(f"(p + 1) * {I9} div (n + 2)").alias("s")
     )
     return (
-        rows.filter(~F.col("is_train"))
+        cnt.filter(~F.col("is_train"))
         .join(F.broadcast(pred), "d")
         .groupBy("s")
-        .agg(F.sum("pos").alias("c1"), F.count("*").alias("ct"))
+        .agg(F.sum("p").alias("c1"), F.sum("n").alias("ct"))
     )
 
 
@@ -609,13 +616,13 @@ N_FOLDS = 5
       SELECT d, SUM(p) AS pt, SUM(n) AS nt FROM fd GROUP BY d
     ), pred AS (
       -- complement model: trained on everything OUTSIDE the fold
-      SELECT f.fold, f.d,
+      SELECT f.fold, f.d, f.p, f.n,
              CAST((t.pt - f.p + 1) * {I9} // (t.nt - f.n + 2) AS BIGINT) AS s
       FROM fd f JOIN dtot t USING (d)
     ), hist AS (
-      SELECT r.fold, p.s AS s, SUM(r.pos) AS c1, COUNT(*) AS ct
-      FROM rows_ r JOIN pred p ON p.fold = r.fold AND p.d = r.d
-      GROUP BY r.fold, p.s
+      -- the fold's own (p, n) ARE its test counts: no second fact scan
+      SELECT fold, s, SUM(p) AS c1, SUM(n) AS ct
+      FROM pred GROUP BY fold, s
     ), cum AS (
       SELECT fold, s, c1, ct,
              COALESCE(SUM(ct) OVER (PARTITION BY fold ORDER BY s
@@ -664,29 +671,38 @@ def crossval_auc_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain); the cross-fold mean/std quantize each AUC to i9 first so
     the k-row moments are integer sums.
 
-    Scale shape: two map-side-combinable aggregates ((fold,d) then
-    (fold,s)) off one scan; the (fold×score-domain) model table is tiny
-    and broadcast into the second aggregate's build; no global windows;
-    k-row summary broadcast back onto the fold rows."""
+    Scale shape: ONE map-side-combinable (fold, d) aggregate off one
+    fact scan (plan-pinned); every later frame — complement model,
+    per-fold score histogram, AUC moments — is algebra over that
+    (folds×|score-domain|)-row table, because the fold's own (p, n)
+    contingency IS its test histogram; no global windows; k-row summary
+    broadcast back onto the fold rows."""
     li = load(spark, sf_dir, "lineitem")
     rows = li.select(
         F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
         (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
         ((F.col("l_orderkey") * _PRIME) % N_FOLDS).alias("fold"),
     )
-    fd = rows.groupBy("fold", "d").agg(
-        F.sum("pos").alias("p"), F.count("*").alias("n")
+    # persist the (folds × |score-domain|)-row contingency: four frames
+    # (model join both sides, AUC moments, cross-fold summary) re-derive
+    # from it, and without the cache each re-derivation re-scans the
+    # fact table (4 scans → 1, plan-pinned)
+    fd = (
+        rows.groupBy("fold", "d")
+        .agg(F.sum("pos").alias("p"), F.count("*").alias("n"))
+        .persist()
     )
     dtot = fd.groupBy("d").agg(F.sum("p").alias("pt"), F.sum("n").alias("nt"))
     pred = fd.join(F.broadcast(dtot), "d").select(
         "fold",
         "d",
+        "p",
+        "n",
         F.expr(f"(pt - p + 1) * {I9} div (nt - n + 2)").alias("s"),
     )
-    hist = (
-        rows.join(F.broadcast(pred), ["fold", "d"])
-        .groupBy("fold", "s")
-        .agg(F.sum("pos").alias("c1"), F.count("*").alias("ct"))
+    # the fold's own (p, n) ARE its test counts: no second fact scan
+    hist = pred.groupBy("fold", "s").agg(
+        F.sum("p").alias("c1"), F.sum("n").alias("ct")
     )
     wc = (
         Window.partitionBy("fold")

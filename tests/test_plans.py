@@ -1295,3 +1295,73 @@ def test_supplier_latency_no_single_partition(spark, sf_dir):
     ]
     assert not bad, bad
     spark.catalog.clearCache()
+
+
+def test_kendall_grid_windows_are_all_partitioned(spark, sf_dir):
+    """Kendall's dominance counting must never funnel the grid through
+    one partition for its prefix sums: all three windows PARTITION BY a
+    grid axis. The only SinglePartition exchanges are the scalar moment
+    aggregates."""
+    df = QUERIES["kendall_tau_qty_discount"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # windows exist and every Window node carries a partition spec
+    win_specs = re.findall(r"Arguments: \[.*?\], \[(.*?)\],", plan)
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "partitionedwindow" not in line:
+            # every spec names a partition column (y or x), not empty
+            assert "specifiedwindowframe" in line
+
+
+def test_holdout_score_map_broadcasts(spark, sf_dir):
+    """The train->test score map (<= |score domain| rows) must reach the
+    test side as a broadcast, never a shuffle."""
+    df = QUERIES["roc_auc_holdout"](spark, sf_dir)
+    flags = plan_has(df, "BroadcastHashJoin")
+    assert flags["BroadcastHashJoin"], flags
+
+
+def test_crossval_is_one_scan_no_global_window(spark, sf_dir):
+    """One-pass CV: the fold cum window partitions BY FOLD (no
+    whole-histogram funnel), and the complement model is subtraction,
+    not a second scan: exactly one parquet scan of lineitem feeds both
+    aggregates via the broadcast score map."""
+    df = QUERIES["crossval_auc_folds"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # exactly one numbered scan node in the detail section
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_negative_sampling_anti_join_keyed(spark, sf_dir):
+    plan = formatted_plan(QUERIES["negative_sampling_pairs"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_range_join_is_user_keyed(spark, sf_dir):
+    """The touch-window join must shuffle on user_id (an equi-key with
+    range residuals), never degrade to a cartesian/BNL over events."""
+    plan = formatted_plan(QUERIES["linear_attribution_revenue"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_eb_shrinkage_no_single_partition_on_suppliers(spark, sf_dir):
+    """Supplier rows (entity-scale) must never cross a SinglePartition
+    exchange: the prior is a scalar aggregate (allowed), the ranking is
+    TakeOrdered."""
+    df = QUERIES["eb_shrunk_supplier_rates"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # no Window at all in this plan — nothing to funnel
+    assert "Window" not in plan
+
+
+def test_isotonic_pair_grid_jside_broadcasts(spark, sf_dir):
+    """The minimax (j,k) grid is built by broadcasting the tiny j-side
+    against the value-domain k rows — a nested-loop over bounded rows,
+    never a shuffle product."""
+    df = QUERIES["isotonic_calibration"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
