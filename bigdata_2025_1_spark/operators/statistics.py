@@ -3028,3 +3028,95 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100).cast("bigint").alias("y"),
     )
     return kendall_tau_from_rows(rows)
+
+
+@query(
+    "median_ci_orderstat",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(ROUND(o_totalprice * 1e2) AS BIGINT) AS v FROM orders
+    ), n_ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rows_
+    ), ranks AS (
+      -- normal-approx binomial ranks at z = 1.96, floor/ceil to ints;
+      -- clamped to [1, n] so tiny inputs stay valid
+      SELECT n,
+             GREATEST(1, CAST(FLOOR((n - 1.959963985 * sqrt(CAST(n AS DOUBLE)))
+                                    / 2) AS BIGINT)) AS lo_rank,
+             LEAST(n, 1 + CAST(CEIL((n + 1.959963985 * sqrt(CAST(n AS DOUBLE)))
+                                    / 2) AS BIGINT)) AS hi_rank,
+             (n + 1) // 2 AS med_rank
+      FROM n_
+    ), h AS (
+      SELECT v, COUNT(*) AS ct FROM rows_ GROUP BY v
+    ), hc AS (
+      SELECT v, ct,
+             SUM(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h
+    ), pick AS (
+      SELECT r.n, r.lo_rank, r.hi_rank,
+             (SELECT MIN(v) FROM hc WHERE cum >= r.med_rank) AS med,
+             (SELECT MIN(v) FROM hc WHERE cum >= r.lo_rank) AS lo,
+             (SELECT MIN(v) FROM hc WHERE cum >= r.hi_rank) AS hi
+      FROM ranks r
+    )
+    SELECT n,
+           CAST(med AS DOUBLE) / 100 AS median,
+           CAST(lo AS DOUBLE) / 100 AS ci_lo,
+           CAST(hi AS DOUBLE) / 100 AS ci_hi
+    FROM pick
+    """,
+)
+def median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median of order
+    values, from ORDER STATISTICS: the interval between the
+    ⌊(n−z√n)/2⌋-th and (1+⌈(n+z√n)/2⌉)-th smallest values covers the
+    true median with ≥95% probability for ANY distribution (the
+    binomial-rank argument — no normality, no bootstrap resampling).
+    The companion to `bootstrap_mean_ci` for the median, at one scan
+    and zero resamples.
+
+    Determinism: the three ranks are integers from one pinned double
+    chain (z = 1.959963985 fixed); each value pick is an exact integer
+    rank selection (min v with cum ≥ k) from the value histogram —
+    the conformal-quantile machinery reused for inference.
+
+    Scale shape: one map-side-combinable value histogram; the cum
+    window runs over the cents-bounded value domain; three rank
+    selections are tiny filtered aggregates off the same cum frame."""
+    orders = load(spark, sf_dir, "orders")
+    rows = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    n_ = rows.agg(F.count("*").alias("n"))
+    z = 1.959963985
+    nd = F.col("n").cast("double")
+    ranks = n_.select(
+        "n",
+        F.greatest(
+            F.lit(1), F.floor((nd - z * F.sqrt(nd)) / 2).cast("bigint")
+        ).alias("lo_rank"),
+        F.least(
+            F.col("n"), 1 + F.ceil((nd + z * F.sqrt(nd)) / 2).cast("bigint")
+        ).alias("hi_rank"),
+        F.expr("(n + 1) div 2").alias("med_rank"),
+    )
+    h = rows.groupBy("v").agg(F.count("*").alias("ct"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    hc = h.withColumn("cum", F.sum("ct").over(wv)).crossJoin(F.broadcast(ranks))
+    pick = lambda rank_col, name: (  # noqa: E731 — min v with cum >= rank
+        hc.filter(F.col("cum") >= F.col(rank_col)).agg(
+            F.min("v").alias(name)
+        )
+    )
+    return (
+        n_.crossJoin(F.broadcast(pick("med_rank", "med")))
+        .crossJoin(F.broadcast(pick("lo_rank", "lo")))
+        .crossJoin(F.broadcast(pick("hi_rank", "hi")))
+        .select(
+            "n",
+            (F.col("med").cast("double") / 100).alias("median"),
+            (F.col("lo").cast("double") / 100).alias("ci_lo"),
+            (F.col("hi").cast("double") / 100).alias("ci_hi"),
+        )
+    )

@@ -123,3 +123,26 @@ def test_kendall_tau_constant_axis_is_null(spark):
 
     df = spark.createDataFrame([(1, 7), (2, 7), (3, 7)], "x long, y long")
     assert kendall_tau_from_rows(df).collect()[0].tau_b is None
+
+
+def test_median_ci_brackets_the_sample_median(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.statistics import median_ci_orderstat
+
+    out = median_ci_orderstat(spark, sf_dir).collect()[0]
+    vals = sorted(
+        int(round(r.o_totalprice * 100))
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_totalprice")
+        .collect()
+    )
+    n = len(vals)
+    assert out.n == n
+    # median = lower median by the pinned (n+1) div 2 rank
+    assert out.median == vals[(n + 1) // 2 - 1] / 100
+    assert out.ci_lo <= out.median <= out.ci_hi
+    # the interval ranks match the scalar formula
+    z = 1.959963985
+    lo = max(1, math.floor((n - z * n**0.5) / 2))
+    hi = min(n, 1 + math.ceil((n + z * n**0.5) / 2))
+    assert out.ci_lo == vals[lo - 1] / 100
+    assert out.ci_hi == vals[hi - 1] / 100
