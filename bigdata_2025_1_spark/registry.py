@@ -55,15 +55,25 @@ ORACLES: dict[str, str] = {}
 # REPLACING a proven-green head entry, never by growing past 50. New
 # round-7 queries therefore queue for round 8, NOT the head.
 #
-# ROUND-8 ROTATION PLAN: head takes (a) every round-7 addition (none
-# will have a driver row — enumerate them from QUERIES.md's round-7
-# section when building the head), then (b) the 11 remaining r2-vintage
-# stale greens: (sequence_packing, corpus_end_to_end,
-# stratified_source_cap, corpus_temperature_mix, domain_doc_stats,
-# global_size_stats, metadata_extract, wordcount, udtf_bigrams,
-# date_features, string_functions_showcase). After that lands green,
-# no green row predates round 3 and the never-checked backlog is the
-# round-8 additions alone.
+# ROUND-8 ROTATION PLAN: head takes (a) the 24 round-7 additions (none
+# has a driver row; all selfchecked tuned + vanilla when added):
+#   mann_whitney_segment_spend, spearman_qty_price, ks_value_drift,
+#   gini_stump_threshold, roc_auc_holdout, average_precision_holdout,
+#   calibration_ece_bins, decile_lift_table, anova_f_segment_spend,
+#   brown_forsythe_spend_variance, jarque_bera_order_values,
+#   link_prediction_trade, degree_assortativity_trade,
+#   isotonic_calibration, crossval_auc_folds, kendall_tau_qty_discount,
+#   kneser_ney_bigram, negative_sampling_pairs,
+#   linear_attribution_revenue, qini_uplift_curve,
+#   woe_information_value, conformal_interval_coverage,
+#   eb_shrunk_supplier_rates, median_ci_orderstat;
+# then (b) the 11 remaining r2-vintage stale greens:
+# (sequence_packing, corpus_end_to_end, stratified_source_cap,
+# corpus_temperature_mix, domain_doc_stats, global_size_stats,
+# metadata_extract, wordcount, udtf_bigrams, date_features,
+# string_functions_showcase); then (c) 15 spare slots for the oldest
+# r3-vintage greens. After that lands green, no green row predates
+# round 3 and the never-checked backlog is the round-8 additions alone.
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 0-35: the 36 round-6 additions (never driver-checked);
     #    bpe_merge_sequence + pca_power_iteration carry round-7 fixes
