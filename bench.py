@@ -228,6 +228,11 @@ HEADLINE = [
     "degree_assortativity_trade",
     "negative_sampling_pairs",
     "linear_attribution_revenue",
+    "qini_uplift_curve",
+    "woe_information_value",
+    "conformal_interval_coverage",
+    "eb_shrunk_supplier_rates",
+    "median_ci_orderstat",
 ]
 
 
