@@ -2433,3 +2433,180 @@ def linear_attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+# --- CUPED variance reduction (round 7) -------------------------------------
+
+CUPED_SPLIT_TS = "2024-01-15"
+# md5("cuped")[:12] as int, reduced mod 999983 so user_id*salt stays far
+# inside int64 at any user-id scale (1e12 ids x 1e6 salt = 1e18 < 2^63);
+# pinned as a literal so both engines share the exact constant
+CUPED_SALT = 910367
+
+
+@query(
+    "cuped_adjusted_uplift",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             SUM(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT_TS}'
+                 THEN CAST(ROUND(value * 1e2) AS BIGINT) ELSE 0 END) AS x,
+             SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT_TS}'
+                 THEN CAST(ROUND(value * 1e2) AS BIGINT) ELSE 0 END) AS y,
+             (user_id * {CUPED_SALT} % 1000000007) % 2 AS arm
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), pool AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM u
+    ), arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_a,
+             SUM(CAST(x AS HUGEINT)) AS sx_a, SUM(CAST(y AS HUGEINT)) AS sy_a
+      FROM u GROUP BY arm
+    ), th AS (
+      SELECT n, sx, sy,
+             CASE WHEN n * sxx > sx * sx THEN
+               CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6) AS BIGINT)
+             END AS theta6,
+             CASE WHEN n * sxx > sx * sx AND n * syy > sy * sy THEN
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                     / CAST(n * syy - sy * sy AS DOUBLE), 6)
+             END AS var_reduction
+      FROM pool
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 1 THEN n_a END) AS nt,
+        MAX(CASE WHEN arm = 0 THEN n_a END) AS nc,
+        MAX(CASE WHEN arm = 1 THEN sx_a END) AS sxt,
+        MAX(CASE WHEN arm = 0 THEN sx_a END) AS sxc,
+        MAX(CASE WHEN arm = 1 THEN sy_a END) AS syt,
+        MAX(CASE WHEN arm = 0 THEN sy_a END) AS syc
+      FROM arms
+    )
+    SELECT w.nt AS n_treat, w.nc AS n_ctrl,
+           CASE WHEN w.nt > 0 AND w.nc > 0 THEN
+             ROUND((CAST(w.syt AS DOUBLE) / w.nt
+                    - CAST(w.syc AS DOUBLE) / w.nc) / 100, 6) END AS uplift_raw,
+           CASE WHEN w.nt > 0 AND w.nc > 0 AND t.theta6 IS NOT NULL THEN
+             ROUND(((CAST(w.syt AS DOUBLE) / w.nt
+                     - CAST(w.syc AS DOUBLE) / w.nc)
+                    - t.theta6 / 1e6 * (CAST(w.sxt AS DOUBLE) / w.nt
+                                        - CAST(w.sxc AS DOUBLE) / w.nc))
+                   / 100, 6) END AS uplift_cuped,
+           CASE WHEN t.theta6 IS NOT NULL THEN t.theta6 / 1e6 END AS theta,
+           t.var_reduction
+    FROM wide w, th t
+    """,
+)
+def cuped_adjusted_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data; Deng et
+    al. 2013 — the variance-reduction standard at every experimentation
+    platform): per-user pre-period purchase value is the covariate X,
+    post-period value the metric Y; θ = cov(X,Y)/var(X) pooled across
+    arms; the adjusted uplift subtracts θ·(X̄_t − X̄_c) from the raw
+    uplift, and the variance-reduction factor is the squared X-Y
+    correlation. Because the adjustment is linear, NO per-user adjusted
+    metric needs materializing — the whole readout collapses to per-arm
+    and pooled moment sums.
+
+    Determinism: per-user sums and the five pooled moments are exact
+    integers (HUGEINT/decimal); θ rounds to i6 once; both uplifts and
+    the reduction factor are pinned scalar chains rounded to 6. The arm
+    assignment is a salted multiplicative hash of user_id (engine-
+    identical; salt pinned by the md5 constant). Degenerate covariates
+    (constant X) yield NULL θ/CUPED under identical guards.
+
+    Scale shape: ONE user-keyed aggregate off one scan (users are
+    entity-scale, so it shuffles on the key), then two scalar
+    aggregates of THAT table; output is one row."""
+    ev = load(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts") < CUPED_SPLIT_TS,
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= CUPED_SPLIT_TS,
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+        .select(
+            "x",
+            "y",
+            ((F.col("user_id") * CUPED_SALT % 1000000007) % 2).alias("arm"),
+        )
+    )
+    dec = "decimal(38,0)"
+    pool = u.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    arms = u.groupBy("arm").agg(
+        F.count("*").alias("n_a"),
+        F.sum(F.col("x").cast(dec)).alias("sx_a"),
+        F.sum(F.col("y").cast(dec)).alias("sy_a"),
+    )
+    cnum = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    th = pool.select(
+        F.when(
+            vx > 0,
+            F.round(cnum.cast("double") / vx.cast("double") * 1e6).cast("bigint"),
+        ).alias("theta6"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                cnum.cast("double") * cnum.cast("double")
+                / vx.cast("double")
+                / vy.cast("double"),
+                6,
+            ),
+        ).alias("var_reduction"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n_a"))).alias("nt"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_a"))).alias("nc"),
+        F.max(F.when(F.col("arm") == 1, F.col("sx_a"))).alias("sxt"),
+        F.max(F.when(F.col("arm") == 0, F.col("sx_a"))).alias("sxc"),
+        F.max(F.when(F.col("arm") == 1, F.col("sy_a"))).alias("syt"),
+        F.max(F.when(F.col("arm") == 0, F.col("sy_a"))).alias("syc"),
+    )
+    ok = (F.col("nt") > 0) & (F.col("nc") > 0)
+    raw = (
+        F.col("syt").cast("double") / F.col("nt")
+        - F.col("syc").cast("double") / F.col("nc")
+    )
+    dx = (
+        F.col("sxt").cast("double") / F.col("nt")
+        - F.col("sxc").cast("double") / F.col("nc")
+    )
+    hast = F.col("theta6").isNotNull()
+    return wide.crossJoin(F.broadcast(th)).select(
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_ctrl"),
+        F.when(ok, F.round(raw / 100, 6)).alias("uplift_raw"),
+        F.when(
+            ok & hast,
+            F.round((raw - F.col("theta6") / 1e6 * dx) / 100, 6),
+        ).alias("uplift_cuped"),
+        F.when(hast, F.col("theta6") / 1e6).alias("theta"),
+        "var_reduction",
+    )
