@@ -233,6 +233,7 @@ HEADLINE = [
     "conformal_interval_coverage",
     "eb_shrunk_supplier_rates",
     "median_ci_orderstat",
+    "cuped_adjusted_uplift",
 ]
 
 

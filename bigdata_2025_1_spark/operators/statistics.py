@@ -3120,3 +3120,151 @@ def median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hi").cast("double") / 100).alias("ci_hi"),
         )
     )
+
+
+# --- KMV distinct sketch with set intersection (round 7) --------------------
+
+KMV_K = 64
+_KMV_SPACE = 16**12  # md5_int(12 hex digits) ranges over [0, 2^48)
+
+
+@query(
+    "kmv_intersection_estimate",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT event_type AS t,
+             {sql_md5_int("CAST(user_id AS VARCHAR)")} AS u
+      FROM events
+    ), sk AS (
+      SELECT t, u FROM (
+        SELECT t, u, ROW_NUMBER() OVER (PARTITION BY t ORDER BY u) AS rk
+        FROM du)
+      WHERE rk <= {KMV_K}
+    ), tp AS (
+      SELECT a.t AS ta, b.t AS tb
+      FROM (SELECT DISTINCT t FROM sk) a JOIN (SELECT DISTINCT t FROM sk) b
+        ON a.t < b.t
+    ), m AS (
+      SELECT ta, tb, u, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+      FROM (
+        SELECT tp.ta, tp.tb, s.u, 1 AS in_a, 0 AS in_b
+        FROM tp JOIN sk s ON s.t = tp.ta
+        UNION ALL
+        SELECT tp.ta, tp.tb, s.u, 0, 1 FROM tp JOIN sk s ON s.t = tp.tb
+      ) GROUP BY ta, tb, u
+    ), merged AS (
+      SELECT ta, tb, u, in_a, in_b,
+             ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY u) AS rk
+      FROM m
+    ), est AS (
+      SELECT ta, tb, COUNT(*) AS cnt, MAX(u) AS vk,
+             SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS rho
+      FROM merged WHERE rk <= {KMV_K} GROUP BY ta, tb
+    ), ud AS (
+      SELECT DISTINCT event_type AS t, user_id FROM events
+    ), exact_ AS (
+      SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM ud a JOIN ud b ON b.user_id = a.user_id AND a.t < b.t
+      GROUP BY a.t, b.t
+    )
+    SELECT e.ta AS type_a, e.tb AS type_b,
+           CAST(CASE WHEN e.cnt < {KMV_K} THEN e.rho
+                ELSE ROUND(CAST(e.rho AS DOUBLE) / {KMV_K}
+                           * ({KMV_K} - 1) * {_KMV_SPACE} / e.vk)
+                END AS BIGINT) AS est_intersection,
+           COALESCE(x.exact_cnt, 0) AS exact_intersection
+    FROM est e LEFT JOIN exact_ x ON x.ta = e.ta AND x.tb = e.tb
+    ORDER BY type_a, type_b
+    """,
+)
+def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketches with SET INTERSECTION
+    estimation — the capability HLL union cannot provide: per event
+    type, the {KMV_K} smallest md5 hashes of its user set form a
+    mergeable bottom-k sketch; for each type pair, the merged bottom-k
+    estimates the union ((k−1)/v_k) and the fraction ρ of merged values
+    present in BOTH sketches scales it to an intersection estimate
+    (Beyer et al. 2007). Exact intersections computed alongside —
+    at real scale they are the expensive join this sketch replaces.
+
+    Determinism: the "random" hash is the engine-portable md5 integer
+    (the repo's hashing contract); sketches are exact rank selections,
+    so both engines carry byte-identical sketch contents; the only
+    float is the final pinned estimator chain. Sketches smaller than k
+    ARE the set — the estimate falls back to the exact ρ count via
+    identical CASE guards.
+
+    Scale shape: per-type bottom-k via group-partitioned window rank
+    (mergeable across partitions/days — a standing sketch table); pair
+    merges touch k-row frames; the exact twin is a keyed self-join of
+    the distinct (type, user) table."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("event_type").alias("t"),
+        md5_int(F.col("user_id").cast("string")).alias("u"),
+    ).distinct()
+    wk = Window.partitionBy("t").orderBy("u")
+    sk = (
+        du.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= KMV_K)
+        .select("t", "u")
+    )
+    types = sk.select("t").distinct()
+    tp = types.select(F.col("t").alias("ta")).join(
+        types.select(F.col("t").alias("tb")), F.col("ta") < F.col("tb")
+    )
+    part_a = tp.join(sk.withColumnRenamed("t", "ta"), "ta").select(
+        "ta", "tb", "u", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    part_b = tp.join(sk.withColumnRenamed("t", "tb"), "tb").select(
+        "ta", "tb", "u", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    m = (
+        part_a.unionByName(part_b)
+        .groupBy("ta", "tb", "u")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wm = Window.partitionBy("ta", "tb").orderBy("u")
+    est = (
+        m.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("ta", "tb")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.max("u").alias("vk"),
+            F.sum(
+                ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("bigint")
+            ).alias("rho"),
+        )
+    )
+    ud = ev.select(F.col("event_type").alias("t"), "user_id").distinct()
+    exact = (
+        ud.withColumnRenamed("t", "ta")
+        .join(
+            ud.select(F.col("t").alias("tb"), F.col("user_id").alias("u2")),
+            (F.col("u2") == F.col("user_id")) & (F.col("ta") < F.col("tb")),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    est_val = F.when(F.col("cnt") < KMV_K, F.col("rho").cast("double")).otherwise(
+        F.round(
+            F.col("rho").cast("double")
+            / KMV_K
+            * (KMV_K - 1)
+            * _KMV_SPACE
+            / F.col("vk")
+        )
+    )
+    return (
+        est.join(exact, ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            est_val.cast("bigint").alias("est_intersection"),
+            F.coalesce(F.col("exact_cnt"), F.lit(0)).alias(
+                "exact_intersection"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -146,3 +146,23 @@ def test_median_ci_brackets_the_sample_median(spark, sf_dir):
     hi = min(n, 1 + math.ceil((n + z * n**0.5) / 2))
     assert out.ci_lo == vals[lo - 1] / 100
     assert out.ci_hi == vals[hi - 1] / 100
+
+
+def test_kmv_estimates_are_close_to_exact(spark, sf_dir):
+    """KMV intersection estimates must land within the k=64 sketch's
+    expected error band of the exact intersections (deterministic: the
+    md5 'randomness' is fixed, so this pins accuracy, not luck)."""
+    from bigdata_2025_1_spark.operators.statistics import (
+        kmv_intersection_estimate,
+    )
+
+    rows = kmv_intersection_estimate(spark, sf_dir).collect()
+    assert len(rows) == 10  # 5 event types -> C(5,2) pairs
+    for r in rows:
+        assert r.exact_intersection > 0
+        rel = abs(r.est_intersection - r.exact_intersection) / r.exact_intersection
+        assert rel < 0.45, (r.type_a, r.type_b, r.est_intersection, r.exact_intersection)
+    # aggregate accuracy is much better than the per-pair worst case
+    tot_err = sum(abs(r.est_intersection - r.exact_intersection) for r in rows)
+    tot = sum(r.exact_intersection for r in rows)
+    assert tot_err / tot < 0.2
