@@ -234,6 +234,8 @@ HEADLINE = [
     "eb_shrunk_supplier_rates",
     "median_ci_orderstat",
     "cuped_adjusted_uplift",
+    "kmv_intersection_estimate",
+    "ipf_raking_weights",
 ]
 
 

@@ -3268,3 +3268,151 @@ def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --- iterative proportional fitting / raking (round 7) ----------------------
+
+IPF_ITERS = 6
+IPF_PPM = 10**6
+
+
+def ipf_weights_from_grid(grid: DataFrame, iters: int = IPF_ITERS) -> DataFrame:
+    """Iterative proportional fitting (raking) on a (g1, g2, n, r_target,
+    c_target) cell grid: alternating row/column scalings fit cell
+    weights so the weighted counts hit both marginal targets — the
+    survey-reweighting standard (Deming-Stephan 1940) and the 2D case
+    of matrix scaling. Weights live in integer ppm with floor division,
+    so every iteration is exact integer arithmetic — the PageRank
+    integer-fixed-point convention — and both engines converge through
+    byte-identical states. Module-level and iteration-parameterized so
+    the property test can pit it against a scalar reference running the
+    SAME integer recurrence.
+
+    Scale shape: each half-iteration is one group-by on a grid axis +
+    one broadcast join back — the grid is |D1|·|D2| cells (value-domain
+    bounded), so the 2·iters stages are tiny; at 100 TB only the
+    initial cell-count aggregate touches the fact table."""
+    dec = "decimal(38,0)"
+    w = grid.withColumn("w", F.lit(IPF_PPM).cast(dec))
+    for _ in range(iters):
+        # truncate lineage per iteration (the DBSCAN/TextRank convention):
+        # without it the 2·iters nested broadcast-join stages send
+        # Catalyst analysis superlinear — the measured blowup class
+        # documented at operators/similarity.py's min-label loop
+        w = w.localCheckpoint(eager=True)
+        rt = w.groupBy("g1").agg(
+            F.sum(F.col("w") * F.col("n")).alias("row_tot")
+        )
+        w = (
+            w.join(F.broadcast(rt), "g1")
+            .withColumn(
+                "w",
+                int_div_exact(
+                    F.col("w") * F.col("r_target").cast(dec) * IPF_PPM,
+                    F.col("row_tot"),
+                ),
+            )
+            .drop("row_tot")
+        )
+        ct = w.groupBy("g2").agg(
+            F.sum(F.col("w") * F.col("n")).alias("col_tot")
+        )
+        w = (
+            w.join(F.broadcast(ct), "g2")
+            .withColumn(
+                "w",
+                int_div_exact(
+                    F.col("w") * F.col("c_target").cast(dec) * IPF_PPM,
+                    F.col("col_tot"),
+                ),
+            )
+            .drop("col_tot")
+        )
+    return w
+
+
+def _sql_ipf_stage(i: int) -> str:
+    return f"""rs{i} AS (
+      SELECT g1, g2, n, r_target, c_target,
+             w * r_target * {IPF_PPM}
+               // SUM(w * n) OVER (PARTITION BY g1) AS w
+      FROM w{i}
+    ), w{i + 1} AS (
+      SELECT g1, g2, n, r_target, c_target,
+             w * c_target * {IPF_PPM}
+               // SUM(w * n) OVER (PARTITION BY g2) AS w
+      FROM rs{i}
+    )"""
+
+
+_IPF_STAGES = ",\n    ".join(_sql_ipf_stage(i) for i in range(IPF_ITERS))
+
+
+@query(
+    "ipf_raking_weights",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_nationkey AS g1, c_mktsegment AS g2,
+             CAST(COUNT(*) AS HUGEINT) AS n
+      FROM customer GROUP BY 1, 2
+    ), marg AS (
+      SELECT CAST(SUM(n) AS HUGEINT) AS tot,
+             CAST(COUNT(DISTINCT g1) AS HUGEINT) AS n1,
+             CAST(COUNT(DISTINCT g2) AS HUGEINT) AS n2
+      FROM cells
+    ), w0 AS (
+      SELECT g1, g2, n,
+             (SELECT tot // n1 FROM marg) AS r_target,
+             (SELECT tot // n2 FROM marg) AS c_target,
+             CAST({IPF_PPM} AS HUGEINT) AS w
+      FROM cells
+    ),
+    {_IPF_STAGES}
+    SELECT CAST(g1 AS BIGINT) AS nationkey, g2 AS segment,
+           CAST(n AS BIGINT) AS n_customers,
+           ROUND(CAST(w AS DOUBLE) / {IPF_PPM}, 6) AS weight
+    FROM w{IPF_ITERS}
+    ORDER BY nationkey, segment
+    """,
+)
+def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rake the customer base to uniform nation and segment margins:
+    the per-cell weights that make every nation and every market
+    segment carry equal weighted mass — what a survey/eval pipeline
+    applies when its sample over-represents some strata (the same
+    math rebalances a training-data mixture to target domain shares
+    with two-way constraints, which single-axis reweighting like
+    `domain_mixture_reweight` cannot).
+
+    Determinism and the iteration: see :func:`ipf_weights_from_grid` —
+    integer-ppm weights, floor-division scalings, byte-identical
+    convergence; the oracle unrolls the same {IPF_ITERS} double-scaling
+    stages as CTEs (the PageRank oracle pattern).
+
+    Scale shape: one fact aggregate into the 25×5 cell grid; each
+    scaling stage is a grid-axis group-by + broadcast join over 125
+    rows."""
+    cust = load(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    cells = cust.groupBy(
+        F.col("c_nationkey").alias("g1"), F.col("c_mktsegment").alias("g2")
+    ).agg(F.count("*").cast(dec).alias("n"))
+    marg = cells.agg(
+        F.sum("n").alias("tot"),
+        F.countDistinct("g1").alias("n1"),
+        F.countDistinct("g2").alias("n2"),
+    )
+    grid = cells.crossJoin(F.broadcast(marg)).select(
+        "g1",
+        "g2",
+        "n",
+        F.expr("cast(tot as bigint) div n1").alias("r_target"),
+        F.expr("cast(tot as bigint) div n2").alias("c_target"),
+    )
+    w = ipf_weights_from_grid(grid)
+    return w.select(
+        F.col("g1").cast("bigint").alias("nationkey"),
+        F.col("g2").alias("segment"),
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(F.col("w").cast("double") / IPF_PPM, 6).alias("weight"),
+    ).orderBy("nationkey", "segment")

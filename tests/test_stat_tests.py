@@ -166,3 +166,58 @@ def test_kmv_estimates_are_close_to_exact(spark, sf_dir):
     tot_err = sum(abs(r.est_intersection - r.exact_intersection) for r in rows)
     tot = sum(r.exact_intersection for r in rows)
     assert tot_err / tot < 0.2
+
+
+def _ref_ipf(cells, r_t, c_t, iters, ppm=10**6):
+    """Scalar reference running the SAME integer recurrence."""
+    w = {k: ppm for k in cells}
+    for _ in range(iters):
+        row_tot = {}
+        for (g1, _g2), n in cells.items():
+            row_tot[g1] = row_tot.get(g1, 0) + w[(g1, _g2)] * n
+        w = {
+            k: (w[k] * r_t * ppm) // row_tot[k[0]] for k in cells
+        }
+        col_tot = {}
+        for (g1, g2), n in cells.items():
+            col_tot[g2] = col_tot.get(g2, 0) + w[(g1, g2)] * n
+        w = {k: (w[k] * c_t * ppm) // col_tot[k[1]] for k in cells}
+    return w
+
+
+def test_ipf_matches_scalar_recurrence_and_converges(spark):
+    import random as _random
+
+    from bigdata_2025_1_spark.operators.statistics import (
+        IPF_PPM,
+        ipf_weights_from_grid,
+    )
+
+    rng = _random.Random(59)
+    for trial in range(3):
+        n1, n2 = rng.randint(2, 4), rng.randint(2, 4)
+        cells = {
+            (a, f"s{b}"): rng.randint(1, 50)
+            for a in range(n1)
+            for b in range(n2)
+        }
+        tot = sum(cells.values())
+        r_t, c_t = tot // n1, tot // n2
+        from decimal import Decimal
+
+        grid = spark.createDataFrame(
+            [(g1, g2, Decimal(n), r_t, c_t) for (g1, g2), n in cells.items()],
+            "g1 long, g2 string, n decimal(38,0), r_target long, c_target long",
+        )
+        out = {
+            (r.g1, r.g2): int(r.w)
+            for r in ipf_weights_from_grid(grid, iters=4).collect()
+        }
+        ref = _ref_ipf(cells, r_t, c_t, iters=4)
+        assert out == ref, (trial, cells)
+        # margins converge: weighted column totals near the target
+        col_tot = {}
+        for (g1, g2), n in cells.items():
+            col_tot[g2] = col_tot.get(g2, 0) + ref[(g1, g2)] * n
+        for g2, t in col_tot.items():
+            assert abs(t / IPF_PPM - c_t) / c_t < 0.01, (g2, t, c_t)
