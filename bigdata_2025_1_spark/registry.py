@@ -55,7 +55,7 @@ ORACLES: dict[str, str] = {}
 # REPLACING a proven-green head entry, never by growing past 50. New
 # round-7 queries therefore queue for round 8, NOT the head.
 #
-# ROUND-8 ROTATION PLAN: head takes (a) the 24 round-7 additions (none
+# ROUND-8 ROTATION PLAN: head takes (a) the 27 round-7 additions (none
 # has a driver row; all selfchecked tuned + vanilla when added):
 #   mann_whitney_segment_spend, spearman_qty_price, ks_value_drift,
 #   gini_stump_threshold, roc_auc_holdout, average_precision_holdout,
@@ -66,12 +66,14 @@ ORACLES: dict[str, str] = {}
 #   kneser_ney_bigram, negative_sampling_pairs,
 #   linear_attribution_revenue, qini_uplift_curve,
 #   woe_information_value, conformal_interval_coverage,
-#   eb_shrunk_supplier_rates, median_ci_orderstat;
+#   eb_shrunk_supplier_rates, median_ci_orderstat,
+#   cuped_adjusted_uplift, kmv_intersection_estimate,
+#   ipf_raking_weights;
 # then (b) the 11 remaining r2-vintage stale greens:
 # (sequence_packing, corpus_end_to_end, stratified_source_cap,
 # corpus_temperature_mix, domain_doc_stats, global_size_stats,
 # metadata_extract, wordcount, udtf_bigrams, date_features,
-# string_functions_showcase); then (c) 15 spare slots for the oldest
+# string_functions_showcase); then (c) 12 spare slots for the oldest
 # r3-vintage greens. After that lands green, no green row predates
 # round 3 and the never-checked backlog is the round-8 additions alone.
 PRIORITY_HEAD: tuple[str, ...] = (
