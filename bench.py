@@ -69,6 +69,17 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # the vocabulary-guard count() warms the shared tokenization cache
 # before the five consumers race it, a net win.
 #
+# Round-7 additions note (measured at sf0.1 during the round, single
+# run, concurrent with a selfcheck — read as order-of-magnitude): all
+# 19 then-benched round-7 queries landed 0.4–2.6 s; the heaviest are
+# spearman_qty_price (2.6 s — the price-cents midrank map is an
+# equi-join on the value key, row-scale by design) and
+# brown_forsythe_spend_variance (1.6 s — two passes: median histogram
+# + ANOVA tail). Mid-round rewrite, same-session A/B at sf0.01:
+# crossval_auc_folds 9.6 → 2.0 s when the per-fold test histogram
+# switched from a second fact scan to algebra over the persisted
+# (fold, d) contingency (4 scans → 1, plan-pinned).
+#
 # Round-4 variance note: five full runs on the same code measured the
 # 34-query shared subtotal at 24.7 / 27.8 / 29.8 / 31.1 / 34.9 s (r3
 # recorded 27.5 s) and single queries swung 2.5x between consecutive
