@@ -1365,3 +1365,11 @@ def test_isotonic_pair_grid_jside_broadcasts(spark, sf_dir):
     df = QUERIES["isotonic_calibration"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_kmv_bottom_k_uses_window_group_limit(spark, sf_dir):
+    """The per-type bottom-k sketch must compile to WindowGroupLimit
+    (map-side partial limits before the shuffle) — never a full
+    per-type sort of the entity-scale distinct-user stream."""
+    plan = formatted_plan(QUERIES["kmv_intersection_estimate"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
