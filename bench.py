@@ -247,6 +247,8 @@ HEADLINE = [
     "cuped_adjusted_uplift",
     "kmv_intersection_estimate",
     "ipf_raking_weights",
+    "chao1_vocab_coverage",
+    "capture_recapture_population",
 ]
 
 

@@ -1346,3 +1346,79 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         log, "step int, pair string, n bigint, merged string"
     ).orderBy("step")
+
+
+# --- unseen-mass estimation (round 7) ---------------------------------------
+
+
+@query(
+    "chao1_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_SQL_TOKS}) AS w FROM documents
+    ), tf AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ), spec AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS d,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM tf
+    )
+    SELECT d AS observed_types, n AS n_tokens, f1 AS singletons,
+           f2 AS doubletons,
+           CASE WHEN f2 > 0 THEN
+             ROUND(d + CAST(f1 AS DOUBLE) * f1 / (2 * f2), 3)
+           ELSE ROUND(d + CAST(f1 AS DOUBLE) * (f1 - 1) / 2, 3)
+           END AS chao1_estimate,
+           CASE WHEN n > 0 THEN
+             ROUND(CAST(f1 AS DOUBLE) / n, 9) END AS gt_unseen_mass,
+           CASE WHEN n > 0 THEN
+             ROUND(1 - CAST(f1 AS DOUBLE) / n, 9) END AS gt_coverage
+    FROM spec
+    """,
+)
+def chao1_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much vocabulary have we NOT seen yet? Chao1's lower bound on
+    total type richness (observed + f1²/2f2 from the
+    frequency-of-frequencies; bias-corrected form when no doubletons)
+    and Turing's estimate of the unseen probability mass (f1/N — the
+    Good-Turing leave-one-out argument). The corpus-planning readout:
+    a high unseen mass says more crawling will keep buying new
+    vocabulary; coverage near 1 says the source is mined out. Composes
+    the same spectrum `vocab_frequency_spectrum` reports raw.
+
+    Determinism: f1/f2/D/N are exact integer reductions of the
+    token-TYPE table; both estimators are single pinned double chains
+    under identical CASE guards (Chao1 switches to the bias-corrected
+    form when f2 = 0).
+
+    Scale shape: one map-side-combinable type count, one scalar
+    reduction — the spectrum never materializes per-token state."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    tf = (
+        docs.select(F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    spec = tf.agg(
+        F.count("*").alias("d"),
+        F.sum("c").alias("n"),
+        F.sum((F.col("c") == 1).cast("bigint")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("bigint")).alias("f2"),
+    )
+    f1d = F.col("f1").cast("double")
+    chao = F.when(
+        F.col("f2") > 0,
+        F.round(F.col("d") + f1d * F.col("f1") / (2 * F.col("f2")), 3),
+    ).otherwise(F.round(F.col("d") + f1d * (F.col("f1") - 1) / 2, 3))
+    okn = F.col("n") > 0
+    return spec.select(
+        F.col("d").alias("observed_types"),
+        F.col("n").alias("n_tokens"),
+        F.col("f1").alias("singletons"),
+        F.col("f2").alias("doubletons"),
+        chao.alias("chao1_estimate"),
+        F.when(okn, F.round(f1d / F.col("n"), 9)).alias("gt_unseen_mass"),
+        F.when(okn, F.round(1 - f1d / F.col("n"), 9)).alias("gt_coverage"),
+    )

@@ -2610,3 +2610,90 @@ def cuped_adjusted_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(hast, F.col("theta6") / 1e6).alias("theta"),
         "var_reduction",
     )
+
+
+# --- capture-recapture population estimate (round 7) ------------------------
+
+CR_CAPTURE_A = "view"
+CR_CAPTURE_B = "click"
+
+
+@query(
+    "capture_recapture_population",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = '{CR_CAPTURE_A}'
+    ), b AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = '{CR_CAPTURE_B}'
+    ), m AS (
+      SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n1,
+             CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n2,
+             CAST((SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS BIGINT)
+               AS overlap,
+             CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+               AS observed_total
+    )
+    SELECT n1, n2, overlap, observed_total,
+           ROUND(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (overlap + 1) - 1, 3)
+             AS chapman_estimate,
+           CASE WHEN overlap > 0 THEN
+             ROUND(CAST(observed_total AS DOUBLE)
+                   / (CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (overlap + 1) - 1),
+                   6) END AS coverage_ratio
+    FROM m
+    """,
+)
+def capture_recapture_population(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman's capture-recapture estimate of the TOTAL population from
+    two overlapping observation channels: treat '{CR_CAPTURE_A}'-ers and
+    '{CR_CAPTURE_B}'-ers as two captures of the same user universe; the
+    bias-corrected Lincoln-Petersen estimator (n1+1)(n2+1)/(m+1) − 1
+    says how many users exist INCLUDING the ones neither channel saw.
+    The same arithmetic estimates crawl-frontier completeness (two
+    independent discovery passes → how many pages exist that neither
+    found) — the coverage question a collection pipeline cannot answer
+    by counting what it has.
+
+    Determinism: three exact distinct counts and one keyed semi-join
+    overlap; Chapman and the coverage ratio are single pinned double
+    chains (Chapman is well-defined even at zero overlap; the coverage
+    ratio guards it).
+
+    Scale shape: distinct-user sets are keyed aggregates; the overlap
+    is one equi-join of entity-keyed frames; output is one row."""
+    ev = load(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.col("event_type") == CR_CAPTURE_A)
+        .select("user_id")
+        .distinct()
+    )
+    b = (
+        ev.filter(F.col("event_type") == CR_CAPTURE_B)
+        .select("user_id")
+        .distinct()
+    )
+    m = (
+        a.agg(F.count("*").alias("n1"))
+        .crossJoin(b.agg(F.count("*").alias("n2")))
+        .crossJoin(a.join(b, "user_id").agg(F.count("*").alias("overlap")))
+        .crossJoin(
+            ev.agg(F.countDistinct("user_id").alias("observed_total"))
+        )
+    )
+    chapman = (
+        (F.col("n1") + 1).cast("double")
+        * (F.col("n2") + 1)
+        / (F.col("overlap") + 1)
+        - 1
+    )
+    return m.select(
+        "n1",
+        "n2",
+        "overlap",
+        "observed_total",
+        F.round(chapman, 3).alias("chapman_estimate"),
+        F.when(
+            F.col("overlap") > 0,
+            F.round(F.col("observed_total").cast("double") / chapman, 6),
+        ).alias("coverage_ratio"),
+    )

@@ -57,3 +57,40 @@ def test_bpe_pairs_on_known_word(spark):
     # banana -> ba an na na an na (x2 docs' words) ; split -> sp pl li it
     assert ("an", 4) in got and ("na", 4) in got and ("ba", 2) in got
     assert ("sp", 1) in got and ("it", 1) in got
+
+
+def test_chao1_matches_scalar_spectrum(spark, sf_dir):
+    from collections import Counter
+
+    from bigdata_2025_1_spark.operators.corpus_ops import chao1_vocab_coverage
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    cnt = Counter(w for t in texts for w in t.lower().split())
+    d, n = len(cnt), sum(cnt.values())
+    f1 = sum(1 for c in cnt.values() if c == 1)
+    f2 = sum(1 for c in cnt.values() if c == 2)
+    out = chao1_vocab_coverage(spark, sf_dir).collect()[0]
+    assert (out.observed_types, out.n_tokens) == (d, n)
+    assert (out.singletons, out.doubletons) == (f1, f2)
+    chao = d + f1 * f1 / (2 * f2) if f2 else d + f1 * (f1 - 1) / 2
+    assert abs(out.chao1_estimate - chao) < 1e-3
+    assert out.chao1_estimate >= d  # richness bound is at least observed
+
+
+def test_capture_recapture_brackets_observed(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.events_ops import (
+        capture_recapture_population,
+    )
+
+    out = capture_recapture_population(spark, sf_dir).collect()[0]
+    # Chapman never estimates fewer than the larger capture
+    assert out.chapman_estimate >= max(out.n1, out.n2)
+    assert out.overlap <= min(out.n1, out.n2)
+    # scalar recomputation
+    chap = (out.n1 + 1) * (out.n2 + 1) / (out.overlap + 1) - 1
+    assert abs(out.chapman_estimate - chap) < 1e-3
