@@ -249,6 +249,7 @@ HEADLINE = [
     "ipf_raking_weights",
     "chao1_vocab_coverage",
     "capture_recapture_population",
+    "neyman_allocation",
 ]
 
 

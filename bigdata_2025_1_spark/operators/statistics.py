@@ -3416,3 +3416,133 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_customers"),
         F.round(F.col("w").cast("double") / IPF_PPM, 6).alias("weight"),
     ).orderBy("nationkey", "segment")
+
+
+# --- Neyman allocation with exact apportionment (round 7) -------------------
+
+NEYMAN_BUDGET = 1000
+
+
+@query(
+    "neyman_allocation",
+    oracle=f"""
+    WITH m AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             SUM(CAST(ROUND(o.o_totalprice * 1e2) AS HUGEINT)) AS s1,
+             SUM(CAST(ROUND(o.o_totalprice * 1e2) AS HUGEINT)
+                 * CAST(ROUND(o.o_totalprice * 1e2) AS HUGEINT)) AS s2
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    ), w AS (
+      SELECT segment, n_h,
+             -- weight_i2 = N_h * std_h in integer cents, rounded once
+             CAST(ROUND(n_h * sqrt(GREATEST(
+               CAST(s2 AS DOUBLE) / n_h
+               - (CAST(s1 AS DOUBLE) / n_h) * (CAST(s1 AS DOUBLE) / n_h),
+               0))) AS BIGINT) AS wgt
+      FROM m
+    ), tot AS (
+      SELECT CAST(SUM(wgt) AS HUGEINT) AS wt, CAST(SUM(n_h) AS BIGINT) AS nt
+      FROM w
+    ), quota AS (
+      SELECT segment, n_h, wgt,
+             CAST(CAST(wgt AS HUGEINT) * {NEYMAN_BUDGET} // wt AS BIGINT)
+               AS base,
+             CAST(CAST(wgt AS HUGEINT) * {NEYMAN_BUDGET} % wt AS BIGINT)
+               AS rem
+      FROM w, tot
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, segment) AS rr,
+             CAST({NEYMAN_BUDGET} - SUM(base) OVER () AS BIGINT) AS leftover
+      FROM quota
+    )
+    SELECT r.segment, r.n_h,
+           ROUND(CAST(r.wgt AS DOUBLE) / 100, 2) AS neyman_weight,
+           CAST(r.base + CASE WHEN r.rr <= r.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocated,
+           CAST(CAST(r.n_h AS HUGEINT) * {NEYMAN_BUDGET} // t.nt AS BIGINT)
+             AS proportional
+    FROM ranked r, tot t
+    ORDER BY segment
+    """,
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: for a
+    {NEYMAN_BUDGET}-row sampling budget over the market segments,
+    allocate n_h ∝ N_h·S_h (stratum size × stratum std of order value)
+    — the design that minimizes the estimator variance, next to the
+    proportional allocation it beats when strata differ in spread.
+    Integer seats come from largest-remainder (Hamilton) apportionment,
+    so the allocations sum EXACTLY to the budget.
+
+    Determinism: stratum moments are exact integers; each weight
+    rounds once to integer cents; quotas use exact integer floor
+    division with the remainder ranked under a (rem DESC, segment)
+    total order — apportionment is integer arithmetic end-to-end, no
+    float seat ever materializes.
+
+    Scale shape: one map-side-combinable stratum aggregate; everything
+    after it is ≤|strata|-row arithmetic (the leftover window runs over
+    5 rows)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    v = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    m = (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(F.col("c_mktsegment").alias("segment"), v.alias("v"))
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_h"),
+            F.sum(F.col("v").cast(dec)).alias("s1"),
+            F.sum(F.col("v").cast(dec) * F.col("v")).alias("s2"),
+        )
+    )
+    mu = F.col("s1").cast("double") / F.col("n_h")
+    var = F.greatest(
+        F.col("s2").cast("double") / F.col("n_h") - mu * mu, F.lit(0.0)
+    )
+    w = m.select(
+        "segment",
+        "n_h",
+        F.round(F.col("n_h") * F.sqrt(var)).cast("bigint").alias("wgt"),
+    )
+    tot = w.agg(
+        F.sum(F.col("wgt").cast(dec)).alias("wt"), F.sum("n_h").alias("nt")
+    )
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "n_h",
+        "wgt",
+        "nt",
+        int_div_exact(F.col("wgt").cast(dec) * NEYMAN_BUDGET, F.col("wt"))
+        .cast("bigint")
+        .alias("base"),
+        (F.col("wgt").cast(dec) * NEYMAN_BUDGET % F.col("wt"))
+        .cast(dec)
+        .alias("rem"),
+    )
+    wr = Window.orderBy(F.desc("rem"), "segment")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = quota.withColumn("rr", F.row_number().over(wr)).withColumn(
+        "leftover", NEYMAN_BUDGET - F.sum("base").over(wall)
+    )
+    return ranked.select(
+        "segment",
+        "n_h",
+        F.round(F.col("wgt").cast("double") / 100, 2).alias("neyman_weight"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("allocated"),
+        int_div_exact(
+            F.col("n_h").cast(dec) * NEYMAN_BUDGET, F.col("nt").cast(dec)
+        )
+        .cast("bigint")
+        .alias("proportional"),
+    ).orderBy("segment")

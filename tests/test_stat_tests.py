@@ -221,3 +221,22 @@ def test_ipf_matches_scalar_recurrence_and_converges(spark):
             col_tot[g2] = col_tot.get(g2, 0) + ref[(g1, g2)] * n
         for g2, t in col_tot.items():
             assert abs(t / IPF_PPM - c_t) / c_t < 0.01, (g2, t, c_t)
+
+
+def test_neyman_allocation_sums_to_budget(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.statistics import (
+        NEYMAN_BUDGET,
+        neyman_allocation,
+    )
+
+    rows = neyman_allocation(spark, sf_dir).collect()
+    assert sum(r.allocated for r in rows) == NEYMAN_BUDGET
+    # Hamilton: every allocation within 1 of its real-valued quota
+    wt = sum(r.neyman_weight for r in rows)
+    for r in rows:
+        q = r.neyman_weight / wt * NEYMAN_BUDGET
+        assert q - 1 <= r.allocated <= q + 1, (r.segment, q, r.allocated)
+    # proportional column is the plain size-based floor quota
+    nt = sum(r.n_h for r in rows)
+    for r in rows:
+        assert r.proportional == r.n_h * NEYMAN_BUDGET // nt
