@@ -250,6 +250,8 @@ HEADLINE = [
     "chao1_vocab_coverage",
     "capture_recapture_population",
     "neyman_allocation",
+    "hill_tail_index",
+    "mahalanobis_outliers",
 ]
 
 

@@ -3546,3 +3546,206 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("proportional"),
     ).orderBy("segment")
+
+
+# --- heavy-tail index + multivariate outliers (round 7) ---------------------
+
+HILL_K = 200
+
+
+@query(
+    "hill_tail_index",
+    oracle=f"""
+    WITH topk AS (
+      SELECT CAST(ROUND(o_totalprice * 1e2) AS BIGINT) AS v
+      FROM orders
+      ORDER BY v DESC, o_orderkey LIMIT {HILL_K + 1}
+    ), mink AS (
+      SELECT MIN(v) AS vk, CAST(COUNT(*) AS BIGINT) AS cnt FROM topk
+    ), lsum AS (
+      SELECT SUM(CAST(ROUND(ln(CAST(t.v AS DOUBLE) / m.vk) * 1e6) AS BIGINT))
+               AS s6,
+             m.vk, m.cnt
+      FROM topk t, mink m
+      WHERE t.v > m.vk
+      GROUP BY m.vk, m.cnt
+    )
+    SELECT CAST(cnt - 1 AS BIGINT) AS k_used,
+           CAST(vk AS DOUBLE) / 100 AS threshold,
+           CASE WHEN s6 > 0 THEN
+             ROUND(CAST(cnt - 1 AS DOUBLE) * 1e6 / s6, 6) END AS hill_alpha,
+           CASE WHEN s6 > 0 THEN
+             ROUND(CAST(s6 AS DOUBLE) / (cnt - 1) / 1e6, 6) END AS mean_log_excess
+    FROM lsum
+    """,
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the heavy-tail index over the top-{HILL_K}
+    order values: α̂ = k / Σ ln(x_(i)/x_(k+1)) — the standard tail-
+    thickness readout (α ≤ 2 ⇒ infinite variance: means and z-tests
+    stop being meaningful; the companion diagnostic to
+    `zipf_exponent_fit`, which fits frequencies where this fits
+    magnitudes). Heavy tails are exactly where skew-handling budgets
+    (salting, AQE) get spent, so the index doubles as a planning
+    signal.
+
+    Determinism: the top-(k+1) set is a TakeOrdered under a (value,
+    key) total order; each log excess rounds once to i6 (the repo's ln
+    contract) and the sum is then exact integer; α̂ is one pinned
+    division. Ties with the threshold drop out of the sum identically
+    in both engines (v > v_k).
+
+    Scale shape: TakeOrdered(k+1) — map-side partial top-k, no sort of
+    the table; the rest is k-row arithmetic."""
+    orders = load(spark, sf_dir, "orders")
+    topk = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+            "o_orderkey",
+        )
+        .orderBy(F.desc("v"), "o_orderkey")
+        .limit(HILL_K + 1)
+    )
+    mink = topk.agg(F.min("v").alias("vk"), F.count("*").alias("cnt"))
+    lsum = (
+        topk.crossJoin(F.broadcast(mink))
+        .filter(F.col("v") > F.col("vk"))
+        .groupBy("vk", "cnt")
+        .agg(
+            F.sum(
+                F.round(
+                    F.log(F.col("v").cast("double") / F.col("vk")) * 1e6
+                ).cast("bigint")
+            ).alias("s6")
+        )
+    )
+    ok = F.col("s6") > 0
+    return lsum.select(
+        (F.col("cnt") - 1).cast("bigint").alias("k_used"),
+        (F.col("vk").cast("double") / 100).alias("threshold"),
+        F.when(
+            ok,
+            F.round((F.col("cnt") - 1).cast("double") * 1e6 / F.col("s6"), 6),
+        ).alias("hill_alpha"),
+        F.when(
+            ok,
+            F.round(F.col("s6").cast("double") / (F.col("cnt") - 1) / 1e6, 6),
+        ).alias("mean_log_excess"),
+    )
+
+
+MAHA_TOP = 20
+
+
+@query(
+    "mahalanobis_outliers",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_quantity * 1e2) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 1e2) AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM rows_
+    ), cov AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+             CAST(n * sxx - sx * sx AS DOUBLE) / n / n AS vxx,
+             CAST(n * sxy - sx * sy AS DOUBLE) / n / n AS vxy,
+             CAST(n * syy - sy * sy AS DOUBLE) / n / n AS vyy
+      FROM m
+    ), scored AS (
+      SELECT r.l_orderkey, r.l_linenumber,
+             CAST(r.x AS DOUBLE) / 100 AS quantity,
+             CAST(r.y AS DOUBLE) / 100 AS price,
+             CAST(ROUND(
+               ((r.x - c.mx) * (r.x - c.mx) * c.vyy
+                - 2 * (r.x - c.mx) * (r.y - c.my) * c.vxy
+                + (r.y - c.my) * (r.y - c.my) * c.vxx)
+               / (c.vxx * c.vyy - c.vxy * c.vxy) * 1e6) AS BIGINT) AS d2_i6
+      FROM rows_ r, cov c
+      WHERE c.vxx * c.vyy - c.vxy * c.vxy > 0
+    )
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           quantity, price,
+           ROUND(d2_i6 / 1e6, 6) AS mahalanobis_d2
+    FROM scored
+    ORDER BY d2_i6 DESC, orderkey, linenumber LIMIT {MAHA_TOP}
+    """,
+)
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outliers by Mahalanobis distance on (quantity,
+    price): the covariance-aware distance that flags rows UNUSUAL FOR
+    THE JOINT distribution — a cheap line that is normal on both axes
+    separately (what `zscore_outliers`/`mad_value_outliers` check)
+    still screams here if quantity and price disagree with their usual
+    relationship. The 2×2 inverse is closed-form, so the whole score is
+    scan-side arithmetic.
+
+    Determinism: the five covariance moments are exact integers; the
+    per-row d² is one pinned double chain frozen to i6 BEFORE the
+    argmax, ranked under a (d², orderkey, linenumber) total order;
+    degenerate covariance (singular) yields zero rows via identical
+    guards.
+
+    Scale shape: one scalar moment aggregate + one broadcast of the
+    5-number covariance back onto the scan; top-k is TakeOrdered —
+    the fact table is scanned twice and sorted never."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    rows = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    m = rows.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = m.select(
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+        (F.col("sy").cast("double") / F.col("n")).alias("my"),
+        ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double") / nd / nd).alias("vxx"),
+        ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / nd / nd).alias("vxy"),
+        ((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double") / nd / nd).alias("vyy"),
+    )
+    det = F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy")
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    d2 = (
+        dx * dx * F.col("vyy") - 2 * dx * dy * F.col("vxy") + dy * dy * F.col("vxx")
+    ) / det
+    scored = (
+        rows.crossJoin(F.broadcast(cov))
+        .filter(det > 0)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            (F.col("x").cast("double") / 100).alias("quantity"),
+            (F.col("y").cast("double") / 100).alias("price"),
+            F.round(d2 * 1e6).cast("bigint").alias("d2_i6"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("d2_i6"), "orderkey", "linenumber")
+        .limit(MAHA_TOP)
+        .select(
+            "orderkey",
+            "linenumber",
+            "quantity",
+            "price",
+            F.round(F.col("d2_i6") / 1e6, 6).alias("mahalanobis_d2"),
+        )
+        .orderBy(F.desc("mahalanobis_d2"), "orderkey", "linenumber")
+    )

@@ -240,3 +240,56 @@ def test_neyman_allocation_sums_to_budget(spark, sf_dir):
     nt = sum(r.n_h for r in rows)
     for r in rows:
         assert r.proportional == r.n_h * NEYMAN_BUDGET // nt
+
+
+def test_hill_alpha_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.statistics import HILL_K, hill_tail_index
+
+    vals = sorted(
+        (
+            int(round(r.o_totalprice * 100))
+            for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_totalprice")
+            .collect()
+        ),
+        reverse=True,
+    )
+    top = vals[: HILL_K + 1]
+    vk = top[-1]
+    s6 = sum(round(math.log(v / vk) * 1e6) for v in top if v > vk)
+    k_used = len(top) - 1
+    out = hill_tail_index(spark, sf_dir).collect()[0]
+    assert out.k_used == k_used and out.threshold == vk / 100
+    assert abs(out.hill_alpha - k_used * 1e6 / s6) < 1e-5
+
+
+def test_mahalanobis_top_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.statistics import mahalanobis_outliers
+
+    rows = [
+        (int(round(r.l_quantity * 100)), int(round(r.l_extendedprice * 100)))
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_quantity", "l_extendedprice")
+        .collect()
+    ]
+    n = len(rows)
+    sx = sum(x for x, _ in rows)
+    sy = sum(y for _, y in rows)
+    mx, my = sx / n, sy / n
+    vxx = (n * sum(x * x for x, _ in rows) - sx * sx) / n / n
+    vxy = (n * sum(x * y for x, y in rows) - sx * sy) / n / n
+    vyy = (n * sum(y * y for _, y in rows) - sy * sy) / n / n
+    det = vxx * vyy - vxy * vxy
+    best = max(
+        round(
+            ((x - mx) ** 2 * vyy - 2 * (x - mx) * (y - my) * vxy + (y - my) ** 2 * vxx)
+            / det
+            * 1e6
+        )
+        for x, y in rows
+    )
+    out = mahalanobis_outliers(spark, sf_dir).collect()
+    assert len(out) == min(20, n)
+    assert abs(out[0].mahalanobis_d2 - best / 1e6) < 1e-6
+    d2s = [r.mahalanobis_d2 for r in out]
+    assert d2s == sorted(d2s, reverse=True)
