@@ -252,6 +252,7 @@ HEADLINE = [
     "neyman_allocation",
     "hill_tail_index",
     "mahalanobis_outliers",
+    "cochran_armitage_trend",
 ]
 
 

@@ -3749,3 +3749,87 @@ def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("mahalanobis_d2"), "orderkey", "linenumber")
     )
+
+
+@query(
+    "cochran_armitage_trend",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(ROUND(l_discount * 1e2) AS BIGINT) AS s,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+    ), g AS (
+      SELECT s, CAST(SUM(pos) AS BIGINT) AS r_i, CAST(COUNT(*) AS BIGINT) AS n_i
+      FROM rows_ GROUP BY s
+    ), m AS (
+      SELECT CAST(SUM(n_i) AS HUGEINT) AS n, CAST(SUM(r_i) AS HUGEINT) AS r,
+             SUM(CAST(s AS HUGEINT) * n_i) AS sn,
+             SUM(CAST(s AS HUGEINT) * r_i) AS sr,
+             SUM(CAST(s AS HUGEINT) * s * n_i) AS ssn,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    )
+    SELECT k AS n_levels, CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_pos,
+           CASE WHEN n > 1 AND r > 0 AND r < n AND n * ssn > sn * sn THEN
+             ROUND(CAST(n * sr - r * sn AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+                   / sqrt(CAST(r AS DOUBLE) * (n - r))
+                   / sqrt(CAST(n * ssn - sn * sn AS DOUBLE)), 9)
+           END AS z_trend
+    FROM m
+    """,
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for TREND in proportions across ordered
+    discount levels: does the return rate increase monotonically with
+    discount? Chi-square independence (`chi_square_independence`)
+    ignores the ordering and wastes power; this is the one-degree-of-
+    freedom test experimentation and epidemiology use when the factor
+    is a dose. Scores are the discount cents themselves (the canonical
+    choice), so T = Σ s·(r_i − n_i·p̄) and z = T/√(p̄q̄·Σn(s−s̄)²).
+
+    Determinism: all five moments are exact HUGEINT/decimal integers
+    off one histogram; z is one pinned double chain rounded to 9, NULL
+    under the identical degenerate guards (single level, all-positive,
+    all-negative, zero score variance).
+
+    Scale shape: one map-side-combinable level histogram + one k-row
+    scalar reduction; nothing else."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    g = (
+        li.select(
+            F.round(F.col("l_discount") * 100).cast("bigint").alias("s"),
+            (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+        )
+        .groupBy("s")
+        .agg(F.sum("pos").alias("r_i"), F.count("*").alias("n_i"))
+    )
+    m = g.agg(
+        F.sum(F.col("n_i").cast(dec)).alias("n"),
+        F.sum(F.col("r_i").cast(dec)).alias("r"),
+        F.sum(F.col("s").cast(dec) * F.col("n_i")).alias("sn"),
+        F.sum(F.col("s").cast(dec) * F.col("r_i")).alias("sr"),
+        F.sum(F.col("s").cast(dec) * F.col("s") * F.col("n_i")).alias("ssn"),
+        F.count("*").alias("k"),
+    )
+    num = (F.col("n") * F.col("sr") - F.col("r") * F.col("sn")).cast("double")
+    vars = (F.col("n") * F.col("ssn") - F.col("sn") * F.col("sn")).cast("double")
+    rq = F.col("r").cast("double") * (F.col("n") - F.col("r")).cast("double")
+    ok = (
+        (F.col("n") > 1)
+        & (F.col("r") > 0)
+        & (F.col("r") < F.col("n"))
+        & (vars > 0)
+    )
+    return m.select(
+        F.col("k").alias("n_levels"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("r").cast("bigint").alias("n_pos"),
+        F.when(
+            ok,
+            F.round(
+                num * F.sqrt(F.col("n").cast("double")) / F.sqrt(rq) / F.sqrt(vars),
+                9,
+            ),
+        ).alias("z_trend"),
+    )

@@ -293,3 +293,33 @@ def test_mahalanobis_top_matches_scalar(spark, sf_dir):
     assert abs(out[0].mahalanobis_d2 - best / 1e6) < 1e-6
     d2s = [r.mahalanobis_d2 for r in out]
     assert d2s == sorted(d2s, reverse=True)
+
+
+def test_cochran_armitage_matches_scalar(spark, sf_dir):
+    """z must equal the textbook T/sqrt(Var T) with
+    T = sum s_i (r_i - n_i * pbar) — an independent scalar derivation
+    (the cross-engine oracle shares the query's formula, so only this
+    catches a standardization slip)."""
+    from collections import defaultdict
+
+    from bigdata_2025_1_spark.operators.statistics import cochran_armitage_trend
+
+    g = defaultdict(lambda: [0, 0])
+    for r in (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_discount", "l_returnflag")
+        .collect()
+    ):
+        s = int(round(r.l_discount * 100))
+        g[s][0] += 1 if r.l_returnflag == "R" else 0
+        g[s][1] += 1
+    n = sum(v[1] for v in g.values())
+    rr = sum(v[0] for v in g.values())
+    pbar = rr / n
+    sbar = sum(s * v[1] for s, v in g.items()) / n
+    t = sum(s * (v[0] - v[1] * pbar) for s, v in g.items())
+    var = pbar * (1 - pbar) * sum(v[1] * (s - sbar) ** 2 for s, v in g.items())
+    z = t / var**0.5
+    out = cochran_armitage_trend(spark, sf_dir).collect()[0]
+    assert out.n == n and out.n_pos == rr and out.n_levels == len(g)
+    assert abs(out.z_trend - z) < 1e-6, (out.z_trend, z)
