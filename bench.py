@@ -253,6 +253,7 @@ HEADLINE = [
     "hill_tail_index",
     "mahalanobis_outliers",
     "cochran_armitage_trend",
+    "bradley_terry_nation_strength",
 ]
 
 

@@ -1250,3 +1250,221 @@ def eb_shrunk_supplier_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("abs_correction"), "suppkey")
     )
+
+
+# --- Bradley-Terry preference strength (round 7 capstone) -------------------
+
+BT_ITERS = 6
+BT_I12 = 10**12
+BT_PPM = 10**6
+
+
+def _sql_bt_stage(k: int) -> str:
+    # every stage CTE is MATERIALIZED: pi{k+1} reads pi{k} twice, so
+    # inlined CTEs would re-derive the whole duel pipeline 2^ITERS times
+    # (measured: fd exhaustion before any result)
+    return f"""d{k} AS MATERIALIZED (
+      SELECT p.i, p.j,
+             CAST(p.games AS HUGEINT) * {BT_I12} // (a.v + b.v) AS d
+      FROM pairs p JOIN pi{k} a ON a.n = p.i JOIN pi{k} b ON b.n = p.j
+    ), dd{k} AS MATERIALIZED (
+      SELECT n, SUM(d) AS dsum
+      FROM (SELECT i AS n, d FROM d{k} UNION ALL SELECT j AS n, d FROM d{k})
+      GROUP BY n
+    ), raw{k} AS MATERIALIZED (
+      SELECT w.n, CAST(w.wins AS HUGEINT) * {BT_I12} // dd.dsum AS v
+      FROM wins w JOIN dd{k} dd USING (n)
+    ), pi{k + 1} AS MATERIALIZED (
+      SELECT n, v * (SELECT COUNT(*) * {BT_PPM} FROM wins)
+               // (SELECT SUM(v) FROM raw{k}) AS v
+      FROM raw{k}
+    )"""
+
+
+_BT_STAGES = ",\n    ".join(_sql_bt_stage(k) for k in range(BT_ITERS))
+
+
+@query(
+    "bradley_terry_nation_strength",
+    oracle=f"""
+    WITH nl AS MATERIALIZED (
+      SELECT o.o_orderkey AS ok, s.s_nationkey AS n,
+             SUM(CAST(ROUND(l.l_extendedprice * 1e2) AS HUGEINT)) AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY ok, n
+    ), duel AS MATERIALIZED (
+      SELECT a.n AS wi, b.n AS lo
+      FROM nl a JOIN nl b ON b.ok = a.ok AND a.n <> b.n AND a.rev > b.rev
+    ), wmat AS MATERIALIZED (
+      SELECT wi AS i, lo AS j, CAST(COUNT(*) AS BIGINT) AS c
+      FROM duel GROUP BY wi, lo
+    ), parts AS MATERIALIZED (
+      SELECT DISTINCT n FROM (SELECT i AS n FROM wmat
+                              UNION ALL SELECT j FROM wmat)
+    ), wins AS MATERIALIZED (
+      SELECT p.n, COALESCE(w.wins, 0) AS wins
+      FROM parts p LEFT JOIN (SELECT i AS n, CAST(SUM(c) AS BIGINT) AS wins
+                              FROM wmat GROUP BY i) w USING (n)
+    ), pairs AS MATERIALIZED (
+      SELECT LEAST(i, j) AS i, GREATEST(i, j) AS j,
+             CAST(SUM(c) AS BIGINT) AS games
+      FROM wmat GROUP BY 1, 2
+    ), pi0 AS MATERIALIZED (
+      SELECT n, CAST({BT_PPM} AS HUGEINT) AS v FROM parts
+    ),
+    {_BT_STAGES},
+    tot AS (
+      SELECT n, SUM(g) AS games_played FROM (
+        SELECT i AS n, games AS g FROM pairs
+        UNION ALL SELECT j, games FROM pairs) GROUP BY n
+    )
+    SELECT na.n_name AS nation, w.wins,
+           CAST(t.games_played AS BIGINT) AS games,
+           ROUND(CAST(p.v AS DOUBLE) / {BT_PPM}, 6) AS strength
+    FROM pi{BT_ITERS} p
+    JOIN wins w USING (n)
+    JOIN tot t USING (n)
+    JOIN nation na ON na.n_nationkey = p.n
+    ORDER BY strength DESC, nation
+    """,
+)
+def bradley_terry_nation_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths from pairwise comparisons —
+    the model under every RLHF reward model and chess-style rating:
+    P(i beats j) = π_i/(π_i+π_j), fit by the classic MM iteration
+    π_i ← W_i / Σ_j games_ij/(π_i+π_j) (Hunter 2004). Comparisons:
+    within each order whose lineitems span several supplier nations,
+    the nation with the larger line revenue beats each other nation in
+    that order (ties produce no comparison — pinned). The output is
+    the latent strength ranking with win/game counts.
+
+    Determinism: the PageRank integer-fixed-point convention — π lives
+    in integer ppm; each denominator term freezes to i12 by exact
+    floor division; each iteration renormalizes to Σπ = |nations|·1e6
+    in integers; {BT_ITERS} iterations unroll into the oracle's CTE
+    chain, so both engines walk byte-identical states. Zero-win
+    participants sink to strength 0 (their games still anchor
+    opponents' denominators).
+
+    Scale shape: comparisons come from an ORDER-KEYED self-join of the
+    per-(order, nation) revenue table — fan-out bounded by order line
+    count, never a global product; the MM loop then runs on the
+    |nations|-sized state (driver-loop + localCheckpoint, the
+    kmeans/IPF shape) with pair frames of |nations|² at most."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    dec = "decimal(38,0)"
+    nl = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(
+            F.col("o_orderkey").alias("ok"), F.col("s_nationkey").alias("n")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast(dec)
+            ).alias("rev")
+        )
+    )
+    b = nl.select(
+        F.col("ok").alias("ok2"), F.col("n").alias("lo"), F.col("rev").alias("rev2")
+    )
+    duel = nl.join(
+        b,
+        (F.col("ok2") == F.col("ok"))
+        & (F.col("lo") != F.col("n"))
+        & (F.col("rev") > F.col("rev2")),
+    ).select(F.col("n").alias("i"), F.col("lo").alias("j"))
+    wmat = duel.groupBy("i", "j").agg(F.count("*").alias("c")).persist()
+    parts = (
+        wmat.select(F.col("i").alias("n"))
+        .unionAll(wmat.select(F.col("j").alias("n")))
+        .distinct()
+    )
+    wins = parts.join(
+        wmat.groupBy(F.col("i").alias("n")).agg(F.sum("c").alias("w0")),
+        "n",
+        "left",
+    ).select("n", F.coalesce(F.col("w0"), F.lit(0)).alias("wins"))
+    pairs = (
+        wmat.select(
+            F.least("i", "j").alias("i"),
+            F.greatest("i", "j").alias("j"),
+            "c",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("c").alias("games"))
+        .persist()
+    )
+    n_parts = F.broadcast(parts.agg(F.count("*").alias("k")))
+    pi = parts.select("n", F.lit(BT_PPM).cast(dec).alias("v"))
+    for _ in range(BT_ITERS):
+        # |nations|-row state: collapse to one partition before the
+        # checkpoint so 8 iterations write 8 block files, not 8×|parts|
+        pi = pi.coalesce(1).localCheckpoint(eager=True)
+        a = pi.select(F.col("n").alias("i"), F.col("v").alias("va"))
+        bb = pi.select(F.col("n").alias("j"), F.col("v").alias("vb"))
+        d = (
+            pairs.join(F.broadcast(a), "i")
+            .join(F.broadcast(bb), "j")
+            .select(
+                "i",
+                "j",
+                int_div_exact(
+                    F.col("games").cast(dec) * BT_I12,
+                    F.col("va") + F.col("vb"),
+                ).alias("d"),
+            )
+        )
+        dd = (
+            d.select(F.col("i").alias("n"), "d")
+            .unionAll(d.select(F.col("j").alias("n"), "d"))
+            .groupBy("n")
+            .agg(F.sum("d").alias("dsum"))
+        )
+        raw = wins.join(dd, "n").select(
+            "n",
+            int_div_exact(
+                F.col("wins").cast(dec) * BT_I12, F.col("dsum")
+            ).alias("v"),
+        )
+        tot_v = F.broadcast(raw.agg(F.sum("v").alias("sv")))
+        pi = (
+            raw.crossJoin(tot_v)
+            .crossJoin(n_parts)
+            .select(
+                "n",
+                int_div_exact(
+                    F.col("v") * F.col("k").cast(dec) * BT_PPM, F.col("sv")
+                ).alias("v"),
+            )
+        )
+    tot = (
+        pairs.select(F.col("i").alias("n"), F.col("games").alias("g"))
+        .unionAll(pairs.select(F.col("j").alias("n"), F.col("games").alias("g")))
+        .groupBy("n")
+        .agg(F.sum("g").alias("games_played"))
+    )
+    return (
+        pi.join(wins, "n")
+        .join(tot, "n")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("n"), F.col("n_name").alias("nation")
+                )
+            ),
+            "n",
+        )
+        .select(
+            "nation",
+            "wins",
+            F.col("games_played").cast("bigint").alias("games"),
+            F.round(F.col("v").cast("double") / BT_PPM, 6).alias("strength"),
+        )
+        .orderBy(F.desc("strength"), "nation")
+    )

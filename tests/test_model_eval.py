@@ -299,3 +299,67 @@ def test_eb_shrinkage_pulls_toward_prior_mean(spark, sf_dir):
     # output is ranked by correction magnitude, descending
     deltas = [r.abs_correction for r in rows]
     assert deltas == sorted(deltas, reverse=True)
+
+
+def test_bradley_terry_matches_scalar_recurrence(spark, sf_dir):
+    """The distributed MM loop must walk the exact integer states of a
+    scalar Python implementation of the same recurrence."""
+    from bigdata_2025_1_spark.operators.model_eval import (
+        BT_I12,
+        BT_ITERS,
+        BT_PPM,
+        bradley_terry_nation_strength,
+    )
+
+    con = duckdb.connect()
+    wmat = con.execute(
+        f"""
+        WITH nl AS (
+          SELECT o.o_orderkey AS ok, s.s_nationkey AS n,
+                 SUM(CAST(ROUND(l.l_extendedprice * 1e2) AS HUGEINT)) AS rev
+          FROM read_parquet('{sf_dir}/lineitem.parquet') l
+          JOIN read_parquet('{sf_dir}/orders.parquet') o
+            ON o.o_orderkey = l.l_orderkey
+          JOIN read_parquet('{sf_dir}/supplier.parquet') s
+            ON s.s_suppkey = l.l_suppkey
+          GROUP BY ok, n
+        )
+        SELECT a.n, b.n, COUNT(*)
+        FROM nl a JOIN nl b ON b.ok = a.ok AND a.n <> b.n AND a.rev > b.rev
+        GROUP BY a.n, b.n
+        """
+    ).fetchall()
+    wins: dict[int, int] = {}
+    games: dict[tuple[int, int], int] = {}
+    parts = set()
+    for i, j, c in wmat:
+        parts |= {i, j}
+        wins[i] = wins.get(i, 0) + c
+        key = (min(i, j), max(i, j))
+        games[key] = games.get(key, 0) + c
+    pi = {n: BT_PPM for n in parts}
+    k = len(parts)
+    for _ in range(BT_ITERS):
+        dsum = {n: 0 for n in parts}
+        for (i, j), g in games.items():
+            d = g * BT_I12 // (pi[i] + pi[j])
+            dsum[i] += d
+            dsum[j] += d
+        raw = {n: wins.get(n, 0) * BT_I12 // dsum[n] for n in parts}
+        sv = sum(raw.values())
+        pi = {n: raw[n] * k * BT_PPM // sv for n in parts}
+    names = {
+        r.n_nationkey: r.n_name
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    }
+    expected = {
+        names[n]: round(v / BT_PPM, 6) for n, v in pi.items()
+    }
+    out = bradley_terry_nation_strength(spark, sf_dir).collect()
+    assert len(out) == len(parts)
+    for r in out:
+        assert r.strength == expected[r.nation], (r.nation, r.strength)
+    # strengths order consistently with win share for the extremes
+    by_strength = sorted(out, key=lambda r: -r.strength)
+    top, bot = by_strength[0], by_strength[-1]
+    assert top.wins / top.games >= bot.wins / bot.games
