@@ -639,15 +639,22 @@ N_FOLDS = 5
                      / 2 / (CAST(n1 AS DOUBLE) * (n - n1)), 9) END AS auc
       FROM m
     ), summ AS (
-      SELECT CAST(SUM(CAST(auc * 1e9 AS BIGINT)) AS BIGINT) AS sa9,
-             CAST(SUM(CAST(auc * 1e9 AS BIGINT) * CAST(auc * 1e9 AS BIGINT))
+      -- ROUND before the bigint cast: bare CAST(double AS BIGINT)
+      -- truncates in Spark but rounds in DuckDB (measured divergence)
+      SELECT CAST(SUM(CAST(ROUND(auc * 1e9) AS BIGINT)) AS BIGINT) AS sa9,
+             CAST(SUM(CAST(ROUND(auc * 1e9) AS BIGINT)
+                      * CAST(ROUND(auc * 1e9) AS BIGINT))
                   AS HUGEINT) AS qa18,
              COUNT(auc) AS kf
       FROM scored
     )
     SELECT fold, n1, n2, auc,
+           -- all-integer half-up mean: ROUND of sa9/kf/1e9 re-rounds an
+           -- exactly-quantized decimal through a double .5 boundary,
+           -- where the engines' tie-breaks differ by 1 ulp (seen at
+           -- sf0.001)
            CASE WHEN kf > 0 THEN
-             ROUND(CAST(sa9 AS DOUBLE) / kf / 1e9, 9) END AS mean_auc,
+             CAST((sa9 + kf // 2) // kf AS DOUBLE) / 1e9 END AS mean_auc,
            CASE WHEN kf > 1 THEN
              ROUND(sqrt((CAST(qa18 AS DOUBLE)
                          - CAST(sa9 AS DOUBLE) * sa9 / kf)
@@ -727,7 +734,7 @@ def crossval_auc_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.cast("bigint").alias("n2"),
         F.when(ok, F.round(num / 2 / (n1d * n2), 9)).alias("auc"),
     )
-    a9 = (F.col("auc") * 1e9).cast("bigint")
+    a9 = F.round(F.col("auc") * 1e9).cast("bigint")
     summ = scored.agg(
         F.sum(a9).alias("sa9"),
         F.sum(a9.cast(_DEC) * a9).alias("qa18"),
@@ -742,7 +749,7 @@ def crossval_auc_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "auc",
             F.when(
                 F.col("kf") > 0,
-                F.round(F.col("sa9").cast("double") / F.col("kf") / 1e9, 9),
+                F.expr("(sa9 + kf div 2) div kf").cast("double") / 1e9,
             ).alias("mean_auc"),
             F.when(
                 F.col("kf") > 1,
