@@ -78,7 +78,11 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # + ANOVA tail). Mid-round rewrite, same-session A/B at sf0.01:
 # crossval_auc_folds 9.6 → 2.0 s when the per-fold test histogram
 # switched from a second fact scan to algebra over the persisted
-# (fold, d) contingency (4 scans → 1, plan-pinned).
+# (fold, d) contingency (4 scans → 1, plan-pinned);
+# bradley_terry_nation_strength 12.1 → 2.3 s when the MM fixed point
+# moved from a checkpointed distributed loop (6 iterations × eager
+# job) into one pandas kernel over the collapsed pair table — the
+# kcore/pagerank collapsed-graph-kernel convention.
 #
 # Round-4 variance note: five full runs on the same code measured the
 # 34-query shared subtotal at 24.7 / 27.8 / 29.8 / 31.1 / 34.9 s (r3

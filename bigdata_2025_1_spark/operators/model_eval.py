@@ -1266,6 +1266,38 @@ BT_I12 = 10**12
 BT_PPM = 10**6
 
 
+def bt_mm_kernel(pdf):
+    """The Bradley-Terry MM fixed point on a packed frame of pair rows
+    (kind=0: i, j, w=games) and node rows (kind=1: i=node, w=wins) —
+    plain-Python integers so every state is exact and identical to the
+    oracle's unrolled CTE walk. Module-level (kcore/pagerank kernel
+    convention) so the recurrence is directly property-testable."""
+    import pandas as pd
+
+    pairs = []
+    wins: dict[int, int] = {}
+    for r in pdf.itertuples(index=False):
+        if r.kind == 0:
+            pairs.append((int(r.i), int(r.j), int(r.w)))
+        else:
+            wins[int(r.i)] = int(r.w)
+    parts = sorted(wins)
+    if not parts:
+        return pd.DataFrame({"n": [], "v": []})
+    k = len(parts)
+    pi = {n: BT_PPM for n in parts}
+    for _ in range(BT_ITERS):
+        dsum = {n: 0 for n in parts}
+        for i, j, g in pairs:
+            d = g * BT_I12 // (pi[i] + pi[j])
+            dsum[i] += d
+            dsum[j] += d
+        raw = {n: wins[n] * BT_I12 // dsum[n] for n in parts}
+        sv = sum(raw.values())
+        pi = {n: raw[n] * k * BT_PPM // sv for n in parts}
+    return pd.DataFrame({"n": parts, "v": [pi[n] for n in parts]})
+
+
 def _sql_bt_stage(k: int) -> str:
     # every stage CTE is MATERIALIZED: pi{k+1} reads pi{k} twice, so
     # inlined CTEs would re-derive the whole duel pipeline 2^ITERS times
@@ -1407,49 +1439,27 @@ def bradley_terry_nation_strength(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum("c").alias("games"))
         .persist()
     )
-    n_parts = F.broadcast(parts.agg(F.count("*").alias("k")))
-    pi = parts.select("n", F.lit(BT_PPM).cast(dec).alias("v"))
-    for _ in range(BT_ITERS):
-        # |nations|-row state: collapse to one partition before the
-        # checkpoint so 8 iterations write 8 block files, not 8×|parts|
-        pi = pi.coalesce(1).localCheckpoint(eager=True)
-        a = pi.select(F.col("n").alias("i"), F.col("v").alias("va"))
-        bb = pi.select(F.col("n").alias("j"), F.col("v").alias("vb"))
-        d = (
-            pairs.join(F.broadcast(a), "i")
-            .join(F.broadcast(bb), "j")
-            .select(
-                "i",
-                "j",
-                int_div_exact(
-                    F.col("games").cast(dec) * BT_I12,
-                    F.col("va") + F.col("vb"),
-                ).alias("d"),
-            )
+    # The MM fixed point runs in ONE pandas kernel over the collapsed
+    # pair/win table — the kcore/pagerank convention: state is
+    # collapsed-graph-sized (|nations|), so a driver-shaped kernel beats
+    # 2·ITERS tiny distributed stages (A/B at sf0.1: 12.1 s as a
+    # checkpointed distributed loop → kernel, see bench.py). For an
+    # ITEM-level BT whose vocabulary outgrows a partition, keep the
+    # distributed-stage shape (the TextRank counterpart) instead.
+    packed = pairs.select(
+        F.lit(0).alias("kind"), "i", "j", F.col("games").alias("w")
+    ).unionByName(
+        wins.select(
+            F.lit(1).alias("kind"),
+            F.col("n").alias("i"),
+            F.lit(0).alias("j"),
+            F.col("wins").alias("w"),
         )
-        dd = (
-            d.select(F.col("i").alias("n"), "d")
-            .unionAll(d.select(F.col("j").alias("n"), "d"))
-            .groupBy("n")
-            .agg(F.sum("d").alias("dsum"))
-        )
-        raw = wins.join(dd, "n").select(
-            "n",
-            int_div_exact(
-                F.col("wins").cast(dec) * BT_I12, F.col("dsum")
-            ).alias("v"),
-        )
-        tot_v = F.broadcast(raw.agg(F.sum("v").alias("sv")))
-        pi = (
-            raw.crossJoin(tot_v)
-            .crossJoin(n_parts)
-            .select(
-                "n",
-                int_div_exact(
-                    F.col("v") * F.col("k").cast(dec) * BT_PPM, F.col("sv")
-                ).alias("v"),
-            )
-        )
+    )
+    pi = (
+        packed.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(lambda pdf: bt_mm_kernel(pdf), "n long, v long")
+    )
     tot = (
         pairs.select(F.col("i").alias("n"), F.col("games").alias("g"))
         .unionAll(pairs.select(F.col("j").alias("n"), F.col("games").alias("g")))
