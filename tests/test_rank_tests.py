@@ -123,3 +123,94 @@ def test_gini_stump_matches_bruteforce(spark, sf_dir):
     assert (out.pos_left, out.pos_right) == (pl, pr)
     expected_gini = (ntot - best[0][0] / 1e6) / ntot
     assert abs(out.weighted_gini - expected_gini) < 1e-5
+
+
+def test_kneser_ney_matches_scalar_reference(spark, sf_dir):
+    """Top-20 KN bigram probabilities vs an exact-rational scalar
+    implementation over the same tokenization."""
+    from fractions import Fraction
+
+    from bigdata_2025_1_spark.operators.text_analysis import (
+        KN_TOP_K,
+        kneser_ney_bigram,
+    )
+
+    texts = [
+        r.text.lower().split()
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    from collections import Counter
+
+    bcnt = Counter()
+    for ts in texts:
+        if len(ts) >= 2:
+            for a, b in zip(ts, ts[1:]):
+                bcnt[(a, b)] += 1
+    c_a = Counter()
+    n1r = Counter()
+    n1l = Counter()
+    for (a, b), c in bcnt.items():
+        c_a[a] += c
+        n1r[a] += 1
+        n1l[b] += 1
+    t = len(bcnt)
+    rows = kneser_ney_bigram(spark, sf_dir).collect()
+    assert len(rows) == KN_TOP_K
+    expected_order = sorted(bcnt.items(), key=lambda kv: (-kv[1], kv[0]))[:KN_TOP_K]
+    assert [(r.a, r.b) for r in rows] == [ab for ab, _ in expected_order]
+    for r in rows:
+        c = bcnt[(r.a, r.b)]
+        p = Fraction((4 * c - 3) * t + 3 * n1r[r.a] * n1l[r.b], 4 * c_a[r.a] * t)
+        p12 = (p.numerator * 10**12) // p.denominator
+        assert r.p_kn == round(p12 / 1e12, 9), (r.a, r.b)
+        bow = Fraction(3 * n1r[r.a], 4 * c_a[r.a])
+        bow12 = (bow.numerator * 10**12) // bow.denominator
+        assert r.backoff_weight == round(bow12 / 1e12, 9)
+
+
+def test_qini_final_decile_consistency(spark, sf_dir):
+    """The last cumulative Qini point must equal the whole-population
+    uplift in absolute responders: Pt_tot - Pc_tot * Nt_tot/Nc_tot."""
+    from bigdata_2025_1_spark.operators.model_eval import qini_uplift_curve
+
+    rows = qini_uplift_curve(spark, sf_dir).collect()
+    nt = sum(r.n_treat for r in rows)
+    nc = sum(r.n_ctrl for r in rows)
+    # recompute totals of positives from the per-decile uplift rates is
+    # lossy; recompute from the fixture instead
+    import duckdb as _d
+
+    con = _d.connect()
+    pt, pc = con.execute(
+        f"""
+        SELECT SUM(CASE WHEN (l_orderkey * 506952113) % 2 = 1
+                        AND l_returnflag = 'R' THEN 1 ELSE 0 END),
+               SUM(CASE WHEN (l_orderkey * 506952113) % 2 = 0
+                        AND l_returnflag = 'R' THEN 1 ELSE 0 END)
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        """
+    ).fetchone()
+    expected_final = pt - pc * nt / nc
+    # qini is frozen to i6 via floor division of the scaling term
+    assert abs(rows[-1].qini - expected_final) < 0.01
+
+
+def test_woe_iv_sign_identities(spark, sf_dir):
+    """IV is a sum of (share-diff * WOE) terms whose factors share sign,
+    so IV >= 0; per-bin WOE sign must match the share difference."""
+    from bigdata_2025_1_spark.operators.model_eval import woe_information_value
+
+    rows = woe_information_value(spark, sf_dir).collect()
+    iv = rows[0].information_value
+    assert iv >= 0
+    pt = sum(r.n_pos for r in rows)
+    qt = sum(r.n_neg for r in rows)
+    for r in rows:
+        if r.woe is None:
+            assert r.n_pos == 0 or r.n_neg == 0
+            continue
+        dshare = r.n_pos / pt - r.n_neg / qt
+        if abs(dshare) > 1e-12 and abs(r.woe) > 1e-9:
+            assert (dshare > 0) == (r.woe > 0), (r.bin_value, dshare, r.woe)
