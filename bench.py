@@ -258,6 +258,7 @@ HEADLINE = [
     "mahalanobis_outliers",
     "cochran_armitage_trend",
     "bradley_terry_nation_strength",
+    "shapley_variance_attribution",
 ]
 
 

@@ -1485,3 +1485,119 @@ def bradley_terry_nation_strength(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.desc("strength"), "nation")
     )
+
+
+# --- Shapley variance attribution (round 7) ---------------------------------
+
+
+@query(
+    "shapley_variance_attribution",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(ROUND(l_discount * 1e2) AS BIGINT) AS d,
+             CAST(ROUND(l_quantity) AS BIGINT) AS q,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(y) AS HUGEINT) AS sy
+      FROM rows_
+    ), ssd AS (  -- i2-exact explained SS for each feature subset
+      SELECT SUM(CAST(s AS HUGEINT) * s * 100 // c) AS b
+      FROM (SELECT d, SUM(y) AS s, COUNT(*) AS c FROM rows_ GROUP BY d)
+    ), ssq AS (
+      SELECT SUM(CAST(s AS HUGEINT) * s * 100 // c) AS b
+      FROM (SELECT q, SUM(y) AS s, COUNT(*) AS c FROM rows_ GROUP BY q)
+    ), ssdq AS (
+      SELECT SUM(CAST(s AS HUGEINT) * s * 100 // c) AS b
+      FROM (SELECT d, q, SUM(y) AS s, COUNT(*) AS c FROM rows_ GROUP BY d, q)
+    ), v AS (
+      SELECT t.n, t.sy,
+             sd.b - t.sy * t.sy * 100 // t.n AS vd,
+             sq.b - t.sy * t.sy * 100 // t.n AS vq,
+             sdq.b - t.sy * t.sy * 100 // t.n AS vdq,
+             CAST(t.sy * 100 AS HUGEINT) - t.sy * t.sy * 100 // t.n AS sst
+      FROM tot t, ssd sd, ssq sq, ssdq sdq
+    )
+    SELECT feature, ROUND(CAST(phi2 AS DOUBLE) / 2 / 100, 4) AS shapley_ss,
+           CASE WHEN sst > 0 THEN
+             ROUND(CAST(phi2 AS DOUBLE) / 2 / CAST(sst AS DOUBLE), 9)
+           END AS shapley_share,
+           ROUND(CAST(vdq AS DOUBLE) / 100, 4) AS total_explained_ss
+    FROM (
+      SELECT 'discount' AS feature, vd + (vdq - vq) AS phi2, sst, vdq FROM v
+      UNION ALL
+      SELECT 'quantity', vq + (vdq - vd), sst, vdq FROM v
+    ) ORDER BY feature
+    """,
+)
+def shapley_variance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley attribution of the explained variance of the return
+    label across the two features (discount, quantity): each feature's
+    value is its average marginal contribution over both orderings —
+    φ_d = ½[v({d})−v(∅)] + ½[v({d,q})−v({q})] — where v(S) is the
+    between-group sum of squares when grouping by S (the ANOVA/Sobol
+    functional decomposition). The model-explainability readout that
+    splits "how much signal does each feature carry" fairly when
+    features interact or correlate; with two features the 2^|F| subset
+    enumeration is EXACT, no sampling (the same identity scales to
+    small feature sets as one group-by per subset).
+
+    Determinism: each v(S) is the i2-frozen explained SS (the shared
+    ANOVA quantization — Σ s²·100 div c per group, minus the grand
+    term), so Shapley values are integer arithmetic until the final
+    pinned divisions; the two halves sum exactly to v({d,q}) by the
+    efficiency axiom (pinned by test).
+
+    Scale shape: one map-side-combinable group aggregate per feature
+    subset (3 here) off the same scan; scalar assembly; no windows."""
+    li = load(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
+    )
+
+    def ss(*keys: str) -> DataFrame:
+        g = rows.groupBy(*keys).agg(
+            F.sum("y").alias("s"), F.count("*").alias("c")
+        )
+        return g.agg(
+            F.sum(
+                int_div_exact(
+                    F.col("s").cast(_DEC) * F.col("s") * 100,
+                    F.col("c").cast(_DEC),
+                )
+            ).alias("b")
+        )
+
+    tot = rows.agg(F.count("*").alias("n"), F.sum("y").alias("sy"))
+    grand = int_div_exact(
+        F.col("sy").cast(_DEC) * F.col("sy") * 100, F.col("n").cast(_DEC)
+    )
+    v = (
+        tot.crossJoin(F.broadcast(ss("d").withColumnRenamed("b", "bd")))
+        .crossJoin(F.broadcast(ss("q").withColumnRenamed("b", "bq")))
+        .crossJoin(F.broadcast(ss("d", "q").withColumnRenamed("b", "bdq")))
+        .select(
+            (F.col("bd") - grand).alias("vd"),
+            (F.col("bq") - grand).alias("vq"),
+            (F.col("bdq") - grand).alias("vdq"),
+            (F.col("sy").cast(_DEC) * 100 - grand).alias("sst"),
+        )
+    )
+    phi_d = (F.col("vd") + (F.col("vdq") - F.col("vq"))).alias("phi2")
+    phi_q = (F.col("vq") + (F.col("vdq") - F.col("vd"))).alias("phi2")
+    both = v.select(
+        F.lit("discount").alias("feature"), phi_d, "sst", "vdq"
+    ).unionByName(v.select(F.lit("quantity").alias("feature"), phi_q, "sst", "vdq"))
+    return both.select(
+        "feature",
+        F.round(F.col("phi2").cast("double") / 2 / 100, 4).alias("shapley_ss"),
+        F.when(
+            F.col("sst") > 0,
+            F.round(
+                F.col("phi2").cast("double") / 2 / F.col("sst").cast("double"), 9
+            ),
+        ).alias("shapley_share"),
+        F.round(F.col("vdq").cast("double") / 100, 4).alias("total_explained_ss"),
+    ).orderBy("feature")

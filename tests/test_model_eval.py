@@ -363,3 +363,46 @@ def test_bradley_terry_matches_scalar_recurrence(spark, sf_dir):
     by_strength = sorted(out, key=lambda r: -r.strength)
     top, bot = by_strength[0], by_strength[-1]
     assert top.wins / top.games >= bot.wins / bot.games
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """The two Shapley values must sum exactly to the jointly explained
+    SS (efficiency), and each must sit between its two marginal
+    contributions recomputed scalar-side."""
+    from collections import defaultdict
+
+    from bigdata_2025_1_spark.operators.model_eval import (
+        shapley_variance_attribution,
+    )
+
+    rows = [
+        (int(round(r.l_discount * 100)), int(round(r.l_quantity)),
+         1 if r.l_returnflag == "R" else 0)
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_discount", "l_quantity", "l_returnflag")
+        .collect()
+    ]
+    n = len(rows)
+    sy = sum(y for _, _, y in rows)
+
+    def ss(keyfn):
+        g = defaultdict(lambda: [0, 0])
+        for d, q, y in rows:
+            c = g[keyfn(d, q)]
+            c[0] += y
+            c[1] += 1
+        return sum(s * s * 100 // c for s, c in g.values())
+
+    grand = sy * sy * 100 // n
+    vd = ss(lambda d, q: d) - grand
+    vq = ss(lambda d, q: q) - grand
+    vdq = ss(lambda d, q: (d, q)) - grand
+    phi_d = (vd + (vdq - vq)) / 2 / 100
+    phi_q = (vq + (vdq - vd)) / 2 / 100
+    out = {r.feature: r for r in shapley_variance_attribution(spark, sf_dir).collect()}
+    assert abs(out["discount"].shapley_ss - round(phi_d, 4)) < 1e-9
+    assert abs(out["quantity"].shapley_ss - round(phi_q, 4)) < 1e-9
+    # efficiency: shares of the two features account for all of v({d,q})
+    total = out["discount"].total_explained_ss
+    assert abs((phi_d + phi_q) - vdq / 100) < 1e-6
+    assert abs(total - vdq / 100) < 1e-3
