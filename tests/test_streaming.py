@@ -751,3 +751,74 @@ def test_ks_drift_monitor_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
     assert (got.n1, got.n2) == (expected.n1, expected.n2)
     assert abs(got.d_stat - expected.d_stat) < 1e-12
     assert got.at_value == expected.at_value
+
+
+def test_mg_summary_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
+    """Heavy-hitter detection, streamed: documents arrive in TWO
+    micro-batches; each batch's token counts merge into a standing
+    Misra-Gries summary with the same merge-then-truncate rule the
+    batch query's partition kernel uses. The mergeable-summaries
+    guarantee (undercount <= n/k across ANY merge tree) means the
+    standing summary must still contain every true heavy hitter found
+    by the batch heavy_hitters_mg."""
+    from bigdata_2025_1_spark.operators.pipeline_ops import _MG_K
+    from bigdata_2025_1_spark.registry import all_queries
+
+    expected_words = {
+        r.word for r in all_queries()["heavy_hitters_mg"](spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    stream_dir = str(tmp_path / "mg_incoming")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+
+    standing: dict[str, int] = {}
+    batches: list[int] = []
+
+    def per_batch(batch_df, bid):
+        batches.append(bid)
+        counts = (
+            batch_df.select(
+                F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+            )
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .count()
+            .collect()
+        )
+        for r in counts:
+            standing[r.w] = standing.get(r.w, 0) + r["count"]
+        if len(standing) >= _MG_K:
+            kth = sorted(standing.values(), reverse=True)[_MG_K - 1]
+            for w in list(standing):
+                standing[w] -= kth
+                if standing[w] <= 0:
+                    del standing[w]
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "mg_ckpt"))
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "stream did not finish in 180s"
+    finally:
+        q.stop()
+    assert len(batches) == 2, batches  # genuinely incremental
+    assert expected_words <= set(standing), (
+        expected_words - set(standing)
+    )
+    # the summary honours its size bound
+    assert len(standing) < 2 * _MG_K
