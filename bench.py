@@ -259,6 +259,8 @@ HEADLINE = [
     "cochran_armitage_trend",
     "bradley_terry_nation_strength",
     "shapley_variance_attribution",
+    "risk_ratio_odds_ratio",
+    "cohens_kappa_agreement",
 ]
 
 

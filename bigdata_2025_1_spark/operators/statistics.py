@@ -3833,3 +3833,164 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("z_trend"),
     )
+
+
+# --- effect sizes and agreement (round 7) -----------------------------------
+
+
+@query(
+    "risk_ratio_odds_ratio",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CASE WHEN (l_orderkey * {506952113}) % 2 = 1 THEN 1 ELSE 0 END
+               AS tr,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+    ), m AS (
+      SELECT CAST(SUM(tr * pos) AS BIGINT) AS a,
+             CAST(SUM(tr * (1 - pos)) AS BIGINT) AS b,
+             CAST(SUM((1 - tr) * pos) AS BIGINT) AS c,
+             CAST(SUM((1 - tr) * (1 - pos)) AS BIGINT) AS d
+      FROM rows_
+    )
+    SELECT a, b, c, d,
+           CASE WHEN a > 0 AND c > 0 AND a + b > 0 AND c + d > 0 THEN
+             ROUND(CAST(a AS DOUBLE) * (c + d) / ((a + b) * CAST(c AS DOUBLE)), 6)
+           END AS risk_ratio,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+           END AS odds_ratio,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             ROUND(exp(CAST(ROUND(ln(CAST(a AS DOUBLE) * d
+                                     / (CAST(b AS DOUBLE) * c)) * 1e6) AS BIGINT)
+                       / 1e6
+                       - 1.959963985
+                         * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6)
+           END AS or_ci_lo,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             ROUND(exp(CAST(ROUND(ln(CAST(a AS DOUBLE) * d
+                                     / (CAST(b AS DOUBLE) * c)) * 1e6) AS BIGINT)
+                       / 1e6
+                       + 1.959963985
+                         * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6)
+           END AS or_ci_hi
+    FROM m
+    """,
+)
+def risk_ratio_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect sizes for the 2×2 treated/control × returned/kept table:
+    risk ratio, odds ratio, and the Woolf 95% log-CI for the OR — the
+    epidemiology-standard companions to the z-test (`ab_test_uplift`
+    answers "is there an effect", these answer "how big", which is what
+    a launch decision actually needs).
+
+    Determinism: the four cells are exact integer conditional sums off
+    one scan; RR/OR are pinned double chains; the CI pins its ln to i6
+    (the repo's ln contract) before the ± which keeps both engines on
+    the same value; all-zero-margin degeneracies return NULL under
+    identical guards.
+
+    Scale shape: one scalar aggregate. Nothing else."""
+    li = load(spark, sf_dir, "lineitem")
+    tr = ((F.col("l_orderkey") * 506952113) % 2 == 1).cast("bigint")
+    pos = (F.col("l_returnflag") == "R").cast("bigint")
+    m = li.select(tr.alias("tr"), pos.alias("pos")).agg(
+        F.sum(F.col("tr") * F.col("pos")).alias("a"),
+        F.sum(F.col("tr") * (1 - F.col("pos"))).alias("b"),
+        F.sum((1 - F.col("tr")) * F.col("pos")).alias("c"),
+        F.sum((1 - F.col("tr")) * (1 - F.col("pos"))).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    ad, bd_, cd_, dd_ = (x.cast("double") for x in (a, b, c, d))
+    ok_rr = (a > 0) & (c > 0) & (a + b > 0) & (c + d > 0)
+    ok_or = (a > 0) & (b > 0) & (c > 0) & (d > 0)
+    or_ = ad * dd_ / (bd_ * cd_)
+    lnor6 = F.round(F.log(or_) * 1e6).cast("bigint") / 1e6
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    z = 1.959963985
+    return m.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(ok_rr, F.round(ad * (c + d) / ((a + b) * cd_), 6)).alias(
+            "risk_ratio"
+        ),
+        F.when(ok_or, F.round(or_, 6)).alias("odds_ratio"),
+        F.when(ok_or, F.round(F.exp(lnor6 - z * se), 6)).alias("or_ci_lo"),
+        F.when(ok_or, F.round(F.exp(lnor6 + z * se), 6)).alias("or_ci_hi"),
+    )
+
+
+@query(
+    "cohens_kappa_agreement",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS r2
+      FROM lineitem
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r1 * r2) AS BIGINT) AS both_,
+             CAST(SUM(r1) AS BIGINT) AS n1,
+             CAST(SUM(r2) AS BIGINT) AS n2,
+             CAST(SUM((1 - r1) * (1 - r2)) AS BIGINT) AS neither
+      FROM rows_
+    )
+    SELECT n, both_ AS both_flag, neither AS neither_flag,
+           ROUND(CAST(both_ + neither AS DOUBLE) / n, 6) AS observed_agreement,
+           CASE WHEN CAST(n AS HUGEINT) * n
+                      > CAST(n1 AS HUGEINT) * n2
+                        + CAST(n - n1 AS HUGEINT) * (n - n2) THEN
+             ROUND((CAST(both_ + neither AS DOUBLE) / n
+                    - (CAST(n1 AS DOUBLE) * n2
+                       + CAST(n - n1 AS DOUBLE) * (n - n2)) / n / n)
+                   / (1 - (CAST(n1 AS DOUBLE) * n2
+                           + CAST(n - n1 AS DOUBLE) * (n - n2)) / n / n), 6)
+           END AS cohens_kappa
+    FROM m
+    """,
+)
+def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two binary 'raters' (here two cheap
+    heuristic flags: deep-discount vs bulk-quantity): agreement beyond
+    what their marginal rates produce by chance — the metric for
+    comparing two labelers, two quality filters, or two dedup methods
+    before trusting either as ground truth. Raw agreement alone is
+    inflated whenever both raters mostly say 'no'; kappa removes that.
+
+    Determinism: the contingency cells and marginals are exact integer
+    conditional sums; κ = (p_o − p_e)/(1 − p_e) is one pinned double
+    chain rounded to 6, NULL when chance agreement is total (a
+    degenerate rater) under identical HUGEINT-exact guards.
+
+    Scale shape: one scalar aggregate off one scan."""
+    li = load(spark, sf_dir, "lineitem")
+    r1 = (F.col("l_discount") >= 0.05).cast("bigint")
+    r2 = (F.col("l_quantity") >= 25).cast("bigint")
+    m = li.select(r1.alias("r1"), r2.alias("r2")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("r1") * F.col("r2")).alias("both_"),
+        F.sum("r1").alias("n1"),
+        F.sum("r2").alias("n2"),
+        F.sum((1 - F.col("r1")) * (1 - F.col("r2"))).alias("neither"),
+    )
+    dec = "decimal(38,0)"
+    nd = F.col("n").cast("double")
+    po = (F.col("both_") + F.col("neither")).cast("double") / nd
+    pe = (
+        F.col("n1").cast("double") * F.col("n2")
+        + (F.col("n") - F.col("n1")).cast("double") * (F.col("n") - F.col("n2"))
+    ) / nd / nd
+    ok = (
+        F.col("n").cast(dec) * F.col("n")
+        > F.col("n1").cast(dec) * F.col("n2")
+        + (F.col("n") - F.col("n1")).cast(dec) * (F.col("n") - F.col("n2"))
+    )
+    return m.select(
+        "n",
+        F.col("both_").alias("both_flag"),
+        F.col("neither").alias("neither_flag"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.when(ok, F.round((po - pe) / (1 - pe), 6)).alias("cohens_kappa"),
+    )

@@ -55,7 +55,7 @@ ORACLES: dict[str, str] = {}
 # REPLACING a proven-green head entry, never by growing past 50. New
 # round-7 queries therefore queue for round 8, NOT the head.
 #
-# ROUND-8 ROTATION PLAN: head takes (a) the 35 round-7 additions (none
+# ROUND-8 ROTATION PLAN: head takes (a) the 37 round-7 additions (none
 # has a driver row; all selfchecked tuned + vanilla when added, and the
 # whole registry re-verified green under BOTH sessions at round end):
 #   mann_whitney_segment_spend, spearman_qty_price, ks_value_drift,
@@ -72,12 +72,13 @@ ORACLES: dict[str, str] = {}
 #   ipf_raking_weights, chao1_vocab_coverage,
 #   capture_recapture_population, neyman_allocation,
 #   hill_tail_index, mahalanobis_outliers, cochran_armitage_trend,
-#   bradley_terry_nation_strength, shapley_variance_attribution;
+#   bradley_terry_nation_strength, shapley_variance_attribution,
+#   risk_ratio_odds_ratio, cohens_kappa_agreement;
 # then (b) the 11 remaining r2-vintage stale greens:
 # (sequence_packing, corpus_end_to_end, stratified_source_cap,
 # corpus_temperature_mix, domain_doc_stats, global_size_stats,
 # metadata_extract, wordcount, udtf_bigrams, date_features,
-# string_functions_showcase); then (c) 4 spare slots for the oldest
+# string_functions_showcase); then (c) 2 spare slots for the oldest
 # r3-vintage greens. After that lands green, no green row predates
 # round 3 and the never-checked backlog is the round-8 additions alone.
 PRIORITY_HEAD: tuple[str, ...] = (

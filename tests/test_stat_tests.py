@@ -323,3 +323,40 @@ def test_cochran_armitage_matches_scalar(spark, sf_dir):
     out = cochran_armitage_trend(spark, sf_dir).collect()[0]
     assert out.n == n and out.n_pos == rr and out.n_levels == len(g)
     assert abs(out.z_trend - z) < 1e-6, (out.z_trend, z)
+
+
+def test_risk_odds_ratio_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.statistics import risk_ratio_odds_ratio
+
+    out = risk_ratio_odds_ratio(spark, sf_dir).collect()[0]
+    a, b, c, d = out.a, out.b, out.c, out.d
+    assert abs(out.risk_ratio - (a / (a + b)) / (c / (c + d))) < 1e-5
+    orr = a * d / (b * c)
+    assert abs(out.odds_ratio - orr) < 1e-5
+    se = (1 / a + 1 / b + 1 / c + 1 / d) ** 0.5
+    lnor6 = round(math.log(orr) * 1e6) / 1e6
+    assert abs(out.or_ci_lo - math.exp(lnor6 - 1.959963985 * se)) < 1e-5
+    assert abs(out.or_ci_hi - math.exp(lnor6 + 1.959963985 * se)) < 1e-5
+    assert out.or_ci_lo <= out.odds_ratio <= out.or_ci_hi
+
+
+def test_cohens_kappa_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.statistics import cohens_kappa_agreement
+
+    rows = [
+        (1 if r.l_discount >= 0.05 else 0, 1 if r.l_quantity >= 25 else 0)
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_discount", "l_quantity")
+        .collect()
+    ]
+    n = len(rows)
+    po = sum(1 for x, y in rows if x == y) / n
+    p1 = sum(x for x, _ in rows) / n
+    p2 = sum(y for _, y in rows) / n
+    pe = p1 * p2 + (1 - p1) * (1 - p2)
+    kappa = (po - pe) / (1 - pe)
+    out = cohens_kappa_agreement(spark, sf_dir).collect()[0]
+    assert out.n == n
+    assert abs(out.observed_agreement - po) < 1e-6
+    assert abs(out.cohens_kappa - kappa) < 1e-5
+    assert -1 <= out.cohens_kappa <= 1
