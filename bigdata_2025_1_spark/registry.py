@@ -28,115 +28,91 @@ ORACLES: dict[str, str] = {}
 
 # The driver walks ``queries()`` in dict order and checks exactly the
 # first 50 entries per round (each CORRECTNESS_r0N covers 50). Order is
-# therefore a correctness lever. Round-7 rotation (executes the plan the
-# round-6 VERDICT ratified as its #1 ask, with the ratified amendment
-# that the rewritten supplier_shipping_latency takes a stale-refresh
-# slot so its first fresh row certifies the with_global_rank fix).
+# therefore a correctness lever. Round-8 rotation (executes the plan the
+# round-7 VERDICT ratified as its #1 ask, WITH its 2-slot amendment: the
+# round-7 plan's stale list named 11 r2-vintage greens but 13 exist, so
+# the two spare slots go to cross_join_enumeration and
+# events_json_decode — the two rows the list omitted — instead of
+# r3-vintage refreshes; with them 37 + 13 = 50 exactly).
 #
 # Head composition:
-# - positions 0-35: the 36 round-6 additions — the only queries that
-#   have never had a driver row (all selfcheck-green tuned AND vanilla
-#   per the round-6 VERDICT). bpe_merge_sequence and
-#   pca_power_iteration were FIXED in round 7 (true non-overlapping
-#   BPE merges per the ADVICE; PCA overflow guard), so their first
-#   driver row certifies current code;
-# - positions 36-37: dedup_minhash_lsh + minhash_signatures — code
-#   touched by the round-6 signatures_from_docs refactor, re-certified
-#   on current code;
-# - position 38: supplier_shipping_latency — REWRITTEN round 7
-#   (supplier-sized unpartitioned row_number → with_global_rank, the
-#   round-6 VERDICT's What's-wrong #1); its r2-vintage green is
-#   retired by this fresh row on the fixed code;
-# - positions 39-49: stale-green refresh — the 11 oldest of the 22
-#   remaining r2-vintage greens.
+# - positions 0-36: the 37 round-7 additions — the only queries that
+#   have never had a driver row (all selfcheck-green tuned AND vanilla;
+#   the round-7 VERDICT independently re-verified all 37 under the
+#   vanilla driver-like session: 37/37 pass);
+# - positions 37-47: the 11 r2-vintage stale greens the round-7 plan
+#   listed;
+# - positions 48-49: cross_join_enumeration + events_json_decode — the
+#   amendment slots. After this lands green, NO green row predates
+#   round 3 and the never-checked backlog is the round-8 additions
+#   alone.
 #
 # CAPACITY WARNING: the head is at exactly 50 entries. Anything past
 # position 49 gets no driver row this round — add new queries by
-# REPLACING a proven-green head entry, never by growing past 50. New
-# round-7 queries therefore queue for round 8, NOT the head.
+# REPLACING a proven-green head entry, never by growing past 50. Per
+# the round-7 VERDICT ask #2, round-8 additions are BATCHED (<=13) and
+# queue for round 9, NOT the head.
 #
-# ROUND-8 ROTATION PLAN: head takes (a) the 37 round-7 additions (none
-# has a driver row; all selfchecked tuned + vanilla when added, and the
-# whole registry re-verified green under BOTH sessions at round end):
-#   mann_whitney_segment_spend, spearman_qty_price, ks_value_drift,
-#   gini_stump_threshold, roc_auc_holdout, average_precision_holdout,
-#   calibration_ece_bins, decile_lift_table, anova_f_segment_spend,
-#   brown_forsythe_spend_variance, jarque_bera_order_values,
-#   link_prediction_trade, degree_assortativity_trade,
-#   isotonic_calibration, crossval_auc_folds, kendall_tau_qty_discount,
-#   kneser_ney_bigram, negative_sampling_pairs,
-#   linear_attribution_revenue, qini_uplift_curve,
-#   woe_information_value, conformal_interval_coverage,
-#   eb_shrunk_supplier_rates, median_ci_orderstat,
-#   cuped_adjusted_uplift, kmv_intersection_estimate,
-#   ipf_raking_weights, chao1_vocab_coverage,
-#   capture_recapture_population, neyman_allocation,
-#   hill_tail_index, mahalanobis_outliers, cochran_armitage_trend,
-#   bradley_terry_nation_strength, shapley_variance_attribution,
-#   risk_ratio_odds_ratio, cohens_kappa_agreement;
-# then (b) the 11 remaining r2-vintage stale greens:
-# (sequence_packing, corpus_end_to_end, stratified_source_cap,
-# corpus_temperature_mix, domain_doc_stats, global_size_stats,
-# metadata_extract, wordcount, udtf_bigrams, date_features,
-# string_functions_showcase); then (c) 2 spare slots for the oldest
-# r3-vintage greens. After that lands green, no green row predates
-# round 3 and the never-checked backlog is the round-8 additions alone.
+# ROUND-9 ROTATION PLAN: head takes (a) every round-8 addition (each
+# selfchecked tuned + vanilla the day it lands; exact names appended to
+# the list below as they land); then (b) the oldest stale greens by
+# driver-row vintage, oldest first, until the head reaches exactly 50.
+# Round-8 additions so far: (none yet).
 PRIORITY_HEAD: tuple[str, ...] = (
-    # -- 0-35: the 36 round-6 additions (never driver-checked);
-    #    bpe_merge_sequence + pca_power_iteration carry round-7 fixes
-    "benchmark_decontamination",
-    "char_entropy_quality",
-    "bpe_merge_sequence",
-    "density_core_clusters",
-    "cusum_changepoint",
-    "chi_square_independence",
-    "naive_bayes_source_classifier",
-    "textrank_keywords",
-    "typo_variant_pairs",
-    "greedy_stock_allocation",
-    "item_cofiltering_similarity",
-    "theil_sen_trend",
-    "zipf_exponent_fit",
-    "slo_burn_rate",
-    "k_anonymity_audit",
-    "ab_test_uplift",
-    "abc_xyz_matrix",
-    "decayed_part_demand",
-    "retrieval_mrr_eval",
-    "funnel_latency_percentiles",
-    "hourly_autocorrelation",
-    "cohort_ltv_matrix",
-    "data_expectations_report",
-    "semantic_decontamination",
-    "seasonal_naive_backtest",
-    "jain_fairness_index",
-    "recsys_holdout_hitrate",
-    "kaplan_meier_retention",
-    "scd2_status_history",
-    "kcore_trade_graph",
-    "margin_candidate_mining_ivf",
-    "hyperball_harmonic_trade",
-    "domain_mixture_reweight",
-    "event_rate_anomaly",
-    "sketch_join_size_estimate",
-    "pca_power_iteration",
-    # -- 36-37: re-certify the round-6 signatures_from_docs refactor
-    "dedup_minhash_lsh",
-    "minhash_signatures",
-    # -- 38: first row on the round-7 with_global_rank rewrite
-    "supplier_shipping_latency",
-    # -- 39-49: stale-green refresh (11 oldest r2-vintage rows)
-    "media_feature_stats",
-    "media_frame_sample",
-    "media_resize",
-    "udaf_median_order_value",
-    "grouped_map_spend_share",
-    "order_value_percentiles",
-    "approx_percentiles",
-    "pivot_status_by_priority",
-    "sql_cte_above_nation_avg",
-    "train_test_split",
-    "corpus_quality_filter",
+    # -- 0-36: the 37 round-7 additions (never driver-checked)
+    "mann_whitney_segment_spend",
+    "spearman_qty_price",
+    "ks_value_drift",
+    "gini_stump_threshold",
+    "roc_auc_holdout",
+    "average_precision_holdout",
+    "calibration_ece_bins",
+    "decile_lift_table",
+    "anova_f_segment_spend",
+    "brown_forsythe_spend_variance",
+    "jarque_bera_order_values",
+    "link_prediction_trade",
+    "degree_assortativity_trade",
+    "isotonic_calibration",
+    "crossval_auc_folds",
+    "kendall_tau_qty_discount",
+    "kneser_ney_bigram",
+    "negative_sampling_pairs",
+    "linear_attribution_revenue",
+    "qini_uplift_curve",
+    "woe_information_value",
+    "conformal_interval_coverage",
+    "eb_shrunk_supplier_rates",
+    "median_ci_orderstat",
+    "cuped_adjusted_uplift",
+    "kmv_intersection_estimate",
+    "ipf_raking_weights",
+    "chao1_vocab_coverage",
+    "capture_recapture_population",
+    "neyman_allocation",
+    "hill_tail_index",
+    "mahalanobis_outliers",
+    "cochran_armitage_trend",
+    "bradley_terry_nation_strength",
+    "shapley_variance_attribution",
+    "risk_ratio_odds_ratio",
+    "cohens_kappa_agreement",
+    # -- 37-47: the 11 r2-vintage stale greens from the round-7 plan
+    "sequence_packing",
+    "corpus_end_to_end",
+    "stratified_source_cap",
+    "corpus_temperature_mix",
+    "domain_doc_stats",
+    "global_size_stats",
+    "metadata_extract",
+    "wordcount",
+    "udtf_bigrams",
+    "date_features",
+    "string_functions_showcase",
+    # -- 48-49: the round-7 VERDICT's 2-slot amendment (the two
+    #    r2-vintage rows the original stale list omitted)
+    "cross_join_enumeration",
+    "events_json_decode",
 )
 
 # Proven green in round 2 against current code: after the 50-row window.
