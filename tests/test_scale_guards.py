@@ -153,3 +153,36 @@ def test_naive_bayes_vocab_guard_switches_join(spark, sf_dir, monkeypatch):
 
     assert rows_wide == rows_narrow
     assert h_narrow == h_wide - 1, (h_narrow, h_wide)
+
+
+def test_bradley_terry_kernel_guard_raises_past_bound(spark, sf_dir, monkeypatch):
+    """VERDICT r7 #4: the collapsed MM pandas kernel is only correct
+    while the comparison matrix stays kernel-sized — past BT_KERNEL_MAX
+    participants (or BT_KERNEL_MAX_PAIRS collapsed pairs) the query must
+    raise with routing advice to the distributed TextRank shape, never
+    silently funnel an item-scale matrix through one task. Bounds shrunk
+    via monkeypatch; TPC-H nations sit far below the real constants."""
+    from bigdata_2025_1_spark.operators import model_eval as ME
+
+    monkeypatch.setattr(ME, "BT_KERNEL_MAX", 3)
+    with pytest.raises(ValueError, match="TextRank"):
+        ME.bradley_terry_nation_strength(spark, sf_dir)
+    spark.catalog.clearCache()
+
+    monkeypatch.setattr(ME, "BT_KERNEL_MAX", 2_000)
+    monkeypatch.setattr(ME, "BT_KERNEL_MAX_PAIRS", 5)
+    with pytest.raises(ValueError, match="TextRank"):
+        ME.bradley_terry_nation_strength(spark, sf_dir)
+    spark.catalog.clearCache()
+
+
+def test_bradley_terry_leaves_no_cached_blocks(spark, sf_dir):
+    """VERDICT r7 #3: the former wmat/pairs persist pair is replaced by
+    a single bounded driver materialization — after the query builds and
+    runs, the session's cache manager must hold nothing from it."""
+    from bigdata_2025_1_spark.operators import model_eval as ME
+
+    spark.catalog.clearCache()
+    out = ME.bradley_terry_nation_strength(spark, sf_dir)
+    assert out.count() > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
