@@ -3128,6 +3128,71 @@ KMV_K = 64
 _KMV_SPACE = 16**12  # md5_int(12 hex digits) ranges over [0, 2^48)
 
 
+def kmv_sketch(du: DataFrame) -> DataFrame:
+    """Per-type bottom-KMV_K sketch rows (t, u) from DISTINCT hashed
+    (t, u) rows. Mergeable by construction: the bottom-k of a union is
+    the bottom-k of the unioned sketches, so a standing sketch store
+    absorbs batch partials by union → distinct → re-sketch — the
+    streaming twin's merge rule (summary/finalize split, the KS/MG
+    convention). Module-level so the foreachBatch twin and the batch
+    query share one definition."""
+    wk = Window.partitionBy("t").orderBy("u")
+    return (
+        du.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= KMV_K)
+        .select("t", "u")
+    )
+
+
+def kmv_est_from_sketch(sk: DataFrame) -> DataFrame:
+    """Finalize: pairwise intersection estimates (ta, tb,
+    est_intersection) from a sketch table of (t, u) bottom-k rows —
+    merged bottom-k estimates the union via (k−1)/v_k and the matched
+    fraction ρ scales it to the intersection (Beyer et al. 2007).
+    Sketches smaller than k ARE the set, so the estimate falls back to
+    the exact ρ count. Pair merges touch k-row frames only."""
+    types = sk.select("t").distinct()
+    tp = types.select(F.col("t").alias("ta")).join(
+        types.select(F.col("t").alias("tb")), F.col("ta") < F.col("tb")
+    )
+    part_a = tp.join(sk.withColumnRenamed("t", "ta"), "ta").select(
+        "ta", "tb", "u", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    part_b = tp.join(sk.withColumnRenamed("t", "tb"), "tb").select(
+        "ta", "tb", "u", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    m = (
+        part_a.unionByName(part_b)
+        .groupBy("ta", "tb", "u")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wm = Window.partitionBy("ta", "tb").orderBy("u")
+    est = (
+        m.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("ta", "tb")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.max("u").alias("vk"),
+            F.sum(
+                ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("bigint")
+            ).alias("rho"),
+        )
+    )
+    est_val = F.when(F.col("cnt") < KMV_K, F.col("rho").cast("double")).otherwise(
+        F.round(
+            F.col("rho").cast("double")
+            / KMV_K
+            * (KMV_K - 1)
+            * _KMV_SPACE
+            / F.col("vk")
+        )
+    )
+    return est.select(
+        "ta", "tb", est_val.cast("bigint").alias("est_intersection")
+    )
+
+
 @query(
     "kmv_intersection_estimate",
     oracle=f"""
@@ -3195,48 +3260,18 @@ def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical CASE guards.
 
     Scale shape: per-type bottom-k via group-partitioned window rank
-    (mergeable across partitions/days — a standing sketch table); pair
-    merges touch k-row frames; the exact twin is a keyed self-join of
-    the distinct (type, user) table."""
+    (mergeable across partitions/days — a standing sketch table with a
+    foreachBatch twin, ``tests/test_streaming.py``); pair merges touch
+    k-row frames; the exact twin is a keyed self-join of the distinct
+    (type, user) table. Sketch + finalize live in ``kmv_sketch`` /
+    ``kmv_est_from_sketch`` so batch and streaming share one
+    definition."""
     ev = load(spark, sf_dir, "events")
     du = ev.select(
         F.col("event_type").alias("t"),
         md5_int(F.col("user_id").cast("string")).alias("u"),
     ).distinct()
-    wk = Window.partitionBy("t").orderBy("u")
-    sk = (
-        du.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= KMV_K)
-        .select("t", "u")
-    )
-    types = sk.select("t").distinct()
-    tp = types.select(F.col("t").alias("ta")).join(
-        types.select(F.col("t").alias("tb")), F.col("ta") < F.col("tb")
-    )
-    part_a = tp.join(sk.withColumnRenamed("t", "ta"), "ta").select(
-        "ta", "tb", "u", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
-    )
-    part_b = tp.join(sk.withColumnRenamed("t", "tb"), "tb").select(
-        "ta", "tb", "u", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
-    )
-    m = (
-        part_a.unionByName(part_b)
-        .groupBy("ta", "tb", "u")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
-    )
-    wm = Window.partitionBy("ta", "tb").orderBy("u")
-    est = (
-        m.withColumn("rk", F.row_number().over(wm))
-        .filter(F.col("rk") <= KMV_K)
-        .groupBy("ta", "tb")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.max("u").alias("vk"),
-            F.sum(
-                ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("bigint")
-            ).alias("rho"),
-        )
-    )
+    est = kmv_est_from_sketch(kmv_sketch(du))
     ud = ev.select(F.col("event_type").alias("t"), "user_id").distinct()
     exact = (
         ud.withColumnRenamed("t", "ta")
@@ -3247,21 +3282,12 @@ def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ta", "tb")
         .agg(F.count("*").alias("exact_cnt"))
     )
-    est_val = F.when(F.col("cnt") < KMV_K, F.col("rho").cast("double")).otherwise(
-        F.round(
-            F.col("rho").cast("double")
-            / KMV_K
-            * (KMV_K - 1)
-            * _KMV_SPACE
-            / F.col("vk")
-        )
-    )
     return (
         est.join(exact, ["ta", "tb"], "left")
         .select(
             F.col("ta").alias("type_a"),
             F.col("tb").alias("type_b"),
-            est_val.cast("bigint").alias("est_intersection"),
+            "est_intersection",
             F.coalesce(F.col("exact_cnt"), F.lit(0)).alias(
                 "exact_intersection"
             ),

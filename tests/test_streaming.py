@@ -753,6 +753,75 @@ def test_ks_drift_monitor_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
     assert got.at_value == expected.at_value
 
 
+def test_kmv_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
+    """Distinct-set intersection, streamed: events arrive in TWO
+    micro-batches; each batch contributes its per-type bottom-k sketch
+    rows to a standing store, merged by union → distinct → re-sketch
+    (bottom-k of a union IS the bottom-k of the unioned sketches — KMV's
+    mergeability guarantee), and kmv_est_from_sketch over the merged
+    store must equal the batch kmv_intersection_estimate's estimates
+    over the same events — the summary/finalize split that lets the
+    intersection monitor run per-trigger without reprocessing history
+    (VERDICT r7 ask #5)."""
+    from bigdata_2025_1_spark.functions.hashing import md5_int
+    from bigdata_2025_1_spark.operators.statistics import (
+        kmv_est_from_sketch,
+        kmv_sketch,
+    )
+    from bigdata_2025_1_spark.registry import all_queries
+
+    expected = {
+        (r.type_a, r.type_b): r.est_intersection
+        for r in all_queries()["kmv_intersection_estimate"](spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "user_id")
+    stream_dir = str(tmp_path / "kmv_incoming")
+    ev.filter(F.col("ts") < "2024-01-16").coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+    ev.filter(F.col("ts") >= "2024-01-16").coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+
+    partials: list = []
+    batches: list[int] = []
+
+    def per_batch(batch_df, bid):
+        batches.append(bid)
+        du = batch_df.select(
+            F.col("event_type").alias("t"),
+            md5_int(F.col("user_id").cast("string")).alias("u"),
+        ).distinct()
+        partials.extend((r.t, r.u) for r in kmv_sketch(du).collect())
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, event_type STRING, user_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "stream did not finish in 180s"
+    finally:
+        q.stop()
+    assert len(batches) == 2, batches  # genuinely incremental
+
+    store = spark.createDataFrame(partials, "t string, u long")
+    merged = kmv_sketch(store.distinct())
+    got = {
+        (r.ta, r.tb): r.est_intersection
+        for r in kmv_est_from_sketch(merged).collect()
+    }
+    assert got == expected
+
+
 def test_mg_summary_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
     """Heavy-hitter detection, streamed: documents arrive in TWO
     micro-batches; each batch's token counts merge into a standing
