@@ -1328,9 +1328,11 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the collect above materialized v's cache (reading prev's), so
         # the round-before-last vocabulary is now superseded — release
-        # it here rather than accumulating BPE_MERGES caches
+        # it here rather than accumulating BPE_MERGES caches (and clear
+        # the handle so the post-loop cleanup can't double-release it)
         if prev is not None:
             prev.unpersist()
+            prev = None
         if not top:
             break
         pair, n = top[0].pair, int(top[0].n)

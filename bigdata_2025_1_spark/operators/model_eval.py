@@ -85,7 +85,14 @@ _SQL_HIST = f"""
 def _holdout_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of ``_SQL_HIST``: test-split score histogram off ONE
     fact scan (the (d, is_train) contingency reduce; everything after
-    is |score-domain|-sized algebra)."""
+    is |score-domain|-sized algebra).
+
+    Convention (ADVICE r7): test rows whose discount level never
+    appears in train are DROPPED by the inner join onto the train score
+    map — the model simply has no score for an unseen level, and both
+    engines drop identically (``_SQL_HIST`` joins the same way). To
+    score unseen levels instead, left-join and coalesce to the global
+    train prior."""
     li = load(spark, sf_dir, "lineitem")
     cnt = (
         li.select(

@@ -779,7 +779,14 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     data shuffle); the anti-join is keyed (u, item) against the
     positives table — at 100 TB that is the standing user-item index,
     shuffle-keyed once; the keep-k window partitions BY USER over ≤
-    {NEG_DRAWS} rows. The catalog size is one broadcast scalar."""
+    {NEG_DRAWS} rows. The catalog size is one broadcast scalar.
+
+    PRECONDITION (ADVICE r7): candidates are drawn as 1 + md5 mod
+    max(p_partkey), which assumes part keys are DENSE 1..N (true for
+    TPC-H and any surrogate-keyed catalog). With a SPARSE key domain
+    the draw can emit nonexistent part ids as negatives — there,
+    replace the modular draw with a draw from the actual part table
+    (hash-rank the catalog once and join draws on the rank)."""
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")

@@ -3916,8 +3916,15 @@ def risk_ratio_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same value; all-zero-margin degeneracies return NULL under
     identical guards.
 
-    Scale shape: one scalar aggregate. Nothing else."""
+    Scale shape: one scalar aggregate. Nothing else. The arm hash is
+    model_eval's _PRIME multiplicative split (2654435761 mod 2^31 =
+    506952113, kept literal here so the oracle f-string and the Spark
+    side read identically without a cross-module import): past ~1.8e10
+    orderkeys the int64 product would ANSI-error loudly, never wrap —
+    switch the bucketing to xxhash64 there (the bound model_eval
+    documents for the same constant)."""
     li = load(spark, sf_dir, "lineitem")
+    # 506952113 == model_eval._PRIME; overflow bound documented above
     tr = ((F.col("l_orderkey") * 506952113) % 2 == 1).cast("bigint")
     pos = (F.col("l_returnflag") == "R").cast("bigint")
     m = li.select(tr.alias("tr"), pos.alias("pos")).agg(
