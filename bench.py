@@ -84,6 +84,20 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # job) into one pandas kernel over the collapsed pair table — the
 # kcore/pagerank collapsed-graph-kernel convention.
 #
+# Round-8 steady-state re-bench (VERDICT r7 ask #6: the three noisiest
+# round-7 numbers, best-of-4 with clearCache between runs, idle
+# machine, sf0.1 — the trustworthy base for round-9 deltas):
+# bradley_terry_nation_strength 5.19 s (driver 4.51 s; the sf0.01 A/B's
+# 2.3 s was a smaller-scale number — at sf0.1 the order-keyed duel
+# self-join IS the cost, and the round-8 guarded driver
+# materialization adds a recorded ~0.4 s fixed probe job: tools/ab.py
+# vs pre-change HEAD~2 measured 4.77 → 5.18 s, the price of zero
+# surviving cache blocks + an enforced kernel bound);
+# recsys_holdout_hitrate 4.45 s (driver 4.19 s was real, not noise);
+# naive_bayes_source_classifier 3.67 s (driver 3.71 s was real; the
+# 2.79 s interleaved-A/B number was the fast tail of the variance
+# envelope, not the steady base).
+#
 # Round-4 variance note: five full runs on the same code measured the
 # 34-query shared subtotal at 24.7 / 27.8 / 29.8 / 31.1 / 34.9 s (r3
 # recorded 27.5 s) and single queries swung 2.5x between consecutive
