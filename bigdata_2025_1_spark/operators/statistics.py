@@ -4027,3 +4027,670 @@ def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(po, 6).alias("observed_agreement"),
         F.when(ok, F.round((po - pe) / (1 - pe), 6)).alias("cohens_kappa"),
     )
+
+
+# --- round 8: classical-test completions ------------------------------------
+
+
+@query(
+    "kruskal_wallis_priority_spend",
+    oracle="""
+    WITH rows_ AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 1e2) AS BIGINT) AS v
+      FROM orders
+    ), hv AS (
+      SELECT v, COUNT(*) AS ct,
+             COALESCE(SUM(COUNT(*)) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM rows_ GROUP BY v
+    ), gv AS (
+      SELECT g, v, COUNT(*) AS c_gv FROM rows_ GROUP BY g, v
+    ), rg AS (
+      SELECT gv.g, CAST(SUM(gv.c_gv) AS BIGINT) AS n_g,
+             SUM(CAST(gv.c_gv AS HUGEINT) * (2 * hv.cb + hv.ct + 1)) AS r2_g
+      FROM gv JOIN hv ON hv.v = gv.v GROUP BY gv.g
+    ), tie AS (
+      SELECT SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS tsum FROM hv
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+             SUM(r2_g * r2_g * 100 // (4 * CAST(n_g AS HUGEINT))) AS bsum_i2
+      FROM rg
+    ), h AS (
+      SELECT m.k, m.n, tie.tsum,
+             CASE WHEN m.k >= 2 AND m.n > m.k
+                       AND tie.tsum < CAST(m.n AS HUGEINT) * m.n * m.n - m.n
+             THEN ROUND(
+               (12.0 * (CAST(bsum_i2 AS DOUBLE) / 100)
+                  / (CAST(m.n AS DOUBLE) * (m.n + 1))
+                - 3.0 * (m.n + 1))
+               / (1.0 - CAST(tie.tsum AS DOUBLE)
+                    / (CAST(m.n AS DOUBLE) * m.n * m.n - m.n)), 6)
+             END AS h_stat
+      FROM m CROSS JOIN tie
+    )
+    SELECT rg.g AS priority, rg.n_g,
+           ROUND(CAST(rg.r2_g AS DOUBLE) / 2 / rg.n_g, 6) AS mean_rank,
+           h.h_stat, CAST(h.k - 1 AS BIGINT) AS dof
+    FROM rg CROSS JOIN h
+    ORDER BY priority
+    """,
+)
+def kruskal_wallis_priority_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: do the five order priorities draw spend
+    from the same distribution? The k-group generalization of
+    ``mann_whitney_segment_spend`` and the rank (distribution-robust)
+    twin of ``anova_f_segment_spend`` — the test to reach for when
+    spend is heavy-tailed and a k-group mean comparison would mislead.
+    Output: each group's size and mean rank, with the tie-corrected H
+    and its degrees of freedom on every row.
+
+    Determinism: midranks come from the VALUE-DOMAIN histogram as the
+    integer ``2·cum_before + ct + 1`` (the mann_whitney contract), so
+    each group's doubled rank sum R2_g is exact decimal(38,0)/HUGEINT;
+    the between term freezes to exact i2 integers via the ANOVA idiom
+    (``R2_g²·100 div (4·n_g)``, int_div_exact — no doubles touch the
+    heavy sums); H is ONE pinned scalar chain over those integers with
+    the tie term Σ(t³−t) exact, rounded to 6. All-tied feeds return
+    NULL H via identical guards. R2_g²·100 stays inside decimal(38) to
+    ~1e8 rows per group in cents; rescale v to dollars past that.
+
+    Scale shape: two map-side-combinable histograms (global value
+    domain, (group, value) cells); the only window is the exclusive
+    cum-count over DISTINCT ORDER VALUES (the documented bounded-domain
+    exception); the rank-sum join is value-keyed; the H reduction runs
+    on k rows."""
+    orders = load(spark, sf_dir, "orders")
+    rows = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    hv = cum_counts_over_values(
+        rows.groupBy("v").agg(F.count("*").alias("ct")), "v", "ct", "cb"
+    )
+    gv = rows.groupBy("g", "v").agg(F.count("*").alias("c_gv"))
+    dec = "decimal(38,0)"
+    rg = (
+        gv.join(hv, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c_gv").alias("n_g"),
+            F.sum(
+                F.col("c_gv").cast(dec) * (2 * F.col("cb") + F.col("ct") + 1)
+            ).alias("r2_g"),
+        )
+    )
+    tie = hv.agg(
+        F.sum(
+            F.col("ct").cast(dec) * F.col("ct") * F.col("ct") - F.col("ct")
+        ).alias("tsum")
+    )
+    m = rg.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum(
+            int_div_exact(
+                F.col("r2_g") * F.col("r2_g") * 100,
+                F.col("n_g").cast(dec) * 4,
+            )
+        ).alias("bsum_i2"),
+    )
+    nd = F.col("n").cast("double")
+    ok = (
+        (F.col("k") >= 2)
+        & (F.col("n") > F.col("k"))
+        & (
+            F.col("tsum")
+            < F.col("n").cast(dec) * F.col("n") * F.col("n") - F.col("n")
+        )
+    )
+    h_raw = (
+        12.0 * (F.col("bsum_i2").cast("double") / 100) / (nd * (nd + 1))
+        - 3.0 * (nd + 1)
+    ) / (1.0 - F.col("tsum").cast("double") / (nd * nd * nd - nd))
+    h = m.crossJoin(F.broadcast(tie)).select(
+        "k", "n", F.when(ok, F.round(h_raw, 6)).alias("h_stat")
+    )
+    return (
+        rg.crossJoin(F.broadcast(h))
+        .select(
+            F.col("g").alias("priority"),
+            "n_g",
+            F.round(
+                F.col("r2_g").cast("double") / 2 / F.col("n_g"), 6
+            ).alias("mean_rank"),
+            "h_stat",
+            (F.col("k") - 1).cast("bigint").alias("dof"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "welch_t_spend",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CASE WHEN c.c_mktsegment = '{MW_SEG_A}' THEN 1 ELSE 0 END AS is_a,
+             CAST(ROUND(o.o_totalprice * 1e2) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('{MW_SEG_A}', '{MW_SEG_B}')
+    ), g AS (
+      SELECT is_a, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(v AS HUGEINT)) AS s1,
+             SUM(CAST(v AS HUGEINT) * v) AS s2
+      FROM rows_ GROUP BY is_a
+    ), wide AS (
+      SELECT MAX(CASE WHEN is_a = 1 THEN n END) AS n_a,
+             MAX(CASE WHEN is_a = 1 THEN s1 END) AS s1_a,
+             MAX(CASE WHEN is_a = 1 THEN s2 END) AS s2_a,
+             MAX(CASE WHEN is_a = 0 THEN n END) AS n_b,
+             MAX(CASE WHEN is_a = 0 THEN s1 END) AS s1_b,
+             MAX(CASE WHEN is_a = 0 THEN s2 END) AS s2_b
+      FROM g
+    ), c AS (
+      SELECT n_a, n_b,
+             CAST(s1_a AS DOUBLE) / n_a AS m_a,
+             CAST(s1_b AS DOUBLE) / n_b AS m_b,
+             (CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a)
+               / (n_a - 1) / n_a AS va_n,
+             (CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b)
+               / (n_b - 1) / n_b AS vb_n
+      FROM wide WHERE n_a >= 2 AND n_b >= 2
+    )
+    SELECT n_a, n_b,
+           ROUND(m_a / 100, 6) AS mean_a,
+           ROUND(m_b / 100, 6) AS mean_b,
+           CASE WHEN va_n + vb_n > 0 THEN
+             ROUND((m_a - m_b) / sqrt(va_n + vb_n), 6) END AS t_stat,
+           CASE WHEN va_n + vb_n > 0 AND va_n * vb_n > 0 THEN
+             ROUND((va_n + vb_n) * (va_n + vb_n)
+                   / (va_n * va_n / (n_a - 1) + vb_n * vb_n / (n_b - 1)), 6)
+           WHEN va_n + vb_n > 0 THEN NULL END AS welch_df
+    FROM c
+    """,
+)
+def welch_t_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on order value between the
+    {MW_SEG_A} and {MW_SEG_B} segments, with the Welch-Satterthwaite
+    degrees of freedom — the parametric companion to
+    ``mann_whitney_segment_spend`` and the default two-sample mean test
+    (Student's equal-variance t is the special case nobody should
+    assume). ``ab_test_uplift`` covers proportions; this covers means.
+
+    Determinism: each arm contributes three exact integer moments
+    (n, Σv, Σv² in cents, decimal(38,0)/HUGEINT); means, variances, t,
+    and df are ONE pinned scalar chain over the 2-row pivot, rounded to
+    6. Arms with n<2 produce no row; zero pooled variance returns NULL
+    t; a zero single-arm variance returns NULL df (the W-S denominator
+    degenerates) under identical guards.
+
+    Scale shape: one map-side-combinable 2-group moment aggregate over
+    the broadcast-dim join; everything after runs on the 1-row pivot."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(MW_SEG_A, MW_SEG_B)
+    )
+    dec = "decimal(38,0)"
+    rows = orders.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        (F.col("c_mktsegment") == MW_SEG_A).cast("int").alias("is_a"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    g = rows.groupBy("is_a").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s1"),
+        F.sum(F.col("v").cast(dec) * F.col("v")).alias("s2"),
+    )
+    pick = lambda cond, c: F.max(F.when(cond, F.col(c)))  # noqa: E731
+    wide = g.agg(
+        pick(F.col("is_a") == 1, "n").alias("n_a"),
+        pick(F.col("is_a") == 1, "s1").alias("s1_a"),
+        pick(F.col("is_a") == 1, "s2").alias("s2_a"),
+        pick(F.col("is_a") == 0, "n").alias("n_b"),
+        pick(F.col("is_a") == 0, "s1").alias("s1_b"),
+        pick(F.col("is_a") == 0, "s2").alias("s2_b"),
+    ).filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    m_a = F.col("s1_a").cast("double") / F.col("n_a")
+    m_b = F.col("s1_b").cast("double") / F.col("n_b")
+    va_n = (
+        (F.col("s2_a").cast("double") - F.col("s1_a").cast("double") * F.col("s1_a") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        / F.col("n_a")
+    )
+    vb_n = (
+        (F.col("s2_b").cast("double") - F.col("s1_b").cast("double") * F.col("s1_b") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+        / F.col("n_b")
+    )
+    se2 = va_n + vb_n
+    t = F.round((m_a - m_b) / F.sqrt(se2), 6)
+    df = F.round(
+        se2 * se2
+        / (va_n * va_n / (F.col("n_a") - 1) + vb_n * vb_n / (F.col("n_b") - 1)),
+        6,
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(m_a / 100, 6).alias("mean_a"),
+        F.round(m_b / 100, 6).alias("mean_b"),
+        F.when(se2 > 0, t).alias("t_stat"),
+        F.when((se2 > 0) & (va_n * vb_n > 0), df).alias("welch_df"),
+    )
+
+
+@query(
+    "wasserstein_value_drift",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(ROUND(value * 1e2) AS BIGINT) AS v,
+             CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+    ), hist AS (
+      SELECT v, SUM(a) AS c1, SUM(b) AS c2 FROM rows_ GROUP BY v
+    ), cum AS (
+      SELECT v,
+             SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+             SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2,
+             LEAD(v) OVER (ORDER BY v) AS v_next
+      FROM hist
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM hist
+    ), num AS (
+      SELECT SUM(abs(CAST(f1 AS HUGEINT) * n2 - CAST(f2 AS HUGEINT) * n1)
+                 * (v_next - v)) AS w1_num
+      FROM cum CROSS JOIN tot WHERE v_next IS NOT NULL
+    )
+    SELECT n1, n2,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             ROUND(CAST(COALESCE(w1_num, 0) AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * n2) / 100, 9) END AS w1_distance
+    FROM tot CROSS JOIN num
+    """,
+)
+def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth mover's) distance between the
+    '{KS_TYPE_A}' and '{KS_TYPE_B}' event-value distributions: W1 =
+    ∫|F1−F2| — the drift monitor that, unlike ``ks_value_drift``'s max
+    deviation, weights HOW FAR mass moved, so a small shift of the whole
+    distribution and a large shift of a sliver read differently (the
+    metric distribution-shift papers report alongside KS).
+
+    Determinism: on the empirical CDFs W1 is exactly
+    Σ_gaps |f1·n2 − f2·n1|·Δv / (n1·n2): the summand is exact
+    decimal(38,0)/HUGEINT per distinct-value gap (no floats until the
+    single final division, rounded to 9). Empty sides return NULL under
+    identical guards; a single distinct value gives W1 = 0 via the same
+    COALESCE.
+
+    Scale shape: the same mergeable (v, c1, c2) value histogram as the
+    KS monitor (one map-side-combinable groupBy); the CDF prefix sums
+    and the LEAD gap run over DISTINCT VALUE CENTS (the documented
+    bounded-domain exception); the total is one scalar aggregate."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    )
+    rows = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        (F.col("event_type") == KS_TYPE_A).cast("bigint").alias("a"),
+        (F.col("event_type") == KS_TYPE_B).cast("bigint").alias("b"),
+    )
+    hist = rows.groupBy("v").agg(F.sum("a").alias("c1"), F.sum("b").alias("c2"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("v")
+    dec = "decimal(38,0)"
+    cum = hist.select(
+        "v",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+        F.lead("v").over(wl).alias("v_next"),
+    )
+    tot = hist.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    num = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("v_next").isNotNull())
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("f1").cast(dec) * F.col("n2")
+                    - F.col("f2").cast(dec) * F.col("n1")
+                )
+                * (F.col("v_next") - F.col("v"))
+            ).alias("w1_num")
+        )
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return tot.crossJoin(F.broadcast(num)).select(
+        "n1",
+        "n2",
+        F.when(
+            ok,
+            F.round(
+                F.coalesce(F.col("w1_num"), F.lit(0).cast(dec)).cast("double")
+                / (F.col("n1").cast("double") * F.col("n2"))
+                / 100,
+                9,
+            ),
+        ).alias("w1_distance"),
+    )
+
+
+MCNEMAR_SPLIT = "1998-07-01"
+
+
+@query(
+    "mcnemar_paired_returns",
+    oracle=f"""
+    WITH flags AS (
+      SELECT o.o_custkey AS cust,
+             CASE WHEN o.o_orderdate < TIMESTAMP '{MCNEMAR_SPLIT}'
+                  THEN 0 ELSE 1 END AS half,
+             MAX(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY cust, half
+    ), paired AS (
+      SELECT cust,
+             MAX(CASE WHEN half = 0 THEN ret END) AS r1,
+             MAX(CASE WHEN half = 1 THEN ret END) AS r2
+      FROM flags GROUP BY cust
+      HAVING COUNT(*) = 2
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM paired
+    )
+    SELECT n_pairs, b AS b_discordant, c AS c_discordant,
+           CASE WHEN b + c > 0 THEN
+             ROUND(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6)
+           END AS mcnemar_chi2
+    FROM m
+    """,
+)
+def mcnemar_paired_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes: did each customer's
+    "had a returned line" status change between the first and second
+    half of the feed (split at {MCNEMAR_SPLIT})? The within-subject
+    companion to ``ab_test_uplift``'s between-subject z — launch
+    analyses misuse the unpaired test on before/after data exactly
+    where this one applies. Only DISCORDANT pairs carry information:
+    χ² = (b−c)²/(b+c) on 1 df.
+
+    Determinism: the pair table is exact integer flags off one grouped
+    scan (MAX of an indicator, no distinct); customers present in only
+    one half are excluded by an exact COUNT(*) = 2 guard; the statistic
+    is one integer ratio, rounded to 6; b + c = 0 returns NULL under
+    identical guards.
+
+    Scale shape: one map-side-combinable (customer, half) aggregate
+    over the fact join, one (customer) pivot — both key-partitioned,
+    no windows; the test runs on the 1-row tail."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    flags = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.when(F.col("o_orderdate") < MCNEMAR_SPLIT, 0)
+            .otherwise(1)
+            .alias("half"),
+        )
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("ret"))
+    )
+    paired = (
+        flags.groupBy("cust")
+        .agg(
+            F.max(F.when(F.col("half") == 0, F.col("ret"))).alias("r1"),
+            F.max(F.when(F.col("half") == 1, F.col("ret"))).alias("r2"),
+            F.count("*").alias("n_halves"),
+        )
+        .filter(F.col("n_halves") == 2)
+    )
+    m = paired.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(((F.col("r1") == 1) & (F.col("r2") == 0)).cast("bigint")).alias("b"),
+        F.sum(((F.col("r1") == 0) & (F.col("r2") == 1)).cast("bigint")).alias("c"),
+    )
+    bc = F.col("b") + F.col("c")
+    diff = F.col("b") - F.col("c")
+    return m.select(
+        "n_pairs",
+        F.col("b").alias("b_discordant"),
+        F.col("c").alias("c_discordant"),
+        F.when(
+            bc > 0, F.round((diff * diff).cast("double") / bc, 6)
+        ).alias("mcnemar_chi2"),
+    )
+
+
+@query(
+    "cramers_v_association",
+    oracle="""
+    WITH obs0 AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             CAST(COUNT(*) AS BIGINT) AS observed
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY seg, pri
+    ), rr AS (SELECT DISTINCT seg FROM obs0),
+       cc AS (SELECT DISTINCT pri FROM obs0),
+       grid AS (
+      SELECT r.seg, c.pri, COALESCE(o.observed, 0) AS observed
+      FROM rr r CROSS JOIN cc c
+      LEFT JOIN obs0 o ON o.seg = r.seg AND o.pri = c.pri
+    ), rt AS (SELECT seg, SUM(observed) AS r FROM grid GROUP BY seg),
+       ct AS (SELECT pri, SUM(observed) AS c FROM grid GROUP BY pri),
+       nn AS (SELECT SUM(observed) AS n FROM grid),
+       cells AS (
+      SELECT g.observed, r.r, c.c, nn.n,
+             g.observed * nn.n - r.r * c.c AS d
+      FROM grid g JOIN rt r ON r.seg = g.seg JOIN ct c ON c.pri = g.pri
+      CROSS JOIN nn
+    ), tot AS (
+      SELECT CAST(SUM(CAST(ROUND(d::DOUBLE * d / n / r / c * 1e6) AS BIGINT))
+                  AS BIGINT) AS chi2_i6
+      FROM cells WHERE r > 0 AND c > 0
+    ), dims AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rr) AS n_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cc) AS n_cols,
+             (SELECT CAST(n AS BIGINT) FROM nn) AS n
+    )
+    SELECT d.n, d.n_rows, d.n_cols,
+           t.chi2_i6::DOUBLE / 1e6 AS chi2,
+           CASE WHEN d.n > 0 AND LEAST(d.n_rows, d.n_cols) > 1 THEN
+             ROUND(sqrt(t.chi2_i6::DOUBLE / 1e6
+                        / (d.n * (LEAST(d.n_rows, d.n_cols) - 1))), 6)
+           END AS cramers_v
+    FROM tot t CROSS JOIN dims d
+    """,
+)
+def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between customer market segment and order priority:
+    the [0, 1]-normalized effect size of the chi-square association —
+    ``chi_square_independence`` answers "is there any dependence", V
+    answers "how strong", comparable across tables of different shape
+    (V = √(χ²/(n·(min(R,S)−1)))). On this independent feed V ≈ 0 is the
+    expected null read; the query's job is the normalization algebra.
+
+    Determinism: the chi_square_independence contract — integer counts,
+    int64-exact deviations d = obs·N − r·c, per-cell contributions
+    pinned once to i6 and summed as INTEGERS; V is one pinned scalar
+    chain over the integer total, rounded to 6. Degenerate tables
+    (empty, or single-level on either margin) return NULL V under
+    identical guards.
+
+    Scale shape: one map-side-combinable groupBy over the broadcast-dim
+    fact join collapses everything to ≤ R·S cells; margins, grid, and
+    the statistic are arithmetic on that provably tiny aggregate."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    obs0 = (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").alias("observed"))
+    )
+    rr = obs0.select("seg").distinct()
+    cc = obs0.select("pri").distinct()
+    grid = (
+        rr.crossJoin(F.broadcast(cc))
+        .join(F.broadcast(obs0), ["seg", "pri"], "left")
+        .select(
+            "seg",
+            "pri",
+            F.coalesce(F.col("observed"), F.lit(0)).cast("bigint").alias("observed"),
+        )
+    )
+    rt = grid.groupBy("seg").agg(F.sum("observed").alias("r"))
+    ct = grid.groupBy("pri").agg(F.sum("observed").alias("c"))
+    nn = grid.agg(F.sum("observed").alias("n"))
+    d = F.col("observed") * F.col("n") - F.col("r") * F.col("c")
+    tot = (
+        grid.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "pri")
+        .crossJoin(F.broadcast(nn))
+        .filter((F.col("r") > 0) & (F.col("c") > 0))
+        .agg(
+            F.sum(
+                F.round(
+                    d.cast("double") * d / F.col("n") / F.col("r") / F.col("c")
+                    * F.lit(1e6)
+                ).cast("bigint")
+            ).alias("chi2_i6")
+        )
+    )
+    dims = (
+        rr.agg(F.count("*").alias("n_rows"))
+        .crossJoin(cc.agg(F.count("*").alias("n_cols")))
+        .crossJoin(nn)
+        .select(
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_cols").cast("bigint").alias("n_cols"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+    mindim = F.least(F.col("n_rows"), F.col("n_cols"))
+    chi2 = F.col("chi2_i6").cast("double") / F.lit(1e6)
+    return tot.crossJoin(F.broadcast(dims)).select(
+        "n",
+        "n_rows",
+        "n_cols",
+        chi2.alias("chi2"),
+        F.when(
+            (F.col("n") > 0) & (mindim > 1),
+            F.round(F.sqrt(chi2 / (F.col("n") * (mindim - 1))), 6),
+        ).alias("cramers_v"),
+    )
+
+
+ZORDER_BITS = 4  # 4 bits per dimension -> 16x16 grid, 256 Morton cells
+
+
+def _morton_terms(px: str, sx: str, intdiv: str) -> str:
+    """The Morton (Z-order) interleave of two {ZORDER_BITS}-bit cell
+    coordinates as pure integer arithmetic — ONE expression string shared
+    verbatim by Spark SQL (`intdiv='div'`) and DuckDB (`intdiv='//'`), so
+    both engines compute identical codes by construction."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({px}) {intdiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({sx}) {intdiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_layout_cells",
+    oracle=f"""
+    WITH dom AS (
+      SELECT MAX(l_partkey) + 1 AS pk_dom, MAX(l_suppkey) + 1 AS sk_dom
+      FROM lineitem
+    ), cells AS (
+      SELECT l.l_partkey * {1 << ZORDER_BITS} // d.pk_dom AS px,
+             l.l_suppkey * {1 << ZORDER_BITS} // d.sk_dom AS sx,
+             l.l_partkey, l.l_suppkey
+      FROM lineitem l CROSS JOIN dom d
+    ), coded AS (
+      SELECT CAST({_morton_terms('px', 'sx', '//')} AS BIGINT) AS zcell,
+             px, sx, l_partkey, l_suppkey
+      FROM cells
+    ), agg AS (
+      SELECT zcell, CAST(MAX(px) AS BIGINT) AS px, CAST(MAX(sx) AS BIGINT) AS sx,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MAX(l_partkey) - MIN(l_partkey) AS BIGINT) AS pk_span,
+             CAST(MAX(l_suppkey) - MIN(l_suppkey) AS BIGINT) AS sk_span
+      FROM coded GROUP BY zcell
+    )
+    SELECT zcell, px, sx, n_rows, pk_span, sk_span,
+           CAST(abs(px - LAG(px) OVER (ORDER BY zcell))
+                + abs(sx - LAG(sx) OVER (ORDER BY zcell)) AS BIGINT) AS step_dist
+    FROM agg ORDER BY zcell
+    """,
+)
+def zorder_layout_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (l_partkey, l_suppkey): each key
+    pair quantizes to a {ZORDER_BITS}-bit-per-dimension grid cell and
+    interleaves to a Morton code — the multi-dimensional clustering key
+    behind Delta/Iceberg Z-ORDER and the layout this engine would
+    CLUSTER BY so that range predicates on EITHER key prune files. The
+    output is the per-cell audit a layout advisor reads: row count,
+    within-cell key spans (locality: each cell covers ~1/{1 << ZORDER_BITS}
+    of each domain), and the grid step between CONSECUTIVE codes —
+    Z-order's bounded walk (mostly 1) versus the row-major layout whose
+    wraparound steps span the whole second dimension.
+
+    Determinism: cell coordinates are exact integer floor divisions off
+    broadcast domain maxima; the interleave is pure integer arithmetic
+    from ONE expression string shared verbatim by both engines
+    (``_morton_terms``); every output is an integer.
+
+    Scale shape: the code is computed SCAN-SIDE (no shuffle) and the
+    groupBy collapses everything to ≤ 4^{ZORDER_BITS} cells —
+    map-side-combinable; the step audit is a window over those ≤
+    {4 ** ZORDER_BITS} rows. At 100 TB the same expression is the
+    repartitionByRange / CLUSTER BY key; this query is the advisor
+    readout, not the rewrite."""
+    li = load(spark, sf_dir, "lineitem")
+    dom = li.agg(
+        (F.max("l_partkey") + 1).alias("pk_dom"),
+        (F.max("l_suppkey") + 1).alias("sk_dom"),
+    )
+    cells = li.crossJoin(F.broadcast(dom)).select(
+        F.expr(f"l_partkey * {1 << ZORDER_BITS} div pk_dom").alias("px"),
+        F.expr(f"l_suppkey * {1 << ZORDER_BITS} div sk_dom").alias("sx"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    coded = cells.select(
+        F.expr(_morton_terms("px", "sx", "div")).cast("bigint").alias("zcell"),
+        "px",
+        "sx",
+        "l_partkey",
+        "l_suppkey",
+    )
+    agg = coded.groupBy("zcell").agg(
+        F.max("px").cast("bigint").alias("px"),
+        F.max("sx").cast("bigint").alias("sx"),
+        F.count("*").alias("n_rows"),
+        (F.max("l_partkey") - F.min("l_partkey")).cast("bigint").alias("pk_span"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).cast("bigint").alias("sk_span"),
+    )
+    # <= 4^ZORDER_BITS rows: the documented bounded-domain window class
+    wl = Window.orderBy("zcell")
+    return agg.select(
+        "zcell",
+        "px",
+        "sx",
+        "n_rows",
+        "pk_span",
+        "sk_span",
+        (
+            F.abs(F.col("px") - F.lag("px").over(wl))
+            + F.abs(F.col("sx") - F.lag("sx").over(wl))
+        )
+        .cast("bigint")
+        .alias("step_dist"),
+    ).orderBy("zcell")
