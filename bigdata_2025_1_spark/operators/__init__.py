@@ -18,6 +18,7 @@ _MODULES = (
     "scalar_funcs",
     "pipeline_ops",
     "statistics",
+    "timeseries_ops",
     "streaming_ops",
     "graph_ops",
     "crawl_ops",

@@ -1,0 +1,483 @@
+"""Time-series modeling over the order feed (charter extension):
+Holt double-exponential smoothing, segmented-trend breakpoint search,
+and residual-autocorrelation diagnostics.
+
+The family's shared scale shape: 100 TB of facts collapse to a
+CALENDAR-BOUNDED series (months, hours) in one map-side-combinable
+groupBy, and every recurrence/window thereafter runs on that provably
+tiny domain — the same collapsed-state argument as the graph kernels
+(``graph_ops``) and the survey scalings (``ipf_raking_weights``).
+
+Determinism: series values are exact integer cents/counts; recurrences
+run in integer arithmetic with TRUNCATING division (DuckDB's ``//`` and
+Spark SQL's ``div`` both truncate toward zero — Python's ``//`` floors,
+so the pandas kernel uses an explicit truncating helper); closed-form
+fits use exact integer moments and pinned double chains (the
+``hourly_autocorrelation`` contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.registry import query
+
+# Holt smoothing weights as exact rationals (alpha = 3/10, beta = 2/10)
+# and the forecast horizon. Integer-cent state with truncating division
+# keeps every step exact and engine-identical.
+HOLT_A_NUM = 3
+HOLT_B_NUM = 2
+HOLT_DEN = 10
+HOLT_HORIZON = 3
+
+_MONTH_IDX_SQL = (
+    "CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12"
+    " + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT)"
+)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (b > 0) — the semantics
+    Spark SQL ``div`` and DuckDB ``//`` share; Python's ``//`` floors,
+    which differs on negative dividends (a trend CAN go negative)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def holt_linear_kernel(pdf):
+    """Holt's linear (double exponential smoothing) recurrence on a
+    (m, y) monthly frame: l_t = (A·y_t + (D−A)·(l+b)) trunc-div D,
+    b_t = (B·(l_t − l) + (D−B)·b) trunc-div D, initialized l_1 = y_1,
+    b_1 = y_2 − y_1. Emits one-step-ahead fits for t ≥ 2 and
+    HOLT_HORIZON forecast rows off the final state. Module-level (the
+    bt_mm_kernel convention) so the recurrence is directly unit-testable
+    against hand-walked series."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("m").reset_index(drop=True)
+    n = len(pdf)
+    out_m: list[int] = []
+    out_kind: list[str] = []
+    out_y: list = []
+    out_yhat: list[int] = []
+    if n >= 2:
+        ms = [int(v) for v in pdf["m"]]
+        ys = [int(v) for v in pdf["y"]]
+        l, b = ys[0], ys[1] - ys[0]
+        for t in range(1, n):
+            yhat = l + b  # one-step-ahead from the PREVIOUS state
+            out_m.append(ms[t])
+            out_kind.append("fit")
+            out_y.append(ys[t])
+            out_yhat.append(yhat)
+            l_new = _tdiv(HOLT_A_NUM * ys[t] + (HOLT_DEN - HOLT_A_NUM) * (l + b), HOLT_DEN)
+            b = _tdiv(HOLT_B_NUM * (l_new - l) + (HOLT_DEN - HOLT_B_NUM) * b, HOLT_DEN)
+            l = l_new
+        for h in range(1, HOLT_HORIZON + 1):
+            out_m.append(ms[-1] + h)
+            out_kind.append("forecast")
+            out_y.append(None)
+            out_yhat.append(l + h * b)
+    return pd.DataFrame(
+        {"m": out_m, "kind": out_kind, "y_cents": out_y, "yhat_cents": out_yhat}
+    )
+
+
+def _sql_holt_stage() -> str:
+    l_new = "(3 * i.y + 7 * (r.l + r.b)) // 10"
+    return f"""
+    rec AS (
+      SELECT CAST(1 AS BIGINT) AS rn,
+             (SELECT y FROM idx WHERE rn = 1) AS l,
+             (SELECT y FROM idx WHERE rn = 2)
+               - (SELECT y FROM idx WHERE rn = 1) AS b
+      WHERE (SELECT n FROM nn) >= 2
+      UNION ALL
+      SELECT r.rn + 1,
+             {l_new},
+             (2 * ({l_new} - r.l) + 8 * r.b) // 10
+      FROM rec r JOIN idx i ON i.rn = r.rn + 1
+    )"""
+
+
+@query(
+    "holt_linear_forecast",
+    oracle=f"""
+    WITH RECURSIVE monthly AS (
+      SELECT {_MONTH_IDX_SQL} AS m,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY m
+    ), idx AS (
+      SELECT m, y, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM monthly
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+    {_sql_holt_stage()}
+    SELECT i.m, 'fit' AS kind, i.y AS y_cents,
+           CAST(p.l + p.b AS BIGINT) AS yhat_cents
+    FROM idx i JOIN rec p ON p.rn = i.rn - 1
+    UNION ALL
+    SELECT (SELECT MAX(m) FROM idx) + h.h, 'forecast',
+           CAST(NULL AS BIGINT),
+           CAST(fin.l + h.h * fin.b AS BIGINT)
+    FROM (SELECT l, b FROM rec WHERE rn = (SELECT n FROM nn)) fin
+    CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS h) h
+    ORDER BY m, kind
+    """,
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear trend method (double exponential smoothing,
+    α = {HOLT_A_NUM}/{HOLT_DEN}, β = {HOLT_B_NUM}/{HOLT_DEN}) on monthly
+    order revenue: the level+trend recursive smoother capacity and
+    revenue plans actually run (``seasonal_naive_backtest`` is the
+    baseline it must beat; ``monthly_seasonality_index`` supplies the
+    seasonal factors a Holt-Winters extension would multiply in).
+    Output: each month's one-step-ahead fit (the backtest residual feed)
+    plus {HOLT_HORIZON} months of trend forecasts.
+
+    Determinism: revenue is exact integer cents; the recurrence runs in
+    integer arithmetic with TRUNCATING division — Spark's kernel uses an
+    explicit trunc-div helper because DuckDB's ``//`` truncates where
+    Python's ``//`` floors (they differ on negative trends) — and the
+    oracle walks the identical recurrence as a recursive CTE, so both
+    engines visit byte-identical (level, trend) states. Series shorter
+    than 2 months emit nothing under identical guards.
+
+    Scale shape: the fact table collapses to the CALENDAR-BOUNDED
+    monthly series in one map-side-combinable groupBy; the recurrence is
+    inherently sequential (each state consumes the previous), so it runs
+    in ONE pandas kernel over that collapsed series — the
+    bt_mm_kernel/pagerank convention: driver-shaped where state is
+    provably tiny, never a row-scale loop. Per-key fleets of series
+    (one per part, per region) would groupBy the key and run the same
+    kernel per group in parallel."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (
+            (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+        )
+        .cast("bigint")
+        .alias("m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+    )
+    out = monthly.groupBy(F.lit(1).alias("g")).applyInPandas(
+        lambda pdf: holt_linear_kernel(pdf),
+        "m long, kind string, y_cents long, yhat_cents long",
+    )
+    return out.orderBy("m", "kind")
+
+
+@query(
+    "piecewise_linear_breakpoint",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT {_MONTH_IDX_SQL} AS m,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY m
+    ), pre AS (
+      SELECT m,
+             ROW_NUMBER() OVER (ORDER BY m) AS rn,
+             SUM(CAST(1 AS HUGEINT)) OVER w AS n_l,
+             SUM(CAST(m AS HUGEINT)) OVER w AS sx_l,
+             SUM(CAST(y AS HUGEINT)) OVER w AS sy_l,
+             SUM(CAST(m AS HUGEINT) * m) OVER w AS sxx_l,
+             SUM(CAST(m AS HUGEINT) * y) OVER w AS sxy_l,
+             SUM(CAST(y AS HUGEINT) * y) OVER w AS syy_l
+      FROM monthly
+      WINDOW w AS (ORDER BY m ROWS UNBOUNDED PRECEDING)
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(m AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(m AS HUGEINT) * m) AS sxx,
+             SUM(CAST(m AS HUGEINT) * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM monthly
+    ), cand AS (
+      SELECT p.m AS breakpoint_m,
+             CAST(p.n_l AS BIGINT) AS n_left,
+             CAST(t.n - p.n_l AS BIGINT) AS n_right,
+             (p.n_l * p.sxy_l - p.sx_l * p.sy_l) AS cxy_l,
+             (p.n_l * p.sxx_l - p.sx_l * p.sx_l) AS cxx_l,
+             (p.n_l * p.syy_l - p.sy_l * p.sy_l) AS cyy_l,
+             ((t.n - p.n_l) * (t.sxy - p.sxy_l)
+               - (t.sx - p.sx_l) * (t.sy - p.sy_l)) AS cxy_r,
+             ((t.n - p.n_l) * (t.sxx - p.sxx_l)
+               - (t.sx - p.sx_l) * (t.sx - p.sx_l)) AS cxx_r,
+             ((t.n - p.n_l) * (t.syy - p.syy_l)
+               - (t.sy - p.sy_l) * (t.sy - p.sy_l)) AS cyy_r
+      FROM pre p CROSS JOIN tot t
+      WHERE p.n_l >= 2 AND t.n - p.n_l >= 2
+    ), scored AS (
+      SELECT breakpoint_m, n_left, n_right,
+             (cyy_l * cxx_l - cxy_l * cxy_l) * 100 // (n_left * cxx_l)
+             + (cyy_r * cxx_r - cxy_r * cxy_r) * 100 // (n_right * cxx_r)
+               AS sse_i2,
+             CASE WHEN cxy_l < 0 THEN -1 ELSE 1 END
+               * (abs(cxy_l) * 1000000 // (cxx_l * 100)) AS slope_l_i6,
+             CASE WHEN cxy_r < 0 THEN -1 ELSE 1 END
+               * (abs(cxy_r) * 1000000 // (cxx_r * 100)) AS slope_r_i6
+      FROM cand WHERE cxx_l > 0 AND cxx_r > 0
+    )
+    SELECT breakpoint_m, n_left, n_right,
+           CAST(slope_l_i6 AS DOUBLE) / 1e6 AS slope_left,
+           CAST(slope_r_i6 AS DOUBLE) / 1e6 AS slope_right,
+           CAST(sse_i2 // 1000000 AS BIGINT) AS sse_dollars2
+    FROM scored ORDER BY sse_i2, breakpoint_m LIMIT 1
+    """,
+)
+def piecewise_linear_breakpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented-trend breakpoint search on monthly order revenue: fit
+    two least-squares lines (months ≤ k, months > k) for every candidate
+    split month k and report the split minimizing total SSE with the
+    slopes either side — the "when did the trend change" readout
+    (``cusum_changepoint`` detects LEVEL shifts on a stream; this finds
+    the SLOPE break on the aggregate series, the growth-inflection
+    question).
+
+    Determinism: every candidate's centered moments (n·Σxy − ΣxΣy etc.)
+    are EXACT decimal(38,0)/HUGEINT built from inclusive prefix sums
+    over the month domain (right segment = total − prefix); NO doubles
+    touch the search — each candidate's SSE freezes to an exact i2
+    integer via int_div_exact ((cyy·cxx − cxy²)·100 div (n·cxx), the
+    ANOVA idiom), so the (sse, k) argmin is an integer sort with the
+    month as tie-break; slopes emit as i6-floored signed magnitudes and
+    SSE as integer dollars² (giant-integer→double casts are NOT
+    engine-identical: DuckDB's HUGEINT→DOUBLE rounds twice past 2^64 —
+    measured, the reason this query avoids them). Candidates need ≥ 2
+    points a side. Exactness bounds: cyy·cxx·100 inside decimal(38)
+    while monthly revenue < ~1e13 cents; sse_dollars2 inside int64 to
+    ~sf1000 — rescale y to dollars past either.
+
+    Scale shape: one map-side-combinable monthly collapse; prefix sums,
+    candidate scoring, and the argmin (TakeOrdered 1) all run on the
+    CALENDAR-BOUNDED month domain — the documented bounded-domain
+    window exception."""
+    orders = load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    monthly = orders.groupBy(
+        (
+            (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+        )
+        .cast("bigint")
+        .alias("m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    md, yd = F.col("m").cast(dec), F.col("y").cast(dec)
+    pre = monthly.select(
+        "m",
+        F.sum(F.lit(1).cast(dec)).over(w).alias("n_l"),
+        F.sum(md).over(w).alias("sx_l"),
+        F.sum(yd).over(w).alias("sy_l"),
+        F.sum(md * md).over(w).alias("sxx_l"),
+        F.sum(md * yd).over(w).alias("sxy_l"),
+        F.sum(yd * yd).over(w).alias("syy_l"),
+    )
+    tot = monthly.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(md).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(md * md).alias("sxx"),
+        F.sum(md * yd).alias("sxy"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    c = pre.crossJoin(F.broadcast(tot)).filter(
+        (F.col("n_l") >= 2) & (F.col("n") - F.col("n_l") >= 2)
+    )
+    # cxx > 0 holds for every candidate (>= 2 DISTINCT months a side),
+    # and the filter below also reaches the scan before the divisions
+    # via predicate pushdown; the int_div_exact denominators are never
+    # zero on a surviving row.
+    n_r = F.col("n") - F.col("n_l")
+    cxy_l = F.col("n_l") * F.col("sxy_l") - F.col("sx_l") * F.col("sy_l")
+    cxx_l = F.col("n_l") * F.col("sxx_l") - F.col("sx_l") * F.col("sx_l")
+    cyy_l = F.col("n_l") * F.col("syy_l") - F.col("sy_l") * F.col("sy_l")
+    cxy_r = n_r * (F.col("sxy") - F.col("sxy_l")) - (
+        F.col("sx") - F.col("sx_l")
+    ) * (F.col("sy") - F.col("sy_l"))
+    cxx_r = n_r * (F.col("sxx") - F.col("sxx_l")) - (
+        F.col("sx") - F.col("sx_l")
+    ) * (F.col("sx") - F.col("sx_l"))
+    cyy_r = n_r * (F.col("syy") - F.col("syy_l")) - (
+        F.col("sy") - F.col("sy_l")
+    ) * (F.col("sy") - F.col("sy_l"))
+    from bigdata_2025_1_spark.functions.exact import int_div_exact
+
+    def slope_i6(cxy, cxx):
+        # i6-floored magnitude with the sign applied afterwards: both
+        # engines truncate toward zero (DuckDB // on non-negative
+        # operands, int_div_exact by construction)
+        return F.when(cxy < 0, F.lit(-1).cast(dec)).otherwise(
+            F.lit(1).cast(dec)
+        ) * int_div_exact(F.abs(cxy) * 1_000_000, cxx * 100)
+
+    scored = (
+        c.select(
+            F.col("m").alias("breakpoint_m"),
+            F.col("n_l").cast("bigint").alias("n_left"),
+            n_r.cast("bigint").alias("n_right"),
+            (
+                int_div_exact(
+                    (cyy_l * cxx_l - cxy_l * cxy_l) * 100,
+                    F.col("n_l") * cxx_l,
+                )
+                + int_div_exact(
+                    (cyy_r * cxx_r - cxy_r * cxy_r) * 100,
+                    n_r * cxx_r,
+                )
+            ).alias("sse_i2"),
+            slope_i6(cxy_l, cxx_l).alias("slope_l_i6"),
+            slope_i6(cxy_r, cxx_r).alias("slope_r_i6"),
+            cxx_l.alias("cxx_l"),
+            cxx_r.alias("cxx_r"),
+        )
+        .filter((F.col("cxx_l") > 0) & (F.col("cxx_r") > 0))
+    )
+    return (
+        scored.orderBy("sse_i2", "breakpoint_m")
+        .limit(1)
+        .select(
+            "breakpoint_m",
+            "n_left",
+            "n_right",
+            (F.col("slope_l_i6").cast("double") / F.lit(1e6)).alias("slope_left"),
+            (F.col("slope_r_i6").cast("double") / F.lit(1e6)).alias("slope_right"),
+            int_div_exact(F.col("sse_i2"), F.lit(1_000_000).cast(dec))
+            .cast("bigint")
+            .alias("sse_dollars2"),
+        )
+    )
+
+
+@query(
+    "durbin_watson_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hidx,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY hidx
+    ), based AS (
+      SELECT hidx - (SELECT MIN(hidx) FROM hourly) AS x, y FROM hourly
+    ), m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM based
+    ), fit AS (
+      SELECT n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS a
+      FROM m WHERE n >= 3 AND n * sxx - sx * sx > 0
+    ), resid AS (
+      SELECT x,
+             CAST(ROUND((y - fit.a - fit.b * x) * 1e6) AS HUGEINT) AS e_i6
+      FROM based CROSS JOIN fit
+    ), lagged AS (
+      SELECT e_i6, LAG(e_i6) OVER (ORDER BY x) AS e_prev FROM resid
+    ), sums AS (
+      SELECT SUM(CASE WHEN e_prev IS NULL THEN 0
+                      ELSE (e_i6 - e_prev) * (e_i6 - e_prev) END) AS num,
+             SUM(e_i6 * e_i6) AS den
+      FROM lagged
+    )
+    SELECT CAST(f.n AS BIGINT) AS n_hours,
+           ROUND(f.b, 6) AS slope,
+           ROUND(f.a, 6) AS intercept,
+           CASE WHEN s.den > 0 THEN
+             ROUND(CAST(s.num AS DOUBLE) / CAST(s.den AS DOUBLE), 6)
+           END AS dw_stat
+    FROM fit f CROSS JOIN sums s
+    """,
+)
+def durbin_watson_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic on the residuals of a linear trend fit to
+    HOURLY event counts: DW = Σ(e_t − e_{t−1})² / Σe_t², the classic
+    "are the regression errors autocorrelated" diagnostic (DW ≈ 2 means
+    none; ≪ 2 positive autocorrelation — exactly what a diurnal load
+    pattern produces, so on this feed DW ≪ 2 is the expected read, and
+    the right response is the seasonal terms
+    ``hourly_autocorrelation`` / ``seasonal_hourly_residuals`` feed).
+
+    Determinism: the OLS fit comes from exact integer moments over
+    REBASED hour indexes (x − min keeps products tiny); slope and
+    intercept are one pinned chain; each hour-TYPE residual rounds once
+    to i6 and the DW sums are exact decimal(38,0)/HUGEINT over those
+    integers — one final division, rounded to 6. Fits need n ≥ 3 and a
+    non-degenerate x spread; a zero residual vector returns NULL DW —
+    identical guards both engines. Consecutive-hour differencing runs
+    over the OBSERVED hour sequence (gaps are treated as adjacent — the
+    convention, stated).
+
+    Scale shape: the fact stream collapses to the calendar-bounded hour
+    spine once (map-side-combinable); the residual join broadcasts the
+    1-row fit; the lag runs over the bounded hour domain — the
+    documented exception class."""
+    ev = load(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    hourly = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("bigint")
+        .alias("hidx")
+    ).agg(F.count("*").alias("y"))
+    hmin = hourly.agg(F.min("hidx").alias("h0"))
+    based = hourly.crossJoin(F.broadcast(hmin)).select(
+        (F.col("hidx") - F.col("h0")).alias("x"), "y"
+    )
+    xd, yd = F.col("x").cast(dec), F.col("y").cast(dec)
+    m = based.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    cxy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    cxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    b = cxy.cast("double") / cxx.cast("double")
+    a = F.col("sy").cast("double") / F.col("n").cast("double") - b * (
+        F.col("sx").cast("double") / F.col("n").cast("double")
+    )
+    fit = m.filter((F.col("n") >= 3) & (cxx > 0)).select(
+        F.col("n").alias("n"), b.alias("b"), a.alias("a")
+    )
+    resid = based.crossJoin(F.broadcast(fit)).select(
+        "x",
+        "n",
+        F.round((F.col("y") - F.col("a") - F.col("b") * F.col("x")) * F.lit(1e6))
+        .cast(dec)
+        .alias("e_i6"),
+        "a",
+        "b",
+    )
+    wl = Window.orderBy("x")
+    lagged = resid.select(
+        "n",
+        "a",
+        "b",
+        "e_i6",
+        F.lag("e_i6").over(wl).alias("e_prev"),
+    )
+    sums = lagged.groupBy("n", "a", "b").agg(
+        F.sum(
+            F.when(F.col("e_prev").isNull(), F.lit(0).cast(dec)).otherwise(
+                (F.col("e_i6") - F.col("e_prev")) * (F.col("e_i6") - F.col("e_prev"))
+            )
+        ).alias("num"),
+        F.sum(F.col("e_i6") * F.col("e_i6")).alias("den"),
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round(F.col("b"), 6).alias("slope"),
+        F.round(F.col("a"), 6).alias("intercept"),
+        F.when(
+            F.col("den") > 0,
+            F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6),
+        ).alias("dw_stat"),
+    )
