@@ -2697,3 +2697,177 @@ def capture_recapture_population(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("observed_total").cast("double") / chapman, 6),
         ).alias("coverage_ratio"),
     )
+
+
+LOGRANK_G_A = "1-URGENT"
+LOGRANK_G_B = "5-LOW"
+
+
+@query(
+    "logrank_priority_survival",
+    oracle=f"""
+    WITH spans AS (
+      SELECT l_orderkey,
+             CAST(date_diff('day', MIN(l_shipdate), MAX(l_shipdate)) AS BIGINT) AS dur,
+             MAX(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY l_orderkey
+    ), horizon AS (
+      SELECT MAX(l_shipdate) AS max_ship FROM lineitem
+    ), durs AS (
+      SELECT CASE WHEN o.o_orderpriority = '{LOGRANK_G_A}' THEN 1 ELSE 0 END AS g,
+             s.dur,
+             (s.last_ship > h.max_ship - INTERVAL {KM_CENSOR_DAYS} DAY) AS censored
+      FROM spans s
+      JOIN orders o ON o.o_orderkey = s.l_orderkey
+      CROSS JOIN horizon h
+      WHERE o.o_orderpriority IN ('{LOGRANK_G_A}', '{LOGRANK_G_B}')
+    ), totals AS (
+      SELECT CAST(SUM(g) AS BIGINT) AS n_a,
+             CAST(SUM(1 - g) AS BIGINT) AS n_b
+      FROM durs
+    ), daily AS (
+      SELECT dur AS t,
+             CAST(SUM(CASE WHEN g = 1 AND NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN g = 0 AND NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(SUM(g) AS BIGINT) AS l1,
+             CAST(SUM(1 - g) AS BIGINT) AS l2
+      FROM durs GROUP BY dur
+    ), cums AS (
+      SELECT t, d1, d2,
+             CAST(COALESCE(SUM(l1) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS lb1,
+             CAST(COALESCE(SUM(l2) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS lb2
+      FROM daily
+    ), terms AS (
+      SELECT d1, d1 + d2 AS d,
+             tt.n_a - lb1 AS n1, tt.n_b - lb2 AS n2,
+             tt.n_a - lb1 + tt.n_b - lb2 AS n
+      FROM cums CROSS JOIN totals tt
+      WHERE d1 + d2 > 0 AND tt.n_a - lb1 + tt.n_b - lb2 >= 2
+    ), summed AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             CAST(SUM(CAST(ROUND(CAST(d * n1 AS DOUBLE) / n * 1e9) AS BIGINT))
+                  AS BIGINT) AS e1_i9,
+             CAST(SUM(CAST(ROUND(CAST(d AS DOUBLE) * n1 / n
+                                 * (CAST(n2 AS DOUBLE) / n)
+                                 * (CAST(n - d AS DOUBLE) / (n - 1))
+                                 * 1e9) AS BIGINT)) AS BIGINT) AS v_i9
+      FROM terms
+    )
+    SELECT tt.n_a, tt.n_b, s.o1 AS observed_a,
+           ROUND(s.e1_i9::DOUBLE / 1e9, 6) AS expected_a,
+           CASE WHEN s.v_i9 > 0 THEN
+             ROUND((s.o1::DOUBLE * 1e9 - s.e1_i9)
+                   * ((s.o1::DOUBLE * 1e9 - s.e1_i9) / (s.v_i9::DOUBLE * 1e9)) / 1e9, 6)
+           END AS logrank_chi2
+    FROM summed s CROSS JOIN totals tt
+    """,
+)
+def logrank_priority_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test: do {LOGRANK_G_A} and {LOGRANK_G_B}
+    orders follow the SAME fulfillment-survival curve? The hypothesis
+    test behind every pair of ``kaplan_meier_retention`` curves — at
+    each completion day the urgent group's observed completions are
+    compared with the hypergeometric expectation given the shared risk
+    set, right-censoring handled exactly as the KM estimator's
+    ({KM_CENSOR_DAYS}-day horizon rule). χ² = (O−E)²/V on 1 df.
+
+    Determinism: risk sets and event counts are exact integers from
+    per-group prefix sums over the DAY domain; each day-TYPE's E and V
+    contributions round once to i9 through an identical factored double
+    chain (every factor < 2^53, so the chain is engine-identical) and
+    accumulate as INTEGERS; the statistic is one pinned chain over
+    (O·1e9 − ΣE_i9) and ΣV_i9, rounded to 6; a zero-variance feed
+    returns NULL under identical guards. Days with n < 2 at risk carry
+    no information and are excluded identically.
+
+    Scale shape: one per-order collapse of the fact table + a keyed
+    orderkey equi-join for the group label; the day-domain windows are
+    the documented calendar-bounded exception; the test is a scalar
+    reduction."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(LOGRANK_G_A, LOGRANK_G_B)
+    )
+    spans = li.groupBy("l_orderkey").agg(
+        F.datediff(F.max("l_shipdate"), F.min("l_shipdate"))
+        .cast("bigint")
+        .alias("dur"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    horizon = li.agg(F.max("l_shipdate").alias("max_ship"))
+    durs = (
+        spans.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (F.col("o_orderpriority") == LOGRANK_G_A).cast("int").alias("g"),
+            "dur",
+            (
+                F.col("last_ship")
+                > F.date_sub(F.col("max_ship"), KM_CENSOR_DAYS)
+            ).alias("censored"),
+        )
+    )
+    totals = durs.agg(
+        F.sum("g").cast("bigint").alias("n_a"),
+        F.sum(1 - F.col("g")).cast("bigint").alias("n_b"),
+    )
+    daily = durs.groupBy(F.col("dur").alias("t")).agg(
+        F.sum(((F.col("g") == 1) & ~F.col("censored")).cast("bigint")).alias("d1"),
+        F.sum(((F.col("g") == 0) & ~F.col("censored")).cast("bigint")).alias("d2"),
+        F.sum("g").cast("bigint").alias("l1"),
+        F.sum(1 - F.col("g")).cast("bigint").alias("l2"),
+    )
+    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    cums = daily.select(
+        "t",
+        "d1",
+        "d2",
+        F.coalesce(F.sum("l1").over(w_before), F.lit(0)).alias("lb1"),
+        F.coalesce(F.sum("l2").over(w_before), F.lit(0)).alias("lb2"),
+    )
+    n1 = F.col("n_a") - F.col("lb1")
+    n2 = F.col("n_b") - F.col("lb2")
+    d = F.col("d1") + F.col("d2")
+    terms = (
+        cums.crossJoin(F.broadcast(totals))
+        .filter((d > 0) & (n1 + n2 >= 2))
+        .select(
+            "d1",
+            d.alias("d"),
+            n1.alias("n1"),
+            n2.alias("n2"),
+            (n1 + n2).alias("n"),
+        )
+    )
+    e1_i9 = F.round(
+        (F.col("d") * F.col("n1")).cast("double") / F.col("n") * F.lit(1e9)
+    ).cast("bigint")
+    v_i9 = F.round(
+        F.col("d").cast("double")
+        * F.col("n1")
+        / F.col("n")
+        * (F.col("n2").cast("double") / F.col("n"))
+        * ((F.col("n") - F.col("d")).cast("double") / (F.col("n") - 1))
+        * F.lit(1e9)
+    ).cast("bigint")
+    summed = terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum(e1_i9).cast("bigint").alias("e1_i9"),
+        F.sum(v_i9).cast("bigint").alias("v_i9"),
+    )
+    dev = F.col("o1").cast("double") * F.lit(1e9) - F.col("e1_i9")
+    return summed.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        F.col("o1").alias("observed_a"),
+        F.round(F.col("e1_i9").cast("double") / F.lit(1e9), 6).alias("expected_a"),
+        F.when(
+            F.col("v_i9") > 0,
+            F.round(
+                dev * (dev / (F.col("v_i9").cast("double") * F.lit(1e9))) / F.lit(1e9),
+                6,
+            ),
+        ).alias("logrank_chi2"),
+    )

@@ -2003,3 +2003,127 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("c_ab"), "a", "b")
     )
+
+
+JSD_SRC_A = "src0"
+JSD_SRC_B = "src1"
+
+
+@query(
+    "jsd_source_divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    t -> t <> '')) AS w
+      FROM documents WHERE source IN ('{JSD_SRC_A}', '{JSD_SRC_B}')
+    ), sw AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY source, w
+    ), joined AS (
+      SELECT COALESCE(a.w, b.w) AS w,
+             COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+      FROM (SELECT w, c FROM sw WHERE source = '{JSD_SRC_A}') a
+      FULL OUTER JOIN (SELECT w, c FROM sw WHERE source = '{JSD_SRC_B}') b
+        ON b.w = a.w
+    ), ns AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS vocab_union
+      FROM joined
+    ), contrib AS (
+      SELECT
+        SUM(CASE WHEN j.ca > 0 THEN j.ca * CAST(ROUND(ln(
+              2.0 * j.ca * ns.nb / (CAST(j.ca AS DOUBLE) * ns.nb + CAST(j.cb AS DOUBLE) * ns.na)
+            ) * 1e6) AS BIGINT) ELSE 0 END) AS kla_i6,
+        SUM(CASE WHEN j.cb > 0 THEN j.cb * CAST(ROUND(ln(
+              2.0 * j.cb * ns.na / (CAST(j.ca AS DOUBLE) * ns.nb + CAST(j.cb AS DOUBLE) * ns.na)
+            ) * 1e6) AS BIGINT) ELSE 0 END) AS klb_i6
+      FROM joined j CROSS JOIN ns
+    )
+    SELECT ns.na AS n_tokens_a, ns.nb AS n_tokens_b, ns.vocab_union,
+           CASE WHEN ns.na > 0 THEN
+             ROUND(c.kla_i6::DOUBLE / ns.na / 1e6, 9) END AS kl_a_m,
+           CASE WHEN ns.nb > 0 THEN
+             ROUND(c.klb_i6::DOUBLE / ns.nb / 1e6, 9) END AS kl_b_m,
+           CASE WHEN ns.na > 0 AND ns.nb > 0 THEN
+             ROUND((c.kla_i6::DOUBLE / ns.na + c.klb_i6::DOUBLE / ns.nb)
+                   / 2 / 1e6, 9) END AS jsd_nats
+    FROM ns CROSS JOIN contrib c
+    """,
+)
+def jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the '{JSD_SRC_A}' and
+    '{JSD_SRC_B}' unigram distributions: JSD = ½KL(P‖M) + ½KL(Q‖M) with
+    M the even mixture — the SYMMETRIC, always-finite divergence corpus
+    comparisons report where ``source_token_kl``'s KL (one-sided,
+    support-sensitive) misleads; √JSD is a metric, and 0 ≤ JSD ≤ ln 2
+    bounds make thresholds portable across corpus pairs.
+
+    Determinism: the weighted-integer-ln contract — per word TYPE the
+    likelihood ratio p/m collapses to the INTEGER-argument form
+    2·c_p·n_q / (c_p·n_q + c_q·n_p) (every product < 2^53, so the
+    double chain is engine-identical), each term rounds once to i6
+    scaled by the integer count, and the two KL sums accumulate as
+    int64; the final mixture is one pinned chain, rounded to 9. Absent
+    words contribute only to the side that has them (M > 0 on the union
+    support — JSD's finiteness, by construction). Empty sides return
+    NULL under identical guards.
+
+    Scale shape: one (source, word)-keyed map-side-combinable count per
+    side; the union support is a word-keyed FULL OUTER join (hash-
+    partitioned on the word, never widened beyond the two sources'
+    vocabularies); totals broadcast; the divergence is a scalar
+    reduction."""
+    docs = spread(load(spark, sf_dir, "documents")).filter(
+        F.col("source").isin(JSD_SRC_A, JSD_SRC_B)
+    )
+    tok = docs.select(
+        "source", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    sw = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    a = sw.filter(F.col("source") == JSD_SRC_A).select("w", F.col("c").alias("ca0"))
+    b = sw.filter(F.col("source") == JSD_SRC_B).select(
+        F.col("w").alias("wb"), F.col("c").alias("cb0")
+    )
+    joined = a.join(b, F.col("wb") == F.col("w"), "full_outer").select(
+        F.coalesce(F.col("ca0"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb0"), F.lit(0)).alias("cb"),
+    )
+    ns = joined.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.count("*").alias("vocab_union"),
+    )
+    mix_den = (
+        F.col("ca").cast("double") * F.col("nb")
+        + F.col("cb").cast("double") * F.col("na")
+    )
+    term_a = F.when(
+        F.col("ca") > 0,
+        F.col("ca")
+        * F.round(
+            F.log(F.lit(2.0) * F.col("ca") * F.col("nb") / mix_den) * F.lit(1e6)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    term_b = F.when(
+        F.col("cb") > 0,
+        F.col("cb")
+        * F.round(
+            F.log(F.lit(2.0) * F.col("cb") * F.col("na") / mix_den) * F.lit(1e6)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    contrib = joined.crossJoin(F.broadcast(ns)).agg(
+        F.sum(term_a).alias("kla_i6"), F.sum(term_b).alias("klb_i6")
+    )
+    kla = F.col("kla_i6").cast("double") / F.col("na")
+    klb = F.col("klb_i6").cast("double") / F.col("nb")
+    return ns.crossJoin(F.broadcast(contrib)).select(
+        F.col("na").alias("n_tokens_a"),
+        F.col("nb").alias("n_tokens_b"),
+        F.col("vocab_union").cast("bigint").alias("vocab_union"),
+        F.when(F.col("na") > 0, F.round(kla / F.lit(1e6), 9)).alias("kl_a_m"),
+        F.when(F.col("nb") > 0, F.round(klb / F.lit(1e6), 9)).alias("kl_b_m"),
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.round((kla + klb) / 2 / F.lit(1e6), 9),
+        ).alias("jsd_nats"),
+    )

@@ -57,12 +57,13 @@ ORACLES: dict[str, str] = {}
 # selfchecked tuned + vanilla the day it lands; exact names appended to
 # the list below as they land); then (b) the oldest stale greens by
 # driver-row vintage, oldest first, until the head reaches exactly 50.
-# Round-8 additions so far (9):
+# Round-8 additions so far (12):
 #   kruskal_wallis_priority_spend, welch_t_spend,
 #   wasserstein_value_drift, mcnemar_paired_returns,
 #   cramers_v_association, zorder_layout_cells,
 #   holt_linear_forecast, piecewise_linear_breakpoint,
-#   durbin_watson_hourly.
+#   durbin_watson_hourly, logrank_priority_survival,
+#   scc_trade_graph, jsd_source_divergence.
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 0-36: the 37 round-7 additions (never driver-checked)
     "mann_whitney_segment_spend",
