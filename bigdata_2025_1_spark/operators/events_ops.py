@@ -2871,3 +2871,134 @@ def logrank_priority_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("logrank_chi2"),
     )
+
+
+DID_SPLIT_TS = "2024-01-16"
+
+
+@query(
+    "difference_in_differences",
+    oracle=f"""
+    WITH cells AS (
+      SELECT ('0x' || substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2 AS treated,
+             CASE WHEN ts < TIMESTAMP '{DID_SPLIT_TS}' THEN 0 ELSE 1 END AS post,
+             CAST(ROUND(value * 1e2) AS BIGINT) AS v
+      FROM events
+    ), g AS (
+      SELECT treated, post, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(v AS HUGEINT)) AS s1,
+             SUM(CAST(v AS HUGEINT) * v) AS s2
+      FROM cells GROUP BY treated, post
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_tp,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN s1 END) AS s1_tp,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN s2 END) AS s2_tp,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_tq,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN s1 END) AS s1_tq,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN s2 END) AS s2_tq,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_cp,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN s1 END) AS s1_cp,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN s2 END) AS s2_cp,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_cq,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN s1 END) AS s1_cq,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN s2 END) AS s2_cq
+      FROM g
+    ), ok AS (
+      SELECT * FROM wide
+      WHERE n_tp >= 2 AND n_tq >= 2 AND n_cp >= 2 AND n_cq >= 2
+    ), est AS (
+      SELECT n_tp, n_tq, n_cp, n_cq,
+             (CAST(s1_tq AS DOUBLE) / n_tq - CAST(s1_tp AS DOUBLE) / n_tp)
+             - (CAST(s1_cq AS DOUBLE) / n_cq - CAST(s1_cp AS DOUBLE) / n_cp) AS did_c,
+             (CAST(s2_tp AS DOUBLE) - CAST(s1_tp AS DOUBLE) * s1_tp / n_tp)
+               / (n_tp - 1) / n_tp
+             + (CAST(s2_tq AS DOUBLE) - CAST(s1_tq AS DOUBLE) * s1_tq / n_tq)
+               / (n_tq - 1) / n_tq
+             + (CAST(s2_cp AS DOUBLE) - CAST(s1_cp AS DOUBLE) * s1_cp / n_cp)
+               / (n_cp - 1) / n_cp
+             + (CAST(s2_cq AS DOUBLE) - CAST(s1_cq AS DOUBLE) * s1_cq / n_cq)
+               / (n_cq - 1) / n_cq AS var_c
+      FROM ok
+    )
+    SELECT n_tp AS n_treated_pre, n_tq AS n_treated_post,
+           n_cp AS n_control_pre, n_cq AS n_control_post,
+           ROUND(did_c / 100, 6) AS did_estimate,
+           CASE WHEN var_c > 0 THEN ROUND(sqrt(var_c) / 100, 6) END AS did_se,
+           CASE WHEN var_c > 0 THEN ROUND(did_c / sqrt(var_c), 6) END AS z_score
+    FROM est
+    """,
+)
+def difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator on event value: users
+    hash-split into treated/control arms (md5, the ``ab_test_uplift``
+    assignment convention), periods split at {DID_SPLIT_TS}, and the
+    causal readout is (post − pre) in treated MINUS (post − pre) in
+    control — the design that removes both the arm-level baseline gap
+    and the common time trend, which the plain post-period comparison
+    (``ab_test_uplift``) and the pre-period covariate adjustment
+    (``cuped_adjusted_uplift``) each only half-handle. On this
+    untreated feed the estimate is an A/A null read; the query's job is
+    the 2×2 moment algebra and the pooled SE.
+
+    Determinism: the split is md5-exact; each of the four cells
+    contributes three exact integer moments (n, Σv, Σv² in value cents,
+    decimal(38,0)/HUGEINT); the estimate, its large-sample SE
+    (√Σ s²_cell/n_cell), and z are ONE pinned chain over the 1-row
+    pivot, rounded to 6. Any cell with n < 2 emits no row; a zero
+    pooled variance returns NULL SE/z — identical guards.
+
+    Scale shape: one map-side-combinable 4-cell moment aggregate over
+    the raw scan (assignment and period are scan-side expressions —
+    no joins at all); everything after runs on the 1-row pivot."""
+    ev = load(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    cells = ev.select(
+        (
+            md5_int(F.concat(F.lit("did:"), F.col("user_id").cast("string"))) % 2
+        ).alias("treated"),
+        F.when(F.col("ts") < DID_SPLIT_TS, 0).otherwise(1).alias("post"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    g = cells.groupBy("treated", "post").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s1"),
+        F.sum(F.col("v").cast(dec) * F.col("v")).alias("s2"),
+    )
+    def cell(t, p, c):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(c))
+        )
+    wide = g.agg(
+        *[
+            cell(t, p, c).alias(f"{c}_{tag}")
+            for (t, p, tag) in ((1, 0, "tp"), (1, 1, "tq"), (0, 0, "cp"), (0, 1, "cq"))
+            for c in ("n", "s1", "s2")
+        ]
+    ).filter(
+        (F.col("n_tp") >= 2)
+        & (F.col("n_tq") >= 2)
+        & (F.col("n_cp") >= 2)
+        & (F.col("n_cq") >= 2)
+    )
+    def mean(tag):
+        return F.col(f"s1_{tag}").cast("double") / F.col(f"n_{tag}")
+    def var_of_mean(tag):
+        n = F.col(f"n_{tag}")
+        s1 = F.col(f"s1_{tag}")
+        return (
+            (F.col(f"s2_{tag}").cast("double") - s1.cast("double") * s1 / n)
+            / (n - 1)
+            / n
+        )
+    did_c = (mean("tq") - mean("tp")) - (mean("cq") - mean("cp"))
+    var_c = var_of_mean("tp") + var_of_mean("tq") + var_of_mean("cp") + var_of_mean("cq")
+    return wide.select(
+        F.col("n_tp").alias("n_treated_pre"),
+        F.col("n_tq").alias("n_treated_post"),
+        F.col("n_cp").alias("n_control_pre"),
+        F.col("n_cq").alias("n_control_post"),
+        F.round(did_c / 100, 6).alias("did_estimate"),
+        F.when(var_c > 0, F.round(F.sqrt(var_c) / 100, 6)).alias("did_se"),
+        F.when(var_c > 0, F.round(did_c / F.sqrt(var_c), 6)).alias("z_score"),
+    )

@@ -57,13 +57,18 @@ ORACLES: dict[str, str] = {}
 # selfchecked tuned + vanilla the day it lands; exact names appended to
 # the list below as they land); then (b) the oldest stale greens by
 # driver-row vintage, oldest first, until the head reaches exactly 50.
-# Round-8 additions so far (12):
+# Round-8 additions — COMPLETE at the 13-query cap (VERDICT r7 ask #2):
 #   kruskal_wallis_priority_spend, welch_t_spend,
 #   wasserstein_value_drift, mcnemar_paired_returns,
 #   cramers_v_association, zorder_layout_cells,
 #   holt_linear_forecast, piecewise_linear_breakpoint,
 #   durbin_watson_hourly, logrank_priority_survival,
-#   scc_trade_graph, jsd_source_divergence.
+#   scc_trade_graph, jsd_source_divergence,
+#   difference_in_differences.
+# The round-9 head is therefore: these 13 (never driver-checked; each
+# selfchecked tuned + vanilla and green on empty tables the day it
+# landed) + the 37 oldest stale greens by driver-row vintage (all r3
+# after the round-8 rotation lands) = exactly 50.
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 0-36: the 37 round-7 additions (never driver-checked)
     "mann_whitney_segment_spend",
