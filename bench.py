@@ -275,6 +275,22 @@ HEADLINE = [
     "shapley_variance_attribution",
     "risk_ratio_odds_ratio",
     "cohens_kappa_agreement",
+    # round-8 additions: classical-test completions, time series,
+    # survival comparison, directed SCC, corpus divergence, causal DiD,
+    # Z-order layout
+    "kruskal_wallis_priority_spend",
+    "welch_t_spend",
+    "wasserstein_value_drift",
+    "mcnemar_paired_returns",
+    "cramers_v_association",
+    "zorder_layout_cells",
+    "holt_linear_forecast",
+    "piecewise_linear_breakpoint",
+    "durbin_watson_hourly",
+    "logrank_priority_survival",
+    "scc_trade_graph",
+    "jsd_source_divergence",
+    "difference_in_differences",
 ]
 
 

@@ -2809,15 +2809,24 @@ def logrank_priority_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("censored"),
         )
     )
-    totals = durs.agg(
-        F.sum("g").cast("bigint").alias("n_a"),
-        F.sum(1 - F.col("g")).cast("bigint").alias("n_b"),
+    # the day-domain collapse is the single fact-join consumer; group
+    # totals re-reduce IT (not the join), and the persist keeps the
+    # remaining three tiny lineages (totals, cums, output) from
+    # replaying the spans ⋈ orders shuffle. Cache contract: see
+    # pagerank_nation_trade.
+    daily = (
+        durs.groupBy(F.col("dur").alias("t"))
+        .agg(
+            F.sum(((F.col("g") == 1) & ~F.col("censored")).cast("bigint")).alias("d1"),
+            F.sum(((F.col("g") == 0) & ~F.col("censored")).cast("bigint")).alias("d2"),
+            F.sum("g").cast("bigint").alias("l1"),
+            F.sum(1 - F.col("g")).cast("bigint").alias("l2"),
+        )
+        .persist()
     )
-    daily = durs.groupBy(F.col("dur").alias("t")).agg(
-        F.sum(((F.col("g") == 1) & ~F.col("censored")).cast("bigint")).alias("d1"),
-        F.sum(((F.col("g") == 0) & ~F.col("censored")).cast("bigint")).alias("d2"),
-        F.sum("g").cast("bigint").alias("l1"),
-        F.sum(1 - F.col("g")).cast("bigint").alias("l2"),
+    totals = daily.agg(
+        F.sum("l1").cast("bigint").alias("n_a"),
+        F.sum("l2").cast("bigint").alias("n_b"),
     )
     w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     cums = daily.select(

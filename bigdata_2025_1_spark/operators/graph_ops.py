@@ -1630,6 +1630,10 @@ def scc_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
+    # persisted: the threshold scalar, the strong-edge filter, and the
+    # two downstream consumers of the kernel labels would otherwise
+    # replay the fact-fact shuffle. Cache contract: see
+    # pagerank_nation_trade.
     raw = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
@@ -1639,6 +1643,7 @@ def scc_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .agg(F.count("*").alias("w"))
+        .persist()
     )
     wtot = raw.agg(F.sum("w").alias("wt"))
     strong = (

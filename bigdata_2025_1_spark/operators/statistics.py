@@ -4039,13 +4039,13 @@ def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderpriority AS g,
              CAST(ROUND(o_totalprice * 1e2) AS BIGINT) AS v
       FROM orders
-    ), hv AS (
-      SELECT v, COUNT(*) AS ct,
-             COALESCE(SUM(COUNT(*)) OVER (ORDER BY v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-      FROM rows_ GROUP BY v
     ), gv AS (
       SELECT g, v, COUNT(*) AS c_gv FROM rows_ GROUP BY g, v
+    ), hv AS (
+      SELECT v, SUM(c_gv) AS ct,
+             COALESCE(SUM(SUM(c_gv)) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM gv GROUP BY v
     ), rg AS (
       SELECT gv.g, CAST(SUM(gv.c_gv) AS BIGINT) AS n_g,
              SUM(CAST(gv.c_gv AS HUGEINT) * (2 * hv.cb + hv.ct + 1)) AS r2_g
@@ -4095,20 +4095,26 @@ def kruskal_wallis_priority_spend(spark: SparkSession, sf_dir: str) -> DataFrame
     NULL H via identical guards. R2_g²·100 stays inside decimal(38) to
     ~1e8 rows per group in cents; rescale v to dollars past that.
 
-    Scale shape: two map-side-combinable histograms (global value
-    domain, (group, value) cells); the only window is the exclusive
-    cum-count over DISTINCT ORDER VALUES (the documented bounded-domain
-    exception); the rank-sum join is value-keyed; the H reduction runs
-    on k rows."""
+    Scale shape: ONE fact aggregate — the (group, value) cell table —
+    whose shuffle both consumers reuse (the global value histogram
+    re-reduces the cells; ReusedExchange, plan-checked); the only
+    window is the exclusive cum-count over DISTINCT ORDER VALUES (the
+    documented bounded-domain exception); the rank-sum join is
+    value-keyed; the H reduction runs on k rows."""
     orders = load(spark, sf_dir, "orders")
     rows = orders.select(
         F.col("o_orderpriority").alias("g"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
     )
+    # ONE fact scan: the (group, value) cell table is the only fact
+    # aggregate, persisted because FOUR lineages consume it (hv -> tie,
+    # rg -> m, and both join back for the output) — without the cache
+    # the scan replays per consumer (measured: 5 scans). Cache contract:
+    # see pagerank_nation_trade (both harnesses clearCache per query).
+    gv = rows.groupBy("g", "v").agg(F.count("*").alias("c_gv")).persist()
     hv = cum_counts_over_values(
-        rows.groupBy("v").agg(F.count("*").alias("ct")), "v", "ct", "cb"
+        gv.groupBy("v").agg(F.sum("c_gv").alias("ct")), "v", "ct", "cb"
     )
-    gv = rows.groupBy("g", "v").agg(F.count("*").alias("c_gv"))
     dec = "decimal(38,0)"
     rg = (
         gv.join(hv, "v")
@@ -4526,6 +4532,9 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     the statistic are arithmetic on that provably tiny aggregate."""
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
+    # persisted: THREE lineages consume the collapsed cell table (the
+    # margins rr/cc and the grid) — without the cache the fact join
+    # replays per consumer. Cache contract: see pagerank_nation_trade.
     obs0 = (
         orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
         .groupBy(
@@ -4533,6 +4542,7 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("pri"),
         )
         .agg(F.count("*").alias("observed"))
+        .persist()
     )
     rr = obs0.select("seg").distinct()
     cc = obs0.select("pri").distinct()

@@ -2084,9 +2084,16 @@ def jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sw.filter(F.col("source") == JSD_SRC_B).select(
         F.col("w").alias("wb"), F.col("c").alias("cb0")
     )
-    joined = a.join(b, F.col("wb") == F.col("w"), "full_outer").select(
-        F.coalesce(F.col("ca0"), F.lit(0)).alias("ca"),
-        F.coalesce(F.col("cb0"), F.lit(0)).alias("cb"),
+    # persisted: both the totals and the divergence reduce the union
+    # support — without the cache the token explode + counts replay per
+    # consumer. Cache contract: see pagerank_nation_trade.
+    joined = (
+        a.join(b, F.col("wb") == F.col("w"), "full_outer")
+        .select(
+            F.coalesce(F.col("ca0"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb0"), F.lit(0)).alias("cb"),
+        )
+        .persist()
     )
     ns = joined.agg(
         F.sum("ca").cast("bigint").alias("na"),
