@@ -1373,3 +1373,62 @@ def test_kmv_bottom_k_uses_window_group_limit(spark, sf_dir):
     per-type sort of the entity-scale distinct-user stream."""
     plan = formatted_plan(QUERIES["kmv_intersection_estimate"](spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+# --- round-8 additions ------------------------------------------------------
+
+
+def test_zorder_key_is_scan_side_and_pruned(spark, sf_dir):
+    """The Morton key must be computed scan-side (partial aggregation
+    before the only data exchange — map-side combine over the 256-cell
+    domain) and the scan must read ONLY the two key columns."""
+    df = QUERIES["zorder_layout_cells"](spark, sf_dir)
+    plan = formatted_plan(df)
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_partkey" in read_schema and "l_suppkey" in read_schema
+    for col in ("l_extendedprice", "l_comment", "l_quantity", "l_shipdate"):
+        assert col not in read_schema, col
+    # partial then final HashAggregate: the cell collapse combines
+    # map-side, so the exchange carries <= 256 cell rows, not the fact
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_difference_in_differences_has_no_joins(spark, sf_dir):
+    """Arm and period are scan-side expressions: the whole estimator is
+    one 4-cell aggregate over the raw scan — any Join appearing here
+    means someone reintroduced a dimension lookup."""
+    plan = formatted_plan(QUERIES["difference_in_differences"](spark, sf_dir))
+    assert "Join" not in plan, "DiD must stay join-free"
+
+
+def test_welch_t_broadcasts_customer_single_fact_agg(spark, sf_dir):
+    plan = formatted_plan(QUERIES["welch_t_spend"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_holt_runs_one_grouped_kernel(spark, sf_dir):
+    """The recurrence must execute as ONE Arrow kernel over the
+    collapsed monthly series (FlatMapGroupsInPandas), with the fact
+    collapse map-side combined before it."""
+    plan = formatted_plan(QUERIES["holt_linear_forecast"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final collapse
+
+
+def test_scc_broadcasts_dims(spark, sf_dir):
+    flags = plan_has(
+        QUERIES["scc_trade_graph"](spark, sf_dir),
+        "BroadcastHashJoin",
+        "MapInPandas",
+    )
+    assert all(flags.values()), flags
+
+
+def test_logrank_no_fact_scale_single_partition(spark, sf_dir):
+    """The only SinglePartition exchanges may carry scalar/day-domain
+    rows — never per-order spans (l_orderkey must not ride one)."""
+    from bigdata_2025_1_spark.plans.explain import single_partition_exchange_inputs
+
+    df = QUERIES["logrank_priority_survival"](spark, sf_dir)
+    for inputs in single_partition_exchange_inputs(df):
+        assert "l_orderkey" not in inputs, inputs
