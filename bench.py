@@ -98,6 +98,14 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # 2.79 s interleaved-A/B number was the fast tail of the variance
 # envelope, not the steady base).
 #
+# Round-8 additions note (single full-headline run at sf0.1, idle
+# machine): all 13 round-8 queries land 0.36-2.07 s. The heaviest are
+# kruskal_wallis_priority_spend (2.07 s — one fact aggregate whose
+# shuffle four lineages reuse via the persisted (group, value) cell
+# table; its cost is that single fact pass) and cramers_v_association /
+# scc_trade_graph / jsd_source_divergence (1.0-1.2 s — one broadcast-dim
+# fact join each, collapsed at the persist point the plan audit added).
+#
 # Round-4 variance note: five full runs on the same code measured the
 # 34-query shared subtotal at 24.7 / 27.8 / 29.8 / 31.1 / 34.9 s (r3
 # recorded 27.5 s) and single queries swung 2.5x between consecutive
