@@ -4336,15 +4336,15 @@ def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     KS monitor (one map-side-combinable groupBy); the CDF prefix sums
     and the LEAD gap run over DISTINCT VALUE CENTS (the documented
     bounded-domain exception); the total is one scalar aggregate."""
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
-    )
-    rows = ev.select(
-        F.round(F.col("value") * 100).cast("bigint").alias("v"),
-        (F.col("event_type") == KS_TYPE_A).cast("bigint").alias("a"),
-        (F.col("event_type") == KS_TYPE_B).cast("bigint").alias("b"),
-    )
-    hist = rows.groupBy("v").agg(F.sum("a").alias("c1"), F.sum("b").alias("c2"))
+    return w1_from_hist(ks_class_hist(load(spark, sf_dir, "events")))
+
+
+def w1_from_hist(hist: DataFrame) -> DataFrame:
+    """Finalize the 1-D Wasserstein distance from a (v, c1, c2) value
+    histogram — the SAME mergeable state ``ks_class_hist`` emits, so a
+    streaming drift monitor keeps one standing store and reads BOTH
+    statistics off it per trigger (the summary/finalize split; twin in
+    ``tests/test_streaming.py``)."""
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     wl = Window.orderBy("v")
     dec = "decimal(38,0)"

@@ -752,6 +752,16 @@ def test_ks_drift_monitor_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
     assert abs(got.d_stat - expected.d_stat) < 1e-12
     assert got.at_value == expected.at_value
 
+    # the SAME standing store finalizes the Wasserstein drift monitor:
+    # one histogram, two statistics per trigger
+    from bigdata_2025_1_spark.operators.statistics import w1_from_hist
+    from bigdata_2025_1_spark.registry import all_queries as _aq
+
+    w1_expected = _aq()["wasserstein_value_drift"](spark, sf_dir).collect()[0]
+    w1_got = w1_from_hist(merged).collect()[0]
+    assert (w1_got.n1, w1_got.n2) == (w1_expected.n1, w1_expected.n2)
+    assert abs(w1_got.w1_distance - w1_expected.w1_distance) < 1e-12
+
 
 def test_kmv_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
     """Distinct-set intersection, streamed: events arrive in TWO
