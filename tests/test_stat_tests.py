@@ -360,3 +360,192 @@ def test_cohens_kappa_matches_scalar(spark, sf_dir):
     assert abs(out.observed_agreement - po) < 1e-6
     assert abs(out.cohens_kappa - kappa) < 1e-5
     assert -1 <= out.cohens_kappa <= 1
+
+
+# --- round-8 additions -------------------------------------------------------
+
+
+def test_welch_t_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.statistics import (
+        MW_SEG_A,
+        MW_SEG_B,
+        welch_t_spend,
+    )
+
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+    }
+    a, b = [], []
+    for r in (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        seg = cust.get(r.o_custkey)
+        if seg == MW_SEG_A:
+            a.append(round(r.o_totalprice * 100))
+        elif seg == MW_SEG_B:
+            b.append(round(r.o_totalprice * 100))
+
+    def mv(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, v
+
+    na, ma, va = mv(a)
+    nb, mb, vb = mv(b)
+    se2 = va / na + vb / nb
+    t_ref = (ma - mb) / math.sqrt(se2)
+    df_ref = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    out = welch_t_spend(spark, sf_dir).collect()[0]
+    assert (out.n_a, out.n_b) == (na, nb)
+    assert abs(out.mean_a - ma / 100) < 1e-5
+    assert abs(out.t_stat - t_ref) < 1e-5
+    assert abs(out.welch_df - df_ref) < max(1e-3, df_ref * 1e-6)
+
+
+def test_kruskal_wallis_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.statistics import (
+        kruskal_wallis_priority_spend,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    data = [(r.o_orderpriority, round(r.o_totalprice * 100)) for r in rows]
+    vals = sorted(v for _, v in data)
+    n = len(vals)
+    # midranks per distinct value
+    rank: dict[int, float] = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i]:
+            j += 1
+        rank[vals[i]] = (i + 1 + j) / 2  # average of ranks i+1..j
+        i = j
+    groups: dict[str, list[float]] = {}
+    for g, v in data:
+        groups.setdefault(g, []).append(rank[v])
+    h = 12 / (n * (n + 1)) * sum(
+        (sum(rs)) ** 2 / len(rs) for rs in groups.values()
+    ) - 3 * (n + 1)
+    from collections import Counter
+
+    ties = Counter(vals)
+    tc = 1 - sum(t**3 - t for t in ties.values()) / (n**3 - n)
+    h_ref = h / tc
+    out = kruskal_wallis_priority_spend(spark, sf_dir).collect()
+    assert len(out) == len(groups)
+    got = out[0]
+    assert got.dof == len(groups) - 1
+    assert abs(got.h_stat - h_ref) < max(1e-4, h_ref * 1e-6)
+    by_g = {r.priority: r for r in out}
+    for g, rs in groups.items():
+        assert by_g[g].n_g == len(rs)
+        assert abs(by_g[g].mean_rank - sum(rs) / len(rs)) < 1e-5
+
+
+def test_wasserstein_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.statistics import (
+        KS_TYPE_A,
+        KS_TYPE_B,
+        wasserstein_value_drift,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    a = sorted(round(r.value * 100) for r in rows if r.event_type == KS_TYPE_A)
+    b = sorted(round(r.value * 100) for r in rows if r.event_type == KS_TYPE_B)
+    # scalar W1 over the merged value domain
+    dom = sorted(set(a) | set(b))
+    import bisect
+
+    w1 = 0.0
+    for v, v_next in zip(dom, dom[1:]):
+        f1 = bisect.bisect_right(a, v) / len(a)
+        f2 = bisect.bisect_right(b, v) / len(b)
+        w1 += abs(f1 - f2) * (v_next - v)
+    w1 /= 100
+    out = wasserstein_value_drift(spark, sf_dir).collect()[0]
+    assert (out.n1, out.n2) == (len(a), len(b))
+    assert abs(out.w1_distance - w1) < 1e-9
+
+
+def test_durbin_watson_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.timeseries_ops import durbin_watson_hourly
+
+    hours = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(unix_timestamp(date_trunc('hour', ts)) / 3600 AS BIGINT) AS h")
+        .groupBy("h")
+        .count()
+        .collect()
+    )
+    series = sorted((r.h, r["count"]) for r in hours)
+    x0 = series[0][0]
+    xs = [h - x0 for h, _ in series]
+    ys = [c for _, c in series]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = sy / n - b * (sx / n)
+    e = [y - a - b * x for x, y in zip(xs, ys)]
+    dw_ref = sum((e[i] - e[i - 1]) ** 2 for i in range(1, n)) / sum(v * v for v in e)
+    out = durbin_watson_hourly(spark, sf_dir).collect()[0]
+    assert out.n_hours == n
+    assert abs(out.slope - b) < 1e-5
+    assert abs(out.dw_stat - dw_ref) < 1e-4
+
+
+def test_piecewise_breakpoint_matches_brute_force(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.timeseries_ops import (
+        piecewise_linear_breakpoint,
+    )
+
+    months = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m",
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y",
+        )
+        .groupBy("m")
+        .sum("y")
+        .collect()
+    )
+    series = sorted((r.m, r["sum(y)"]) for r in months)
+
+    def sse(pts):
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] ** 2 for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        syy = sum(p[1] ** 2 for p in pts)
+        cxx = n * sxx - sx * sx
+        cxy = n * sxy - sx * sy
+        cyy = n * syy - sy * sy
+        return (cyy * cxx - cxy * cxy) / (n * cxx)
+
+    best = None
+    for i in range(2, len(series) - 1):
+        tot = sse(series[:i]) + sse(series[i:])
+        k = series[i - 1][0]
+        if best is None or (tot, k) < best:
+            best = (tot, k)
+    out = piecewise_linear_breakpoint(spark, sf_dir).collect()[0]
+    assert out.breakpoint_m == best[1]
+    # i2 quantization + float-reference ulp: the integer dollars^2 SSE
+    # (cents^2 / 1e4) sits within 2 of the float reference
+    assert abs(out.sse_dollars2 - best[0] / 1e4) < 2
