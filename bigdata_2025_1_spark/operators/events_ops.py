@@ -2758,8 +2758,9 @@ LOGRANK_G_B = "5-LOW"
     SELECT tt.n_a, tt.n_b, s.o1 AS observed_a,
            ROUND(s.e1_i9::DOUBLE / 1e9, 6) AS expected_a,
            CASE WHEN s.v_i9 > 0 THEN
-             ROUND((s.o1::DOUBLE * 1e9 - s.e1_i9)
-                   * ((s.o1::DOUBLE * 1e9 - s.e1_i9) / (s.v_i9::DOUBLE * 1e9)) / 1e9, 6)
+             ROUND(((s.o1::DOUBLE * 1e9 - s.e1_i9) / 1e9)
+                   * ((s.o1::DOUBLE * 1e9 - s.e1_i9) / 1e9)
+                   / (s.v_i9::DOUBLE / 1e9), 6)
            END AS logrank_chi2
     FROM summed s CROSS JOIN totals tt
     """,
@@ -2866,7 +2867,7 @@ def logrank_priority_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(e1_i9).cast("bigint").alias("e1_i9"),
         F.sum(v_i9).cast("bigint").alias("v_i9"),
     )
-    dev = F.col("o1").cast("double") * F.lit(1e9) - F.col("e1_i9")
+    dev = (F.col("o1").cast("double") * F.lit(1e9) - F.col("e1_i9")) / F.lit(1e9)
     return summed.crossJoin(F.broadcast(totals)).select(
         "n_a",
         "n_b",
@@ -2875,7 +2876,7 @@ def logrank_priority_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("v_i9") > 0,
             F.round(
-                dev * (dev / (F.col("v_i9").cast("double") * F.lit(1e9))) / F.lit(1e9),
+                dev * dev / (F.col("v_i9").cast("double") / F.lit(1e9)),
                 6,
             ),
         ).alias("logrank_chi2"),

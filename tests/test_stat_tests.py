@@ -549,3 +549,104 @@ def test_piecewise_breakpoint_matches_brute_force(spark, sf_dir):
     # i2 quantization + float-reference ulp: the integer dollars^2 SSE
     # (cents^2 / 1e4) sits within 2 of the float reference
     assert abs(out.sse_dollars2 - best[0] / 1e4) < 2
+
+
+def test_logrank_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.events_ops import (
+        KM_CENSOR_DAYS,
+        LOGRANK_G_A,
+        LOGRANK_G_B,
+        logrank_priority_survival,
+    )
+
+    import pyspark.sql.functions as SF
+
+    lif = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spans = (
+        lif.groupBy("l_orderkey")
+        .agg(
+            SF.datediff(SF.max("l_shipdate"), SF.min("l_shipdate")).alias("dur"),
+            SF.max("l_shipdate").alias("last_ship"),
+        )
+        .collect()
+    )
+    max_ship = max(r.last_ship for r in spans)
+    import datetime as dt
+
+    cut = max_ship - dt.timedelta(days=KM_CENSOR_DAYS)
+    pri = {
+        r.o_orderkey: r.o_orderpriority
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority")
+        .collect()
+        if r.o_orderpriority in (LOGRANK_G_A, LOGRANK_G_B)
+    }
+    subjects = [
+        (1 if pri[r.l_orderkey] == LOGRANK_G_A else 0, r.dur, r.last_ship > cut)
+        for r in spans
+        if r.l_orderkey in pri
+    ]
+    days = sorted({d for _, d, _ in subjects})
+    n1 = sum(1 for g, _, _ in subjects if g == 1)
+    n2 = len(subjects) - n1
+    o1 = 0
+    e1 = 0.0
+    v = 0.0
+    for t in days:
+        d1 = sum(1 for g, d, c in subjects if g == 1 and d == t and not c)
+        d2 = sum(1 for g, d, c in subjects if g == 0 and d == t and not c)
+        r1 = sum(1 for g, d, _ in subjects if g == 1 and d >= t)
+        r2 = sum(1 for g, d, _ in subjects if g == 0 and d >= t)
+        d, n = d1 + d2, r1 + r2
+        if d == 0 or n < 2:
+            continue
+        o1 += d1
+        e1 += d * r1 / n
+        v += d * r1 / n * (r2 / n) * ((n - d) / (n - 1))
+    chi_ref = (o1 - e1) ** 2 / v
+    out = logrank_priority_survival(spark, sf_dir).collect()[0]
+    assert (out.n_a, out.n_b) == (n1, n2)
+    assert out.observed_a == o1
+    assert abs(out.expected_a - e1) < 1e-4
+    assert abs(out.logrank_chi2 - chi_ref) < max(1e-4, chi_ref * 1e-5)
+
+
+def test_jsd_matches_scalar_and_bounds(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.text_analysis import (
+        JSD_SRC_A,
+        JSD_SRC_B,
+        jsd_source_divergence,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    from collections import Counter
+
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for r in docs:
+        toks = [w for w in r.text.lower().strip().split() if w]
+        if r.source == JSD_SRC_A:
+            ca.update(toks)
+        elif r.source == JSD_SRC_B:
+            cb.update(toks)
+    na, nb = sum(ca.values()), sum(cb.values())
+
+    def kl(cp, np_, cq, nq):
+        s = 0.0
+        for w, c in cp.items():
+            p = c / np_
+            m = (p + cq.get(w, 0) / nq) / 2
+            s += p * math.log(p / m)
+        return s
+
+    jsd_ref = (kl(ca, na, cb, nb) + kl(cb, nb, ca, na)) / 2
+    out = jsd_source_divergence(spark, sf_dir).collect()[0]
+    assert (out.n_tokens_a, out.n_tokens_b) == (na, nb)
+    assert out.vocab_union == len(set(ca) | set(cb))
+    # i6 term pinning bounds the divergence error by vocab/1e6/n
+    assert abs(out.jsd_nats - jsd_ref) < 1e-4
+    assert 0 <= out.jsd_nats <= math.log(2) + 1e-9
