@@ -650,3 +650,120 @@ def test_jsd_matches_scalar_and_bounds(spark, sf_dir):
     # i6 term pinning bounds the divergence error by vocab/1e6/n
     assert abs(out.jsd_nats - jsd_ref) < 1e-4
     assert 0 <= out.jsd_nats <= math.log(2) + 1e-9
+
+
+def test_mcnemar_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.statistics import (
+        MCNEMAR_SPLIT,
+        mcnemar_paired_returns,
+    )
+
+    import datetime as dt
+
+    split = dt.datetime.fromisoformat(MCNEMAR_SPLIT)
+    ret_by_order = {}
+    for r in (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_returnflag")
+        .collect()
+    ):
+        ret_by_order[r.l_orderkey] = ret_by_order.get(r.l_orderkey, 0) | (
+            1 if r.l_returnflag == "R" else 0
+        )
+    halves: dict[int, dict[int, int]] = {}
+    for r in (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .collect()
+    ):
+        if r.o_orderkey not in ret_by_order:
+            continue
+        h = 0 if r.o_orderdate < split else 1
+        d = halves.setdefault(r.o_custkey, {})
+        d[h] = d.get(h, 0) | ret_by_order[r.o_orderkey]
+    b = c = n = 0
+    for d in halves.values():
+        if len(d) != 2:
+            continue
+        n += 1
+        if d[0] == 1 and d[1] == 0:
+            b += 1
+        elif d[0] == 0 and d[1] == 1:
+            c += 1
+    out = mcnemar_paired_returns(spark, sf_dir).collect()[0]
+    assert (out.n_pairs, out.b_discordant, out.c_discordant) == (n, b, c)
+    assert abs(out.mcnemar_chi2 - (b - c) ** 2 / (b + c)) < 1e-6
+
+
+def test_cramers_v_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.statistics import cramers_v_association
+
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+    }
+    from collections import Counter
+
+    cells: Counter = Counter()
+    for r in (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_orderpriority")
+        .collect()
+    ):
+        cells[(cust[r.o_custkey], r.o_orderpriority)] += 1
+    segs = sorted({k[0] for k in cells})
+    pris = sorted({k[1] for k in cells})
+    n = sum(cells.values())
+    chi2 = 0.0
+    for s in segs:
+        rs = sum(cells[(s, p)] for p in pris)
+        for p in pris:
+            cs = sum(cells[(s2, p)] for s2 in segs)
+            e = rs * cs / n
+            chi2 += (cells[(s, p)] - e) ** 2 / e
+    v_ref = math.sqrt(chi2 / (n * (min(len(segs), len(pris)) - 1)))
+    out = cramers_v_association(spark, sf_dir).collect()[0]
+    assert (out.n, out.n_rows, out.n_cols) == (n, len(segs), len(pris))
+    assert abs(out.chi2 - chi2) < max(1e-3, chi2 * 1e-5)
+    assert abs(out.cramers_v - v_ref) < 1e-5
+
+
+def test_did_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.events_ops import (
+        DID_SPLIT_TS,
+        difference_in_differences,
+    )
+    import datetime as dt
+    import hashlib
+
+    split = dt.datetime.fromisoformat(DID_SPLIT_TS)
+    cells: dict[tuple[int, int], list[int]] = {}
+    for r in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "value")
+        .collect()
+    ):
+        treated = int(hashlib.md5(f"did:{r.user_id}".encode()).hexdigest()[:12], 16) % 2
+        post = 0 if r.ts < split else 1
+        cells.setdefault((treated, post), []).append(round(r.value * 100))
+
+    def mv(xs):
+        nn = len(xs)
+        m = sum(xs) / nn
+        var = sum((x - m) ** 2 for x in xs) / (nn - 1)
+        return nn, m, var
+
+    n_tp, m_tp, v_tp = mv(cells[(1, 0)])
+    n_tq, m_tq, v_tq = mv(cells[(1, 1)])
+    n_cp, m_cp, v_cp = mv(cells[(0, 0)])
+    n_cq, m_cq, v_cq = mv(cells[(0, 1)])
+    did_ref = ((m_tq - m_tp) - (m_cq - m_cp)) / 100
+    se_ref = math.sqrt(v_tp / n_tp + v_tq / n_tq + v_cp / n_cp + v_cq / n_cq) / 100
+    out = difference_in_differences(spark, sf_dir).collect()[0]
+    assert (out.n_treated_pre, out.n_treated_post) == (n_tp, n_tq)
+    assert (out.n_control_pre, out.n_control_post) == (n_cp, n_cq)
+    assert abs(out.did_estimate - did_ref) < 1e-5
+    assert abs(out.did_se - se_ref) < 1e-5
+    assert abs(out.z_score - did_ref / se_ref) < 1e-4
