@@ -767,3 +767,35 @@ def test_did_matches_scalar(spark, sf_dir):
     assert abs(out.did_estimate - did_ref) < 1e-5
     assert abs(out.did_se - se_ref) < 1e-5
     assert abs(out.z_score - did_ref / se_ref) < 1e-4
+
+
+def test_morton_interleave_matches_bit_reference():
+    """The shared Spark/DuckDB Morton expression vs an independent
+    Python bit-interleave — the shared-string design means a wrong
+    formula would be mirrored across engines, so the reference must be
+    derived differently (bit shifts, not the div/mod arithmetic)."""
+    import duckdb
+
+    from bigdata_2025_1_spark.operators.statistics import (
+        ZORDER_BITS,
+        _morton_terms,
+    )
+
+    def ref(px, sx):
+        code = 0
+        for i in range(ZORDER_BITS):
+            code |= ((px >> i) & 1) << (2 * i)
+            code |= ((sx >> i) & 1) << (2 * i + 1)
+        return code
+
+    con = duckdb.connect()
+    expr = _morton_terms("px", "sx", "//")
+    for px in range(1 << ZORDER_BITS):
+        for sx in range(1 << ZORDER_BITS):
+            got = con.sql(
+                f"SELECT {expr} FROM (SELECT {px} AS px, {sx} AS sx)"
+            ).fetchone()[0]
+            assert got == ref(px, sx), (px, sx, got)
+    # the full 16x16 grid maps bijectively onto 0..255
+    codes = {ref(a, b) for a in range(16) for b in range(16)}
+    assert codes == set(range(256))
