@@ -799,3 +799,106 @@ def test_morton_interleave_matches_bit_reference():
     # the full 16x16 grid maps bijectively onto 0..255
     codes = {ref(a, b) for a in range(16) for b in range(16)}
     assert codes == set(range(256))
+
+
+def test_average_precision_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.model_eval import (
+        _PRIME,
+        I9,
+        I12,
+        TRAIN_PCT,
+        average_precision_holdout,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "CAST(ROUND(l_discount * 100) AS BIGINT) AS d",
+            "CAST(l_returnflag = 'R' AS INT) AS pos",
+            "l_orderkey",
+        )
+        .collect()
+    )
+    train: dict[int, list[int]] = {}
+    test: list[tuple[int, int]] = []
+    for r in rows:
+        if (r.l_orderkey * _PRIME) % 100 < TRAIN_PCT:
+            p, n = train.get(r.d, (0, 0))
+            train[r.d] = (p + r.pos, n + 1)
+        else:
+            test.append((r.d, r.pos))
+    score = {d: (p + 1) * I9 // (n + 2) for d, (p, n) in train.items()}
+    hist: dict[int, list[int]] = {}
+    for d, pos in test:
+        if d not in score:
+            continue  # drop-unseen convention (documented)
+        c = hist.setdefault(score[d], [0, 0])
+        c[0] += pos
+        c[1] += 1
+    np_ = sum(c1 for c1, _ in hist.values())
+    tp = pp = 0
+    s12 = 0
+    best = None
+    for s in sorted(hist, reverse=True):
+        c1, ct = hist[s]
+        tp += c1
+        pp += ct
+        q12 = tp * I12 // pp
+        s12 += c1 * q12
+        f1_i6 = 2 * tp * 1_000_000 // (pp + np_)
+        key = (f1_i6, s)
+        if best is None or key > best:
+            best = key
+    out = average_precision_holdout(spark, sf_dir).collect()[0]
+    assert out.n_pos == np_
+    assert abs(out.average_precision - s12 / (np_ * I12)) < 1e-9
+    assert abs(out.best_f1 - best[0] / 1e6) < 1e-9
+    assert abs(out.best_f1_threshold - best[1] / I9) < 1e-9
+
+
+def test_cuped_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.events_ops import (
+        CUPED_SALT,
+        CUPED_SPLIT_TS,
+        cuped_adjusted_uplift,
+    )
+    import datetime as dt
+
+    split = dt.datetime.fromisoformat(CUPED_SPLIT_TS)
+    users: dict[int, list[int]] = {}
+    for r in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type = 'purchase'")
+        .select("user_id", "ts", "value")
+        .collect()
+    ):
+        u = users.setdefault(r.user_id, [0, 0])
+        u[0 if r.ts < split else 1] += round(r.value * 100)
+    xs, ys, arms = [], [], []
+    for uid, (x, y) in users.items():
+        xs.append(x)
+        ys.append(y)
+        arms.append((uid * CUPED_SALT % 1000000007) % 2)
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    cnum = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    theta = round(cnum / vx * 1e6) / 1e6
+    nt = sum(arms)
+    nc = n - nt
+    syt = sum(y for y, a in zip(ys, arms) if a == 1)
+    syc = sy - syt
+    sxt = sum(x for x, a in zip(xs, arms) if a == 1)
+    sxc = sx - sxt
+    raw = syt / nt - syc / nc
+    dx = sxt / nt - sxc / nc
+    out = cuped_adjusted_uplift(spark, sf_dir).collect()[0]
+    assert (out.n_treat, out.n_ctrl) == (nt, nc)
+    assert abs(out.uplift_raw - raw / 100) < 1e-5
+    assert abs(out.uplift_cuped - (raw - theta * dx) / 100) < 1e-5
+    assert abs(out.theta - theta) < 1e-9
+    assert abs(out.var_reduction - cnum**2 / vx / vy) < 1e-5
