@@ -902,3 +902,117 @@ def test_cuped_matches_scalar(spark, sf_dir):
     assert abs(out.uplift_cuped - (raw - theta * dx) / 100) < 1e-5
     assert abs(out.theta - theta) < 1e-9
     assert abs(out.var_reduction - cnum**2 / vx / vy) < 1e-5
+
+
+def test_linreg_matches_numpy_lstsq(spark, sf_dir):
+    """Cramer-rule closed form vs numpy's independent least-squares
+    solver, per return flag (the mirrored-determinant blind spot)."""
+    import numpy as np
+
+    from bigdata_2025_1_spark.operators.statistics import linreg_price_model
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "l_returnflag",
+            "CAST(ROUND(l_quantity * 100) AS BIGINT) AS x1",
+            "CAST(ROUND(l_discount * 10000) AS BIGINT) AS x2",
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y",
+        )
+        .collect()
+    )
+    by_flag: dict[str, list] = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append((r.x1, r.x2, r.y))
+    out = {r.l_returnflag: r for r in linreg_price_model(spark, sf_dir).collect()}
+    assert set(out) == set(by_flag)
+    for flag, pts in by_flag.items():
+        a = np.array([[1.0, p[0], p[1]] for p in pts])
+        y = np.array([p[2] for p in pts], dtype=np.float64)
+        beta, *_ = np.linalg.lstsq(a, y, rcond=None)
+        got = out[flag]
+        assert got.n == len(pts)
+        # coefficients are large (price cents scale); compare relatively
+        for g, ref in ((got.b0, beta[0]), (got.b1, beta[1]), (got.b2, beta[2])):
+            assert abs(g - ref) < max(1e-4, abs(ref) * 1e-6), (flag, g, ref)
+        resid = y - a @ beta
+        ss_res = float(resid @ resid)
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        assert abs(got.r2 - (1 - ss_res / ss_tot)) < 1e-6
+
+
+def test_corpus_psi_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.corpus_ops import corpus_drift_psi
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    from collections import Counter
+
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for r in docs:
+        bucket = int(math.floor(math.log2(r.n_chars + 1)))
+        (ca if r.doc_id % 2 == 0 else cb)[bucket] += 1
+    ta, tb = sum(ca.values()), sum(cb.values())
+    out = {r.bucket: r for r in corpus_drift_psi(spark, sf_dir).collect()}
+    assert set(out) == set(ca) | set(cb)
+    for b_, r in out.items():
+        assert (r.n_a, r.n_b) == (ca.get(b_, 0), cb.get(b_, 0))
+        if r.n_a > 0 and r.n_b > 0:
+            ref = (r.n_a / ta - r.n_b / tb) * math.log((r.n_a * tb) / (r.n_b * ta))
+            assert abs(r.psi_contrib - ref) < 1e-9
+        else:
+            assert r.psi_contrib is None
+
+
+def test_event_rate_anomaly_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.events_ops import (
+        ANOM_TOP,
+        event_rate_anomaly,
+    )
+    import datetime as dt
+
+    evs = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts")
+        .collect()
+    )
+    from collections import Counter
+
+    obs: Counter = Counter()
+    for r in evs:
+        obs[(r.event_type, r.ts.replace(minute=0, second=0, microsecond=0))] += 1
+    h0 = min(h for _, h in obs)
+    h1 = max(h for _, h in obs)
+    hours = []
+    h = h0
+    while h <= h1:
+        hours.append(h)
+        h += dt.timedelta(hours=1)
+    types = sorted({t for t, _ in obs})
+    slot_tot: Counter = Counter()
+    slot_m: Counter = Counter()
+    for t in types:
+        for h in hours:
+            slot_tot[(t, h.hour)] += obs.get((t, h), 0)
+            slot_m[(t, h.hour)] += 1
+    scored = []
+    for t in types:
+        for h in hours:
+            n = obs.get((t, h), 0)
+            tot, m = slot_tot[(t, h.hour)], slot_m[(t, h.hour)]
+            ln_term = n * round(math.log(n * m / tot) * 1e6) if n > 0 else 0
+            dev_i6 = 2 * (ln_term - round((n * m - tot) / m * 1e6))
+            scored.append((dev_i6, t, h, n, tot, m))
+    scored.sort(key=lambda s: (-s[0], s[1], s[2]))
+    out = event_rate_anomaly(spark, sf_dir).collect()
+    assert len(out) == ANOM_TOP
+    for rank, (row, ref) in enumerate(zip(out, scored[:ANOM_TOP]), start=1):
+        dev_i6, t, h, n, tot, m = ref
+        assert row.rank == rank
+        assert (row.event_type, row.hour, row.n) == (t, h, n)
+        assert abs(row.deviance - dev_i6 / 1e6) < 1e-6
+        assert abs(row.expected - round(tot / m * 1e6) / 1e6) < 1e-6
