@@ -1016,3 +1016,111 @@ def test_event_rate_anomaly_matches_scalar(spark, sf_dir):
         assert (row.event_type, row.hour, row.n) == (t, h, n)
         assert abs(row.deviance - dev_i6 / 1e6) < 1e-6
         assert abs(row.expected - round(tot / m * 1e6) / 1e6) < 1e-6
+
+
+def test_domain_mixture_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.corpus_ops import domain_mixture_reweight
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    from collections import Counter
+
+    sw: dict[str, Counter] = {}
+    cw: Counter = Counter()
+    n_docs: Counter = Counter()
+    for r in docs:
+        toks = [w for w in r.text.lower().strip().split() if w]
+        sw.setdefault(r.source, Counter()).update(toks)
+        cw.update(toks)
+        n_docs[r.source] += 1
+    n = sum(cw.values())
+    nll = {w: round(math.log(n / c) * 1e6) for w, c in cw.items()}
+    g_i6 = sum(c * nll[w] for w, c in cw.items())
+    prods = {}
+    refs = {}
+    for s, counts in sw.items():
+        n_s = sum(counts.values())
+        a_i6 = sum(c * nll[w] for w, c in counts.items())
+        excess = max(0, round(a_i6 / n_s - g_i6 / n))
+        prods[s] = n_s * (1_000_000 + excess)
+        refs[s] = (n_docs[s], n_s, a_i6 / n_s / 1e6, excess / 1e6)
+    tot = sum(prods.values())
+    out = {r.source: r for r in domain_mixture_reweight(spark, sf_dir).collect()}
+    assert set(out) == set(sw)
+    for s, r in out.items():
+        nd, ns_, ce, ex = refs[s]
+        assert (r.n_docs, r.n_tokens) == (nd, ns_)
+        assert abs(r.cross_entropy_nats - ce) < 1e-9
+        assert abs(r.excess_nats - ex) < 1e-9
+        assert r.weight_ppm == round(prods[s] / tot * 1e6)
+    # the allocation is a proper mixture (ppm rounding slack only)
+    assert abs(sum(r.weight_ppm for r in out.values()) - 1_000_000) <= len(out)
+
+
+def test_unigram_logprob_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.text_analysis import (
+        LP_TOP_K,
+        unigram_logprob_quality,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    from collections import Counter
+
+    toks = {
+        r.doc_id: [w for w in r.text.lower().strip().split() if w] for r in docs
+    }
+    cw: Counter = Counter()
+    for ts in toks.values():
+        cw.update(ts)
+    n = sum(cw.values())
+    l_i6 = {w: round(math.log(c / n) * 1e6) for w, c in cw.items()}
+    nlls = {
+        d: (-sum(l_i6[w] for w in ts) / len(ts) / 1e6, len(ts))
+        for d, ts in toks.items()
+        if ts
+    }
+    top = sorted(nlls.items(), key=lambda kv: (-kv[1][0], kv[0]))[:LP_TOP_K]
+    out = unigram_logprob_quality(spark, sf_dir).collect()
+    assert len(out) == LP_TOP_K
+    for rank, (row, (d, (nll, ntok))) in enumerate(zip(out, top), start=1):
+        assert (row.rank, row.doc_id, row.n_tokens) == (rank, d, ntok)
+        assert abs(row.nll - nll) < 1e-9
+
+
+def test_seasonal_naive_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.events_ops import (
+        BACKTEST_SEASON_HOURS,
+        seasonal_naive_backtest,
+    )
+
+    hours = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(unix_timestamp(date_trunc('hour', ts)) / 3600 AS BIGINT) AS h")
+        .groupBy("h")
+        .count()
+        .collect()
+    )
+    by_h = {r.h: r["count"] for r in hours}
+    mh = max(by_h)
+    pairs = [
+        (x, by_h[h - BACKTEST_SEASON_HOURS])
+        for h, x in by_h.items()
+        if h > mh - BACKTEST_SEASON_HOURS and (h - BACKTEST_SEASON_HOURS) in by_h
+    ]
+    n = len(pairs)
+    sae = sum(abs(x - f) for x, f in pairs)
+    se = sum(x - f for x, f in pairs)
+    sx = sum(x for x, _ in pairs)
+    out = seasonal_naive_backtest(spark, sf_dir).collect()[0]
+    assert out.n_hours == n
+    assert abs(out.mae - sae / n) < 1e-9
+    assert abs(out.bias - se / n) < 1e-9
+    assert abs(out.wape - sae / sx) < 1e-9
+    spark.catalog.clearCache()
