@@ -1,0 +1,142 @@
+"""Independent scalar references for the non-property-tested graph
+queries: the unrolled-CTE oracles deliberately mirror the distributed
+iteration (they must walk identical states), so an algorithmic error
+would be mirrored — these references derive the answers a DIFFERENT way
+(brute-force enumeration, queue BFS, union-find). Run at sf0.01 where
+the strong trade graph is non-trivial."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def trade_edges(spark):
+    """Directed (cust_nation, supp_nation) -> lineitem count, built with
+    plain Python dict joins (independent of both engines' join code)."""
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in spark.read.parquet(f"{SF01}/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    }
+    supp = {
+        r.s_suppkey: r.s_nationkey
+        for r in spark.read.parquet(f"{SF01}/supplier.parquet")
+        .select("s_suppkey", "s_nationkey")
+        .collect()
+    }
+    ordc = {
+        r.o_orderkey: r.o_custkey
+        for r in spark.read.parquet(f"{SF01}/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    from collections import Counter
+
+    w: Counter = Counter()
+    for r in (
+        spark.read.parquet(f"{SF01}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .collect()
+    ):
+        w[(cust[ordc[r.l_orderkey]], supp[r.l_suppkey])] += 1
+    return w
+
+
+def test_triangle_count_matches_brute_force(spark, trade_edges):
+    from bigdata_2025_1_spark.registry import all_queries
+
+    from collections import Counter
+
+    und: Counter = Counter()
+    for (u, v), c in trade_edges.items():
+        if u != v:
+            und[(min(u, v), max(u, v))] += c
+    tw = sum(und.values())
+    strong = {e for e, c in und.items() if 625 * c > tw}
+    nodes = sorted({n for e in strong for n in e})
+    tri = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in strong and (b, c) in strong and (a, c) in strong
+    )
+    out = all_queries()["triangle_count_trade"](spark, SF01).collect()[0]
+    assert out.n_edges == len(strong)
+    assert out.n_triangles == tri
+    spark.catalog.clearCache()
+
+
+def test_bfs_matches_queue_bfs(spark, trade_edges):
+    from bigdata_2025_1_spark.operators.graph_ops import BFS_SOURCE
+    from bigdata_2025_1_spark.registry import all_queries
+
+    adj: dict[int, set[int]] = {}
+    for (u, v), _c in trade_edges.items():
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+    dist = {BFS_SOURCE: 0}
+    frontier = [BFS_SOURCE]
+    for d in (1, 2, 3):  # the query runs exactly 3 relaxation rounds
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    nation_name = {
+        r.n_nationkey: r.n_name
+        for r in spark.read.parquet(f"{SF01}/nation.parquet").collect()
+    }
+    out = {
+        r.nation: (r.hops, r.reachable)
+        for r in all_queries()["bfs_trade_reachability"](spark, SF01).collect()
+    }
+    assert set(out) == set(nation_name.values())
+    for key, name in nation_name.items():
+        hops, reachable = out[name]
+        assert hops == dist.get(key), (name, hops, dist.get(key))
+        assert reachable == (key in dist)
+    # the reference must be non-trivial at this scale
+    assert 1 < len(dist) <= len(nation_name)
+    spark.catalog.clearCache()
+
+
+def test_connected_components_match_union_find(spark):
+    from bigdata_2025_1_spark.registry import all_queries
+
+    qs = all_queries()
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in qs["dedup_minhash_lsh"](spark, SF01).select("doc_a", "doc_b").collect()
+    ]
+    spark.catalog.clearCache()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize: every member labeled by its component MINIMUM
+    members: dict[int, list[int]] = {}
+    for x in parent:
+        members.setdefault(find(x), []).append(x)
+    ref = {x: min(ms) for root, ms in members.items() for x in ms}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in qs["dedup_connected_components"](spark, SF01).collect()
+    }
+    assert got == ref
+    assert len(ref) > 0  # non-trivial at sf0.01
+    spark.catalog.clearCache()
