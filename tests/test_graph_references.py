@@ -140,3 +140,51 @@ def test_connected_components_match_union_find(spark):
     assert got == ref
     assert len(ref) > 0  # non-trivial at sf0.01
     spark.catalog.clearCache()
+
+
+def test_label_propagation_matches_scalar(spark, trade_edges):
+    """Synchronous weighted LPA reimplemented from the docstring SPEC
+    (3 iterations, relabel to greatest incident weight, ties -> smallest
+    label, isolated nodes keep theirs) — independent of both the
+    DataFrame loop and the unrolled CTE."""
+    from bigdata_2025_1_spark.operators.graph_ops import LPA_ITERS
+    from bigdata_2025_1_spark.registry import all_queries
+
+    from collections import Counter
+
+    und: Counter = Counter()
+    for (u, v), c in trade_edges.items():
+        if u != v:
+            und[(min(u, v), max(u, v))] += c
+    nbr: dict[int, dict[int, int]] = {}
+    for (a, b), w in und.items():
+        nbr.setdefault(a, {})[b] = w
+        nbr.setdefault(b, {})[a] = w
+    nations = {
+        r.n_nationkey: r.n_name
+        for r in spark.read.parquet(f"{SF01}/nation.parquet").collect()
+    }
+    label = {k: k for k in nations}
+    for _ in range(LPA_ITERS):
+        nxt = {}
+        for k in nations:
+            votes: dict[int, int] = {}
+            for j, w in nbr.get(k, {}).items():
+                votes[label[j]] = votes.get(label[j], 0) + w
+            if votes:
+                best = max(votes.items(), key=lambda lv: (lv[1], -lv[0]))
+                nxt[k] = best[0]
+            else:
+                nxt[k] = label[k]
+        label = nxt
+    sizes: dict[int, int] = {}
+    for lv in label.values():
+        sizes[lv] = sizes.get(lv, 0) + 1
+    out = {
+        r.nation: (r.community, r.community_size)
+        for r in all_queries()["label_propagation_communities"](spark, SF01).collect()
+    }
+    assert out == {
+        nations[k]: (label[k], sizes[label[k]]) for k in nations
+    }
+    spark.catalog.clearCache()
