@@ -188,3 +188,54 @@ def test_label_propagation_matches_scalar(spark, trade_edges):
         nations[k]: (label[k], sizes[label[k]]) for k in nations
     }
     spark.catalog.clearCache()
+
+
+def test_textrank_matches_scalar(spark, sf_dir):
+    """Plain-Python integer TextRank from the spec (tokenize, adjacent
+    co-occurrence, ppm normalization, 15/85 integer damping) vs the
+    distributed loop-of-joins — catches wiring errors (edge direction,
+    missed coalesce, filter drift) that the mirrored unrolled CTE
+    shares with the query."""
+    from bigdata_2025_1_spark.operators.graph_ops import (
+        PR_ONE,
+        PR_PPM,
+        TR_ITERS,
+        TR_MIN_TOKEN_LEN,
+        TR_TOP_K,
+        textrank_keywords,
+    )
+
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect()
+    seqs = [
+        [w for w in r.text.lower().strip().split() if len(w) >= TR_MIN_TOKEN_LEN]
+        for r in docs
+    ]
+    sym: Counter = Counter()
+    nodes = set()
+    for ts in seqs:
+        nodes.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            if a != b:
+                sym[(a, b)] += 1
+                sym[(b, a)] += 1
+    totals: Counter = Counter()
+    for (s, _d), w in sym.items():
+        totals[s] += w
+    edges = {e: w * PR_PPM // totals[e[0]] for e, w in sym.items()}
+    n = len(nodes)
+    r0 = PR_ONE // n
+    base = (15 * r0) // 100
+    rank = {w: r0 for w in nodes}
+    for _ in range(TR_ITERS):
+        contrib: Counter = Counter()
+        for (s, d), wp in edges.items():
+            contrib[d] += rank[s] * wp // PR_PPM
+        rank = {w: base + (85 * contrib.get(w, 0)) // 100 for w in nodes}
+    top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:TR_TOP_K]
+    out = textrank_keywords(spark, sf_dir).collect()
+    assert [(r.token, r.rank_scaled, r.pos) for r in out] == [
+        (w, rk, i + 1) for i, (w, rk) in enumerate(top)
+    ]
+    spark.catalog.clearCache()
