@@ -239,3 +239,34 @@ def test_textrank_matches_scalar(spark, sf_dir):
         (w, rk, i + 1) for i, (w, rk) in enumerate(top)
     ]
     spark.catalog.clearCache()
+
+
+def test_hyperball_tracks_exact_harmonic(spark):
+    """HyperBall's HLL-sketch harmonic estimates vs the EXACT all-pairs
+    harmonic centrality (a separately registered query with its own
+    oracle): same quantity, independent machinery. The m=64-register
+    HLL standard error is ~1.04/sqrt(64) ≈ 13%; pin a 25% band plus
+    zero-agreement (measured at sf0.01: uniform 11.9% low bias)."""
+    from bigdata_2025_1_spark.registry import all_queries
+
+    qs = all_queries()
+    hb = {
+        r.nation: r.harmonic_est
+        for r in qs["hyperball_harmonic_trade"](spark, SF01).collect()
+    }
+    spark.catalog.clearCache()
+    ex = {
+        r.nation: r.harmonic
+        for r in qs["harmonic_centrality_trade"](spark, SF01).collect()
+    }
+    spark.catalog.clearCache()
+    assert set(hb) == set(ex)
+    nonzero = 0
+    for nation, exact in ex.items():
+        est = hb[nation]
+        if exact == 0:
+            assert est < 1.0, (nation, est)
+        else:
+            nonzero += 1
+            assert abs(est - exact) / exact < 0.25, (nation, est, exact)
+    assert nonzero > 0  # the strong graph is non-trivial at sf0.01
