@@ -1432,3 +1432,39 @@ def test_logrank_no_fact_scale_single_partition(spark, sf_dir):
     df = QUERIES["logrank_priority_survival"](spark, sf_dir)
     for inputs in single_partition_exchange_inputs(df):
         assert "l_orderkey" not in inputs, inputs
+
+
+ROUND8_QUERIES = (
+    "kruskal_wallis_priority_spend",
+    "welch_t_spend",
+    "wasserstein_value_drift",
+    "mcnemar_paired_returns",
+    "cramers_v_association",
+    "zorder_layout_cells",
+    "holt_linear_forecast",
+    "piecewise_linear_breakpoint",
+    "durbin_watson_hourly",
+    "logrank_priority_survival",
+    "scc_trade_graph",
+    "jsd_source_divergence",
+    "difference_in_differences",
+)
+
+_FACT_COLS = ("l_orderkey", "o_orderkey", "doc_id", "event_id", "user_id", "cust")
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("name", ROUND8_QUERIES)
+def test_round8_no_fact_scale_single_partition(name, spark, sf_dir):
+    """Every SinglePartition exchange in the round-8 batch may carry
+    only scalar-aggregate or bounded-value-domain rows — a fact-keyed
+    column riding one means a whole-data funnel crept in (audited clean
+    at batch time; this keeps it that way)."""
+    from bigdata_2025_1_spark.plans.explain import single_partition_exchange_inputs
+
+    df = QUERIES[name](spark, sf_dir)
+    for inputs in single_partition_exchange_inputs(df):
+        assert not any(c in inputs for c in _FACT_COLS), (name, inputs)
+    spark.catalog.clearCache()
