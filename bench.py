@@ -106,6 +106,17 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # scc_trade_graph / jsd_source_divergence (1.0-1.2 s — one broadcast-dim
 # fact join each, collapsed at the persist point the plan audit added).
 #
+# Round-8 persist A/B (tools/ab.py --ref b058004^, interleaved
+# best-of-3 at sf0.1): the diamond-collapse persists cost a FIXED
+# overhead at toy scale — kruskal 1.70→2.68 s, cramers 1.72→2.14 s,
+# jsd 1.28→1.54 s, scc 1.52→1.64 s, logrank 1.21→1.29 s. At sf0.1 the
+# replayed lineages are re-scans of a page-cached 23 MB file inside one
+# codegen span, so recomputation beats cache-write + InMemoryTableScan;
+# at 100 TB the replayed lineage is 4-5 FULL FACT SCANS while the
+# cached frame stays value-domain/nation-sized — the same
+# constant-cost-for-scale-posture class as the r5/r7 rank rewrites
+# (amortizes with data volume). Kept deliberately.
+#
 # Round-4 variance note: five full runs on the same code measured the
 # 34-query shared subtotal at 24.7 / 27.8 / 29.8 / 31.1 / 34.9 s (r3
 # recorded 27.5 s) and single queries swung 2.5x between consecutive
