@@ -1124,3 +1124,98 @@ def test_seasonal_naive_matches_scalar(spark, sf_dir):
     assert abs(out.bias - se / n) < 1e-9
     assert abs(out.wape - sae / sx) < 1e-9
     spark.catalog.clearCache()
+
+
+def test_markov_transitions_match_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.events_ops import markov_event_transitions
+
+    evs = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    from collections import Counter
+
+    seqs: dict[int, list] = {}
+    for r in evs:
+        seqs.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    pairs: Counter = Counter()
+    for s in seqs.values():
+        s.sort()
+        for (_, _, a), (_, _, b) in zip(s, s[1:]):
+            pairs[(a, b)] += 1
+    totals: Counter = Counter()
+    for (a, _b), n in pairs.items():
+        totals[a] += n
+    out = markov_event_transitions(spark, sf_dir).collect()
+    assert len(out) == len(pairs)
+    for r in out:
+        n = pairs[(r.from_type, r.to_type)]
+        assert r.n == n, (r.from_type, r.to_type)
+        assert abs(r.prob - n / totals[r.from_type]) < 1e-12
+
+
+def test_decayed_demand_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.analytic_windows import (
+        DECAY_CAP_MONTHS,
+        DECAY_TOP_K,
+        decayed_part_demand,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "l_partkey",
+            "CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1 AS BIGINT) AS m",
+            "CAST(ROUND(l_quantity) AS BIGINT) AS q",
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    cells: Counter = Counter()
+    for r in rows:
+        cells[(r.l_partkey, r.m)] += r.q
+    mx = max(m for _, m in cells)
+    w = [10**6]
+    for _ in range(DECAY_CAP_MONTHS):
+        w.append(w[-1] * 9 // 10)
+    dec: Counter = Counter()
+    raw: Counter = Counter()
+    for (pk, m), q in cells.items():
+        age = min(mx - m, DECAY_CAP_MONTHS)
+        dec[pk] += q * w[age]
+        raw[pk] += q
+    top = sorted(dec.items(), key=lambda kv: (-kv[1], kv[0]))[:DECAY_TOP_K]
+    out = decayed_part_demand(spark, sf_dir).collect()
+    assert [(r.partkey, r.decayed_i6, r.raw_qty, r.rank) for r in out] == [
+        (pk, d, raw[pk], i + 1) for i, (pk, d) in enumerate(top)
+    ]
+
+
+def test_seasonality_index_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.analytic_windows import (
+        monthly_seasonality_index,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("month(o_orderdate) AS mo", "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c")
+        .collect()
+    )
+    from collections import Counter
+
+    cents: Counter = Counter()
+    n_ord: Counter = Counter()
+    for r in rows:
+        cents[r.mo] += r.c
+        n_ord[r.mo] += 1
+    total = sum(cents.values())
+    nm = len(cents)
+    out = monthly_seasonality_index(spark, sf_dir).collect()
+    assert len(out) == nm
+    for r in out:
+        assert (r.n_orders, r.revenue_cents) == (n_ord[r.month], cents[r.month])
+        assert abs(r.seasonality_index - cents[r.month] * nm / total) < 1e-12
+    # multiplicative indexes weighted by nothing: plain mean is 1.0
+    assert abs(sum(r.seasonality_index for r in out) / nm - 1.0) < 1e-9
