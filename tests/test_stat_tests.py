@@ -1219,3 +1219,52 @@ def test_seasonality_index_matches_scalar(spark, sf_dir):
         assert abs(r.seasonality_index - cents[r.month] * nm / total) < 1e-12
     # multiplicative indexes weighted by nothing: plain mean is 1.0
     assert abs(sum(r.seasonality_index for r in out) / nm - 1.0) < 1e-9
+
+
+def test_customer_gini_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.statistics import customer_spend_gini
+
+    from collections import Counter
+
+    spend: Counter = Counter()
+    for r in (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        spend[r.o_custkey] += round(r.o_totalprice * 100)
+    xs = sorted(spend.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(xs)
+    total = sum(v for _, v in xs)
+    weighted = sum((i + 1) * v for i, (_, v) in enumerate(xs))
+    gini_ref = 2 * weighted / n / total - (n + 1) / n
+    out = customer_spend_gini(spark, sf_dir).collect()[0]
+    assert (out.n_customers, out.total_cents) == (n, total)
+    assert abs(out.gini - gini_ref) < 1e-12
+    assert 0 <= out.gini < 1
+    spark.catalog.clearCache()
+
+
+def test_tokenizer_fertility_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.text_analysis import (
+        tokenizer_fertility_by_lang,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang", "text", "n_chars")
+        .collect()
+    )
+    agg: dict[str, list[int]] = {}
+    for r in docs:
+        a = agg.setdefault(r.lang, [0, 0, 0])
+        a[0] += 1
+        a[1] += r.n_chars
+        a[2] += len([w for w in r.text.lower().strip().split() if w])
+    out = {r.lang: r for r in tokenizer_fertility_by_lang(spark, sf_dir).collect()}
+    assert set(out) == set(agg)
+    for lang, (nd, tc, tt) in agg.items():
+        r = out[lang]
+        assert (r.n_docs, r.total_chars, r.total_tokens) == (nd, tc, tt)
+        if tt:
+            assert abs(r.chars_per_token - tc / tt) < 1e-12
