@@ -2031,18 +2031,22 @@ JSD_SRC_B = "src1"
       FROM joined
     ), contrib AS (
       SELECT
-        SUM(CASE WHEN j.ca > 0 THEN j.ca * CAST(ROUND(ln(
+        SUM(CASE WHEN j.ca > 0
+                  AND CAST(j.ca AS DOUBLE) * ns.nb + CAST(j.cb AS DOUBLE) * ns.na > 0
+            THEN j.ca * CAST(ROUND(ln(
               2.0 * j.ca * ns.nb / (CAST(j.ca AS DOUBLE) * ns.nb + CAST(j.cb AS DOUBLE) * ns.na)
             ) * 1e6) AS BIGINT) ELSE 0 END) AS kla_i6,
-        SUM(CASE WHEN j.cb > 0 THEN j.cb * CAST(ROUND(ln(
+        SUM(CASE WHEN j.cb > 0
+                  AND CAST(j.ca AS DOUBLE) * ns.nb + CAST(j.cb AS DOUBLE) * ns.na > 0
+            THEN j.cb * CAST(ROUND(ln(
               2.0 * j.cb * ns.na / (CAST(j.ca AS DOUBLE) * ns.nb + CAST(j.cb AS DOUBLE) * ns.na)
             ) * 1e6) AS BIGINT) ELSE 0 END) AS klb_i6
       FROM joined j CROSS JOIN ns
     )
     SELECT ns.na AS n_tokens_a, ns.nb AS n_tokens_b, ns.vocab_union,
-           CASE WHEN ns.na > 0 THEN
+           CASE WHEN ns.na > 0 AND ns.nb > 0 THEN
              ROUND(c.kla_i6::DOUBLE / ns.na / 1e6, 9) END AS kl_a_m,
-           CASE WHEN ns.nb > 0 THEN
+           CASE WHEN ns.na > 0 AND ns.nb > 0 THEN
              ROUND(c.klb_i6::DOUBLE / ns.nb / 1e6, 9) END AS kl_b_m,
            CASE WHEN ns.na > 0 AND ns.nb > 0 THEN
              ROUND((c.kla_i6::DOUBLE / ns.na + c.klb_i6::DOUBLE / ns.nb)
@@ -2065,8 +2069,10 @@ def jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled by the integer count, and the two KL sums accumulate as
     int64; the final mixture is one pinned chain, rounded to 9. Absent
     words contribute only to the side that has them (M > 0 on the union
-    support — JSD's finiteness, by construction). Empty sides return
-    NULL under identical guards.
+    support — JSD's finiteness, by construction). An entirely empty side
+    NULLs all three metrics under identical guards, with the per-term
+    mix_den > 0 guard keeping ANSI division from raising before the
+    output guards run.
 
     Scale shape: one (source, word)-keyed map-side-combinable count per
     side; the union support is a word-keyed FULL OUTER join (hash-
@@ -2104,15 +2110,19 @@ def jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ca").cast("double") * F.col("nb")
         + F.col("cb").cast("double") * F.col("na")
     )
+    # the mix_den > 0 guard matters when ONE side is entirely empty
+    # (nb = 0 makes every A-row's denominator 0 — ANSI would raise
+    # DIVIDE_BY_ZERO before the output guards run); both engines then
+    # fall through to the all-NULL metrics row below
     term_a = F.when(
-        F.col("ca") > 0,
+        (F.col("ca") > 0) & (mix_den > 0),
         F.col("ca")
         * F.round(
             F.log(F.lit(2.0) * F.col("ca") * F.col("nb") / mix_den) * F.lit(1e6)
         ).cast("bigint"),
     ).otherwise(F.lit(0))
     term_b = F.when(
-        F.col("cb") > 0,
+        (F.col("cb") > 0) & (mix_den > 0),
         F.col("cb")
         * F.round(
             F.log(F.lit(2.0) * F.col("cb") * F.col("na") / mix_den) * F.lit(1e6)
@@ -2123,14 +2133,12 @@ def jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kla = F.col("kla_i6").cast("double") / F.col("na")
     klb = F.col("klb_i6").cast("double") / F.col("nb")
+    both = (F.col("na") > 0) & (F.col("nb") > 0)
     return ns.crossJoin(F.broadcast(contrib)).select(
         F.col("na").alias("n_tokens_a"),
         F.col("nb").alias("n_tokens_b"),
         F.col("vocab_union").cast("bigint").alias("vocab_union"),
-        F.when(F.col("na") > 0, F.round(kla / F.lit(1e6), 9)).alias("kl_a_m"),
-        F.when(F.col("nb") > 0, F.round(klb / F.lit(1e6), 9)).alias("kl_b_m"),
-        F.when(
-            (F.col("na") > 0) & (F.col("nb") > 0),
-            F.round((kla + klb) / 2 / F.lit(1e6), 9),
-        ).alias("jsd_nats"),
+        F.when(both, F.round(kla / F.lit(1e6), 9)).alias("kl_a_m"),
+        F.when(both, F.round(klb / F.lit(1e6), 9)).alias("kl_b_m"),
+        F.when(both, F.round((kla + klb) / 2 / F.lit(1e6), 9)).alias("jsd_nats"),
     )

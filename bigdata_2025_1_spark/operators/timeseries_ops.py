@@ -38,6 +38,18 @@ _MONTH_IDX_SQL = (
 )
 
 
+def _monthly_revenue_cents(orders: DataFrame) -> DataFrame:
+    """The (m, y) monthly order-revenue series — the ONE Spark twin of
+    ``_MONTH_IDX_SQL`` shared by every query in this module, so the
+    month epoch / cents rounding can only ever change in two places
+    (this helper and the SQL constant), not per query."""
+    return orders.groupBy(
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("m")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y"))
+
+
 def _tdiv(a: int, b: int) -> int:
     """Truncate-toward-zero integer division (b > 0) — the semantics
     Spark SQL ``div`` and DuckDB ``//`` share; Python's ``//`` floors,
@@ -152,15 +164,7 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one per part, per region) would groupBy the key and run the same
     kernel per group in parallel."""
     orders = load(spark, sf_dir, "orders")
-    monthly = orders.groupBy(
-        (
-            (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
-        )
-        .cast("bigint")
-        .alias("m")
-    ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
-    )
+    monthly = _monthly_revenue_cents(orders)
     out = monthly.groupBy(F.lit(1).alias("g")).applyInPandas(
         lambda pdf: holt_linear_kernel(pdf),
         "m long, kind string, y_cents long, yhat_cents long",
@@ -255,15 +259,7 @@ def piecewise_linear_breakpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     window exception."""
     orders = load(spark, sf_dir, "orders")
     dec = "decimal(38,0)"
-    monthly = orders.groupBy(
-        (
-            (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
-        )
-        .cast("bigint")
-        .alias("m")
-    ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
-    )
+    monthly = _monthly_revenue_cents(orders)
     w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
     md, yd = F.col("m").cast(dec), F.col("y").cast(dec)
     pre = monthly.select(

@@ -1268,3 +1268,41 @@ def test_tokenizer_fertility_matches_scalar(spark, sf_dir):
         assert (r.n_docs, r.total_chars, r.total_tokens) == (nd, tc, tt)
         if tt:
             assert abs(r.chars_per_token - tc / tt) < 1e-12
+
+
+def test_jsd_one_empty_source_is_null_not_crash(spark, tmp_path):
+    """CODE-REVIEW r8: with one configured source absent, every A-row's
+    mixture denominator is 0 — ANSI Spark must NOT raise DIVIDE_BY_ZERO
+    and both engines must emit the all-NULL metrics row."""
+    import duckdb
+    from pyspark.sql import functions as SF
+
+    from bigdata_2025_1_spark.io import TABLES, load
+    from bigdata_2025_1_spark.oracle import check_query
+    from bigdata_2025_1_spark.registry import all_oracles, all_queries
+
+    sf = str(tmp_path)
+    for t in TABLES:
+        df = load(spark, "/root/testdata/sf0.001", t)
+        if t == "documents":
+            df = df.filter(SF.col("source") != "src1")  # JSD_SRC_B vanishes
+        df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/{t}.parquet")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet/*.parquet')"
+        )
+    problems = check_query(
+        spark,
+        con,
+        all_queries()["jsd_source_divergence"],
+        all_oracles()["jsd_source_divergence"],
+        sf,
+    )
+    assert not problems, problems
+    row = all_queries()["jsd_source_divergence"](spark, sf).collect()[0]
+    assert row.n_tokens_b == 0 or row.n_tokens_b is None
+    assert row.jsd_nats is None and row.kl_a_m is None
+    con.close()
+    spark.catalog.clearCache()

@@ -58,7 +58,11 @@ def module_path(fn) -> str:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ref", default="HEAD", help="git ref for the OLD side")
+    # --ref is REQUIRED: with a clean tree, defaulting to HEAD would
+    # silently A/B identical code and print pure run-to-run noise as a
+    # plausible "old -> new" delta (the misread this tool exists to
+    # prevent)
+    ap.add_argument("--ref", required=True, help="git ref for the OLD side")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("queries", nargs="+")
