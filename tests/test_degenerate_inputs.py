@@ -145,3 +145,74 @@ def test_sq8_all_zero_label_reported_not_dropped(spark, zero_label_sf_dir):
         zero_label_sf_dir,
     )
     assert not problems, problems
+
+
+# --- one-sided emptiness (round 8) ------------------------------------------
+# The empty-tables suite covers ALL-empty; the JSD empty-side crash
+# (fixed this round) showed the gap is ONE-SIDED emptiness: one of a
+# two-group comparison's sides missing entirely. Every two-group query
+# must survive it AND match its oracle on the same one-sided fixture.
+
+import duckdb as _duckdb
+import pytest as _pytest
+from pyspark.sql import functions as _F
+
+from bigdata_2025_1_spark.io import TABLES as _TABLES
+from bigdata_2025_1_spark.io import load as _load
+from bigdata_2025_1_spark.oracle import check_query as _check_query
+from bigdata_2025_1_spark.registry import all_oracles as _all_oracles
+from bigdata_2025_1_spark.registry import all_queries as _all_queries
+
+_ONE_SIDED = (
+    "mann_whitney_segment_spend",  # customer segment B absent
+    "welch_t_spend",
+    "ks_value_drift",  # event type B absent
+    "wasserstein_value_drift",
+    "jsd_source_divergence",  # document source B absent
+    "logrank_priority_survival",  # priority group B absent
+    "ab_test_uplift",  # arm assignment is hash-based; unaffected, sanity
+)
+
+
+@_pytest.fixture(scope="module")
+def one_sided_sf(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("one_sided_sf")
+    for t in _TABLES:
+        df = _load(spark, "/root/testdata/sf0.001", t)
+        if t == "customer":
+            df = df.filter(_F.col("c_mktsegment") != "MACHINERY")
+        elif t == "events":
+            df = df.filter(_F.col("event_type") != "click")
+        elif t == "documents":
+            df = df.filter(_F.col("source") != "src1")
+        elif t == "orders":
+            df = df.filter(_F.col("o_orderpriority") != "5-LOW")
+        df.coalesce(1).write.mode("overwrite").parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@_pytest.fixture(scope="module")
+def one_sided_con(one_sided_sf):
+    con = _duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{one_sided_sf}/{t}.parquet/*.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@_pytest.mark.parametrize("name", _ONE_SIDED)
+def test_two_group_query_survives_one_sided_input(
+    name, spark, one_sided_con, one_sided_sf
+):
+    problems = _check_query(
+        spark,
+        one_sided_con,
+        _all_queries()[name],
+        _all_oracles().get(name),
+        one_sided_sf,
+    )
+    assert not problems, (name, problems)
+    spark.catalog.clearCache()
