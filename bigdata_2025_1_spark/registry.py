@@ -67,8 +67,27 @@ ORACLES: dict[str, str] = {}
 #   difference_in_differences.
 # The round-9 head is therefore: these 13 (never driver-checked; each
 # selfchecked tuned + vanilla and green on empty tables the day it
-# landed) + the 37 oldest stale greens by driver-row vintage (all r3
-# after the round-8 rotation lands) = exactly 50.
+# landed) + the 37 oldest stale greens by driver-row vintage = exactly
+# 50. After the round-8 rotation lands, the oldest vintage is r3;
+# the 37 r3-vintage rows to refresh (alphabetical within the vintage,
+# computed from CORRECTNESS_r0{1..7}.json + the round-8 head):
+#   ann_topk_cosine, anti_join_idle_customers, array_map_builders,
+#   bloom_filter_membership, customer_running_spend,
+#   dedup_char_ngram_jaccard, dedup_connected_components,
+#   dedup_embedding_cosine, dedup_exact,
+#   dedup_first_event_per_user_type, distinct_counts, doc_fingerprints,
+#   doc_pii_redaction, doc_quality_scores, events_hourly_windows,
+#   events_sliding_windows, filter_project_preview,
+#   full_outer_reconciliation, grouping_sets_priority_status,
+#   html_to_markdown_docs, inverted_index, kafka_roundtrip_counts,
+#   lang_id_heuristic, normalize_text, null_safe_equality,
+#   orders_by_month, outer_join_order_counts, part_price_bands,
+#   part_price_rank_in_brand, posexplode_tokens, q3_top_revenue_orders,
+#   q5_region_revenue, quantile_sketch_merge, rolling_30d_revenue,
+#   rollup_nation_segment, semi_join_active_customers,
+#   sessionized_path_3grams.
+# (More r3-vintage greens remain after these 37 — set_ops_customer_
+# segments, simhash_values, ... — they take the round-10 stale slots.)
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 0-36: the 37 round-7 additions (never driver-checked)
     "mann_whitney_segment_spend",
