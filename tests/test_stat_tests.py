@@ -1306,3 +1306,91 @@ def test_jsd_one_empty_source_is_null_not_crash(spark, tmp_path):
     assert row.jsd_nats is None and row.kl_a_m is None
     con.close()
     spark.catalog.clearCache()
+
+
+def test_tfidf_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.pipeline_ops import tfidf_top_terms
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    from collections import Counter
+
+    toks = {r.doc_id: [w for w in r.text.lower().strip().split() if w] for r in docs}
+    n_docs = len(docs)
+    dfreq: Counter = Counter()
+    for ts in toks.values():
+        dfreq.update(set(ts))
+    ref = []
+    for d, ts in toks.items():
+        if d >= 10:
+            continue
+        for w, tf in Counter(ts).items():
+            idf = math.log(n_docs / dfreq[w])
+            if idf > 0:
+                ref.append((d, w, round(tf * idf, 6)))
+    ref.sort(key=lambda t: (t[0], -t[2], t[1]))
+    out = [(r.doc_id, r.word, r.tfidf) for r in tfidf_top_terms(spark, sf_dir).collect()]
+    assert out == ref
+
+
+def test_vocab_growth_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.corpus_ops import vocab_growth_curve
+
+    docs = sorted(
+        (
+            (r.doc_id, [w for w in r.text.lower().strip().split() if w])
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .collect()
+        )
+    )
+    out = vocab_growth_curve(spark, sf_dir).collect()
+    # output is per 50-doc bucket (docs ordered by doc_id): cumulative
+    # docs/tokens/distinct-vocab at each bucket boundary
+    seen: set = set()
+    cum_tokens = 0
+    ref = []
+    for i, (d, ts) in enumerate(docs, start=1):
+        cum_tokens += len(ts)
+        seen |= set(ts)
+        if i % 50 == 0:
+            ref.append((i // 50 - 1, i, cum_tokens, len(seen)))
+    if len(docs) % 50 != 0:
+        ref.append((len(docs) // 50, len(docs), cum_tokens, len(seen)))
+    got = [(r.bucket, r.docs_seen, r.tokens_seen, r.vocab_size) for r in out]
+    assert got == ref
+
+
+def test_shipping_latency_percentiles_match_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.statistics import (
+        LATENCY_PCTS,
+        shipping_latency_percentiles,
+    )
+
+    ordd = {
+        r.o_orderkey: (r.o_orderpriority, r.o_orderdate)
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .collect()
+    }
+    by_pri: dict[str, list[int]] = {}
+    for r in (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        pri, od = ordd[r.l_orderkey]
+        by_pri.setdefault(pri, []).append((r.l_shipdate - od).days)
+    out = {r.priority: r for r in shipping_latency_percentiles(spark, sf_dir).collect()}
+    assert set(out) == set(by_pri)
+    for pri, days in by_pri.items():
+        days.sort()
+        n = len(days)
+        r = out[pri]
+        assert r.n == n
+        for p in LATENCY_PCTS:
+            # nearest-rank: value at row ceil(n*p/100)
+            assert r[f"p{p}"] == days[(n * p + 99) // 100 - 1], (pri, p)
