@@ -1394,3 +1394,62 @@ def test_shipping_latency_percentiles_match_scalar(spark, sf_dir):
         for p in LATENCY_PCTS:
             # nearest-rank: value at row ceil(n*p/100)
             assert r[f"p{p}"] == days[(n * p + 99) // 100 - 1], (pri, p)
+
+
+def test_user_active_coverage_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.events_ops import user_active_coverage
+
+    evs = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    import calendar
+
+    ivs: dict[int, list] = {}
+    for r in evs:
+        s = calendar.timegm(r.ts.timetuple())
+        e = s + 60 + (round(r.value * 100) % 600)
+        ivs.setdefault(r.user_id, []).append((s, e))
+    out = {r.user_id: r for r in user_active_coverage(spark, sf_dir).collect()}
+    assert set(out) == set(ivs)
+    for u, spans in ivs.items():
+        spans.sort()
+        merged = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        r = out[u]
+        assert r.n_intervals == len(merged), u
+        assert r.covered_seconds == sum(e - s for s, e in merged), u
+        assert r.longest_interval == max(e - s for s, e in merged), u
+
+
+def test_rolling_wau_matches_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.events_ops import (
+        WAU_WINDOW_DAYS,
+        rolling_weekly_active_users,
+    )
+    import datetime as dt
+
+    evs = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts")
+        .collect()
+    )
+    by_day: dict = {}
+    for r in evs:
+        by_day.setdefault(r.ts.date(), set()).add(r.user_id)
+    d0, d1 = min(by_day), max(by_day)
+    ref = {}
+    d = d0
+    while d <= d1:
+        users: set = set()
+        for k in range(WAU_WINDOW_DAYS):
+            users |= by_day.get(d - dt.timedelta(days=k), set())
+        ref[d] = len(users)
+        d += dt.timedelta(days=1)
+    out = {r.day: r.wau for r in rolling_weekly_active_users(spark, sf_dir).collect()}
+    assert out == ref
