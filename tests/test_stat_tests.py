@@ -1453,3 +1453,52 @@ def test_rolling_wau_matches_scalar(spark, sf_dir):
         d += dt.timedelta(days=1)
     out = {r.day: r.wau for r in rolling_weekly_active_users(spark, sf_dir).collect()}
     assert out == ref
+
+
+def test_token_association_rules_match_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.text_analysis import (
+        MIN_PAIR_TOKEN_LEN,
+        RULE_MIN_SUPPORT,
+        RULE_TOP_K,
+        token_association_rules,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    from collections import Counter
+    from itertools import permutations
+
+    doc_toks = {
+        r.doc_id: sorted(
+            {w for w in r.text.lower().strip().split() if len(w) >= MIN_PAIR_TOKEN_LEN}
+        )
+        for r in docs
+    }
+    singles: Counter = Counter()
+    pairs: Counter = Counter()
+    nd = sum(1 for ts in doc_toks.values() if ts)
+    for ts in doc_toks.values():
+        singles.update(ts)
+        for a, b in permutations(ts, 2):
+            pairs[(a, b)] += 1
+    rules = []
+    for (a, b), n_ab in pairs.items():
+        if n_ab >= RULE_MIN_SUPPORT:
+            rules.append(
+                (a, b, n_ab, n_ab / singles[a], n_ab * nd / singles[a] / singles[b])
+            )
+    rules.sort(key=lambda r: (-r[4], r[0], r[1]))
+    out = token_association_rules(spark, sf_dir).collect()
+    assert len(out) == min(RULE_TOP_K, len(rules))
+    for rank, (row, ref) in enumerate(zip(out, rules), start=1):
+        assert (row.antecedent, row.consequent, row.n_ab, row.rank) == (
+            ref[0],
+            ref[1],
+            ref[2],
+            rank,
+        )
+        assert abs(row.confidence - ref[3]) < 1e-12
+        assert abs(row.lift - ref[4]) < 1e-12
