@@ -1502,3 +1502,35 @@ def test_token_association_rules_match_scalar(spark, sf_dir):
         )
         assert abs(row.confidence - ref[3]) < 1e-12
         assert abs(row.lift - ref[4]) < 1e-12
+
+
+def test_duplicate_spans_match_scalar(spark, sf_dir):
+    from bigdata_2025_1_spark.operators.corpus_ops import (
+        SPAN_K,
+        corpus_duplicate_spans,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    spans = {}
+    for r in docs:
+        ts = [w for w in r.text.lower().strip().split() if w]
+        spans[r.doc_id] = {
+            " ".join(ts[i : i + SPAN_K]) for i in range(len(ts) - SPAN_K + 1)
+        }
+    from collections import Counter
+
+    span_docs: Counter = Counter()
+    for ss in spans.values():
+        span_docs.update(ss)  # one per doc (sets): distinct-doc counts
+    out = {r.doc_id: r for r in corpus_duplicate_spans(spark, sf_dir).collect()}
+    assert set(out) == set(spans)
+    for d, ss in spans.items():
+        r = out[d]
+        n_dup = sum(1 for s in ss if span_docs[s] >= 2)
+        assert (r.n_spans, r.n_dup_spans) == (len(ss), n_dup), d
+        assert r.dup_heavy == (10 * n_dup > 3 * len(ss))
+    spark.catalog.clearCache()
