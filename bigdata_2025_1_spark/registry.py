@@ -28,121 +28,105 @@ ORACLES: dict[str, str] = {}
 
 # The driver walks ``queries()`` in dict order and checks exactly the
 # first 50 entries per round (each CORRECTNESS_r0N covers 50). Order is
-# therefore a correctness lever. Round-8 rotation (executes the plan the
-# round-7 VERDICT ratified as its #1 ask, WITH its 2-slot amendment: the
-# round-7 plan's stale list named 11 r2-vintage greens but 13 exist, so
-# the two spare slots go to cross_join_enumeration and
-# events_json_decode — the two rows the list omitted — instead of
-# r3-vintage refreshes; with them 37 + 13 = 50 exactly).
+# therefore a correctness lever. Round-9 rotation (executes the plan the
+# round-8 VERDICT ratified as its #1 ask; the judge independently
+# re-derived the arithmetic from CORRECTNESS_r0{1..8}.json and
+# confirmed it exact: 13 never-checked round-8 additions + the 37
+# alphabetically-first r3-vintage greens = 50).
 #
 # Head composition:
-# - positions 0-36: the 37 round-7 additions — the only queries that
-#   have never had a driver row (all selfcheck-green tuned AND vanilla;
-#   the round-7 VERDICT independently re-verified all 37 under the
-#   vanilla driver-like session: 37/37 pass);
-# - positions 37-47: the 11 r2-vintage stale greens the round-7 plan
-#   listed;
-# - positions 48-49: cross_join_enumeration + events_json_decode — the
-#   amendment slots. After this lands green, NO green row predates
-#   round 3 and the never-checked backlog is the round-8 additions
-#   alone.
+# - positions 0-12: the 13 round-8 additions — the only queries that
+#   have never had a driver row (each selfchecked tuned AND vanilla the
+#   day it landed; the round-8 VERDICT independently re-verified all 13
+#   under the vanilla driver-like session: 13/13 pass);
+# - positions 13-49: the 37 oldest stale greens (r3 vintage,
+#   alphabetical within the vintage). After this lands green, NO green
+#   row predates round 4 except the 10 r3 leftovers earmarked below,
+#   and the never-checked backlog is the round-9 additions alone.
 #
 # CAPACITY WARNING: the head is at exactly 50 entries. Anything past
 # position 49 gets no driver row this round — add new queries by
 # REPLACING a proven-green head entry, never by growing past 50. Per
-# the round-7 VERDICT ask #2, round-8 additions are BATCHED (<=13) and
-# queue for round 9, NOT the head.
+# the standing convention, round-9 additions are BATCHED (<=13) and
+# queue for round 10, NOT the head.
 #
-# ROUND-9 ROTATION PLAN: head takes (a) every round-8 addition (each
-# selfchecked tuned + vanilla the day it lands; exact names appended to
-# the list below as they land); then (b) the oldest stale greens by
-# driver-row vintage, oldest first, until the head reaches exactly 50.
-# Round-8 additions — COMPLETE at the 13-query cap (VERDICT r7 ask #2):
-#   kruskal_wallis_priority_spend, welch_t_spend,
-#   wasserstein_value_drift, mcnemar_paired_returns,
-#   cramers_v_association, zorder_layout_cells,
-#   holt_linear_forecast, piecewise_linear_breakpoint,
-#   durbin_watson_hourly, logrank_priority_survival,
-#   scc_trade_graph, jsd_source_divergence,
-#   difference_in_differences.
-# The round-9 head is therefore: these 13 (never driver-checked; each
-# selfchecked tuned + vanilla and green on empty tables the day it
-# landed) + the 37 oldest stale greens by driver-row vintage = exactly
-# 50. After the round-8 rotation lands, the oldest vintage is r3;
-# the 37 r3-vintage rows to refresh (alphabetical within the vintage,
-# computed from CORRECTNESS_r0{1..7}.json + the round-8 head):
-#   ann_topk_cosine, anti_join_idle_customers, array_map_builders,
-#   bloom_filter_membership, customer_running_spend,
-#   dedup_char_ngram_jaccard, dedup_connected_components,
-#   dedup_embedding_cosine, dedup_exact,
-#   dedup_first_event_per_user_type, distinct_counts, doc_fingerprints,
-#   doc_pii_redaction, doc_quality_scores, events_hourly_windows,
-#   events_sliding_windows, filter_project_preview,
-#   full_outer_reconciliation, grouping_sets_priority_status,
-#   html_to_markdown_docs, inverted_index, kafka_roundtrip_counts,
-#   lang_id_heuristic, normalize_text, null_safe_equality,
-#   orders_by_month, outer_join_order_counts, part_price_bands,
-#   part_price_rank_in_brand, posexplode_tokens, q3_top_revenue_orders,
-#   q5_region_revenue, quantile_sketch_merge, rolling_30d_revenue,
-#   rollup_nation_segment, semi_join_active_customers,
-#   sessionized_path_3grams.
-# (More r3-vintage greens remain after these 37 — set_ops_customer_
-# segments, simhash_values, ... — they take the round-10 stale slots.)
+# ROUND-10 ROTATION PLAN: head takes (a) every round-9 addition (each
+# selfchecked tuned + vanilla the day it lands; exact names appended
+# below as they land); then (b) the oldest stale greens by driver-row
+# vintage, oldest first, until the head reaches exactly 50. Assuming
+# the full 13-query round-9 batch, the 37 stale slots are: the 10
+# remaining r3-vintage greens (all re-verified green by the round-8
+# judge):
+#   set_ops_customer_segments, simhash_values, stats_rollup,
+#   theta_join_balance_peers, token_counts, top3_orders_per_customer,
+#   top_domains, union_by_name_evolution, unpivot_balance_metrics,
+#   url_normalize_dedup;
+# then the alphabetically-first 27 of the 50 r4-vintage greens:
+#   ann_ivf_topk, ann_ivfpq_topk, ann_pq_adc_topk, ann_srp_lsh_pairs,
+#   approx_distinct_counts, argminmax_per_source,
+#   asof_join_last_purchase, canonical_doc_per_cluster,
+#   cohort_retention, count_min_sketch_words, crawl_source_page_stats,
+#   dedup_simhash_hamming, doc_chunk_overlap, doc_ngram_repetition,
+#   embedding_centroid_distance, embedding_srp_signatures,
+#   event_funnel_conversion, events_gap_filled_hourly, ewma_user_value,
+#   fk_integrity_audit, frequent_token_pairs, fuzzy_source_pairs,
+#   gopher_quality_flags, heavy_hitters_mg, nested_order_lines,
+#   pagerank_nation_trade, price_histogram.
+# (If round 9 lands fewer than 13 additions, extend alphabetically
+# into the remaining r4 rows: q16_null_aware_anti, q18_... etc.)
 PRIORITY_HEAD: tuple[str, ...] = (
-    # -- 0-36: the 37 round-7 additions (never driver-checked)
-    "mann_whitney_segment_spend",
-    "spearman_qty_price",
-    "ks_value_drift",
-    "gini_stump_threshold",
-    "roc_auc_holdout",
-    "average_precision_holdout",
-    "calibration_ece_bins",
-    "decile_lift_table",
-    "anova_f_segment_spend",
-    "brown_forsythe_spend_variance",
-    "jarque_bera_order_values",
-    "link_prediction_trade",
-    "degree_assortativity_trade",
-    "isotonic_calibration",
-    "crossval_auc_folds",
-    "kendall_tau_qty_discount",
-    "kneser_ney_bigram",
-    "negative_sampling_pairs",
-    "linear_attribution_revenue",
-    "qini_uplift_curve",
-    "woe_information_value",
-    "conformal_interval_coverage",
-    "eb_shrunk_supplier_rates",
-    "median_ci_orderstat",
-    "cuped_adjusted_uplift",
-    "kmv_intersection_estimate",
-    "ipf_raking_weights",
-    "chao1_vocab_coverage",
-    "capture_recapture_population",
-    "neyman_allocation",
-    "hill_tail_index",
-    "mahalanobis_outliers",
-    "cochran_armitage_trend",
-    "bradley_terry_nation_strength",
-    "shapley_variance_attribution",
-    "risk_ratio_odds_ratio",
-    "cohens_kappa_agreement",
-    # -- 37-47: the 11 r2-vintage stale greens from the round-7 plan
-    "sequence_packing",
-    "corpus_end_to_end",
-    "stratified_source_cap",
-    "corpus_temperature_mix",
-    "domain_doc_stats",
-    "global_size_stats",
-    "metadata_extract",
-    "wordcount",
-    "udtf_bigrams",
-    "date_features",
-    "string_functions_showcase",
-    # -- 48-49: the round-7 VERDICT's 2-slot amendment (the two
-    #    r2-vintage rows the original stale list omitted)
-    "cross_join_enumeration",
-    "events_json_decode",
+    # -- 0-12: the 13 round-8 additions (never driver-checked)
+    "kruskal_wallis_priority_spend",
+    "welch_t_spend",
+    "wasserstein_value_drift",
+    "mcnemar_paired_returns",
+    "cramers_v_association",
+    "zorder_layout_cells",
+    "holt_linear_forecast",
+    "piecewise_linear_breakpoint",
+    "durbin_watson_hourly",
+    "logrank_priority_survival",
+    "scc_trade_graph",
+    "jsd_source_divergence",
+    "difference_in_differences",
+    # -- 13-49: the 37 oldest stale greens (r3 vintage, alphabetical)
+    "ann_topk_cosine",
+    "anti_join_idle_customers",
+    "array_map_builders",
+    "bloom_filter_membership",
+    "customer_running_spend",
+    "dedup_char_ngram_jaccard",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_first_event_per_user_type",
+    "distinct_counts",
+    "doc_fingerprints",
+    "doc_pii_redaction",
+    "doc_quality_scores",
+    "events_hourly_windows",
+    "events_sliding_windows",
+    "filter_project_preview",
+    "full_outer_reconciliation",
+    "grouping_sets_priority_status",
+    "html_to_markdown_docs",
+    "inverted_index",
+    "kafka_roundtrip_counts",
+    "lang_id_heuristic",
+    "normalize_text",
+    "null_safe_equality",
+    "orders_by_month",
+    "outer_join_order_counts",
+    "part_price_bands",
+    "part_price_rank_in_brand",
+    "posexplode_tokens",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "quantile_sketch_merge",
+    "rolling_30d_revenue",
+    "rollup_nation_segment",
+    "semi_join_active_customers",
+    "sessionized_path_3grams",
 )
 
 # Proven green in round 2 against current code: after the 50-row window.
