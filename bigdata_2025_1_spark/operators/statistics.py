@@ -4095,6 +4095,18 @@ def kruskal_wallis_priority_spend(spark: SparkSession, sf_dir: str) -> DataFrame
     NULL H via identical guards. R2_g²·100 stays inside decimal(38) to
     ~1e8 rows per group in cents; rescale v to dollars past that.
 
+    Cross-engine cast bound (tighter than the decimal(38) one): the
+    final ``CAST(bsum_i2 AS DOUBLE)`` leaves the integer domain, and
+    bsum_i2 grows ~100·n³ — past ~6e5 orders (~sf0.4) it exceeds 2^64
+    and DuckDB's HUGEINT→DOUBLE conversion enters its double-rounding
+    regime while Spark rounds the decimal once, so the two doubles can
+    differ in the last bit (~1e-9 relative; a 6-decimal flip needs H to
+    sit within 5e-7 of a rounding boundary). The integers themselves
+    stay exact and identical in both engines to the decimal(38) bound;
+    only this one cast is engine-sensitive. Rescale v to dollars (or
+    compare at coarser rounding) beyond sf0.4 if bit-parity of h_stat
+    must be preserved.
+
     Scale shape: ONE fact aggregate — the (group, value) cell table —
     whose shuffle both consumers reuse (the global value histogram
     re-reduces the cells; ReusedExchange, plan-checked); the only

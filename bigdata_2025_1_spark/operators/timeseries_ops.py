@@ -98,7 +98,11 @@ def holt_linear_kernel(pdf):
 
 
 def _sql_holt_stage() -> str:
-    l_new = "(3 * i.y + 7 * (r.l + r.b)) // 10"
+    # Built from the SAME module constants the Spark kernel reads, so
+    # retuning the smoothing rationals cannot silently desynchronize
+    # the oracle from the kernel (it would otherwise break parity only
+    # at selfcheck time).
+    l_new = f"({HOLT_A_NUM} * i.y + {HOLT_DEN - HOLT_A_NUM} * (r.l + r.b)) // {HOLT_DEN}"
     return f"""
     rec AS (
       SELECT CAST(1 AS BIGINT) AS rn,
@@ -109,7 +113,7 @@ def _sql_holt_stage() -> str:
       UNION ALL
       SELECT r.rn + 1,
              {l_new},
-             (2 * ({l_new} - r.l) + 8 * r.b) // 10
+             ({HOLT_B_NUM} * ({l_new} - r.l) + {HOLT_DEN - HOLT_B_NUM} * r.b) // {HOLT_DEN}
       FROM rec r JOIN idx i ON i.rn = r.rn + 1
     )"""
 
@@ -133,7 +137,7 @@ def _sql_holt_stage() -> str:
            CAST(NULL AS BIGINT),
            CAST(fin.l + h.h * fin.b AS BIGINT)
     FROM (SELECT l, b FROM rec WHERE rn = (SELECT n FROM nn)) fin
-    CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS h) h
+    CROSS JOIN (SELECT UNNEST([{", ".join(str(h) for h in range(1, HOLT_HORIZON + 1))}]) AS h) h
     ORDER BY m, kind
     """,
 )
