@@ -1468,3 +1468,97 @@ def test_round8_no_fact_scale_single_partition(name, spark, sf_dir):
     for inputs in single_partition_exchange_inputs(df):
         assert not any(c in inputs for c in _FACT_COLS), (name, inputs)
     spark.catalog.clearCache()
+
+
+def test_recsys_caps_baskets_before_self_join_and_broadcasts_counts(spark, sf_dir):
+    """Pin for the repo's most expensive query (round-8 verdict: wall-
+    clock alone cannot distinguish noise from regression for it). Three
+    structural properties guard its scale shape:
+
+    1. the basket-cap filter (`<= COFILTER_BASKET_CAP`) lives INSIDE the
+       cached training relation, i.e. it is applied before the persist —
+       so every consumer, including BOTH sides of the co-purchase
+       self-join, sees capped baskets;
+    2. both sides of the self-join (the join whose condition is the
+       `src <> rec` self-pair exclusion) read the persisted train via
+       InMemoryTableScan — no raw parquet re-scan sneaks in between;
+    3. the per-item top-k runs as WindowGroupLimit (partial+final, never
+       a global sort) and the three scalar counts assemble broadcast,
+       with every SinglePartition exchange carrying only count columns.
+    """
+    from bigdata_2025_1_spark.operators.relational import COFILTER_BASKET_CAP
+    from bigdata_2025_1_spark.plans.explain import single_partition_exchange_inputs
+
+    df = QUERIES["recsys_holdout_hitrate"](spark, sf_dir)
+    plan = formatted_plan(df)
+    tree = plan.split("\n\n", 1)[0]
+    blocks = re.split(r"^(?=\(\d+\) )", plan, flags=re.MULTILINE)
+
+    # 1. the cap filter exists and sits under an InMemoryRelation
+    cap_ids = [
+        re.match(r"\((\d+)\)", b).group(1)
+        for b in blocks
+        if b.startswith(f"(")
+        and re.match(r"\(\d+\) Filter", b)
+        and f"<= {COFILTER_BASKET_CAP})" in b
+    ]
+    assert cap_ids, "basket-cap filter vanished from the plan"
+    tree_lines = tree.splitlines()
+    for cid in cap_ids:
+        idx = next(
+            i for i, l in enumerate(tree_lines) if f"Filter ({cid})" in l
+        )
+        indent = tree_lines[idx].index("Filter")
+        ancestors = [
+            l for l in tree_lines[:idx]
+            if re.search(r"\w", l[:indent]) and "InMemoryRelation" in l
+        ]
+        assert ancestors, (
+            f"cap filter ({cid}) is not inside the cached training "
+            "relation — the cap no longer precedes the persist/self-join"
+        )
+
+    # 2. the co self-join consumes the cached train on BOTH sides
+    self_joins = [
+        b for b in blocks
+        if re.match(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", b)
+        and re.search(r"Join condition: NOT \(src#\d+L? = rec#\d+L?\)", b)
+    ]
+    assert len(self_joins) == 1, "expected exactly one co-purchase self-join"
+    jid = re.match(r"\((\d+)\)", self_joins[0]).group(1)
+    jidx = next(i for i, l in enumerate(tree_lines) if f"({jid})" in l)
+
+    def marker_col(line: str) -> int | None:
+        ms = list(re.finditer(r"[:+]- \S", line))
+        return ms[-1].start() if ms else None
+
+    jcol = marker_col(tree_lines[jidx])
+    child_starts, end = [], len(tree_lines)
+    for i in range(jidx + 1, len(tree_lines)):
+        c = marker_col(tree_lines[i])
+        if c is None or c <= jcol:
+            end = i
+            break
+        if c == jcol + 3:
+            child_starts.append(i)
+    assert len(child_starts) == 2, "self-join does not have two children"
+    bounds = [(child_starts[0], child_starts[1]), (child_starts[1], end)]
+    for lo, hi in bounds:
+        # the FIRST scan each child branch reaches must be the cached
+        # train (the cached relation's own build plan, expanded below
+        # its InMemoryTableScan, is allowed to contain parquet scans)
+        first = next(
+            l for l in tree_lines[lo:hi]
+            if "InMemoryTableScan" in l or "Scan parquet" in l
+        )
+        assert "InMemoryTableScan" in first, (
+            "co self-join reads raw parquet instead of the persisted "
+            "capped train:\n" + first
+        )
+
+    # 3. top-k pushdown + broadcast scalar assembly
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    for inputs in single_partition_exchange_inputs(df):
+        assert "count#" in inputs, inputs
+    spark.catalog.clearCache()
