@@ -1228,7 +1228,81 @@ def bpe_apply_merge(s: "F.Column", pair: str, merged: str) -> "F.Column":
     return F.concat(F.lit(" "), folded, F.lit(" "))
 
 
+def _sql_bpe_stage_w(t: int) -> str:
+    # Carry-w variant of ``_sql_bpe_stage`` for ENCODING oracles: the
+    # identical pair count / argmax pick / list_reduce fold, but (a) the
+    # original word rides along so the final state doubles as the
+    # word-type encode table, and (b) an empty merge pick (b{t} has no
+    # rows — a degenerate corpus can run out of adjacent pairs before
+    # BPE_MERGES rounds) leaves the vocabulary UNTOUCHED instead of
+    # emptying it via the cross join, mirroring the Spark loop's
+    # break-on-no-pairs.
+    return f"""p{t} AS MATERIALIZED (
+      SELECT pair, SUM(cnt) AS n FROM (
+        SELECT unnest([syms[i] || ' ' || syms[i + 1]
+                       for i in range(1, len(syms))]) AS pair, cnt
+        FROM (SELECT list_filter(regexp_split_to_array(trim(s), ' '),
+                                 x -> x <> '') AS syms, cnt
+              FROM v{t - 1})
+      ) GROUP BY pair
+    ), b{t} AS MATERIALIZED (
+      SELECT pair, n, split_part(pair, ' ', 1) AS pa,
+             split_part(pair, ' ', 2) AS pb,
+             replace(pair, ' ', '') AS pm
+      FROM p{t} ORDER BY n DESC, pair LIMIT 1
+    ), v{t} AS MATERIALIZED (
+      SELECT v.w,
+             CASE WHEN b.pm IS NULL THEN v.s
+             ELSE ' ' || list_reduce(
+               list_filter(regexp_split_to_array(trim(v.s), ' '), x -> x <> ''),
+               (acc, x) -> CASE
+                 WHEN x = b.pb AND (acc = b.pa OR ends_with(acc, ' ' || b.pa))
+                 THEN substr(acc, 1, length(acc) - length(b.pa)) || b.pm
+                 ELSE acc || ' ' || x END
+             ) || ' ' END AS s,
+             v.cnt
+      FROM v{t - 1} v LEFT JOIN b{t} b ON TRUE
+    )"""
+
+
 _BPE_STAGES = ",\n    ".join(_sql_bpe_stage(t) for t in range(1, BPE_MERGES + 1))
+_BPE_STAGES_W = ",\n    ".join(_sql_bpe_stage_w(t) for t in range(1, BPE_MERGES + 1))
+
+# Shared CTE chain for encoding oracles: train the merge table on the
+# word-type vocabulary (carrying w), then read off each type's BPE
+# token count. Importers (tokenizer fertility) compose it with their
+# own aggregation.
+BPE_ENCODE_CTES = f"""words AS (
+      SELECT unnest({_SQL_TOKS}) AS w FROM documents
+    ), vocab AS (
+      SELECT w, COUNT(*) AS cnt FROM words WHERE length(w) >= 1 GROUP BY w
+    ), v0 AS MATERIALIZED (
+      SELECT w,
+             ' ' || array_to_string([substr(w, i, 1)
+                                     for i in range(1, length(w) + 1)], ' ')
+                 || ' ' AS s,
+             cnt
+      FROM vocab
+    ),
+    {_BPE_STAGES_W},
+    enc AS (
+      SELECT w, CAST(len(list_filter(regexp_split_to_array(trim(s), ' '),
+                                     x -> x <> '')) AS BIGINT) AS n_sub
+      FROM v{BPE_MERGES}
+    )"""
+
+
+def encoded_word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE artifact: ``(w, n_sub)`` — each word type's
+    BPE token count under the merge table trained on this corpus
+    (``_bpe_train``; merges applied exhaustively in rank order, exactly
+    the segmentation training itself produced). Vocabulary-sized and
+    persisted via the training loop's final state."""
+    _log, v = _bpe_train(spark, sf_dir)
+    return v.select(
+        "w",
+        F.size(F.split(F.trim(F.col("s")), " ")).cast("bigint").alias("n_sub"),
+    )
 _BPE_FINAL = "\n      UNION ALL\n      ".join(
     f"SELECT {t} AS step, pair, CAST(n AS BIGINT) AS n, "
     f"replace(pair, ' ', '') AS merged FROM b{t}"
@@ -1283,6 +1357,112 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     superseded vocabulary cache is released each round, so the cache
     footprint is ≤ 2 vocabularies at any instant regardless of
     BPE_MERGES. The oracle unrolls the same {BPE_MERGES} rounds."""
+    log, v = _bpe_train(spark, sf_dir)
+    v.unpersist()
+    if not log:
+        return spark.createDataFrame([], "step int, pair string, n bigint, merged string")
+    return spark.createDataFrame(
+        log, "step int, pair string, n bigint, merged string"
+    ).orderBy("step")
+
+
+@query(
+    "bpe_encode_corpus",
+    oracle=f"""
+    WITH {BPE_ENCODE_CTES},
+    tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+    ), perdoc AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(e.n_sub) AS BIGINT) AS n_bpe_tokens,
+             CAST(SUM(length(t.w)) AS BIGINT) AS n_word_chars
+      FROM tok t JOIN enc e USING (w) GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_words, 0) AS n_words,
+           COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+           COALESCE(p.n_word_chars, 0) AS n_word_chars,
+           CASE WHEN p.n_bpe_tokens > 0
+                THEN ROUND(CAST(p.n_word_chars AS DOUBLE) / p.n_bpe_tokens, 6)
+           END AS chars_per_bpe_token
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer INFERENCE — the tokenize-and-count every real
+    pipeline runs at full scale nightly, and the missing half of
+    ``bpe_merge_sequence`` (train merges ↔ apply merges): train the
+    {BPE_MERGES}-rule merge table on this corpus, encode every document
+    with it, and report per-doc word count, BPE token count, word
+    chars, and chars-per-BPE-token (the per-doc fertility the corpus
+    budget is priced in).
+
+    Encode convention: merges apply exhaustively in RANK ORDER via the
+    same greedy left-to-right fold training used (``bpe_apply_merge``)
+    — so each word type's segmentation is exactly the one the trainer
+    left it with, the Sennrich word-type convention. A word with no
+    mergeable pairs stays character-split; if the corpus runs out of
+    adjacent pairs before {BPE_MERGES} rounds, the remaining rounds are
+    no-ops in BOTH engines (the Spark loop breaks; the oracle's
+    LEFT-JOIN stages pass the vocabulary through).
+
+    Determinism: the merge table is the (n DESC, pair ASC) total-order
+    argmax sequence; token counts are exact integers; the only double
+    is one guarded ROUND(chars/tokens, 6) per doc.
+
+    Scale shape: training state is the word-TYPE vocabulary (never the
+    token stream, ≤2 cached vocabularies at any instant); the encode
+    table is vocabulary-sized and joins the exploded corpus on the word
+    (equi-key shuffle, AQE broadcasts it when small); per-doc sums are
+    map-side combinable. No per-document Python, no all-pairs work."""
+    enc = encoded_word_types(spark, sf_dir)
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    perdoc = (
+        tok.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("n_word_chars"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", zero).alias("n_words"),
+            F.coalesce("n_bpe_tokens", zero).alias("n_bpe_tokens"),
+            F.coalesce("n_word_chars", zero).alias("n_word_chars"),
+            F.when(
+                F.col("n_bpe_tokens") > 0,
+                F.round(
+                    F.col("n_word_chars").cast("double") / F.col("n_bpe_tokens"), 6
+                ),
+            ).alias("chars_per_bpe_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[list[tuple[int, str, int, str]], DataFrame]":
+    """Run the BPE merge-training loop on the documents word-type
+    vocabulary and return ``(merge_log, encoded_vocab)``: the merge
+    table (step, pair, n, merged) AND the final re-segmented vocabulary
+    ``(w, s, cnt)`` — the padded symbol string after every applied
+    merge, i.e. the trained tokenizer's ENCODING of each word type.
+    ``encoded_vocab`` is left persisted (vocabulary-sized; the cache
+    contract releases it between queries) — training callers that only
+    need the log should ``unpersist()`` it."""
     docs = spread(load(spark, sf_dir, "documents"))
     vocab = (
         docs.select(F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w"))
@@ -1292,8 +1472,10 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # split(w, '') yields one element per char in Spark 4 (no trailing
     # empty); the padded ' a b ' form makes every pair replacement a
-    # boundary-safe literal substring
+    # boundary-safe literal substring. ``w`` rides along untouched so
+    # the final state doubles as the word-type encode table.
     v = vocab.select(
+        "w",
         F.concat(
             F.lit(" "),
             F.array_join(F.split(F.col("w"), ""), " "),
@@ -1339,15 +1521,12 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = pair.replace(" ", "")
         log.append((step, pair, n, merged))
         prev = v
-        v = v.select(bpe_apply_merge(F.col("s"), pair, merged).alias("s"), "cnt").persist()
-    v.unpersist()
+        v = v.select(
+            "w", bpe_apply_merge(F.col("s"), pair, merged).alias("s"), "cnt"
+        ).persist()
     if prev is not None:
         prev.unpersist()
-    if not log:
-        return spark.createDataFrame([], "step int, pair string, n bigint, merged string")
-    return spark.createDataFrame(
-        log, "step int, pair string, n bigint, merged string"
-    ).orderBy("step")
+    return log, v
 
 
 # --- unseen-mass estimation (round 7) ---------------------------------------

@@ -50,9 +50,16 @@ ORACLES: dict[str, str] = {}
 # the standing convention, round-9 additions are BATCHED (<=13) and
 # queue for round 10, NOT the head.
 #
+# Round-9 additions so far (each selfchecked tuned + vanilla, scalar-
+# referenced, and empty-tables green the day it landed):
+#   bpe_encode_corpus.
+# (tokenizer_fertility_by_lang was REWORKED to real BPE encodes this
+# round — not a new name; it re-certifies via selfcheck and takes its
+# next driver row on the normal stale rotation.)
+#
 # ROUND-10 ROTATION PLAN: head takes (a) every round-9 addition (each
 # selfchecked tuned + vanilla the day it lands; exact names appended
-# below as they land); then (b) the oldest stale greens by driver-row
+# above as they land); then (b) the oldest stale greens by driver-row
 # vintage, oldest first, until the head reaches exactly 50. Assuming
 # the full 13-query round-9 batch, the 37 stale slots are: the 10
 # remaining r3-vintage greens (all re-verified green by the round-8

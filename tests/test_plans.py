@@ -1562,3 +1562,33 @@ def test_recsys_caps_baskets_before_self_join_and_broadcasts_counts(spark, sf_di
     for inputs in single_partition_exchange_inputs(df):
         assert "count#" in inputs, inputs
     spark.catalog.clearCache()
+
+
+ROUND9_QUERIES = [
+    # grows as round-9 additions land (day-one checklist, VERDICT r8 #5)
+    "bpe_encode_corpus",
+]
+
+
+@_pytest.mark.parametrize("name", ROUND9_QUERIES)
+def test_round9_no_fact_scale_single_partition(name, spark, sf_dir):
+    """Every SinglePartition exchange in the round-9 batch may carry
+    only scalar-aggregate or bounded-value-domain rows — a fact-keyed
+    column riding one means a whole-data funnel crept in."""
+    from bigdata_2025_1_spark.plans.explain import single_partition_exchange_inputs
+
+    df = QUERIES[name](spark, sf_dir)
+    for inputs in single_partition_exchange_inputs(df):
+        assert not any(c in inputs for c in _FACT_COLS + ("doc_id",)), (name, inputs)
+    spark.catalog.clearCache()
+
+
+def test_bpe_encode_is_jvm_side(spark, sf_dir):
+    """Tokenizer inference stays whole-stage-codegen territory: the
+    trained merges are baked in as higher-order-function literals, so
+    NO Python evaluation node may appear in the encode plan (the
+    training loop's collects run eagerly before this plan is built)."""
+    plan = formatted_plan(QUERIES["bpe_encode_corpus"](spark, sf_dir))
+    for node in ("FlatMapGroupsInPandas", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+    spark.catalog.clearCache()
