@@ -4716,3 +4716,163 @@ def zorder_layout_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("step_dist"),
     ).orderBy("zcell")
+
+
+# --- round 9: blocked-design rank tests -------------------------------------
+
+
+@query(
+    "friedman_priority_monthly",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m,
+             o_orderpriority AS g,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS v
+      FROM orders GROUP BY m, g
+    ), months AS (
+      SELECT DISTINCT m FROM cells
+    ), prios AS (
+      SELECT DISTINCT g FROM cells
+    ), grid AS (
+      SELECT mo.m, p.g, COALESCE(c.v, 0) AS v
+      FROM months mo CROSS JOIN prios p
+      LEFT JOIN cells c ON c.m = mo.m AND c.g = p.g
+    ), r AS (
+      SELECT a.m, a.g,
+             CAST(SUM(CASE WHEN b.v < a.v THEN 2
+                           WHEN b.v = a.v THEN 1 ELSE 0 END) + 1 AS BIGINT) AS r2,
+             CAST(SUM(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) AS BIGINT) AS t
+      FROM grid a JOIN grid b ON b.m = a.m
+      GROUP BY a.m, a.g
+    ), rj AS (
+      SELECT g, CAST(SUM(r2) AS BIGINT) AS r2_g FROM r GROUP BY g
+    ), ties AS (
+      SELECT CAST(SUM(t * t - 1) AS BIGINT) AS tsum FROM r
+    ), dims AS (
+      SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS k
+      FROM grid
+    ), stat AS (
+      SELECT d.n, d.k,
+             (SELECT SUM(CAST(r2_g AS HUGEINT) * r2_g) FROM rj) AS sr2,
+             t.tsum
+      FROM dims d CROSS JOIN ties t
+    )
+    SELECT rj.g AS priority, s.n AS n_blocks,
+           ROUND(CAST(rj.r2_g AS DOUBLE) / (2 * s.n), 6) AS mean_rank,
+           CASE WHEN s.k >= 2 AND s.tsum < s.n * s.k * (s.k * s.k - 1)
+           THEN ROUND(
+             (3.0 * CAST(s.sr2 AS DOUBLE) / (s.n * s.k * (s.k + 1))
+              - 3.0 * (s.n * (s.k + 1)))
+             / (1.0 - CAST(s.tsum AS DOUBLE) / (s.n * s.k * (s.k * s.k - 1))), 6)
+           END AS chi2_f,
+           CAST(s.k - 1 AS BIGINT) AS dof
+    FROM rj CROSS JOIN stat s
+    ORDER BY priority
+    """,
+)
+def friedman_priority_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: across months (the BLOCKS), do the five order
+    priorities (the TREATMENTS) keep the same spend ordering? The
+    blocked-design rank test — ``kruskal_wallis_priority_spend`` pools
+    all orders and a strong month effect can drown the priority signal;
+    Friedman ranks priorities WITHIN each month first, so every month
+    contributes one permutation and seasonality cancels by design.
+    Output: each priority's mean within-month rank, with the
+    tie-corrected chi-squared and its degrees of freedom on every row.
+
+    Grid convention: blocks are months with >= 1 order, treatments are
+    the priorities observed anywhere, and a (month, priority) cell with
+    no orders scores 0 cents — the complete-grid convention that keeps
+    the design balanced (classical Friedman requires it) and is mirrored
+    cell-for-cell by the oracle.
+
+    Determinism: within-block midranks are the exact integers
+    2*cnt_less + cnt_eq + 1 (DOUBLED midranks, the mann_whitney/kruskal
+    contract) computed by a block-keyed grid self-join; the rank sums
+    and tie term sum(t^2 - 1) (= sum over tie groups of t^3 - t) are
+    exact integers, sum(R2_g^2) accumulates in decimal(38)/HUGEINT, and
+    the statistic is ONE pinned double chain (3*SR2/(nk(k+1)) - 3n(k+1),
+    tie-corrected) rounded to 6. All-tied designs return NULL via the
+    identical guard in both engines.
+
+    Scale shape: ONE fact aggregate collapses orders to the
+    (month x priority) grid — calendar x value-domain sized (~420 cells
+    at every SF), persisted because three lineages consume it (months,
+    priorities, the grid join; cache contract: see
+    pagerank_nation_trade). The rank self-join, tie reduction, and
+    statistic all run on that bounded grid; the only fact-scale work is
+    the first groupBy."""
+    orders = load(spark, sf_dir, "orders")
+    m = (
+        (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+    ).cast("bigint")
+    cells = (
+        orders.select(
+            m.alias("m"),
+            F.col("o_orderpriority").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("m", "g")
+        .agg(F.sum("vc").cast("bigint").alias("v"))
+        .persist()
+    )
+    months = cells.select("m").distinct()
+    prios = cells.select("g").distinct()
+    grid = (
+        months.crossJoin(prios)
+        .join(cells, ["m", "g"], "left")
+        .select("m", "g", F.coalesce("v", F.lit(0).cast("bigint")).alias("v"))
+    )
+    b = grid.select(F.col("m").alias("bm"), F.col("v").alias("bv"))
+    r = (
+        grid.join(b, F.col("bm") == F.col("m"))
+        .groupBy("m", "g")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("bv") < F.col("v"), 2)
+                    .when(F.col("bv") == F.col("v"), 1)
+                    .otherwise(0)
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("r2"),
+            F.sum((F.col("bv") == F.col("v")).cast("int"))
+            .cast("bigint")
+            .alias("t"),
+        )
+    )
+    rj = r.groupBy("g").agg(F.sum("r2").cast("bigint").alias("r2_g"))
+    ties = r.agg(
+        F.sum(F.col("t") * F.col("t") - 1).cast("bigint").alias("tsum")
+    )
+    dims = grid.agg(
+        F.countDistinct("m").cast("bigint").alias("n"),
+        F.countDistinct("g").cast("bigint").alias("k"),
+    )
+    sr2 = rj.agg(
+        F.sum(F.col("r2_g").cast("decimal(38,0)") * F.col("r2_g")).alias("sr2")
+    )
+    stat = dims.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(sr2))
+    nd, kd = F.col("n"), F.col("k")
+    ok = (kd >= 2) & (F.col("tsum") < nd * kd * (kd * kd - 1))
+    chi2 = (
+        3.0 * F.col("sr2").cast("double") / (nd * kd * (kd + 1))
+        - 3.0 * (nd * (kd + 1))
+    ) / (1.0 - F.col("tsum").cast("double") / (nd * kd * (kd * kd - 1)))
+    return (
+        rj.crossJoin(F.broadcast(stat))
+        .select(
+            F.col("g").alias("priority"),
+            F.col("n").alias("n_blocks"),
+            F.round(F.col("r2_g").cast("double") / (2 * F.col("n")), 6).alias(
+                "mean_rank"
+            ),
+            F.when(ok, F.round(chi2, 6)).alias("chi2_f"),
+            (kd - 1).cast("bigint").alias("dof"),
+        )
+        .orderBy("priority")
+    )

@@ -1567,6 +1567,7 @@ def test_recsys_caps_baskets_before_self_join_and_broadcasts_counts(spark, sf_di
 ROUND9_QUERIES = [
     # grows as round-9 additions land (day-one checklist, VERDICT r8 #5)
     "bpe_encode_corpus",
+    "friedman_priority_monthly",
 ]
 
 
