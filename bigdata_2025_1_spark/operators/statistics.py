@@ -4876,3 +4876,245 @@ def friedman_priority_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+CQ_YEARS = (1995, 1996, 1997)  # the k related binary "treatments"
+
+
+@query(
+    "cochran_q_yearly_activity",
+    oracle=f"""
+    WITH years AS (
+      SELECT unnest([{", ".join(str(y) for y in CQ_YEARS)}]) AS y
+    ), yr AS (
+      SELECT DISTINCT o_custkey AS ck, EXTRACT(year FROM o_orderdate) AS y
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) IN ({", ".join(str(y) for y in CQ_YEARS)})
+    ), cj AS (
+      SELECT years.y, CAST(COUNT(yr.ck) AS BIGINT) AS c
+      FROM years LEFT JOIN yr ON yr.y = years.y GROUP BY years.y
+    ), ri AS (
+      SELECT ck, CAST(COUNT(*) AS BIGINT) AS r FROM yr GROUP BY ck
+    ), tot AS (
+      SELECT CAST({len(CQ_YEARS)} AS BIGINT) AS k,
+             (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM cj) AS n_tot,
+             (SELECT COALESCE(SUM(CAST(c AS HUGEINT) * c), 0) FROM cj) AS sc2,
+             (SELECT CAST(COALESCE(SUM(r * r), 0) AS BIGINT) FROM ri) AS sr2
+    )
+    SELECT cj.y AS year, cj.c AS n_active,
+           CASE WHEN t.k * t.n_tot - t.sr2 > 0
+           THEN ROUND(
+             CAST((t.k - 1) * (t.k * t.sc2 - CAST(t.n_tot AS HUGEINT) * t.n_tot)
+                  AS DOUBLE)
+             / (t.k * t.n_tot - t.sr2), 6)
+           END AS q_stat,
+           CAST(t.k - 1 AS BIGINT) AS dof
+    FROM cj CROSS JOIN tot t
+    ORDER BY year
+    """,
+)
+def cochran_q_yearly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q: did customer activity CHANGE across {CQ_YEARS}? The
+    k-treatment generalization of ``mcnemar_paired_returns`` for
+    matched BINARY outcomes — each customer is a subject, each year a
+    related treatment, the outcome "placed >= 1 order that year".
+    Rejecting says the active-customer proportion is not constant
+    across the years (retention/churn shifted). Output: each year's
+    active count with Q and its degrees of freedom on every row.
+
+    Determinism: Q = (k-1)(k*sum(C_j^2) - N^2) / (k*N - sum(R_i^2)) is a
+    ratio of EXACT integers (column totals C_j, grand total N, per-
+    subject row totals R_i) — the column-total squares accumulate in
+    decimal(38)/HUGEINT and the statistic is ONE double division,
+    rounded to 6. Degenerate designs (every subject active in no or
+    all years — denominator 0, includes the empty table) return NULL
+    through the identical guard. Cross-engine cast bound: the integer
+    numerator ~ k^2*C^2 passes 2^64 only past ~2e9 active customers
+    per year (the kruskal HUGEINT->DOUBLE note).
+
+    Scale shape: one DISTINCT (customer, year) collapse of the fact
+    scan (map-side combinable), then a customer-keyed count for R_i and
+    a year-keyed count for C_j — the k-row year spine is a literal;
+    subject rows never pairwise-join (Q needs only sum(R_i^2), unlike
+    the rank tests). Scalar assembly is broadcast."""
+    orders = load(spark, sf_dir, "orders")
+    years = spark.createDataFrame([(y,) for y in CQ_YEARS], "y int")
+    k = len(CQ_YEARS)
+    yr = (
+        orders.select(
+            F.col("o_custkey").alias("ck"), F.year("o_orderdate").alias("y")
+        )
+        .filter(F.col("y").isin(*CQ_YEARS))
+        .distinct()
+        .persist()
+    )
+    cj = (
+        years.join(yr, "y", "left")
+        .groupBy("y")
+        .agg(F.count("ck").cast("bigint").alias("c"))
+    )
+    ri = yr.groupBy("ck").agg(F.count("*").cast("bigint").alias("r"))
+    dec = "decimal(38,0)"
+    tot = (
+        cj.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_tot"),
+            F.coalesce(
+                F.sum(F.col("c").cast(dec) * F.col("c")), F.lit(0)
+            ).cast(dec).alias("sc2"),
+        )
+        .crossJoin(
+            F.broadcast(
+                ri.agg(
+                    F.coalesce(F.sum(F.col("r") * F.col("r")), F.lit(0))
+                    .cast("bigint")
+                    .alias("sr2")
+                )
+            )
+        )
+        .withColumn("k", F.lit(k).cast("bigint"))
+    )
+    den = F.col("k") * F.col("n_tot") - F.col("sr2")
+    num = (F.col("k") - 1) * (
+        F.col("k") * F.col("sc2")
+        - F.col("n_tot").cast(dec) * F.col("n_tot")
+    )
+    return (
+        cj.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("y").alias("year"),
+            F.col("c").alias("n_active"),
+            F.when(den > 0, F.round(num.cast("double") / den, 6)).alias(
+                "q_stat"
+            ),
+            (F.col("k") - 1).cast("bigint").alias("dof"),
+        )
+        .orderBy("year")
+    )
+
+
+@query(
+    "mann_kendall_revenue_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY m
+    ), s AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN b.rev_c > a.rev_c THEN 1
+                                    WHEN b.rev_c < a.rev_c THEN -1
+                                    ELSE 0 END), 0) AS BIGINT) AS s_stat
+      FROM monthly a JOIN monthly b ON a.m < b.m
+    ), ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM monthly GROUP BY rev_c)
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM monthly
+    ), v AS (
+      SELECT nn.n, s.s_stat, ties.tie_term,
+             nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term AS var_num
+      FROM nn CROSS JOIN s CROSS JOIN ties
+    )
+    SELECT n AS n_months, s_stat,
+           ROUND(CAST(var_num AS DOUBLE) / 18, 6) AS var_s,
+           CASE WHEN var_num > 0 THEN ROUND(
+             CASE WHEN s_stat > 0
+                  THEN (s_stat - 1) / sqrt(CAST(var_num AS DOUBLE) / 18)
+                  WHEN s_stat < 0
+                  THEN (s_stat + 1) / sqrt(CAST(var_num AS DOUBLE) / 18)
+                  ELSE 0.0 END, 6)
+           END AS z_stat,
+           CASE WHEN s_stat > 0 THEN 'increasing'
+                WHEN s_stat < 0 THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM v
+    """,
+)
+def mann_kendall_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on monthly order revenue: S
+    counts concordant-minus-discordant month pairs, so it asks "does
+    revenue keep moving one way?" without assuming linearity — the
+    significance twin of ``theil_sen_trend``'s slope (same pairwise
+    month shape; Theil-Sen says HOW steep, Mann-Kendall says WHETHER
+    to believe a direction at all). Continuity-corrected normal
+    approximation with the standard tie-corrected variance.
+
+    Determinism: monthly revenues are exact cents; S and the variance
+    numerator n(n-1)(2n+5) - sum(t(t-1)(2t+5)) are exact integers; Z is
+    one pinned double chain (a single sqrt of the same IEEE quotient in
+    both engines), rounded to 6. Degenerate series (n < 2, or every
+    month tied on the same revenue - variance 0) return NULL Z through
+    the identical guard.
+
+    Scale shape: the fact table collapses to the MONTH domain (calendar-
+    bounded: ~84 rows at every SF) in one map-side-combinable groupBy;
+    the pairwise S join is month-domain x month-domain (the theil_sen
+    precedent); everything after is scalar reduction assembled
+    broadcast."""
+    orders = load(spark, sf_dir, "orders")
+    m = (
+        (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+    ).cast("bigint")
+    monthly = (
+        orders.select(
+            m.alias("m"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+        )
+        .groupBy("m")
+        .agg(F.sum("vc").cast("bigint").alias("rev_c"))
+        .persist()
+    )
+    b = monthly.select(F.col("m").alias("bm"), F.col("rev_c").alias("brev"))
+    s = (
+        monthly.join(b, F.col("m") < F.col("bm"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("brev") > F.col("rev_c"), 1)
+                    .when(F.col("brev") < F.col("rev_c"), -1)
+                    .otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        monthly.groupBy("rev_c")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    nn = monthly.agg(F.count("*").cast("bigint").alias("n"))
+    v = (
+        nn.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .withColumn(
+            "var_num",
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_term"),
+        )
+    )
+    sd = F.sqrt(F.col("var_num").cast("double") / 18)
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        F.col("n").alias("n_months"),
+        "s_stat",
+        F.round(F.col("var_num").cast("double") / 18, 6).alias("var_s"),
+        F.when(F.col("var_num") > 0, F.round(z, 6)).alias("z_stat"),
+        F.when(F.col("s_stat") > 0, F.lit("increasing"))
+        .when(F.col("s_stat") < 0, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )

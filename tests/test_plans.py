@@ -1568,6 +1568,8 @@ ROUND9_QUERIES = [
     # grows as round-9 additions land (day-one checklist, VERDICT r8 #5)
     "bpe_encode_corpus",
     "friedman_priority_monthly",
+    "cochran_q_yearly_activity",
+    "mann_kendall_revenue_trend",
 ]
 
 

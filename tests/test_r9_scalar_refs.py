@@ -103,3 +103,81 @@ def test_friedman_all_tied_is_null(spark, tmp_path):
     assert len(out) == 2 and all(r.chi2_f is None for r in out)
     assert all(r.mean_rank == 1.5 for r in out)
     spark.catalog.clearCache()
+
+
+def test_cochran_q_matches_textbook(spark, tmp_path):
+    # subjects x years binary design, hand-computed:
+    # c1 active 95+96+97, c2 95+96, c3 96+97, c4 only 1994 (out of range)
+    # C = (2, 3, 2), N = 7, sum(R^2) = 9+4+4 = 17, k = 3
+    # Q = (k-1)(k*sum(C^2) - N^2)/(k*N - sum(R^2)) = 2*(51-49)/(21-17) = 1.0
+    rows = []
+    for ck, years in [(1, (1995, 1996, 1997)), (2, (1995, 1996)), (3, (1996, 1997)), (4, (1994,))]:
+        for y in years:
+            rows.append((ck, datetime.date(y, 6, 1), "1-URGENT", 100.0))
+            # duplicate order in the same year: activity is binary
+            rows.append((ck, datetime.date(y, 7, 1), "2-HIGH", 50.0))
+    sf = _write_orders(spark, tmp_path, rows)
+    got = {
+        r.year: (r.n_active, r.q_stat, r.dof)
+        for r in all_queries()["cochran_q_yearly_activity"](spark, sf).collect()
+    }
+    assert got == {1995: (2, 1.0, 2), 1996: (3, 1.0, 2), 1997: (2, 1.0, 2)}
+    spark.catalog.clearCache()
+
+
+def test_cochran_q_degenerate_every_subject_all_years(spark, tmp_path):
+    # every customer active in every year -> k*N == sum(R_i^2) -> NULL Q
+    rows = [
+        (ck, datetime.date(y, 3, 1), "1-URGENT", 10.0)
+        for ck in (1, 2)
+        for y in (1995, 1996, 1997)
+    ]
+    sf = _write_orders(spark, tmp_path, rows)
+    out = all_queries()["cochran_q_yearly_activity"](spark, sf).collect()
+    assert len(out) == 3 and all(r.q_stat is None for r in out)
+    spark.catalog.clearCache()
+
+
+def scalar_mann_kendall(vals: list[int]):
+    n = len(vals)
+    s = sum(
+        (vals[j] > vals[i]) - (vals[j] < vals[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(vals).values())
+    var_num = n * (n - 1) * (2 * n + 5) - tie
+    if var_num <= 0:
+        return s, var_num / 18, None
+    sd = (var_num / 18) ** 0.5
+    z = (s - 1) / sd if s > 0 else (s + 1) / sd if s < 0 else 0.0
+    return s, var_num / 18, z
+
+
+def test_mann_kendall_matches_textbook(spark, tmp_path):
+    # monthly revenues with a tie and a dip: [10, 20, 20, 30, 5] dollars
+    vals = [1000, 2000, 2000, 3000, 500]  # cents
+    rows = [
+        (1, datetime.date(1995, mo + 1, 10), "1-URGENT", v / 100)
+        for mo, v in enumerate(vals)
+    ]
+    sf = _write_orders(spark, tmp_path, rows)
+    s, var_s, z = scalar_mann_kendall(vals)
+    row = all_queries()["mann_kendall_revenue_trend"](spark, sf).collect()[0]
+    assert row.n_months == 5 and row.s_stat == s
+    assert row.var_s == pytest.approx(round(var_s, 6), abs=1e-9)
+    assert row.z_stat == pytest.approx(round(z, 6), abs=1e-9)
+    assert row.trend == ("increasing" if s > 0 else "decreasing" if s < 0 else "none")
+    spark.catalog.clearCache()
+
+
+def test_mann_kendall_all_tied_is_null(spark, tmp_path):
+    rows = [
+        (1, datetime.date(1995, mo, 10), "1-URGENT", 42.0) for mo in (1, 2, 3)
+    ]
+    sf = _write_orders(spark, tmp_path, rows)
+    row = all_queries()["mann_kendall_revenue_trend"](spark, sf).collect()[0]
+    assert (row.s_stat, row.z_stat, row.trend) == (0, None, "none")
+    spark.catalog.clearCache()
