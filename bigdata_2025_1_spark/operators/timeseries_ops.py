@@ -481,3 +481,130 @@ def durbin_watson_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6),
         ).alias("dw_stat"),
     )
+
+
+LB_MAX_LAG = 24  # one diurnal cycle of hourly lags
+
+
+@query(
+    "ljung_box_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hidx,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY hidx
+    ), pos AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY hidx) AS t, x FROM hourly
+    ), st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(x), 0) AS BIGINT) AS s
+      FROM pos
+    ), c AS (
+      SELECT pos.t, CAST(st.n * pos.x - st.s AS HUGEINT) AS c
+      FROM pos CROSS JOIN st
+    ), dn AS (
+      SELECT SUM(c * c) AS den FROM c
+    ), lags AS (
+      SELECT unnest([{", ".join(str(k) for k in range(1, LB_MAX_LAG + 1))}]) AS k
+    ), nums AS (
+      SELECT l.k, SUM(a.c * b.c) AS num
+      FROM lags l JOIN c a ON a.t > l.k JOIN c b ON b.t = a.t - l.k
+      GROUP BY l.k
+    ), r AS (
+      SELECT l.k, st.n,
+             CASE WHEN dn.den > 0
+                  THEN CAST(nm.num AS DOUBLE) / CAST(dn.den AS DOUBLE)
+             END AS rk
+      FROM lags l CROSS JOIN st CROSS JOIN dn
+      LEFT JOIN nums nm ON nm.k = l.k
+      WHERE l.k <= st.n - 1
+    )
+    SELECT k AS lag_k, ROUND(rk, 6) AS acf,
+           ROUND(CAST(n * (n + 2) AS DOUBLE)
+                 * SUM(rk * rk / (n - k))
+                   OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW), 6) AS q_lb,
+           CAST(k AS BIGINT) AS dof
+    FROM r ORDER BY lag_k
+    """,
+)
+def ljung_box_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau on the hourly event-count series: the
+    cumulative "is there ANY autocorrelation in the first h lags" test
+    — for each lag k <= {LB_MAX_LAG} (one diurnal cycle), the series
+    autocorrelation r_k and the portmanteau Q(h=k) = n(n+2)
+    sum_{{j<=k}} r_j^2/(n-j) with dof = k. ``durbin_watson_hourly``
+    checks lag 1 of a trend fit; this sweeps a whole day of lags on the
+    raw series, the standard residual-whiteness readout. Convention
+    (shared with DW): positions are the OBSERVED hour sequence ranked
+    by hour — gaps are treated as adjacent, stated.
+
+    Determinism: with S = sum(x) and the fully-integer centering
+    c_t = n*x_t - S, every r_k is the ratio of two exact
+    decimal(38)/HUGEINT sums (the n^2 scaling cancels); Q accumulates
+    r_j^2/(n-j) in ascending-lag order in both engines (identical IEEE
+    sequence), rounded to 6. A constant series (den 0) yields NULL
+    acf/Q through the identical guard; series with n <= k emit no row
+    for that lag.
+
+    Scale shape: ONE map-side-combinable fact collapse to the calendar-
+    bounded hour spine; centering broadcasts the 2-number scalar state;
+    the lag pairing is a bounded spine self-join ({LB_MAX_LAG} x n_hours
+    rows); ranking and the cumulative Q run on the bounded domain — the
+    documented unpartitioned-window exception class."""
+    ev = load(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    hourly = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("bigint")
+        .alias("hidx")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    pos = hourly.select(
+        F.row_number().over(Window.orderBy("hidx")).alias("t"), "x"
+    )
+    st = pos.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.coalesce(F.sum("x"), F.lit(0)).cast("bigint").alias("s"),
+    )
+    c = pos.crossJoin(F.broadcast(st)).select(
+        "t",
+        "n",
+        (F.col("n") * F.col("x") - F.col("s")).cast(dec).alias("c"),
+    ).persist()
+    dn = c.agg(F.sum(F.col("c") * F.col("c")).alias("den"))
+    lags = spark.range(1, LB_MAX_LAG + 1).select(F.col("id").cast("int").alias("k"))
+    a = c.select(F.col("t").alias("ta"), F.col("c").alias("ca"))
+    b = c.select(F.col("t").alias("tb"), F.col("c").alias("cb"))
+    nums = (
+        lags.join(a, F.col("ta") > F.col("k"))
+        .join(b, F.col("tb") == F.col("ta") - F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("num"))
+    )
+    r = (
+        lags.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(dn))
+        .join(nums, "k", "left")
+        .filter(F.col("k") <= F.col("n") - 1)
+        .select(
+            "k",
+            "n",
+            F.when(
+                F.col("den") > 0,
+                F.col("num").cast("double") / F.col("den").cast("double"),
+            ).alias("rk"),
+        )
+    )
+    wq = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return r.select(
+        F.col("k").alias("lag_k"),
+        F.round("rk", 6).alias("acf"),
+        F.round(
+            (F.col("n") * (F.col("n") + 2)).cast("double")
+            * F.sum(
+                F.col("rk") * F.col("rk") / (F.col("n") - F.col("k"))
+            ).over(wq),
+            6,
+        ).alias("q_lb"),
+        F.col("k").cast("bigint").alias("dof"),
+    ).orderBy("lag_k")

@@ -53,7 +53,8 @@ ORACLES: dict[str, str] = {}
 # Round-9 additions so far (each selfchecked tuned + vanilla, scalar-
 # referenced, and empty-tables green the day it landed):
 #   bpe_encode_corpus, friedman_priority_monthly,
-#   cochran_q_yearly_activity, mann_kendall_revenue_trend.
+#   cochran_q_yearly_activity, mann_kendall_revenue_trend,
+#   ljung_box_hourly.
 # (tokenizer_fertility_by_lang was REWORKED to real BPE encodes this
 # round — not a new name; it re-certifies via selfcheck and takes its
 # next driver row on the normal stale rotation.)

@@ -1570,6 +1570,7 @@ ROUND9_QUERIES = [
     "friedman_priority_monthly",
     "cochran_q_yearly_activity",
     "mann_kendall_revenue_trend",
+    "ljung_box_hourly",
 ]
 
 

@@ -181,3 +181,74 @@ def test_mann_kendall_all_tied_is_null(spark, tmp_path):
     row = all_queries()["mann_kendall_revenue_trend"](spark, sf).collect()[0]
     assert (row.s_stat, row.z_stat, row.trend) == (0, None, "none")
     spark.catalog.clearCache()
+
+
+def _write_events(spark, tmp_path, hourly_counts, gap_after=None) -> str:
+    """One event row per count in consecutive hours (optionally skipping
+    an hour to exercise the gaps-are-adjacent convention)."""
+    rows = []
+    hour = 0
+    for i, cnt in enumerate(hourly_counts):
+        if gap_after is not None and i == gap_after:
+            hour += 3  # a 3-hour hole in the feed
+        for j in range(cnt):
+            rows.append(
+                (
+                    f"e{hour}_{j}",
+                    j + 1,
+                    "click",
+                    1.0,
+                    datetime.datetime(2026, 1, 1, 0, 0, 0)
+                    + datetime.timedelta(hours=hour, minutes=j % 60),
+                )
+            )
+        hour += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id string, user_id long, event_type string, value double, ts timestamp",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def scalar_ljung_box(xs: list[int], max_lag: int):
+    n = len(xs)
+    s = sum(xs)
+    c = [n * x - s for x in xs]
+    den = sum(v * v for v in c)
+    out = []
+    cum = 0.0
+    for k in range(1, min(max_lag, n - 1) + 1):
+        if den > 0:
+            r = sum(c[t] * c[t - k] for t in range(k, n)) / den
+            cum += r * r / (n - k)
+            out.append((k, round(r, 6), round(n * (n + 2) * cum, 6), k))
+        else:
+            out.append((k, None, None, k))
+    return out
+
+
+def test_ljung_box_matches_textbook(spark, tmp_path):
+    from bigdata_2025_1_spark.operators.timeseries_ops import LB_MAX_LAG
+
+    counts = [5, 9, 2, 9, 5, 9]
+    sf = _write_events(spark, tmp_path, counts, gap_after=3)
+    got = [
+        (r.lag_k, r.acf, r.q_lb, r.dof)
+        for r in all_queries()["ljung_box_hourly"](spark, sf).collect()
+    ]
+    want = scalar_ljung_box(counts, LB_MAX_LAG)
+    assert len(got) == len(want) == 5
+    for (gk, ga, gq, gd), (wk, wa, wq, wd) in zip(got, want):
+        assert (gk, gd) == (wk, wd)
+        assert ga == pytest.approx(wa, abs=1e-9)
+        assert gq == pytest.approx(wq, abs=1e-9)
+    spark.catalog.clearCache()
+
+
+def test_ljung_box_constant_series_is_null(spark, tmp_path):
+    sf = _write_events(spark, tmp_path, [4, 4, 4, 4])
+    out = all_queries()["ljung_box_hourly"](spark, sf).collect()
+    assert len(out) == 3  # k <= n-1
+    assert all(r.acf is None and r.q_lb is None for r in out)
+    spark.catalog.clearCache()
