@@ -2186,3 +2186,101 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_id")
     )
+
+
+# Integer-scaled DCG gain table: G_i = round(1e12 / log2(i + 1)) for
+# rank i = 1..TOP_K, computed ONCE here and embedded as literals in
+# both engines — log2 never runs engine-side, so DCG sums are exact
+# integers and the only double op is the final division.
+import math as _math  # noqa: E402
+
+DCG_GAINS_I12 = tuple(
+    round(1e12 / _math.log2(i + 1)) for i in range(1, TOP_K + 1)
+)
+IDCG_I12 = sum(DCG_GAINS_I12)
+
+
+@query(
+    "ndcg_retrieval_eval",
+    oracle=f"""
+    WITH exact_res AS (
+      SELECT * FROM ({_ORACLES["ann_topk_cosine"]})
+    ), sys_res AS (
+      SELECT * FROM ({_ORACLES["ann_ivf_topk"]})
+    ), nq AS (
+      SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries FROM exact_res
+    ), perq AS (
+      SELECT e.query_id,
+             CAST(SUM(([{", ".join(str(g) for g in DCG_GAINS_I12)}])[s.rank])
+                  AS BIGINT) AS dcg12
+      FROM exact_res e JOIN sys_res s
+        ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    ), tot AS (
+      SELECT CAST(COALESCE(SUM(dcg12), 0) AS BIGINT) AS sum_dcg12,
+             CAST(COALESCE(SUM(CASE WHEN dcg12 = {IDCG_I12} THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_perfect
+      FROM perq
+    )
+    SELECT nq.n_queries, tot.n_perfect,
+           CASE WHEN nq.n_queries > 0
+                THEN tot.sum_dcg12::DOUBLE / (nq.n_queries * {IDCG_I12})
+           END AS mean_ndcg_at_k
+    FROM nq CROSS JOIN tot
+    """,
+)
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{TOP_K} of the IVF index against exact truth — the
+    position-weighted companion of ``retrieval_mrr_eval``: recall says
+    WHETHER the true neighbors surface, MRR where the single best one
+    lands, nDCG how well the WHOLE returned ranking orders all of them
+    (a true neighbor at system rank 1 is worth 1/log2(2), at rank 5
+    only 1/log2(6)). Binary relevance, truth = the exact top-{TOP_K};
+    IDCG is the full-k constant (the fixture corpus always yields k
+    true neighbors per probe; a corpus smaller than k would need the
+    per-query prefix IDCG, stated). Reports the query count, how many
+    queries ranked perfectly, and the mean nDCG.
+
+    Determinism: both rankings are the REGISTERED queries and their
+    oracles verbatim (the retrieval_mrr_eval convention); the gain
+    table 1/log2(rank+1) is precomputed in Python to integer 1e-12ths
+    and embedded as LITERALS in both engines, so log2 never runs
+    engine-side — per-query DCG and the perfect-ranking comparison are
+    exact integers, mean nDCG is ONE double division (numerator and
+    denominator both < 2^53).
+
+    Scale shape: inherits the candidate-bounded rankings; one
+    (query, neighbor) equi-join, one query-keyed map-side-combinable
+    sum, scalar assembly broadcast."""
+    exact = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    system = ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_s")
+    )
+    gains = F.array(*[F.lit(g) for g in DCG_GAINS_I12])
+    nq = exact.agg(F.count_distinct("query_id").alias("n_queries"))
+    perq = (
+        exact.join(system, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.element_at(gains, F.col("rank_s").cast("int")))
+            .cast("bigint")
+            .alias("dcg12")
+        )
+    )
+    tot = perq.agg(
+        F.coalesce(F.sum("dcg12"), F.lit(0)).cast("bigint").alias("sum_dcg12"),
+        F.coalesce(
+            F.sum((F.col("dcg12") == IDCG_I12).cast("int")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_perfect"),
+    )
+    return nq.crossJoin(F.broadcast(tot)).select(
+        "n_queries",
+        "n_perfect",
+        F.when(
+            F.col("n_queries") > 0,
+            F.col("sum_dcg12").cast("double")
+            / (F.col("n_queries") * IDCG_I12),
+        ).alias("mean_ndcg_at_k"),
+    )

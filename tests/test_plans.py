@@ -1571,6 +1571,7 @@ ROUND9_QUERIES = [
     "cochran_q_yearly_activity",
     "mann_kendall_revenue_trend",
     "ljung_box_hourly",
+    "ndcg_retrieval_eval",
 ]
 
 

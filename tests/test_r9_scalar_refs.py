@@ -252,3 +252,33 @@ def test_ljung_box_constant_series_is_null(spark, tmp_path):
     assert len(out) == 3  # k <= n-1
     assert all(r.acf is None and r.q_lb is None for r in out)
     spark.catalog.clearCache()
+
+
+def test_ndcg_matches_hand_computation(spark, sf_dir):
+    """Recompute mean nDCG@k in plain Python (float log2, no integer
+    scaling) from the two REGISTERED rankings and check the query's
+    integer-gain path lands within the 1e-12 scaling dust — verifies
+    the METRIC formula independently of the shared gain table."""
+    import math
+
+    from bigdata_2025_1_spark.operators.similarity import TOP_K
+
+    exact = all_queries()["ann_topk_cosine"](spark, sf_dir).collect()
+    system = all_queries()["ann_ivf_topk"](spark, sf_dir).collect()
+    truth: dict = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    sysrank = {(r.query_id, r.neighbor_id): r.rank for r in system}
+    idcg = sum(1 / math.log2(i + 1) for i in range(1, TOP_K + 1))
+    total, perfect = 0.0, 0
+    for q, rel in truth.items():
+        assert len(rel) == TOP_K  # full-k IDCG convention holds on fixture
+        hit_ranks = [sysrank[(q, n)] for n in rel if (q, n) in sysrank]
+        total += sum(1 / math.log2(r + 1) for r in hit_ranks) / idcg
+        if len(hit_ranks) == TOP_K:  # system's k items == the true k
+            perfect += 1
+    row = all_queries()["ndcg_retrieval_eval"](spark, sf_dir).collect()[0]
+    assert row.n_queries == len(truth)
+    assert row.n_perfect == perfect
+    assert row.mean_ndcg_at_k == pytest.approx(total / len(truth), abs=1e-9)
+    spark.catalog.clearCache()
