@@ -5118,3 +5118,112 @@ def mann_kendall_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("none"))
         .alias("trend"),
     )
+
+
+@query(
+    "t_closeness_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS in_debt
+      FROM customer
+    ), grp AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(in_debt) AS BIGINT) AS d
+      FROM qi GROUP BY c_nationkey, c_mktsegment, bal_band
+    ), gtot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+             CAST(COALESCE(SUM(in_debt), 0) AS BIGINT) AS d_tot
+      FROM qi
+    ), scored AS (
+      SELECT g.k,
+             ABS(CAST(g.d AS HUGEINT) * gl.n_tot
+                 - CAST(gl.d_tot AS HUGEINT) * g.k) AS t_num,
+             CAST(g.k AS HUGEINT) * gl.n_tot AS t_den
+      FROM grp g CROSS JOIN gtot gl
+    ), mx AS (
+      SELECT MAX(CAST(t_num AS DOUBLE) / CAST(t_den AS DOUBLE)) AS max_t
+      FROM scored
+    )
+    SELECT CAST(10 * t_num // t_den AS BIGINT) AS t_band,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_customers,
+           ROUND((SELECT max_t FROM mx), 6) AS max_t
+    FROM scored
+    GROUP BY t_band
+    ORDER BY t_band
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release audit #3 (Li et al. 2007 t-closeness), completing
+    the ``k_anonymity_audit`` pair: k-anonymity asks "is the group big
+    enough", l-diversity "is the sensitive value varied at all" — but a
+    group can pass both and still leak (99% in-debt vs a 10% global
+    rate tells an attacker plenty). t-closeness bounds the DISTANCE
+    between each QI group's sensitive distribution and the global one;
+    for the binary in-debt flag the earth-mover distance reduces to
+    |p_group - p_global|. Output: a histogram of groups by t decile
+    band (band 10 = the exact-1 worst case), with the corpus-wide max t
+    on every row — release gates check max_t <= t.
+
+    Determinism: with t = |d_g*N - D*k_g| / (k_g*N), the numerator and
+    denominator are EXACT integers (decimal(38)/HUGEINT: the cross
+    product passes int64 at ~3e9 customers), the decile band is one
+    integer floor-divide, and the only doubles are the per-group ratio
+    under MAX (identical single division both engines) and its final
+    ROUND.
+
+    Scale shape: the same single fact scan as k_anonymity_audit,
+    collapsed to the bounded QI-group table (|nations| x |segments| x
+    |bands|); the global rate broadcasts; the band histogram is a tiny
+    second aggregate."""
+    cust = load(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    qi = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        (F.col("c_acctbal") < 0).cast("bigint").alias("in_debt"),
+    )
+    grp = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("in_debt").cast("bigint").alias("d"),
+    )
+    glob = qi.agg(
+        F.count("*").cast("bigint").alias("n_tot"),
+        F.coalesce(F.sum("in_debt"), F.lit(0)).cast("bigint").alias("d_tot"),
+    )
+    scored = grp.crossJoin(F.broadcast(glob)).select(
+        "k",
+        F.abs(
+            F.col("d").cast(dec) * F.col("n_tot")
+            - F.col("d_tot").cast(dec) * F.col("k")
+        ).alias("t_num"),
+        (F.col("k").cast(dec) * F.col("n_tot")).alias("t_den"),
+    ).persist()
+    mx = scored.agg(
+        F.max(F.col("t_num").cast("double") / F.col("t_den").cast("double")).alias(
+            "max_t"
+        )
+    )
+    return (
+        scored.groupBy(
+            int_div_exact(F.col("t_num") * 10, F.col("t_den"))
+            .cast("bigint")
+            .alias("t_band")
+        )
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("k").cast("bigint").alias("n_customers"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "t_band",
+            "n_groups",
+            "n_customers",
+            F.round("max_t", 6).alias("max_t"),
+        )
+        .orderBy("t_band")
+    )

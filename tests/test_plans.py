@@ -1572,6 +1572,7 @@ ROUND9_QUERIES = [
     "mann_kendall_revenue_trend",
     "ljung_box_hourly",
     "ndcg_retrieval_eval",
+    "t_closeness_audit",
 ]
 
 

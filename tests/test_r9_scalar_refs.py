@@ -282,3 +282,38 @@ def test_ndcg_matches_hand_computation(spark, sf_dir):
     assert row.n_perfect == perfect
     assert row.mean_ndcg_at_k == pytest.approx(total / len(truth), abs=1e-9)
     spark.catalog.clearCache()
+
+
+def test_t_closeness_matches_hand_computation(spark, tmp_path):
+    # QI groups are (nation, segment, balance band) — NOTE the band is
+    # floor(bal/1000), so debts land in band -1 and split a nation's
+    # customers into debt/no-debt groups. Hand derivation (global: 8
+    # customers, 3 in debt, p = 3/8):
+    #   (nk=1, band 0):  k=2, d=0 -> t = 3/8 = 0.375 -> band 3
+    #   (nk=1, band -1): k=2, d=2 -> t = 5/8 = 0.625 -> band 6
+    #   (nk=2, band 0):  k=3, d=0 -> t = 3/8         -> band 3
+    #   (nk=3, band -1): k=1, d=1 -> t = 5/8         -> band 6
+    # bands: 3 -> (2 groups, 5 customers), 6 -> (2 groups, 3 customers);
+    # max_t = 0.625
+    rows = []
+    ck = 0
+    for nk, bals in [
+        (1, [100.0, 100.0, -50.0, -60.0]),
+        (2, [100.0, 200.0, 300.0]),
+        (3, [-10.0]),
+    ]:
+        for b in bals:
+            ck += 1
+            rows.append((ck, f"c{ck}", "addr", nk, "p", b, "BUILDING", "x"))
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_address string, c_nationkey long, "
+        "c_phone string, c_acctbal double, c_mktsegment string, c_comment string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        r.t_band: (r.n_groups, r.n_customers, r.max_t)
+        for r in all_queries()["t_closeness_audit"](spark, str(tmp_path)).collect()
+    }
+    assert got == {3: (2, 5, 0.625), 6: (2, 3, 0.625)}
+    spark.catalog.clearCache()
