@@ -2176,3 +2176,94 @@ def jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(both, F.round(klb / F.lit(1e6), 9)).alias("kl_b_m"),
         F.when(both, F.round((kla + klb) / 2 / F.lit(1e6), 9)).alias("jsd_nats"),
     )
+
+
+# C4-style content blocklist (Raffel et al. 2020 dropped any document
+# containing a listed term). Neutral stand-in terms present in the
+# synthetic fixture vocabulary; a real deployment swaps the list.
+BLOCKLIST_TERMS = ("slow", "leak", "stale")
+
+
+@query(
+    "blocklist_filter_rates",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             len(ts) AS n_tok,
+             len(list_filter(ts, x -> x IN ({", ".join("'" + t + "'" for t in BLOCKLIST_TERMS)})))
+               AS n_flagged
+      FROM (SELECT source,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               x -> x <> '') AS ts
+            FROM documents)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_flagged > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN n_flagged > 0 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+             / COUNT(*) AS drop_rate,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_flagged) AS BIGINT) AS flagged_tokens,
+           CASE WHEN SUM(n_tok) > 0
+                THEN CAST(SUM(n_flagged) AS BIGINT)::DOUBLE
+                     / CAST(SUM(n_tok) AS BIGINT)
+           END AS flagged_token_rate
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def blocklist_filter_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filtering readout, per source: how many
+    documents the any-flagged-term drop rule (the C4 convention) would
+    remove, and the token-level hit rate — the monitoring table a
+    corpus-curation pipeline watches before committing a filter (a
+    source whose drop rate jumps is an upstream incident; a blocklist
+    whose corpus-wide hit rate is near zero is dead weight). Composes
+    with ``corpus_quality_filter``/``gopher_quality_flags`` as the
+    lexical-policy leg of the filtering stack.
+
+    Determinism: token and hit counts are exact integers from the
+    shared whitespace tokenizer; the two rates are single double
+    divisions of exact ints (drop_rate always defined — groups have
+    >= 1 doc; token rate NULL-guarded for all-empty-text sources).
+
+    Scale shape: flagging is a per-row JVM higher-order filter against
+    a literal term array (no UDF, no join — the blocklist ships inside
+    the expression); the rollup is one map-side-combinable
+    groupBy(source). At a real blocklist's size (thousands of terms)
+    the same shape holds to ~MBs of literals; past that, broadcast-join
+    an exploded token table against a terms dimension instead."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    terms = F.array(*[F.lit(t) for t in BLOCKLIST_TERMS])
+    ts = T.ws_tokens(F.lower(F.col("text")))
+    scored = docs.select(
+        "source",
+        F.size(ts).alias("n_tok"),
+        F.size(F.filter(ts, lambda x: F.array_contains(terms, x))).alias(
+            "n_flagged"
+        ),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_flagged") > 0).cast("bigint")).alias("n_dropped"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("n_flagged").cast("bigint").alias("flagged_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dropped",
+            (F.col("n_dropped").cast("double") / F.col("n_docs")).alias(
+                "drop_rate"
+            ),
+            "total_tokens",
+            "flagged_tokens",
+            F.when(
+                F.col("total_tokens") > 0,
+                F.col("flagged_tokens").cast("double")
+                / F.col("total_tokens"),
+            ).alias("flagged_token_rate"),
+        )
+        .orderBy("source")
+    )

@@ -171,3 +171,32 @@ def test_degenerate_corpus_matches_oracle(spark, tmp_path, name):
     con.close()
     assert problems == [], problems
     spark.catalog.clearCache()
+
+
+def test_blocklist_rates_hand_checked(spark, tmp_path):
+    """Crafted corpus with known flag counts (reuses this module's
+    documents writer; the blocklist terms are module constants)."""
+    from bigdata_2025_1_spark.operators.text_analysis import BLOCKLIST_TERMS
+
+    assert BLOCKLIST_TERMS == ("slow", "leak", "stale")
+    rows = [
+        ("d1", "slow join slow scan", "en"),     # 2 flagged / 4 -> dropped
+        ("d2", "fast scan fast join", "en"),     # clean
+        ("d3", "LEAK here", "en"),               # lowercased hit -> dropped
+        ("d4", "   ", "fr"),                     # zero tokens
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        r.source: (
+            r.n_docs,
+            r.n_dropped,
+            r.drop_rate,
+            r.total_tokens,
+            r.flagged_tokens,
+            r.flagged_token_rate,
+        )
+        for r in all_queries()["blocklist_filter_rates"](spark, sf).collect()
+    }
+    # _write_docs stamps source='crafted' on every row
+    assert got == {"crafted": (4, 2, 0.5, 10, 3, 0.3)}
+    spark.catalog.clearCache()

@@ -1573,6 +1573,7 @@ ROUND9_QUERIES = [
     "ljung_box_hourly",
     "ndcg_retrieval_eval",
     "t_closeness_audit",
+    "blocklist_filter_rates",
 ]
 
 
