@@ -1680,3 +1680,138 @@ def scc_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), "scc_id", "scc_size")
         .orderBy("scc_id", "nation")
     )
+
+
+@query(
+    "local_clustering_trade",
+    oracle="""
+    WITH raw AS MATERIALIZED (
+      SELECT c.c_nationkey AS u, s.s_nationkey AS v, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ), und AS MATERIALIZED (
+      SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b, SUM(w) AS w
+      FROM raw WHERE u <> v
+      GROUP BY LEAST(u, v), GREATEST(u, v)
+    ), strong AS MATERIALIZED (
+      SELECT a, b FROM und
+      WHERE 625 * w > (SELECT SUM(w) FROM und)
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM strong e1
+      JOIN strong e2 ON e2.a = e1.b AND e2.b > e1.b
+      JOIN strong e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), tcnt AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT x AS n FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY n
+    ), deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS n FROM strong
+        UNION ALL SELECT b FROM strong
+      ) GROUP BY n
+    )
+    SELECT CAST(deg.n AS BIGINT) AS nation_key, deg.d AS degree,
+           COALESCE(tcnt.t, 0) AS n_triangles,
+           CASE WHEN deg.d >= 2 THEN
+             ROUND(2.0 * COALESCE(tcnt.t, 0) / (deg.d * (deg.d - 1)), 6)
+           END AS clustering_coeff
+    FROM deg LEFT JOIN tcnt ON tcnt.n = deg.n
+    ORDER BY nation_key
+    """,
+)
+def local_clustering_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per nation over the STRONG trade
+    graph (same edge rule as ``triangle_count_trade``: volume above the
+    graph average, integer test): lcc(v) = 2*T(v) / (deg(v)*(deg(v)-1))
+    — the "are my trade partners also each other's partners" readout
+    that separates hub-and-spoke nations (lcc ~ 0) from trading blocs
+    (lcc ~ 1). Per-node companion of the global triangle count, and the
+    third leg of the degree/assortativity/clustering descriptive suite.
+
+    Determinism: triangles come from the same ordered a<b<c join algebra
+    (each counted once, then credited to all three corners); T(v) and
+    deg(v) are exact integers; lcc is one guarded double chain rounded
+    to 6 (NULL for degree < 2, where it is undefined).
+
+    Scale shape: 100 TB of facts collapses to a <= |nations|^2 edge list
+    in ONE fact-fact shuffle with broadcast dims; triangles, corner
+    credits, and degrees all run on that bounded set. For social-scale
+    edge lists the identical algebra runs distributed with
+    degree-ordered joins (the compact-forward note on
+    triangle_count_trade)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    raw = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v"))
+        .agg(F.count("*").alias("w"))
+    )
+    und = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"), "w"
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    total = und.agg(F.sum("w").alias("tw"))
+    strong = (
+        und.crossJoin(F.broadcast(total))
+        .filter(625 * F.col("w") > F.col("tw"))
+        .select("a", "b")
+        .persist()  # tiny (<= |nations|^2); released by harness clearCache
+    )
+    e1 = strong.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = strong.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = strong.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(
+            F.broadcast(e2), (F.col("y2") == F.col("y")) & (F.col("z") > F.col("y"))
+        )
+        .join(
+            F.broadcast(e3),
+            (F.col("x3") == F.col("x")) & (F.col("z3") == F.col("z")),
+        )
+        .select("x", "y", "z")
+    )
+    tcnt = (
+        tri.select(F.col("x").alias("n"))
+        .unionAll(tri.select(F.col("y").alias("n")))
+        .unionAll(tri.select(F.col("z").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("t"))
+    )
+    deg = (
+        strong.select(F.col("a").alias("n"))
+        .unionAll(strong.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    return (
+        deg.join(tcnt, "n", "left")
+        .select(
+            F.col("n").cast("bigint").alias("nation_key"),
+            F.col("d").alias("degree"),
+            F.coalesce("t", F.lit(0).cast("bigint")).alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("t", F.lit(0).cast("bigint")).cast("double")
+                    / (F.col("d") * (F.col("d") - 1)),
+                    6,
+                ),
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("nation_key")
+    )

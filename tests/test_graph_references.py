@@ -270,3 +270,38 @@ def test_hyperball_tracks_exact_harmonic(spark):
             nonzero += 1
             assert abs(est - exact) / exact < 0.25, (nation, est, exact)
     assert nonzero > 0  # the strong graph is non-trivial at sf0.01
+
+
+def test_local_clustering_matches_brute_force(spark, trade_edges):
+    """lcc(v) from neighbor-set enumeration over the strong graph —
+    independent of both engines' ordered-triple join algebra."""
+    from bigdata_2025_1_spark.registry import all_queries
+
+    from collections import Counter
+
+    und: Counter = Counter()
+    for (u, v), c in trade_edges.items():
+        if u != v:
+            und[(min(u, v), max(u, v))] += c
+    tw = sum(und.values())
+    strong = {e for e, c in und.items() if 625 * c > tw}
+    adj: dict[int, set[int]] = {}
+    for a, b in strong:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for v, nbrs in adj.items():
+        d = len(nbrs)
+        t = sum(
+            1
+            for x, y in combinations(sorted(nbrs), 2)
+            if (min(x, y), max(x, y)) in strong
+        )
+        lcc = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else None
+        want[v] = (d, t, lcc)
+    got = {
+        r.nation_key: (r.degree, r.n_triangles, r.clustering_coeff)
+        for r in all_queries()["local_clustering_trade"](spark, SF01).collect()
+    }
+    assert got == want and len(got) > 0
+    spark.catalog.clearCache()

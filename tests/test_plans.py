@@ -1574,6 +1574,7 @@ ROUND9_QUERIES = [
     "ndcg_retrieval_eval",
     "t_closeness_audit",
     "blocklist_filter_rates",
+    "local_clustering_trade",
 ]
 
 
