@@ -3012,3 +3012,125 @@ def difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(var_c > 0, F.round(F.sqrt(var_c) / 100, 6)).alias("did_se"),
         F.when(var_c > 0, F.round(did_c / F.sqrt(var_c), 6)).alias("z_score"),
     )
+
+
+@query(
+    "nelson_aalen_hazard",
+    oracle=f"""
+    WITH spans AS (
+      SELECT l_orderkey,
+             CAST(date_diff('day', MIN(l_shipdate), MAX(l_shipdate)) AS BIGINT) AS dur,
+             MAX(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY l_orderkey
+    ), horizon AS (
+      SELECT MAX(l_shipdate) AS max_ship FROM lineitem
+    ), durs AS (
+      SELECT s.dur,
+             (s.last_ship > h.max_ship - INTERVAL {KM_CENSOR_DAYS} DAY) AS censored
+      FROM spans s CROSS JOIN horizon h
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM durs
+    ), daily AS (
+      SELECT dur AS t,
+             CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM durs GROUP BY dur
+    ), ordered AS (
+      SELECT t, d, leaving,
+             CAST(COALESCE(SUM(leaving) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS left_before
+      FROM daily
+    ), factored AS (
+      SELECT t, d, nn.n_total - left_before AS n_at_risk,
+             CAST(ROUND(1e6 * d / (nn.n_total - left_before)) AS BIGINT) AS h_i6,
+             CAST(ROUND(1e9 * d / ((nn.n_total - left_before)::DOUBLE
+                                   * (nn.n_total - left_before))) AS BIGINT) AS v_i9
+      FROM ordered CROSS JOIN nn
+    )
+    SELECT t AS day, n_at_risk, d AS n_completed,
+           (CAST(SUM(h_i6) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))::DOUBLE
+             / 1e6 AS cum_hazard,
+           (CAST(SUM(v_i9) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))::DOUBLE
+             / 1e9 AS hazard_var
+    FROM factored
+    WHERE d > 0
+    ORDER BY day
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of order fulfillment — the
+    integrating companion of ``kaplan_meier_retention`` over the SAME
+    censored spans (same lifetime, same {KM_CENSOR_DAYS}-day censor
+    rule): H(t) = sum d_i/n_i accumulates the instantaneous completion
+    risk, with the Aalen variance sum d_i/n_i^2. Preferred over
+    -ln(KM) for small risk sets, and the quantity hazard-ratio eyeballs
+    read directly (a straight H(t) is constant hazard; bends are
+    regime changes in fulfillment speed).
+
+    Determinism: day counts and risk sets are exact integers via the
+    shared one-prefix-sum day-domain shape; each day's hazard increment
+    rounds ONCE to integer millionths (variance to 1e-9ths) and the
+    cumulative curves are INTEGER prefix sums — no float accumulation
+    across days (the kaplan_meier log-survival contract).
+
+    Scale shape: identical to kaplan_meier_retention — per-order span
+    collapse, day-domain aggregation, calendar-bounded windows."""
+    li = load(spark, sf_dir, "lineitem")
+    spans = li.groupBy("l_orderkey").agg(
+        F.datediff(F.max("l_shipdate"), F.min("l_shipdate"))
+        .cast("bigint")
+        .alias("dur"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    horizon = li.agg(F.max("l_shipdate").alias("max_ship"))
+    durs = spans.crossJoin(F.broadcast(horizon)).select(
+        "dur",
+        (
+            F.col("last_ship") > F.date_sub(F.col("max_ship"), KM_CENSOR_DAYS)
+        ).alias("censored"),
+    )
+    nn = durs.agg(F.count("*").alias("n_total"))
+    daily = durs.groupBy(F.col("dur").alias("t")).agg(
+        F.sum((~F.col("censored")).cast("bigint")).alias("d"),
+        F.count("*").alias("leaving"),
+    )
+    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_incl = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # bounded value domain (distinct lifetime days) — the tolerated class
+    ordered = daily.select(
+        "t",
+        "d",
+        F.coalesce(F.sum("leaving").over(w_before), F.lit(0))
+        .cast("bigint")
+        .alias("left_before"),
+    )
+    risk = F.col("n_total") - F.col("left_before")
+    factored = ordered.crossJoin(F.broadcast(nn)).select(
+        "t",
+        "d",
+        risk.alias("n_at_risk"),
+        F.round(F.lit(1e6) * F.col("d") / risk).cast("bigint").alias("h_i6"),
+        F.round(F.lit(1e9) * F.col("d") / (risk.cast("double") * risk))
+        .cast("bigint")
+        .alias("v_i9"),
+    )
+    return (
+        factored.select(
+            F.col("t").alias("day"),
+            "n_at_risk",
+            F.col("d").alias("n_completed"),
+            (F.sum("h_i6").over(w_incl.orderBy("t")).cast("bigint").cast("double") / 1e6).alias(
+                "cum_hazard"
+            ),
+            (F.sum("v_i9").over(w_incl.orderBy("t")).cast("bigint").cast("double") / 1e9).alias(
+                "hazard_var"
+            ),
+            F.col("d").alias("_d"),
+        )
+        .filter(F.col("_d") > 0)
+        .drop("_d")
+        .orderBy("day")
+    )

@@ -1575,6 +1575,7 @@ ROUND9_QUERIES = [
     "t_closeness_audit",
     "blocklist_filter_rates",
     "local_clustering_trade",
+    "nelson_aalen_hazard",
 ]
 
 

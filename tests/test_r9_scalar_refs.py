@@ -317,3 +317,47 @@ def test_t_closeness_matches_hand_computation(spark, tmp_path):
     }
     assert got == {3: (2, 5, 0.625), 6: (2, 3, 0.625)}
     spark.catalog.clearCache()
+
+
+def test_nelson_aalen_matches_textbook(spark, tmp_path):
+    """Hand-walked Nelson-Aalen on crafted order spans: 5 orders with
+    lifetimes 0,0,2,5,5 days; the feed's last 30 days censor the two
+    orders shipping near the horizon."""
+    from bigdata_2025_1_spark.operators.events_ops import KM_CENSOR_DAYS
+
+    assert KM_CENSOR_DAYS == 30
+    base = datetime.date(1995, 1, 1)
+    # (orderkey, first_ship_offset, last_ship_offset); horizon = max last
+    spans = [(1, 0, 0), (2, 10, 10), (3, 20, 22), (4, 30, 35), (5, 95, 100)]
+    rows = []
+    for ok, a, b in spans:
+        rows.append((ok, base + datetime.timedelta(days=a)))
+        rows.append((ok, base + datetime.timedelta(days=b)))
+    df = spark.createDataFrame(rows, "l_orderkey long, l_shipdate date")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    # horizon = day 100; censored iff last_ship > day 70: orders 5 only?
+    # order 4 last=35 <= 70 -> complete; order 5 last=100 > 70 -> censored
+    durs = [(0, False), (0, False), (2, False), (5, False), (5, True)]
+    n_total = len(durs)
+    from collections import defaultdict
+
+    daily = defaultdict(lambda: [0, 0])  # t -> [d, leaving]
+    for t, cens in durs:
+        daily[t][0] += 0 if cens else 1
+        daily[t][1] += 1
+    want = []
+    left_before, cum6, cum9 = 0, 0, 0
+    for t in sorted(daily):
+        d, leaving = daily[t]
+        risk = n_total - left_before
+        cum6 += round(1e6 * d / risk)
+        cum9 += round(1e9 * d / (risk * risk))
+        if d > 0:
+            want.append((t, risk, d, cum6 / 1e6, cum9 / 1e9))
+        left_before += leaving
+    got = [
+        (r.day, r.n_at_risk, r.n_completed, r.cum_hazard, r.hazard_var)
+        for r in all_queries()["nelson_aalen_hazard"](spark, str(tmp_path)).collect()
+    ]
+    assert got == want
+    spark.catalog.clearCache()
