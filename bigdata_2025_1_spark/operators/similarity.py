@@ -2284,3 +2284,91 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_queries") * IDCG_I12),
         ).alias("mean_ndcg_at_k"),
     )
+
+
+from bigdata_2025_1_spark.functions.hashing import md5_int, sql_md5_int  # noqa: E402
+
+
+@query(
+    "embedding_similarity_histogram",
+    oracle=f"""
+    WITH nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+    ), pick AS (
+      SELECT a.vec_id AS i,
+             {sql_md5_int("CAST(a.vec_id AS VARCHAR)")} % nn.n AS j
+      FROM embeddings a CROSS JOIN nn
+    ), prs AS (
+      SELECT p.i, p.j,
+             {V.sql_dot_scaled('a.embedding', 'b.embedding', _DIM)} AS dot_s,
+             {V.sql_dot_scaled('a.embedding', 'a.embedding', _DIM)} AS na_s,
+             {V.sql_dot_scaled('b.embedding', 'b.embedding', _DIM)} AS nb_s
+      FROM pick p
+      JOIN embeddings a ON a.vec_id = p.i
+      JOIN embeddings b ON b.vec_id = p.j
+      WHERE p.j <> p.i
+    ), scored AS (
+      SELECT CAST(FLOOR(10 * (dot_s::DOUBLE / (sqrt(na_s::DOUBLE) * sqrt(nb_s::DOUBLE))))
+                  AS BIGINT) AS band
+      FROM prs WHERE na_s > 0 AND nb_s > 0
+    )
+    SELECT band, band / 10.0 AS band_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM scored GROUP BY band ORDER BY band
+    """,
+)
+def embedding_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Background-similarity calibration: the cosine distribution of
+    (near-)random vector pairs, histogrammed in 0.1 bands — the curve
+    every near-dup/ANN threshold is read against (a 0.8 cutoff means
+    nothing until you know random pairs sit at 0.1 ± 0.2; SemDeDup-
+    style dedup picks its epsilon exactly this way). Pairing is a
+    deterministic hash derangement: vector i partners with
+    md5(i) mod N, self-hits dropped — pseudo-random structure with
+    zero RNG state, reproducible across engines and runs.
+
+    Determinism: the partner id is the shared md5-prefix integer; dot
+    products and norms are exactly-rounded int64 picos (the vectors
+    contract); each cosine is one fixed IEEE chain and banding is a
+    single FLOOR — the histogram is then pure integer counts.
+
+    Scale shape: ONE equi-join of the table against itself on the
+    COMPUTED partner key (hash-shuffle, no windows, no all-pairs — N
+    pairs for N vectors); the dot products are per-row JVM
+    higher-order expressions; the band histogram is map-side
+    combinable. At billions of vectors the identical plan holds — the
+    pair count stays linear in N."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    nn = emb.agg(F.count("*").cast("bigint").alias("n"))
+    pick = emb.crossJoin(F.broadcast(nn)).select(
+        F.col("vec_id").alias("i"),
+        (md5_int(F.col("vec_id").cast("string")) % F.col("n")).alias("j"),
+    )
+    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+    prs = (
+        pick.filter(F.col("j") != F.col("i"))
+        .join(a, "i")
+        .join(b, "j")
+        .select(
+            V.dot_scaled(F.col("ea"), F.col("eb")).alias("dot_s"),
+            V.norm_sq_scaled(F.col("ea")).alias("na_s"),
+            V.norm_sq_scaled(F.col("eb")).alias("nb_s"),
+        )
+    )
+    scored = prs.filter((F.col("na_s") > 0) & (F.col("nb_s") > 0)).select(
+        F.floor(
+            10
+            * V.cosine_from_scaled(
+                F.col("dot_s"), F.col("na_s"), F.col("nb_s")
+            )
+        )
+        .cast("bigint")
+        .alias("band")
+    )
+    return (
+        scored.groupBy("band")
+        .agg(F.count("*").alias("n_pairs"))
+        .select("band", (F.col("band") / 10.0).alias("band_lo"), "n_pairs")
+        .orderBy("band")
+    )

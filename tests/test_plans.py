@@ -1576,6 +1576,7 @@ ROUND9_QUERIES = [
     "blocklist_filter_rates",
     "local_clustering_trade",
     "nelson_aalen_hazard",
+    "embedding_similarity_histogram",
 ]
 
 

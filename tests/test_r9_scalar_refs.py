@@ -361,3 +361,40 @@ def test_nelson_aalen_matches_textbook(spark, tmp_path):
     ]
     assert got == want
     spark.catalog.clearCache()
+
+
+def test_similarity_histogram_matches_numpy(spark, sf_dir):
+    """Rebuild the hash-derangement pairing and banded cosines in plain
+    numpy + hashlib (independent of both engines' md5/conv/join code;
+    shares only the documented int64-pico rounding convention)."""
+    import hashlib
+
+    import numpy as np
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    emb = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    n = len(emb)
+
+    def pico_dot(a, b):
+        p = a * b * 1e12
+        return int((np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(np.int64).sum())
+
+    from collections import Counter
+
+    want: Counter = Counter()
+    for i in emb:
+        j = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) % n
+        if j == i:
+            continue
+        na, nb = pico_dot(emb[i], emb[i]), pico_dot(emb[j], emb[j])
+        if na > 0 and nb > 0:
+            cos = pico_dot(emb[i], emb[j]) / (na**0.5 * nb**0.5)
+            want[int(np.floor(10 * cos))] += 1
+    got = {
+        r.band: r.n_pairs
+        for r in all_queries()["embedding_similarity_histogram"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == dict(want) and sum(got.values()) > 0
+    spark.catalog.clearCache()
