@@ -608,3 +608,113 @@ def ljung_box_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_lb"),
         F.col("k").cast("bigint").alias("dof"),
     ).orderBy("lag_k")
+
+
+PH_DELTA = 1.0   # per-step slack: fluctuations below this don't accumulate
+PH_LAMBDA = 50.0  # alarm threshold on the PH statistic (count units)
+
+
+@query(
+    "page_hinkley_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hidx,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY hidx
+    ), pos AS (
+      SELECT hidx, x,
+             ROW_NUMBER() OVER (ORDER BY hidx) AS t,
+             CAST(SUM(x) OVER (ORDER BY hidx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+      FROM hourly
+    ), dev AS (
+      SELECT hidx, x, t,
+             CAST(ROUND(1e6 * (x::DOUBLE - s / t - {PH_DELTA})) AS BIGINT) AS d_i6
+      FROM pos
+    ), cum AS (
+      SELECT hidx, x, t,
+             CAST(SUM(d_i6) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m_i6
+      FROM dev
+    ), ph AS (
+      SELECT hidx, x, t, m_i6,
+             CAST(MIN(m_i6) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mm_i6
+      FROM cum
+    )
+    SELECT hidx, x AS n_events,
+           ROUND((m_i6 - mm_i6) / 1e6, 6) AS ph_stat,
+           (m_i6 - mm_i6 > {PH_LAMBDA} * 1e6) AS alarm
+    FROM ph ORDER BY hidx
+    """,
+)
+def page_hinkley_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift detector on the hourly event-count
+    series (Page 1954 / the streaming-drift standard): accumulate
+    m_t = sum(x_i - mean_i - delta) against its running minimum; when
+    the gap PH_t = m_t - min m exceeds lambda, the mean has shifted up
+    — the change detector ML monitoring stacks run on feature and
+    traffic streams, here as the BATCH prefix-scan (a replay of what
+    the streaming operator would have emitted hour by hour, replayable
+    because every state is a prefix function). Constants: delta =
+    {PH_DELTA} (per-step slack), lambda = {PH_LAMBDA}. The
+    point-anomaly companion is ``event_rate_anomaly``;
+    ``cusum_changepoint`` locates a single retrospective break, PH
+    flags WHEN an online monitor would have fired.
+
+    Determinism: each deviation term rounds ONCE to integer millionths
+    (the running mean s/t is the identical double divide in both
+    engines); the cumulative sum and running minimum are INTEGER
+    prefix scans, so PH is an exact integer difference; the alarm
+    compares integers against the scaled literal threshold.
+
+    Scale shape: one map-side-combinable fact collapse to the
+    calendar-bounded hour spine; all four scans are windows over that
+    bounded domain (the documented exception class) — nothing
+    fact-sized enters a window."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("bigint")
+        .alias("hidx")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    wo = Window.orderBy("hidx")
+    w_incl = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pos = hourly.select(
+        "hidx",
+        "x",
+        F.row_number().over(wo).alias("t"),
+        F.sum("x").over(w_incl).cast("bigint").alias("s"),
+    )
+    dev = pos.select(
+        "hidx",
+        "x",
+        "t",
+        F.round(
+            1e6
+            * (
+                F.col("x").cast("double")
+                - F.col("s") / F.col("t")
+                - F.lit(PH_DELTA)
+            )
+        )
+        .cast("bigint")
+        .alias("d_i6"),
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = dev.select(
+        "hidx", "x", "t", F.sum("d_i6").over(wt).cast("bigint").alias("m_i6")
+    )
+    ph = cum.select(
+        "hidx",
+        "x",
+        "m_i6",
+        F.min("m_i6").over(wt).cast("bigint").alias("mm_i6"),
+        "t",
+    )
+    return ph.select(
+        "hidx",
+        F.col("x").alias("n_events"),
+        F.round((F.col("m_i6") - F.col("mm_i6")) / 1e6, 6).alias("ph_stat"),
+        ((F.col("m_i6") - F.col("mm_i6")) > PH_LAMBDA * 1e6).alias("alarm"),
+    ).orderBy("hidx")

@@ -56,7 +56,8 @@ ORACLES: dict[str, str] = {}
 #   cochran_q_yearly_activity, mann_kendall_revenue_trend,
 #   ljung_box_hourly, ndcg_retrieval_eval, t_closeness_audit,
 #   blocklist_filter_rates, local_clustering_trade,
-#   nelson_aalen_hazard, embedding_similarity_histogram.
+#   nelson_aalen_hazard, embedding_similarity_histogram,
+#   page_hinkley_hourly.
 # (tokenizer_fertility_by_lang was REWORKED to real BPE encodes this
 # round — not a new name; it re-certifies via selfcheck and takes its
 # next driver row on the normal stale rotation.)

@@ -1577,6 +1577,7 @@ ROUND9_QUERIES = [
     "local_clustering_trade",
     "nelson_aalen_hazard",
     "embedding_similarity_histogram",
+    "page_hinkley_hourly",
 ]
 
 

@@ -398,3 +398,31 @@ def test_similarity_histogram_matches_numpy(spark, sf_dir):
     }
     assert got == dict(want) and sum(got.values()) > 0
     spark.catalog.clearCache()
+
+
+def test_page_hinkley_matches_textbook(spark, tmp_path):
+    """Hand-walked PH on a series with a level shift: quiet hours then a
+    burst — the statistic must stay near 0 through the quiet stretch
+    and climb once the mean shifts (with these tiny counts it stays
+    under lambda; the alarm fires in the burst only if scaled up, so we
+    check the statistic values themselves)."""
+    from bigdata_2025_1_spark.operators.timeseries_ops import PH_DELTA, PH_LAMBDA
+
+    counts = [3, 4, 3, 4, 3, 12, 13, 12, 14, 13]
+    sf = _write_events(spark, tmp_path, counts)
+    s, m, mm = 0, 0, 0
+    want = []
+    for t, x in enumerate(counts, start=1):
+        s += x
+        m += round(1e6 * (x - s / t - PH_DELTA))
+        mm = min(mm, m)
+        ph = round((m - mm) / 1e6, 6)
+        want.append((x, ph, (m - mm) > PH_LAMBDA * 1e6))
+    got = [
+        (r.n_events, r.ph_stat, r.alarm)
+        for r in all_queries()["page_hinkley_hourly"](spark, str(tmp_path)).collect()
+    ]
+    assert got == want
+    # the statistic must actually react to the shift
+    assert got[4][1] < 1.0 < got[-1][1]
+    spark.catalog.clearCache()
