@@ -310,6 +310,24 @@ HEADLINE = [
     "scc_trade_graph",
     "jsd_source_divergence",
     "difference_in_differences",
+    # round-9 additions: BPE inference, blocked/paired/trend tests,
+    # autocorrelation portmanteau, seasonal smoothing, drift alarm,
+    # retrieval nDCG, privacy t-closeness, graph clustering,
+    # cumulative hazard, similarity calibration, lexical filtering
+    "bpe_encode_corpus",
+    "tokenizer_fertility_by_lang",
+    "friedman_priority_monthly",
+    "cochran_q_yearly_activity",
+    "mann_kendall_revenue_trend",
+    "ljung_box_hourly",
+    "ndcg_retrieval_eval",
+    "t_closeness_audit",
+    "blocklist_filter_rates",
+    "local_clustering_trade",
+    "nelson_aalen_hazard",
+    "embedding_similarity_histogram",
+    "page_hinkley_hourly",
+    "holt_winters_forecast",
 ]
 
 

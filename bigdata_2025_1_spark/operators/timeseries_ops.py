@@ -718,3 +718,147 @@ def page_hinkley_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("m_i6") - F.col("mm_i6")) / 1e6, 6).alias("ph_stat"),
         ((F.col("m_i6") - F.col("mm_i6")) > PH_LAMBDA * 1e6).alias("alarm"),
     ).orderBy("hidx")
+
+
+# Holt-Winters additive seasonal extension: gamma as an exact rational
+# over the SAME denominator as alpha/beta, season length, and horizon
+# (horizon <= season so forecast seasonals read straight off the final
+# queue). All three smoothing rationals feed both the kernel and the
+# oracle from these constants (the holt desync lesson).
+HW_GAMMA_NUM = 2
+HW_SEASON = 12
+HW_HORIZON = 6
+
+
+def holt_winters_kernel(pdf):
+    """Additive Holt-Winters recurrence on a (m, y) monthly frame, all
+    integer state with truncating division. Init (stated convention):
+    l = trunc-mean of season 1, b = trunc((mean2 - mean1)/M),
+    s_i = y_i - l for the first season; the seasonal queue advances one
+    slot per OBSERVED month (gaps adjacent, the durbin_watson
+    convention). Emits one-step-ahead fits for t > M and HW_HORIZON
+    forecasts off the final state. Needs n >= 2*M, else empty."""
+    import pandas as pd
+
+    M = HW_SEASON
+    pdf = pdf.sort_values("m").reset_index(drop=True)
+    n = len(pdf)
+    out = {"m": [], "kind": [], "y_cents": [], "yhat_cents": []}
+    if n >= 2 * M:
+        ms = [int(v) for v in pdf["m"]]
+        ys = [int(v) for v in pdf["y"]]
+        a1 = _tdiv(sum(ys[:M]), M)
+        a2 = _tdiv(sum(ys[M : 2 * M]), M)
+        l, b = a1, _tdiv(a2 - a1, M)
+        s = [y - a1 for y in ys[:M]]
+        for t in range(M, n):
+            head = s[0]
+            out["m"].append(ms[t])
+            out["kind"].append("fit")
+            out["y_cents"].append(ys[t])
+            out["yhat_cents"].append(l + b + head)
+            l_new = _tdiv(
+                HOLT_A_NUM * (ys[t] - head) + (HOLT_DEN - HOLT_A_NUM) * (l + b),
+                HOLT_DEN,
+            )
+            b = _tdiv(
+                HOLT_B_NUM * (l_new - l) + (HOLT_DEN - HOLT_B_NUM) * b, HOLT_DEN
+            )
+            s = s[1:] + [
+                _tdiv(
+                    HW_GAMMA_NUM * (ys[t] - l_new)
+                    + (HOLT_DEN - HW_GAMMA_NUM) * head,
+                    HOLT_DEN,
+                )
+            ]
+            l = l_new
+        for h in range(1, HW_HORIZON + 1):
+            out["m"].append(ms[-1] + h)
+            out["kind"].append("forecast")
+            out["y_cents"].append(None)
+            out["yhat_cents"].append(l + h * b + s[h - 1])
+    return pd.DataFrame(out)
+
+
+def _sql_hw_stage() -> str:
+    # Derived from the same module constants as the kernel.
+    a, bnum, g, d = HOLT_A_NUM, HOLT_B_NUM, HW_GAMMA_NUM, HOLT_DEN
+    l_new = f"({a} * (i.y - r.s[1]) + {d - a} * (r.l + r.b)) // {d}"
+    return f"""
+    rec AS (
+      SELECT CAST({HW_SEASON} AS BIGINT) AS rn,
+             (SELECT SUM(y) FROM idx WHERE rn <= {HW_SEASON}) // {HW_SEASON} AS l,
+             ((SELECT SUM(y) FROM idx
+               WHERE rn > {HW_SEASON} AND rn <= {2 * HW_SEASON}) // {HW_SEASON}
+              - (SELECT SUM(y) FROM idx WHERE rn <= {HW_SEASON}) // {HW_SEASON})
+               // {HW_SEASON} AS b,
+             (SELECT list((y - (SELECT SUM(y) FROM idx WHERE rn <= {HW_SEASON})
+                               // {HW_SEASON}) ORDER BY rn)
+              FROM idx WHERE rn <= {HW_SEASON}) AS s
+      WHERE (SELECT n FROM nn) >= {2 * HW_SEASON}
+      UNION ALL
+      SELECT r.rn + 1,
+             {l_new},
+             ({bnum} * ({l_new} - r.l) + {d - bnum} * r.b) // {d},
+             r.s[2:] ||
+               [({g} * (i.y - ({l_new})) + {d - g} * r.s[1]) // {d}]
+      FROM rec r JOIN idx i ON i.rn = r.rn + 1
+    )"""
+
+
+@query(
+    "holt_winters_forecast",
+    oracle=f"""
+    WITH RECURSIVE monthly AS (
+      SELECT {_MONTH_IDX_SQL} AS m,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY m
+    ), idx AS (
+      SELECT m, y, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM monthly
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+    {_sql_hw_stage()}
+    SELECT i.m, 'fit' AS kind, i.y AS y_cents,
+           CAST(p.l + p.b + p.s[1] AS BIGINT) AS yhat_cents
+    FROM idx i JOIN rec p ON p.rn = i.rn - 1
+    UNION ALL
+    SELECT (SELECT MAX(m) FROM idx) + h.h, 'forecast',
+           CAST(NULL AS BIGINT),
+           CAST(fin.l + h.h * fin.b + fin.s[h.h] AS BIGINT)
+    FROM (SELECT l, b, s FROM rec WHERE rn = (SELECT n FROM nn)) fin
+    CROSS JOIN (SELECT UNNEST([{", ".join(str(h) for h in range(1, HW_HORIZON + 1))}]) AS h) h
+    ORDER BY m, kind
+    """,
+)
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing,
+    α = {HOLT_A_NUM}/{HOLT_DEN}, β = {HOLT_B_NUM}/{HOLT_DEN},
+    γ = {HW_GAMMA_NUM}/{HOLT_DEN}, season M = {HW_SEASON} months) on
+    monthly order revenue — the seasonal completion the
+    ``holt_linear_forecast`` docstring promises: level + trend +
+    a rotating {HW_SEASON}-slot seasonal queue, one-step-ahead fits for
+    every month after the first season and {HW_HORIZON} months of
+    seasonal forecasts (horizon <= season, so forecast seasonals read
+    straight off the final queue). Init convention (stated): level =
+    trunc-mean of season 1, trend = trunc of the season-over-season
+    mean change per month, seasonals = season-1 deviations; the
+    seasonal phase advances one slot per OBSERVED month (gaps
+    adjacent).
+
+    Determinism: revenue is exact integer cents; level, trend, and all
+    {HW_SEASON} seasonals evolve in integer arithmetic with TRUNCATING
+    division, and the oracle's recursive CTE carries the seasonal
+    queue as a LIST column through the identical update — both engines
+    visit byte-identical (l, b, s[1..M]) states. Series shorter than
+    2 seasons emit nothing under identical guards.
+
+    Scale shape: the fact table collapses to the calendar-bounded
+    monthly series; the recurrence is inherently sequential and runs
+    as ONE pandas kernel over that collapsed series (the holt/bt_mm
+    convention); per-key fleets would groupBy the key."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = _monthly_revenue_cents(orders)
+    out = monthly.groupBy(F.lit(1).alias("g")).applyInPandas(
+        lambda pdf: holt_winters_kernel(pdf),
+        "m long, kind string, y_cents long, yhat_cents long",
+    )
+    return out.orderBy("m", "kind")

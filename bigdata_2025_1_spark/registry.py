@@ -57,7 +57,8 @@ ORACLES: dict[str, str] = {}
 #   ljung_box_hourly, ndcg_retrieval_eval, t_closeness_audit,
 #   blocklist_filter_rates, local_clustering_trade,
 #   nelson_aalen_hazard, embedding_similarity_histogram,
-#   page_hinkley_hourly.
+#   page_hinkley_hourly, holt_winters_forecast.
+# The 13-query batch cap is REACHED - round 9 additions are complete.
 # (tokenizer_fertility_by_lang was REWORKED to real BPE encodes this
 # round — not a new name; it re-certifies via selfcheck and takes its
 # next driver row on the normal stale rotation.)

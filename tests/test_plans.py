@@ -1578,6 +1578,7 @@ ROUND9_QUERIES = [
     "nelson_aalen_hazard",
     "embedding_similarity_histogram",
     "page_hinkley_hourly",
+    "holt_winters_forecast",
 ]
 
 

@@ -426,3 +426,69 @@ def test_page_hinkley_matches_textbook(spark, tmp_path):
     # the statistic must actually react to the shift
     assert got[4][1] < 1.0 < got[-1][1]
     spark.catalog.clearCache()
+
+
+def test_holt_winters_exact_on_pure_seasonal_series(spark, tmp_path):
+    """Analytic fixed point: on y_t = base + season[t mod 12] with zero
+    trend, the integer recurrences are EXACT (every division comes out
+    whole), so one-step fits equal the actuals and every forecast is
+    base + its season slot. Season includes negative deviations, so
+    this also drives negative operands through both engines' division.
+    """
+    from bigdata_2025_1_spark.operators.timeseries_ops import (
+        HW_HORIZON,
+        HW_SEASON,
+    )
+
+    base = 500000  # cents
+    season = [300, -300, 700, -700, 100, -100, 900, -900, 0, 400, -400, 0]
+    assert sum(season) == 0 and len(season) == HW_SEASON
+    n_months = 3 * HW_SEASON  # three full seasons
+    rows = []
+    for t in range(n_months):
+        y, mo = divmod(t, 12)
+        cents = base + season[t % HW_SEASON]
+        rows.append((1, datetime.date(1992 + y, mo + 1, 15), "1-URGENT", cents / 100))
+    sf = _write_orders(spark, tmp_path, rows)
+    out = all_queries()["holt_winters_forecast"](spark, sf).collect()
+    fits = [r for r in out if r.kind == "fit"]
+    fcs = [r for r in out if r.kind == "forecast"]
+    assert len(fits) == n_months - HW_SEASON and len(fcs) == HW_HORIZON
+    assert all(r.yhat_cents == r.y_cents for r in fits)
+    for h, r in enumerate(sorted(fcs, key=lambda r: r.m), start=1):
+        assert r.yhat_cents == base + season[(n_months + h - 1) % HW_SEASON]
+    spark.catalog.clearCache()
+
+
+def test_holt_winters_oracle_parity_on_noisy_negative_series(spark, tmp_path):
+    """Oracle cross-check on a noisy series with a NEGATIVE trend —
+    exercises truncating division on negative level/trend/seasonal
+    numerators in both engines (the trunc-vs-floor pitfall)."""
+    import duckdb
+
+    from bigdata_2025_1_spark.oracle import check_query
+    from bigdata_2025_1_spark.registry import all_oracles
+
+    rows = []
+    v = 900000
+    for t in range(30):
+        y, mo = divmod(t, 12)
+        v -= 25037  # steep decline -> negative trend state
+        cents = v + (7919 * (t * t + 3)) % 5000 - 2500  # deterministic noise
+        rows.append((1, datetime.date(1993 + y, mo + 1, 10), "2-HIGH", cents / 100))
+    sf = _write_orders(spark, tmp_path, rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet/*.parquet')"
+    )
+    problems = check_query(
+        spark,
+        con,
+        all_queries()["holt_winters_forecast"],
+        all_oracles()["holt_winters_forecast"],
+        sf,
+    )
+    con.close()
+    assert problems == [], problems
+    spark.catalog.clearCache()
