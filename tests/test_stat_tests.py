@@ -1246,6 +1246,14 @@ def test_customer_gini_matches_scalar(spark, sf_dir):
 
 
 def test_tokenizer_fertility_matches_scalar(spark, sf_dir):
+    """Round 9 reworked fertility to REAL BPE encodes: total_tokens is
+    now the sum of per-word-type BPE token counts under the merge table
+    trained on this corpus. The scalar walk trains+encodes by hand (the
+    tests/test_bpe_encode.py reference implementation) and aggregates
+    per language; doc counts and char totals keep their old meaning."""
+    from tests.test_bpe_encode import scalar_bpe
+
+    from bigdata_2025_1_spark.operators.corpus_ops import BPE_MERGES
     from bigdata_2025_1_spark.operators.text_analysis import (
         tokenizer_fertility_by_lang,
     )
@@ -1255,12 +1263,15 @@ def test_tokenizer_fertility_matches_scalar(spark, sf_dir):
         .select("lang", "text", "n_chars")
         .collect()
     )
+    _, segs = scalar_bpe([r.text for r in docs], BPE_MERGES)
     agg: dict[str, list[int]] = {}
     for r in docs:
         a = agg.setdefault(r.lang, [0, 0, 0])
         a[0] += 1
         a[1] += r.n_chars
-        a[2] += len([w for w in r.text.lower().strip().split() if w])
+        a[2] += sum(
+            len(segs[w]) for w in r.text.lower().strip().split() if w
+        )
     out = {r.lang: r for r in tokenizer_fertility_by_lang(spark, sf_dir).collect()}
     assert set(out) == set(agg)
     for lang, (nd, tc, tt) in agg.items():
@@ -1268,6 +1279,7 @@ def test_tokenizer_fertility_matches_scalar(spark, sf_dir):
         assert (r.n_docs, r.total_chars, r.total_tokens) == (nd, tc, tt)
         if tt:
             assert abs(r.chars_per_token - tc / tt) < 1e-12
+    spark.catalog.clearCache()
 
 
 def test_jsd_one_empty_source_is_null_not_crash(spark, tmp_path):
