@@ -117,6 +117,23 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # constant-cost-for-scale-posture class as the r5/r7 rank rewrites
 # (amortizes with data volume). Kept deliberately.
 #
+# Round-9 note (full headline run at sf0.1, recorded IN-REPO as
+# bench_local_r9.json — the round-8 verdict's ask #4: the driver's
+# BENCH_r{N}.json keeps only the last 2000 chars of this line, so the
+# tracked file is the complete per-query record for delta analysis).
+# All 14 round-9 headline entries land 0.36-3.00 s. The heaviest are
+# friedman_priority_monthly (3.00 s — the one fact aggregate; the grid
+# rank self-join is calendar-sized), ndcg_retrieval_eval (2.99 s — it
+# re-runs both ANN rankings like retrieval_mrr_eval), and
+# bpe_encode_corpus / tokenizer_fertility_by_lang (2.83/2.84 s — each
+# runs the 3-round BPE training loop; the encode itself is one
+# word-keyed join). recsys_holdout_hitrate re-benched 4.19 s,
+# confirming round-8's 8.51 s driver number as concurrent-load noise
+# (now detectable by plan pin regardless —
+# test_recsys_caps_baskets_before_self_join_and_broadcasts_counts).
+# Shared-57-query subtotal vs the r8 driver bench: 57.1 s vs 66.1 s
+# (-13.6%, inside the documented +/-20% envelope).
+#
 # Round-4 variance note: five full runs on the same code measured the
 # 34-query shared subtotal at 24.7 / 27.8 / 29.8 / 31.1 / 34.9 s (r3
 # recorded 27.5 s) and single queries swung 2.5x between consecutive
