@@ -4936,7 +4936,14 @@ def cochran_q_yearly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (map-side combinable), then a customer-keyed count for R_i and
     a year-keyed count for C_j — the k-row year spine is a literal;
     subject rows never pairwise-join (Q needs only sum(R_i^2), unlike
-    the rank tests). Scalar assembly is broadcast."""
+    the rank tests). Scalar assembly is broadcast. Cache bound: the
+    persisted frame is the distinct (customer, year) activity table —
+    at most k*|customers| skinny rows (two ints; ~50 GB at 1e9
+    customers, spilling gracefully under MEMORY_AND_DISK), the largest
+    SUBJECT-scaled frame under the cache contract but far cheaper than
+    the second full fact scan + distinct shuffle its two consumers
+    would otherwise replay (exchange reuse does not fire here: the
+    left-join consumer's subtree differs structurally)."""
     orders = load(spark, sf_dir, "orders")
     years = spark.createDataFrame([(y,) for y in CQ_YEARS], "y int")
     k = len(CQ_YEARS)

@@ -1579,6 +1579,8 @@ ROUND9_QUERIES = [
     "embedding_similarity_histogram",
     "page_hinkley_hourly",
     "holt_winters_forecast",
+    # reworked this round (real BPE encodes) - same pin applies
+    "tokenizer_fertility_by_lang",
 ]
 
 
