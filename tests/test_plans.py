@@ -1606,3 +1606,15 @@ def test_bpe_encode_is_jvm_side(spark, sf_dir):
     for node in ("FlatMapGroupsInPandas", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
     spark.catalog.clearCache()
+
+
+def test_bpe_encode_spine_scan_is_pruned(spark, sf_dir):
+    """bpe_encode_corpus scans documents twice on purpose (the token
+    explode and the keep-zero-token-docs spine) — but the spine scan
+    must stay pruned to doc_id alone, never re-reading text."""
+    plan = formatted_plan(QUERIES["bpe_encode_corpus"](spark, sf_dir))
+    schemas = [s.strip() for s in re.findall(r"ReadSchema: (.*)", plan)]
+    assert any(
+        s.startswith("struct<doc_id:") and s.count(":") == 1 for s in schemas
+    ), schemas
+    spark.catalog.clearCache()
