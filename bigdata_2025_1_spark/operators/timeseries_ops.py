@@ -862,3 +862,27 @@ def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m long, kind string, y_cents long, yhat_cents long",
     )
     return out.orderBy("m", "kind")
+
+
+def page_hinkley_update(state, xs):
+    """Online Page-Hinkley state transition — the STREAMING form of
+    ``page_hinkley_hourly``'s arithmetic (that query replays this
+    detector as a batch prefix scan; this function IS the per-trigger
+    update a foreachBatch monitor keeps between micro-batches). State
+    is the 4-tuple (t, s, m_i6, mm_i6); ``xs`` is the next run of
+    hourly counts in hour order. Each hour rounds ONCE to integer
+    millionths and accumulates in integers, byte-identical to the batch
+    query — tested against it across a two-micro-batch stream in
+    tests/test_streaming.py."""
+    t, s, m, mm = state
+    out = []
+    for x in xs:
+        t += 1
+        s += int(x)
+        m += round(1e6 * (int(x) - s / t - PH_DELTA))
+        mm = min(mm, m)
+        out.append((round((m - mm) / 1e6, 6), (m - mm) > PH_LAMBDA * 1e6))
+    return (t, s, m, mm), out
+
+
+PH_STATE_ZERO = (0, 0, 0, 0)

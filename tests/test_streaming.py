@@ -901,3 +901,73 @@ def test_mg_summary_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
     )
     # the summary honours its size bound
     assert len(standing) < 2 * _MG_K
+
+
+def test_page_hinkley_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
+    """Online drift detection, streamed: events arrive in TWO
+    micro-batches split on a day boundary (hours never straddle a
+    batch); each batch collapses to its hourly counts and feeds the
+    standing 4-integer Page-Hinkley state via page_hinkley_update — the
+    per-trigger transition an online monitor keeps. The streamed
+    per-hour (ph_stat, alarm) sequence must equal the batch
+    page_hinkley_hourly query's rows over the same events, proving the
+    batch query really is a faithful replay of the online detector."""
+    from bigdata_2025_1_spark.operators.timeseries_ops import (
+        PH_STATE_ZERO,
+        page_hinkley_update,
+    )
+    from bigdata_2025_1_spark.registry import all_queries
+
+    expected = [
+        (r.hidx, r.ph_stat, r.alarm)
+        for r in all_queries()["page_hinkley_hourly"](spark, sf_dir).collect()
+    ]
+    spark.catalog.clearCache()
+
+    ev = load(spark, sf_dir, "events").select("ts")
+    stream_dir = str(tmp_path / "ph_incoming")
+    ev.filter(F.col("ts") < "2024-01-16").coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+    ev.filter(F.col("ts") >= "2024-01-16").coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+
+    state = [PH_STATE_ZERO]
+    emitted: list = []
+    batches: list[int] = []
+
+    def per_batch(batch_df, bid):
+        batches.append(bid)
+        hours = (
+            batch_df.groupBy(
+                (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+                .cast("bigint")
+                .alias("hidx")
+            )
+            .agg(F.count("*").alias("x"))
+            .orderBy("hidx")
+            .collect()
+        )
+        state[0], out = page_hinkley_update(state[0], [r.x for r in hours])
+        emitted.extend(
+            (r.hidx, ph, alarm) for r, (ph, alarm) in zip(hours, out)
+        )
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ph_ckpt"))
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "stream did not finish in 180s"
+    finally:
+        q.stop()
+    assert len(batches) == 2, batches  # genuinely incremental
+    assert emitted == expected
