@@ -886,3 +886,65 @@ def page_hinkley_update(state, xs):
 
 
 PH_STATE_ZERO = (0, 0, 0, 0)
+
+
+def holt_winters_update(state, ys):
+    """Online Holt-Winters state transition — the per-trigger form of
+    ``holt_winters_kernel`` (which replays this as one batch pass). An
+    online monitor cannot initialize until two full seasons have
+    arrived (the trend init peeks at season 2's mean), so the state
+    buffers the first 2*HW_SEASON values; on the tick that completes
+    the warm-up it initializes (l, b, s) per the kernel convention and
+    retroactively emits season 2's one-step fits, then steps truly
+    online. State: (buffer, l, b, s_queue) with l=None during warm-up;
+    returns (state, fits) where fits are one-step-ahead (y, yhat)
+    pairs in month order. Chunking-invariant by construction —
+    property-tested against the batch kernel over random splits."""
+    M = HW_SEASON
+    buf, l, b, s = state
+    out = []
+    for y in ys:
+        y = int(y)
+        if l is None:
+            buf = buf + [y]
+            if len(buf) == 2 * M:
+                a1 = _tdiv(sum(buf[:M]), M)
+                a2 = _tdiv(sum(buf[M:]), M)
+                l, b = a1, _tdiv(a2 - a1, M)
+                s = [v - a1 for v in buf[:M]]
+                for yy in buf[M:]:
+                    l, b, s, yhat = _hw_step(l, b, s, yy)
+                    out.append((yy, yhat))
+                buf = []
+            continue
+        l, b, s, yhat = _hw_step(l, b, s, y)
+        out.append((y, yhat))
+    return (buf, l, b, s), out
+
+
+def _hw_step(l, b, s, y):
+    """One Holt-Winters recurrence step (shared by the batch kernel's
+    loop body semantics); returns the new state and the one-step-ahead
+    prediction made BEFORE consuming y."""
+    head = s[0]
+    yhat = l + b + head
+    l_new = _tdiv(
+        HOLT_A_NUM * (y - head) + (HOLT_DEN - HOLT_A_NUM) * (l + b), HOLT_DEN
+    )
+    b_new = _tdiv(HOLT_B_NUM * (l_new - l) + (HOLT_DEN - HOLT_B_NUM) * b, HOLT_DEN)
+    s_new = s[1:] + [
+        _tdiv(HW_GAMMA_NUM * (y - l_new) + (HOLT_DEN - HW_GAMMA_NUM) * head, HOLT_DEN)
+    ]
+    return l_new, b_new, s_new, yhat
+
+
+HW_STATE_ZERO = ([], None, None, None)
+
+
+def holt_winters_forecast_from_state(state, horizon=HW_HORIZON):
+    """Seasonal forecasts off an initialized online state (horizon <=
+    HW_SEASON, the queue-read convention); [] during warm-up."""
+    _buf, l, b, s = state
+    if l is None:
+        return []
+    return [l + h * b + s[h - 1] for h in range(1, horizon + 1)]

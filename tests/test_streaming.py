@@ -971,3 +971,84 @@ def test_page_hinkley_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
         q.stop()
     assert len(batches) == 2, batches  # genuinely incremental
     assert emitted == expected
+
+
+def test_holt_winters_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
+    """Seasonal forecasting, streamed: orders arrive in TWO
+    micro-batches split on a month boundary (months never straddle a
+    batch); each batch collapses to its monthly revenue and feeds the
+    standing (buffer, l, b, seasonal-queue) state via
+    holt_winters_update. The streamed one-step fits plus the
+    final-state forecasts must equal the batch holt_winters_forecast
+    query's rows over the same orders — the per-trigger form of the
+    seasonal forecaster (the page_hinkley/KMV twin convention)."""
+    from bigdata_2025_1_spark.operators.timeseries_ops import (
+        HW_STATE_ZERO,
+        holt_winters_forecast_from_state,
+        holt_winters_update,
+    )
+    from bigdata_2025_1_spark.registry import all_queries
+
+    rows = all_queries()["holt_winters_forecast"](spark, sf_dir).collect()
+    expected_fits = [
+        (r.y_cents, r.yhat_cents) for r in rows if r.kind == "fit"
+    ]
+    expected_fc = [r.yhat_cents for r in sorted(
+        (r for r in rows if r.kind == "forecast"), key=lambda r: r.m
+    )]
+    spark.catalog.clearCache()
+
+    # the fixture stores o_orderdate as a timestamp type; normalize to
+    # DATE at write time so the stream schema is stable
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_totalprice"
+    )
+    stream_dir = str(tmp_path / "hw_incoming")
+    orders.filter(F.col("o_orderdate") < "1995-01-01").coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+    orders.filter(F.col("o_orderdate") >= "1995-01-01").coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+
+    state = [HW_STATE_ZERO]
+    fits: list = []
+    batches: list[int] = []
+
+    def per_batch(batch_df, bid):
+        batches.append(bid)
+        monthly = (
+            batch_df.groupBy(
+                ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+                .cast("bigint")
+                .alias("m")
+            )
+            .agg(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).alias("y")
+            )
+            .orderBy("m")
+            .collect()
+        )
+        state[0], out = holt_winters_update(state[0], [r.y for r in monthly])
+        fits.extend(out)
+
+    stream = (
+        spark.readStream.schema("o_orderdate DATE, o_totalprice DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "hw_ckpt"))
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "stream did not finish in 180s"
+    finally:
+        q.stop()
+    assert len(batches) == 2, batches
+    assert fits == expected_fits
+    assert holt_winters_forecast_from_state(state[0]) == expected_fc

@@ -60,3 +60,68 @@ def test_holt_unsorted_input_is_sorted_first():
     a = holt_linear_kernel(pd.DataFrame({"m": [2, 0, 1], "y": [30, 10, 20]}))
     b = holt_linear_kernel(pd.DataFrame({"m": [0, 1, 2], "y": [10, 20, 30]}))
     assert a.equals(b)
+
+
+def test_hw_online_update_matches_batch_kernel_any_chunking():
+    """holt_winters_update is the per-trigger form of the batch kernel:
+    for ANY series and ANY chunking, the streamed fits and the
+    final-state forecasts must equal the kernel's output exactly
+    (hypothesis over random integer series incl. negatives and random
+    split points)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_2025_1_spark.operators.timeseries_ops import (
+        HW_SEASON,
+        HW_STATE_ZERO,
+        holt_winters_forecast_from_state,
+        holt_winters_kernel,
+        holt_winters_update,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        ys=st.lists(
+            st.integers(min_value=-10_000, max_value=10_000),
+            min_size=2 * HW_SEASON,
+            max_size=3 * HW_SEASON + 5,
+        ),
+        data=st.data(),
+    )
+    def run(ys, data):
+        n = len(ys)
+        n_cuts = data.draw(st.integers(min_value=0, max_value=4))
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=n),
+                    min_size=n_cuts,
+                    max_size=n_cuts,
+                )
+            )
+        )
+        bounds = [0, *cuts, n]
+        state, fits = HW_STATE_ZERO, []
+        for lo, hi in zip(bounds, bounds[1:]):
+            state, out = holt_winters_update(state, ys[lo:hi])
+            fits.extend(out)
+        k = holt_winters_kernel(pd.DataFrame({"m": range(n), "y": ys}))
+        kf = k[k["kind"] == "fit"]
+        assert fits == list(zip(kf["y_cents"], kf["yhat_cents"]))
+        assert holt_winters_forecast_from_state(state) == [
+            int(v) for v in k[k["kind"] == "forecast"]["yhat_cents"]
+        ]
+
+    run()
+
+
+def test_hw_online_warmup_emits_nothing_and_forecasts_empty():
+    from bigdata_2025_1_spark.operators.timeseries_ops import (
+        HW_SEASON,
+        HW_STATE_ZERO,
+        holt_winters_forecast_from_state,
+        holt_winters_update,
+    )
+
+    state, out = holt_winters_update(HW_STATE_ZERO, [5] * (2 * HW_SEASON - 1))
+    assert out == [] and holt_winters_forecast_from_state(state) == []
