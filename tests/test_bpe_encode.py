@@ -200,3 +200,38 @@ def test_blocklist_rates_hand_checked(spark, tmp_path):
     # _write_docs stamps source='crafted' on every row
     assert got == {"crafted": (4, 2, 0.5, 10, 3, 0.3)}
     spark.catalog.clearCache()
+
+
+UNICODE = [
+    # non-BMP emoji (UTF-16 surrogate pair), combining accents, CJK —
+    # pins that Spark's split(w, '') and DuckDB's substr() both walk
+    # CODE POINTS (the fixture corpus is ASCII and never exercises it)
+    ("d1", "café café café", "fr"),
+    ("d2", "\U0001F600na \U0001F600na banana", "en"),
+    ("d3", "東京 東京 tokyo", "ja"),
+]
+
+
+def test_encode_unicode_matches_scalar_and_oracle(spark, tmp_path):
+    sf = _write_docs(spark, tmp_path, UNICODE)
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.n_word_chars, r.chars_per_bpe_token)
+        for r in all_queries()["bpe_encode_corpus"](spark, sf).collect()
+    }
+    want_rows = scalar_encode_rows([t for _, t, _ in UNICODE])
+    assert got == {d: w for (d, _, _), w in zip(UNICODE, want_rows)}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    problems = check_query(
+        spark,
+        con,
+        all_queries()["bpe_encode_corpus"],
+        all_oracles()["bpe_encode_corpus"],
+        sf,
+    )
+    con.close()
+    assert problems == [], problems
+    spark.catalog.clearCache()

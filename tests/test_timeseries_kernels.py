@@ -125,3 +125,39 @@ def test_hw_online_warmup_emits_nothing_and_forecasts_empty():
 
     state, out = holt_winters_update(HW_STATE_ZERO, [5] * (2 * HW_SEASON - 1))
     assert out == [] and holt_winters_forecast_from_state(state) == []
+
+
+def test_ph_online_update_is_chunking_invariant():
+    """page_hinkley_update must produce the identical (ph, alarm)
+    sequence under any chunking of the series (hypothesis over random
+    count series and random split points) — the guarantee the
+    foreachBatch twin relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_2025_1_spark.operators.timeseries_ops import (
+        PH_STATE_ZERO,
+        page_hinkley_update,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        xs=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=40),
+        data=st.data(),
+    )
+    def run(xs, data):
+        n = len(xs)
+        cuts = sorted(
+            data.draw(
+                st.lists(st.integers(min_value=0, max_value=n), max_size=4)
+            )
+        )
+        bounds = [0, *cuts, n]
+        state, out = PH_STATE_ZERO, []
+        for lo, hi in zip(bounds, bounds[1:]):
+            state, o = page_hinkley_update(state, xs[lo:hi])
+            out.extend(o)
+        _, whole = page_hinkley_update(PH_STATE_ZERO, xs)
+        assert out == whole
+
+    run()
