@@ -1618,3 +1618,21 @@ def test_bpe_encode_spine_scan_is_pruned(spark, sf_dir):
         s.startswith("struct<doc_id:") and s.count(":") == 1 for s in schemas
     ), schemas
     spark.catalog.clearCache()
+
+
+def test_label_propagation_collapses_before_iterating(spark, sf_dir):
+    """The last unpinned heavy query (3.6 s at sf0.1): the fact-fact
+    edge collapse must broadcast BOTH dimension sides, every
+    SinglePartition exchange may carry only nation-domain rows, and the
+    per-iteration argmax must run as a nation-partitioned
+    WindowGroupLimit — the shapes that keep 100 TB of lineitem from
+    entering the LPA loop."""
+    from bigdata_2025_1_spark.plans.explain import single_partition_exchange_inputs
+
+    df = QUERIES["label_propagation_communities"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + supplier dims
+    assert "WindowGroupLimit" in plan  # rk=1 pushed into the window
+    for inputs in single_partition_exchange_inputs(df):
+        assert not any(c in inputs for c in _FACT_COLS), inputs
+    spark.catalog.clearCache()
