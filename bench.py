@@ -2,6 +2,10 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
 
+Round-end convention (VERDICT r8 #4): tee the full line to a TRACKED
+``bench_local_r{N}.json`` (``python bench.py > bench_local_r{N}.json``) —
+the driver's BENCH_r{N}.json keeps only the last 2000 chars.
+
 Each query is timed end-to-end (plan + execute + collect). JVM/session
 startup is excluded (it is harness cost, not query cost).
 """
