@@ -2327,6 +2327,15 @@ def embedding_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     md5(i) mod N, self-hits dropped — pseudo-random structure with
     zero RNG state, reproducible across engines and runs.
 
+    CONTRACT: the partner key assumes CONTIGUOUS 0-based vec_ids
+    (0..N-1), which the embeddings table guarantees. On a sparse or
+    1-based id space a computed j with no matching vec_id is dropped
+    by the inner join — identically in both engines, so oracle parity
+    still holds, but coverage silently shrinks below "N pairs for N
+    vectors". To lift the assumption, derive the partner from a
+    row_number-based dense index over vec_id instead of vec_id itself
+    (one extra bounded window over the vector table).
+
     Determinism: the partner id is the shared md5-prefix integer; dot
     products and norms are exactly-rounded int64 picos (the vectors
     contract); each cosine is one fixed IEEE chain and banding is a

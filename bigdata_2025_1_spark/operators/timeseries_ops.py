@@ -864,6 +864,17 @@ def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("m", "kind")
 
 
+def round_half_away(v: float) -> int:
+    """Round to the nearest integer with ties HALF AWAY FROM ZERO —
+    the semantics of Spark's ``F.round`` and DuckDB's ``ROUND``.
+    Python's built-in ``round()`` is half-to-even (banker's rounding)
+    and diverges from both engines on an exact .5, so every Python twin
+    of an engine-side ``ROUND`` must use this instead."""
+    import math
+
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
 def page_hinkley_update(state, xs):
     """Online Page-Hinkley state transition — the STREAMING form of
     ``page_hinkley_hourly``'s arithmetic (that query replays this
@@ -871,15 +882,18 @@ def page_hinkley_update(state, xs):
     update a foreachBatch monitor keeps between micro-batches). State
     is the 4-tuple (t, s, m_i6, mm_i6); ``xs`` is the next run of
     hourly counts in hour order. Each hour rounds ONCE to integer
-    millionths and accumulates in integers, byte-identical to the batch
-    query — tested against it across a two-micro-batch stream in
+    millionths — via ``round_half_away``, matching F.round / DuckDB
+    ROUND tie semantics exactly (Python's round() is half-to-even and
+    would diverge on an exact .5 in 1e6*(x - s/t - delta)) — and
+    accumulates in integers, byte-identical to the batch query — tested
+    against it across a two-micro-batch stream in
     tests/test_streaming.py."""
     t, s, m, mm = state
     out = []
     for x in xs:
         t += 1
         s += int(x)
-        m += round(1e6 * (int(x) - s / t - PH_DELTA))
+        m += round_half_away(1e6 * (int(x) - s / t - PH_DELTA))
         mm = min(mm, m)
         out.append((round((m - mm) / 1e6, 6), (m - mm) > PH_LAMBDA * 1e6))
     return (t, s, m, mm), out

