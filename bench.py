@@ -1,6 +1,9 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints the headline JSON line:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+preceded by a COMPACT summary line (same fields minus the per-query
+dict) so the total survives the driver's 2000-char stdout window
+(VERDICT r9 #8).
 
 Round-end convention (VERDICT r8 #4): tee the full line to a TRACKED
 ``bench_local_r{N}.json`` (``python bench.py > bench_local_r{N}.json``) —
@@ -146,6 +149,18 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # months, priorities, and the grid join all consume the cells — while
 # the cached frame stays calendar x value-domain sized). Kept
 # deliberately, same rule as round 8.
+#
+# Round-10 shared-rankings A/B (tools/ab.py --ref 5ae3683, interleaved
+# best-of-4 at sf0.01 — VERDICT r9 ask #3): factoring the exact + IVF
+# rankings into the persisted, per-session-memoized
+# retrieval_rankings() helper cuts retrieval_mrr_eval 1.76 -> 1.19 s
+# and ndcg_retrieval_eval 1.71 -> 1.04 s. The intra-query win is that
+# each metric's plan referenced the exact ranking 2-3 times
+# (n_queries / hits / rr) and re-ran the full brute-force build per
+# reference; the persist collapses that to one build, and the memo
+# additionally lets a same-session eval suite share the builds across
+# metrics. Rankings are probe-bounded (n_probes x k rows) — inside the
+# documented cache contract at any fact scale.
 #
 # Round-4 variance note: five full runs on the same code measured the
 # 34-query shared subtotal at 24.7 / 27.8 / 29.8 / 31.1 / 34.9 s (r3
@@ -446,6 +461,18 @@ def main() -> None:
             }
         except Exception:  # noqa: BLE001 — comparison is best-effort
             pass
+    # VERDICT r9 #8: the driver's BENCH record keeps only a 2000-char
+    # window of stdout, and the full line's queries dict outgrew it
+    # rounds ago ("parsed": null every round). Print a COMPACT headline
+    # object first so a short, complete JSON line exists in the stream
+    # regardless of where the window lands; the full line (the
+    # documented one-line contract) follows and remains what
+    # bench_local_r{N}.json tees.
+    compact = {k: out[k] for k in ("metric", "value", "unit", "sf")}
+    compact["n_queries"] = len(timings)
+    if "shared_with_prev" in out:
+        compact["shared_with_prev"] = out["shared_with_prev"]
+    print(json.dumps(compact))
     print(json.dumps(out))
     spark.stop()
 

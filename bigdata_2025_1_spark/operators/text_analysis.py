@@ -13,7 +13,10 @@ from bigdata_2025_1_spark.functions import text as T
 from bigdata_2025_1_spark.functions.hashing import md5_int, sql_md5_int
 from bigdata_2025_1_spark.functions.exact import int_div_exact, sql_int_avg
 from bigdata_2025_1_spark.io import load, spread
-from bigdata_2025_1_spark.functions.ranks import rank_after_limit
+from bigdata_2025_1_spark.functions.ranks import (
+    cum_counts_over_values,
+    rank_after_limit,
+)
 from bigdata_2025_1_spark.registry import query
 
 # DuckDB mirror of functions/text.py lang_id: score = count of tokens in
@@ -2266,4 +2269,167 @@ def blocklist_filter_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flagged_token_rate"),
         )
         .orderBy("source")
+    )
+
+
+# --- fertility drift between corpus snapshots (two-sample MW test) --------
+
+FERT_SCALE = 1_000_000  # per-doc fertility quantum: micro-BPE-tokens/char
+# resolution, exact integer in both engines (trunc division)
+
+
+def _fertility_drift_oracle() -> str:
+    # Lazy import to share the BPE train+encode CTE chain verbatim with
+    # bpe_encode_corpus (the _fertility_oracle convention).
+    from bigdata_2025_1_spark.operators.corpus_ops import (
+        _SQL_TOKS,
+        BPE_ENCODE_CTES,
+    )
+
+    return f"""
+    WITH {BPE_ENCODE_CTES},
+    tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+    ), perdoc AS (
+      SELECT t.doc_id,
+             CAST(SUM(e.n_sub) AS BIGINT) AS n_bpe,
+             CAST(SUM(length(t.w)) AS BIGINT) AS n_chars_w
+      FROM tok t JOIN enc e USING (w) GROUP BY t.doc_id
+      HAVING SUM(e.n_sub) > 0
+    ), rows_ AS (
+      SELECT (n_chars_w * {FERT_SCALE}) // n_bpe AS v,
+             CASE WHEN {sql_md5_int("CAST(doc_id AS VARCHAR)")} % 2 = 0
+                  THEN 1 ELSE 0 END AS is_a
+      FROM perdoc
+    ), hist AS (
+      SELECT v, SUM(is_a) AS c1, COUNT(*) AS ct FROM rows_ GROUP BY v
+    ), cum AS (
+      SELECT v, c1, ct,
+             COALESCE(SUM(ct) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM hist
+    ), moms AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(ct) AS BIGINT) AS n,
+             SUM(CAST(c1 AS HUGEINT) * (2 * cb + ct + 1)) AS r1x2,
+             SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS tsum
+      FROM cum
+    )
+    SELECT n1 AS n_a, CAST(n - n1 AS BIGINT) AS n_b,
+           CASE WHEN n1 > 0 AND n - n1 > 0 THEN
+             CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2
+           END AS u_a,
+           CASE WHEN n1 > 0 AND n - n1 > 0
+                     AND tsum < CAST(n AS HUGEINT) * n * n - n
+           THEN ROUND(
+             (CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2
+              - CAST(n1 AS DOUBLE) * (n - n1) / 2)
+             / sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 12
+                    * ((CAST(n AS DOUBLE) + 1)
+                       - CAST(tsum AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))),
+             9) END AS z_score
+    FROM moms
+    """
+
+
+@query("mannwhitney_fertility_drift", oracle=_fertility_drift_oracle())
+def mannwhitney_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann-Whitney U test on PER-DOCUMENT tokenizer
+    fertility between two corpus snapshots — the drift gate the round-9
+    fertility table motivates: ``tokenizer_fertility_by_lang`` reports
+    the level, this asks whether the per-doc fertility DISTRIBUTION has
+    shifted between snapshots (a tokenizer that no longer fits the data
+    shows up here before any mean moves, and fertility is heavy-tailed
+    enough that a t-test would mislead — the exact situation MW is
+    for). Snapshots are the deterministic md5(doc_id) % 2 halves of the
+    corpus (zero RNG state, the embedding_similarity_histogram pairing
+    convention); on real snapshot pairs the split column would be the
+    snapshot tag. Reports group sizes, U for snapshot A, and the
+    tie-corrected normal-approximation z.
+
+    Fertility per doc is quantized to the exact integer
+    ``n_bpe_tokens-weighted micro-resolution``: v = word_chars *
+    {FERT_SCALE} div bpe_tokens (trunc division, both operands exact
+    ints from the REAL trained-BPE encode table — the
+    ``encoded_word_types`` inference path). Quantizing before ranking
+    keeps every rank, tie group, and the tie term Σ(t³−t) exact integer
+    arithmetic in both engines (the mann_whitney contract: midranks are
+    ``2·cum_before + ct + 1`` over the fertility VALUE DOMAIN, doubled
+    to stay integral); z is one pinned double chain rounded to 9.
+    Degenerate feeds (an empty snapshot, or every doc tied) return NULL
+    z via identical guards; docs with zero encodable words drop from
+    both engines identically.
+
+    Scale shape: training state is the word-TYPE vocabulary; the encode
+    table joins the exploded corpus on the word (equi-key, AQE
+    broadcasts when small); per-doc sums are map-side combinable; the
+    only window is the exclusive cum-count over DISTINCT FERTILITY
+    VALUES (bounded by the quantized value domain, the documented
+    exception class); the U/z moments are one scalar aggregate in
+    decimal(38,0)/HUGEINT — rank sums cannot overflow int64 even at
+    1e9 docs."""
+    from bigdata_2025_1_spark.operators.corpus_ops import encoded_word_types
+
+    enc = encoded_word_types(spark, sf_dir)
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    perdoc = (
+        tok.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sub").alias("n_bpe"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars_w"),
+        )
+        .filter(F.col("n_bpe") > 0)
+    )
+    rows = perdoc.select(
+        F.expr(f"(n_chars_w * {FERT_SCALE}) div n_bpe").alias("v"),
+        (md5_int(F.col("doc_id").cast("string")) % 2 == 0)
+        .cast("bigint")
+        .alias("is_a"),
+    )
+    hist = rows.groupBy("v").agg(
+        F.sum("is_a").alias("c1"), F.count("*").alias("ct")
+    )
+    cum = cum_counts_over_values(hist, "v", "ct", "cb")
+    dec = "decimal(38,0)"
+    moms = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("ct").alias("n"),
+        F.sum(
+            F.col("c1").cast(dec) * (2 * F.col("cb") + F.col("ct") + 1)
+        ).alias("r1x2"),
+        F.sum(
+            F.col("ct").cast(dec) * F.col("ct") * F.col("ct") - F.col("ct")
+        ).alias("tsum"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2 = F.col("n") - F.col("n1")
+    nd = F.col("n").cast("double")
+    u1 = (
+        (F.col("r1x2") - F.col("n1").cast(dec) * (F.col("n1") + 1)).cast(
+            "double"
+        )
+        / 2
+    )
+    ok = (F.col("n1") > 0) & (n2 > 0)
+    var = (
+        n1d
+        * n2
+        / 12
+        * ((nd + 1) - F.col("tsum").cast("double") / (nd * (nd - 1)))
+    )
+    z = F.round((u1 - n1d * n2 / 2) / F.sqrt(var), 9)
+    no_var = (
+        F.col("tsum")
+        >= F.col("n").cast(dec) * F.col("n") * F.col("n") - F.col("n")
+    )
+    return moms.select(
+        F.col("n1").alias("n_a"),
+        n2.cast("bigint").alias("n_b"),
+        F.when(ok, u1).alias("u_a"),
+        F.when(ok & ~no_var, z).alias("z_score"),
     )

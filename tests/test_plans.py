@@ -1597,6 +1597,25 @@ def test_round9_no_fact_scale_single_partition(name, spark, sf_dir):
     spark.catalog.clearCache()
 
 
+ROUND10_QUERIES = [
+    # grows as round-10 additions land (day-one checklist, VERDICT r9 #4)
+    "mannwhitney_fertility_drift",
+]
+
+
+@_pytest.mark.parametrize("name", ROUND10_QUERIES)
+def test_round10_no_fact_scale_single_partition(name, spark, sf_dir):
+    """Every SinglePartition exchange in the round-10 batch may carry
+    only scalar-aggregate or bounded-value-domain rows — a fact-keyed
+    column riding one means a whole-data funnel crept in."""
+    from bigdata_2025_1_spark.plans.explain import single_partition_exchange_inputs
+
+    df = QUERIES[name](spark, sf_dir)
+    for inputs in single_partition_exchange_inputs(df):
+        assert not any(c in inputs for c in _FACT_COLS + ("doc_id",)), (name, inputs)
+    spark.catalog.clearCache()
+
+
 def test_bpe_encode_is_jvm_side(spark, sf_dir):
     """Tokenizer inference stays whole-stage-codegen territory: the
     trained merges are baked in as higher-order-function literals, so

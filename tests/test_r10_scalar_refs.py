@@ -1,0 +1,130 @@
+"""Scalar plain-Python references for the round-10 additions — the
+mirrored-formula blind-spot guard (cross-engine-numeric trap #3): the
+DuckDB oracle proves Spark and DuckDB agree, not that either computes
+the intended statistic; only a hand walk does.
+
+BPE-derived quantities reuse the scalar trainer from test_bpe_encode
+(itself hand-checked against the Sennrich convention).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+
+from bigdata_2025_1_spark.registry import all_queries
+from tests.test_bpe_encode import scalar_bpe
+
+from bigdata_2025_1_spark.operators.corpus_ops import BPE_MERGES
+from bigdata_2025_1_spark.operators.text_analysis import FERT_SCALE
+
+
+def _write_docs_bigint(spark, tmp_path, texts: dict[int, str]) -> str:
+    df = spark.createDataFrame(
+        [(d, t, "en", "crafted", len(t)) for d, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def _md5_parity(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16) % 2
+
+
+def _scalar_fertility(texts: dict[int, str]) -> list[tuple[int, bool]]:
+    """(quantized fertility v, in_snapshot_a) per doc with >=1 word,
+    via the scalar BPE trainer + the documented trunc quantization."""
+    _, segs = scalar_bpe(list(texts.values()), BPE_MERGES)
+    out = []
+    for did, t in texts.items():
+        ws = [w for w in t.lower().split() if w]
+        n_bpe = sum(len(segs[w]) for w in ws)
+        n_chars = sum(len(w) for w in ws)
+        if n_bpe <= 0:
+            continue
+        out.append((n_chars * FERT_SCALE // n_bpe, _md5_parity(did) == 0))
+    return out
+
+
+def _scalar_mannwhitney(vals: list[tuple[int, bool]]):
+    """Midrank U + tie-corrected z, the textbook walk (integer ranks via
+    the doubled-midrank identity, ties from the value histogram)."""
+    n = len(vals)
+    n1 = sum(1 for _, a in vals if a)
+    n2 = n - n1
+    cnt = Counter(v for v, _ in vals)
+    r1x2 = cb = tsum = 0
+    for v in sorted(cnt):
+        ct = cnt[v]
+        c1 = sum(1 for x, a in vals if x == v and a)
+        r1x2 += c1 * (2 * cb + ct + 1)
+        tsum += ct**3 - ct
+        cb += ct
+    if n1 == 0 or n2 == 0:
+        return n1, n2, None, None
+    u1 = (r1x2 - n1 * (n1 + 1)) / 2
+    if tsum >= n**3 - n:
+        return n1, n2, u1, None
+    var = n1 * n2 / 12 * ((n + 1) - tsum / (n * (n - 1)))
+    z = round((u1 - n1 * n2 / 2) / math.sqrt(var), 9)
+    return n1, n2, u1, z
+
+
+# Mixed parities (A: 2,3,5; B: 0,1,4), repeated-pair words so BPE merges
+# actually fire, plus a deliberate fertility tie across snapshots.
+MW_TEXTS = {
+    0: "banana band bandana",
+    1: "ana ana banana anna",
+    2: "xy xy zw zw banana",
+    3: "a b c a",
+    4: "banana anna band",
+    5: "bandana banana xy",
+}
+
+
+def test_mannwhitney_fertility_matches_scalar(spark, tmp_path):
+    sf = _write_docs_bigint(spark, tmp_path, MW_TEXTS)
+    n1, n2, u1, z = _scalar_mannwhitney(_scalar_fertility(MW_TEXTS))
+    assert n1 > 0 and n2 > 0 and z is not None  # the fixture must exercise
+    # the full path — both snapshots populated, ties present, z defined
+    row = all_queries()["mannwhitney_fertility_drift"](
+        spark, sf
+    ).collect()[0]
+    assert (row.n_a, row.n_b) == (n1, n2)
+    assert row.u_a == u1
+    assert row.z_score == pytest.approx(z, abs=1e-9)
+    spark.catalog.clearCache()
+
+
+def test_mannwhitney_fertility_all_tied_is_null(spark, tmp_path):
+    """Single-char words only: every word encodes to one symbol, every
+    doc's fertility is exactly FERT_SCALE — U defined, z NULL (no
+    variance), via the identical guards in both engines."""
+    texts = {0: "a b c", 1: "b a", 2: "c c a", 3: "a"}
+    sf = _write_docs_bigint(spark, tmp_path, texts)
+    n1, n2, u1, z = _scalar_mannwhitney(_scalar_fertility(texts))
+    assert z is None and u1 is not None
+    row = all_queries()["mannwhitney_fertility_drift"](
+        spark, sf
+    ).collect()[0]
+    assert (row.n_a, row.n_b, row.u_a, row.z_score) == (n1, n2, u1, None)
+    spark.catalog.clearCache()
+
+
+def test_mannwhitney_fertility_one_empty_snapshot_is_null(spark, tmp_path):
+    """doc_ids 0,1,4 all hash to snapshot B — an empty side must NULL
+    both U and z (not divide by zero under ANSI)."""
+    texts = {0: "banana band", 1: "ana banana", 4: "band banana"}
+    assert all(_md5_parity(d) == 1 for d in texts)
+    sf = _write_docs_bigint(spark, tmp_path, texts)
+    row = all_queries()["mannwhitney_fertility_drift"](
+        spark, sf
+    ).collect()[0]
+    assert (row.n_a, row.n_b, row.u_a, row.z_score) == (0, 3, None, None)
+    spark.catalog.clearCache()
