@@ -2433,3 +2433,130 @@ def mannwhitney_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, u1).alias("u_a"),
         F.when(ok & ~no_var, z).alias("z_score"),
     )
+
+
+KS_C05 = "1.358"  # Smirnov critical coefficient at alpha=0.05, literal in
+# both engines so the reject comparison is the same IEEE chain
+
+
+@query(
+    "ks_doclen_drift",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT n_chars AS v,
+             CASE WHEN {sql_md5_int("CAST(doc_id AS VARCHAR)")} % 2 = 0
+                  THEN 1 ELSE 0 END AS is_a
+      FROM documents
+    ), hist AS (
+      SELECT v, SUM(is_a) AS c1, COUNT(*) - SUM(is_a) AS c2
+      FROM rows_ GROUP BY v
+    ), nn AS (
+      SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(c2), 0) AS BIGINT) AS n2
+      FROM hist
+    ), cum AS (
+      SELECT SUM(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+             SUM(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+      FROM hist
+    ), dmax AS (
+      SELECT CAST(COALESCE(MAX(ABS(CAST(f1 AS HUGEINT) * nn.n2
+                                   - CAST(f2 AS HUGEINT) * nn.n1)), 0)
+                  AS BIGINT) AS d_num
+      FROM cum CROSS JOIN nn
+    )
+    SELECT nn.n1 AS n_a, nn.n2 AS n_b, dmax.d_num,
+           CASE WHEN nn.n1 > 0 AND nn.n2 > 0
+                THEN dmax.d_num::DOUBLE / (nn.n1::DOUBLE * nn.n2)
+           END AS d_stat,
+           CASE WHEN nn.n1 > 0 AND nn.n2 > 0
+                THEN ROUND(dmax.d_num::DOUBLE / (nn.n1::DOUBLE * nn.n2)
+                     * sqrt(nn.n1::DOUBLE * nn.n2 / (nn.n1 + nn.n2)), 9)
+           END AS ks_lambda,
+           CASE WHEN nn.n1 > 0 AND nn.n2 > 0
+                THEN dmax.d_num::DOUBLE / (nn.n1::DOUBLE * nn.n2)
+                     > {KS_C05} * sqrt((nn.n1 + nn.n2)::DOUBLE
+                                       / (nn.n1::DOUBLE * nn.n2))
+           END AS reject_05
+    FROM nn CROSS JOIN dmax
+    """,
+)
+def ks_doclen_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test on document LENGTH between two
+    corpus snapshots — the shape-drift companion of
+    ``mannwhitney_fertility_drift``: MW asks whether one snapshot
+    stochastically dominates, KS catches ANY distributional change
+    (variance widening, a second mode from a new source, truncation
+    from an ingestion bug) even when the location is unmoved. Snapshots
+    are the same deterministic md5(doc_id) % 2 halves. Reports group
+    sizes, the EXACT integer max-gap numerator, D itself, the scaled
+    statistic sqrt(n1*n2/(n1+n2))*D, and the alpha=0.05 Smirnov
+    rejection (c(0.05) = {KS_C05}, a shared literal).
+
+    Determinism: the two empirical CDFs never materialize as doubles —
+    the max gap is computed as max|F1*n2 - F2*n1| over the LENGTH value
+    domain in exact HUGEINT/decimal(38) cross-multiplication, then ONE
+    double division makes D (d_num < n1*n2, so the bigint output column
+    and its double cast are exact below ~3e9 docs per side — rescale
+    past that, the kruskal cast-bound convention); lambda and the
+    rejection are pinned double chains over the same exact integers.
+    One-sided/empty feeds return NULL D/lambda/reject via identical
+    guards (D is vacuously 0 with no distribution to compare).
+
+    Scale shape: one map-side-combinable histogram over (length value,
+    snapshot); the CDF window is an inclusive cum-sum over DISTINCT
+    LENGTHS (bounded value domain, the documented exception class); the
+    max-gap and the assembly are scalar aggregates. No fact-sized
+    shuffle beyond the histogram."""
+    docs = load(spark, sf_dir, "documents")
+    rows = docs.select(
+        F.col("n_chars").alias("v"),
+        (md5_int(F.col("doc_id").cast("string")) % 2 == 0)
+        .cast("bigint")
+        .alias("is_a"),
+    )
+    hist = rows.groupBy("v").agg(
+        F.sum("is_a").alias("c1"),
+        (F.count("*") - F.sum("is_a")).alias("c2"),
+    )
+    zero = F.lit(0).cast("bigint")
+    nn = hist.agg(
+        F.coalesce(F.sum("c1"), zero).cast("bigint").alias("n1"),
+        F.coalesce(F.sum("c2"), zero).cast("bigint").alias("n2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
+    )
+    dec = "decimal(38,0)"
+    dmax = cum.crossJoin(F.broadcast(nn)).agg(
+        F.coalesce(
+            F.max(
+                F.abs(
+                    F.col("f1").cast(dec) * F.col("n2")
+                    - F.col("f2").cast(dec) * F.col("n1")
+                )
+            ),
+            F.lit(0).cast(dec),
+        )
+        .cast("bigint")
+        .alias("d_num")
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    d = F.col("d_num").cast("double") / (n1d * n2d)
+    return nn.crossJoin(F.broadcast(dmax)).select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        "d_num",
+        F.when(ok, d).alias("d_stat"),
+        F.when(
+            ok, F.round(d * F.sqrt(n1d * n2d / (n1d + n2d)), 9)
+        ).alias("ks_lambda"),
+        F.when(
+            ok,
+            d > F.expr(KS_C05) * F.sqrt((n1d + n2d) / (n1d * n2d)),
+        ).alias("reject_05"),
+    )

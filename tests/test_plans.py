@@ -1600,6 +1600,7 @@ def test_round9_no_fact_scale_single_partition(name, spark, sf_dir):
 ROUND10_QUERIES = [
     # grows as round-10 additions land (day-one checklist, VERDICT r9 #4)
     "mannwhitney_fertility_drift",
+    "ks_doclen_drift",
 ]
 
 

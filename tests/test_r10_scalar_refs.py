@@ -128,3 +128,65 @@ def test_mannwhitney_fertility_one_empty_snapshot_is_null(spark, tmp_path):
     ).collect()[0]
     assert (row.n_a, row.n_b, row.u_a, row.z_score) == (0, 3, None, None)
     spark.catalog.clearCache()
+
+
+def _scalar_ks(lengths: dict[int, int]):
+    """Textbook two-sample KS over (doc_id -> n_chars): exact max-gap
+    numerator via cross-multiplied CDF counts, then D / lambda /
+    reject at the Smirnov 0.05 critical coefficient."""
+    a = sorted(v for d, v in lengths.items() if _md5_parity(d) == 0)
+    b = sorted(v for d, v in lengths.items() if _md5_parity(d) == 1)
+    n1, n2 = len(a), len(b)
+    d_num = 0
+    for v in sorted(set(a) | set(b)):
+        f1 = sum(1 for x in a if x <= v)
+        f2 = sum(1 for x in b if x <= v)
+        d_num = max(d_num, abs(f1 * n2 - f2 * n1))
+    if n1 == 0 or n2 == 0:
+        return n1, n2, d_num, None, None, None
+    d = d_num / (n1 * n2)
+    lam = round(d * math.sqrt(n1 * n2 / (n1 + n2)), 9)
+    rej = d > 1.358 * math.sqrt((n1 + n2) / (n1 * n2))
+    return n1, n2, d_num, d, lam, rej
+
+
+def test_ks_doclen_matches_scalar(spark, tmp_path):
+    """Snapshot A (ids 2,3,5) long docs, snapshot B (ids 0,1,4) short —
+    a real location shift plus a shared length so the CDFs cross at a
+    tie point."""
+    texts = {
+        0: "ab",
+        1: "abcd",
+        2: "abcdefghij",
+        3: "abcdefghijklmnop",
+        4: "abcd",
+        5: "abcdefghijkl",
+    }
+    sf = _write_docs_bigint(spark, tmp_path, texts)
+    want = _scalar_ks({d: len(t) for d, t in texts.items()})
+    row = all_queries()["ks_doclen_drift"](spark, sf).collect()[0]
+    got = (row.n_a, row.n_b, row.d_num, row.d_stat, row.ks_lambda, row.reject_05)
+    assert got[:4] == want[:4]
+    assert got[4] == pytest.approx(want[4], abs=1e-9)
+    assert got[5] == want[5]
+    spark.catalog.clearCache()
+
+
+def test_ks_doclen_identical_distributions_is_zero(spark, tmp_path):
+    """Both snapshots drawing the same single length: D = 0 exactly and
+    the rejection is FALSE (not NULL — both sides populated)."""
+    texts = {0: "xxxx", 1: "yyyy", 2: "zzzz", 3: "wwww"}
+    sf = _write_docs_bigint(spark, tmp_path, texts)
+    row = all_queries()["ks_doclen_drift"](spark, sf).collect()[0]
+    assert (row.d_num, row.d_stat, row.reject_05) == (0, 0.0, False)
+    assert row.n_a > 0 and row.n_b > 0
+    spark.catalog.clearCache()
+
+
+def test_ks_doclen_one_empty_snapshot_is_null(spark, tmp_path):
+    texts = {0: "ab", 1: "abcd", 4: "abcdef"}  # all parity-1 -> B only
+    sf = _write_docs_bigint(spark, tmp_path, texts)
+    row = all_queries()["ks_doclen_drift"](spark, sf).collect()[0]
+    assert (row.n_a, row.n_b) == (0, 3)
+    assert (row.d_stat, row.ks_lambda, row.reject_05) == (None, None, None)
+    spark.catalog.clearCache()
