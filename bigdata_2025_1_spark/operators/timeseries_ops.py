@@ -962,3 +962,160 @@ def holt_winters_forecast_from_state(state, horizon=HW_HORIZON):
     if l is None:
         return []
     return [l + h * b + s[h - 1] for h in range(1, horizon + 1)]
+
+
+# One-sided upward CUSUM (Page 1954, the reset-to-zero online form):
+# warm-up length, per-hour slack k, and alarm threshold h. All integer;
+# the statistic is tracked scaled by CUSUM_WARM so the warm-up mean
+# never becomes a division (S'_t = WARM * S_t exactly).
+CUSUM_WARM = 24
+CUSUM_SLACK = 1
+CUSUM_H = 30
+
+
+@query(
+    "cusum_online_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hidx,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY hidx
+    ), idx AS (
+      SELECT hidx, x, CAST(ROW_NUMBER() OVER (ORDER BY hidx) AS BIGINT) AS rn
+      FROM hourly
+    ), warm AS (
+      SELECT CAST(SUM(x) AS BIGINT) AS t FROM idx WHERE rn <= {CUSUM_WARM}
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+    post AS (
+      SELECT i.hidx, i.x, i.rn,
+             CAST(SUM({CUSUM_WARM} * i.x - w.t
+                      - {CUSUM_WARM * CUSUM_SLACK}) OVER (ORDER BY i.rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+      FROM idx i CROSS JOIN warm w CROSS JOIN nn
+      WHERE i.rn > {CUSUM_WARM} AND nn.n > {CUSUM_WARM}
+    ), s AS (
+      SELECT hidx, x,
+             p - LEAST(0, CAST(MIN(p) OVER (ORDER BY hidx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+               AS s_scaled
+      FROM post
+    )
+    SELECT hidx, x AS n_events,
+           CAST(s_scaled AS BIGINT) AS cusum_scaled,
+           ROUND(s_scaled / {CUSUM_WARM}.0, 6) AS cusum_stat,
+           s_scaled > {CUSUM_WARM * CUSUM_H} AS alarm
+    FROM s ORDER BY hidx
+    """,
+)
+def cusum_online_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided upward CUSUM detector on the hourly event-count series
+    — the ONLINE (reset-to-zero) Page form: after a {CUSUM_WARM}-hour
+    warm-up fixes the reference level, track S_t = max(0, S_t-1 + x_t -
+    mu - k) and alarm when S_t > h. The third member of the sequential
+    family: ``cusum_changepoint`` locates a single retrospective break
+    (max-|S| over the whole series), ``page_hinkley_hourly`` uses a
+    running mean, this one is the fixed-target control chart an online
+    monitor actually runs once calibrated. Batch form = a replay of
+    what the online detector would have emitted hour by hour
+    (replayable because the clamp is the prefix identity
+    S_t = P_t - min(0, min_j<=t P_j)); ``cusum_update`` is the
+    per-trigger state transition, byte-identical, with a foreachBatch
+    twin in tests/test_streaming.py. Constants: k = {CUSUM_SLACK}
+    events/hour slack, h = {CUSUM_H} (count units).
+
+    Determinism: the warm-up mean never divides — everything is scaled
+    by {CUSUM_WARM} (S'_t = WARM*S_t, an exact integer: WARM*x - T_warm
+    - WARM*k per step), so the prefix sum, the clamped statistic, and
+    the alarm comparison are pure integer arithmetic in both engines;
+    the only double is the ROUND(S'/WARM, 6) display column. Series of
+    <= {CUSUM_WARM} hours emit nothing under identical guards.
+
+    Overflow: |P_t| <= WARM * total_events ~ 2.4e13 at 1e12 events —
+    comfortably inside int64 at any realistic scale.
+
+    Scale shape: one map-side-combinable fact collapse to the
+    calendar-bounded hour spine; the prefix sum and running minimum are
+    windows over that bounded domain (the documented exception class);
+    in production the operator runs as the online form per-trigger, not
+    as a batch replay."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("bigint")
+        .alias("hidx")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    wo = Window.orderBy("hidx")
+    idx = hourly.select(
+        "hidx", "x", F.row_number().over(wo).cast("bigint").alias("rn")
+    )
+    warm = idx.filter(F.col("rn") <= CUSUM_WARM).agg(
+        F.sum("x").cast("bigint").alias("t")
+    )
+    nn = idx.agg(F.count("*").cast("bigint").alias("n"))
+    w_incl = Window.orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    post = (
+        idx.crossJoin(F.broadcast(warm))
+        .crossJoin(F.broadcast(nn))
+        .filter((F.col("rn") > CUSUM_WARM) & (F.col("n") > CUSUM_WARM))
+        .select(
+            "hidx",
+            "x",
+            "rn",
+            F.sum(
+                CUSUM_WARM * F.col("x")
+                - F.col("t")
+                - F.lit(CUSUM_WARM * CUSUM_SLACK)
+            )
+            .over(w_incl)
+            .cast("bigint")
+            .alias("p"),
+        )
+    )
+    w_h = Window.orderBy("hidx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = post.select(
+        "hidx",
+        "x",
+        (
+            F.col("p")
+            - F.least(F.lit(0).cast("bigint"), F.min("p").over(w_h).cast("bigint"))
+        ).alias("s_scaled"),
+    )
+    return s.select(
+        "hidx",
+        F.col("x").alias("n_events"),
+        F.col("s_scaled").cast("bigint").alias("cusum_scaled"),
+        F.round(F.col("s_scaled") / float(CUSUM_WARM), 6).alias("cusum_stat"),
+        (F.col("s_scaled") > CUSUM_WARM * CUSUM_H).alias("alarm"),
+    ).orderBy("hidx")
+
+
+def cusum_update(state, xs):
+    """Online CUSUM state transition — the per-trigger form of
+    ``cusum_online_hourly`` (which replays this as a batch prefix
+    scan). State is (n_seen, warm_total, p, pmin): during the first
+    CUSUM_WARM hours only the warm-up total accumulates (nothing is
+    emitted); afterwards each hour advances the scaled prefix sum and
+    its running minimum in pure integers, byte-identical to the batch
+    query. Returns (state, out) with one (cusum_scaled, alarm) pair per
+    post-warm-up hour in this chunk. Chunking-invariant by construction
+    — property-tested against the batch walk over random splits."""
+    n, t, p, pmin = state
+    out = []
+    for x in xs:
+        x = int(x)
+        n += 1
+        if n <= CUSUM_WARM:
+            t += x
+            continue
+        p += CUSUM_WARM * x - t - CUSUM_WARM * CUSUM_SLACK
+        pmin = min(pmin, p)
+        s = p - min(0, pmin)
+        out.append((s, s > CUSUM_WARM * CUSUM_H))
+    return (n, t, p, pmin), out
+
+
+CUSUM_STATE_ZERO = (0, 0, 0, 0)

@@ -54,8 +54,8 @@ ORACLES: dict[str, str] = {}
 #
 # Round-10 additions so far (each selfchecked tuned + vanilla, scalar-
 # referenced, and empty-tables green the day it landed):
-#   mannwhitney_fertility_drift, ks_doclen_drift, corpus_release_gate,
-#   hdbscan_lite_clusters, cusum_changepoint_online.
+#   mannwhitney_fertility_drift, ks_doclen_drift, cusum_online_hourly,
+#   corpus_release_gate, hdbscan_lite_clusters.
 # Theme: suite composition (capstones that CHAIN standalone operators
 # the way a nightly curation job would, reconciled against the
 # standalone queries they compose) + two-sample drift tests + density

@@ -1601,6 +1601,7 @@ ROUND10_QUERIES = [
     # grows as round-10 additions land (day-one checklist, VERDICT r9 #4)
     "mannwhitney_fertility_drift",
     "ks_doclen_drift",
+    "cusum_online_hourly",
 ]
 
 

@@ -190,3 +190,49 @@ def test_ks_doclen_one_empty_snapshot_is_null(spark, tmp_path):
     assert (row.n_a, row.n_b) == (0, 3)
     assert (row.d_stat, row.ks_lambda, row.reject_05) == (None, None, None)
     spark.catalog.clearCache()
+
+
+def test_cusum_online_matches_textbook(spark, tmp_path):
+    """Hand-walked one-sided CUSUM: a warm-up whose total divides evenly
+    (mu exact), a quiet stretch (statistic pinned at 0 by the clamp), a
+    burst that must cross h and alarm, then decay. The textbook
+    max(0, S + x - mu - k) walk runs in plain floats on the exact mu and
+    must equal the engine's scaled-integer replay."""
+    from tests.test_r9_scalar_refs import _write_events
+
+    from bigdata_2025_1_spark.operators.timeseries_ops import (
+        CUSUM_H,
+        CUSUM_SLACK,
+        CUSUM_WARM,
+    )
+
+    counts = [5] * CUSUM_WARM + [5, 4, 16, 16, 16, 16, 16, 2, 2, 2]
+    sf = _write_events(spark, tmp_path, counts)
+    mu = sum(counts[:CUSUM_WARM]) / CUSUM_WARM
+    assert mu == int(mu)  # the fixture keeps mu exact on purpose
+    s = 0.0
+    want = []
+    for x in counts[CUSUM_WARM:]:
+        s = max(0.0, s + x - mu - CUSUM_SLACK)
+        want.append((int(s * CUSUM_WARM), s > CUSUM_H))
+    got = [
+        (r.cusum_scaled, r.alarm)
+        for r in all_queries()["cusum_online_hourly"](
+            spark, sf
+        ).collect()
+    ]
+    assert got == want
+    assert any(a for _, a in want) and not all(a for _, a in want)
+    spark.catalog.clearCache()
+
+
+def test_cusum_online_short_series_is_empty(spark, tmp_path):
+    """A series no longer than the warm-up emits nothing (the detector
+    is still calibrating) — identical guards in both engines."""
+    from tests.test_r9_scalar_refs import _write_events
+
+    from bigdata_2025_1_spark.operators.timeseries_ops import CUSUM_WARM
+
+    sf = _write_events(spark, tmp_path, [3] * CUSUM_WARM)
+    assert all_queries()["cusum_online_hourly"](spark, sf).count() == 0
+    spark.catalog.clearCache()

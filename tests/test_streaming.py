@@ -1052,3 +1052,75 @@ def test_holt_winters_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
     assert len(batches) == 2, batches
     assert fits == expected_fits
     assert holt_winters_forecast_from_state(state[0]) == expected_fc
+
+
+def test_cusum_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
+    """Online CUSUM, streamed: events arrive in TWO micro-batches split
+    on a day boundary (hours never straddle a batch); each batch
+    collapses to its hourly counts and feeds the standing 4-integer
+    CUSUM state via cusum_update — warm-up hours emit nothing, so the
+    streamed output aligns with the TAIL of each chunk's hours. The
+    streamed per-hour (cusum_scaled, alarm) sequence must equal the
+    batch cusum_online_hourly query's rows over the same events (the
+    page_hinkley twin convention)."""
+    from bigdata_2025_1_spark.operators.timeseries_ops import (
+        CUSUM_STATE_ZERO,
+        cusum_update,
+    )
+    from bigdata_2025_1_spark.registry import all_queries
+
+    expected = [
+        (r.hidx, r.cusum_scaled, r.alarm)
+        for r in all_queries()["cusum_online_hourly"](spark, sf_dir).collect()
+    ]
+    spark.catalog.clearCache()
+
+    ev = load(spark, sf_dir, "events").select("ts")
+    stream_dir = str(tmp_path / "cusum_incoming")
+    ev.filter(F.col("ts") < "2024-01-16").coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+    ev.filter(F.col("ts") >= "2024-01-16").coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+
+    state = [CUSUM_STATE_ZERO]
+    emitted: list = []
+    batches: list[int] = []
+
+    def per_batch(batch_df, bid):
+        batches.append(bid)
+        hours = (
+            batch_df.groupBy(
+                (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+                .cast("bigint")
+                .alias("hidx")
+            )
+            .agg(F.count("*").alias("x"))
+            .orderBy("hidx")
+            .collect()
+        )
+        state[0], out = cusum_update(state[0], [r.x for r in hours])
+        # out covers only post-warm-up hours: the LAST len(out) of chunk
+        emitted.extend(
+            (r.hidx, s, alarm)
+            for r, (s, alarm) in zip(hours[len(hours) - len(out):], out)
+        )
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cusum_ckpt"))
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "stream did not finish in 180s"
+    finally:
+        q.stop()
+    assert len(batches) == 2, batches  # genuinely incremental
+    assert emitted == expected

@@ -178,3 +178,41 @@ def test_round_half_away_matches_engine_round_on_ties():
     assert round_half_away(1.4) == 1 and round_half_away(-1.4) == -1
     assert round_half_away(1.6) == 2 and round_half_away(-1.6) == -2
     assert round_half_away(0.0) == 0
+
+
+def test_cusum_online_update_is_chunking_invariant():
+    """cusum_update must produce the identical (cusum_scaled, alarm)
+    sequence under any chunking — including splits INSIDE the warm-up
+    buffer — the guarantee its foreachBatch twin relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_2025_1_spark.operators.timeseries_ops import (
+        CUSUM_STATE_ZERO,
+        CUSUM_WARM,
+        cusum_update,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        xs=st.lists(
+            st.integers(min_value=0, max_value=1000),
+            min_size=1,
+            max_size=CUSUM_WARM + 30,
+        ),
+        data=st.data(),
+    )
+    def run(xs, data):
+        n = len(xs)
+        cuts = sorted(
+            data.draw(st.lists(st.integers(min_value=0, max_value=n), max_size=4))
+        )
+        bounds = [0, *cuts, n]
+        state, out = CUSUM_STATE_ZERO, []
+        for lo, hi in zip(bounds, bounds[1:]):
+            state, o = cusum_update(state, xs[lo:hi])
+            out.extend(o)
+        _, whole = cusum_update(CUSUM_STATE_ZERO, xs)
+        assert out == whole
+
+    run()
