@@ -826,3 +826,166 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "draw_idx")
     )
+
+
+# --- corpus release gate (suite-composition capstone) ---------------------
+
+# Release thresholds — shared literals so the gate comparisons are the
+# same IEEE chain in both engines. Tuned for a real curation pipeline's
+# defaults, not the fixture (the synthetic corpus deliberately FAILS the
+# quality and blocklist gates, exercising the deny branch end-to-end).
+GATE_MIN_QUALITY_PASS = "0.5"  # >=50% of docs must pass the Gopher rules
+GATE_MAX_BLOCKLIST_DROP = "0.25"  # <=25% of docs blocklist-dropped
+GATE_MAX_DUP_RATE = "0.05"  # <=5% exact duplicates
+GATE_MAX_ABS_DRIFT_Z = "3.0"  # |fertility-drift z| <= 3 (or no verdict)
+
+
+def _release_gate_oracle() -> str:
+    # Compose the standalone queries' REGISTERED oracles verbatim (the
+    # retrieval_mrr_eval convention) — the gate can never drift from
+    # what the correctness gate checks for each leg. pipeline_ops loads
+    # after text_analysis/dedup in operators.__init__, so the four
+    # oracles are present at decoration time.
+    from bigdata_2025_1_spark.registry import ORACLES as _O
+
+    return f"""
+    WITH q AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_quality_pass
+      FROM ({_O["gopher_quality_flags"]})
+    ), b AS (
+      SELECT CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) AS bn,
+             CAST(COALESCE(SUM(n_dropped), 0) AS BIGINT) AS bd
+      FROM ({_O["blocklist_filter_rates"]})
+    ), d AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS dn,
+             CAST(COALESCE(SUM(CASE WHEN is_duplicate THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS dd
+      FROM ({_O["dedup_exact"]})
+    ), f AS (
+      SELECT z_score FROM ({_O["mannwhitney_fertility_drift"]})
+    ), rates AS (
+      SELECT q.n_docs, f.z_score AS fert_drift_z,
+             CASE WHEN q.n_docs > 0
+                  THEN q.n_quality_pass::DOUBLE / q.n_docs END AS quality_pass_rate,
+             CASE WHEN b.bn > 0 THEN b.bd::DOUBLE / b.bn END AS blocklist_drop_rate,
+             CASE WHEN d.dn > 0 THEN d.dd::DOUBLE / d.dn END AS dup_rate
+      FROM q CROSS JOIN b CROSS JOIN d CROSS JOIN f
+    )
+    SELECT n_docs, quality_pass_rate, blocklist_drop_rate, dup_rate,
+           fert_drift_z,
+           quality_pass_rate >= {GATE_MIN_QUALITY_PASS} AS ok_quality,
+           blocklist_drop_rate <= {GATE_MAX_BLOCKLIST_DROP} AS ok_blocklist,
+           dup_rate <= {GATE_MAX_DUP_RATE} AS ok_dedup,
+           (fert_drift_z IS NULL
+            OR ABS(fert_drift_z) <= {GATE_MAX_ABS_DRIFT_Z}) AS ok_fertility,
+           (quality_pass_rate >= {GATE_MIN_QUALITY_PASS}
+            AND blocklist_drop_rate <= {GATE_MAX_BLOCKLIST_DROP}
+            AND dup_rate <= {GATE_MAX_DUP_RATE}
+            AND (fert_drift_z IS NULL
+                 OR ABS(fert_drift_z) <= {GATE_MAX_ABS_DRIFT_Z})) AS release_ok
+    FROM rates
+    """
+
+
+@query("corpus_release_gate", oracle=_release_gate_oracle())
+def corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly corpus RELEASE DECISION, in one row — the
+    suite-composition capstone: chain the standalone operators the way
+    a real curation job gates a snapshot before training sees it.
+    Composes (by CALLING the registered queries, so the gate can never
+    drift from what the correctness gate certifies leg by leg):
+
+    - ``gopher_quality_flags``  -> quality_pass_rate  (>= {GATE_MIN_QUALITY_PASS})
+    - ``blocklist_filter_rates`` -> blocklist_drop_rate (<= {GATE_MAX_BLOCKLIST_DROP})
+    - ``dedup_exact``           -> dup_rate            (<= {GATE_MAX_DUP_RATE})
+    - ``mannwhitney_fertility_drift`` -> fert_drift_z  (NULL or |z| <= {GATE_MAX_ABS_DRIFT_Z})
+
+    ``release_ok`` is the conjunction. Every sub-scalar is reconciled
+    against its standalone query by tests/test_release_gate.py (the
+    round-9 verdict's reconciliation contract), and each rate rides
+    along so a failed gate says WHY.
+
+    Determinism: each leg inherits its standalone determinism contract;
+    the rates are single double divisions of exact integer counts; gate
+    comparisons are shared literals. An EMPTY corpus yields NULL rates
+    and a NULL (unknown) release_ok under both engines' identical
+    three-valued logic — an empty snapshot is a no-decision, not a
+    pass. A missing drift verdict (degenerate split) passes the
+    fertility leg via the identical IS NULL arm.
+
+    Scale shape: four independent corpus passes, each already
+    scale-audited in its standalone form (scan-side exprs, value-domain
+    windows, the vocabulary-sized encode join), reduced to four 1-row
+    aggregates cross-joined by broadcast. The heavyweight leg (the BPE
+    train for the drift test) is the same cost the standalone pays;
+    a suite session would share it through the persisted encode table
+    (the retrieval_rankings convention) if it ever dominates."""
+    from bigdata_2025_1_spark.operators.dedup import dedup_exact
+    from bigdata_2025_1_spark.operators.text_analysis import (
+        blocklist_filter_rates,
+        gopher_quality_flags,
+        mannwhitney_fertility_drift,
+    )
+
+    q = gopher_quality_flags(spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_quality_pass"),
+    )
+    b = blocklist_filter_rates(spark, sf_dir).agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("bn"),
+        F.coalesce(F.sum("n_dropped"), F.lit(0)).cast("bigint").alias("bd"),
+    )
+    d = dedup_exact(spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("dn"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_duplicate"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("dd"),
+    )
+    f = mannwhitney_fertility_drift(spark, sf_dir).select(
+        F.col("z_score").alias("fert_drift_z")
+    )
+    rates = (
+        q.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(f))
+        .select(
+            "n_docs",
+            "fert_drift_z",
+            F.when(
+                F.col("n_docs") > 0,
+                F.col("n_quality_pass").cast("double") / F.col("n_docs"),
+            ).alias("quality_pass_rate"),
+            F.when(
+                F.col("bn") > 0, F.col("bd").cast("double") / F.col("bn")
+            ).alias("blocklist_drop_rate"),
+            F.when(
+                F.col("dn") > 0, F.col("dd").cast("double") / F.col("dn")
+            ).alias("dup_rate"),
+        )
+    )
+    ok_q = F.col("quality_pass_rate") >= float(GATE_MIN_QUALITY_PASS)
+    ok_b = F.col("blocklist_drop_rate") <= float(GATE_MAX_BLOCKLIST_DROP)
+    ok_d = F.col("dup_rate") <= float(GATE_MAX_DUP_RATE)
+    ok_f = F.col("fert_drift_z").isNull() | (
+        F.abs(F.col("fert_drift_z")) <= float(GATE_MAX_ABS_DRIFT_Z)
+    )
+    return rates.select(
+        "n_docs",
+        "quality_pass_rate",
+        "blocklist_drop_rate",
+        "dup_rate",
+        "fert_drift_z",
+        ok_q.alias("ok_quality"),
+        ok_b.alias("ok_blocklist"),
+        ok_d.alias("ok_dedup"),
+        ok_f.alias("ok_fertility"),
+        (ok_q & ok_b & ok_d & ok_f).alias("release_ok"),
+    )

@@ -1602,6 +1602,7 @@ ROUND10_QUERIES = [
     "mannwhitney_fertility_drift",
     "ks_doclen_drift",
     "cusum_online_hourly",
+    "corpus_release_gate",
 ]
 
 
