@@ -2423,3 +2423,243 @@ def embedding_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         .select("band", (F.col("band") / 10.0).alias("band_lo"), "n_pairs")
         .orderBy("band")
     )
+
+
+# --- HDBSCAN-lite: mutual-reachability density linkage at eps levels ------
+
+HDB_K = 3  # core distance = distance to the HDB_K-th in-cell neighbor
+HDB_EPS = (0.8, 0.85)  # cosine-DISTANCE levels (d = 1 - cosine), eps1 < eps2
+# — two slices of the HDBSCAN hierarchy: eps1 clusters nest inside eps2's
+
+
+def hdbscan_lite_from_pairs(
+    ids: DataFrame, dpairs: DataFrame, k: int, eps_levels: tuple[float, ...]
+) -> DataFrame:
+    """The HDBSCAN-lite algebra over an undirected candidate-pair frame
+    ``dpairs(a, b, d)`` with ``a < b`` and an id universe
+    ``ids(vec_id)`` — module-level (the ``dbscan_roles_from_pairs``
+    convention) so the core-distance / mutual-reachability / component
+    logic is directly property-testable against a scalar BFS reference
+    independent of how candidates were generated.
+
+    Semantics (Campello et al. 2013, the fixed-level slice a.k.a.
+    DBSCAN*): core_dist(p) = d to p's k-th nearest candidate (undefined
+    -> never core); d_mr(a,b) = max(d, core_a, core_b); at each eps
+    level, points with core_dist <= eps are cores and clusters are
+    connected components of the d_mr <= eps core graph (no border
+    class — the * variant). d_mr <= eps already implies both endpoints
+    are cores at that level, so one edge filter does all the gating.
+    Returns one row per (eps, vec_id): core_dist, is_core, cluster_id
+    (NULL = noise at that level; eps1's clusters provably nest inside
+    eps2's — the hierarchy property tests/test_hdbscan_lite.py pins).
+
+    Determinism: d values are one IEEE chain from exact int64
+    dots/norms; the k-th order statistic of a value multiset is
+    tie-permutation-free (row_number orders by (d, b) anyway); max and
+    the eps comparisons are order-free; component ids MIN-total-ordered.
+
+    Scale shape: the pair frame is persisted at its collapse point
+    (cell-bounded candidates, the cache contract); core distances are
+    one bounded window per candidate list; each level's components run
+    the min-label-propagation loop on the filtered core graph with
+    localCheckpoint'd frontiers (the dbscan/dedup_cc shape, diameter
+    bounded)."""
+    dpairs = dpairs.persist()
+    sym = dpairs.unionByName(
+        dpairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "d")
+    )
+    wk = Window.partitionBy("a").orderBy("d", "b")
+    kth = (
+        sym.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == k)
+        .select(F.col("a").alias("vec_id"), F.col("d").alias("core_dist"))
+        .persist()
+    )
+    mr = (
+        dpairs.join(
+            kth.select(
+                F.col("vec_id").alias("a"), F.col("core_dist").alias("ca")
+            ),
+            "a",
+        )
+        .join(
+            kth.select(
+                F.col("vec_id").alias("b"), F.col("core_dist").alias("cb")
+            ),
+            "b",
+        )
+        .select(
+            "a", "b", F.greatest("d", "ca", "cb").alias("dmr")
+        )
+        .persist()
+    )
+    out = None
+    for eps in eps_levels:
+        el = mr.filter(F.col("dmr") <= eps).select("a", "b")
+        edges = el.unionByName(
+            el.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint()
+        labels = (
+            kth.filter(F.col("core_dist") <= eps)
+            .select(F.col("vec_id").alias("v"), F.col("vec_id").alias("label"))
+            .localCheckpoint()
+        )
+        for _ in range(32):  # diameter bound (dense clusters are shallow)
+            prop = (
+                edges.join(labels, edges.a == labels.v)
+                .groupBy(F.col("b").alias("v2"))
+                .agg(F.min("label").alias("nlabel"))
+            )
+            new_labels = (
+                labels.join(prop, labels.v == F.col("v2"), "left")
+                .select(
+                    "v",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nlabel"), F.col("label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                "hdbscan_lite_from_pairs: label propagation did not "
+                "converge in 32 iterations (core-graph diameter > 32?)"
+            )
+        lab = labels.select(
+            F.col("v").alias("vec_id"), F.col("label").alias("cluster_id")
+        )
+        level = (
+            ids.join(kth, "vec_id", "left")
+            .join(lab, "vec_id", "left")
+            .select(
+                F.lit(float(eps)).alias("eps"),
+                "vec_id",
+                "core_dist",
+                F.coalesce(F.col("core_dist") <= eps, F.lit(False)).alias(
+                    "is_core"
+                ),
+                "cluster_id",
+            )
+        )
+        out = level if out is None else out.unionByName(level)
+    return out.orderBy("eps", "vec_id")
+
+
+def _hdb_oracle() -> str:
+    eps1, eps2 = HDB_EPS
+    lvl = lambda i, eps: f"""core{i} AS MATERIALIZED (
+      SELECT vec_id FROM kth WHERE core_dist <= {eps}
+    ), e{i} AS MATERIALIZED (
+      SELECT a, b FROM mr WHERE dmr <= {eps}
+      UNION ALL
+      SELECT b AS a, a AS b FROM mr WHERE dmr <= {eps}
+    ), reach{i}(v, label) AS (
+      SELECT vec_id, vec_id FROM core{i}
+      UNION
+      SELECT e.b, r.label FROM reach{i} r JOIN e{i} e ON e.a = r.v
+      WHERE r.label < e.b
+    ), lab{i} AS MATERIALIZED (
+      SELECT v AS vec_id, MIN(label) AS cluster_id FROM reach{i} GROUP BY v
+    )"""
+    sel = lambda i, eps: f"""
+    SELECT CAST({eps} AS DOUBLE) AS eps, e.vec_id, k.core_dist,
+           COALESCE(k.core_dist <= {eps}, FALSE) AS is_core, l.cluster_id
+    FROM embeddings e
+    LEFT JOIN kth k USING (vec_id)
+    LEFT JOIN lab{i} l ON l.vec_id = e.vec_id"""
+    return f"""
+    WITH RECURSIVE {_SEM_KEYED_SQL}, dpairs AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             1 - ({V.sql_dot_scaled('a.embedding', 'b.embedding', _DIM)}::DOUBLE
+                  / (sqrt(a.nsq::DOUBLE) * sqrt(b.nsq::DOUBLE))) AS d
+      FROM keyed a JOIN keyed b
+        ON a.cell = b.cell AND a.subkey = b.subkey AND a.vec_id < b.vec_id
+      WHERE a.nsq > 0 AND b.nsq > 0
+    ), sym AS MATERIALIZED (
+      SELECT a, b, d FROM dpairs UNION ALL SELECT b AS a, a AS b, d FROM dpairs
+    ), kth AS MATERIALIZED (
+      SELECT a AS vec_id, d AS core_dist
+      FROM (SELECT a, d, ROW_NUMBER() OVER (PARTITION BY a ORDER BY d, b) AS rn
+            FROM sym)
+      WHERE rn = {HDB_K}
+    ), mr AS MATERIALIZED (
+      SELECT p.a, p.b, GREATEST(p.d, ka.core_dist, kb.core_dist) AS dmr
+      FROM dpairs p
+      JOIN kth ka ON ka.vec_id = p.a
+      JOIN kth kb ON kb.vec_id = p.b
+    ), {lvl(1, eps1)}, {lvl(2, eps2)}
+    {sel(1, eps1)}
+    UNION ALL
+    {sel(2, eps2)}
+    ORDER BY eps, vec_id
+    """
+
+
+@query("hdbscan_lite_clusters", oracle=_hdb_oracle())
+def hdbscan_lite_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDBSCAN-lite over the embedding space: density linkage through
+    MUTUAL-REACHABILITY distance (Campello et al. 2013) evaluated at
+    {HDB_EPS} — the density-clustering upgrade over
+    ``density_core_clusters``' plain DBSCAN: core distance (d to the
+    {HDB_K}-th neighbor) replaces the fixed-radius core rule, so sparse
+    regions need proportionally tighter mutual agreement before linking
+    (the chaining-through-noise failure DBSCAN suffers), and the two
+    eps slices expose the cluster HIERARCHY (every eps1 cluster nests
+    inside an eps2 cluster — pinned by test). Candidates come from the
+    SemDeDup two-level cell key (``semdedup_keyed_assignment``), the
+    same quantizer bound every density/dedup family shares; cross-cell
+    neighbors are the documented recall trade.
+
+    Determinism: d is one IEEE chain from exact int64 dots/norms; the
+    k-th order statistic is tie-permutation-free; GREATEST and the eps
+    comparisons are order-free; component ids MIN-total-ordered; the
+    oracle runs the identical algebra with per-level recursive CTEs.
+    Points with < {HDB_K} candidates have no core distance and are
+    noise at every level via identical LEFT-JOIN/COALESCE guards.
+
+    Scale shape: pair generation inherits the cell equi-join; the
+    algebra (``hdbscan_lite_from_pairs``) persists the cell-bounded
+    pair list once, computes core distances in one bounded window, and
+    runs each level's components on the filtered core graph with
+    localCheckpoint'd frontiers — never all-pairs, never a fact-sized
+    window."""
+    emb = load(spark, sf_dir, "embeddings")
+    keyed = semdedup_keyed_assignment(emb, SEM_CELL_CAP)
+    dot_pd = V.make_dot_scaled_pandas()
+    a = keyed.select(
+        "cell", "subkey",
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nsq").alias("nsq_a"),
+    )
+    b = keyed.select(
+        "cell", "subkey",
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nsq").alias("nsq_b"),
+    )
+    cosine = V.cosine_from_scaled(
+        dot_pd(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
+    )
+    dpairs = (
+        a.join(b, ["cell", "subkey"])
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.col("nsq_a") > 0)
+            & (F.col("nsq_b") > 0)
+        )
+        .select("a", "b", (F.lit(1.0) - cosine).alias("d"))
+    )
+    return hdbscan_lite_from_pairs(
+        emb.select("vec_id"), dpairs, HDB_K, HDB_EPS
+    )

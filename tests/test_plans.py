@@ -1603,6 +1603,7 @@ ROUND10_QUERIES = [
     "ks_doclen_drift",
     "cusum_online_hourly",
     "corpus_release_gate",
+    "hdbscan_lite_clusters",
 ]
 
 
