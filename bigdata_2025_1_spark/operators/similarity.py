@@ -2663,3 +2663,68 @@ def hdbscan_lite_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdbscan_lite_from_pairs(
         emb.select("vec_id"), dpairs, HDB_K, HDB_EPS
     )
+
+
+# Index-acceptance thresholds — shared literals; the fixture's IVF index
+# passes all three (the accept branch; corpus_release_gate exercises the
+# deny branch of a composed gate).
+SUITE_MIN_RECALL = "0.6"
+SUITE_MIN_MRR = "0.6"
+SUITE_MIN_NDCG = "0.6"
+
+
+@query(
+    "retrieval_eval_suite",
+    oracle=f"""
+    WITH mrr AS (
+      SELECT * FROM ({_ORACLES["retrieval_mrr_eval"]})
+    ), ndcg AS (
+      SELECT * FROM ({_ORACLES["ndcg_retrieval_eval"]})
+    )
+    SELECT m.n_queries, m.n_hits, m.recall_at_k, m.mrr,
+           n.n_perfect, n.mean_ndcg_at_k,
+           (m.recall_at_k >= {SUITE_MIN_RECALL}
+            AND m.mrr >= {SUITE_MIN_MRR}
+            AND n.mean_ndcg_at_k >= {SUITE_MIN_NDCG}) AS index_ok
+    FROM mrr m CROSS JOIN ndcg n
+    """,
+)
+def retrieval_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index ACCEPTANCE ROW — the similarity-family capstone:
+    run the whole retrieval-eval suite (recall@{TOP_K} + MRR from
+    ``retrieval_mrr_eval``, nDCG@{TOP_K} from ``ndcg_retrieval_eval``)
+    in ONE session and emit the single go/no-go row a deployment gates
+    an index swap on (index_ok = recall >= {SUITE_MIN_RECALL} AND mrr
+    >= {SUITE_MIN_MRR} AND nDCG >= {SUITE_MIN_NDCG}, shared literals).
+
+    This is the query the shared ``retrieval_rankings`` helper exists
+    for (VERDICT r9 ask #3): both composed evals draw the exact and IVF
+    rankings from the same persisted, session-memoized frames, so the
+    suite builds each index ONCE where the standalone queries each paid
+    their own build — the plan pin asserts the memo is actually shared
+    (one cache entry pair, not two). Sub-scalars are reconciled against
+    the standalone queries by tests/test_release_gate.py.
+
+    Determinism: inherits both evals' integer-exact contracts (integer
+    sixtieths, integer 1e-12 gain literals); the gate comparisons are
+    pinned double-vs-literal; an empty probe set yields NULL metrics
+    and a NULL (no-decision) verdict via identical three-valued logic.
+
+    Scale shape: candidate-bounded rankings built once, two equi-joins,
+    scalar assembly broadcast — the suite costs ONE index build plus
+    joins, not 2x."""
+    m = retrieval_mrr_eval(spark, sf_dir)
+    n = ndcg_retrieval_eval(spark, sf_dir).select("n_perfect", "mean_ndcg_at_k")
+    return m.crossJoin(F.broadcast(n)).select(
+        "n_queries",
+        "n_hits",
+        "recall_at_k",
+        "mrr",
+        "n_perfect",
+        "mean_ndcg_at_k",
+        (
+            (F.col("recall_at_k") >= float(SUITE_MIN_RECALL))
+            & (F.col("mrr") >= float(SUITE_MIN_MRR))
+            & (F.col("mean_ndcg_at_k") >= float(SUITE_MIN_NDCG))
+        ).alias("index_ok"),
+    )

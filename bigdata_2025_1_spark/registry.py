@@ -55,7 +55,7 @@ ORACLES: dict[str, str] = {}
 # Round-10 additions so far (each selfchecked tuned + vanilla, scalar-
 # referenced, and empty-tables green the day it landed):
 #   mannwhitney_fertility_drift, ks_doclen_drift, cusum_online_hourly,
-#   corpus_release_gate, hdbscan_lite_clusters.
+#   corpus_release_gate, hdbscan_lite_clusters, retrieval_eval_suite.
 # Theme: suite composition (capstones that CHAIN standalone operators
 # the way a nightly curation job would, reconciled against the
 # standalone queries they compose) + two-sample drift tests + density
@@ -64,7 +64,7 @@ ORACLES: dict[str, str] = {}
 # ROUND-11 ROTATION PLAN: head takes (a) every round-10 addition
 # (exact names above); then (b) the oldest stale greens by driver-row
 # vintage, oldest first, alphabetical within a vintage, until the head
-# reaches exactly 50. With 5 round-10 additions the 45 stale slots
+# reaches exactly 50. With 6 round-10 additions the 44 stale slots
 # are: the 23 remaining r4-vintage greens:
 #   q16_null_aware_anti, q18_large_volume_customers,
 #   q1_pricing_summary, q9_profit_by_nation_year,
@@ -75,7 +75,7 @@ ORACLES: dict[str, str] = {}
 #   tfidf_top_terms, train_contamination_ngram, twap_user_daily,
 #   user_sessionization, variant_json_shred, window_distribution_funcs,
 #   winsorized_segment_spend, zscore_outliers;
-# then the alphabetically-first 22 of the 49 r5-vintage greens:
+# then the alphabetically-first 21 of the 49 r5-vintage greens:
 #   ann_sq8_topk, bfs_trade_reachability, bm25_doc_ranking,
 #   bpe_pair_merge_step, corpus_curation_v2, corpus_duplicate_spans,
 #   customer_rfm_segments, dedup_containment,
@@ -84,10 +84,10 @@ ORACLES: dict[str, str] = {}
 #   group_by_all_revenue, hll_union_distinct, join_key_skew_profile,
 #   kmeans_lloyd_clusters, label_propagation_communities,
 #   lateral_top_orders_per_customer, linreg_price_model,
-#   mad_value_outliers, merge_upsert_latest_state, order_month_streaks.
-# Arithmetic: 5 + 23 + 22 = 50. (If round 10 lands a different count N,
-# take the first 45-(N-5) ... i.e. 50-N-23 r5 names alphabetically:
-# one fewer addition pulls in partition_key_advisor next, etc.)
+#   mad_value_outliers, merge_upsert_latest_state.
+# Arithmetic: 6 + 23 + 21 = 50. (If round 10 lands a different count N,
+# take the first 50-N-23 r5 names alphabetically: one fewer addition
+# pulls in order_month_streaks next, then partition_key_advisor, etc.)
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 0-12: the 13 round-9 additions (never driver-checked)
     "bpe_encode_corpus",

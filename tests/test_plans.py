@@ -1604,6 +1604,7 @@ ROUND10_QUERIES = [
     "cusum_online_hourly",
     "corpus_release_gate",
     "hdbscan_lite_clusters",
+    "retrieval_eval_suite",
 ]
 
 

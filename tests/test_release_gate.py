@@ -124,3 +124,49 @@ def test_gate_empty_corpus_is_no_decision(spark, tmp_path):
         row.release_ok,
     ) == (None, None, None, None)
     spark.catalog.clearCache()
+
+
+# --- retrieval_eval_suite (the similarity-family capstone) ----------------
+
+
+def test_retrieval_suite_reconciles_with_standalone_evals(spark, sf_dir):
+    qs = all_queries()
+    row = qs["retrieval_eval_suite"](spark, sf_dir).collect()[0]
+    m = qs["retrieval_mrr_eval"](spark, sf_dir).collect()[0]
+    n = qs["ndcg_retrieval_eval"](spark, sf_dir).collect()[0]
+    assert (row.n_queries, row.n_hits, row.recall_at_k, row.mrr) == (
+        m.n_queries,
+        m.n_hits,
+        m.recall_at_k,
+        m.mrr,
+    )
+    assert (row.n_perfect, row.mean_ndcg_at_k) == (
+        n.n_perfect,
+        n.mean_ndcg_at_k,
+    )
+    from bigdata_2025_1_spark.operators.similarity import (
+        SUITE_MIN_MRR,
+        SUITE_MIN_NDCG,
+        SUITE_MIN_RECALL,
+    )
+
+    assert row.index_ok == (
+        row.recall_at_k >= float(SUITE_MIN_RECALL)
+        and row.mrr >= float(SUITE_MIN_MRR)
+        and row.mean_ndcg_at_k >= float(SUITE_MIN_NDCG)
+    )
+    spark.catalog.clearCache()
+
+
+def test_retrieval_rankings_memo_is_shared_within_a_session(spark, sf_dir):
+    """The suite's whole point (VERDICT r9 ask #3): a second eval in the
+    same session must receive the SAME persisted ranking frames, not
+    rebuild the indexes."""
+    from bigdata_2025_1_spark.operators import similarity as S
+
+    S._RANKINGS_MEMO.clear()
+    e1, s1 = S.retrieval_rankings(spark, sf_dir)
+    e2, s2 = S.retrieval_rankings(spark, sf_dir)
+    assert e1 is e2 and s1 is s2
+    assert len(S._RANKINGS_MEMO) == 1
+    spark.catalog.clearCache()
