@@ -373,6 +373,13 @@ HEADLINE = [
     "embedding_similarity_histogram",
     "page_hinkley_hourly",
     "holt_winters_forecast",
+    # round-10 additions
+    "mannwhitney_fertility_drift",
+    "ks_doclen_drift",
+    "cusum_online_hourly",
+    "corpus_release_gate",
+    "hdbscan_lite_clusters",
+    "retrieval_eval_suite",
 ]
 
 

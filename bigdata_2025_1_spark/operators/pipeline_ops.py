@@ -843,9 +843,15 @@ GATE_MAX_ABS_DRIFT_Z = "3.0"  # |fertility-drift z| <= 3 (or no verdict)
 def _release_gate_oracle() -> str:
     # Compose the standalone queries' REGISTERED oracles verbatim (the
     # retrieval_mrr_eval convention) — the gate can never drift from
-    # what the correctness gate checks for each leg. pipeline_ops loads
-    # after text_analysis/dedup in operators.__init__, so the four
-    # oracles are present at decoration time.
+    # what the correctness gate checks for each leg. The leg modules
+    # are imported HERE, not assumed: operators.__init__ loads them
+    # before this module on the driver, but a Spark Python WORKER
+    # unpickling a UDF defined in this module imports pipeline_ops
+    # DIRECTLY, where nothing has registered yet (measured: a KeyError
+    # here failed heavy_hitters_mg's executor tasks in round 10). The
+    # imports are no-ops when registration already happened.
+    from bigdata_2025_1_spark.operators import dedup  # noqa: F401
+    from bigdata_2025_1_spark.operators import text_analysis  # noqa: F401
     from bigdata_2025_1_spark.registry import ORACLES as _O
 
     return f"""
