@@ -162,6 +162,28 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # metrics. Rankings are probe-bounded (n_probes x k rows) — inside the
 # documented cache contract at any fact scale.
 #
+# Round-10 note (full headline run at sf0.1, recorded IN-REPO as
+# bench_local_r10.json — the full line only, so json.load works on it).
+# Shared-174-query subtotal vs bench_local_r9.json: 210.7 -> 210.6 s
+# (-0.0%: flat, zero regressions beyond the documented noise class —
+# worst single delta bradley_terry_nation_strength +1.12 s,
+# code-unchanged, the same query that swung -0.48 s in r9). The
+# shared-rankings refactor confirmed at sf0.1: ndcg_retrieval_eval
+# 2.99 -> 1.22 s (-1.78, the round's biggest mover); retrieval_mrr_eval
+# measured 1.86 -> 2.02 s here (noise-level — the controlled
+# interleaved A/B above, 1.76 -> 1.19 s, is the honest read for it).
+# The 6 round-10 additions land 0.42-5.29 s:
+# ks_doclen_drift 0.42 / cusum_online_hourly 0.51 (value-domain
+# histograms + hour-spine scans), retrieval_eval_suite 1.60 (ONE index
+# build for recall+MRR+nDCG via the shared rankings — cheaper than
+# either standalone eval was in r9), mannwhitney_fertility_drift 2.32
+# (the BPE train loop, same cost class as bpe_encode_corpus 2.75),
+# corpus_release_gate 3.05 (four corpus legs incl. the BPE train), and
+# hdbscan_lite_clusters 5.29 — the heaviest: TWO min-label-propagation
+# loops (one per eps level) each paying per-iteration driver
+# convergence counts; a fused multi-level loop would halve it if the
+# suite ever needs more levels (noted, not needed at 2).
+#
 # Round-4 variance note: five full runs on the same code measured the
 # 34-query shared subtotal at 24.7 / 27.8 / 29.8 / 31.1 / 34.9 s (r3
 # recorded 27.5 s) and single queries swung 2.5x between consecutive
