@@ -2043,6 +2043,14 @@ def retrieval_rankings(
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _RANKINGS_MEMO.get(key)
     if hit is not None:
+        # a spark.catalog.clearCache() since the last call silently
+        # unpersisted the memoized frames (they stay valid, just
+        # lineage-replayed); re-persist so the suite keeps its
+        # one-build-per-session contract across cache clears
+        for df_ in hit:
+            lvl = df_.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                df_.persist()
         return hit
     exact = (
         ann_topk_cosine(spark, sf_dir)

@@ -170,3 +170,24 @@ def test_retrieval_rankings_memo_is_shared_within_a_session(spark, sf_dir):
     assert e1 is e2 and s1 is s2
     assert len(S._RANKINGS_MEMO) == 1
     spark.catalog.clearCache()
+
+
+def test_retrieval_rankings_repersist_after_clearcache(spark, sf_dir):
+    """spark.catalog.clearCache() silently unpersists the memoized
+    frames; the next retrieval_rankings call must re-persist them so a
+    suite keeps its one-build contract across the per-query cache
+    clears every harness performs (measured in round 10: without this,
+    the suite's later evals quietly replayed the full index builds)."""
+    from bigdata_2025_1_spark.operators import similarity as S
+
+    S._RANKINGS_MEMO.clear()
+    e1, s1 = S.retrieval_rankings(spark, sf_dir)
+    spark.catalog.clearCache()
+    lvl = e1.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)  # clearCache really wiped it
+    e2, s2 = S.retrieval_rankings(spark, sf_dir)
+    assert e2 is e1 and s2 is s1
+    for df_ in (e2, s2):
+        lvl = df_.storageLevel
+        assert lvl.useMemory or lvl.useDisk, "memo hit was not re-persisted"
+    spark.catalog.clearCache()

@@ -42,7 +42,10 @@ def load_old(ref: str, targets: dict[str, str]) -> dict:
             ns = {"__name__": f"old_{path.rsplit('/', 1)[-1][:-3]}"}
             exec(compile(src, f"old:{path}", "exec"), ns)
             for q, p in targets.items():
-                if p == path:
+                if p == path and q in ns:
+                    # absent = the query didn't exist at ``ref`` yet;
+                    # callers decide whether that's an error (ab.py)
+                    # or expected (plandiff.py's new-query case)
                     out[q] = ns[q]
     finally:
         R.query = orig
@@ -79,6 +82,10 @@ def main() -> int:
         return 2
     targets = {q: module_path(new[q].__wrapped__ if hasattr(new[q], "__wrapped__") else new[q]) for q in args.queries}
     old = load_old(args.ref, targets)
+    absent = [q for q in args.queries if q not in old]
+    if absent:
+        print(f"not present at {args.ref}: {absent}", file=sys.stderr)
+        return 2
     for q in args.queries:
         best = {"old": 1e9, "new": 1e9}
         for _ in range(args.reps):

@@ -16,6 +16,16 @@ Usage:
 
 Exit status: 0 = all plans unchanged, 1 = at least one differs (so CI
 or a pre-commit hook can gate on it).
+
+Known limits (measured over all 328 queries vs the round-9 ref):
+- multi-count-distinct queries (distinct_counts, table_profile) permute
+  the Expand rewrite's gid<->column assignment with the session-global
+  expression-id counter — semantically identical, flagged CHANGED
+  (~2/328 false-positive rate; the canonical() tier catches pure list/
+  line permutations but not gid renumbering inside FILTER clauses);
+- queries composing persisted helpers can read "unchanged" when the
+  OLD side's identical plan fragment is substituted from the cache
+  manager — run such queries standalone (fresh memo) for a clean read.
 """
 
 from __future__ import annotations
@@ -45,6 +55,16 @@ _NOISE = [
     # lambda-variable ids (x_8, y_3, ...) come from a SESSION-GLOBAL
     # counter — same expression, different numbers per invocation
     (re.compile(r"\b([a-z])_\d+#"), r"\1_#"),
+    # CSE aliases (_common_expr_0) use the same session-global counter
+    (re.compile(r"_common_expr_\d+"), "_common_expr_"),
+    # whole-stage-codegen stage numbers depend on session history
+    (re.compile(r"codegen id : \d+"), "codegen id : _"),
+    # AQE query-stage ids ((62) ShuffleQueryStage / Arguments: 17) are
+    # materialization-order-dependent; a bare-integer Arguments line
+    # carries no shape information beyond the id
+    (re.compile(r"^Arguments: \d+$", re.MULTILINE), "Arguments: _"),
+    # RDD ids in Scan ExistingRDD (driver-created frames) are per-session
+    (re.compile(r"RDD\[\d+\]"), "RDD[_]"),
 ]
 
 
@@ -52,6 +72,33 @@ def normalize(plan: str) -> str:
     for pat, rep in _NOISE:
         plan = pat.sub(rep, plan)
     return "\n".join(ln.rstrip() for ln in plan.splitlines())
+
+
+_BRACKET = re.compile(r"\[([^\[\]]*)\]")
+
+
+def canonical(plan: str) -> str:
+    """Second-tier comparison form: sort the elements of every
+    bracketed list (innermost-out) and the line order. Catalyst
+    orderings keyed off the session-global expression-id counter (the
+    multi-count-distinct Expand rewrite, attribute-set printouts)
+    permute semantically-identical lists between two builds in one
+    session; a plan equal under this form but not under normalize() is
+    layout-only. Genuine shape changes (different nodes, join types,
+    build sides, key sets) survive canonicalization."""
+
+    def sort_inner(m: re.Match) -> str:
+        items = [x.strip() for x in m.group(1).split(",")]
+        # sentinel brackets make the enclosing list innermost next pass
+        return "⟦" + ", ".join(sorted(items)) + "⟧"
+
+    for _ in range(8):  # innermost-out, bounded nesting
+        new = _BRACKET.sub(sort_inner, plan)
+        if new == plan:
+            break
+        plan = new
+    plan = plan.replace("⟦", "[").replace("⟧", "]")
+    return "\n".join(sorted(plan.splitlines()))
 
 
 def main() -> int:
@@ -78,6 +125,9 @@ def main() -> int:
     old = load_old(args.ref, targets)
     changed = []
     for q in names:
+        if q not in old:
+            print(f"{q}: not present at {args.ref} — new query, skipped")
+            continue
         spark.catalog.clearCache()
         try:
             p_old = normalize(formatted_plan(old[q](spark, args.sf)))
@@ -88,6 +138,9 @@ def main() -> int:
         p_new = normalize(formatted_plan(new[q](spark, args.sf)))
         if p_old == p_new:
             print(f"{q}: unchanged")
+            continue
+        if canonical(p_old) == canonical(p_new):
+            print(f"{q}: layout-only (counter-sensitive ordering)")
             continue
         changed.append(q)
         print(f"{q}: PLAN CHANGED vs {args.ref}")
