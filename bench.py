@@ -402,6 +402,8 @@ HEADLINE = [
     "corpus_release_gate",
     "hdbscan_lite_clusters",
     "retrieval_eval_suite",
+    "seasonal_decompose_monthly",
+    "sprt_error_rate",
 ]
 
 

@@ -1119,3 +1119,290 @@ def cusum_update(state, xs):
 
 
 CUSUM_STATE_ZERO = (0, 0, 0, 0)
+
+
+# Classical additive seasonal decomposition (period M = SD_PERIOD): the
+# 2xM centered moving average defines trend; month-slot means of the
+# detrended series (centered to sum ~0) define the seasonal component.
+SD_PERIOD = 12
+
+
+@query(
+    "seasonal_decompose_monthly",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT {_MONTH_IDX_SQL} AS m,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY m
+    ), idx AS (
+      SELECT m, y, CAST(ROW_NUMBER() OVER (ORDER BY m) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM monthly
+    ), tr AS (
+      SELECT m, y, rn, n,
+             CASE WHEN rn > {SD_PERIOD // 2} AND rn <= n - {SD_PERIOD // 2} THEN
+               CAST(LAG(y, {SD_PERIOD // 2}) OVER w
+                    + 2 * (SUM(y) OVER (ORDER BY rn
+                        ROWS BETWEEN {SD_PERIOD // 2 - 1} PRECEDING
+                                 AND {SD_PERIOD // 2 - 1} FOLLOWING))
+                    + LEAD(y, {SD_PERIOD // 2}) OVER w AS BIGINT)
+             END AS t24
+      FROM idx WINDOW w AS (ORDER BY rn)
+    ), det AS (
+      SELECT m, y, rn, t24,
+             CASE WHEN t24 IS NOT NULL THEN {2 * SD_PERIOD} * y - t24 END AS d24,
+             m % {SD_PERIOD} AS slot
+      FROM tr
+    ), seas AS (
+      SELECT slot, CAST(SUM(d24) AS BIGINT) // CAST(COUNT(d24) AS BIGINT) AS s24_raw
+      FROM det WHERE d24 IS NOT NULL GROUP BY slot
+    ), adj AS (
+      SELECT CAST(SUM(s24_raw) AS BIGINT) // {SD_PERIOD} AS s_mean FROM seas
+    ), seasc AS (
+      SELECT slot, CAST(s24_raw - adj.s_mean AS BIGINT) AS s24
+      FROM seas CROSS JOIN adj
+    )
+    SELECT d.m, d.y AS y_cents,
+           CAST(d.t24 AS BIGINT) AS trend_i24,
+           ROUND(d.t24 / {2 * SD_PERIOD}.0, 6) AS trend,
+           s.s24 AS seasonal_i24,
+           ROUND(s.s24 / {2 * SD_PERIOD}.0, 6) AS seasonal,
+           CAST(d.d24 - s.s24 AS BIGINT) AS remainder_i24,
+           ROUND((d.d24 - s.s24) / {2 * SD_PERIOD}.0, 6) AS remainder
+    FROM det d JOIN seasc s ON s.slot = d.slot
+    WHERE d.d24 IS NOT NULL
+    ORDER BY d.m
+    """,
+)
+def seasonal_decompose_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (the
+    ``statsmodels seasonal_decompose`` / pre-STL textbook method) of
+    monthly order revenue: trend = the 2x{SD_PERIOD} centered moving
+    average (the standard even-period convention: half weight on the
+    two outermost months), seasonal = the per-month-slot mean of the
+    detrended series centered to sum ~zero, remainder = what's left.
+    The DIAGNOSTIC the forecasting family reads before model choice
+    (``holt_winters_forecast`` assumes the seasonal queue this exposes;
+    ``monthly_seasonality_index`` is the multiplicative cousin): a
+    remainder with structure means the additive model is wrong.
+
+    Determinism: everything derives from ONE integer scaling — trend is
+    carried as t24 = y_{{t-6}} + 2*Σ y_{{t-5..t+5}} + y_{{t+6}} (exact
+    24x the MA), detrended as d24 = 24*y - t24, slot means and the
+    centering adjustment via truncating integer division, remainder as
+    an exact integer difference. The doubles are four ROUND(x/24, 6)
+    display casts of identical integers. Months without a full
+    centered window (first/last {SD_PERIOD // 2}) drop under identical
+    guards; slots never observed drop via the inner join.
+
+    Scale shape: the fact table collapses to the calendar-bounded
+    monthly series; the MA/lag windows and the slot means run on that
+    bounded domain (the documented exception class); per-key fleets
+    would groupBy the key. No Python, no recursion — pure window
+    algebra in both engines."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = _monthly_revenue_cents(orders)
+    half = SD_PERIOD // 2
+    wo = Window.orderBy("m")
+    idx = monthly.select(
+        "m",
+        "y",
+        F.row_number().over(wo).cast("bigint").alias("rn"),
+        F.count("*").over(
+            Window.orderBy("m").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("n"),
+    )
+    wr = Window.orderBy("rn")
+    inner = Window.orderBy("rn").rowsBetween(-(half - 1), half - 1)
+    t24 = F.when(
+        (F.col("rn") > half) & (F.col("rn") <= F.col("n") - half),
+        (
+            F.lag("y", half).over(wr)
+            + 2 * F.sum("y").over(inner)
+            + F.lead("y", half).over(wr)
+        ).cast("bigint"),
+    )
+    det = idx.select(
+        "m",
+        "y",
+        t24.alias("t24"),
+        (F.col("m") % SD_PERIOD).alias("slot"),
+    ).withColumn(
+        "d24",
+        F.when(
+            F.col("t24").isNotNull(), 2 * SD_PERIOD * F.col("y") - F.col("t24")
+        ),
+    )
+    seas = (
+        det.filter(F.col("d24").isNotNull())
+        .groupBy("slot")
+        .agg(
+            F.expr("cast(sum(d24) as bigint) div cast(count(d24) as bigint)")
+            .alias("s24_raw")
+        )
+    )
+    adj = seas.agg(
+        F.expr(f"cast(sum(s24_raw) as bigint) div {SD_PERIOD}").alias("s_mean")
+    )
+    seasc = seas.crossJoin(F.broadcast(adj)).select(
+        "slot", (F.col("s24_raw") - F.col("s_mean")).cast("bigint").alias("s24")
+    )
+    scale = float(2 * SD_PERIOD)
+    return (
+        det.filter(F.col("d24").isNotNull())
+        .join(F.broadcast(seasc), "slot")
+        .select(
+            "m",
+            F.col("y").alias("y_cents"),
+            F.col("t24").cast("bigint").alias("trend_i24"),
+            F.round(F.col("t24") / scale, 6).alias("trend"),
+            F.col("s24").alias("seasonal_i24"),
+            F.round(F.col("s24") / scale, 6).alias("seasonal"),
+            (F.col("d24") - F.col("s24")).cast("bigint").alias("remainder_i24"),
+            F.round((F.col("d24") - F.col("s24")) / scale, 6).alias("remainder"),
+        )
+        .orderBy("m")
+    )
+
+
+# Wald SPRT on the hourly error rate: H0 p<=P0 vs H1 p>=P1 at
+# alpha = beta = 0.05. The per-observation log-likelihood increments and
+# the decision boundaries are computed ONCE here (Python) and embedded
+# as integer-micro literals in BOTH engines, so no log ever runs
+# engine-side (the DCG-gain-table convention).
+import math as _sprt_math  # noqa: E402
+
+SPRT_P0 = 0.15
+SPRT_P1 = 0.25
+SPRT_L1_I6 = round(1e6 * _sprt_math.log(SPRT_P1 / SPRT_P0))  # error obs
+SPRT_L0_I6 = round(1e6 * _sprt_math.log((1 - SPRT_P1) / (1 - SPRT_P0)))
+SPRT_A_I6 = round(1e6 * _sprt_math.log(19.0))  # (1-beta)/alpha = 19
+SPRT_B_I6 = -SPRT_A_I6  # beta/(1-alpha) = 1/19
+
+
+@query(
+    "sprt_error_rate",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hidx,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS e
+      FROM events GROUP BY hidx
+    ), cum AS (
+      SELECT hidx, k, e,
+             CAST(SUM(e * {SPRT_L1_I6} + (k - e) * ({SPRT_L0_I6}))
+                  OVER w AS BIGINT) AS llr_i6
+      FROM hourly WINDOW w AS (ORDER BY hidx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), crossed AS (
+      SELECT hidx, k, e, llr_i6,
+             CASE WHEN llr_i6 >= {SPRT_A_I6} THEN 'reject_h0'
+                  WHEN llr_i6 <= {SPRT_B_I6} THEN 'accept_h0' END AS cr
+      FROM cum
+    )
+    SELECT hidx, k AS n_events, e AS n_errors,
+           llr_i6, ROUND(llr_i6 / 1e6, 6) AS llr,
+           COALESCE(FIRST_VALUE(cr IGNORE NULLS) OVER (ORDER BY hidx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             'continue') AS status
+    FROM crossed ORDER BY hidx
+    """,
+)
+def sprt_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test on the hourly error
+    rate (Wald 1945 — THE sequential test, optimal expected sample
+    size): is the stream's error rate at the healthy {SPRT_P0} (H0) or
+    the degraded {SPRT_P1} (H1)? Each event moves the log-likelihood
+    ratio by ln(p1/p0) (error) or ln((1-p1)/(1-p0)) (ok); the monitor
+    decides the FIRST time the cumulative LLR leaves
+    (ln(β/(1-α)), ln((1-β)/α)) and the decision freezes (the classic
+    stopping rule; the LLR column keeps accumulating for display). The
+    fourth member of the sequential family — CUSUM/PH flag a CHANGE,
+    SPRT renders a VERDICT between two named hypotheses at controlled
+    α = β = 0.05; ``sprt_update`` is the per-trigger form with a
+    foreachBatch twin.
+
+    Determinism: the two increments and both boundaries are
+    Python-computed integer-micro literals shared by both engines (no
+    engine-side log); the LLR is an exact integer prefix sum of
+    err/ok counts; the first-crossing freeze is FIRST_VALUE(...
+    IGNORE NULLS) over the hour spine — identical semantics in both
+    engines; the only double is the ROUND(llr/1e6, 6) display column.
+
+    Scale shape: one map-side-combinable fact collapse to the
+    calendar-bounded hour spine; two windows over that bounded domain
+    (the documented exception class); in production the operator runs
+    online per-trigger."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("bigint")
+        .alias("hidx")
+    ).agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum((F.col("event_type") == "error").cast("bigint"))
+        .cast("bigint")
+        .alias("e"),
+    )
+    w = Window.orderBy("hidx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hourly.select(
+        "hidx",
+        "k",
+        "e",
+        F.sum(
+            F.col("e") * SPRT_L1_I6 + (F.col("k") - F.col("e")) * SPRT_L0_I6
+        )
+        .over(w)
+        .cast("bigint")
+        .alias("llr_i6"),
+    )
+    cr = F.when(F.col("llr_i6") >= SPRT_A_I6, F.lit("reject_h0")).when(
+        F.col("llr_i6") <= SPRT_B_I6, F.lit("accept_h0")
+    )
+    return (
+        cum.withColumn("cr", cr)
+        .select(
+            "hidx",
+            F.col("k").alias("n_events"),
+            F.col("e").alias("n_errors"),
+            "llr_i6",
+            F.round(F.col("llr_i6") / 1e6, 6).alias("llr"),
+            F.coalesce(
+                F.first("cr", ignorenulls=True).over(w), F.lit("continue")
+            ).alias("status"),
+        )
+        .orderBy("hidx")
+    )
+
+
+def sprt_update(state, obs):
+    """Online SPRT state transition — the per-trigger form of
+    ``sprt_error_rate``. State is (llr_i6, decision); ``obs`` is the
+    next run of hourly (n_events, n_errors) pairs in hour order. The
+    decision freezes at the first boundary crossing (Wald's stopping
+    rule) while the LLR keeps accumulating, byte-identical to the
+    batch replay. Returns (state, out) with one (llr_i6, status) pair
+    per hour. Chunking-invariant by construction — property-tested
+    against random splits."""
+    llr, decision = state
+    out = []
+    for k, e in obs:
+        k, e = int(k), int(e)
+        llr += e * SPRT_L1_I6 + (k - e) * SPRT_L0_I6
+        if decision is None:
+            if llr >= SPRT_A_I6:
+                decision = "reject_h0"
+            elif llr <= SPRT_B_I6:
+                decision = "accept_h0"
+        out.append((llr, decision or "continue"))
+    return (llr, decision), out
+
+
+SPRT_STATE_ZERO = (0, None)

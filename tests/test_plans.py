@@ -1605,6 +1605,8 @@ ROUND10_QUERIES = [
     "corpus_release_gate",
     "hdbscan_lite_clusters",
     "retrieval_eval_suite",
+    "seasonal_decompose_monthly",
+    "sprt_error_rate",
 ]
 
 

@@ -236,3 +236,160 @@ def test_cusum_online_short_series_is_empty(spark, tmp_path):
     sf = _write_events(spark, tmp_path, [3] * CUSUM_WARM)
     assert all_queries()["cusum_online_hourly"](spark, sf).count() == 0
     spark.catalog.clearCache()
+
+
+def _write_orders_monthly(spark, tmp_path, cents: dict[int, int]) -> str:
+    """One order per month index m with totalprice = cents/100 (1992-01
+    epoch, the _MONTH_IDX_SQL convention)."""
+    import datetime
+
+    rows = [
+        (
+            i,
+            datetime.date(1992 + m // 12, m % 12 + 1, 15),
+            c / 100.0,
+        )
+        for i, (m, c) in enumerate(sorted(cents.items()))
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    return str(tmp_path)
+
+
+def _scalar_decompose(ys: list[int], period: int):
+    """Textbook additive decomposition with the 2xM centered MA, all in
+    the engine's integer scaling (t24/d24/s24, trunc division)."""
+    n = len(ys)
+    half = period // 2
+    out = []
+    t24 = {}
+    for t in range(half, n - half):
+        t24[t] = ys[t - half] + 2 * sum(ys[t - half + 1 : t + half]) + ys[t + half]
+    d24 = {t: 2 * period * ys[t] - v for t, v in t24.items()}
+    slots: dict[int, list[int]] = {}
+    for t, v in d24.items():
+        slots.setdefault(t % period, []).append(v)
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    s_raw = {sl: tdiv(sum(vs), len(vs)) for sl, vs in slots.items()}
+    s_mean = tdiv(sum(s_raw.values()), period)
+    s24 = {sl: v - s_mean for sl, v in s_raw.items()}
+    for t in sorted(t24):
+        out.append((t, ys[t], t24[t], s24[t % period], d24[t] - s24[t % period]))
+    return out
+
+
+def test_seasonal_decompose_matches_scalar(spark, tmp_path):
+    """Trend + seasonal + noise series, hand-decomposed: the engine's
+    integer t24/s24/remainder columns must match the scalar walk
+    exactly, and trend + seasonal + remainder must rebuild 24*y."""
+    from bigdata_2025_1_spark.operators.timeseries_ops import SD_PERIOD
+
+    rng = [(37 * t * t) % 500 for t in range(30)]  # deterministic "noise"
+    ys = [
+        100_000 + 2_000 * t + [0, 5_000, -3_000, 8_000][t % 4] * 3 + rng[t]
+        for t in range(30)
+    ]
+    cents = {t: ys[t] for t in range(30)}
+    sf = _write_orders_monthly(spark, tmp_path, cents)
+    want = _scalar_decompose(ys, SD_PERIOD)
+    rows = all_queries()["seasonal_decompose_monthly"](spark, sf).collect()
+    got = [
+        (r.m, r.y_cents, r.trend_i24, r.seasonal_i24, r.remainder_i24)
+        for r in rows
+    ]
+    assert got == want
+    for r in rows:
+        assert r.trend_i24 + r.seasonal_i24 + r.remainder_i24 == 24 * r.y_cents
+        assert r.trend == pytest.approx(r.trend_i24 / 24, abs=1e-6)
+    spark.catalog.clearCache()
+
+
+def test_seasonal_decompose_short_series_is_empty(spark, tmp_path):
+    """No month has a full centered window below period+1 points."""
+    from bigdata_2025_1_spark.operators.timeseries_ops import SD_PERIOD
+
+    cents = {t: 100_000 + t for t in range(SD_PERIOD)}
+    sf = _write_orders_monthly(spark, tmp_path, cents)
+    assert all_queries()["seasonal_decompose_monthly"](spark, sf).count() == 0
+    spark.catalog.clearCache()
+
+
+def _write_events_typed(spark, tmp_path, hourly: list[tuple[int, int]]) -> str:
+    """hourly = [(n_events, n_errors), ...] per consecutive hour."""
+    import datetime
+
+    rows = []
+    for h, (k, e) in enumerate(hourly):
+        for j in range(k):
+            rows.append(
+                (
+                    f"e{h}_{j}",
+                    j + 1,
+                    "error" if j < e else "click",
+                    1.0,
+                    datetime.datetime(2026, 1, 1) + datetime.timedelta(
+                        hours=h, minutes=j % 60
+                    ),
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id string, user_id long, event_type string,"
+        " value double, ts timestamp",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_sprt_matches_textbook_and_freezes_on_reject(spark, tmp_path):
+    """High error rate: the LLR climbs monotonically, crosses ln(19)
+    and the verdict freezes at reject_h0 while the LLR keeps
+    accumulating — walked by hand with the same integer literals."""
+    from bigdata_2025_1_spark.operators.timeseries_ops import (
+        SPRT_A_I6,
+        SPRT_B_I6,
+        SPRT_L0_I6,
+        SPRT_L1_I6,
+    )
+
+    hourly = [(10, 5)] * 8  # 50% errors >> p1
+    sf = _write_events_typed(spark, tmp_path, hourly)
+    llr, decision, want = 0, None, []
+    for k, e in hourly:
+        llr += e * SPRT_L1_I6 + (k - e) * SPRT_L0_I6
+        if decision is None:
+            if llr >= SPRT_A_I6:
+                decision = "reject_h0"
+            elif llr <= SPRT_B_I6:
+                decision = "accept_h0"
+        want.append((k, e, llr, decision or "continue"))
+    got = [
+        (r.n_events, r.n_errors, r.llr_i6, r.status)
+        for r in all_queries()["sprt_error_rate"](spark, str(tmp_path)).collect()
+    ]
+    assert got == want
+    assert want[-1][3] == "reject_h0" and want[0][3] == "continue"
+    spark.catalog.clearCache()
+
+
+def test_sprt_accepts_h0_on_clean_stream_and_stays_frozen(spark, tmp_path):
+    """Near-zero error rate: the LLR dives, crosses -ln(19), verdict
+    freezes at accept_h0 — even when a later hour is all errors (the
+    stopping rule: no verdict flip after the decision)."""
+    hourly = [(20, 0)] * 6 + [(10, 10)] * 2
+    sf = _write_events_typed(spark, tmp_path, hourly)
+    rows = all_queries()["sprt_error_rate"](spark, str(tmp_path)).collect()
+    assert rows[5].status == "accept_h0"
+    assert rows[-1].status == "accept_h0"  # frozen despite the error burst
+    assert rows[-1].llr_i6 > rows[5].llr_i6  # LLR itself keeps moving
+    spark.catalog.clearCache()

@@ -1124,3 +1124,75 @@ def test_cusum_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
         q.stop()
     assert len(batches) == 2, batches  # genuinely incremental
     assert emitted == expected
+
+
+def test_sprt_accumulates_in_foreachbatch(spark, sf_dir, tmp_path):
+    """Sequential hypothesis testing, streamed: events arrive in TWO
+    micro-batches split on a day boundary; each batch collapses to its
+    hourly (events, errors) pairs and feeds the standing (llr, decision)
+    SPRT state via sprt_update. The streamed per-hour (llr_i6, status)
+    sequence must equal the batch sprt_error_rate query's rows (the
+    page_hinkley/cusum twin convention) — including the frozen verdict
+    surviving the batch boundary."""
+    from bigdata_2025_1_spark.operators.timeseries_ops import (
+        SPRT_STATE_ZERO,
+        sprt_update,
+    )
+    from bigdata_2025_1_spark.registry import all_queries
+
+    expected = [
+        (r.hidx, r.llr_i6, r.status)
+        for r in all_queries()["sprt_error_rate"](spark, sf_dir).collect()
+    ]
+    spark.catalog.clearCache()
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    stream_dir = str(tmp_path / "sprt_incoming")
+    ev.filter(F.col("ts") < "2024-01-16").coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+    ev.filter(F.col("ts") >= "2024-01-16").coalesce(1).write.parquet(
+        stream_dir, mode="append"
+    )
+
+    state = [SPRT_STATE_ZERO]
+    emitted: list = []
+    batches: list[int] = []
+
+    def per_batch(batch_df, bid):
+        batches.append(bid)
+        hours = (
+            batch_df.groupBy(
+                (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+                .cast("bigint")
+                .alias("hidx")
+            )
+            .agg(
+                F.count("*").alias("k"),
+                F.sum((F.col("event_type") == "error").cast("bigint")).alias("e"),
+            )
+            .orderBy("hidx")
+            .collect()
+        )
+        state[0], out = sprt_update(state[0], [(r.k, r.e) for r in hours])
+        emitted.extend(
+            (r.hidx, llr, st) for r, (llr, st) in zip(hours, out)
+        )
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sprt_ckpt"))
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "stream did not finish in 180s"
+    finally:
+        q.stop()
+    assert len(batches) == 2, batches
+    assert emitted == expected

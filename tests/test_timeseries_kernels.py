@@ -216,3 +216,42 @@ def test_cusum_online_update_is_chunking_invariant():
         assert out == whole
 
     run()
+
+
+def test_sprt_online_update_is_chunking_invariant():
+    """sprt_update must produce the identical (llr, status) sequence
+    under any chunking — including splits around the decision hour."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_2025_1_spark.operators.timeseries_ops import (
+        SPRT_STATE_ZERO,
+        sprt_update,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        obs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=50),
+                st.integers(min_value=0, max_value=50),
+            ).map(lambda t: (max(t), min(t))),  # k >= e always
+            min_size=1,
+            max_size=40,
+        ),
+        data=st.data(),
+    )
+    def run(obs, data):
+        n = len(obs)
+        cuts = sorted(
+            data.draw(st.lists(st.integers(min_value=0, max_value=n), max_size=4))
+        )
+        bounds = [0, *cuts, n]
+        state, out = SPRT_STATE_ZERO, []
+        for lo, hi in zip(bounds, bounds[1:]):
+            state, o = sprt_update(state, obs[lo:hi])
+            out.extend(o)
+        _, whole = sprt_update(SPRT_STATE_ZERO, obs)
+        assert out == whole
+
+    run()
