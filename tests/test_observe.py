@@ -42,14 +42,24 @@ def test_observe_on_streaming_batch(spark, sf_dir, tmp_path):
 def test_clear_cache_contract_releases_all_blocks(spark, sf_dir):
     """Package cache contract (bigdata_2025_1_spark/__init__.py): queries
     may persist() shared intermediates; the caller's clearCache() must
-    leave ZERO cached blocks behind — pinned here on a persisting query
-    from each family (LSH dedup, graph, corpus capstone)."""
+    release every block the query ADDED — pinned here on a persisting
+    query from each family (LSH dedup, graph, corpus capstone).
+    Baseline-relative on RDD ids: earlier tests' localCheckpoint blocks
+    (the lineage-truncation artifact clearCache deliberately does NOT
+    touch — they are GC-freed) may linger in the shared session, so a
+    zero-blocks assertion would fail on test ORDER, not on a leak."""
     from bigdata_2025_1_spark.registry import all_queries
 
     queries = all_queries()
     sc = spark.sparkContext
+
+    def block_ids() -> set[int]:
+        return {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+
     for q in ("dedup_minhash_lsh", "pagerank_nation_trade", "corpus_curation_v2"):
-        queries[q](spark, sf_dir).count()  # materialize → persists fill
-        assert len(sc._jsc.sc().getRDDStorageInfo()) > 0, f"{q} did not cache"
         spark.catalog.clearCache()
-        assert len(sc._jsc.sc().getRDDStorageInfo()) == 0, f"{q} left cached blocks"
+        base = block_ids()
+        queries[q](spark, sf_dir).count()  # materialize → persists fill
+        assert block_ids() - base, f"{q} did not cache"
+        spark.catalog.clearCache()
+        assert not (block_ids() - base), f"{q} left cached blocks"
