@@ -404,6 +404,8 @@ HEADLINE = [
     "retrieval_eval_suite",
     "seasonal_decompose_monthly",
     "sprt_error_rate",
+    "lsh_recall_eval",
+    "ab_power_mde",
 ]
 
 

@@ -1535,3 +1535,224 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# LSH-acceptance gate literal: the signature config (NUM_HASHES=8,
+# BANDS=2 -> P(candidate | J) = 1-(1-J^4)^2, i.e. ~0.65 at J=0.8 but
+# ~1.0 as J -> 1) must recover at least this fraction of the TRUE
+# >=0.8-Jaccard pairs on the corpus under eval. Shared literal between
+# engines and with the reconciliation test.
+LSH_MIN_RECALL = "0.6"
+
+_TRUTH_PAIRS_SQL = f"""
+    posts AS (
+      SELECT doc_id, sz, unnest(shingles) AS shingle FROM sh2
+    ), dfreq AS (
+      SELECT shingle, COUNT(*) AS df FROM posts GROUP BY shingle
+    ), pfx AS (
+      SELECT doc_id, sz, shingle FROM (
+        SELECT p.doc_id, p.sz, p.shingle,
+               ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                                  ORDER BY d.df, p.shingle) AS rk
+        FROM posts p JOIN dfreq d USING (shingle)
+      ) WHERE rk <= sz // 5 + 1
+    ), tcand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pfx a JOIN pfx b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       AND 5 * a.sz >= 4 * b.sz AND 5 * b.sz >= 4 * a.sz
+    ), truth AS (
+      SELECT c.doc_a, c.doc_b
+      FROM tcand c
+      JOIN sh2 sa ON sa.doc_id = c.doc_a
+      JOIN sh2 sb ON sb.doc_id = c.doc_b
+      WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(sa.shingles || sb.shingles))
+              >= {JACCARD_THRESHOLD}
+    )"""
+
+
+@query(
+    "lsh_recall_eval",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM tok
+    ), sh2 AS (
+      SELECT doc_id, shingles, len(shingles) AS sz FROM sh
+      WHERE len(shingles) > 0
+    ), {_TRUTH_PAIRS_SQL},
+    sig AS (
+      SELECT doc_id, shingles, {_SQL_SIG} FROM sh
+    ), bands AS (
+    {_SQL_BANDS}
+    ), lcand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ), lpairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM lcand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(sa.shingles || sb.shingles))
+              >= {JACCARD_THRESHOLD}
+    ), tn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth
+    ), cn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh_candidates FROM lcand
+    ), vn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh_pairs FROM lpairs
+    )
+    SELECT tn.n_true_pairs, cn.n_lsh_candidates, vn.n_lsh_pairs,
+           CASE WHEN tn.n_true_pairs = 0 THEN NULL
+                ELSE vn.n_lsh_pairs::DOUBLE / tn.n_true_pairs END AS recall,
+           CASE WHEN cn.n_lsh_candidates = 0 THEN NULL
+                ELSE vn.n_lsh_pairs::DOUBLE / cn.n_lsh_candidates
+                END AS candidate_precision,
+           CASE WHEN tn.n_true_pairs = 0 THEN NULL
+                ELSE vn.n_lsh_pairs::DOUBLE / tn.n_true_pairs
+                       >= {LSH_MIN_RECALL} END AS lsh_ok
+    FROM tn CROSS JOIN cn CROSS JOIN vn
+    """,
+)
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH ACCEPTANCE ROW — the dedup-family capstone
+    (the analogue of ``retrieval_eval_suite`` for the near-dup
+    pipeline): measure the banded LSH candidate generator against
+    EXACT ground truth and emit the one go/no-go row a pipeline gates
+    an LSH config swap on.
+
+    Ground truth is every pair with true shingle-Jaccard >=
+    {JACCARD_THRESHOLD}, generated COMPLETELY (no approximation) by
+    the prefix-filter principle (Chaudhuri et al. SSJoin / Xiao et al.
+    PPJoin): order the shingle universe by (document frequency,
+    shingle) — a global total order — and index only each doc's first
+    ``sz div 5 + 1`` shingles (= sz - ceil(0.8*sz) + 1, integer-exact
+    in both engines); any pair with J >= 0.8 provably shares a prefix
+    shingle (the first common shingle in the global order sits within
+    both prefixes), so prefix-postings equi-join + exact verify loses
+    nothing. The PPJoin length filter (5*min_sz >= 4*max_sz, a J>=0.8
+    necessity) prunes impossible candidates before the verify join.
+
+    Metrics: recall = verified LSH pairs / true pairs (LSH verify uses
+    the same exact Jaccard, so LSH pairs are a subset of truth and
+    recall <= 1 structurally); candidate_precision = verified / band
+    candidates (the verify-cost readout); lsh_ok gates recall >=
+    {LSH_MIN_RECALL}. Expected recall is the banding S-curve
+    1-(1-J^4)^2 averaged over the true-pair J distribution — near-1
+    on near-identical dup corpora, ~0.65 at the J=0.8 boundary.
+
+    Determinism: counts are exact integers; recall/precision are one
+    double division each; the gate compares that double to a shared
+    literal; empty corpus -> 0-count rows -> NULL metrics and a NULL
+    (no-decision) verdict via identical CASE/three-valued logic.
+
+    Scale shape: ONE shingle+signature pass (the persisted
+    ``_signatures`` frame feeds prefix ranking, band join, and both
+    verify joins); document-frequency is a map-side-combinable
+    groupBy(shingle); prefix rank is a doc_id-partitioned window
+    (never single-partition); both candidate joins are equi-joins on
+    short postings (band keys / globally-rare prefix shingles); the
+    final assembly cross-joins three broadcast 1-row aggregates.
+    Prefix postings are frequency-ordered so their lengths shrink as
+    the corpus grows (the PPJoin argument); a pathological
+    shared-prefix corpus degrades the TRUTH side only — the LSH side
+    under eval stays banded."""
+    sig = _signatures(spark, sf_dir)
+    sh = sig.select("doc_id", "shingles", F.size("shingles").alias("sz"))
+    sh2 = sh.filter(F.col("sz") > 0)
+    # ---- exact ground truth via prefix filter
+    posts = sh2.select("doc_id", "sz", F.explode("shingles").alias("shingle"))
+    dfreq = posts.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    pfx = (
+        posts.join(dfreq, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.expr("sz div 5") + 1)
+        .select("doc_id", "sz", "shingle")
+    )
+    pa = pfx.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("shingle").alias("sh_key_a"),
+    )
+    pb = pfx.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("shingle").alias("sh_key_b"),
+    )
+    tcand = (
+        pa.join(
+            pb,
+            (F.col("sh_key_a") == F.col("sh_key_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (5 * F.col("sz_a") >= 4 * F.col("sz_b"))
+            & (5 * F.col("sz_b") >= 4 * F.col("sz_a")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh2.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh2.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jaccard = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    )
+    truth = (
+        tcand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jaccard >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    # ---- the system under eval: band candidates + exact verify
+    bands = _band_rows(sig)
+    ba, bb = bands.alias("a"), bands.alias("b")
+    lcand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .persist()  # feeds the candidate count AND the verify join;
+        # released by harness clearCache
+    )
+    va = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    vb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    lpairs = (
+        lcand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .filter(jaccard >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    tn = truth.agg(F.count("*").alias("n_true_pairs"))
+    cn = lcand.agg(F.count("*").alias("n_lsh_candidates"))
+    vn = lpairs.agg(F.count("*").alias("n_lsh_pairs"))
+    no_truth = F.col("n_true_pairs") == 0
+    recall = F.col("n_lsh_pairs").cast("double") / F.col("n_true_pairs")
+    return (
+        tn.crossJoin(F.broadcast(cn))
+        .crossJoin(F.broadcast(vn))
+        .select(
+            "n_true_pairs",
+            "n_lsh_candidates",
+            "n_lsh_pairs",
+            F.when(no_truth, F.lit(None).cast("double"))
+            .otherwise(recall)
+            .alias("recall"),
+            F.when(F.col("n_lsh_candidates") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.col("n_lsh_pairs").cast("double") / F.col("n_lsh_candidates")
+            )
+            .alias("candidate_precision"),
+            F.when(no_truth, F.lit(None).cast("boolean"))
+            .otherwise(recall >= float(LSH_MIN_RECALL))
+            .alias("lsh_ok"),
+        )
+    )

@@ -3134,3 +3134,127 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_d")
         .orderBy("day")
     )
+
+
+# Power-analysis literals, shared verbatim by both engines and the scalar
+# test: z_{0.975} + z_{0.80} frozen to ONE double literal (no engine-side
+# inverse-CDF), and the absolute-uplift target the design is sized for.
+AB_Z_SUM = "2.8015852181129683"  # 1.959963984540054 + 0.8416212335729143
+AB_TARGET_MDE = "0.01"
+
+
+@query(
+    "ab_power_mde",
+    oracle=f"""
+    WITH units AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id, h
+    ), arms AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM units GROUP BY variant
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+        MAX(CASE WHEN variant = 0 THEN conv END) AS conv_a,
+        MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+        MAX(CASE WHEN variant = 1 THEN conv END) AS conv_b
+      FROM arms
+    ), pooled AS (
+      SELECT n_a, conv_a, n_b, conv_b,
+             (conv_a + conv_b)::DOUBLE / (n_a + n_b) AS pooled_p
+      FROM wide
+    ), se AS (
+      SELECT *,
+             sqrt(pooled_p * (1 - pooled_p) * (1.0 / n_a + 1.0 / n_b))
+               AS se_pooled
+      FROM pooled
+    )
+    SELECT n_a, conv_a, n_b, conv_b, pooled_p, se_pooled,
+           {AB_Z_SUM} * se_pooled AS mde_abs,
+           CASE WHEN pooled_p > 0
+                THEN {AB_Z_SUM} * se_pooled / pooled_p END AS mde_rel,
+           CAST(ceil(2.0 * pooled_p * (1 - pooled_p)
+                     * ({AB_Z_SUM} * {AB_Z_SUM})
+                     / ({AB_TARGET_MDE} * {AB_TARGET_MDE})) AS BIGINT)
+             AS n_per_arm_required,
+           {AB_Z_SUM} * se_pooled <= {AB_TARGET_MDE} AS powered_for_target
+    FROM se
+    """,
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-DESIGN readout for the ``ab_test_uplift`` split — the
+    question a team asks BEFORE reading the uplift: at the traffic the
+    split actually collected (same md5 assignment, same active
+    user-hour exposure unit), what absolute/relative uplift is
+    detectable at alpha=0.05 two-sided with 80% power, and how many
+    units per arm would the {AB_TARGET_MDE}-absolute target need?
+
+    mde_abs = (z_0.975 + z_0.80) * sqrt(p(1-p)(1/n_a + 1/n_b)) with the
+    z-sum frozen to the shared literal {AB_Z_SUM} (no engine-side
+    inverse normal CDF anywhere); n_per_arm_required =
+    ceil(2 p (1-p) z_sum^2 / target^2), the equal-arm normal
+    approximation; powered_for_target gates mde_abs against the target.
+
+    Determinism: counts integer; pooled_p / se / mde are ONE pinned
+    chain of double ops (sqrt is the only non-arithmetic primitive,
+    already relied on cross-engine by the cosine and z-test families);
+    ceil lands on an exact integer boundary only at measure-zero
+    inputs; an empty or one-armed feed propagates NULLs through the
+    identical algebra (MAX-over-empty / missing-arm semantics), and
+    the mde_rel division is CASE-guarded for pooled_p = 0 (ANSI-safe).
+
+    Scale shape: identical to ab_test_uplift — one map-side-combinable
+    (user, hour) collapse, a 2-row arms aggregate, 1-row algebra."""
+    ev = load(spark, sf_dir, "events")
+    units = ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    ).select(
+        "converted",
+        (
+            md5_int(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2
+        ).alias("variant"),
+    )
+    arms = units.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    zs = float(AB_Z_SUM)
+    tgt = float(AB_TARGET_MDE)
+    pooled_p = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    with_p = wide.withColumn("pooled_p", pooled_p)
+    se = F.sqrt(
+        F.col("pooled_p")
+        * (1 - F.col("pooled_p"))
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    with_se = with_p.withColumn("se_pooled", se)
+    mde_abs = F.lit(zs) * F.col("se_pooled")
+    n_req = F.ceil(
+        F.lit(2.0)
+        * F.col("pooled_p")
+        * (1 - F.col("pooled_p"))
+        * (F.lit(zs) * F.lit(zs))
+        / (F.lit(tgt) * F.lit(tgt))
+    ).cast("bigint")
+    return with_se.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        "pooled_p",
+        "se_pooled",
+        mde_abs.alias("mde_abs"),
+        F.when(F.col("pooled_p") > 0, mde_abs / F.col("pooled_p")).alias("mde_rel"),
+        n_req.alias("n_per_arm_required"),
+        (mde_abs <= F.lit(tgt)).alias("powered_for_target"),
+    )

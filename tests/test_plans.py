@@ -1607,6 +1607,8 @@ ROUND10_QUERIES = [
     "retrieval_eval_suite",
     "seasonal_decompose_monthly",
     "sprt_error_rate",
+    "lsh_recall_eval",
+    "ab_power_mde",
 ]
 
 

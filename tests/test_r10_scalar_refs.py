@@ -393,3 +393,206 @@ def test_sprt_accepts_h0_on_clean_stream_and_stays_frozen(spark, tmp_path):
     assert rows[-1].status == "accept_h0"  # frozen despite the error burst
     assert rows[-1].llr_i6 > rows[5].llr_i6  # LLR itself keeps moving
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# lsh_recall_eval — scalar twin: brute-force truth (NO prefix filter, so the
+# engine's prefix-filter completeness is itself under test) + a plain-Python
+# MinHash/banding replica of functions/text.py's minhash_signature spec.
+# ---------------------------------------------------------------------------
+
+
+def _sh3(text: str) -> list[str]:
+    toks = [t for t in text.lower().split() if t]
+    if len(toks) < 3:
+        return []
+    return list(dict.fromkeys(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)))
+
+
+def _scalar_minhash(shingles: list[str], nh: int = 8) -> list[str]:
+    sig = []
+    hexes = [hashlib.md5(s.encode()).hexdigest() for s in shingles]
+    for i in range(nh):
+        sig.append(min(h[i:] + h[:i] for h in hexes))
+    return sig
+
+
+def _scalar_lsh_eval(texts: dict[int, str], thr: float = 0.8):
+    """(truth, candidates, verified) pair sets — truth by brute force."""
+    nz = {d: set(_sh3(t)) for d, t in texts.items() if _sh3(t)}
+    ids = sorted(nz)
+
+    def jac(a, b):
+        return len(nz[a] & nz[b]) / len(nz[a] | nz[b])
+
+    truth = {
+        (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :] if jac(a, b) >= thr
+    }
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for d in ids:
+        sig = _scalar_minhash(sorted(nz[d]))
+        for band in range(2):
+            key = hashlib.md5("".join(sig[band * 4 : band * 4 + 4]).encode()).hexdigest()
+            buckets.setdefault((band, key), []).append(d)
+    cand = {
+        (a, b)
+        for ds in buckets.values()
+        for i, a in enumerate(sorted(ds))
+        for b in sorted(ds)[i + 1 :]
+    }
+    verified = {p for p in cand if jac(*p) >= thr}
+    return truth, cand, verified
+
+
+_LSH_EVAL_TEXTS = {
+    1: "the quick brown fox jumps over the lazy dog today",
+    2: "the quick brown fox jumps over the lazy dog today",  # exact dup of 1
+    3: "the quick brown fox jumps over the lazy dog tonight",  # near dup of 1
+    4: "the quick brown fox jumps over a lazy dog today",  # mid-edit of 1
+    5: "completely unrelated text about spark dataframes and shuffles here",
+    6: "too short",  # < 3 tokens -> zero shingles, excluded everywhere
+    7: "pack my box with five dozen liquor jugs right now please friend",
+}
+
+
+def test_lsh_recall_eval_matches_scalar(spark, tmp_path):
+    """Counts, recall, candidate precision, and the gate must equal the
+    brute-force + scalar-MinHash walk exactly (the truth side doubles as
+    a completeness check of the engine's prefix filter)."""
+    sf = _write_docs_bigint(spark, tmp_path, _LSH_EVAL_TEXTS)
+    truth, cand, verified = _scalar_lsh_eval(_LSH_EVAL_TEXTS)
+    assert truth, "fixture must contain at least one true pair"
+    [r] = all_queries()["lsh_recall_eval"](spark, sf).collect()
+    assert r.n_true_pairs == len(truth)
+    assert r.n_lsh_candidates == len(cand)
+    assert r.n_lsh_pairs == len(verified)
+    assert r.recall == len(verified) / len(truth)
+    assert r.candidate_precision == len(verified) / len(cand)
+    assert r.lsh_ok == (len(verified) / len(truth) >= 0.6)
+    spark.catalog.clearCache()
+
+
+def test_lsh_recall_eval_no_true_pairs_is_null_verdict(spark, tmp_path):
+    """A corpus with no >=0.8 pair: zero truth, NULL recall, NULL gate
+    (no-decision), and precision defined only by what the bands said."""
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "one two three four five six seven eight nine ten eleven",
+        3: "red orange yellow green blue indigo violet pink brown black",
+    }
+    sf = _write_docs_bigint(spark, tmp_path, texts)
+    truth, cand, verified = _scalar_lsh_eval(texts)
+    assert not truth and not verified
+    [r] = all_queries()["lsh_recall_eval"](spark, sf).collect()
+    assert r.n_true_pairs == 0
+    assert r.n_lsh_candidates == len(cand)
+    assert r.n_lsh_pairs == 0
+    assert r.recall is None and r.lsh_ok is None
+    assert (r.candidate_precision is None) == (len(cand) == 0)
+    spark.catalog.clearCache()
+
+
+def test_lsh_recall_eval_reconciles_with_standalone_lsh(spark, sf_dir):
+    """Suite-composition contract: n_lsh_pairs IS dedup_minhash_lsh's
+    row count on the same corpus, and recall <= 1 structurally (the
+    verified pairs are a subset of the exact-truth pairs)."""
+    [r] = all_queries()["lsh_recall_eval"](spark, sf_dir).collect()
+    standalone = all_queries()["dedup_minhash_lsh"](spark, sf_dir).count()
+    assert r.n_lsh_pairs == standalone
+    assert r.n_true_pairs >= r.n_lsh_pairs
+    if r.recall is not None:
+        assert 0.0 <= r.recall <= 1.0
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# ab_power_mde — scalar twin: hand-walked md5 split, pooled rate, MDE and
+# required-n algebra with math.sqrt/ceil over the identical double chain.
+# ---------------------------------------------------------------------------
+
+
+def _ab_variant(uid: int) -> int:
+    return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:12], 16) % 2
+
+
+def _write_ab_events(spark, tmp_path, rows) -> str:
+    """rows = [(user_id, hour, event_type), ...] on 2026-01-01."""
+    import datetime
+
+    data = [
+        (f"e{i}", uid, et, 1.0, datetime.datetime(2026, 1, 1, h))
+        for i, (uid, h, et) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id string, user_id long, event_type string,"
+        " value double, ts timestamp",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_ab_power_mde_matches_scalar(spark, tmp_path):
+    """Counts, pooled rate, SE, MDE, required n, and the power gate must
+    equal the plain-Python walk bit-for-bit (same literal z-sum, same
+    operation order, math.sqrt/math.ceil)."""
+    from bigdata_2025_1_spark.operators.events_ops import AB_TARGET_MDE, AB_Z_SUM
+
+    # (uid, hour, event_type): several user-hours per arm, some purchases;
+    # a purchase and a click in the same user-hour is ONE converted unit.
+    rows = [
+        (1, 0, "click"), (1, 0, "purchase"), (1, 1, "click"),
+        (2, 0, "purchase"), (2, 2, "click"),
+        (3, 0, "click"), (3, 1, "click"),
+        (4, 0, "purchase"), (4, 1, "click"), (4, 1, "purchase"),
+        (5, 0, "click"), (6, 0, "click"), (6, 3, "purchase"),
+        (7, 0, "click"), (8, 0, "purchase"), (9, 0, "click"), (10, 0, "click"),
+    ]
+    sf = _write_ab_events(spark, tmp_path, rows)
+    units = {}
+    for uid, h, et in rows:
+        units[(uid, h)] = max(units.get((uid, h), 0), 1 if et == "purchase" else 0)
+    arms = {0: [0, 0], 1: [0, 0]}  # variant -> [n, conv]
+    for (uid, _h), conv in units.items():
+        arms[_ab_variant(uid)][0] += 1
+        arms[_ab_variant(uid)][1] += conv
+    (n_a, conv_a), (n_b, conv_b) = arms[0], arms[1]
+    assert n_a > 0 and n_b > 0, "fixture must populate both arms"
+    zs, tgt = float(AB_Z_SUM), float(AB_TARGET_MDE)
+    pooled = (conv_a + conv_b) / (n_a + n_b)
+    se = math.sqrt(pooled * (1 - pooled) * (1.0 / n_a + 1.0 / n_b))
+    mde = zs * se
+    n_req = math.ceil(2.0 * pooled * (1 - pooled) * (zs * zs) / (tgt * tgt))
+    [r] = all_queries()["ab_power_mde"](spark, sf).collect()
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (n_a, conv_a, n_b, conv_b)
+    assert r.pooled_p == pooled
+    assert r.se_pooled == se
+    assert r.mde_abs == mde
+    assert r.mde_rel == mde / pooled
+    assert r.n_per_arm_required == n_req
+    assert r.powered_for_target == (mde <= tgt)
+    spark.catalog.clearCache()
+
+
+def test_ab_power_mde_one_armed_feed_is_all_null_design(spark, tmp_path):
+    """Every unit hashing into one arm: the other arm's n is NULL, so
+    SE/MDE/required-n are NULL (no design readout from a one-armed
+    test) while the populated arm's counts stay real."""
+    uid = next(u for u in range(1, 50) if _ab_variant(u) == 0)
+    sf = _write_ab_events(spark, tmp_path, [(uid, 0, "click"), (uid, 1, "purchase")])
+    [r] = all_queries()["ab_power_mde"](spark, sf).collect()
+    assert (r.n_a, r.conv_a) == (2, 1)
+    assert r.n_b is None and r.conv_b is None
+    assert r.se_pooled is None and r.mde_abs is None and r.mde_rel is None
+    assert r.n_per_arm_required is None and r.powered_for_target is None
+    spark.catalog.clearCache()
+
+
+def test_ab_power_mde_reconciles_with_ab_test_uplift(spark, sf_dir):
+    """Suite contract: the design readout and the uplift readout must
+    see the SAME experiment — identical per-arm unit and conversion
+    counts from the shared split."""
+    [d] = all_queries()["ab_power_mde"](spark, sf_dir).collect()
+    [u] = all_queries()["ab_test_uplift"](spark, sf_dir).collect()
+    assert (d.n_a, d.conv_a, d.n_b, d.conv_b) == (u.n_a, u.conv_a, u.n_b, u.conv_b)
+    spark.catalog.clearCache()
