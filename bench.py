@@ -406,6 +406,7 @@ HEADLINE = [
     "sprt_error_rate",
     "lsh_recall_eval",
     "ab_power_mde",
+    "theil_u_forecast_skill",
 ]
 
 

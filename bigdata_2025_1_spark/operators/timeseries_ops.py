@@ -1406,3 +1406,122 @@ def sprt_update(state, obs):
 
 
 SPRT_STATE_ZERO = (0, None)
+
+
+from bigdata_2025_1_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+# Theil's U2 is emitted as an exact integer ppm ratio (sse_holt * 1e6
+# intdiv sse_naive) BEFORE any double appears: squared cent errors
+# overflow int64 (~1e20 at sf0.1) and giant-int -> double casts are not
+# engine-identical (the piecewise_linear_breakpoint lesson), so the only
+# doubles are sqrt(ppm/1e6) on a < 2^53 integer. Intermediates are
+# decimal(38,0) / HUGEINT: sse * 1e6 stays < 1e29, far inside both.
+THEIL_PPM = 1_000_000
+
+
+@query(
+    "theil_u_forecast_skill",
+    oracle=f"""
+    WITH holt AS (
+      SELECT * FROM ({_ORACLES["holt_linear_forecast"]})
+    ), fits AS (
+      SELECT m, y_cents, yhat_cents FROM holt WHERE kind = 'fit'
+    ), monthly AS (
+      SELECT {_MONTH_IDX_SQL} AS m,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY m
+    ), naive AS (
+      SELECT m, LAG(y) OVER (ORDER BY m) AS naive_cents FROM monthly
+    ), j AS (
+      SELECT f.m, f.y_cents, f.yhat_cents, n.naive_cents
+      FROM fits f JOIN naive n ON n.m = f.m
+      WHERE n.naive_cents IS NOT NULL
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_months,
+             CAST(SUM(ABS(yhat_cents - y_cents)) AS BIGINT)
+               AS mae_holt_sum_cents,
+             CAST(SUM(ABS(naive_cents - y_cents)) AS BIGINT)
+               AS mae_naive_sum_cents,
+             SUM(CAST(yhat_cents - y_cents AS HUGEINT)
+                 * (yhat_cents - y_cents)) AS sse_h,
+             SUM(CAST(naive_cents - y_cents AS HUGEINT)
+                 * (naive_cents - y_cents)) AS sse_n
+      FROM j
+    )
+    SELECT n_eval_months, mae_holt_sum_cents, mae_naive_sum_cents,
+           CASE WHEN sse_n > 0
+                THEN CAST(sse_h * {THEIL_PPM} // sse_n AS BIGINT)
+                END AS u2_sq_ppm,
+           CASE WHEN sse_n > 0
+                THEN sqrt(CAST(sse_h * {THEIL_PPM} // sse_n AS BIGINT)::DOUBLE
+                          / {THEIL_PPM}.0)
+                END AS theil_u2,
+           CASE WHEN sse_n > 0
+                THEN sse_h * {THEIL_PPM} // sse_n < {THEIL_PPM}
+                END AS holt_beats_naive
+    FROM s
+    """,
+)
+def theil_u_forecast_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-SKILL scorecard — the time-series family's acceptance
+    row (round-10 suite-composition theme): Theil's U2 of the Holt
+    one-step-ahead fits against the naive random walk (yhat_t =
+    y_(t-1)) on the SAME monthly revenue series, plus both MAE error
+    masses. U2 < 1 means the smoother genuinely beats persistence —
+    the go/no-go a capacity-planning pipeline gates a model swap on
+    (``holt_linear_forecast``'s docstring names exactly this bar).
+
+    The fit rows ARE the registered ``holt_linear_forecast`` query
+    (composed, not re-derived — the eval can never drift from what the
+    correctness gate checks; reconciliation-tested), joined to the
+    lagged series on the month index.
+
+    Determinism: squared cent errors are decimal(38,0)/HUGEINT exact;
+    U2^2 is frozen as the integer ppm ratio sse_h*1e6 intdiv sse_n
+    (truncating division, both operands positive) BEFORE any double —
+    giant-int->double casts double-round past 2^64 in DuckDB, so no
+    SSE is ever emitted or compared as a double; theil_u2 =
+    sqrt(ppm/1e6) touches doubles only below 2^53; the skill gate is
+    an INTEGER comparison (ppm < 1e6). A constant series (sse_n = 0)
+    or a sub-2-month feed yields NULL ratio/verdict via identical
+    CASE guards.
+
+    Scale shape: one map-side-combinable fact collapse to the calendar
+    series (shared with the Holt kernel), one lag window and the
+    sequential recurrence on the provably month-bounded domain, a
+    month-keyed equi-join, and a single scalar aggregate."""
+    fits = holt_linear_forecast(spark, sf_dir).filter(
+        F.col("kind") == "fit"
+    ).select("m", "y_cents", "yhat_cents")
+    monthly = _monthly_revenue_cents(load(spark, sf_dir, "orders"))
+    w = Window.orderBy("m")
+    naive = monthly.select(
+        "m", F.lag("y").over(w).alias("naive_cents")
+    ).filter(F.col("naive_cents").isNotNull())
+    j = fits.join(naive, "m")
+    eh = (F.col("yhat_cents") - F.col("y_cents")).cast("decimal(38,0)")
+    en = (F.col("naive_cents") - F.col("y_cents")).cast("decimal(38,0)")
+    s = j.agg(
+        F.count("*").alias("n_eval_months"),
+        F.sum(F.abs(F.col("yhat_cents") - F.col("y_cents")))
+        .cast("bigint")
+        .alias("mae_holt_sum_cents"),
+        F.sum(F.abs(F.col("naive_cents") - F.col("y_cents")))
+        .cast("bigint")
+        .alias("mae_naive_sum_cents"),
+        F.sum(eh * eh).alias("sse_h"),
+        F.sum(en * en).alias("sse_n"),
+    )
+    ppm = F.expr(f"CAST((sse_h * {THEIL_PPM}) div sse_n AS BIGINT)")
+    ok = F.col("sse_n") > 0
+    return s.select(
+        "n_eval_months",
+        "mae_holt_sum_cents",
+        "mae_naive_sum_cents",
+        F.when(ok, ppm).alias("u2_sq_ppm"),
+        F.when(ok, F.sqrt(ppm.cast("double") / F.lit(float(THEIL_PPM)))).alias(
+            "theil_u2"
+        ),
+        F.when(ok, ppm < THEIL_PPM).alias("holt_beats_naive"),
+    )
+

@@ -1609,6 +1609,7 @@ ROUND10_QUERIES = [
     "sprt_error_rate",
     "lsh_recall_eval",
     "ab_power_mde",
+    "theil_u_forecast_skill",
 ]
 
 

@@ -596,3 +596,94 @@ def test_ab_power_mde_reconciles_with_ab_test_uplift(spark, sf_dir):
     [u] = all_queries()["ab_test_uplift"](spark, sf_dir).collect()
     assert (d.n_a, d.conv_a, d.n_b, d.conv_b) == (u.n_a, u.conv_a, u.n_b, u.conv_b)
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# theil_u_forecast_skill — scalar twin: the Holt recurrence hand-walk (same
+# trunc division), the naive lag, and the integer-ppm U2 algebra.
+# ---------------------------------------------------------------------------
+
+
+def _scalar_theil(cents: dict[int, int]):
+    from bigdata_2025_1_spark.operators.timeseries_ops import (
+        HOLT_A_NUM,
+        HOLT_B_NUM,
+        HOLT_DEN,
+        THEIL_PPM,
+    )
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    ms = sorted(cents)
+    ys = [cents[m] for m in ms]
+    rows = []  # (y, yhat_holt, yhat_naive) for row-index t >= 1
+    if len(ys) >= 2:
+        lvl, tr = ys[0], ys[1] - ys[0]
+        for t in range(1, len(ys)):
+            rows.append((ys[t], lvl + tr, ys[t - 1]))
+            ln = tdiv(HOLT_A_NUM * ys[t] + (HOLT_DEN - HOLT_A_NUM) * (lvl + tr), HOLT_DEN)
+            tr = tdiv(HOLT_B_NUM * (ln - lvl) + (HOLT_DEN - HOLT_B_NUM) * tr, HOLT_DEN)
+            lvl = ln
+    n = len(rows)
+    mae_h = sum(abs(f - y) for y, f, _ in rows)
+    mae_n = sum(abs(p - y) for y, _, p in rows)
+    sse_h = sum((f - y) ** 2 for y, f, _ in rows)
+    sse_n = sum((p - y) ** 2 for y, _, p in rows)
+    if sse_n > 0:
+        ppm = sse_h * THEIL_PPM // sse_n
+        return n, mae_h, mae_n, ppm, math.sqrt(ppm / float(THEIL_PPM)), ppm < THEIL_PPM
+    return n, mae_h or None, mae_n or None, None, None, None
+
+
+def test_theil_u_matches_scalar(spark, tmp_path):
+    """A noisy trend series: every count, MAE mass, the integer ppm
+    ratio, the sqrt, and the verdict must equal the hand walk."""
+    cents = {0: 10000, 1: 12000, 2: 13000, 3: 12500, 4: 14000,
+             5: 15500, 7: 14800, 8: 17000}  # month 6 missing: row-lag, not calendar-lag
+    sf = _write_orders_monthly(spark, tmp_path, cents)
+    n, mae_h, mae_n, ppm, u2, beats = _scalar_theil(cents)
+    [r] = all_queries()["theil_u_forecast_skill"](spark, sf).collect()
+    assert r.n_eval_months == n
+    assert r.mae_holt_sum_cents == mae_h
+    assert r.mae_naive_sum_cents == mae_n
+    assert r.u2_sq_ppm == ppm
+    assert r.theil_u2 == u2
+    assert r.holt_beats_naive == beats
+    spark.catalog.clearCache()
+
+
+def test_theil_u_constant_series_is_null_verdict(spark, tmp_path):
+    """Constant revenue: the naive walk is perfect (sse_n = 0) — the
+    ratio and verdict must be NULL (no skill measurable), counts real."""
+    sf = _write_orders_monthly(spark, tmp_path, {m: 5000 for m in range(6)})
+    [r] = all_queries()["theil_u_forecast_skill"](spark, sf).collect()
+    assert r.n_eval_months == 5
+    assert r.mae_holt_sum_cents == 0 and r.mae_naive_sum_cents == 0
+    assert r.u2_sq_ppm is None and r.theil_u2 is None
+    assert r.holt_beats_naive is None
+    spark.catalog.clearCache()
+
+
+def test_theil_u_single_month_is_empty_eval(spark, tmp_path):
+    """One observed month: Holt emits no fits, the join is empty, and
+    the scorecard is the all-NULL zero-count row."""
+    sf = _write_orders_monthly(spark, tmp_path, {0: 10000})
+    [r] = all_queries()["theil_u_forecast_skill"](spark, sf).collect()
+    assert r.n_eval_months == 0
+    assert r.mae_holt_sum_cents is None and r.u2_sq_ppm is None
+    spark.catalog.clearCache()
+
+
+def test_theil_u_reconciles_with_holt_fits(spark, sf_dir):
+    """Composition contract: the eval sees exactly the registered Holt
+    query's fit rows — n_eval_months equals the fit count."""
+    n_fits = (
+        all_queries()["holt_linear_forecast"](spark, sf_dir)
+        .filter("kind = 'fit'")
+        .count()
+    )
+    [r] = all_queries()["theil_u_forecast_skill"](spark, sf_dir).collect()
+    assert r.n_eval_months == n_fits
+    spark.catalog.clearCache()
