@@ -407,6 +407,7 @@ HEADLINE = [
     "lsh_recall_eval",
     "ab_power_mde",
     "theil_u_forecast_skill",
+    "split_balance_chi2",
 ]
 
 

@@ -995,3 +995,134 @@ def corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_f.alias("ok_fertility"),
         (ok_q & ok_b & ok_d & ok_f).alias("release_ok"),
     )
+
+
+_SPLIT_CASE_SQL = f"""CASE WHEN (doc_id * {_SPLIT_PRIME}) % 100 < 80 THEN 'train'
+                WHEN (doc_id * {_SPLIT_PRIME}) % 100 < 90 THEN 'valid'
+                ELSE 'test' END"""
+
+
+@query(
+    "split_balance_chi2",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT {_SPLIT_CASE_SQL} AS split, source FROM documents
+    ), obs0 AS (
+      SELECT split, source, CAST(COUNT(*) AS BIGINT) AS observed
+      FROM tagged GROUP BY split, source
+    ), sp AS (SELECT DISTINCT split FROM tagged),
+       so AS (SELECT DISTINCT source FROM tagged),
+       grid AS (
+      SELECT p.split, s.source, COALESCE(o.observed, 0) AS observed
+      FROM sp p CROSS JOIN so s
+      LEFT JOIN obs0 o ON o.split = p.split AND o.source = s.source
+    ), rt AS (SELECT split, SUM(observed) AS r FROM grid GROUP BY split),
+       ct AS (SELECT source, SUM(observed) AS c FROM grid GROUP BY source),
+       nn AS (SELECT SUM(observed) AS n FROM grid),
+       cells AS (
+      SELECT g.split, g.source, g.observed, r.r, c.c, nn.n,
+             g.observed * nn.n - r.r * c.c AS d
+      FROM grid g
+      JOIN rt r ON r.split = g.split
+      JOIN ct c ON c.source = g.source
+      CROSS JOIN nn
+    ), scored AS (
+      SELECT split, source, observed,
+             r::DOUBLE * c / n AS expected,
+             CAST(ROUND(d::DOUBLE * d / n / r / c * 1e6) AS BIGINT) AS contrib_i6
+      FROM cells
+    ), tot AS (
+      SELECT CAST(SUM(contrib_i6) AS BIGINT) AS chi2_i6 FROM scored
+    ), dofs AS (
+      SELECT CAST(((SELECT COUNT(*) FROM sp) - 1)
+                  * ((SELECT COUNT(*) FROM so) - 1) AS INT) AS dof
+    )
+    SELECT s.split, s.source, s.observed, s.expected,
+           s.contrib_i6::DOUBLE / 1e6 AS contrib,
+           t.chi2_i6::DOUBLE / 1e6 AS chi2,
+           d.dof
+    FROM scored s CROSS JOIN tot t CROSS JOIN dofs d
+    ORDER BY s.split, s.source
+    """,
+)
+def split_balance_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-balance AUDIT — suite composition over ``train_test_split``:
+    the Pearson chi-square contingency readout of SPLIT x SOURCE under
+    the same multiplicative-hash assignment, the hygiene check a corpus
+    release runs to confirm the deterministic split did not
+    accidentally correlate with provenance (a skew here leaks source
+    distribution shift into the valid/test sets). Emits the full grid
+    (zero-observed cells included), per-cell contributions, the
+    statistic and dof on every row — the ``chi_square_independence``
+    readout shape, pointed at the pipeline's own split rule.
+    Per-split totals reconcile against ``train_test_split``'s n_docs
+    by construction (tested).
+
+    Determinism: the split is the shared {_SPLIT_PRIME} multiplicative
+    hash (integer-exact); d = obs*N - r*c is int64-exact (N = corpus
+    docs, obs*N <= N^2 — safe to ~3e9 docs); each contribution is one
+    pinned double chain rounded once to 6 dp and the statistic sums
+    those integers; a single-source corpus yields d = 0 everywhere,
+    chi2 = 0, dof = 0.
+
+    Scale shape: one map-side-combinable groupBy collapses the corpus
+    to <= 3*|sources| cells; margins and the statistic are broadcast
+    arithmetic on that bounded grid."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * _SPLIT_PRIME) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    tagged = docs.select(split.alias("split"), "source")
+    obs0 = tagged.groupBy("split", "source").agg(F.count("*").alias("observed"))
+    sp = tagged.select("split").distinct()
+    so = tagged.select("source").distinct()
+    grid = (
+        sp.crossJoin(F.broadcast(so))
+        .join(F.broadcast(obs0), ["split", "source"], "left")
+        .select(
+            "split",
+            "source",
+            F.coalesce(F.col("observed"), F.lit(0)).cast("bigint").alias("observed"),
+        )
+    )
+    rt = grid.groupBy("split").agg(F.sum("observed").alias("r"))
+    ct = grid.groupBy("source").agg(F.sum("observed").alias("c"))
+    nn = grid.agg(F.sum("observed").alias("n"))
+    d = F.col("observed") * F.col("n") - F.col("r") * F.col("c")
+    scored = (
+        grid.join(F.broadcast(rt), "split")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "split",
+            "source",
+            "observed",
+            (F.col("r").cast("double") * F.col("c") / F.col("n")).alias("expected"),
+            F.round(
+                d.cast("double") * d / F.col("n") / F.col("r") / F.col("c") * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("contrib_i6"),
+        )
+    )
+    tot = scored.agg(F.sum("contrib_i6").cast("bigint").alias("chi2_i6"))
+    dofs = (
+        sp.agg(F.count("*").alias("np"))
+        .crossJoin(so.agg(F.count("*").alias("ns")))
+        .select(((F.col("np") - 1) * (F.col("ns") - 1)).cast("int").alias("dof"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dofs))
+        .select(
+            "split",
+            "source",
+            "observed",
+            "expected",
+            (F.col("contrib_i6").cast("double") / F.lit(1e6)).alias("contrib"),
+            (F.col("chi2_i6").cast("double") / F.lit(1e6)).alias("chi2"),
+            "dof",
+        )
+        .orderBy("split", "source")
+    )

@@ -1610,6 +1610,7 @@ ROUND10_QUERIES = [
     "lsh_recall_eval",
     "ab_power_mde",
     "theil_u_forecast_skill",
+    "split_balance_chi2",
 ]
 
 

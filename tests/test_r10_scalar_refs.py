@@ -687,3 +687,100 @@ def test_theil_u_reconciles_with_holt_fits(spark, sf_dir):
     [r] = all_queries()["theil_u_forecast_skill"](spark, sf_dir).collect()
     assert r.n_eval_months == n_fits
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# split_balance_chi2 — scalar twin: the multiplicative split, the full
+# contingency grid, and the i6-rounded contribution walk in plain Python.
+# ---------------------------------------------------------------------------
+
+
+def _write_docs_sourced(spark, tmp_path, docs: list[tuple[int, str]]) -> str:
+    df = spark.createDataFrame(
+        [(d, f"text of {d}", "en", src, 10) for d, src in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def _scalar_split_chi2(docs: list[tuple[int, str]]):
+    from bigdata_2025_1_spark.operators.pipeline_ops import _SPLIT_PRIME
+
+    def split_of(d):
+        b = (d * _SPLIT_PRIME) % 100
+        return "train" if b < 80 else ("valid" if b < 90 else "test")
+
+    obs: dict[tuple[str, str], int] = {}
+    for d, src in docs:
+        k = (split_of(d), src)
+        obs[k] = obs.get(k, 0) + 1
+    sps = sorted({s for s, _ in obs})
+    sos = sorted({s for _, s in obs})
+    grid = {(p, s): obs.get((p, s), 0) for p in sps for s in sos}
+    r = {p: sum(grid[(p, s)] for s in sos) for p in sps}
+    c = {s: sum(grid[(p, s)] for p in sps) for s in sos}
+    n = sum(grid.values())
+    rows = {}
+    chi2_i6 = 0
+    for (p, s), o in grid.items():
+        dd = o * n - r[p] * c[s]
+        contrib_i6 = int(math.floor(float(dd) * dd / n / r[p] / c[s] * 1e6 + 0.5))
+        chi2_i6 += contrib_i6
+        rows[(p, s)] = (o, r[p] * 1.0 * c[s] / n, contrib_i6 / 1e6)
+    dof = (len(sps) - 1) * (len(sos) - 1)
+    return rows, chi2_i6 / 1e6, dof
+
+
+def test_split_balance_chi2_matches_scalar(spark, tmp_path):
+    """Two sources, ids chosen so all three splits appear: every cell's
+    observed/expected/contribution plus chi2 and dof equal the walk."""
+    from bigdata_2025_1_spark.operators.pipeline_ops import _SPLIT_PRIME
+
+    by_split = {"train": [], "valid": [], "test": []}
+    for d in range(1, 400):
+        b = (d * _SPLIT_PRIME) % 100
+        by_split["train" if b < 80 else ("valid" if b < 90 else "test")].append(d)
+    docs = []
+    for i, sp in enumerate(("train", "valid", "test")):
+        ids = by_split[sp][: 6 + i]
+        assert len(ids) == 6 + i, "need enough ids per split in range"
+        docs += [(d, "web" if j % 3 else "books") for j, d in enumerate(ids)]
+    sf = _write_docs_sourced(spark, tmp_path, docs)
+    rows, chi2, dof = _scalar_split_chi2(docs)
+    got = all_queries()["split_balance_chi2"](spark, sf).collect()
+    assert len(got) == len(rows) == 6
+    for g in got:
+        o, exp, contrib = rows[(g.split, g.source)]
+        assert g.observed == o
+        assert g.expected == exp
+        assert g.contrib == contrib
+        assert g.chi2 == chi2
+        assert g.dof == dof
+    spark.catalog.clearCache()
+
+
+def test_split_balance_chi2_single_source_is_zero(spark, tmp_path):
+    """One source: every deviation is structurally zero — chi2 0, dof 0."""
+    sf = _write_docs_sourced(spark, tmp_path, [(d, "web") for d in range(1, 40)])
+    got = all_queries()["split_balance_chi2"](spark, sf).collect()
+    assert got and all(g.chi2 == 0.0 and g.dof == 0 and g.contrib == 0.0 for g in got)
+    spark.catalog.clearCache()
+
+
+def test_split_balance_chi2_reconciles_with_split(spark, sf_dir):
+    """Composition contract: per-split observed totals are exactly
+    train_test_split's n_docs."""
+    from collections import defaultdict
+
+    totals = defaultdict(int)
+    for g in all_queries()["split_balance_chi2"](spark, sf_dir).collect():
+        totals[g.split] += g.observed
+    expect = {
+        r.split: r.n_docs
+        for r in all_queries()["train_test_split"](spark, sf_dir).collect()
+    }
+    assert dict(totals) == expect
+    spark.catalog.clearCache()
