@@ -408,6 +408,7 @@ HEADLINE = [
     "ab_power_mde",
     "theil_u_forecast_skill",
     "split_balance_chi2",
+    "residual_runs_test",
 ]
 
 

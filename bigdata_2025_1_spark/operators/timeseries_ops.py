@@ -1525,3 +1525,104 @@ def theil_u_forecast_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, ppm < THEIL_PPM).alias("holt_beats_naive"),
     )
 
+
+
+# z_{0.975} as the shared two-sided 5% gate literal (same value the
+# ab_power_mde z-sum composes; frozen — no engine-side inverse CDF).
+RUNS_Z_CRIT = "1.959963984540054"
+
+
+@query(
+    "residual_runs_test",
+    oracle=f"""
+    WITH holt AS (
+      SELECT * FROM ({_ORACLES["holt_linear_forecast"]})
+    ), resid AS (
+      SELECT m, yhat_cents - y_cents AS e
+      FROM holt WHERE kind = 'fit' AND yhat_cents <> y_cents
+    ), signs AS (
+      SELECT m, e > 0 AS pos,
+             LAG(e > 0) OVER (ORDER BY m) AS prev_pos
+      FROM resid
+    ), s AS (
+      SELECT CAST(COUNT(*) FILTER (pos) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) FILTER (NOT pos) AS BIGINT) AS n_neg,
+             CAST(COUNT(*) FILTER (prev_pos IS NULL OR pos <> prev_pos)
+                  AS BIGINT) AS n_runs
+      FROM signs
+    ), algebra AS (
+      SELECT n_pos, n_neg, n_runs,
+             2.0 * n_pos * n_neg / (n_pos + n_neg) + 1 AS mu,
+             2.0 * n_pos * n_neg * (2 * n_pos * n_neg - (n_pos + n_neg))
+               / (n_pos + n_neg) / (n_pos + n_neg)
+               / (n_pos + n_neg - 1) AS var
+      FROM s WHERE n_pos > 0 AND n_neg > 0
+    )
+    SELECT s.n_pos, s.n_neg, s.n_runs,
+           a.mu AS expected_runs,
+           CASE WHEN a.var > 0
+                THEN (s.n_runs - a.mu) / sqrt(a.var) END AS z_score,
+           CASE WHEN a.var > 0
+                THEN abs((s.n_runs - a.mu) / sqrt(a.var)) < {RUNS_Z_CRIT}
+                END AS residuals_random
+    FROM s LEFT JOIN algebra a
+      ON a.n_pos = s.n_pos AND a.n_neg = s.n_neg AND a.n_runs = s.n_runs
+    """,
+)
+def residual_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-adequacy diagnostic closing the forecast family's loop:
+    the Wald-Wolfowitz RUNS TEST on the signs of the composed
+    ``holt_linear_forecast`` one-step-ahead residuals. A good smoother
+    leaves residual signs patternless; too FEW runs means trend the
+    model missed (positive errors clump), too MANY means
+    overcorrection (signs alternate) — ``theil_u_forecast_skill`` says
+    whether the model beats naive, this says whether what remains is
+    noise. Zero residuals are dropped (the standard convention), runs
+    are counted on the m-ordered sign sequence via one lag, and the
+    normal approximation z = (R - mu)/sigma with mu = 2 n1 n2/n + 1,
+    sigma^2 = 2 n1 n2 (2 n1 n2 - n) / (n^2 (n-1)) is gated two-sided
+    at the shared {RUNS_Z_CRIT} literal.
+
+    Determinism: n_pos/n_neg/n_runs are exact integers; mu and var are
+    each ONE pinned chain of double ops over those integers (products
+    <= ~1e7 at any calendar scale — far inside 2^53); the verdict
+    compares |z| to a frozen literal. One-sided sign sets (n1 or n2
+    zero), the degenerate n1 = n2 = 1 case (var = 0), and sub-2-month
+    feeds yield NULL z / NULL verdict through identical guards.
+
+    Scale shape: inherits the Holt collapse (facts -> calendar
+    months); the sign/lag/run algebra is one window plus one scalar
+    aggregate on the provably month-bounded residual series."""
+    fits = holt_linear_forecast(spark, sf_dir).filter(F.col("kind") == "fit")
+    resid = fits.select(
+        "m", (F.col("yhat_cents") - F.col("y_cents")).alias("e")
+    ).filter(F.col("e") != 0)
+    w = Window.orderBy("m")
+    signs = resid.select(
+        (F.col("e") > 0).alias("pos"),
+        F.lag(F.col("e") > 0).over(w).alias("prev_pos"),
+    )
+    s = signs.agg(
+        F.count_if(F.col("pos")).alias("n_pos"),
+        F.count_if(~F.col("pos")).alias("n_neg"),
+        F.count_if(
+            F.col("prev_pos").isNull() | (F.col("pos") != F.col("prev_pos"))
+        ).alias("n_runs"),
+    )
+    n1, n2, r = F.col("n_pos"), F.col("n_neg"), F.col("n_runs")
+    n = n1 + n2
+    mu = F.lit(2.0) * n1 * n2 / n + F.lit(1)
+    var = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2) * n1 * n2 - n) / n / n / (n - F.lit(1))
+    )
+    both = (n1 > 0) & (n2 > 0)
+    z = (r - mu) / F.sqrt(var)
+    ok_var = both & (var > 0)
+    return s.select(
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        F.when(both, mu).alias("expected_runs"),
+        F.when(ok_var, z).alias("z_score"),
+        F.when(ok_var, F.abs(z) < float(RUNS_Z_CRIT)).alias("residuals_random"),
+    )

@@ -57,7 +57,9 @@ ORACLES: dict[str, str] = {}
 #   mannwhitney_fertility_drift, ks_doclen_drift, cusum_online_hourly,
 #   corpus_release_gate, hdbscan_lite_clusters, retrieval_eval_suite,
 #   seasonal_decompose_monthly, sprt_error_rate, lsh_recall_eval,
-#   ab_power_mde, theil_u_forecast_skill, split_balance_chi2.
+#   ab_power_mde, theil_u_forecast_skill, split_balance_chi2,
+#   residual_runs_test. The batch is at the 13-addition cap — round 10
+#   adds nothing further.
 # Theme: suite composition (capstones that CHAIN standalone operators
 # the way a nightly curation job would, reconciled against the
 # standalone queries they compose) + two-sample drift tests + density
@@ -66,7 +68,7 @@ ORACLES: dict[str, str] = {}
 # ROUND-11 ROTATION PLAN: head takes (a) every round-10 addition
 # (exact names above); then (b) the oldest stale greens by driver-row
 # vintage, oldest first, alphabetical within a vintage, until the head
-# reaches exactly 50. With 12 round-10 additions the 38 stale slots
+# reaches exactly 50. With 13 round-10 additions the 37 stale slots
 # are: the 23 remaining r4-vintage greens:
 #   q16_null_aware_anti, q18_large_volume_customers,
 #   q1_pricing_summary, q9_profit_by_nation_year,
@@ -77,18 +79,17 @@ ORACLES: dict[str, str] = {}
 #   tfidf_top_terms, train_contamination_ngram, twap_user_daily,
 #   user_sessionization, variant_json_shred, window_distribution_funcs,
 #   winsorized_segment_spend, zscore_outliers;
-# then the alphabetically-first 15 of the 49 r5-vintage greens:
+# then the alphabetically-first 14 of the 49 r5-vintage greens:
 #   ann_sq8_topk, bfs_trade_reachability, bm25_doc_ranking,
 #   bpe_pair_merge_step, corpus_curation_v2, corpus_duplicate_spans,
 #   customer_rfm_segments, dedup_containment,
 #   dedup_sorted_neighborhood, dedup_threshold_sweep,
 #   equi_depth_price_deciles, events_interpolated_hourly,
-#   group_by_all_revenue, hll_union_distinct, join_key_skew_profile.
-# Arithmetic: 12 + 23 + 15 = 50. (If round 10 lands a different count N,
-# take the first 50-N-23 r5 names alphabetically: one fewer addition
-# pulls in kmeans_lloyd_clusters next, then
-# label_propagation_communities, lateral_top_orders_per_customer,
-# linreg_price_model, mad_value_outliers, etc.)
+#   group_by_all_revenue, hll_union_distinct.
+# Arithmetic: 13 + 23 + 14 = 50. (The addition count is final — the
+# 13-cap is reached; if a round-11 fix ever drops one, pull in
+# join_key_skew_profile next, then kmeans_lloyd_clusters,
+# label_propagation_communities, etc.)
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 0-12: the 13 round-9 additions (never driver-checked)
     "bpe_encode_corpus",

@@ -1611,6 +1611,7 @@ ROUND10_QUERIES = [
     "ab_power_mde",
     "theil_u_forecast_skill",
     "split_balance_chi2",
+    "residual_runs_test",
 ]
 
 

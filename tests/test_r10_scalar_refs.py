@@ -784,3 +784,94 @@ def test_split_balance_chi2_reconciles_with_split(spark, sf_dir):
     }
     assert dict(totals) == expect
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# residual_runs_test — scalar twin: Holt residual signs, run counting, and
+# the Wald-Wolfowitz normal approximation walked in plain Python.
+# ---------------------------------------------------------------------------
+
+
+def _scalar_runs(cents: dict[int, int]):
+    from bigdata_2025_1_spark.operators.timeseries_ops import (
+        HOLT_A_NUM,
+        HOLT_B_NUM,
+        HOLT_DEN,
+        RUNS_Z_CRIT,
+    )
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    ms = sorted(cents)
+    ys = [cents[m] for m in ms]
+    errs = []
+    if len(ys) >= 2:
+        lvl, tr = ys[0], ys[1] - ys[0]
+        for t in range(1, len(ys)):
+            errs.append((lvl + tr) - ys[t])
+            ln = tdiv(HOLT_A_NUM * ys[t] + (HOLT_DEN - HOLT_A_NUM) * (lvl + tr), HOLT_DEN)
+            tr = tdiv(HOLT_B_NUM * (ln - lvl) + (HOLT_DEN - HOLT_B_NUM) * tr, HOLT_DEN)
+            lvl = ln
+    signs = [e > 0 for e in errs if e != 0]
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    runs = sum(
+        1 for i, sg in enumerate(signs) if i == 0 or sg != signs[i - 1]
+    )
+    if n1 > 0 and n2 > 0:
+        n = n1 + n2
+        mu = 2.0 * n1 * n2 / n + 1
+        var = 2.0 * n1 * n2 * (2 * n1 * n2 - n) / n / n / (n - 1)
+        if var > 0:
+            z = (runs - mu) / math.sqrt(var)
+            return n1, n2, runs, mu, z, abs(z) < float(RUNS_Z_CRIT)
+        return n1, n2, runs, mu, None, None
+    return n1, n2, runs, None, None, None
+
+
+def test_residual_runs_matches_scalar(spark, tmp_path):
+    """A series whose Holt residuals mix signs AND contain an exact
+    zero (month 1's fit is exact, so the zero-drop rule is exercised):
+    counts, the expected-runs mean, z, and the verdict equal the walk."""
+    cents = {0: 17100, 1: 18000, 2: 19700, 3: 13400, 4: 13000,
+             5: 17300, 6: 18200, 7: 15300, 8: 13600, 9: 19900}
+    n1, n2, runs, mu, z, verdict = _scalar_runs(cents)
+    assert n1 > 0 and n2 > 0, "fixture must produce both residual signs"
+    sf = _write_orders_monthly(spark, tmp_path, cents)
+    [r] = all_queries()["residual_runs_test"](spark, sf).collect()
+    assert (r.n_pos, r.n_neg, r.n_runs) == (n1, n2, runs)
+    assert r.expected_runs == mu
+    assert r.z_score == z
+    assert r.residuals_random == verdict
+    spark.catalog.clearCache()
+
+
+def test_residual_runs_one_sided_signs_is_null(spark, tmp_path):
+    """A series whose Holt residuals never change sign: counts real,
+    no mean/z/verdict (the statistic is undefined one-sided)."""
+    cents = {m: 10000 + 1000 * m for m in range(8)}
+    n1, n2, runs, mu, z, verdict = _scalar_runs(cents)
+    assert n1 == 0 or n2 == 0
+    sf = _write_orders_monthly(spark, tmp_path, cents)
+    [r] = all_queries()["residual_runs_test"](spark, sf).collect()
+    assert (r.n_pos, r.n_neg, r.n_runs) == (n1, n2, runs)
+    assert r.expected_runs is None and r.z_score is None
+    assert r.residuals_random is None
+    spark.catalog.clearCache()
+
+
+def test_residual_runs_perfect_fit_is_zero_counts(spark, tmp_path):
+    """An exact linear series: Holt reproduces it exactly (integer
+    states, zero residuals dropped), so every count is zero and the
+    test is a NULL no-decision."""
+    cents = {m: 10000 + 500 * m for m in range(6)}
+    n1, n2, runs, *_ = _scalar_runs(cents)
+    sf = _write_orders_monthly(spark, tmp_path, cents)
+    [r] = all_queries()["residual_runs_test"](spark, sf).collect()
+    assert (r.n_pos, r.n_neg, r.n_runs) == (n1, n2, runs)
+    if n1 == 0 and n2 == 0:
+        assert r.n_runs == 0
+    assert r.z_score is None
+    spark.catalog.clearCache()
