@@ -163,7 +163,10 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # documented cache contract at any fact scale.
 #
 # Round-10 note (full headline run at sf0.1, recorded IN-REPO as
-# bench_local_r10.json — the full line only, so json.load works on it).
+# bench_local_r10.json — the full line only, so json.load works on it;
+# the original r10 tee accidentally captured the compact headline line
+# too, so json.load failed with 'Extra data' until round 11 stripped it
+# back to one line and moved the compact print to stderr).
 # Shared-174-query subtotal vs bench_local_r9.json: 210.7 -> 210.6 s
 # (-0.0%: flat, zero regressions beyond the documented noise class —
 # worst single delta bradley_terry_nation_strength +1.12 s,
@@ -497,18 +500,22 @@ def main() -> None:
             }
         except Exception:  # noqa: BLE001 — comparison is best-effort
             pass
-    # VERDICT r9 #8: the driver's BENCH record keeps only a 2000-char
-    # window of stdout, and the full line's queries dict outgrew it
-    # rounds ago ("parsed": null every round). Print a COMPACT headline
-    # object first so a short, complete JSON line exists in the stream
-    # regardless of where the window lands; the full line (the
-    # documented one-line contract) follows and remains what
-    # bench_local_r{N}.json tees.
+    # VERDICT r9 #8 / ADVICE r10: the driver's BENCH record keeps only
+    # a 2000-char tail window of stdout, and the full line's queries
+    # dict outgrew it rounds ago ("parsed": null every round). A
+    # COMPACT headline object gives humans (and logs) a short, complete
+    # JSON summary — but it must NOT share stdout with the full line,
+    # or the documented tee (`python bench.py > bench_local_r{N}.json`)
+    # produces a two-line file that json.load rejects ('Extra data', as
+    # the round-10 tee did). Compact goes to stderr; stdout stays the
+    # documented ONE-JSON-LINE contract. The driver's surviving stdout
+    # tail still carries the full line's shared_with_prev comparison,
+    # which is the round-over-round signal.
     compact = {k: out[k] for k in ("metric", "value", "unit", "sf")}
     compact["n_queries"] = len(timings)
     if "shared_with_prev" in out:
         compact["shared_with_prev"] = out["shared_with_prev"]
-    print(json.dumps(compact))
+    print(json.dumps(compact), file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

@@ -2063,7 +2063,17 @@ def retrieval_rankings(
         .persist()
     )
     while len(_RANKINGS_MEMO) >= 8:
-        _RANKINGS_MEMO.pop(next(iter(_RANKINGS_MEMO)))
+        # ADVICE r10: unpersist what we evict, or the evicted pair's
+        # cached blocks stay pinned in the Spark cache until a global
+        # clearCache(). Non-blocking: callers may still hold the
+        # frames (they remain valid, just lineage-replayed). Caveat
+        # (documented contract): the memo keys on (applicationId,
+        # sf_dir) PATH identity — rewriting the parquet under an
+        # unchanged path mid-session would serve stale persisted
+        # rankings; the test corpus is immutable, and a mutable
+        # deployment should key on a table snapshot id instead.
+        for df_ in _RANKINGS_MEMO.pop(next(iter(_RANKINGS_MEMO))):
+            df_.unpersist(blocking=False)
     _RANKINGS_MEMO[key] = (exact, system)
     return exact, system
 

@@ -869,10 +869,23 @@ def round_half_away(v: float) -> int:
     the semantics of Spark's ``F.round`` and DuckDB's ``ROUND``.
     Python's built-in ``round()`` is half-to-even (banker's rounding)
     and diverges from both engines on an exact .5, so every Python twin
-    of an engine-side ``ROUND`` must use this instead."""
+    of an engine-side ``ROUND`` must use this instead.
+
+    The naive ``floor(v + 0.5)`` is WRONG for doubles just below a .5
+    boundary: ``v + 0.5`` itself rounds up in IEEE arithmetic (e.g.
+    0.49999999999999994 + 0.5 == 1.0 exactly), so it would return 1
+    where both engines return 0 (ADVICE r10). Instead compare the
+    fractional part exactly — ``v - floor(v)`` is exact in IEEE 754
+    (Sterbenz lemma territory: both operands within 2x of each other
+    once v >= 0.5; below that floor(v) == 0 and the subtraction is
+    trivially exact), so ``f >= 0.5`` is the true mathematical test."""
     import math
 
-    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+    if v >= 0:
+        fl = math.floor(v)
+        return int(fl) + 1 if v - fl >= 0.5 else int(fl)
+    ce = math.ceil(v)
+    return int(ce) - 1 if ce - v >= 0.5 else int(ce)
 
 
 def page_hinkley_update(state, xs):

@@ -28,122 +28,97 @@ ORACLES: dict[str, str] = {}
 
 # The driver walks ``queries()`` in dict order and checks exactly the
 # first 50 entries per round (each CORRECTNESS_r0N covers 50). Order is
-# therefore a correctness lever. Round-10 rotation (executes the plan
-# the round-9 VERDICT ratified as its #1 ask; the judge independently
-# re-derived the arithmetic from CORRECTNESS_r0{1..9}.json and
-# confirmed it exact: 13 never-checked round-9 additions + the 10
-# remaining r3-vintage greens + the alphabetically-first 27 of the 50
-# r4-vintage greens = 50).
+# therefore a correctness lever. Round-11 rotation (executes the plan
+# the round-10 VERDICT ratified as its #1 ask; the judge independently
+# re-derived the arithmetic from CORRECTNESS_r0{1..10}.json and
+# confirmed it exact: 13 never-checked round-10 additions + the 23
+# remaining r4-vintage greens + the alphabetically-first 14 of the 49
+# r5-vintage greens = 50).
 #
 # Head composition:
-# - positions 0-12: the 13 round-9 additions — the only queries that
+# - positions 0-12: the 13 round-10 additions — the only queries that
 #   have never had a driver row (each selfchecked tuned AND vanilla the
-#   day it landed; the round-9 VERDICT independently re-verified all 13
-#   plus the reworked tokenizer_fertility_by_lang under the vanilla
-#   driver-like session: 14/14 pass);
-# - positions 13-22: the 10 r3-vintage leftovers (after this lands
-#   green the r3 vintage is fully retired — no green row predates r4);
-# - positions 23-49: the alphabetically-first 27 of the 50 r4-vintage
+#   day it landed; the round-10 VERDICT independently re-verified all
+#   13 under the vanilla driver-like session: 13/13 pass);
+# - positions 13-35: the 23 r4-vintage leftovers (after this lands
+#   green the r4 vintage is fully retired — no green row predates r5);
+# - positions 36-49: the alphabetically-first 14 of the 49 r5-vintage
 #   greens.
 #
 # CAPACITY WARNING: the head is at exactly 50 entries. Anything past
 # position 49 gets no driver row this round — add new queries by
 # REPLACING a proven-green head entry, never by growing past 50. Per
-# the standing convention, round-10 additions are BATCHED (<=13) and
-# queue for round 11, NOT the head.
+# the standing convention, round-11 additions are BATCHED (<=13) and
+# queue for round 12, NOT the head.
 #
-# Round-10 additions so far (each selfchecked tuned + vanilla, scalar-
-# referenced, and empty-tables green the day it landed):
-#   mannwhitney_fertility_drift, ks_doclen_drift, cusum_online_hourly,
-#   corpus_release_gate, hdbscan_lite_clusters, retrieval_eval_suite,
-#   seasonal_decompose_monthly, sprt_error_rate, lsh_recall_eval,
-#   ab_power_mde, theil_u_forecast_skill, split_balance_chi2,
-#   residual_runs_test. The batch is at the 13-addition cap — round 10
-#   adds nothing further.
-# Theme: suite composition (capstones that CHAIN standalone operators
-# the way a nightly curation job would, reconciled against the
-# standalone queries they compose) + two-sample drift tests + density
-# clustering + the CUSUM online/streaming twin.
+# Round-11 additions so far (each selfchecked tuned + vanilla, scalar-
+# referenced, and empty-tables green the day it lands): see the
+# ROUND-12 ROTATION PLAN below, which is finalized when the round-11
+# head freezes.
 #
-# ROUND-11 ROTATION PLAN: head takes (a) every round-10 addition
-# (exact names above); then (b) the oldest stale greens by driver-row
-# vintage, oldest first, alphabetical within a vintage, until the head
-# reaches exactly 50. With 13 round-10 additions the 37 stale slots
-# are: the 23 remaining r4-vintage greens:
-#   q16_null_aware_anti, q18_large_volume_customers,
-#   q1_pricing_summary, q9_profit_by_nation_year,
-#   range_join_incident_windows, revenue_mom_change,
-#   rollup_time_hierarchy, safe_math_ansi, salted_skew_join,
-#   salted_skew_join_zipf, scd2_user_value_history, sql_pipe_revenue,
-#   stats_correlation, stats_regression, table_profile,
-#   tfidf_top_terms, train_contamination_ngram, twap_user_daily,
-#   user_sessionization, variant_json_shred, window_distribution_funcs,
-#   winsorized_segment_spend, zscore_outliers;
-# then the alphabetically-first 14 of the 49 r5-vintage greens:
-#   ann_sq8_topk, bfs_trade_reachability, bm25_doc_ranking,
-#   bpe_pair_merge_step, corpus_curation_v2, corpus_duplicate_spans,
-#   customer_rfm_segments, dedup_containment,
-#   dedup_sorted_neighborhood, dedup_threshold_sweep,
-#   equi_depth_price_deciles, events_interpolated_hourly,
-#   group_by_all_revenue, hll_union_distinct.
-# Arithmetic: 13 + 23 + 14 = 50. (The addition count is final — the
-# 13-cap is reached; if a round-11 fix ever drops one, pull in
-# join_key_skew_profile next, then kmeans_lloyd_clusters,
-# label_propagation_communities, etc.)
+# ROUND-12 ROTATION PLAN: head takes (a) every round-11 addition;
+# then (b) the oldest stale greens by driver-row vintage, oldest
+# first, alphabetical within a vintage, until the head reaches exactly
+# 50. After round 11 lands green the stale tail is the 35 remaining
+# r5-vintage greens (alphabetically from join_key_skew_profile through
+# user_active_coverage), then the 50 r6-vintage greens (alphabetically
+# from benford_price_audit). With N round-11 additions the head is
+# N + 35 r5 remainders + (15 - N) alphabetically-first r6 greens.
+# The exact enumeration is appended at round-11 freeze.
 PRIORITY_HEAD: tuple[str, ...] = (
-    # -- 0-12: the 13 round-9 additions (never driver-checked)
-    "bpe_encode_corpus",
-    "friedman_priority_monthly",
-    "cochran_q_yearly_activity",
-    "mann_kendall_revenue_trend",
-    "ljung_box_hourly",
-    "ndcg_retrieval_eval",
-    "t_closeness_audit",
-    "blocklist_filter_rates",
-    "local_clustering_trade",
-    "nelson_aalen_hazard",
-    "embedding_similarity_histogram",
-    "page_hinkley_hourly",
-    "holt_winters_forecast",
-    # -- 13-22: the 10 r3-vintage leftovers (alphabetical; retires r3)
-    "set_ops_customer_segments",
-    "simhash_values",
-    "stats_rollup",
-    "theta_join_balance_peers",
-    "token_counts",
-    "top3_orders_per_customer",
-    "top_domains",
-    "union_by_name_evolution",
-    "unpivot_balance_metrics",
-    "url_normalize_dedup",
-    # -- 23-49: the alphabetically-first 27 of the 50 r4-vintage greens
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_adc_topk",
-    "ann_srp_lsh_pairs",
-    "approx_distinct_counts",
-    "argminmax_per_source",
-    "asof_join_last_purchase",
-    "canonical_doc_per_cluster",
-    "cohort_retention",
-    "count_min_sketch_words",
-    "crawl_source_page_stats",
-    "dedup_simhash_hamming",
-    "doc_chunk_overlap",
-    "doc_ngram_repetition",
-    "embedding_centroid_distance",
-    "embedding_srp_signatures",
-    "event_funnel_conversion",
-    "events_gap_filled_hourly",
-    "ewma_user_value",
-    "fk_integrity_audit",
-    "frequent_token_pairs",
-    "fuzzy_source_pairs",
-    "gopher_quality_flags",
-    "heavy_hitters_mg",
-    "nested_order_lines",
-    "pagerank_nation_trade",
-    "price_histogram",
+    # -- 0-12: the 13 round-10 additions (never driver-checked)
+    "mannwhitney_fertility_drift",
+    "ks_doclen_drift",
+    "cusum_online_hourly",
+    "corpus_release_gate",
+    "hdbscan_lite_clusters",
+    "retrieval_eval_suite",
+    "seasonal_decompose_monthly",
+    "sprt_error_rate",
+    "lsh_recall_eval",
+    "ab_power_mde",
+    "theil_u_forecast_skill",
+    "split_balance_chi2",
+    "residual_runs_test",
+    # -- 13-35: the 23 r4-vintage leftovers (alphabetical; retires r4)
+    "q16_null_aware_anti",
+    "q18_large_volume_customers",
+    "q1_pricing_summary",
+    "q9_profit_by_nation_year",
+    "range_join_incident_windows",
+    "revenue_mom_change",
+    "rollup_time_hierarchy",
+    "safe_math_ansi",
+    "salted_skew_join",
+    "salted_skew_join_zipf",
+    "scd2_user_value_history",
+    "sql_pipe_revenue",
+    "stats_correlation",
+    "stats_regression",
+    "table_profile",
+    "tfidf_top_terms",
+    "train_contamination_ngram",
+    "twap_user_daily",
+    "user_sessionization",
+    "variant_json_shred",
+    "window_distribution_funcs",
+    "winsorized_segment_spend",
+    "zscore_outliers",
+    # -- 36-49: the alphabetically-first 14 of the 49 r5-vintage greens
+    "ann_sq8_topk",
+    "bfs_trade_reachability",
+    "bm25_doc_ranking",
+    "bpe_pair_merge_step",
+    "corpus_curation_v2",
+    "corpus_duplicate_spans",
+    "customer_rfm_segments",
+    "dedup_containment",
+    "dedup_sorted_neighborhood",
+    "dedup_threshold_sweep",
+    "equi_depth_price_deciles",
+    "events_interpolated_hourly",
+    "group_by_all_revenue",
+    "hll_union_distinct",
 )
 
 # Proven green in round 2 against current code: after the 50-row window.

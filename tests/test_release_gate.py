@@ -191,3 +191,40 @@ def test_retrieval_rankings_repersist_after_clearcache(spark, sf_dir):
         lvl = df_.storageLevel
         assert lvl.useMemory or lvl.useDisk, "memo hit was not re-persisted"
     spark.catalog.clearCache()
+
+
+def test_retrieval_rankings_eviction_unpersists(spark, sf_dir):
+    """ADVICE r10: evicting the oldest memo entry must unpersist the
+    evicted frames, or their cached blocks stay pinned until a global
+    clearCache(). Fill the memo past its cap with synthetic keys
+    pointing at persisted dummies and check the evictee was dropped."""
+    from pyspark import StorageLevel
+
+    from bigdata_2025_1_spark.operators import similarity as S
+
+    S._RANKINGS_MEMO.clear()
+    spark.catalog.clearCache()
+    dummies = []
+    # distinct row counts per dummy: Spark's cache manager keys on the
+    # ANALYZED PLAN, so two spark.range(3) frames share one cache entry
+    # and unpersisting either would wipe both
+    for i in range(8):
+        a = spark.range(100 + 2 * i).persist(StorageLevel.MEMORY_ONLY)
+        b = spark.range(101 + 2 * i).persist(StorageLevel.MEMORY_ONLY)
+        a.count(), b.count()
+        S._RANKINGS_MEMO[(f"fake-app-{i}", sf_dir)] = (a, b)
+        dummies.append((a, b))
+    # the real call must evict the OLDEST entry (fake-app-0) and
+    # unpersist both of its frames
+    e, s = S.retrieval_rankings(spark, sf_dir)
+    assert ("fake-app-0", sf_dir) not in S._RANKINGS_MEMO
+    assert len(S._RANKINGS_MEMO) == 8
+    a0, b0 = dummies[0]
+    for df_ in (a0, b0):
+        lvl = df_.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), "evictee stayed persisted"
+    # a surviving entry keeps its storage level
+    a1, _ = dummies[1]
+    assert a1.storageLevel.useMemory
+    S._RANKINGS_MEMO.clear()
+    spark.catalog.clearCache()

@@ -180,6 +180,38 @@ def test_round_half_away_matches_engine_round_on_ties():
     assert round_half_away(0.0) == 0
 
 
+def test_round_half_away_below_half_boundary_doubles():
+    """ADVICE r10: the naive floor(v + 0.5) misrounds doubles just
+    below a .5 boundary because v + 0.5 itself rounds UP in IEEE
+    (0.49999999999999994 + 0.5 == 1.0 exactly) — F.round and DuckDB
+    ROUND both give 0 there. The helper must compare the exact
+    fractional part instead, and must agree with Decimal
+    ROUND_HALF_UP (= half away from zero) on arbitrary doubles."""
+    import decimal
+    import random
+
+    from bigdata_2025_1_spark.operators.timeseries_ops import round_half_away
+
+    assert round_half_away(0.49999999999999994) == 0
+    assert round_half_away(-0.49999999999999994) == 0
+    assert round_half_away(2.4999999999999996) == 2
+    assert round_half_away(-2.4999999999999996) == -2
+    rng = random.Random(1234)
+    for _ in range(20000):
+        v = rng.uniform(-1e9, 1e9)
+        want = int(decimal.Decimal(v).to_integral_value(rounding=decimal.ROUND_HALF_UP))
+        assert round_half_away(v) == want, v
+    # near-boundary stress: nextafter neighbours of exact .5 ties
+    import math
+
+    for base in (0.5, 1.5, 2.5, 1e6 + 0.5):
+        lo = math.nextafter(base, -math.inf)
+        hi = math.nextafter(base, math.inf)
+        for v in (lo, base, hi, -lo, -base, -hi):
+            want = int(decimal.Decimal(v).to_integral_value(rounding=decimal.ROUND_HALF_UP))
+            assert round_half_away(v) == want, v
+
+
 def test_cusum_online_update_is_chunking_invariant():
     """cusum_update must produce the identical (cusum_scaled, alarm)
     sequence under any chunking — including splits INSIDE the warm-up
