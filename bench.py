@@ -162,6 +162,26 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # metrics. Rankings are probe-bounded (n_probes x k rows) — inside the
 # documented cache contract at any fact scale.
 #
+# Round-11 BPE-memo A/B (VERDICT r10 ask #2: apply the rankings-memo
+# pattern to _bpe_train). tools/ab.py --ref dd61f8d, interleaved
+# best-of-4 at sf0.1, for the corpus_ops-defined queries (the only ones
+# whose OLD side execs a fully pre-memo train):
+#   bpe_merge_sequence 1.77 -> 0.53 s, bpe_encode_corpus 2.05 -> 1.13 s.
+# Cross-module consumers measured as a suite session instead (old-side
+# exec would import the CURRENT, already-memoized corpus_ops, so ab.py
+# would understate them): best-of-3 cold (memo cleared + clearCache,
+# the pre-memo per-query cost) vs memo-hit (clearCache only, what a
+# suite session now pays):
+#   tokenizer_fertility_by_lang 2.66 -> 1.15 s,
+#   mannwhitney_fertility_drift 2.47 -> 1.25 s,
+#   corpus_release_gate 3.54 -> 2.03 s.
+# ~1.2-1.5 s saved per dependent query, matching the VERDICT's
+# estimate; plans pinned unchanged (tools/plandiff.py --ref dd61f8d:
+# 0/5 changed). The memo-hit path after a clearCache lineage-replays
+# the 50-fold encode chain in ONE job but never re-runs the training
+# loop's per-round argmax collects — those only ever run once per
+# (applicationId, sf_dir).
+#
 # Round-10 note (full headline run at sf0.1, recorded IN-REPO as
 # bench_local_r10.json — the full line only, so json.load works on it;
 # the original r10 tee accidentally captured the compact headline line

@@ -1357,8 +1357,10 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     superseded vocabulary cache is released each round, so the cache
     footprint is ≤ 2 vocabularies at any instant regardless of
     BPE_MERGES. The oracle unrolls the same {BPE_MERGES} rounds."""
-    log, v = _bpe_train(spark, sf_dir)
-    v.unpersist()
+    # NOTE: do NOT unpersist v here — _bpe_train is session-memoized
+    # and a later BPE-family query in the same session reuses it; the
+    # memo (eviction) and the harness cache contract own its lifecycle.
+    log, _v = _bpe_train(spark, sf_dir)
     if not log:
         return spark.createDataFrame([], "step int, pair string, n bigint, merged string")
     return spark.createDataFrame(
@@ -1452,7 +1454,48 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Memo for _bpe_train, keyed by (applicationId, sf_dir) so a session
+# running several BPE-family queries (bpe_merge_sequence,
+# bpe_encode_corpus, tokenizer_fertility_by_lang,
+# mannwhitney_fertility_drift, corpus_release_gate's fertility leg)
+# trains the tokenizer ONCE — the exact _RANKINGS_MEMO pattern
+# (similarity.py) the round-10 VERDICT asked to replicate here (ask
+# #2). Bounded: oldest entry evicted (and its vocabulary unpersisted)
+# past 8 keys. Same documented caveat as the rankings memo: keys are
+# PATH identity — the test corpus is immutable; a mutable deployment
+# should key on a table snapshot id.
+_BPE_MEMO: dict[tuple[str, str], tuple[list, DataFrame]] = {}
+
+
 def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[list[tuple[int, str, int, str]], DataFrame]":
+    """Session-memoized BPE training: returns the cached
+    ``(merge_log, encoded_vocab)`` for this (applicationId, sf_dir) if
+    the session has already trained, re-persisting the vocabulary if a
+    ``spark.catalog.clearCache()`` since the last call silently
+    unpersisted it (the frame stays valid — it lineage-replays the
+    50-merge fold chain in one job, with no re-run of the training
+    loop's per-round argmax collects, which are the expensive part).
+    Callers must treat the returned log as immutable and must NOT
+    unpersist the vocabulary — the memo owns its lifecycle (eviction
+    unpersists)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_MEMO.get(key)
+    if hit is not None:
+        v_ = hit[1]
+        lvl = v_.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            v_.persist()
+        return hit
+    log, v = _bpe_train_uncached(spark, sf_dir)
+    while len(_BPE_MEMO) >= 8:
+        _BPE_MEMO.pop(next(iter(_BPE_MEMO)))[1].unpersist(blocking=False)
+    _BPE_MEMO[key] = (log, v)
+    return log, v
+
+
+def _bpe_train_uncached(
     spark: SparkSession, sf_dir: str
 ) -> "tuple[list[tuple[int, str, int, str]], DataFrame]":
     """Run the BPE merge-training loop on the documents word-type
@@ -1461,8 +1504,8 @@ def _bpe_train(
     ``(w, s, cnt)`` — the padded symbol string after every applied
     merge, i.e. the trained tokenizer's ENCODING of each word type.
     ``encoded_vocab`` is left persisted (vocabulary-sized; the cache
-    contract releases it between queries) — training callers that only
-    need the log should ``unpersist()`` it."""
+    contract releases it between queries). Use the memoized
+    ``_bpe_train`` wrapper — this body is one training run."""
     docs = spread(load(spark, sf_dir, "documents"))
     vocab = (
         docs.select(F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w"))

@@ -925,9 +925,10 @@ def corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-audited in its standalone form (scan-side exprs, value-domain
     windows, the vocabulary-sized encode join), reduced to four 1-row
     aggregates cross-joined by broadcast. The heavyweight leg (the BPE
-    train for the drift test) is the same cost the standalone pays;
-    a suite session would share it through the persisted encode table
-    (the retrieval_rankings convention) if it ever dominates."""
+    train for the drift test) is session-memoized since round 11
+    (``corpus_ops._bpe_train``, the retrieval_rankings convention), so
+    a suite session running the gate next to any other BPE-family
+    query trains the tokenizer once."""
     from bigdata_2025_1_spark.operators.dedup import dedup_exact
     from bigdata_2025_1_spark.operators.text_analysis import (
         blocklist_filter_rates,

@@ -235,3 +235,64 @@ def test_encode_unicode_matches_scalar_and_oracle(spark, tmp_path):
     con.close()
     assert problems == [], problems
     spark.catalog.clearCache()
+
+
+def test_bpe_train_memo_is_shared_within_a_session(spark, sf_dir):
+    """VERDICT r10 ask #2: a second BPE-family query in the same
+    session must receive the SAME trained (log, vocabulary) pair, not
+    re-run the merge-training loop (the retrieval_rankings memo
+    convention applied to _bpe_train)."""
+    from bigdata_2025_1_spark.operators import corpus_ops as C
+
+    C._BPE_MEMO.clear()
+    log1, v1 = C._bpe_train(spark, sf_dir)
+    log2, v2 = C._bpe_train(spark, sf_dir)
+    assert log1 is log2 and v1 is v2
+    assert len(C._BPE_MEMO) == 1
+    spark.catalog.clearCache()
+
+
+def test_bpe_train_repersist_after_clearcache(spark, sf_dir):
+    """spark.catalog.clearCache() silently unpersists the memoized
+    vocabulary; the next _bpe_train call must re-persist it so a suite
+    keeps its one-train contract across per-query cache clears."""
+    from bigdata_2025_1_spark.operators import corpus_ops as C
+
+    C._BPE_MEMO.clear()
+    log1, v1 = C._bpe_train(spark, sf_dir)
+    spark.catalog.clearCache()
+    lvl = v1.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)  # clearCache really wiped it
+    log2, v2 = C._bpe_train(spark, sf_dir)
+    assert v2 is v1 and log2 is log1
+    lvl = v2.storageLevel
+    assert lvl.useMemory or lvl.useDisk, "memo hit was not re-persisted"
+    spark.catalog.clearCache()
+
+
+def test_bpe_train_eviction_unpersists(spark, sf_dir):
+    """Evicting the oldest memo entry past the cap must unpersist the
+    evicted vocabulary (the ADVICE-r10 rankings-memo fix, applied here
+    from day one)."""
+    from pyspark import StorageLevel
+
+    from bigdata_2025_1_spark.operators import corpus_ops as C
+
+    C._BPE_MEMO.clear()
+    spark.catalog.clearCache()
+    dummies = []
+    # distinct row counts: Spark's cache manager keys on the analyzed
+    # plan, so identical range() frames would share one cache entry
+    for i in range(8):
+        v = spark.range(200 + i).persist(StorageLevel.MEMORY_ONLY)
+        v.count()
+        C._BPE_MEMO[(f"fake-app-{i}", sf_dir)] = ([], v)
+        dummies.append(v)
+    _log, _v = C._bpe_train(spark, sf_dir)
+    assert ("fake-app-0", sf_dir) not in C._BPE_MEMO
+    assert len(C._BPE_MEMO) == 8
+    lvl = dummies[0].storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "evictee stayed persisted"
+    assert dummies[1].storageLevel.useMemory
+    C._BPE_MEMO.clear()
+    spark.catalog.clearCache()
