@@ -2449,6 +2449,12 @@ HDB_K = 3  # core distance = distance to the HDB_K-th in-cell neighbor
 HDB_EPS = (0.8, 0.85)  # cosine-DISTANCE levels (d = 1 - cosine), eps1 < eps2
 # — two slices of the HDBSCAN hierarchy: eps1 clusters nest inside eps2's
 
+# Diagnostic: propagation iterations per eps level of the LAST
+# hdbscan_lite_from_pairs call (driver-local, overwritten per call).
+# Exists so tests can pin that level-2 seeding actually reduces the
+# iteration count — the observable the VERDICT r10 optimization targets.
+_HDB_LAST_ITERS: list[int] = []
+
 
 def hdbscan_lite_from_pairs(
     ids: DataFrame, dpairs: DataFrame, k: int, eps_levels: tuple[float, ...]
@@ -2512,19 +2518,73 @@ def hdbscan_lite_from_pairs(
         .persist()
     )
     out = None
+    prev_labels = None
+    prev_eps = None
+    _HDB_LAST_ITERS.clear()
     for eps in eps_levels:
         el = mr.filter(F.col("dmr") <= eps).select("a", "b")
         edges = el.unionByName(
             el.select(F.col("b").alias("a"), F.col("a").alias("b"))
         ).localCheckpoint()
-        labels = (
-            kth.filter(F.col("core_dist") <= eps)
-            .select(F.col("vec_id").alias("v"), F.col("vec_id").alias("label"))
-            .localCheckpoint()
+        cores = kth.filter(F.col("core_dist") <= eps).select(
+            F.col("vec_id").alias("v")
         )
+        if prev_labels is not None and prev_eps is not None and prev_eps <= eps:
+            # VERDICT r10 ask #3, strengthened: CONTRACT this level's
+            # core graph by the previous (tighter) level's converged
+            # components and propagate over SUPERNODES. Valid because
+            # with eps_prev <= eps (a) every eps_prev core is an eps
+            # core and every eps_prev edge is an eps edge, so each
+            # eps_prev cluster is internally connected in this level's
+            # core graph (contraction preserves components), and (b)
+            # supernode ids are min-of-cluster vec_ids, so the minimum
+            # over a contracted component equals the component's min
+            # vec_id (for the minimum node m, its supernode id is m:
+            # the cluster's members all sit in the component, none
+            # smaller). Label-only seeding is NOT enough — min-label
+            # propagation still walks one NODE per round, so a seeded
+            # frontier advances exactly as slowly through new links;
+            # contraction shortens the walk itself to the contracted
+            # diameter (measured: 32 -> 17 rounds on a 32-node chain of
+            # 16 pair-clusters; real-fixture numbers in bench.py notes).
+            node_sn = (
+                cores.join(prev_labels, "v", "left")
+                .select("v", F.coalesce(F.col("label"), F.col("v")).alias("sn"))
+                .localCheckpoint()
+            )
+            cedges = (
+                edges.join(
+                    node_sn.select(F.col("v").alias("a"), F.col("sn").alias("sa")),
+                    "a",
+                )
+                .join(
+                    node_sn.select(F.col("v").alias("b"), F.col("sn").alias("sb")),
+                    "b",
+                )
+                .filter(F.col("sa") != F.col("sb"))
+                .select(F.col("sa").alias("a"), F.col("sb").alias("b"))
+                .distinct()
+                .localCheckpoint()
+            )
+            prop_edges = cedges
+            prop_labels = (
+                node_sn.select(F.col("sn").alias("v"))
+                .distinct()
+                .select("v", F.col("v").alias("label"))
+                .localCheckpoint()
+            )
+        else:
+            node_sn = None
+            prop_edges = edges
+            prop_labels = cores.select(
+                "v", F.col("v").alias("label")
+            ).localCheckpoint()
+        labels = prop_labels
+        n_iters = 0
         for _ in range(32):  # diameter bound (dense clusters are shallow)
+            n_iters += 1
             prop = (
-                edges.join(labels, edges.a == labels.v)
+                prop_edges.join(labels, prop_edges.a == labels.v)
                 .groupBy(F.col("b").alias("v2"))
                 .agg(F.min("label").alias("nlabel"))
             )
@@ -2553,6 +2613,17 @@ def hdbscan_lite_from_pairs(
                 "hdbscan_lite_from_pairs: label propagation did not "
                 "converge in 32 iterations (core-graph diameter > 32?)"
             )
+        _HDB_LAST_ITERS.append(n_iters)
+        if node_sn is not None:
+            # expand supernode labels back to nodes
+            labels = (
+                node_sn.join(
+                    labels.select(F.col("v").alias("sn"), "label"), "sn"
+                )
+                .select("v", "label")
+                .localCheckpoint()
+            )
+        prev_labels, prev_eps = labels, eps
         lab = labels.select(
             F.col("v").alias("vec_id"), F.col("label").alias("cluster_id")
         )

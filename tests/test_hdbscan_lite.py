@@ -129,3 +129,47 @@ def test_hdbscan_lite_under_k_candidates_is_all_noise(spark):
         for r in rows
     )
     spark.catalog.clearCache()
+
+
+def test_hdbscan_level2_seeding_reduces_iterations(spark):
+    """VERDICT r10 ask #3: level 2 seeds its labels from level 1's
+    converged components (valid by the nesting property), so on a graph
+    where eps2 chains many eps1 clusters the propagation loop needs
+    roughly half the hops. Pin BOTH the correctness (output identical
+    to running level 2 alone, which uses identity init) and the
+    iteration saving on a 16-segment chain: eps1 links pairs
+    (2i, 2i+1); eps2 links the whole chain."""
+    from bigdata_2025_1_spark.operators import similarity as S
+
+    n = 32  # nodes 0..31 in a path; intra-pair d=0.1, cross-pair d=0.5
+    ids_df = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    pairs = [
+        (i, i + 1, 0.1 if i % 2 == 0 else 0.5) for i in range(n - 1)
+    ]
+    pairs_df = spark.createDataFrame(pairs, "a long, b long, d double")
+    # k=1: core_dist = min incident d = 0.1 everywhere; dmr(intra)=0.1,
+    # dmr(cross)=0.5 -> eps1=0.2 gives the 16 pair-clusters, eps2=0.6
+    # gives one 32-node chain component
+    got = {
+        (r.eps, r.vec_id): (r.core_dist, r.is_core, r.cluster_id)
+        for r in hdbscan_lite_from_pairs(
+            ids_df, pairs_df, 1, (0.2, 0.6)
+        ).collect()
+    }
+    seeded_iters = list(S._HDB_LAST_ITERS)
+    # correctness: identical to the scalar reference at both levels
+    assert got == _ref_hdbscan_lite(
+        list(range(n)), pairs, 1, (0.2, 0.6)
+    )
+    # identity-init baseline for level 2: run eps2 as the FIRST level
+    hdbscan_lite_from_pairs(ids_df, pairs_df, 1, (0.6,)).collect()
+    identity_iters = S._HDB_LAST_ITERS[0]
+    assert len(seeded_iters) == 2
+    # label 0 walks the 31-hop chain one hop per round under identity
+    # init; seeding pre-collapses each eps1 pair so it walks pair-blocks
+    assert seeded_iters[1] < identity_iters, (seeded_iters, identity_iters)
+    assert seeded_iters[1] <= identity_iters // 2 + 2, (
+        seeded_iters,
+        identity_iters,
+    )
+    spark.catalog.clearCache()
