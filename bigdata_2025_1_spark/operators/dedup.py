@@ -1259,6 +1259,259 @@ def lsh_admission_log(new_sig: DataFrame, corpus_sig: DataFrame) -> DataFrame:
     )
 
 
+# --- arrival-ordered incremental LSH (growing index) ----------------------
+
+
+@query(
+    "dedup_lsh_arrival_log",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM tok
+    ), sig AS (
+      SELECT doc_id, shingles, {_SQL_SIG} FROM sh
+    ), bands AS (
+      {_SQL_BANDS}
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+      FROM bands n JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
+      WHERE o.doc_id < n.doc_id
+    ), scored AS (
+      SELECT c.doc_new, c.doc_old,
+             len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+               / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_new
+      JOIN sh sb ON sb.doc_id = c.doc_old
+      WHERE len(sa.shingles) > 0 AND len(sb.shingles) > 0
+        AND len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(sa.shingles || sb.shingles)) >= {JACCARD_THRESHOLD}
+    ), best AS (
+      SELECT doc_new, doc_old, jaccard,
+             COUNT(*) OVER (PARTITION BY doc_new) AS n_dups,
+             ROW_NUMBER() OVER (PARTITION BY doc_new
+                                ORDER BY jaccard DESC, doc_old) AS rn
+      FROM scored
+    )
+    SELECT d.doc_id AS doc_new,
+           CAST(COALESCE(b.n_dups, 0) AS BIGINT) AS n_dups,
+           b.doc_old AS dup_of,
+           b.jaccard AS jaccard,
+           b.doc_old IS NULL AS is_new_content
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_new = d.doc_id
+    ORDER BY doc_new
+    """,
+)
+def dedup_lsh_arrival_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRIVAL-ORDERED incremental near-dup dedup with a GROWING index —
+    the bootstrap/backfill replay of a streaming ingest pipeline: docs
+    arrive in doc_id order, each is checked against EVERY earlier doc
+    (band-key candidates, exact-Jaccard verify), then inserted into the
+    band index. Per doc: earlier-near-dup count, best earlier match
+    (jaccard DESC, doc_id ASC), and the is_new_content admission
+    verdict. ``dedup_incremental_lsh`` answers "may today's batch enter
+    a frozen corpus"; this is the history-replay that BUILDS the
+    standing index — and its arithmetic is what the per-trigger
+    streaming maintenance (``lsh_ingest_step`` inside foreachBatch)
+    accumulates, so the batch result is the ground truth the streaming
+    path is tested against (the PH/CUSUM online-form convention, VERDICT
+    r10 ask #4a). The pure-Python online twin is ``lsh_index_update``
+    (chunking-invariant by property test).
+
+    Determinism: shared md5 MinHash/band machinery (``_signatures`` /
+    ``_band_rows`` / ``_SQL_BANDS``); Jaccard is an exact int ratio; the
+    best pick is a (jaccard DESC, doc_id) total order.
+
+    Scale shape: one banded self-equi-join with ``o.doc_id < n.doc_id``
+    — candidates stay band-bucket-bounded exactly like dedup_minhash_lsh
+    (never all-pairs); verification touches candidates only; the final
+    window partitions by doc_new (tiny groups). Arrival order rides the
+    doc_id total order, so no global sort is needed — the < predicate
+    prunes inside each band bucket."""
+    sig = _signatures(spark, sf_dir)
+    return lsh_arrival_log(sig)
+
+
+def lsh_arrival_log(sig: DataFrame) -> DataFrame:
+    """Per-doc admission log over a whole signature frame under
+    arrival-(doc_id)-order semantics: earlier = smaller doc_id. Pure
+    function of its input; the registered replay query calls it on the
+    full corpus and the streaming twin's accumulated per-trigger logs
+    must equal it."""
+    b = _band_rows(sig)
+    nb = b.select(F.col("doc_id").alias("doc_new"), "band", "band_key")
+    ob = b.select(F.col("doc_id").alias("doc_old"), "band", "band_key")
+    cand = (
+        nb.join(ob, ["band", "band_key"])
+        .filter(F.col("doc_old") < F.col("doc_new"))
+        .select("doc_new", "doc_old")
+        .distinct()
+    )
+    return _admission_from_candidates(sig, sig, cand)
+
+
+def lsh_ingest_step(batch_sig: DataFrame, standing_sig: DataFrame) -> DataFrame:
+    """ONE trigger of the growing-index ingest: the batch probes the
+    STANDING band index (strictly earlier by contract — no order
+    predicate) plus its own earlier-in-batch rows (doc_id order within
+    the trigger). The foreachBatch maintenance loop calls this, then
+    appends the batch's signature/band rows to the standing table; the
+    accumulated logs equal ``lsh_arrival_log`` over everything ingested
+    (pinned in tests/test_streaming.py)."""
+    bb = _band_rows(batch_sig)
+    sb = _band_rows(standing_sig)
+    nb = bb.select(F.col("doc_id").alias("doc_new"), "band", "band_key")
+    cross = nb.join(
+        sb.select(F.col("doc_id").alias("doc_old"), "band", "band_key"),
+        ["band", "band_key"],
+    )
+    within = nb.join(
+        bb.select(F.col("doc_id").alias("doc_old"), "band", "band_key"),
+        ["band", "band_key"],
+    ).filter(F.col("doc_old") < F.col("doc_new"))
+    cand = (
+        cross.unionByName(within).select("doc_new", "doc_old").distinct()
+    )
+    earlier = standing_sig.unionByName(batch_sig)
+    return _admission_from_candidates(batch_sig, earlier, cand)
+
+
+def _admission_from_candidates(
+    new_sig: DataFrame, old_sig: DataFrame, cand: DataFrame
+) -> DataFrame:
+    """Shared verify+log tail: exact-Jaccard verification of candidate
+    pairs, per-new-doc best-match window, LEFT-JOIN admission log (the
+    lsh_admission_log tail, factored so the arrival/ingest variants
+    cannot drift from it)."""
+    sa = new_sig.select(
+        F.col("doc_id").alias("doc_new"), F.col("shingles").alias("sh_a")
+    )
+    sb = old_sig.select(
+        F.col("doc_id").alias("doc_old"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    scored = (
+        cand.join(sa, "doc_new")
+        .join(sb, "doc_old")
+        .filter((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
+        .select("doc_new", "doc_old", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    wn = Window.partitionBy("doc_new")
+    best = (
+        scored.withColumn("n_dups", F.count("*").over(wn))
+        .withColumn(
+            "rn",
+            F.row_number().over(wn.orderBy(F.desc("jaccard"), "doc_old")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    new_docs = new_sig.select(F.col("doc_id").alias("doc_new"))
+    return (
+        new_docs.join(best, "doc_new", "left")
+        .select(
+            "doc_new",
+            F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"),
+            F.col("doc_old").alias("dup_of"),
+            "jaccard",
+            F.col("doc_old").isNull().alias("is_new_content"),
+        )
+        .orderBy("doc_new")
+    )
+
+
+def lsh_state_zero() -> "tuple[dict, dict]":
+    """Fresh empty index state for :func:`lsh_index_update` —
+    ``(buckets, shingles)`` where buckets maps ``(band, band_key)`` to
+    the doc_ids filed there and shingles maps doc_id to its shingle
+    set. A factory (not a module constant) because the state is
+    mutable — a shared zero would be silently corrupted by first use."""
+    return ({}, {})
+
+
+def _py_md5(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def _py_shingles3(text: str) -> "frozenset[str]":
+    """Python twin of ``word_shingles(lower(text), k=3)``: distinct
+    3-word shingles of the ASCII-whitespace tokenization. Java's ``\\s``
+    is the ASCII class ``[ \\t\\n\\x0B\\f\\r]`` — spelled out so the twin
+    cannot drift onto Python's wider Unicode ``\\s`` (the ws_tokens
+    deviation note); lowercasing matches on ASCII, the fixture domain."""
+    import re
+
+    toks = [t for t in re.split("[ \t\n\x0b\f\r]+", text.lower()) if t]
+    if len(toks) < 3:
+        return frozenset()
+    return frozenset(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2))
+
+
+def _py_minhash_bands(shingles: "frozenset[str]") -> "list[tuple[int, str]]":
+    """Python twin of minhash_signature + _band_rows: md5-rotation
+    MinHash signature, band key = md5 of the contiguous signature
+    slice. Empty shingle set -> no bands (the engine's null-band-key
+    behavior: such docs are never candidates on either side)."""
+    if not shingles:
+        return []
+    hexes = [_py_md5(s) for s in shingles]
+    sig = [min(h[i:] + h[:i] for h in hexes) for i in range(NUM_HASHES)]
+    per = NUM_HASHES // BANDS
+    return [
+        (b, _py_md5("".join(sig[b * per : (b + 1) * per])))
+        for b in range(BANDS)
+    ]
+
+
+def lsh_index_update(state, docs):
+    """Online LSH-index state transition — the STREAMING form of
+    ``dedup_lsh_arrival_log``'s arithmetic (that query replays this
+    ingest as one banded batch join; this function IS the per-trigger
+    update a foreachBatch monitor keeps between micro-batches —
+    the page_hinkley_update/cusum_update convention, VERDICT r10 ask
+    #4a). ``docs`` is the next run of ``(doc_id, text)`` rows in
+    arrival order; for each, the standing band index is probed,
+    candidates are exact-Jaccard verified, the admission row is
+    emitted, and the doc is filed into the index. MUTATES ``state`` in
+    place (the index is the whole point) and returns ``(state, out)``
+    with out rows ``(doc_new, n_dups, dup_of, jaccard,
+    is_new_content)`` — byte-identical to the batch query's rows for
+    the same arrival prefix, under any chunking
+    (tests/test_lsh_arrival.py pins both properties)."""
+    buckets, sh_idx = state
+    out = []
+    for doc_id, text in docs:
+        sh = _py_shingles3(text)
+        bands = _py_minhash_bands(sh)
+        cand_ids = set()
+        for bk in bands:
+            cand_ids.update(buckets.get(bk, ()))
+        matches = []
+        if sh:
+            for old in cand_ids:
+                osh = sh_idx[old]
+                if not osh:
+                    continue
+                j = len(sh & osh) / len(sh | osh)
+                if j >= JACCARD_THRESHOLD:
+                    matches.append((old, j))
+        if matches:
+            best_old, best_j = min(matches, key=lambda m: (-m[1], m[0]))
+            out.append((doc_id, len(matches), best_old, best_j, False))
+        else:
+            out.append((doc_id, 0, None, None, True))
+        for bk in bands:
+            buckets.setdefault(bk, []).append(doc_id)
+        if bands:
+            sh_idx[doc_id] = sh
+    return state, out
+
+
 # --- content-defined chunking (CDC) shared-chunk detection ---------------
 
 CDC_WINDOW = 8  # rolling fingerprint window (chars)

@@ -73,6 +73,10 @@ def test_lsh_band_join_no_cartesian(spark, sf_dir):
         "ann_srp_lsh_pairs",
         "dedup_simhash_hamming",
         "dedup_char_ngram_jaccard",
+        # the arrival replay's banded self-join: the doc_old < doc_new
+        # arrival predicate must stay RESIDUAL on the band-key equi-join,
+        # never become the join condition itself
+        "dedup_lsh_arrival_log",
     ):
         plan = formatted_plan(QUERIES[q](spark, sf_dir))
         assert "CartesianProduct" not in plan, q
