@@ -198,6 +198,19 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # loop's per-round argmax collects — those only ever run once per
 # (applicationId, sf_dir).
 #
+# Round-11 negative result (measured, then NOT shipped): applying the
+# same memo to dedup's _signatures is redundant. Controlled suite-
+# session A/B at sf0.1 (dedup_minhash_lsh then lsh_recall_eval in one
+# session, no clearCache between, interleaved best-of-3): memo-off
+# 4.17/4.41 s vs memo-on 4.38/4.08 s — parity. Spark's CacheManager
+# already dedupes identical ANALYZED PLANS at persist() time, so the
+# second query's fresh _signatures().persist() resolves to the first's
+# cached blocks with no Python-side memo at all. The BPE/rankings
+# memos win because their cost is DRIVER-side Python (per-round argmax
+# collects / index-build orchestration), which plan caching cannot
+# skip; _signatures is pure lineage. Memo reverted — the cache
+# manager is the memo.
+#
 # Round-10 note (full headline run at sf0.1, recorded IN-REPO as
 # bench_local_r10.json — the full line only, so json.load works on it;
 # the original r10 tee accidentally captured the compact headline line
