@@ -2009,3 +2009,185 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lsh_ok"),
         )
     )
+
+
+# --- dedup release gate (suite-composition capstone) -----------------------
+
+# Gate thresholds — shared literals so the comparisons are the same IEEE
+# chain in both engines. Real curation-pipeline defaults (the sf fixture
+# passes all four; the deny and no-decision branches are exercised on
+# crafted corpora in tests/test_dedup_release_gate.py):
+DEDUP_GATE_MIN_PRECISION = "0.2"  # >=1 in 5 band candidates must verify
+# (lower means the banding wastes verify compute — a config smell)
+DEDUP_GATE_MAX_NEARDUP = "0.2"  # <=20% of docs dropped as near-dups
+# (above that the snapshot smells of an ingestion/crawl loop bug)
+DEDUP_GATE_MAX_CLUSTER = "64"  # no dup cluster may exceed 64 docs (a
+# giant cluster usually means boilerplate shingles or a degenerate band)
+
+
+def _dedup_gate_oracle() -> str:
+    # Compose the legs' REGISTERED oracles verbatim (the
+    # corpus_release_gate convention) — the gate can never drift from
+    # what the correctness gate certifies leg by leg. Both legs are
+    # registered ABOVE in this module, so ORACLES already has them.
+    from bigdata_2025_1_spark.registry import ORACLES as _O
+
+    return f"""
+    WITH lr AS (
+      SELECT n_true_pairs, recall AS lsh_recall, candidate_precision, lsh_ok
+      FROM ({_O["lsh_recall_eval"]})
+    ), cd AS (
+      SELECT * FROM ({_O["canonical_doc_per_cluster"]})
+    ), drops AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_dropped
+      FROM cd
+    ), sizes AS (
+      SELECT MAX(csz) AS max_raw
+      FROM (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csz
+            FROM cd GROUP BY cluster_id)
+    ), nd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), vals AS (
+      SELECT nd.n_docs, lr.n_true_pairs, lr.lsh_recall,
+             lr.candidate_precision, lr.lsh_ok,
+             CASE WHEN nd.n_docs > 0
+                  THEN drops.n_dropped::DOUBLE / nd.n_docs END AS near_dup_rate,
+             CASE WHEN nd.n_docs > 0
+                  THEN CAST(COALESCE(sizes.max_raw, 0) AS BIGINT)
+             END AS max_cluster_size
+      FROM nd CROSS JOIN lr CROSS JOIN drops CROSS JOIN sizes
+    ), oks AS (
+      SELECT n_docs, n_true_pairs, lsh_recall, candidate_precision,
+             near_dup_rate, max_cluster_size,
+             CASE WHEN n_docs = 0 THEN NULL
+                  WHEN lsh_ok IS NULL THEN TRUE
+                  ELSE lsh_ok END AS ok_recall,
+             CASE WHEN n_docs = 0 THEN NULL
+                  WHEN candidate_precision IS NULL THEN TRUE
+                  ELSE candidate_precision >= {DEDUP_GATE_MIN_PRECISION}
+             END AS ok_precision,
+             near_dup_rate <= {DEDUP_GATE_MAX_NEARDUP} AS ok_neardup,
+             max_cluster_size <= {DEDUP_GATE_MAX_CLUSTER} AS ok_blowup
+      FROM vals
+    )
+    SELECT n_docs, n_true_pairs, lsh_recall, candidate_precision,
+           near_dup_rate, max_cluster_size,
+           ok_recall, ok_precision, ok_neardup, ok_blowup,
+           (ok_recall AND ok_precision AND ok_neardup AND ok_blowup)
+             AS dedup_ok
+    FROM oks
+    """
+
+
+@query("dedup_release_gate", oracle=_dedup_gate_oracle())
+def dedup_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup pipeline's RELEASE DECISION, in one row — the
+    dedup-family suite capstone (the ``corpus_release_gate`` convention
+    applied to the LSH config + its downstream keep/drop outcome).
+    Composes, by CALLING the registered queries so the gate can never
+    drift from what the correctness gate certifies leg by leg:
+
+    - ``lsh_recall_eval``           -> lsh_recall (gate: its own
+      ``lsh_ok``, recall >= {LSH_MIN_RECALL}) and candidate_precision
+      (gate: >= {DEDUP_GATE_MIN_PRECISION} — the verify-cost guard)
+    - ``canonical_doc_per_cluster`` -> near_dup_rate = non-keepers /
+      corpus size (gate: <= {DEDUP_GATE_MAX_NEARDUP}) and
+      max_cluster_size (gate: <= {DEDUP_GATE_MAX_CLUSTER} — the
+      boilerplate-blowup guard)
+
+    ``dedup_ok`` is the conjunction. Every sub-scalar is reconciled
+    against its standalone query by tests/test_dedup_release_gate.py.
+
+    Null semantics (identical three-valued logic in both engines): an
+    EMPTY corpus yields NULL metrics and a NULL (unknown) dedup_ok — a
+    no-decision, not a pass. A NON-empty corpus with zero true near-dup
+    pairs passes the recall leg vacuously (nothing to miss), and zero
+    band candidates passes the precision leg vacuously (no wasted
+    verifies) — a clean corpus must release.
+
+    Scale shape: both legs are already scale-audited standalone (the
+    prefix-filter truth side, banded candidates, diameter-bounded CC),
+    reduced here to three 1-row aggregates and the CC label frame's
+    tiny per-cluster counts, assembled by broadcast cross-joins. The
+    legs' shared ``_signatures`` input dedupes at the block level via
+    Spark's plan-keyed CacheManager (measured round 11 — see bench.py's
+    negative-memo note), so the gate pays the signature pass once."""
+    lr = lsh_recall_eval(spark, sf_dir).select(
+        "n_true_pairs",
+        F.col("recall").alias("lsh_recall"),
+        "candidate_precision",
+        "lsh_ok",
+    )
+    cd = canonical_doc_per_cluster(spark, sf_dir)
+    drops = cd.agg(
+        F.coalesce(
+            F.sum(F.when(~F.col("is_keeper"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_dropped")
+    )
+    sizes = (
+        cd.groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("csz"))
+        .agg(F.max("csz").alias("max_raw"))
+    )
+    nd = (
+        load(spark, sf_dir, "documents")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    vals = (
+        nd.crossJoin(F.broadcast(lr))
+        .crossJoin(F.broadcast(drops))
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "n_docs",
+            "n_true_pairs",
+            "lsh_recall",
+            "candidate_precision",
+            "lsh_ok",
+            F.when(
+                F.col("n_docs") > 0,
+                F.col("n_dropped").cast("double") / F.col("n_docs"),
+            ).alias("near_dup_rate"),
+            F.when(
+                F.col("n_docs") > 0,
+                F.coalesce(F.col("max_raw"), F.lit(0)).cast("bigint"),
+            ).alias("max_cluster_size"),
+        )
+    )
+    ok_recall = (
+        F.when(F.col("n_docs") == 0, F.lit(None).cast("boolean"))
+        .when(F.col("lsh_ok").isNull(), F.lit(True))
+        .otherwise(F.col("lsh_ok"))
+    )
+    ok_precision = (
+        F.when(F.col("n_docs") == 0, F.lit(None).cast("boolean"))
+        .when(F.col("candidate_precision").isNull(), F.lit(True))
+        .otherwise(
+            F.col("candidate_precision") >= float(DEDUP_GATE_MIN_PRECISION)
+        )
+    )
+    ok_neardup = F.col("near_dup_rate") <= float(DEDUP_GATE_MAX_NEARDUP)
+    ok_blowup = F.col("max_cluster_size") <= int(DEDUP_GATE_MAX_CLUSTER)
+    oks = vals.select(
+        "n_docs",
+        "n_true_pairs",
+        "lsh_recall",
+        "candidate_precision",
+        "near_dup_rate",
+        "max_cluster_size",
+        ok_recall.alias("ok_recall"),
+        ok_precision.alias("ok_precision"),
+        ok_neardup.alias("ok_neardup"),
+        ok_blowup.alias("ok_blowup"),
+    )
+    return oks.select(
+        "*",
+        (
+            F.col("ok_recall")
+            & F.col("ok_precision")
+            & F.col("ok_neardup")
+            & F.col("ok_blowup")
+        ).alias("dedup_ok"),
+    )
