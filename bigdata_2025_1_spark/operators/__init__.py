@@ -26,6 +26,7 @@ _MODULES = (
     "retrieval_ops",
     "model_eval",
     "table_ops",
+    "layout_ops",
 )
 
 

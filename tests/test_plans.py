@@ -1623,6 +1623,9 @@ ROUND11_QUERIES = [
     # grows as round-11 additions land (day-one checklist, standing ask)
     "dedup_lsh_arrival_log",
     "dedup_release_gate",
+    "compaction_plan_bins",
+    "clustering_depth_compare",
+    "layout_maintenance_plan",
 ]
 
 
