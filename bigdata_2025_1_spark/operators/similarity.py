@@ -2817,3 +2817,211 @@ def retrieval_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("mean_ndcg_at_k") >= float(SUITE_MIN_NDCG))
         ).alias("index_ok"),
     )
+
+
+# --- IVF index ingest / maintenance ----------------------------------------
+
+IVF_SPLIT_FACTOR = 3  # a cell holding >3x its ideal share needs a re-split
+# (the semantic_dedup_pairs sub-quantizer is the re-split mechanism; this
+# is the monitoring row that decides WHEN to apply it)
+
+
+@query(
+    "ivf_ingest_assign",
+    oracle=f"""
+    WITH se AS MATERIALIZED (
+      SELECT vec_id, {V.sql_scaled_e9('embedding', _DIM)} AS se
+      FROM embeddings
+    ), proj AS (
+      SELECT vec_id, {V.sql_ivf_projs_from('se', _CENTROIDS)} AS projs
+      FROM se
+    ), assigned AS (
+      SELECT vec_id,
+             CAST(list_position(projs, list_max(projs)) - 1 AS INT) AS cell
+      FROM proj
+    ), per_cell AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(MIN(vec_id) AS BIGINT) AS first_vec,
+             CAST(MAX(vec_id) AS BIGINT) AS last_vec
+      FROM assigned GROUP BY cell
+    ), tot AS (
+      SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM per_cell
+    )
+    SELECT cell, n_vecs, first_vec, last_vec,
+           (n_vecs * {N_CELLS})::DOUBLE / total AS fill_ratio,
+           n_vecs * {N_CELLS} > {IVF_SPLIT_FACTOR} * total AS needs_split
+    FROM per_cell CROSS JOIN tot
+    ORDER BY cell
+    """,
+)
+def ivf_ingest_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-maintenance readout after an arrival-ordered vector
+    ingest — the ANN analogue of ``dedup_lsh_arrival_log``: vectors
+    arrive in vec_id order and are filed into their coarse-quantizer
+    cell (the SAME deterministic 32-direction argmax ``ann_ivf_topk``
+    queries against, so this monitors exactly the index that serves);
+    the row per occupied cell is the health signal a nightly index
+    maintenance job reads:
+
+    - n_vecs / first_vec / last_vec — inverted-list size and arrival
+      span (count/min/max: a semigroup, so per-trigger aggregates merge
+      associatively — the streaming form below);
+    - fill_ratio — n_vecs / ideal share (1.0 = perfectly balanced);
+    - needs_split — n_vecs * {N_CELLS} > {IVF_SPLIT_FACTOR} * total,
+      exact-integer comparison: the cell outgrew {IVF_SPLIT_FACTOR}x
+      its share and its scan-time win is gone (the sub-quantizer
+      re-split of ``semantic_dedup_pairs`` is the remedy).
+
+    The pure-Python online twin is ``ivf_cells_update`` (per-trigger
+    state transition, chunking-invariant by property test — the
+    page_hinkley/cusum/lsh_index_update convention); ``ivf_ingest_step``
+    is the per-trigger Spark path a foreachBatch maintenance loop
+    accumulates (tests/test_ivf_ingest.py runs three triggers and pins
+    the accumulated state against this batch replay).
+
+    Determinism: cell = argmax of exact int64-scaled projections
+    (first-max tie-break, mirrored by list_position); counts exact
+    ints; fill_ratio one double division; needs_split integer-only.
+
+    Scale shape: one Arrow-vectorized assignment pass, map-side
+    combinable groupBy(cell) to {N_CELLS} rows, broadcast 1-row total.
+    Empty table -> empty result in both engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    cell_pd = V.make_ivf_cell_pandas(_CENTROIDS)
+    per_cell = (
+        emb.select(
+            "vec_id", cell_pd(F.col("embedding")).getField("cell").alias("cell")
+        )
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.min("vec_id").cast("bigint").alias("first_vec"),
+            F.max("vec_id").cast("bigint").alias("last_vec"),
+        )
+    )
+    tot = per_cell.agg(F.sum("n_vecs").cast("bigint").alias("total"))
+    return (
+        per_cell.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vecs",
+            "first_vec",
+            "last_vec",
+            (
+                (F.col("n_vecs") * N_CELLS).cast("double") / F.col("total")
+            ).alias("fill_ratio"),
+            (
+                F.col("n_vecs") * N_CELLS
+                > F.lit(IVF_SPLIT_FACTOR) * F.col("total")
+            ).alias("needs_split"),
+        )
+        .orderBy("cell")
+    )
+
+
+def ivf_ingest_step(batch_emb: DataFrame) -> DataFrame:
+    """ONE trigger of the IVF ingest: assign the batch's vectors to
+    their cells and collapse to per-cell (cell, n_vecs, first_vec,
+    last_vec) partial aggregates. count/min/max form a semigroup, so a
+    foreachBatch maintenance loop merges these into its standing state
+    with ``ivf_merge_cells`` and the accumulated state equals the batch
+    replay (pinned in tests/test_ivf_ingest.py)."""
+    cell_pd = V.make_ivf_cell_pandas(_CENTROIDS)
+    return (
+        batch_emb.select(
+            "vec_id", cell_pd(F.col("embedding")).getField("cell").alias("cell")
+        )
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.min("vec_id").cast("bigint").alias("first_vec"),
+            F.max("vec_id").cast("bigint").alias("last_vec"),
+        )
+    )
+
+
+def ivf_state_zero() -> dict:
+    """Fresh empty per-cell state for the online twin: maps cell ->
+    [n_vecs, first_vec, last_vec]. A factory, not a module constant —
+    the state is mutable."""
+    return {}
+
+
+def _py_ivf_cell(emb: "list[float]") -> int:
+    """Python twin of make_ivf_cell_pandas' assignment for ONE vector:
+    exact int64-scaled projections onto the shared _CENTROIDS, argmax
+    with first-max tie-break — bit-identical arithmetic (same float64
+    scale-and-round, same int64 matmul)."""
+    import numpy as np
+
+    E9 = np.asarray(emb, dtype=np.float64) * 1e9
+    S = (np.sign(E9) * np.floor(np.abs(E9) + 0.5)).astype(np.int64)
+    C = np.array(_CENTROIDS, dtype=np.int64)
+    return int(np.argmax(C @ S))
+
+
+def ivf_cells_update(state: dict, vecs) -> dict:
+    """Online IVF-index state transition — the STREAMING form of
+    ``ivf_ingest_assign``'s arithmetic (the page_hinkley_update /
+    cusum_update / lsh_index_update convention): ``vecs`` is the next
+    run of ``(vec_id, embedding)`` rows in arrival order; each is
+    assigned to its cell and the per-cell (count, min, max) state is
+    advanced. MUTATES ``state`` in place and returns it. Chunking-
+    invariant: any split of the arrival log into triggers yields the
+    same final state (property-tested)."""
+    for vec_id, emb in vecs:
+        cell = _py_ivf_cell(emb)
+        st = state.get(cell)
+        if st is None:
+            state[cell] = [1, vec_id, vec_id]
+        else:
+            st[0] += 1
+            if vec_id < st[1]:
+                st[1] = vec_id
+            if vec_id > st[2]:
+                st[2] = vec_id
+    return state
+
+
+def ivf_merge_cells(state: dict, step_rows) -> dict:
+    """Merge ONE trigger's per-cell partial aggregates (rows of
+    ``ivf_ingest_step``) into the standing state — the semigroup merge
+    a foreachBatch maintenance loop runs. MUTATES ``state``."""
+    for r in step_rows:
+        cell, n, lo, hi = (
+            (r["cell"], r["n_vecs"], r["first_vec"], r["last_vec"])
+            if isinstance(r, dict)
+            else (r.cell, r.n_vecs, r.first_vec, r.last_vec)
+        )
+        st = state.get(cell)
+        if st is None:
+            state[cell] = [n, lo, hi]
+        else:
+            st[0] += n
+            if lo < st[1]:
+                st[1] = lo
+            if hi > st[2]:
+                st[2] = hi
+    return state
+
+
+def ivf_cells_readout(state: dict) -> "list[tuple]":
+    """Derive ``ivf_ingest_assign``'s rows from the online state:
+    (cell, n_vecs, first_vec, last_vec, fill_ratio, needs_split) sorted
+    by cell — byte-identical to the batch query (fill_ratio is the same
+    single IEEE double division; needs_split the same exact-integer
+    comparison)."""
+    from bigdata_2025_1_spark.operators.similarity import N_CELLS as _NC
+
+    total = sum(v[0] for v in state.values())
+    return [
+        (
+            cell,
+            n,
+            lo,
+            hi,
+            float(n * _NC) / total,
+            n * _NC > IVF_SPLIT_FACTOR * total,
+        )
+        for cell, (n, lo, hi) in sorted(state.items())
+    ]

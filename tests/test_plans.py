@@ -1626,6 +1626,7 @@ ROUND11_QUERIES = [
     "compaction_plan_bins",
     "clustering_depth_compare",
     "layout_maintenance_plan",
+    "ivf_ingest_assign",
 ]
 
 
