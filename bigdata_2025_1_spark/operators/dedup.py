@@ -613,9 +613,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     rev = pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     edges = fwd.unionByName(rev).persist()
-    labels = edges.select(F.col("a").alias("doc")).distinct().select(
-        "doc", F.col("doc").alias("label")
-    ).persist()
+    # Initialization fuses the first propagation round into the same
+    # aggregation that deduplicates the node set: label0(v) =
+    # min(v, min neighbor) costs exactly what the plain distinct() cost
+    # and saves one full join+agg+count round (round-11 measurement).
+    labels = (
+        edges.groupBy(F.col("a").alias("doc"))
+        .agg(F.least(F.first("a"), F.min("b")).alias("label"))
+        .persist()
+    )
     for _ in range(32):  # diameter bound; tiny real-world dup clusters
         neighbor_min = (
             edges.join(labels, edges.a == labels.doc)
