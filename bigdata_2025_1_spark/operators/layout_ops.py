@@ -420,3 +420,46 @@ def layout_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "needs_recluster"
         ),
     )
+
+
+# --- online form of the compaction planner ---------------------------------
+
+
+def compaction_state_zero() -> dict:
+    """Fresh state for :func:`compaction_update`: the next-fit tail —
+    cumulative small-batch rows so far — plus per-bin fills. A factory,
+    not a module constant (the state is mutable)."""
+    return {"cum": 0, "bins": {}}
+
+
+def compaction_update(state: dict, batches) -> "tuple[dict, list]":
+    """Online compaction-planning state transition — the STREAMING form
+    of ``compaction_plan_bins``'s arithmetic (the page_hinkley / cusum /
+    lsh_index_update / ivf_cells_update convention): ``batches`` is the
+    next run of ``(batch_date, n_rows)`` ingest batches in date order;
+    each is classified keep/compact and, for compacts, assigned its
+    output bin THE MOMENT IT ARRIVES — next-fit binning depends only on
+    the prefix of small-batch rows, so a foreachBatch maintenance loop
+    can emit the plan row per trigger without ever rescanning history.
+    MUTATES ``state`` and returns ``(state, rows)`` where rows are
+    ``(batch_date, n_rows, action, out_bin)`` — byte-identical to the
+    batch query's first four columns under ANY chunking (property-
+    tested). Per-bin fills (the batch query's ``bin_rows``) are a
+    final-state readout via :func:`compaction_bin_fills`, since later
+    arrivals may still join an open bin."""
+    out = []
+    for d, n in batches:
+        if n < COMPACT_SMALL_ROWS:
+            b = state["cum"] // COMPACT_TARGET_ROWS
+            state["cum"] += n
+            state["bins"][b] = state["bins"].get(b, 0) + n
+            out.append((d, n, "compact", b))
+        else:
+            out.append((d, n, "keep", None))
+    return state, out
+
+
+def compaction_bin_fills(state: dict) -> dict:
+    """Final per-bin fills from the online state — equals the batch
+    query's ``bin_rows`` column grouped by ``out_bin``."""
+    return dict(sorted(state["bins"].items()))

@@ -153,3 +153,41 @@ def test_decision_branches_on_healthy_layout(spark, tmp_path):
     assert row.needs_compaction is False
     assert row.needs_recluster is False
     spark.catalog.clearCache()
+
+
+def test_compaction_online_form_matches_batch_query(spark, sf_dir):
+    """The online twin replays the fixture's ingest history to the
+    batch plan row-for-row (first four columns; bin fills via the
+    final-state readout), and is chunking-invariant."""
+    import random
+
+    from bigdata_2025_1_spark.operators.layout_ops import (
+        compaction_bin_fills,
+        compaction_state_zero,
+        compaction_update,
+    )
+
+    plan = all_queries()["compaction_plan_bins"](spark, sf_dir).collect()
+    expected = [(r.batch_date, r.n_rows, r.action, r.out_bin) for r in plan]
+    fills = {
+        r.out_bin: r.bin_rows for r in plan if r.action == "compact"
+    }
+    arrivals = [(r.batch_date, r.n_rows) for r in plan]  # already date-ordered
+
+    state, out = compaction_update(compaction_state_zero(), arrivals)
+    assert out == expected
+    assert compaction_bin_fills(state) == fills
+
+    rng = random.Random(31)
+    for _trial in range(4):
+        st = compaction_state_zero()
+        got = []
+        i = 0
+        while i < len(arrivals):
+            step = rng.randint(1, 7)
+            st, part = compaction_update(st, arrivals[i : i + step])
+            got.extend(part)
+            i += step
+        assert got == expected
+        assert compaction_bin_fills(st) == fills
+    spark.catalog.clearCache()
