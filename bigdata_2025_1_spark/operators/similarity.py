@@ -3025,3 +3025,136 @@ def ivf_cells_readout(state: dict) -> "list[tuple]":
         )
         for cell, (n, lo, hi) in sorted(state.items())
     ]
+
+
+# --- embedding-distribution drift (index re-train signal) -------------------
+
+from bigdata_2025_1_spark.operators.text_analysis import KS_C05  # noqa: E402
+
+
+@query(
+    "embedding_norm_drift",
+    oracle=f"""
+    WITH se AS MATERIALIZED (
+      SELECT vec_id, {_SQL_NORM} AS v FROM embeddings
+    ), bounds AS (
+      SELECT CAST(MAX(vec_id) AS BIGINT) AS max_id FROM se
+    ), rows_ AS (
+      SELECT v, CASE WHEN s.vec_id * 2 <= b.max_id THEN 1 ELSE 0 END AS is_a
+      FROM se s CROSS JOIN bounds b
+    ), hist AS (
+      SELECT v, SUM(is_a) AS c1, COUNT(*) - SUM(is_a) AS c2
+      FROM rows_ GROUP BY v
+    ), nn AS (
+      SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(c2), 0) AS BIGINT) AS n2
+      FROM hist
+    ), cum AS (
+      SELECT SUM(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+             SUM(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+      FROM hist
+    ), dmax AS (
+      SELECT CAST(COALESCE(MAX(ABS(CAST(f1 AS HUGEINT) * nn.n2
+                                   - CAST(f2 AS HUGEINT) * nn.n1)), 0)
+                  AS BIGINT) AS d_num
+      FROM cum CROSS JOIN nn
+    )
+    SELECT nn.n1 AS n_old, nn.n2 AS n_new, dmax.d_num,
+           CASE WHEN nn.n1 > 0 AND nn.n2 > 0
+                THEN dmax.d_num::DOUBLE / (nn.n1::DOUBLE * nn.n2)
+           END AS d_stat,
+           CASE WHEN nn.n1 > 0 AND nn.n2 > 0
+                THEN ROUND(dmax.d_num::DOUBLE / (nn.n1::DOUBLE * nn.n2)
+                     * sqrt(nn.n1::DOUBLE * nn.n2 / (nn.n1 + nn.n2)), 9)
+           END AS ks_lambda,
+           CASE WHEN nn.n1 > 0 AND nn.n2 > 0
+                THEN dmax.d_num::DOUBLE / (nn.n1::DOUBLE * nn.n2)
+                     > {KS_C05} * sqrt((nn.n1 + nn.n2)::DOUBLE
+                                       / (nn.n1::DOUBLE * nn.n2))
+           END AS reject_05
+    FROM nn CROSS JOIN dmax
+    """,
+)
+def embedding_norm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test on the EXACT scaled squared
+    norms of the embedding table, OLD arrival half vs NEW arrival half
+    (vec_id*2 <= max id = earlier) — the distribution-health companion
+    of ``ivf_ingest_assign``: that query says whether the inverted
+    lists grew LOPSIDED; this one says whether the incoming vectors
+    changed DISTRIBUTION (a new embedding-model version, an un-
+    normalized ingest, a corrupted batch all move the norm law), which
+    is the signal to re-train the coarse quantizer rather than just
+    re-split a hot cell. The ``ks_doclen_drift`` machinery applied to
+    the vector domain: same exact-integer max-gap numerator
+    (HUGEINT/decimal(38) cross-multiplication over the norm value
+    domain), same scaled lambda and alpha=0.05 Smirnov gate
+    (c(0.05) = {KS_C05}, the shared literal).
+
+    Determinism: v = the int64-scaled norm (``norm_sq_scaled`` /
+    ``sql_dot_scaled`` — already bit-identical across engines); the
+    arrival split is exact integer arithmetic against the broadcast max
+    id; the CDFs never materialize as doubles. Empty / one-sided inputs
+    yield NULL verdicts via identical guards.
+
+    Scale shape: one fused Arrow pass computes norms; a map-side-
+    combinable histogram over (norm value, half) collapses the table;
+    the CDF window runs over DISTINCT NORM VALUES (value-domain — the
+    documented exception class); everything after is scalar. No
+    fact-sized shuffle beyond the histogram."""
+    emb = load(spark, sf_dir, "embeddings")
+    se = emb.select(
+        "vec_id", V.norm_sq_scaled(F.col("embedding")).alias("v")
+    )
+    bounds = se.agg(F.max("vec_id").cast("bigint").alias("max_id"))
+    rows = se.crossJoin(F.broadcast(bounds)).select(
+        "v",
+        (F.col("vec_id") * 2 <= F.col("max_id")).cast("bigint").alias("is_a"),
+    )
+    hist = rows.groupBy("v").agg(
+        F.sum("is_a").alias("c1"),
+        (F.count("*") - F.sum("is_a")).alias("c2"),
+    )
+    zero = F.lit(0).cast("bigint")
+    nn = hist.agg(
+        F.coalesce(F.sum("c1"), zero).cast("bigint").alias("n1"),
+        F.coalesce(F.sum("c2"), zero).cast("bigint").alias("n2"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
+    )
+    dec = "decimal(38,0)"
+    dmax = cum.crossJoin(F.broadcast(nn)).agg(
+        F.coalesce(
+            F.max(
+                F.abs(
+                    F.col("f1").cast(dec) * F.col("n2")
+                    - F.col("f2").cast(dec) * F.col("n1")
+                )
+            ),
+            F.lit(0).cast(dec),
+        )
+        .cast("bigint")
+        .alias("d_num")
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    d = F.col("d_num").cast("double") / (n1d * n2d)
+    return nn.crossJoin(F.broadcast(dmax)).select(
+        F.col("n1").alias("n_old"),
+        F.col("n2").alias("n_new"),
+        "d_num",
+        F.when(ok, d).alias("d_stat"),
+        F.when(
+            ok, F.round(d * F.sqrt(n1d * n2d / (n1d + n2d)), 9)
+        ).alias("ks_lambda"),
+        F.when(
+            ok,
+            d > F.expr(KS_C05) * F.sqrt((n1d + n2d) / (n1d * n2d)),
+        ).alias("reject_05"),
+    )

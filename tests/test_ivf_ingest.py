@@ -134,3 +134,37 @@ def test_needs_split_fires_on_hot_cell(spark, tmp_path):
     assert all(r[5] is False for c, r in by_cell.items() if c != 0)
     assert sum(r[1] for r in got) == 48
     spark.catalog.clearCache()
+
+
+def test_embedding_norm_drift_hand_computed(spark, tmp_path):
+    """Disjoint norm distributions between arrival halves: D = 1.0
+    exactly (d_num = n_old * n_new), lambda = sqrt(n1*n2/(n1+n2)),
+    reject at 0.05. Identical halves: D = 0, no rejection."""
+    import math
+
+    q = all_queries()["embedding_norm_drift"]
+
+    rows = [(i, [0.01] * 64, 0) for i in range(10)] + [
+        (10 + i, [0.02] * 64, 0) for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "shift" / "embeddings.parquet")
+    )
+    r = q(spark, str(tmp_path / "shift")).collect()[0]
+    assert (r.n_old, r.n_new) == (10, 10)
+    assert r.d_num == 100 and r.d_stat == 1.0
+    assert r.ks_lambda == round(math.sqrt(100 / 20), 9)
+    assert r.reject_05 is True
+
+    same = [(i, [0.01] * 64, 0) for i in range(10)]
+    spark.createDataFrame(
+        same, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "same" / "embeddings.parquet")
+    )
+    r = q(spark, str(tmp_path / "same")).collect()[0]
+    assert (r.n_old, r.n_new) == (5, 5)
+    assert r.d_num == 0 and r.d_stat == 0.0 and r.reject_05 is False
+    spark.catalog.clearCache()

@@ -1627,6 +1627,7 @@ ROUND11_QUERIES = [
     "clustering_depth_compare",
     "layout_maintenance_plan",
     "ivf_ingest_assign",
+    "embedding_norm_drift",
 ]
 
 
