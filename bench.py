@@ -475,6 +475,15 @@ HEADLINE = [
     "theil_u_forecast_skill",
     "split_balance_chi2",
     "residual_runs_test",
+    # round-11 additions: streaming dedup/IVF index maintenance, the
+    # dedup release gate, and the layout-maintenance family
+    "dedup_lsh_arrival_log",
+    "dedup_release_gate",
+    "compaction_plan_bins",
+    "clustering_depth_compare",
+    "layout_maintenance_plan",
+    "ivf_ingest_assign",
+    "embedding_norm_drift",
 ]
 
 

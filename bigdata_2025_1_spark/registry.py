@@ -51,20 +51,45 @@ ORACLES: dict[str, str] = {}
 # the standing convention, round-11 additions are BATCHED (<=13) and
 # queue for round 12, NOT the head.
 #
-# Round-11 additions so far (each selfchecked tuned + vanilla, scalar-
-# referenced, and empty-tables green the day it lands): see the
-# ROUND-12 ROTATION PLAN below, which is finalized when the round-11
-# head freezes.
+# Round-11 additions (each selfchecked tuned + vanilla, scalar-
+# referenced, plan-pinned, and empty-tables green the day it landed;
+# all batched for the round-12 head per the standing convention):
+#   dedup_lsh_arrival_log, dedup_release_gate, compaction_plan_bins,
+#   clustering_depth_compare, layout_maintenance_plan,
+#   ivf_ingest_assign, embedding_norm_drift            (N = 7)
 #
-# ROUND-12 ROTATION PLAN: head takes (a) every round-11 addition;
-# then (b) the oldest stale greens by driver-row vintage, oldest
-# first, alphabetical within a vintage, until the head reaches exactly
-# 50. After round 11 lands green the stale tail is the 35 remaining
-# r5-vintage greens (alphabetically from join_key_skew_profile through
-# user_active_coverage), then the 50 r6-vintage greens (alphabetically
-# from benford_price_audit). With N round-11 additions the head is
-# N + 35 r5 remainders + (15 - N) alphabetically-first r6 greens.
-# The exact enumeration is appended at round-11 freeze.
+# ROUND-12 ROTATION PLAN (FROZEN with the round-11 head; arithmetic:
+# 7 round-11 additions + the 35 remaining r5-vintage greens + the
+# alphabetically-first 8 of the 50 r6-vintage greens = 50; vintage
+# census re-derived from CORRECTNESS_r0{1..10}.json with the round-11
+# head counted as refreshed):
+#   positions 0-6   — the 7 round-11 additions, in landing order
+#     (dedup_lsh_arrival_log, dedup_release_gate, compaction_plan_bins,
+#     clustering_depth_compare, layout_maintenance_plan,
+#     ivf_ingest_assign, embedding_norm_drift);
+#   positions 7-41  — the 35 r5-vintage remainders, alphabetical
+#     (retires r5): join_key_skew_profile, kmeans_lloyd_clusters,
+#     label_propagation_communities, lateral_top_orders_per_customer,
+#     linreg_price_model, mad_value_outliers, merge_upsert_latest_state,
+#     minhash_estimation_error, order_month_streaks,
+#     partition_key_advisor, pmi_token_pairs, q10_returned_items,
+#     q11_value_concentration, q12_late_line_priorities,
+#     q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
+#     q17_small_quantity_revenue, q19_disjunctive_revenue,
+#     q20_promo_heavy_suppliers, q21_waiting_suppliers,
+#     q22_idle_rich_customers, q2_min_cost_supplier, q4_order_priority,
+#     q6_forecast_revenue, q7_volume_shipping, q8_market_share,
+#     quality_threshold_sweep, quantile_normalize_doclen,
+#     rrf_rank_fusion, stratified_exact_sample, table_checksum_buckets,
+#     triangle_count_trade, unigram_logprob_quality,
+#     user_active_coverage;
+#   positions 42-49 — the alphabetically-first 8 of the 50 r6-vintage
+#     greens: benford_price_audit, bigram_backoff_logprob,
+#     bootstrap_mean_ci, cdc_chunk_dedup, column_mutual_information,
+#     contrastive_triplet_mining, corpus_drift_psi,
+#     corpus_health_scorecard.
+# After round 12 the stale tail is the remaining 42 r6 greens
+# (alphabetically from cross_source_overlap), then the r7 vintage.
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 0-12: the 13 round-10 additions (never driver-checked)
     "mannwhitney_fertility_drift",
