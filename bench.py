@@ -206,7 +206,9 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # converges in ~3 rounds that is a third of the iteration budget:
 # canonical_doc_per_cluster 10.54 -> 4.67 s, dedup_release_gate
 # 22.78 -> 10.51 s (the gate inherits CC through its cluster-stats
-# leg). A double-step-per-convergence-check variant was ALSO measured
+# leg). Confirmed by the interleaved harness under background load
+# (tools/ab.py --ref 9742bca, best-of-3): canonical 6.96 -> 3.89 s,
+# dedup_connected_components 3.74 -> 2.68 s. A double-step-per-convergence-check variant was ALSO measured
 # and REJECTED: chaining two join+agg steps per materialized round made
 # canonical 10.5 -> 19.9 s — the extra stages per job cost more than
 # the saved count jobs. Output identical (recursive-CTE oracle + graph
