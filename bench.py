@@ -486,6 +486,8 @@ HEADLINE = [
     "layout_maintenance_plan",
     "ivf_ingest_assign",
     "embedding_norm_drift",
+    "ivf_nprobe_recall_curve",
+    "retention_expiry_plan",
 ]
 
 

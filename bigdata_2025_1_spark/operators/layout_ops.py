@@ -463,3 +463,68 @@ def compaction_bin_fills(state: dict) -> dict:
     """Final per-bin fills from the online state — equals the batch
     query's ``bin_rows`` column grouped by ``out_bin``."""
     return dict(sorted(state["bins"].items()))
+
+
+# --- retention / expiry planning -------------------------------------------
+
+RETAIN_DAYS = 14  # ingest batches strictly older than this (relative to
+# the NEWEST batch, not wall clock — determinism) are expiry candidates
+
+
+@query(
+    "retention_expiry_plan",
+    oracle=f"""
+    WITH per_batch AS (
+      SELECT CAST(ts AS DATE) AS batch_date,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), mx AS (
+      SELECT MAX(batch_date) AS max_date FROM per_batch
+    )
+    SELECT b.batch_date, b.n_rows,
+           CAST(date_diff('day', b.batch_date, mx.max_date) AS BIGINT)
+             AS age_days,
+           CASE WHEN date_diff('day', b.batch_date, mx.max_date)
+                     >= {RETAIN_DAYS}
+                THEN 'expire' ELSE 'retain' END AS action
+    FROM per_batch b CROSS JOIN mx
+    ORDER BY b.batch_date
+    """,
+)
+def retention_expiry_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention / VACUUM PLAN over the events table's ingest batches —
+    the third layout-lifecycle operator beside compaction
+    (``compaction_plan_bins``) and re-clustering
+    (``clustering_depth_compare``): batches {RETAIN_DAYS}+ days older
+    than the NEWEST batch are expiry candidates. Age is measured
+    against the data's own max date, never the wall clock, so the plan
+    is a pure function of the snapshot (the repo-wide determinism
+    contract — same reason the drift tests split on md5, not today).
+
+    Output: one row per ingest batch — (batch_date, n_rows, age_days,
+    action). Empty table -> empty plan in both engines.
+
+    Scale shape: the same manifest collapse as the compaction plan
+    (map-side-combinable groupBy to calendar-bounded batch rows) plus
+    one broadcast max-date scalar; at 100 TB the per-batch rows come
+    straight from partition metadata and the expiry executes as
+    metadata-only partition drops."""
+    per_batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("batch_date"))
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    mx = per_batch.agg(F.max("batch_date").alias("max_date"))
+    age = F.datediff(F.col("max_date"), F.col("batch_date"))
+    return (
+        per_batch.crossJoin(F.broadcast(mx))
+        .select(
+            "batch_date",
+            "n_rows",
+            age.cast("bigint").alias("age_days"),
+            F.when(age >= RETAIN_DAYS, F.lit("expire"))
+            .otherwise(F.lit("retain"))
+            .alias("action"),
+        )
+        .orderBy("batch_date")
+    )

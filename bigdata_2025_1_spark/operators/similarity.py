@@ -3158,3 +3158,193 @@ def embedding_norm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             d > F.expr(KS_C05) * F.sqrt((n1d + n2d) / (n1d * n2d)),
         ).alias("reject_05"),
     )
+
+
+def _nprobe_curve_oracle() -> str:
+    # Truth side composes ann_topk_cosine's REGISTERED oracle verbatim
+    # (the release-gate convention); the IVF side re-derives the same
+    # ranked-cells CTE ann_ivf_topk's oracle uses.
+    from bigdata_2025_1_spark.registry import ORACLES as _O
+
+    return f"""
+    WITH truth AS (
+      SELECT query_id, neighbor_id FROM ({_O["ann_topk_cosine"]})
+    ), se AS MATERIALIZED (
+      SELECT vec_id, {V.sql_scaled_e9('embedding', _DIM)} AS se
+      FROM embeddings
+    ), proj AS (
+      SELECT vec_id, {V.sql_ivf_projs_from('se', _CENTROIDS)} AS projs
+      FROM se
+    ), cells AS (
+      SELECT vec_id, CAST(r.cell AS INT) AS cell, projs[r.cell + 1] AS p
+      FROM proj CROSS JOIN range({N_CELLS}) r(cell)
+    ), ranked_cells AS MATERIALIZED (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY p DESC, cell) AS crk
+      FROM cells
+    ), corpus AS (
+      SELECT vec_id AS neighbor_id, cell FROM ranked_cells WHERE crk = 1
+    ), cell_sizes AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_rows
+      FROM corpus GROUP BY cell
+    ), rankings AS (
+      SELECT vec_id AS query_id, cell, CAST(crk AS BIGINT) AS crk
+      FROM ranked_cells
+      WHERE vec_id < {N_QUERY_VECS} AND crk <= {N_PROBE}
+    ), found AS (
+      SELECT t.query_id, r.crk
+      FROM truth t
+      JOIN corpus c USING (neighbor_id)
+      LEFT JOIN rankings r ON r.query_id = t.query_id AND r.cell = c.cell
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth
+    ), nq AS (
+      SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries
+      FROM rankings
+    ), cn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS corpus_n FROM corpus
+    ), ps AS (
+      SELECT CAST(r.p + 1 AS INT) AS nprobe FROM range({N_PROBE}) r(p)
+    ), rec AS (
+      SELECT ps.nprobe,
+             CAST(COALESCE(SUM(CASE WHEN f.crk <= ps.nprobe THEN 1 END), 0)
+                  AS BIGINT) AS n_found
+      FROM ps LEFT JOIN found f ON TRUE
+      GROUP BY ps.nprobe
+    ), scan AS (
+      SELECT ps.nprobe,
+             CAST(COALESCE(SUM(CASE WHEN r.crk <= ps.nprobe
+                                    THEN s.cell_rows END), 0)
+                  AS BIGINT) AS scanned_rows
+      FROM ps
+      LEFT JOIN rankings r ON TRUE
+      LEFT JOIN cell_sizes s ON s.cell = r.cell
+      GROUP BY ps.nprobe
+    )
+    SELECT rec.nprobe,
+           CASE WHEN tot.n_truth > 0
+                THEN rec.n_found::DOUBLE / tot.n_truth END AS recall_at_k,
+           CASE WHEN nq.n_queries > 0 AND cn.corpus_n > 0
+                THEN scan.scanned_rows::DOUBLE
+                     / (nq.n_queries::DOUBLE * cn.corpus_n)
+           END AS scanned_frac
+    FROM rec JOIN scan USING (nprobe)
+    CROSS JOIN tot CROSS JOIN nq CROSS JOIN cn
+    ORDER BY rec.nprobe
+    """
+
+
+@query("ivf_nprobe_recall_curve", oracle=_nprobe_curve_oracle())
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe TUNING CURVE for the served IVF index: exact
+    recall@{TOP_K} against the brute-force truth AND the expected
+    fraction of the corpus scanned, for every nprobe in 1..{N_PROBE} —
+    the operating-point table an index operator reads before changing
+    the ``ann_ivf_topk`` config (the maintenance companion of
+    ``ivf_ingest_assign``: census says the lists' health, this says
+    what a probe-budget buys).
+
+    Recall needs NO per-nprobe re-ranking: a true top-{TOP_K} neighbor
+    is retrieved at nprobe=p iff its cell sits within the query's p
+    best cells. (Proof: the only candidates that could push a found
+    true member out of the retrieved top-{TOP_K} score strictly higher
+    or tie with a lower neighbor_id — and any such candidate outranks
+    it in the FULL ordering too, so it is itself a true member. Hence
+    |retrieved ∩ truth| = #{{true members with cell rank <= p}}, the
+    exact micro-averaged recall.) Scanned fraction = mean over queries
+    of the row mass in their p best cells.
+
+    Determinism: the truth side IS the registered ``ann_topk_cosine``
+    oracle; cell ranks use the shared exact-int projection argsort
+    (``ORDER BY p DESC, cell``); both outputs are single double
+    divisions of exact integer counts; empty input emits the full
+    {N_PROBE}-row spine with NULL metrics under identical guards.
+
+    Scale shape: truth pairs are probe-set-sized ({N_QUERY_VECS} x
+    {TOP_K}); rankings are {N_QUERY_VECS} x {N_PROBE}; cell sizes are
+    {N_CELLS} rows — every join after the two Arrow assignment passes
+    is broadcast-tiny, and the nprobe spine is a constant range."""
+    emb = load(spark, sf_dir, "embeddings")
+    truth = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    cell_pd = V.make_ivf_cell_pandas(_CENTROIDS)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        cell_pd(F.col("embedding")).getField("cell").alias("cell"),
+    )
+    cell_sizes = corpus.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("cell_rows")
+    )
+    probes_pd = V.make_ivf_probes_pandas(_CENTROIDS, N_PROBE)
+    rankings = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(
+                probes_pd(F.col("embedding")).getField("cells")
+            ).alias("pos", "cell"),
+        )
+        .select(
+            "query_id", "cell", (F.col("pos") + 1).cast("bigint").alias("crk")
+        )
+    )
+    found = truth.join(corpus, "neighbor_id").join(
+        rankings, ["query_id", "cell"], "left"
+    )
+    tot = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    nq = rankings.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries")
+    )
+    cn = corpus.agg(F.count("*").cast("bigint").alias("corpus_n"))
+    ps = spark.range(1, N_PROBE + 1).select(
+        F.col("id").cast("int").alias("nprobe")
+    )
+    rec = (
+        ps.join(F.broadcast(found.select("crk")), F.lit(True), "left")
+        .groupBy("nprobe")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("crk") <= F.col("nprobe"), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_found")
+        )
+    )
+    scan = (
+        ps.join(
+            F.broadcast(rankings.join(cell_sizes, "cell").select("crk", "cell_rows")),
+            F.lit(True),
+            "left",
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("crk") <= F.col("nprobe"), F.col("cell_rows")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("scanned_rows")
+        )
+    )
+    return (
+        rec.join(scan, "nprobe")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(cn))
+        .select(
+            "nprobe",
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_found").cast("double") / F.col("n_truth"),
+            ).alias("recall_at_k"),
+            F.when(
+                (F.col("n_queries") > 0) & (F.col("corpus_n") > 0),
+                F.col("scanned_rows").cast("double")
+                / (F.col("n_queries").cast("double") * F.col("corpus_n")),
+            ).alias("scanned_frac"),
+        )
+        .orderBy("nprobe")
+    )

@@ -168,3 +168,33 @@ def test_embedding_norm_drift_hand_computed(spark, tmp_path):
     assert (r.n_old, r.n_new) == (5, 5)
     assert r.d_num == 0 and r.d_stat == 0.0 and r.reject_05 is False
     spark.catalog.clearCache()
+
+
+def test_nprobe_curve_reconciles_and_is_monotone(spark, sf_dir):
+    """The curve's endpoint must equal recall measured directly from
+    the registered ann_ivf_topk vs ann_topk_cosine results (the served
+    config IS the nprobe={N_PROBE} point), and both columns must be
+    nondecreasing in nprobe with recall hitting 1.0 only if every true
+    neighbor's cell is probed."""
+    qs = all_queries()
+    curve = {
+        r.nprobe: r
+        for r in qs["ivf_nprobe_recall_curve"](spark, sf_dir).collect()
+    }
+    assert sorted(curve) == list(range(1, 13))
+    rec = [curve[p].recall_at_k for p in range(1, 13)]
+    scn = [curve[p].scanned_frac for p in range(1, 13)]
+    assert all(a <= b for a, b in zip(rec, rec[1:]))
+    assert all(a <= b for a, b in zip(scn, scn[1:]))
+    assert 0.0 < scn[0] and scn[-1] <= 1.0
+
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["ann_topk_cosine"](spark, sf_dir).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["ann_ivf_topk"](spark, sf_dir).collect()
+    }
+    assert curve[12].recall_at_k == len(truth & got) / len(truth)
+    spark.catalog.clearCache()

@@ -191,3 +191,19 @@ def test_compaction_online_form_matches_batch_query(spark, sf_dir):
         assert got == expected
         assert compaction_bin_fills(st) == fills
     spark.catalog.clearCache()
+
+
+def test_retention_plan_hand_computed(spark, tmp_path):
+    """Batches on day offsets 0/10/14/20 with the newest at 20: ages
+    20/10/6/0 -> expire/retain/retain/retain at the 14-day horizon, and
+    the boundary batch (age exactly 14) expires."""
+    d = _write_events(spark, tmp_path, {0: 10, 6: 20, 10: 30, 20: 40})
+    rows = {
+        r.age_days: r
+        for r in all_queries()["retention_expiry_plan"](spark, d).collect()
+    }
+    assert sorted(rows) == [0, 10, 14, 20]
+    assert rows[20].action == "expire" and rows[14].action == "expire"
+    assert rows[10].action == "retain" and rows[0].action == "retain"
+    assert rows[0].n_rows == 40 and rows[20].n_rows == 10
+    spark.catalog.clearCache()

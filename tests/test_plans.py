@@ -1628,6 +1628,8 @@ ROUND11_QUERIES = [
     "layout_maintenance_plan",
     "ivf_ingest_assign",
     "embedding_norm_drift",
+    "ivf_nprobe_recall_curve",
+    "retention_expiry_plan",
 ]
 
 
