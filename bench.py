@@ -498,6 +498,7 @@ HEADLINE = [
     "embedding_norm_drift",
     "ivf_nprobe_recall_curve",
     "retention_expiry_plan",
+    "lsh_band_sweep",
 ]
 
 

@@ -79,10 +79,13 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signatures_from_docs(spread(load(spark, sf_dir, "documents"))).persist()
 
 
-def _band_rows(sig: DataFrame) -> DataFrame:
+def _band_rows(sig: DataFrame, bands: int = BANDS) -> DataFrame:
     """(doc_id, band, band_key) — one row per band, key = md5 of the
-    contiguous signature slice (the Spark twin of _SQL_BANDS)."""
-    per_band = NUM_HASHES // BANDS
+    contiguous signature slice (the Spark twin of _SQL_BANDS). The
+    ``bands`` parameter (default: the deployed config) serves
+    ``lsh_band_sweep``'s config grid; any divisor of NUM_HASHES is a
+    valid banding of the same signature."""
+    per_band = NUM_HASHES // bands
     band_structs = F.array(
         *[
             F.struct(
@@ -93,7 +96,7 @@ def _band_rows(sig: DataFrame) -> DataFrame:
                     )
                 ).alias("band_key"),
             )
-            for b in range(BANDS)
+            for b in range(bands)
         ]
     )
     return sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
@@ -1796,6 +1799,59 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prefix_truth(sh2: DataFrame) -> DataFrame:
+    """EXACT >= {JACCARD_THRESHOLD}-Jaccard ground-truth pairs from a
+    nonempty-shingle frame ``(doc_id, shingles, sz)`` via the
+    prefix-filter principle + PPJoin length filter (see
+    ``lsh_recall_eval``'s docstring for the completeness argument;
+    property-tested against all-pairs brute force in
+    tests/test_lsh_prefix_property.py). Factored so ``lsh_recall_eval``
+    (one config's acceptance row) and ``lsh_band_sweep`` (the config
+    grid) share one truth side that cannot drift."""
+    posts = sh2.select("doc_id", "sz", F.explode("shingles").alias("shingle"))
+    dfreq = posts.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    pfx = (
+        posts.join(dfreq, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.expr("sz div 5") + 1)
+        .select("doc_id", "sz", "shingle")
+    )
+    pa = pfx.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("shingle").alias("sh_key_a"),
+    )
+    pb = pfx.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("shingle").alias("sh_key_b"),
+    )
+    tcand = (
+        pa.join(
+            pb,
+            (F.col("sh_key_a") == F.col("sh_key_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (5 * F.col("sz_a") >= 4 * F.col("sz_b"))
+            & (5 * F.col("sz_b") >= 4 * F.col("sz_a")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh2.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh2.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jaccard = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    )
+    return (
+        tcand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jaccard >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+
 # LSH-acceptance gate literal: the signature config (NUM_HASHES=8,
 # BANDS=2 -> P(candidate | J) = 1-(1-J^4)^2, i.e. ~0.65 at J=0.8 but
 # ~1.0 as J -> 1) must recover at least this fraction of the TRUE
@@ -1924,48 +1980,10 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _signatures(spark, sf_dir)
     sh = sig.select("doc_id", "shingles", F.size("shingles").alias("sz"))
     sh2 = sh.filter(F.col("sz") > 0)
-    # ---- exact ground truth via prefix filter
-    posts = sh2.select("doc_id", "sz", F.explode("shingles").alias("shingle"))
-    dfreq = posts.groupBy("shingle").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    pfx = (
-        posts.join(dfreq, "shingle")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= F.expr("sz div 5") + 1)
-        .select("doc_id", "sz", "shingle")
-    )
-    pa = pfx.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sz").alias("sz_a"),
-        F.col("shingle").alias("sh_key_a"),
-    )
-    pb = pfx.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sz").alias("sz_b"),
-        F.col("shingle").alias("sh_key_b"),
-    )
-    tcand = (
-        pa.join(
-            pb,
-            (F.col("sh_key_a") == F.col("sh_key_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            & (5 * F.col("sz_a") >= 4 * F.col("sz_b"))
-            & (5 * F.col("sz_b") >= 4 * F.col("sz_a")),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = sh2.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh2.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    truth = _prefix_truth(sh2)
     jaccard = (
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
-    )
-    truth = (
-        tcand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jaccard >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
     )
     # ---- the system under eval: band candidates + exact verify
     bands = _band_rows(sig)
@@ -2196,4 +2214,182 @@ def dedup_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("ok_neardup")
             & F.col("ok_blowup")
         ).alias("dedup_ok"),
+    )
+
+
+# --- LSH banding-config sweep ----------------------------------------------
+
+# Every banding of the 8-hash signature into b bands of r rows (b*r = 8):
+# the config grid an LSH deployment chooses from. P(candidate | J) =
+# 1 - (1 - J^r)^b; the deployed config is (BANDS, NUM_HASHES // BANDS).
+SWEEP_CONFIGS: "tuple[tuple[int, int], ...]" = tuple(
+    (b, NUM_HASHES // b) for b in (1, 2, 4, 8)
+)
+
+
+def _sql_bands_for(bands: int) -> str:
+    """Per-config DuckDB band rows over the ``sig`` CTE (generalizes
+    the module-level _SQL_BANDS, which is this at bands=BANDS)."""
+    per = NUM_HASHES // bands
+    return "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'mh{i}' for i in range(b * per, (b + 1) * per))})"
+        f" AS band_key FROM sig"
+        for b in range(bands)
+    )
+
+
+def _sweep_oracle() -> str:
+    blocks = []
+    selects = []
+    for b, r in SWEEP_CONFIGS:
+        p_cand = 1.0 - (1.0 - float(JACCARD_THRESHOLD) ** r) ** b
+        blocks.append(
+            f"""bands{b} AS (
+      {_sql_bands_for(b)}
+    ), cand{b} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b
+      FROM bands{b} a JOIN bands{b} x
+        ON a.band = x.band AND a.band_key = x.band_key
+      WHERE a.doc_id < x.doc_id
+    ), ver{b} AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand{b} c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(sa.shingles || sb.shingles))
+              >= {JACCARD_THRESHOLD}
+    )"""
+        )
+        selects.append(
+            f"""SELECT {b} AS bands, {r} AS rows_per_band,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{b}) AS n_candidates,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ver{b}) AS n_verified,
+             CAST({p_cand!r} AS DOUBLE) AS p_cand_at_thresh"""
+        )
+    union = "\n      UNION ALL\n      ".join(selects)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {{toks}} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {{shingles}} AS shingles FROM tok
+    ), sh2 AS (
+      SELECT doc_id, shingles, len(shingles) AS sz FROM sh
+      WHERE len(shingles) > 0
+    ), {{truth}},
+    sig AS (
+      SELECT doc_id, shingles, {{sig}} FROM sh
+    ), {', '.join(blocks)},
+    tn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth
+    ), grid AS (
+      {union}
+    )
+    SELECT g.bands, g.rows_per_band, tn.n_true_pairs, g.n_candidates,
+           g.n_verified,
+           CASE WHEN tn.n_true_pairs = 0 THEN NULL
+                ELSE g.n_verified::DOUBLE / tn.n_true_pairs END AS recall,
+           g.p_cand_at_thresh
+    FROM grid g CROSS JOIN tn
+    ORDER BY g.bands
+    """.format(
+        toks=_SQL_TOKS, shingles=_SQL_SHINGLES, truth=_TRUTH_PAIRS_SQL, sig=_SQL_SIG
+    )
+
+
+@query("lsh_band_sweep", oracle=_sweep_oracle())
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding TUNING TABLE — the dedup twin of
+    ``ivf_nprobe_recall_curve``: for every banding of the 8-hash
+    signature (1x8, 2x4, 4x2, 8x1), the measured candidate count,
+    verified-pair count, exact recall against the shared prefix-filter
+    ground truth (``_prefix_truth`` — the SAME truth side
+    ``lsh_recall_eval`` gates on, factored so the two cannot drift),
+    and the theoretical S-curve candidate probability at the
+    {JACCARD_THRESHOLD} threshold (1-(1-J^r)^b, a shared literal). Read
+    it as recall-vs-verify-cost: more bands -> higher recall AND more
+    candidates to verify; the deployed (2, 4) row reconciles exactly
+    with ``lsh_recall_eval``'s counts (pinned in
+    tests/test_lsh_band_sweep.py).
+
+    Determinism: the same md5 MinHash rotation machinery for every
+    config (band key = md5 of the contiguous signature slice); counts
+    exact ints; recall one double division; the theoretical column is
+    the same Python float64 literal in both engines. Empty corpus ->
+    four rows with 0 counts and NULL recall.
+
+    Scale shape: ONE signature pass feeds all four band layouts
+    (persisted ``_signatures``); each config is a banded self-equi-join
+    (never all-pairs — the 1-band config degenerates to the full-
+    signature hash join, still an equi-join); the truth side is the
+    prefix-filter machinery already scale-audited in
+    ``lsh_recall_eval``; assembly is a 4-row union cross-joined with
+    one broadcast scalar."""
+    sig = _signatures(spark, sf_dir)
+    sh = sig.select("doc_id", "shingles", F.size("shingles").alias("sz"))
+    sh2 = sh.filter(F.col("sz") > 0)
+    n_true = _prefix_truth(sh2).agg(
+        F.count("*").cast("bigint").alias("n_true_pairs")
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jaccard = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    )
+    per_config = []
+    for b, r in SWEEP_CONFIGS:
+        br = _band_rows(sig, b)
+        ba, bb = br.alias("a"), br.alias("b")
+        cand = (
+            ba.join(
+                bb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .persist()  # feeds the candidate count AND the verify join;
+            # released by the harness clearCache
+        )
+        ver = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(jaccard >= JACCARD_THRESHOLD)
+        )
+        nc = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+        nv = ver.agg(F.count("*").cast("bigint").alias("n_verified"))
+        p_cand = 1.0 - (1.0 - float(JACCARD_THRESHOLD) ** r) ** b
+        per_config.append(
+            nc.crossJoin(F.broadcast(nv)).select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_verified",
+                F.lit(p_cand).cast("double").alias("p_cand_at_thresh"),
+            )
+        )
+    grid = per_config[0]
+    for frame in per_config[1:]:
+        grid = grid.unionByName(frame)
+    return (
+        grid.crossJoin(F.broadcast(n_true))
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_true_pairs",
+            "n_candidates",
+            "n_verified",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_verified").cast("double") / F.col("n_true_pairs"),
+            ).alias("recall"),
+            "p_cand_at_thresh",
+        )
+        .orderBy("bands")
     )

@@ -57,19 +57,20 @@ ORACLES: dict[str, str] = {}
 #   dedup_lsh_arrival_log, dedup_release_gate, compaction_plan_bins,
 #   clustering_depth_compare, layout_maintenance_plan,
 #   ivf_ingest_assign, embedding_norm_drift,
-#   ivf_nprobe_recall_curve, retention_expiry_plan     (N = 9)
+#   ivf_nprobe_recall_curve, retention_expiry_plan,
+#   lsh_band_sweep                                     (N = 10)
 #
 # ROUND-12 ROTATION PLAN (FROZEN with the round-11 head; arithmetic:
-# 9 round-11 additions + the 35 remaining r5-vintage greens + the
-# alphabetically-first 6 of the 50 r6-vintage greens = 50; vintage
+# 10 round-11 additions + the 35 remaining r5-vintage greens + the
+# alphabetically-first 5 of the 50 r6-vintage greens = 50; vintage
 # census re-derived from CORRECTNESS_r0{1..10}.json with the round-11
 # head counted as refreshed):
-#   positions 0-8   — the 9 round-11 additions, in landing order
+#   positions 0-9   — the 10 round-11 additions, in landing order
 #     (dedup_lsh_arrival_log, dedup_release_gate, compaction_plan_bins,
 #     clustering_depth_compare, layout_maintenance_plan,
 #     ivf_ingest_assign, embedding_norm_drift, ivf_nprobe_recall_curve,
-#     retention_expiry_plan);
-#   positions 9-43  — the 35 r5-vintage remainders, alphabetical
+#     retention_expiry_plan, lsh_band_sweep);
+#   positions 10-44 — the 35 r5-vintage remainders, alphabetical
 #     (retires r5): join_key_skew_profile, kmeans_lloyd_clusters,
 #     label_propagation_communities, lateral_top_orders_per_customer,
 #     linreg_price_model, mad_value_outliers, merge_upsert_latest_state,
@@ -85,12 +86,12 @@ ORACLES: dict[str, str] = {}
 #     rrf_rank_fusion, stratified_exact_sample, table_checksum_buckets,
 #     triangle_count_trade, unigram_logprob_quality,
 #     user_active_coverage;
-#   positions 44-49 — the alphabetically-first 6 of the 50 r6-vintage
+#   positions 45-49 — the alphabetically-first 5 of the 50 r6-vintage
 #     greens: benford_price_audit, bigram_backoff_logprob,
-#     bootstrap_mean_ci, cdc_chunk_dedup, column_mutual_information,
-#     contrastive_triplet_mining.
-# After round 12 the stale tail is the remaining 44 r6 greens
-# (alphabetically from corpus_drift_psi), then the r7 vintage.
+#     bootstrap_mean_ci, cdc_chunk_dedup, column_mutual_information.
+# After round 12 the stale tail is the remaining 45 r6 greens
+# (alphabetically from contrastive_triplet_mining), then the r7
+# vintage.
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 0-12: the 13 round-10 additions (never driver-checked)
     "mannwhitney_fertility_drift",

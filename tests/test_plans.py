@@ -1630,6 +1630,7 @@ ROUND11_QUERIES = [
     "embedding_norm_drift",
     "ivf_nprobe_recall_curve",
     "retention_expiry_plan",
+    "lsh_band_sweep",
 ]
 
 
