@@ -198,15 +198,20 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # loop's per-round argmax collects — those only ever run once per
 # (applicationId, sf_dir).
 #
-# Round-11 tee provenance: three full headline runs measured the
-# shared-187 subtotal at 222.0 / 243.3 / 225.6 s (r10 recorded 240.0);
-# the 243.3 run started seconds after a 27-minute pytest churned the
-# page cache and is the documented load-skew class (round-4 variance
-# note below). bench_local_r11.json is the third, idle-machine run —
-# shared subtotal 225.6 s, -6% vs r10, driven by the BPE session memo
-# and the CC-init fusion; all nine round-11 additions included
-# (0.25-7.8 s each; dedup_release_gate is the sum of its certified
-# legs).
+# Round-11 tee provenance: four full headline runs measured the
+# shared-187 subtotal at 222.0 / 243.3 / 225.6 / 239.1 s (r10 recorded
+# 240.0) — the 243.3 run started seconds after a 27-minute pytest
+# churned the page cache (the documented load-skew class; round-4
+# variance note below). bench_local_r11.json is the FINAL run, the
+# only one covering all ten round-11 additions (197 queries). Read the
+# round-over-round signal as flat-to-better within the variance
+# envelope; the real perf story is in the controlled A/Bs (BPE memo,
+# CC-init fusion below), which two of the four runs show directly.
+# The ten additions land 0.25-7.8 s each; the two heaviest are
+# dedup_release_gate (the sum of its certified legs) and
+# lsh_band_sweep 6.5 s (the prefix-filter truth side plus FOUR banded
+# self-joins, incl. the deliberately expensive 8x1 config — the cost
+# axis of the tuning table is real work).
 #
 # Round-11 CC-init fusion (idle machine, best-of-2 at sf0.1, clearCache
 # between runs): dedup_connected_components' label initialization now
