@@ -213,6 +213,18 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # self-joins, incl. the deliberately expensive 8x1 config — the cost
 # axis of the tuning table is real work).
 #
+# Round-12 pre-pin (VERDICT r11 ask #7): dedup_release_gate enters the
+# round-12 driver head as its heaviest query, so its reference numbers
+# are stamped BEFORE the driver run for instant noise adjudication:
+# normalized-plan sha256 prefix 2d599e5c10c831af (tools/plandiff.py
+# normalization over formatted_plan), idle-machine best-of-3 at sf0.1
+# on local[32] = 7.091 s (runs 7.58 / 7.575 / 7.091; clearCache between
+# runs; measured 2026-08-16 immediately after the rotation landed,
+# before any round-12 code). The r11 driver recorded 7.04 s — any
+# future driver delta beyond the documented +/-20% envelope should be
+# adjudicated against THIS hash first (plan changed?) and this number
+# second (noise?).
+#
 # Round-11 CC-init fusion (idle machine, best-of-2 at sf0.1, clearCache
 # between runs): dedup_connected_components' label initialization now
 # computes label0(v) = min(v, min neighbor) in the SAME aggregation
@@ -504,6 +516,9 @@ HEADLINE = [
     "ivf_nprobe_recall_curve",
     "retention_expiry_plan",
     "lsh_band_sweep",
+    # round-12 additions: the ANN index release gate (completes the
+    # release-decision convention across corpus/dedup/layout/index)
+    "ann_release_gate",
 ]
 
 

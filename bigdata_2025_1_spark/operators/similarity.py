@@ -3346,3 +3346,163 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# --- ANN index release gate (suite-composition capstone) --------------------
+
+# Gate thresholds — shared literals so the comparisons are the same IEEE
+# chain in both engines. Real index-operations defaults (the sf fixtures
+# pass all four: recall@12 = 0.632 at sf0.01 / 0.72 at sf0.1, scanned_frac
+# ~0.38, zero hot cells, no norm drift; the deny and no-decision branches
+# are exercised on crafted tables in tests/test_ann_release_gate.py):
+ANN_GATE_MIN_RECALL = "0.6"  # the deployed nprobe must retrieve >=60% of
+# the brute-force top-k (below that the index is silently lying to users)
+ANN_GATE_MAX_SCAN = "0.5"  # <=50% of the corpus scanned per query (above
+# that the inverted lists buy <2x over brute force — re-split or re-train)
+
+
+def _ann_gate_oracle() -> str:
+    # Compose the legs' REGISTERED oracles verbatim (the
+    # corpus/dedup_release_gate convention) — the gate can never drift
+    # from what the correctness gate certifies leg by leg. All three
+    # legs are registered ABOVE in this module, so ORACLES has them.
+    from bigdata_2025_1_spark.registry import ORACLES as _O
+
+    return f"""
+    WITH census AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_occupied,
+             CAST(COALESCE(SUM(CASE WHEN needs_split THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_cells_need_split,
+             CAST(COALESCE(SUM(n_vecs), 0) AS BIGINT) AS n_vecs,
+             MAX(fill_ratio) AS max_fill_ratio
+      FROM ({_O["ivf_ingest_assign"]})
+    ), drift AS (
+      SELECT reject_05 AS ks_reject FROM ({_O["embedding_norm_drift"]})
+    ), curve AS (
+      SELECT recall_at_k AS recall_at_deployed,
+             scanned_frac AS scanned_frac_at_deployed
+      FROM ({_O["ivf_nprobe_recall_curve"]})
+      WHERE nprobe = {N_PROBE}
+    ), vals AS (
+      SELECT * FROM census CROSS JOIN drift CROSS JOIN curve
+    ), oks AS (
+      SELECT n_vecs, n_cells_occupied, n_cells_need_split, max_fill_ratio,
+             ks_reject, recall_at_deployed, scanned_frac_at_deployed,
+             CASE WHEN n_vecs = 0 THEN NULL
+                  ELSE n_cells_need_split = 0 END AS ok_balance,
+             CASE WHEN n_vecs = 0 THEN NULL
+                  WHEN ks_reject IS NULL THEN TRUE
+                  ELSE NOT ks_reject END AS ok_drift,
+             CASE WHEN n_vecs = 0 THEN NULL
+                  WHEN recall_at_deployed IS NULL THEN TRUE
+                  ELSE recall_at_deployed >= {ANN_GATE_MIN_RECALL}
+             END AS ok_recall,
+             CASE WHEN n_vecs = 0 THEN NULL
+                  WHEN scanned_frac_at_deployed IS NULL THEN TRUE
+                  ELSE scanned_frac_at_deployed <= {ANN_GATE_MAX_SCAN}
+             END AS ok_scan
+      FROM vals
+    )
+    SELECT n_vecs, n_cells_occupied, n_cells_need_split, max_fill_ratio,
+           ks_reject, recall_at_deployed, scanned_frac_at_deployed,
+           ok_balance, ok_drift, ok_recall, ok_scan,
+           (ok_balance AND ok_drift AND ok_recall AND ok_scan) AS ann_ok
+    FROM oks
+    """
+
+
+@query("ann_release_gate", oracle=_ann_gate_oracle())
+def ann_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index's RELEASE DECISION, in one row — the similarity-
+    family MAINTENANCE capstone (``retrieval_eval_suite`` gates the
+    ranking QUALITY of a candidate index; this gates the OPERATIONAL
+    health of the served one), completing the release-gate convention
+    across all four operational families (corpus, dedup, layout, index).
+    Composes, by CALLING the registered queries so the gate can never
+    drift from what the correctness gate certifies leg by leg:
+
+    - ``ivf_ingest_assign``      -> n_cells_need_split (gate: 0 — no
+      inverted list outgrew {IVF_SPLIT_FACTOR}x its share), plus the
+      n_vecs / n_cells_occupied / max_fill_ratio telemetry;
+    - ``embedding_norm_drift``   -> ks_reject (gate: the alpha=0.05
+      Smirnov test must NOT reject — a rejected norm law means the
+      coarse quantizer no longer matches the data and needs re-training,
+      not just a re-split);
+    - ``ivf_nprobe_recall_curve``-> the DEPLOYED operating point
+      (nprobe = {N_PROBE}, the config ``ann_ivf_topk`` serves): recall
+      >= {ANN_GATE_MIN_RECALL} at scanned_frac <= {ANN_GATE_MAX_SCAN}
+      (the win-over-brute-force guard).
+
+    ``ann_ok`` is the conjunction. Every sub-scalar is reconciled
+    against its standalone query by tests/test_ann_release_gate.py.
+
+    Null semantics (identical three-valued logic in both engines): an
+    EMPTY vector table yields NULL verdicts and a NULL (unknown) ann_ok
+    — a no-decision, not a pass. A non-empty table with a one-sided
+    arrival split passes the drift leg vacuously (nothing to compare);
+    an empty probe set passes the recall and scan legs vacuously (no
+    queries to serve) — an index nobody queries must not block release.
+
+    Scale shape: all three legs are already scale-audited standalone
+    (one Arrow assignment pass collapsing to {N_CELLS} rows; the
+    value-domain KS histogram; the broadcast-tiny curve joins), reduced
+    here to three 1-row frames assembled by broadcast cross-joins. The
+    census and curve legs share the embeddings scan at the block level
+    via Spark's plan-keyed CacheManager, so the gate pays it once."""
+    census = ivf_ingest_assign(spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("n_cells_occupied"),
+        F.coalesce(F.sum(F.col("needs_split").cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_cells_need_split"),
+        F.coalesce(F.sum("n_vecs"), F.lit(0)).cast("bigint").alias("n_vecs"),
+        F.max("fill_ratio").alias("max_fill_ratio"),
+    )
+    drift = embedding_norm_drift(spark, sf_dir).select(
+        F.col("reject_05").alias("ks_reject")
+    )
+    curve = (
+        ivf_nprobe_recall_curve(spark, sf_dir)
+        .filter(F.col("nprobe") == N_PROBE)
+        .select(
+            F.col("recall_at_k").alias("recall_at_deployed"),
+            F.col("scanned_frac").alias("scanned_frac_at_deployed"),
+        )
+    )
+    vals = census.crossJoin(F.broadcast(drift)).crossJoin(F.broadcast(curve))
+    empty = F.col("n_vecs") == 0
+    null_bool = F.lit(None).cast("boolean")
+    oks = vals.select(
+        "n_vecs",
+        "n_cells_occupied",
+        "n_cells_need_split",
+        "max_fill_ratio",
+        "ks_reject",
+        "recall_at_deployed",
+        "scanned_frac_at_deployed",
+        F.when(empty, null_bool)
+        .otherwise(F.col("n_cells_need_split") == 0)
+        .alias("ok_balance"),
+        F.when(empty, null_bool)
+        .when(F.col("ks_reject").isNull(), F.lit(True))
+        .otherwise(~F.col("ks_reject"))
+        .alias("ok_drift"),
+        F.when(empty, null_bool)
+        .when(F.col("recall_at_deployed").isNull(), F.lit(True))
+        .otherwise(F.col("recall_at_deployed") >= float(ANN_GATE_MIN_RECALL))
+        .alias("ok_recall"),
+        F.when(empty, null_bool)
+        .when(F.col("scanned_frac_at_deployed").isNull(), F.lit(True))
+        .otherwise(
+            F.col("scanned_frac_at_deployed") <= float(ANN_GATE_MAX_SCAN)
+        )
+        .alias("ok_scan"),
+    )
+    return oks.select(
+        "*",
+        (
+            F.col("ok_balance")
+            & F.col("ok_drift")
+            & F.col("ok_recall")
+            & F.col("ok_scan")
+        ).alias("ann_ok"),
+    )

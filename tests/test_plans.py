@@ -1634,6 +1634,25 @@ ROUND11_QUERIES = [
 ]
 
 
+ROUND12_QUERIES = [
+    # grows as round-12 additions land (day-one checklist, standing ask)
+    "ann_release_gate",
+]
+
+
+@_pytest.mark.parametrize("name", ROUND12_QUERIES)
+def test_round12_no_fact_scale_single_partition(name, spark, sf_dir):
+    """Every SinglePartition exchange in the round-12 batch may carry
+    only scalar-aggregate or bounded-value-domain rows — a fact-keyed
+    column riding one means a whole-data funnel crept in."""
+    from bigdata_2025_1_spark.plans.explain import single_partition_exchange_inputs
+
+    df = QUERIES[name](spark, sf_dir)
+    for inputs in single_partition_exchange_inputs(df):
+        assert not any(c in inputs for c in _FACT_COLS + ("doc_id",)), (name, inputs)
+    spark.catalog.clearCache()
+
+
 @_pytest.mark.parametrize("name", ROUND11_QUERIES)
 def test_round11_no_fact_scale_single_partition(name, spark, sf_dir):
     """Every SinglePartition exchange in the round-11 batch may carry
