@@ -518,7 +518,15 @@ HEADLINE = [
     "lsh_band_sweep",
     # round-12 additions: the ANN index release gate (completes the
     # release-decision convention across corpus/dedup/layout/index)
+    # and the incremental-aggregate-maintenance family (keyed MERGE
+    # rollup + write-log, late-data audit, incremental sessionizer,
+    # distinct-users curve)
     "ann_release_gate",
+    "events_rollup_upsert",
+    "rollup_delta_log",
+    "late_event_audit",
+    "session_closure_log",
+    "distinct_users_ingest_curve",
 ]
 
 

@@ -27,6 +27,7 @@ _MODULES = (
     "model_eval",
     "table_ops",
     "layout_ops",
+    "incremental_ops",
 )
 
 

@@ -1,0 +1,673 @@
+"""Incremental aggregate maintenance — the round-12 theme family.
+
+The reference's only cross-batch state is the stats roll-up its consumer
+accumulates over micro-batches (``/root/reference/spark/consumer.py:36-47``,
+a global count/sum advanced per trigger). This module generalizes that
+surface to what a production ingest pipeline actually maintains: a KEYED
+standing rollup advanced per trigger by semigroup merges (the MERGE-style
+upsert), the write-log MERGE produces, the late-data audit that sizes the
+watermark, the incremental sessionizer (open-session state across
+triggers), and the distinct-users ingest curve.
+
+Shared ARRIVAL MODEL (deterministic late data): events are delivered to
+the aggregation pipeline in DAILY triggers keyed by ARRIVAL date. The
+fixture's events are event-time ordered (zero inversions), so lateness is
+modeled the way every drift/split query here models randomness — an md5
+hash of the row key, never an RNG: events with md5_int(event_id) % 20 == 0
+arrive TWO days late, == 10 arrive ONE day late (10% late overall), the
+rest arrive the day they happen. Both engines compute the identical delay
+from the identical md5 hex prefix, so arrival batches are a pure function
+of the data.
+
+Online-form convention (page_hinkley / cusum / lsh_index_update /
+ivf_cells_update / compaction_update): each maintained aggregate ships
+- the BATCH query (registered + oracle-checked) — the full-replay ground
+  truth;
+- a pure-Python state transition (``*_update``) — chunking-invariant by
+  property test;
+- a per-trigger Spark step (``*_step``) emitting partial aggregates that
+  merge associatively into the standing state (``*_merge``) — the
+  foreachBatch maintenance loop tests/test_incremental_ops.py drives
+  end-to-end over three triggers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.functions.hashing import md5_int, sql_md5_int
+from bigdata_2025_1_spark.io import load
+from bigdata_2025_1_spark.registry import query
+
+# --- the shared deterministic arrival model ---------------------------------
+
+LATE_MOD = 20  # md5_int(event_id) % LATE_MOD selects the late rows:
+LATE_2D = 0  # residue 0  -> arrives 2 days after its event date (5%)
+LATE_1D = 10  # residue 10 -> arrives 1 day after its event date (5%)
+
+# DuckDB fragment: (event_date, delay_days, arrival_date, cents) per event.
+_ARR_SQL = f"""
+      SELECT event_id, user_id, event_type,
+             CAST(ts AS DATE) AS event_date,
+             CASE {sql_md5_int("CAST(event_id AS VARCHAR)")} % {LATE_MOD}
+                  WHEN {LATE_2D} THEN 2 WHEN {LATE_1D} THEN 1 ELSE 0
+             END AS delay_days,
+             CAST(ts AS DATE)
+               + (CASE {sql_md5_int("CAST(event_id AS VARCHAR)")} % {LATE_MOD}
+                       WHEN {LATE_2D} THEN 2 WHEN {LATE_1D} THEN 1 ELSE 0
+                  END) AS arrival_date,
+             CAST(ROUND(value * 1e2) AS BIGINT) AS cents
+      FROM events
+"""
+
+
+def delay_days_col() -> F.Column:
+    """Per-event delivery delay in days — the Spark twin of the CASE in
+    ``_ARR_SQL`` (same md5 hex prefix, same residues)."""
+    m = md5_int(F.col("event_id").cast("string")) % LATE_MOD
+    return (
+        F.when(m == LATE_2D, F.lit(2))
+        .when(m == LATE_1D, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def with_arrival(ev: DataFrame) -> DataFrame:
+    """events + (event_date, delay_days, arrival_date, cents) — the
+    Spark side of the shared arrival model."""
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("date").alias("event_date"),
+        delay_days_col().alias("delay_days"),
+        F.date_add(F.col("ts").cast("date"), delay_days_col()).alias(
+            "arrival_date"
+        ),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "ts",
+    )
+
+
+def py_delay_days(event_id: int) -> int:
+    """Plain-Python twin of :func:`delay_days_col` (identical md5 hex
+    prefix arithmetic) — used by the online state transitions."""
+    m = int(hashlib.md5(str(event_id).encode()).hexdigest()[:12], 16) % LATE_MOD
+    return 2 if m == LATE_2D else (1 if m == LATE_1D else 0)
+
+
+def py_cents(value: float) -> int:
+    """Plain-Python twin of the cents scaling (round half away from
+    zero — what F.round and DuckDB ROUND both do; Python's round() is
+    banker's and would disagree on exact .5 fractions)."""
+    scaled = value * 100.0
+    return int(math.copysign(math.floor(abs(scaled) + 0.5), scaled))
+
+
+# --- 1. the standing keyed rollup (MERGE target) ----------------------------
+
+
+@query(
+    "events_rollup_upsert",
+    oracle=f"""
+    WITH arr AS (
+      {_ARR_SQL}
+    )
+    SELECT event_date, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS value_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(SUM(CASE WHEN delay_days > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           MAX(arrival_date) AS last_update_batch
+    FROM arr
+    GROUP BY event_date, event_type
+    ORDER BY event_date, event_type
+    """,
+)
+def events_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing KEYED rollup after the full arrival replay — the
+    MERGE target an incremental aggregation pipeline maintains (the
+    reference's global cross-batch roll-up, ``spark/consumer.py:36-47``,
+    generalized to a keyed upsert with late data): one row per
+    (event_date, event_type) with count / exact-cents sum / min / max,
+    the late-contributor count, and ``last_update_batch`` — the MERGE
+    audit column: the arrival date of the LAST trigger that touched
+    this key. Late data is why this is an upsert and not an append:
+    a key whose last_update_batch > event_date was re-opened by a
+    late delivery after its day closed.
+
+    Every aggregate is a semigroup (count/sum/min/max over exact ints,
+    max over dates), so per-trigger partials (``rollup_step``) merge
+    associatively into the standing state (``rollup_merge``) and the
+    accumulated state equals this replay under ANY chunking — pinned by
+    tests/test_incremental_ops.py (property + 3-trigger foreachBatch).
+
+    Determinism: cents are exact int64 per row before any aggregation
+    (the functions/exact contract); the arrival model is md5-derived;
+    no wall clock.
+
+    Scale shape: ONE map-side-combinable groupBy over (date x type) —
+    calendar x value-domain keys, never fact-keyed; the output IS the
+    standing table a MERGE maintains, so the batch form costs exactly
+    one aggregation of the fact scan."""
+    arr = with_arrival(load(spark, sf_dir, "events"))
+    return (
+        arr.groupBy("event_date", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("value_cents"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+            F.sum(F.when(F.col("delay_days") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_late"),
+            F.max("arrival_date").alias("last_update_batch"),
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+# --- 2. the MERGE write-log --------------------------------------------------
+
+
+@query(
+    "rollup_delta_log",
+    oracle=f"""
+    WITH arr AS (
+      {_ARR_SQL}
+    ), per AS (
+      SELECT arrival_date AS batch_date, event_date, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events_delta,
+             CAST(SUM(cents) AS BIGINT) AS value_cents_delta
+      FROM arr
+      GROUP BY arrival_date, event_date, event_type
+    ), cum AS (
+      SELECT batch_date, event_date, event_type,
+             n_events_delta, value_cents_delta,
+             ROW_NUMBER() OVER w AS visit,
+             CAST(SUM(n_events_delta) OVER (w ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS n_events_after,
+             CAST(SUM(value_cents_delta) OVER (w ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS value_cents_after
+      FROM per
+      WINDOW w AS (PARTITION BY event_date, event_type ORDER BY batch_date)
+    )
+    SELECT batch_date, event_date, event_type,
+           CASE WHEN visit = 1 THEN 'insert' ELSE 'update' END AS merge_op,
+           n_events_delta, value_cents_delta,
+           n_events_after, value_cents_after
+    FROM cum
+    ORDER BY batch_date, event_date, event_type
+    """,
+)
+def rollup_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE-LOG an incremental MERGE produces while maintaining
+    ``events_rollup_upsert`` — one row per (arrival batch x touched
+    key): the delta the trigger contributed, the post-merge running
+    totals, and ``merge_op`` ('insert' the first time a key is touched,
+    'update' after — exactly the branch a MERGE WHEN [NOT] MATCHED
+    takes). Late deliveries are the rows where batch_date > event_date:
+    the audit trail of every key re-opened after its day closed.
+
+    Reconciliation (pinned by test): each key's LAST log row equals the
+    standing rollup's (n_events, value_cents) — the log replays to the
+    table. The per-trigger Spark step is ``rollup_step``; the log row
+    is what ``rollup_merge`` emits as it folds the step in.
+
+    Determinism: batch composition is the md5 arrival model; running
+    totals are exact int64; the insert/update flag is a rank over the
+    (calendar-bounded) per-key batch sequence.
+
+    Scale shape: one groupBy over (arrival x key) — at most
+    3 x calendar x value-domain rows; the cumulative window partitions
+    BY KEY (tiny per-partition sequences, max 3 batches per key here);
+    nothing fact-sized crosses an exchange after the first collapse."""
+    arr = with_arrival(load(spark, sf_dir, "events"))
+    per = (
+        arr.groupBy(
+            F.col("arrival_date").alias("batch_date"),
+            "event_date",
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events_delta"),
+            F.sum("cents").cast("bigint").alias("value_cents_delta"),
+        )
+    )
+    w = Window.partitionBy("event_date", "event_type").orderBy("batch_date")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per.select(
+            "batch_date",
+            "event_date",
+            "event_type",
+            F.when(F.row_number().over(w) == 1, F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("merge_op"),
+            "n_events_delta",
+            "value_cents_delta",
+            F.sum("n_events_delta").over(wc).cast("bigint").alias("n_events_after"),
+            F.sum("value_cents_delta")
+            .over(wc)
+            .cast("bigint")
+            .alias("value_cents_after"),
+        )
+        .orderBy("batch_date", "event_date", "event_type")
+    )
+
+
+# --- 3. the late-data audit (watermark sizing) -------------------------------
+
+
+@query(
+    "late_event_audit",
+    oracle=f"""
+    WITH arr AS (
+      {_ARR_SQL}
+    )
+    SELECT arrival_date AS batch_date,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN delay_days > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(SUM(CASE WHEN delay_days > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS late_frac,
+           CAST(MAX(delay_days) AS BIGINT) AS max_lateness_days,
+           CAST(SUM(CASE WHEN delay_days > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped_wm1,
+           CAST(SUM(CASE WHEN delay_days > 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped_wm2
+    FROM arr
+    GROUP BY arrival_date
+    ORDER BY arrival_date
+    """,
+)
+def late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LATENESS operating table per arrival batch — what sizes a
+    watermark before anyone sets one: how many of each trigger's events
+    belong to an earlier event-time day (n_late / late_frac), the worst
+    lateness seen (max_lateness_days), and the loss a candidate
+    watermark would have caused — ``n_dropped_wm1`` counts events a
+    1-day watermark drops (delay > 1), ``n_dropped_wm2`` a 2-day one
+    (0 here by construction: the arrival model's max delay is 2 — the
+    column is the PROOF the 2-day watermark is lossless, which is the
+    decision this table exists to justify).
+
+    Determinism: the delay is the md5 arrival model — a pure function
+    of event_id; counts exact; late_frac one double division by a
+    count >= 1 (every emitted batch has at least one arrival).
+
+    Scale shape: one map-side-combinable groupBy(arrival_date) —
+    calendar-bounded output; the delay CASE is whole-stage-codegen
+    string hashing, no Python."""
+    arr = with_arrival(load(spark, sf_dir, "events"))
+    late = F.when(F.col("delay_days") > 0, 1).otherwise(0)
+    return (
+        arr.groupBy(F.col("arrival_date").alias("batch_date"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(late).cast("bigint").alias("n_late"),
+            (F.sum(late).cast("double") / F.count("*")).alias("late_frac"),
+            F.max("delay_days").cast("bigint").alias("max_lateness_days"),
+            F.sum(F.when(F.col("delay_days") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped_wm1"),
+            F.sum(F.when(F.col("delay_days") > 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped_wm2"),
+        )
+        .orderBy("batch_date")
+    )
+
+
+# --- 4. incremental sessionization (open-session state) ----------------------
+
+SESSION_GAP_SECONDS = 1800  # the user_sessionization gap, shared literal
+
+
+@query(
+    "session_closure_log",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w
+                          > INTERVAL {SESSION_GAP_SECONDS} SECOND
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS session_seq
+      FROM gaps
+    ), per AS (
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             MIN(ts) AS session_start_ts, MAX(ts) AS session_end_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT user_id, session_seq, session_start_ts, session_end_ts, n_events,
+           CASE WHEN LEAD(session_start_ts)
+                       OVER (PARTITION BY user_id ORDER BY session_seq)
+                     IS NULL
+                THEN 'eos' ELSE 'gap' END AS closed_by,
+           LEAD(session_start_ts)
+             OVER (PARTITION BY user_id ORDER BY session_seq) AS closed_at_ts
+    FROM per
+    ORDER BY user_id, session_seq
+    """,
+)
+def session_closure_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sessionization's CLOSURE LOG — the batch replay of
+    the stateful-streaming sessionizer (the applyInPandasWithState /
+    transformWithState shape, maintained here as the online-form
+    convention's state transition so the semantics are oracle-checkable
+    without a broker): one row per closed session with WHAT closed it —
+    'gap' sessions were closed mid-stream by the arrival of their
+    user's next event (``closed_at_ts`` = that event's timestamp, the
+    exact moment a streaming sessionizer would emit them); 'eos'
+    sessions were still open when the stream ended and only a flush
+    emits them (closed_at_ts NULL). Same {SESSION_GAP_SECONDS}-second
+    gap as ``user_sessionization`` (strict >, identical micros
+    comparison in both engines).
+
+    The online twin is ``session_update`` (state = the open session per
+    user; emits closures the moment they happen; ``session_flush``
+    drains end-of-stream) — chunking-invariant by property test, and
+    the accumulated foreachBatch log equals this replay (3-trigger test
+    in tests/test_incremental_ops.py).
+
+    Scale shape: ONE shuffle on user_id; both windows and the group-by
+    reuse that partitioning (the user_sessionization plan plus a
+    per-user LEAD over session-count rows); the streaming state is one
+    open session per active user — exactly what transformWithState
+    would hold."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_seq"),
+    )
+    per = sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start_ts"),
+        F.max("ts").alias("session_end_ts"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("session_seq")
+    nxt = F.lead("session_start_ts").over(wl)
+    return (
+        per.select(
+            "user_id",
+            F.col("session_seq").cast("bigint").alias("session_seq"),
+            "session_start_ts",
+            "session_end_ts",
+            "n_events",
+            F.when(nxt.isNull(), F.lit("eos")).otherwise(F.lit("gap")).alias(
+                "closed_by"
+            ),
+            nxt.alias("closed_at_ts"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# --- 5. distinct-users ingest curve ------------------------------------------
+
+
+@query(
+    "distinct_users_ingest_curve",
+    oracle=f"""
+    WITH arr AS (
+      {_ARR_SQL}
+    ), per AS (
+      SELECT arrival_date AS batch_date, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM arr GROUP BY arrival_date
+    ), firsts AS (
+      SELECT user_id, MIN(arrival_date) AS first_batch
+      FROM arr GROUP BY user_id
+    ), news AS (
+      SELECT first_batch AS batch_date, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY first_batch
+    )
+    SELECT p.batch_date, p.n_events,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_users,
+           CAST(SUM(COALESCE(n.n_new, 0))
+                  OVER (ORDER BY p.batch_date
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_distinct_users,
+           CAST(COALESCE(n.n_new, 0) AS DOUBLE) / p.n_events AS new_user_frac
+    FROM per p LEFT JOIN news n USING (batch_date)
+    ORDER BY p.batch_date
+    """,
+)
+def distinct_users_ingest_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTINCT-USERS growth curve over arrival batches — the
+    incremental form of a distinct-count rollup: per trigger, how many
+    events arrived, how many users were seen for the FIRST time, the
+    standing exact distinct total after the trigger, and the novelty
+    rate. The curve flattening is the signal a dedup/identity pipeline
+    watches (new-user acquisition vs re-activity).
+
+    The exact online state is the seen-user set (``curve_update``) —
+    the honest exact form whose at-scale replacement is the mergeable
+    HLL sketch already shipped (``hll_union_distinct``): same merge
+    algebra (set union -> register max), this query is its exactness
+    anchor. First-occurrence attribution uses MIN(arrival_date) per
+    user, so it is chunking-invariant by construction.
+
+    Determinism: arrival is the md5 model; counts exact; one double
+    division by a count >= 1.
+
+    Scale shape: two map-side-combinable groupBys (per-batch counts;
+    per-user first batch — the one fact-keyed shuffle, count-distinct
+    shaped) collapsing to calendar-bounded rows; the cumulative window
+    runs over batch-count rows (the documented calendar-bounded
+    exception class)."""
+    arr = with_arrival(load(spark, sf_dir, "events"))
+    per = arr.groupBy(F.col("arrival_date").alias("batch_date")).agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    firsts = arr.groupBy("user_id").agg(
+        F.min("arrival_date").alias("first_batch")
+    )
+    news = firsts.groupBy(F.col("first_batch").alias("batch_date")).agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    wc = Window.orderBy("batch_date").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_new = F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint")
+    return (
+        per.join(news, "batch_date", "left")
+        .select(
+            "batch_date",
+            "n_events",
+            n_new.alias("n_new_users"),
+            F.sum(n_new).over(wc).cast("bigint").alias("cum_distinct_users"),
+            (n_new.cast("double") / F.col("n_events")).alias("new_user_frac"),
+        )
+        .orderBy("batch_date")
+    )
+
+
+# --- online forms -------------------------------------------------------------
+
+
+def rollup_state_zero() -> dict:
+    """Fresh standing-rollup state: (event_date, event_type) ->
+    [n_events, value_cents, min_cents, max_cents, n_late,
+    last_update_batch]. A factory — the state is mutable."""
+    return {}
+
+
+def rollup_update(state: dict, events) -> dict:
+    """Online rollup state transition — one (event_id, ts, event_type,
+    value) row at a time in arrival order (the exact per-event form;
+    the per-trigger Spark form is ``rollup_step`` + ``rollup_merge``).
+    MUTATES ``state`` and returns it. Chunking-invariant: the update is
+    per-event and every aggregate is a semigroup."""
+    import datetime as _dt
+
+    for event_id, ts, event_type, value in events:
+        d = py_delay_days(event_id)
+        ed = ts.date()
+        ad = ed + _dt.timedelta(days=d)
+        c = py_cents(value)
+        key = (ed, event_type)
+        st = state.get(key)
+        if st is None:
+            state[key] = [1, c, c, c, 1 if d > 0 else 0, ad]
+        else:
+            st[0] += 1
+            st[1] += c
+            if c < st[2]:
+                st[2] = c
+            if c > st[3]:
+                st[3] = c
+            if d > 0:
+                st[4] += 1
+            if ad > st[5]:
+                st[5] = ad
+    return state
+
+
+def rollup_step(batch_ev: DataFrame) -> DataFrame:
+    """ONE trigger of the rollup maintenance: collapse the batch to
+    per-key partial aggregates (the same semigroup columns the standing
+    state holds). A foreachBatch loop merges these with
+    :func:`rollup_merge`; the accumulated state equals the batch replay
+    (pinned in tests/test_incremental_ops.py)."""
+    arr = with_arrival(batch_ev)
+    return arr.groupBy("event_date", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("value_cents"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+        F.sum(F.when(F.col("delay_days") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.max("arrival_date").alias("last_update_batch"),
+    )
+
+
+def rollup_merge(state: dict, step_rows) -> dict:
+    """Merge ONE trigger's per-key partials (rows of ``rollup_step``)
+    into the standing state — the semigroup merge a foreachBatch
+    maintenance loop runs (MERGE WHEN MATCHED / NOT MATCHED). MUTATES
+    ``state``."""
+    for r in step_rows:
+        key = (r.event_date, r.event_type)
+        st = state.get(key)
+        if st is None:
+            state[key] = [
+                r.n_events,
+                r.value_cents,
+                r.min_cents,
+                r.max_cents,
+                r.n_late,
+                r.last_update_batch,
+            ]
+        else:
+            st[0] += r.n_events
+            st[1] += r.value_cents
+            if r.min_cents < st[2]:
+                st[2] = r.min_cents
+            if r.max_cents > st[3]:
+                st[3] = r.max_cents
+            st[4] += r.n_late
+            if r.last_update_batch > st[5]:
+                st[5] = r.last_update_batch
+    return state
+
+
+def rollup_readout(state: dict) -> "list[tuple]":
+    """Derive ``events_rollup_upsert``'s rows from the online state,
+    sorted by key — byte-identical to the batch query."""
+    return [
+        (ed, et, *st) for (ed, et), st in sorted(state.items())
+    ]
+
+
+def session_state_zero() -> dict:
+    """Fresh open-session state: user_id -> [session_seq, start_ts,
+    end_ts, n_events]. A factory — the state is mutable."""
+    return {}
+
+
+def session_update(state: dict, events) -> "tuple[dict, list]":
+    """Online sessionizer state transition — ``events`` is the next run
+    of (event_id, ts, user_id) rows in arrival order (the fixture's
+    arrival order IS (ts, event_id) order per user). Emits each 'gap'
+    closure THE MOMENT its user's next event arrives — exactly when a
+    streaming sessionizer would emit it. MUTATES ``state`` and returns
+    (state, closures); still-open sessions surface only via
+    :func:`session_flush`. Chunking-invariant by property test."""
+    import datetime as _dt
+
+    gap = _dt.timedelta(seconds=SESSION_GAP_SECONDS)
+    out = []
+    for _event_id, ts, user_id in events:
+        st = state.get(user_id)
+        if st is None:
+            state[user_id] = [1, ts, ts, 1]
+        elif ts - st[2] > gap:
+            out.append((user_id, st[0], st[1], st[2], st[3], "gap", ts))
+            state[user_id] = [st[0] + 1, ts, ts, 1]
+        else:
+            st[2] = ts
+            st[3] += 1
+    return state, out
+
+
+def session_flush(state: dict) -> "list[tuple]":
+    """Drain the still-open sessions as 'eos' closures (closed_at_ts
+    None) — the end-of-stream flush. Together with the accumulated
+    ``session_update`` emissions this equals ``session_closure_log``'s
+    rows (as a set; the batch query orders by key)."""
+    return [
+        (user_id, st[0], st[1], st[2], st[3], "eos", None)
+        for user_id, st in sorted(state.items())
+    ]
+
+
+def curve_state_zero() -> dict:
+    """Fresh distinct-users state: the seen-user set plus the running
+    total — the exact form (the at-scale form is the HLL register
+    state, see ``hll_union_distinct``)."""
+    return {"seen": set()}
+
+
+def curve_update(state: dict, batch_date, user_ids) -> "tuple[dict, tuple]":
+    """Advance the distinct-users state by ONE arrival batch (all the
+    user_ids that arrived on ``batch_date``) and emit that batch's
+    curve row. MUTATES ``state``."""
+    seen = state["seen"]
+    n_events = 0
+    n_new = 0
+    for u in user_ids:
+        n_events += 1
+        if u not in seen:
+            seen.add(u)
+            n_new += 1
+    return state, (
+        batch_date,
+        n_events,
+        n_new,
+        len(seen),
+        float(n_new) / n_events if n_events else None,
+    )

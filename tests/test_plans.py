@@ -1637,6 +1637,11 @@ ROUND11_QUERIES = [
 ROUND12_QUERIES = [
     # grows as round-12 additions land (day-one checklist, standing ask)
     "ann_release_gate",
+    "events_rollup_upsert",
+    "rollup_delta_log",
+    "late_event_audit",
+    "session_closure_log",
+    "distinct_users_ingest_curve",
 ]
 
 
