@@ -527,6 +527,8 @@ HEADLINE = [
     "late_event_audit",
     "session_closure_log",
     "distinct_users_ingest_curve",
+    "rollup_as_of_batch",
+    "watermarked_rollup_compare",
 ]
 
 

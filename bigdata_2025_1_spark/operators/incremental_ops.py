@@ -671,3 +671,159 @@ def curve_update(state: dict, batch_date, user_ids) -> "tuple[dict, tuple]":
         len(seen),
         float(n_new) / n_events if n_events else None,
     )
+
+
+# --- 6. time-travel snapshot (AS OF a trigger) --------------------------------
+
+
+@query(
+    "rollup_as_of_batch",
+    oracle=f"""
+    WITH arr AS (
+      {_ARR_SQL}
+    ), bounds AS (
+      SELECT MIN(arrival_date) AS lo, MAX(arrival_date) AS hi FROM arr
+    ), cut AS (
+      SELECT lo + CAST(date_diff('day', lo, hi) // 2 AS INTEGER) AS as_of_batch
+      FROM bounds
+    )
+    SELECT event_date, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS value_cents,
+           CAST(SUM(CASE WHEN delay_days > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           MAX(arrival_date) AS last_update_batch,
+           cut.as_of_batch
+    FROM arr CROSS JOIN cut
+    WHERE arrival_date <= cut.as_of_batch
+    GROUP BY event_date, event_type, cut.as_of_batch
+    ORDER BY event_date, event_type
+    """,
+)
+def rollup_as_of_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the maintained rollup: the standing table AS OF
+    the mid-replay trigger — what ``events_rollup_upsert`` looked like
+    after the arrival batch at the midpoint of the arrival calendar
+    (as_of = min_arrival + half the arrival span, a pure function of
+    the data like every cutoff here). This is the lakehouse
+    VERSION AS OF read: because the rollup is maintained by associative
+    merges of per-trigger deltas, any prefix of the delta log IS a
+    consistent snapshot — the query materializes that snapshot directly
+    by filtering the arrival model, and the reconciliation test pins it
+    against replaying ``rollup_delta_log`` rows up to the cutoff (the
+    two must agree or the log is not a valid CDC stream).
+
+    Mid-snapshot semantics worth noticing: keys whose late deliveries
+    arrive AFTER the cutoff show their interim (smaller) totals — the
+    exact state a downstream consumer read at that trigger, which is
+    what a backfill investigation needs to reproduce.
+
+    Determinism: cutoff from the data's own arrival bounds (integer
+    date arithmetic, floor division); everything else inherits the
+    rollup's exact-int contract.
+
+    Scale shape: the same single map-side-combinable groupBy as the
+    rollup, behind one broadcast cutoff scalar and a pushable-shaped
+    filter; at a real lakehouse the filter is a partition-pruned read
+    of the delta log instead."""
+    arr = with_arrival(load(spark, sf_dir, "events"))
+    bounds = arr.agg(
+        F.min("arrival_date").alias("lo"), F.max("arrival_date").alias("hi")
+    )
+    cut = bounds.select(
+        F.date_add(
+            F.col("lo"),
+            (F.datediff(F.col("hi"), F.col("lo")) / 2).cast("int"),
+        ).alias("as_of_batch")
+    )
+    return (
+        arr.crossJoin(F.broadcast(cut))
+        .filter(F.col("arrival_date") <= F.col("as_of_batch"))
+        .groupBy("event_date", "event_type", "as_of_batch")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("value_cents"),
+            F.sum(F.when(F.col("delay_days") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_late"),
+            F.max("arrival_date").alias("last_update_batch"),
+        )
+        .select(
+            "event_date",
+            "event_type",
+            "n_events",
+            "value_cents",
+            "n_late",
+            "last_update_batch",
+            "as_of_batch",
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+# --- 7. watermark impact at key granularity -----------------------------------
+
+
+@query(
+    "watermarked_rollup_compare",
+    oracle=f"""
+    WITH arr AS (
+      {_ARR_SQL}
+    )
+    SELECT event_date, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events_exact,
+           CAST(SUM(CASE WHEN delay_days <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_events_wm1,
+           CAST(SUM(CASE WHEN delay_days > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lost,
+           CAST(SUM(cents) AS BIGINT) AS value_cents_exact,
+           CAST(COALESCE(SUM(CASE WHEN delay_days <= 1 THEN cents END), 0)
+                AS BIGINT) AS value_cents_wm1,
+           CAST(SUM(CASE WHEN delay_days > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS lost_frac,
+           SUM(CASE WHEN delay_days > 1 THEN 1 ELSE 0 END) > 0 AS understated
+    FROM arr
+    GROUP BY event_date, event_type
+    ORDER BY event_date, event_type
+    """,
+)
+def watermarked_rollup_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PER-KEY impact of setting a 1-day watermark — the key-
+    granular companion of ``late_event_audit`` (that table says how
+    much each TRIGGER would drop; this one says WHICH standing-rollup
+    keys end up wrong and by how much): for every (event_date,
+    event_type), the exact totals, the totals a 1-day-watermark
+    pipeline would have admitted (delay <= 1), the lost row count and
+    value, and the ``understated`` flag a reconciliation job alerts on.
+    With the arrival model's max delay of 2, the 1-day watermark is the
+    interesting candidate (a 2-day one is lossless — proved by
+    ``late_event_audit``'s n_dropped_wm2 = 0).
+
+    Determinism: the delay is the md5 arrival model; cents exact; one
+    double division by a count >= 1.
+
+    Scale shape: ONE map-side-combinable groupBy emitting both the
+    exact and watermarked aggregates as conditional branches of the
+    same pass — the compare costs one scan, not two pipelines."""
+    arr = with_arrival(load(spark, sf_dir, "events"))
+    lost = F.when(F.col("delay_days") > 1, 1).otherwise(0)
+    return (
+        arr.groupBy("event_date", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events_exact"),
+            F.sum(F.when(F.col("delay_days") <= 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_events_wm1"),
+            F.sum(lost).cast("bigint").alias("n_lost"),
+            F.sum("cents").cast("bigint").alias("value_cents_exact"),
+            F.coalesce(
+                F.sum(F.when(F.col("delay_days") <= 1, F.col("cents"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("value_cents_wm1"),
+            (F.sum(lost).cast("double") / F.count("*")).alias("lost_frac"),
+            (F.sum(lost) > 0).alias("understated"),
+        )
+        .orderBy("event_date", "event_type")
+    )

@@ -454,3 +454,90 @@ def test_layout_maintenance_loop_in_foreachbatch(spark, sf_dir, tmp_path):
     ]
     assert got_retention == expected_retention
     spark.catalog.clearCache()
+
+
+# --- round-12 additions 6+7: time travel + watermark compare -------------------
+
+
+def test_as_of_crafted_scalar_reference(spark, tmp_path):
+    """Arrival calendar 03-01..03-04 -> as_of = lo + 3//2 = 03-02. Only
+    ids 0/5/1 have arrived; the (03-01, click) key (its only event is
+    two days late) is ABSENT from the snapshot — the interim state a
+    consumer actually read at that trigger."""
+    sf = _write_events(spark, tmp_path, _CRAFT)
+    got = [tuple(r) for r in all_queries()["rollup_as_of_batch"](spark, sf).collect()]
+    assert got == [
+        (_D1, "view", 2, 1250, 1, _D2, _D2),
+        (_D2, "view", 1, 400, 0, _D2, _D2),
+    ]
+    spark.catalog.clearCache()
+
+
+def test_watermark_compare_crafted_scalar_reference(spark, tmp_path):
+    sf = _write_events(spark, tmp_path, _CRAFT)
+    got = [
+        tuple(r)
+        for r in all_queries()["watermarked_rollup_compare"](spark, sf).collect()
+    ]
+    assert got == [
+        (_D1, "click", 1, 0, 1, 725, 0, 1.0, True),
+        (_D1, "view", 2, 2, 0, 1250, 1250, 0.0, False),
+        (_D2, "view", 2, 1, 1, 299, 400, 0.5, True),
+        (_D3, "click", 1, 1, 0, 500, 500, 0.0, False),
+    ]
+    spark.catalog.clearCache()
+
+
+def test_as_of_equals_delta_log_prefix_replay(spark, sf_dir):
+    """The snapshot must equal replaying the CDC stream up to the
+    cutoff — the property that makes the delta log a valid log."""
+    qs = all_queries()
+    snap = qs["rollup_as_of_batch"](spark, sf_dir).collect()
+    as_of = snap[0].as_of_batch
+    log = qs["rollup_delta_log"](spark, sf_dir).collect()
+    replayed: dict = {}
+    for r in log:
+        if r.batch_date <= as_of:
+            key = (r.event_date, r.event_type)
+            n, c, b = replayed.get(key, (0, 0, None))
+            replayed[key] = (
+                n + r.n_events_delta,
+                c + r.value_cents_delta,
+                r.batch_date if b is None or r.batch_date > b else b,
+            )
+    got = {
+        (r.event_date, r.event_type): (
+            r.n_events,
+            r.value_cents,
+            r.last_update_batch,
+        )
+        for r in snap
+    }
+    assert got == replayed
+    spark.catalog.clearCache()
+
+
+def test_watermark_compare_reconciles(spark, sf_dir):
+    """Exact legs equal the standing rollup; per-key admitted + lost =
+    exact; total loss equals the audit's wm1 drop count."""
+    qs = all_queries()
+    cmp_rows = qs["watermarked_rollup_compare"](spark, sf_dir).collect()
+    rollup = {
+        (r.event_date, r.event_type): (r.n_events, r.value_cents)
+        for r in qs["events_rollup_upsert"](spark, sf_dir).collect()
+    }
+    for r in cmp_rows:
+        assert rollup[(r.event_date, r.event_type)] == (
+            r.n_events_exact,
+            r.value_cents_exact,
+        )
+        assert r.n_events_wm1 + r.n_lost == r.n_events_exact
+        assert r.understated == (r.n_lost > 0)
+    audit_wm1 = (
+        qs["late_event_audit"](spark, sf_dir)
+        .agg(F.sum("n_dropped_wm1").alias("d"))
+        .collect()[0]
+        .d
+    )
+    assert sum(r.n_lost for r in cmp_rows) == audit_wm1
+    spark.catalog.clearCache()
