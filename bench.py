@@ -529,6 +529,7 @@ HEADLINE = [
     "distinct_users_ingest_curve",
     "rollup_as_of_batch",
     "watermarked_rollup_compare",
+    "ingest_release_gate",
 ]
 
 

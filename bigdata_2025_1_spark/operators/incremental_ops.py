@@ -827,3 +827,170 @@ def watermarked_rollup_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date", "event_type")
     )
+
+
+# --- 8. the ingest release gate (suite-composition capstone) ------------------
+
+# Gate thresholds — shared literals so the comparisons are the same IEEE
+# chain in both engines. Real ingest-operations defaults (the sf fixtures
+# pass all three: late_frac ~0.10, zero 2-day-watermark drops by the
+# arrival model's construction, final-batch novelty 0.0; the deny and
+# no-decision branches are exercised on crafted tables in
+# tests/test_incremental_ops.py):
+INGEST_MAX_LATE_FRAC = "0.2"  # >20% late deliveries smells of a broken
+# upstream delivery pipeline, not ordinary lateness
+INGEST_MAX_NOVELTY = "0.5"  # a final trigger where >50% of events come
+# from never-seen users signals an identity-space break (new hashing,
+# corrupted user ids), not organic growth
+
+
+def _ingest_gate_oracle() -> str:
+    # Compose the legs' REGISTERED oracles verbatim (the release-gate
+    # convention) — all three legs are registered above in this module.
+    from bigdata_2025_1_spark.registry import ORACLES as _O
+
+    return f"""
+    WITH au AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_batches,
+             CAST(COALESCE(SUM(n_events), 0) AS BIGINT) AS n_events_total,
+             CAST(COALESCE(SUM(n_late), 0) AS BIGINT) AS n_late_total,
+             CAST(MAX(max_lateness_days) AS BIGINT) AS max_lateness_days,
+             CAST(COALESCE(SUM(n_dropped_wm2), 0) AS BIGINT)
+               AS wm2_dropped_total
+      FROM ({_O["late_event_audit"]})
+    ), wm AS (
+      SELECT CAST(COALESCE(SUM(n_lost), 0) AS BIGINT) AS wm1_lost,
+             CAST(COALESCE(SUM(n_events_exact), 0) AS BIGINT) AS n_exact
+      FROM ({_O["watermarked_rollup_compare"]})
+    ), cv AS (
+      SELECT new_user_frac AS final_new_user_frac
+      FROM ({_O["distinct_users_ingest_curve"]})
+      ORDER BY batch_date DESC LIMIT 1
+    ), vals AS (
+      SELECT au.n_batches, au.n_events_total, au.n_late_total,
+             CASE WHEN au.n_events_total > 0
+                  THEN au.n_late_total::DOUBLE / au.n_events_total
+             END AS late_frac_total,
+             au.max_lateness_days, au.wm2_dropped_total,
+             CASE WHEN wm.n_exact > 0
+                  THEN wm.wm1_lost::DOUBLE / wm.n_exact
+             END AS wm1_lost_frac,
+             cv.final_new_user_frac
+      FROM au CROSS JOIN wm LEFT JOIN cv ON TRUE
+    ), oks AS (
+      SELECT *,
+             CASE WHEN n_events_total = 0 THEN NULL
+                  ELSE late_frac_total <= {INGEST_MAX_LATE_FRAC}
+             END AS ok_lateness,
+             CASE WHEN n_events_total = 0 THEN NULL
+                  ELSE wm2_dropped_total = 0 END AS ok_watermark,
+             CASE WHEN n_events_total = 0 THEN NULL
+                  ELSE final_new_user_frac <= {INGEST_MAX_NOVELTY}
+             END AS ok_novelty
+      FROM vals
+    )
+    SELECT n_batches, n_events_total, n_late_total, late_frac_total,
+           max_lateness_days, wm2_dropped_total, wm1_lost_frac,
+           final_new_user_frac, ok_lateness, ok_watermark, ok_novelty,
+           (ok_lateness AND ok_watermark AND ok_novelty) AS ingest_ok
+    FROM oks
+    """
+
+
+@query("ingest_release_gate", oracle=_ingest_gate_oracle())
+def ingest_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest pipeline's RELEASE DECISION, in one row — the
+    incremental-maintenance family's suite capstone, extending the
+    release-gate convention to its fifth operational family (corpus,
+    dedup, layout, index, now INGEST). Composes, by CALLING the
+    registered queries so the gate can never drift from what the
+    correctness gate certifies leg by leg:
+
+    - ``late_event_audit``            -> late_frac_total (gate: <=
+      {INGEST_MAX_LATE_FRAC} — more means the delivery pipeline is
+      broken, not merely late) and wm2_dropped_total (gate: 0 — the
+      DEPLOYED 2-day watermark must be lossless, the decision
+      late_event_audit exists to justify);
+    - ``watermarked_rollup_compare``  -> wm1_lost_frac telemetry (what
+      the 1-day fallback would cost — reported, not gated: the fallback
+      is a capacity decision, not a health one);
+    - ``distinct_users_ingest_curve`` -> final-trigger novelty rate
+      (gate: <= {INGEST_MAX_NOVELTY} — an identity-space break floods
+      the last batch with never-seen users).
+
+    ``ingest_ok`` is the conjunction. Every sub-scalar is reconciled
+    against its standalone query by tests/test_incremental_ops.py.
+
+    Null semantics (identical three-valued logic in both engines): an
+    EMPTY events table yields NULL verdicts and a NULL (unknown)
+    ingest_ok — a no-decision, not a pass.
+
+    Scale shape: the legs are already calendar-bounded aggregates;
+    the gate reduces them to three 1-row frames assembled by broadcast
+    joins (the curve's final row rides a keep-the-spine-on-empty
+    ``ON TRUE`` left join)."""
+    audit = late_event_audit(spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("n_batches"),
+        F.coalesce(F.sum("n_events"), F.lit(0))
+        .cast("bigint")
+        .alias("n_events_total"),
+        F.coalesce(F.sum("n_late"), F.lit(0))
+        .cast("bigint")
+        .alias("n_late_total"),
+        F.max("max_lateness_days").cast("bigint").alias("max_lateness_days"),
+        F.coalesce(F.sum("n_dropped_wm2"), F.lit(0))
+        .cast("bigint")
+        .alias("wm2_dropped_total"),
+    )
+    wm = watermarked_rollup_compare(spark, sf_dir).agg(
+        F.coalesce(F.sum("n_lost"), F.lit(0)).cast("bigint").alias("wm1_lost"),
+        F.coalesce(F.sum("n_events_exact"), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact"),
+    )
+    cv = (
+        distinct_users_ingest_curve(spark, sf_dir)
+        .orderBy(F.col("batch_date").desc())
+        .limit(1)
+        .select(F.col("new_user_frac").alias("final_new_user_frac"))
+    )
+    vals = (
+        audit.crossJoin(F.broadcast(wm))
+        .join(F.broadcast(cv), F.lit(True), "left")
+        .select(
+            "n_batches",
+            "n_events_total",
+            "n_late_total",
+            F.when(
+                F.col("n_events_total") > 0,
+                F.col("n_late_total").cast("double") / F.col("n_events_total"),
+            ).alias("late_frac_total"),
+            "max_lateness_days",
+            "wm2_dropped_total",
+            F.when(
+                F.col("n_exact") > 0,
+                F.col("wm1_lost").cast("double") / F.col("n_exact"),
+            ).alias("wm1_lost_frac"),
+            "final_new_user_frac",
+        )
+    )
+    empty = F.col("n_events_total") == 0
+    null_bool = F.lit(None).cast("boolean")
+    oks = vals.select(
+        "*",
+        F.when(empty, null_bool)
+        .otherwise(F.col("late_frac_total") <= float(INGEST_MAX_LATE_FRAC))
+        .alias("ok_lateness"),
+        F.when(empty, null_bool)
+        .otherwise(F.col("wm2_dropped_total") == 0)
+        .alias("ok_watermark"),
+        F.when(empty, null_bool)
+        .otherwise(F.col("final_new_user_frac") <= float(INGEST_MAX_NOVELTY))
+        .alias("ok_novelty"),
+    )
+    return oks.select(
+        "*",
+        (
+            F.col("ok_lateness") & F.col("ok_watermark") & F.col("ok_novelty")
+        ).alias("ingest_ok"),
+    )

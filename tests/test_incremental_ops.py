@@ -541,3 +541,84 @@ def test_watermark_compare_reconciles(spark, sf_dir):
     )
     assert sum(r.n_lost for r in cmp_rows) == audit_wm1
     spark.catalog.clearCache()
+
+
+# --- round-12 addition 8: the ingest release gate ------------------------------
+
+
+def test_ingest_gate_reconciles_with_standalone_queries(spark, sf_dir):
+    qs = all_queries()
+    row = qs["ingest_release_gate"](spark, sf_dir).collect()[0]
+    audit = qs["late_event_audit"](spark, sf_dir).agg(
+        F.count("*").alias("b"),
+        F.sum("n_events").alias("n"),
+        F.sum("n_late").alias("l"),
+        F.max("max_lateness_days").alias("m"),
+        F.sum("n_dropped_wm2").alias("w2"),
+    ).collect()[0]
+    assert (row.n_batches, row.n_events_total, row.n_late_total) == (
+        audit.b,
+        audit.n,
+        audit.l,
+    )
+    assert row.max_lateness_days == audit.m
+    assert row.wm2_dropped_total == audit.w2
+    assert row.late_frac_total == audit.l / audit.n
+    wm = qs["watermarked_rollup_compare"](spark, sf_dir).agg(
+        F.sum("n_lost").alias("lost"), F.sum("n_events_exact").alias("n")
+    ).collect()[0]
+    assert row.wm1_lost_frac == wm.lost / wm.n
+    cv = (
+        qs["distinct_users_ingest_curve"](spark, sf_dir)
+        .orderBy(F.col("batch_date").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    assert row.final_new_user_frac == cv.new_user_frac
+    assert row.ingest_ok == (
+        row.ok_lateness and row.ok_watermark and row.ok_novelty
+    )
+    spark.catalog.clearCache()
+
+
+def test_ingest_gate_deny_branch_late_flood(spark, tmp_path):
+    """4 of 5 events late (ids 5/34/35/38 by md5 residue): late_frac
+    0.8 > 0.2 -> ok_lateness False -> ingest_ok False while the other
+    legs pass."""
+    t = dt.datetime(2024, 3, 1, 12, 0)
+    rows = [(i, t, 1, "view", 1.0) for i in (0, 5, 34, 35, 38)]
+    sf = _write_events(spark, tmp_path, rows)
+    row = all_queries()["ingest_release_gate"](spark, sf).collect()[0]
+    assert row.n_events_total == 5 and row.n_late_total == 4
+    assert row.late_frac_total == 0.8
+    assert row.ok_lateness is False
+    assert row.ok_watermark is True and row.ok_novelty is True
+    assert row.ingest_ok is False
+    spark.catalog.clearCache()
+
+
+def test_ingest_gate_deny_branch_identity_break(spark, tmp_path):
+    """Final trigger entirely from never-seen users (novelty 1.0 >
+    0.5): the identity-space-break guard fires; lateness legs pass
+    (all chosen ids are on-time residues)."""
+    d1, d2 = dt.datetime(2024, 3, 1, 9, 0), dt.datetime(2024, 3, 2, 9, 0)
+    rows = [(1, d1, 1, "view", 1.0), (2, d1, 2, "view", 1.0)] + [
+        (i, d2, 100 + i, "view", 1.0) for i in (3, 4, 6, 7)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    row = all_queries()["ingest_release_gate"](spark, sf).collect()[0]
+    assert row.n_late_total == 0 and row.ok_lateness is True
+    assert row.final_new_user_frac == 1.0
+    assert row.ok_novelty is False
+    assert row.ingest_ok is False
+    spark.catalog.clearCache()
+
+
+def test_ingest_gate_no_decision_empty(spark, tmp_path):
+    sf = _write_events(spark, tmp_path, [])
+    row = all_queries()["ingest_release_gate"](spark, sf).collect()[0]
+    assert row.n_events_total == 0 and row.n_batches == 0
+    assert row.late_frac_total is None and row.final_new_user_frac is None
+    assert row.ok_lateness is None and row.ok_watermark is None
+    assert row.ok_novelty is None and row.ingest_ok is None
+    spark.catalog.clearCache()

@@ -1644,6 +1644,7 @@ ROUND12_QUERIES = [
     "distinct_users_ingest_curve",
     "rollup_as_of_batch",
     "watermarked_rollup_compare",
+    "ingest_release_gate",
 ]
 
 
