@@ -19,6 +19,16 @@ rest arrive the day they happen. Both engines compute the identical delay
 from the identical md5 hex prefix, so arrival batches are a pure function
 of the data.
 
+Relationship to earlier queries (complementary, not overlapping):
+``watermark_lateness_audit`` (events_ops) measures MINUTE-level lateness
+behind the running max event time within the natural stream and sizes
+5/10/30-minute watermarks; this family models DAY-level delivery delay
+across daily triggers and sizes 1/2-DAY watermarks, with the standing
+rollup the late deliveries re-open. ``incremental_monthly_rollup``
+(table_ops) verifies the partial->monthly merge algebra inside one
+query; this family MAINTAINS the keyed state across triggers and ships
+the CDC write-log, snapshot, and foreachBatch loops around it.
+
 Online-form convention (page_hinkley / cusum / lsh_index_update /
 ivf_cells_update / compaction_update): each maintained aggregate ships
 - the BATCH query (registered + oracle-checked) — the full-replay ground

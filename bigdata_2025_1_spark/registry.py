@@ -54,12 +54,49 @@ ORACLES: dict[str, str] = {}
 # the standing convention, round-12 additions are BATCHED (<=13) and
 # queue for round 13, NOT the head.
 #
-# ROUND-13 ROTATION PLAN (FROZEN at round-12 close; arithmetic:
-# N round-12 additions (enumerated below as they land) + the
-# alphabetically-next (50 - N) of the 45 remaining r6-vintage greens
-# (the 50 r6 greens minus the first-5 refreshed in this head), the r6
-# tail starting at contrastive_triplet_mining. Enumerated at the bottom
-# of this comment block once round-12 additions are final.)
+# Round-12 additions (each selfchecked tuned + vanilla, scalar-
+# referenced, plan-pinned, and empty-tables green the day it landed;
+# all batched for the round-13 head per the standing convention):
+#   ann_release_gate, events_rollup_upsert, rollup_delta_log,
+#   late_event_audit, session_closure_log,
+#   distinct_users_ingest_curve, rollup_as_of_batch,
+#   watermarked_rollup_compare, ingest_release_gate      (N = 9)
+#
+# ROUND-13 ROTATION PLAN (FROZEN with this head; arithmetic: 9
+# round-12 additions + the alphabetically-first 41 of the 45 remaining
+# r6-vintage greens = 50. The r6 census: 50 r6-latest greens from
+# CORRECTNESS_r0{1..11}.json minus the 5 refreshed at positions 45-49
+# of THIS head = 45, alphabetically from contrastive_triplet_mining —
+# re-derived programmatically at round-12 close and matching the
+# round-11 verdict's prediction name-for-name):
+#   positions 0-8   — the 9 round-12 additions, in landing order
+#     (ann_release_gate, events_rollup_upsert, rollup_delta_log,
+#     late_event_audit, session_closure_log,
+#     distinct_users_ingest_curve, rollup_as_of_batch,
+#     watermarked_rollup_compare, ingest_release_gate);
+#   positions 9-49  — the alphabetically-first 41 r6 remainders:
+#     contrastive_triplet_mining, corpus_drift_psi,
+#     corpus_health_scorecard, cross_source_overlap, cube_flag_status,
+#     customer_spend_gini, dedup_incremental_lsh, doc_novelty_decay,
+#     doc_readability_scores, dup_cluster_size_histogram,
+#     embedding_dispersion, embedding_norm_profile,
+#     feature_hashing_buckets, functional_dependency_profile,
+#     harmonic_centrality_trade, incremental_monthly_rollup,
+#     label_centroid_distances, margin_candidate_mining,
+#     markov_event_transitions, media_metadata, media_prefix_clusters,
+#     monthly_seasonality_index, order_size_distribution,
+#     part_popularity_rec, parts_abc_pareto, reciprocal_nn_pairs,
+#     recursive_cte_month_spine, rolling_weekly_active_users,
+#     scalar_subquery_big_orders, seasonal_hourly_residuals,
+#     semantic_dedup_pairs, shipping_latency_percentiles,
+#     skyline_price_size, source_language_mix, source_token_kl,
+#     sq8_quantization_error, token_association_rules,
+#     tokenizer_fertility_by_lang, top_sources_with_other,
+#     trade_graph_degree_stats, user_feature_matrix.
+# After round 13 the stale tail is the remaining 4 r6 greens
+# (vocab_frequency_spectrum, vocab_growth_curve,
+# watermark_lateness_audit, weighted_sample_wor), then the r7 vintage
+# (50, alphabetically from anova_f_segment_spend).
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 0-9: the 10 round-11 additions (never driver-checked),
     #    landing order
