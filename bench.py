@@ -543,6 +543,7 @@ HEADLINE = [
     "rollup_as_of_batch",
     "watermarked_rollup_compare",
     "ingest_release_gate",
+    "session_gap_sweep",
 ]
 
 

@@ -1004,3 +1004,121 @@ def ingest_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ok_lateness") & F.col("ok_watermark") & F.col("ok_novelty")
         ).alias("ingest_ok"),
     )
+
+
+# --- 9. session gap tuning table ----------------------------------------------
+
+GAP_SWEEP_MINUTES: "tuple[int, ...]" = (10, 30, 60, 120)  # 30 = deployed
+
+
+def _gap_sweep_oracle() -> str:
+    aggs = []
+    selects = []
+    for g in GAP_SWEEP_MINUTES:
+        aggs.append(
+            f"CAST(SUM(CASE WHEN gap > INTERVAL {g} MINUTE THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS br_{g},\n"
+            f"             CAST(COUNT(DISTINCT CASE WHEN gap > INTERVAL {g} "
+            f"MINUTE THEN user_id END) AS BIGINT) AS mu_{g}"
+        )
+        selects.append(
+            f"""SELECT {g} AS gap_minutes,
+             n_first + br_{g} AS n_sessions,
+             mu_{g} AS n_multi_session_users,
+             CASE WHEN n_first + br_{g} > 0
+                  THEN n_events::DOUBLE / (n_first + br_{g})
+             END AS avg_events_per_session
+      FROM agg"""
+        )
+    agg_cols = ",\n             ".join(aggs)
+    union = "\n      UNION ALL\n      ".join(selects)
+    return f"""
+    WITH gaps AS (
+      SELECT user_id,
+             ts - LAG(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS gap
+      FROM events
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN gap IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first,
+             {agg_cols}
+      FROM gaps
+    )
+    SELECT * FROM (
+      {union}
+    )
+    ORDER BY gap_minutes
+    """
+
+
+@query("session_gap_sweep", oracle=_gap_sweep_oracle())
+def session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-GAP TUNING TABLE — the sessionization twin of
+    ``lsh_band_sweep`` / ``ivf_nprobe_recall_curve``: for every
+    candidate inactivity gap (10 / 30 / 60 / 120 minutes —
+    GAP_SWEEP_MINUTES), the session count, the number of users the gap actually
+    splits (n_multi_session_users — users with at least one
+    over-threshold gap), and the mean events per session, all from ONE
+    pass over the per-user gap rows (a session for gap g is one first
+    event plus one over-g gap, so every config is a conditional sum
+    over the same lag frame — no per-config re-segmentation). Read it
+    as the elbow curve a pipeline owner consults before setting
+    ``withWatermark``+session semantics; the DEPLOYED 30-minute row
+    reconciles exactly with ``session_closure_log``'s row count and
+    ``user_sessionization``'s per-user totals (pinned in tests).
+
+    Sessions are monotone non-increasing in the gap by construction
+    (an over-120min gap is over-60, over-30, over-10 — the candidate
+    sets nest exactly like the LSH banding divisor chain).
+
+    Determinism: the gap comparison is the same strict-> micros
+    comparison in both engines and the deployed queries; counts exact;
+    one double division per row guarded on n_sessions > 0. Empty table
+    -> the full 4-row spine with zero counts and NULL averages.
+
+    Scale shape: ONE shuffle on user_id for the lag window, then a
+    single map-side-combinable aggregation emits every config's sums;
+    the 4-row stack is driver-free constant algebra. The distinct
+    multi-session-user counts share the same aggregation (Spark plans
+    one expand for the distinct branches — value-domain bounded)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    )
+    gaps = ev.select("user_id", gap.alias("gap"))
+    agg_cols = [
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("gap").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first"),
+    ]
+    for g in GAP_SWEEP_MINUTES:
+        over = F.col("gap") > g * 60 * 1_000_000
+        agg_cols.append(
+            F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias(f"br_{g}")
+        )
+        agg_cols.append(
+            F.countDistinct(F.when(over, F.col("user_id")))
+            .cast("bigint")
+            .alias(f"mu_{g}")
+        )
+    agg = gaps.agg(*agg_cols)
+    per_config = []
+    for g in GAP_SWEEP_MINUTES:
+        ns = F.col("n_first") + F.col(f"br_{g}")
+        per_config.append(
+            agg.select(
+                F.lit(g).cast("int").alias("gap_minutes"),
+                ns.cast("bigint").alias("n_sessions"),
+                F.col(f"mu_{g}").alias("n_multi_session_users"),
+                F.when(
+                    ns > 0, F.col("n_events").cast("double") / ns
+                ).alias("avg_events_per_session"),
+            )
+        )
+    grid = per_config[0]
+    for frame in per_config[1:]:
+        grid = grid.unionByName(frame)
+    return grid.orderBy("gap_minutes")

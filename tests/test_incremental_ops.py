@@ -622,3 +622,52 @@ def test_ingest_gate_no_decision_empty(spark, tmp_path):
     assert row.ok_lateness is None and row.ok_watermark is None
     assert row.ok_novelty is None and row.ingest_ok is None
     spark.catalog.clearCache()
+
+
+# --- round-12 addition 9: the session gap tuning table -------------------------
+
+
+def test_gap_sweep_crafted_scalar_reference(spark, tmp_path):
+    """Hand walk on two users: user 7's gaps are 10min and 50min (the
+    10-min boundary is NOT over at strict >), user 8 has one event.
+    gap=10: sessions = 2 firsts + 1 break (50min) + 0 for the exactly-
+    10min gap = 3; gap=30/60/120: the 50-min gap splits only the 30-min
+    config."""
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 10, 0), 7, "view", 1.0),
+        (2, dt.datetime(2024, 3, 1, 10, 10), 7, "view", 1.0),
+        (3, dt.datetime(2024, 3, 1, 11, 0), 7, "view", 1.0),
+        (4, dt.datetime(2024, 3, 1, 9, 0), 8, "view", 1.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = [tuple(r) for r in all_queries()["session_gap_sweep"](spark, sf).collect()]
+    assert got == [
+        (10, 3, 1, 4 / 3),
+        (30, 3, 1, 4 / 3),
+        (60, 2, 0, 2.0),
+        (120, 2, 0, 2.0),
+    ]
+    spark.catalog.clearCache()
+
+
+def test_gap_sweep_deployed_row_reconciles(spark, sf_dir):
+    """The 30-minute row must equal the deployed sessionizers: total
+    closures in session_closure_log and the per-user sums in
+    user_sessionization."""
+    qs = all_queries()
+    grid = {r.gap_minutes: r for r in qs["session_gap_sweep"](spark, sf_dir).collect()}
+    dep = grid[30]
+    n_log = qs["session_closure_log"](spark, sf_dir).count()
+    assert dep.n_sessions == n_log
+    us = qs["user_sessionization"](spark, sf_dir).agg(
+        F.sum("n_sessions").alias("s"),
+        F.sum(F.when(F.col("n_sessions") > 1, 1).otherwise(0)).alias("m"),
+        F.sum("n_events").alias("e"),
+    ).collect()[0]
+    assert dep.n_sessions == us.s
+    assert dep.n_multi_session_users == us.m
+    assert dep.avg_events_per_session == us.e / us.s
+    # monotone non-increasing in the gap (candidate splits nest)
+    ns = [grid[g].n_sessions for g in (10, 30, 60, 120)]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+    spark.catalog.clearCache()

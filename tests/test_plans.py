@@ -1645,6 +1645,7 @@ ROUND12_QUERIES = [
     "rollup_as_of_batch",
     "watermarked_rollup_compare",
     "ingest_release_gate",
+    "session_gap_sweep",
 ]
 
 
