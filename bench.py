@@ -226,6 +226,21 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # scan) and session_closure_log (~1.5 s — a 95k-row closure log whose
 # cost is dominated by the collect, not the one-shuffle window plan).
 #
+# Round-12 measured-and-DEFERRED experiment (the negative-memo
+# discipline): ann_release_gate's census and curve legs each run their
+# own Arrow cell-assignment pass over embeddings — the gate costs the
+# exact sum of its legs (2.165 vs 1.21+0.44+0.54 best-of-3, idle).
+# A persisted shared-assignment variant (one `_corpus_cells().persist()`
+# helper consumed by both legs, the dedup `_signatures` pattern) was
+# measured gate-equivalent at ~0.35 s cheaper (one Arrow pass), i.e.
+# ~11-15% of the gate. NOT shipped this round: it would change the
+# physical plans of ivf_ingest_assign and ivf_nprobe_recall_curve,
+# which sit at positions 5 and 7 of the FROZEN round-12 driver head
+# awaiting their first driver rows — plan stability through the first
+# correctness row outranks a 0.35 s win on a query that enters no head
+# before round 13. Queued as a round-13 candidate with the full
+# plandiff + ab discipline.
+#
 # Round-12 pre-pin (VERDICT r11 ask #7): dedup_release_gate enters the
 # round-12 driver head as its heaviest query, so its reference numbers
 # are stamped BEFORE the driver run for instant noise adjudication:

@@ -3447,8 +3447,15 @@ def ann_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one Arrow assignment pass collapsing to {N_CELLS} rows; the
     value-domain KS histogram; the broadcast-tiny curve joins), reduced
     here to three 1-row frames assembled by broadcast cross-joins. The
-    census and curve legs share the embeddings scan at the block level
-    via Spark's plan-keyed CacheManager, so the gate pays it once."""
+    gate costs the SUM of its legs (measured: ~2.2 s vs 1.21+0.44+0.54
+    at sf0.1) — the census and curve each run their own Arrow
+    assignment pass because neither leg persists it (CacheManager
+    dedupes persisted plans only). A persisted shared-assignment
+    variant was MEASURED (bench.py round-12 notes): it saves one Arrow
+    pass (~0.35 s here) but perturbs both legs' plans; deferred until
+    the legs clear their first driver rows — a candidate round-13
+    optimization, not a scale problem (the pass is linear and
+    embarrassingly parallel at any scale)."""
     census = ivf_ingest_assign(spark, sf_dir).agg(
         F.count("*").cast("bigint").alias("n_cells_occupied"),
         F.coalesce(F.sum(F.col("needs_split").cast("int")), F.lit(0))
