@@ -213,18 +213,22 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # self-joins, incl. the deliberately expensive 8x1 config — the cost
 # axis of the tuning table is real work).
 #
-# Round-12 tee provenance: three full headline runs on the otherwise-
-# idle machine measured the shared-197 subtotal (vs bench_local_r11) at
-# 214.9 / 271.2 / 247.5 s (r11 recorded 260.1 with its own four-run
-# envelope of 222.0-243.3) — same load-skew class as every round: no
-# code shared with r11 changed this round (plandiff 0/5 on the touched-
-# adjacent queries), so read the signal as flat within the envelope.
-# bench_local_r12.json is the FINAL run (206 queries, all nine round-12
-# additions included). The additions land 0.37-2.2 s each; the two
-# heaviest are ann_release_gate (~2.2 s — the sum of its three
-# certified legs, with the census and curve sharing the embeddings
-# scan) and session_closure_log (~1.5 s — a 95k-row closure log whose
-# cost is dominated by the collect, not the one-shuffle window plan).
+# Round-12 tee provenance: FOUR full headline runs measured the
+# shared-197 subtotal (vs bench_local_r11) at 214.9 / 271.2 / 247.5 /
+# 275.5 s (r11 recorded 260.1 with its own four-run envelope of
+# 222.0-243.3) — the same load-skew class as every round; the 275.5
+# run (the tee) started ~1 min after a 26-minute pytest churned the
+# page cache, the exact condition r11's provenance note flagged. No
+# code shared with r11 changed this round (plandiff 0/5 on the
+# touched-adjacent queries), so read the round-over-round signal as
+# flat within the variance envelope; the controlled numbers are the
+# per-addition best-of-3 idle timings below. bench_local_r12.json is
+# the FINAL run — the only one covering all ten round-12 additions
+# (207 queries). The additions land 0.37-2.2 s each; the two heaviest
+# are ann_release_gate (~2.2 s — the exact sum of its three certified
+# legs; see the deferred shared-assignment experiment below) and
+# session_closure_log (~1.5 s — a 95k-row closure log whose cost is
+# dominated by the collect, not the one-shuffle window plan).
 #
 # Round-12 measured-and-DEFERRED experiment (the negative-memo
 # discipline): ann_release_gate's census and curve legs each run their
