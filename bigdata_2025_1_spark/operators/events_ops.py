@@ -157,6 +157,15 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The DEPLOYED sessionization inactivity gap (30 minutes) — the single
+# definition every sessionizer shares: user_sessionization and the
+# session-trigram walk below, plus incremental_ops' session_closure_log
+# / session_update / session_gap_sweep (imported there). The colocated
+# SQL oracles spell it as INTERVAL 30 MINUTE; the selfcheck catches any
+# drift between this constant and those literals.
+SESSION_GAP_SECONDS = 1800
+
+
 @query(
     "user_sessionization",
     oracle="""
@@ -191,7 +200,7 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    new_session = F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1).otherwise(0)
     sessions = ev.select(
         "user_id",
         "ts",
@@ -601,7 +610,7 @@ def sessionized_path_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    new_session = F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1).otherwise(0)
     sess = ev.select(
         "user_id",
         "ts",

@@ -338,7 +338,12 @@ def late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- 4. incremental sessionization (open-session state) ----------------------
 
-SESSION_GAP_SECONDS = 1800  # the user_sessionization gap, shared literal
+# The deployed gap — ONE definition, owned by the deployed sessionizer's
+# module (events_ops), imported here so the closure log, the online
+# twins, and the gap sweep can never drift from user_sessionization.
+from bigdata_2025_1_spark.operators.events_ops import (  # noqa: E402
+    SESSION_GAP_SECONDS,
+)
 
 
 @query(
@@ -1016,7 +1021,7 @@ def _gap_sweep_oracle() -> str:
     selects = []
     for g in GAP_SWEEP_MINUTES:
         aggs.append(
-            f"CAST(SUM(CASE WHEN gap > INTERVAL {g} MINUTE THEN 1 ELSE 0 END)"
+            f"CAST(COALESCE(SUM(CASE WHEN gap > INTERVAL {g} MINUTE THEN 1 ELSE 0 END), 0)"
             f" AS BIGINT) AS br_{g},\n"
             f"             CAST(COUNT(DISTINCT CASE WHEN gap > INTERVAL {g} "
             f"MINUTE THEN user_id END) AS BIGINT) AS mu_{g}"
@@ -1040,8 +1045,8 @@ def _gap_sweep_oracle() -> str:
       FROM events
     ), agg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
-             CAST(SUM(CASE WHEN gap IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_first,
+             CAST(COALESCE(SUM(CASE WHEN gap IS NULL THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_first,
              {agg_cols}
       FROM gaps
     )
@@ -1090,14 +1095,16 @@ def session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = ev.select("user_id", gap.alias("gap"))
     agg_cols = [
         F.count("*").cast("bigint").alias("n_events"),
-        F.sum(F.when(F.col("gap").isNull(), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("gap").isNull(), 1).otherwise(0)), F.lit(0))
         .cast("bigint")
         .alias("n_first"),
     ]
     for g in GAP_SWEEP_MINUTES:
         over = F.col("gap") > g * 60 * 1_000_000
         agg_cols.append(
-            F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias(f"br_{g}")
+            F.coalesce(F.sum(F.when(over, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias(f"br_{g}")
         )
         agg_cols.append(
             F.countDistinct(F.when(over, F.col("user_id")))

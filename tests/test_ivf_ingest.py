@@ -203,9 +203,16 @@ def test_nprobe_curve_reconciles_and_is_monotone(spark, sf_dir):
 def test_readout_has_no_function_local_self_import():
     """ADVICE r11 regression: ivf_cells_readout must reference the
     module-scope N_CELLS directly, not re-import its own module inside
-    the function body."""
+    the function body. AST-based so a docstring word like 'important'
+    can never trip it."""
+    import ast
     import inspect
+    import textwrap
 
-    src = inspect.getsource(ivf_cells_readout)
-    assert "import" not in src
-    assert "N_CELLS" in src
+    tree = ast.parse(textwrap.dedent(inspect.getsource(ivf_cells_readout)))
+    imports = [
+        n for n in ast.walk(tree)
+        if isinstance(n, (ast.Import, ast.ImportFrom))
+    ]
+    assert imports == []
+    assert "N_CELLS" in inspect.getsource(ivf_cells_readout)

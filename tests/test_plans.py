@@ -1597,7 +1597,7 @@ def test_round9_no_fact_scale_single_partition(name, spark, sf_dir):
 
     df = QUERIES[name](spark, sf_dir)
     for inputs in single_partition_exchange_inputs(df):
-        assert not any(c in inputs for c in _FACT_COLS + ("doc_id",)), (name, inputs)
+        assert not any(c in inputs for c in _FACT_COLS), (name, inputs)
     spark.catalog.clearCache()
 
 
@@ -1658,7 +1658,7 @@ def test_round12_no_fact_scale_single_partition(name, spark, sf_dir):
 
     df = QUERIES[name](spark, sf_dir)
     for inputs in single_partition_exchange_inputs(df):
-        assert not any(c in inputs for c in _FACT_COLS + ("doc_id",)), (name, inputs)
+        assert not any(c in inputs for c in _FACT_COLS), (name, inputs)
     spark.catalog.clearCache()
 
 
@@ -1671,7 +1671,7 @@ def test_round11_no_fact_scale_single_partition(name, spark, sf_dir):
 
     df = QUERIES[name](spark, sf_dir)
     for inputs in single_partition_exchange_inputs(df):
-        assert not any(c in inputs for c in _FACT_COLS + ("doc_id",)), (name, inputs)
+        assert not any(c in inputs for c in _FACT_COLS), (name, inputs)
     spark.catalog.clearCache()
 
 
@@ -1684,7 +1684,7 @@ def test_round10_no_fact_scale_single_partition(name, spark, sf_dir):
 
     df = QUERIES[name](spark, sf_dir)
     for inputs in single_partition_exchange_inputs(df):
-        assert not any(c in inputs for c in _FACT_COLS + ("doc_id",)), (name, inputs)
+        assert not any(c in inputs for c in _FACT_COLS), (name, inputs)
     spark.catalog.clearCache()
 
 
