@@ -563,6 +563,8 @@ HEADLINE = [
     "watermarked_rollup_compare",
     "ingest_release_gate",
     "session_gap_sweep",
+    "value_histogram_rollup",
+    "merge_touch_profile",
 ]
 
 

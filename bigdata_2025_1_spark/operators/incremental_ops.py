@@ -1129,3 +1129,337 @@ def session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in per_config[1:]:
         grid = grid.unionByName(frame)
     return grid.orderBy("gap_minutes")
+
+
+# --- 10. mergeable value histogram -> quantile estimates, with the audit ------
+
+BUCKET_CENTS = 2000  # histogram bucket width (20.00 value units)
+N_VALUE_BUCKETS = 32  # buckets 0..31; the top bucket absorbs the tail
+
+
+def _hist_quantile_oracle() -> str:
+    # nearest-rank target: smallest value (resp. bucket) whose cumulative
+    # count reaches ceil(q*n); exact integer rank arithmetic for q=0.5
+    # ((n+1)//2) and q=0.9 ((9n+9)//10).
+    return f"""
+    WITH cents AS (
+      SELECT event_type, CAST(ROUND(value * 1e2) AS BIGINT) AS cents
+      FROM events
+    ), bucketed AS (
+      SELECT event_type,
+             LEAST(GREATEST(cents // {BUCKET_CENTS}, 0),
+                   {N_VALUE_BUCKETS - 1}) AS bucket,
+             cents
+      FROM cents
+    ), hist AS (
+      SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bucketed GROUP BY event_type, bucket
+    ), tot AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets_occupied
+      FROM hist GROUP BY event_type
+    ), hcum AS (
+      SELECT event_type, bucket,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hc
+      FROM hist
+    ), est AS (
+      SELECT t.event_type, t.n, t.n_buckets_occupied,
+             (SELECT MIN(bucket) FROM hcum h
+              WHERE h.event_type = t.event_type
+                AND h.hc >= (t.n + 1) // 2) AS b50,
+             (SELECT MIN(bucket) FROM hcum h
+              WHERE h.event_type = t.event_type
+                AND h.hc >= (9 * t.n + 9) // 10) AS b90
+      FROM tot t
+    ), vals AS (
+      SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM cents GROUP BY event_type, cents
+    ), vcum AS (
+      SELECT event_type, cents,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS vc
+      FROM vals
+    ), exact AS (
+      SELECT t.event_type,
+             (SELECT MIN(cents) FROM vcum v
+              WHERE v.event_type = t.event_type
+                AND v.vc >= (t.n + 1) // 2) AS exact_p50_cents,
+             (SELECT MIN(cents) FROM vcum v
+              WHERE v.event_type = t.event_type
+                AND v.vc >= (9 * t.n + 9) // 10) AS exact_p90_cents
+      FROM tot t
+    )
+    SELECT e.event_type, e.n AS n_events, e.n_buckets_occupied,
+           CAST(e.b50 * {BUCKET_CENTS} + {BUCKET_CENTS // 2} AS BIGINT)
+             AS est_p50_cents,
+           x.exact_p50_cents,
+           CAST(ABS(e.b50 * {BUCKET_CENTS} + {BUCKET_CENTS // 2}
+                    - x.exact_p50_cents) AS BIGINT) AS abs_err_p50,
+           CAST(e.b90 * {BUCKET_CENTS} + {BUCKET_CENTS // 2} AS BIGINT)
+             AS est_p90_cents,
+           x.exact_p90_cents,
+           CAST(ABS(e.b90 * {BUCKET_CENTS} + {BUCKET_CENTS // 2}
+                    - x.exact_p90_cents) AS BIGINT) AS abs_err_p90
+    FROM est e JOIN exact x USING (event_type)
+    ORDER BY e.event_type
+    """
+
+
+@query("value_histogram_rollup", oracle=_hist_quantile_oracle())
+def value_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-HISTOGRAM quantile maintenance, with its exactness
+    audit in the same row — the sketch-audit pattern
+    (``minhash_estimation_error`` / ``sq8_quantization_error``) applied
+    to the summary an incremental pipeline actually keeps for
+    percentile telemetry: a fixed-width cents histogram per event_type
+    ({N_VALUE_BUCKETS} buckets x {BUCKET_CENTS} cents, tail clamped).
+    Bucket counts are a pure semigroup, so the standing histogram is
+    maintained per trigger by addition (``hist_step`` /
+    ``hist_merge``) and never rescans history; p50/p90 ESTIMATES read
+    off the merged histogram (nearest-rank bucket midpoint); the EXACT
+    nearest-rank percentiles (the ``shipping_latency_percentiles``
+    machinery, per type) sit beside them with the absolute error —
+    the row that tells an operator whether the cheap summary is still
+    trustworthy or the bucket layout needs retuning.
+
+    Determinism: cents exact int64; nearest-rank targets are integer
+    ceilings ((n+1)//2, (9n+9)//10); estimates are integer bucket
+    midpoints; no doubles anywhere in the output.
+
+    Scale shape: the histogram is a map-side-combinable groupBy to at
+    most |types| x {N_VALUE_BUCKETS} rows; the exact side aggregates
+    the VALUE DOMAIN per type (the documented bounded-domain class)
+    with per-type cumulative windows; both collapse before any window.
+    At 100 TB only the exact audit touches the full value domain — and
+    it exists precisely to be run occasionally while the histogram
+    serves the hot path."""
+    cents = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    bucket = F.least(
+        F.greatest(F.floor(F.col("cents") / BUCKET_CENTS), F.lit(0)),
+        F.lit(N_VALUE_BUCKETS - 1),
+    ).cast("bigint")
+    hist = (
+        cents.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = hist.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_buckets_occupied"),
+    )
+    wtype_b = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hcum = hist.select(
+        "event_type", "bucket", F.sum("c").over(wtype_b).alias("hc")
+    )
+    # nearest-rank targets as exact integer ceilings
+    t50 = F.floor((F.col("n") + 1) / 2).cast("bigint")
+    t90 = F.floor((9 * F.col("n") + 9) / 10).cast("bigint")
+    targets = tot.select("event_type", "n", "n_buckets_occupied",
+                         t50.alias("t50"), t90.alias("t90"))
+    est = (
+        hcum.join(F.broadcast(targets), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("hc") >= F.col("t50"), F.col("bucket"))).alias("b50"),
+            F.min(F.when(F.col("hc") >= F.col("t90"), F.col("bucket"))).alias("b90"),
+        )
+    )
+    vals = cents.groupBy("event_type", "cents").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wtype_v = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vcum = vals.select(
+        "event_type", "cents", F.sum("c").over(wtype_v).alias("vc")
+    )
+    exact = (
+        vcum.join(F.broadcast(targets), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("vc") >= F.col("t50"), F.col("cents"))).alias(
+                "exact_p50_cents"
+            ),
+            F.min(F.when(F.col("vc") >= F.col("t90"), F.col("cents"))).alias(
+                "exact_p90_cents"
+            ),
+        )
+    )
+    mid = BUCKET_CENTS // 2
+    e50 = (F.col("b50") * BUCKET_CENTS + mid).cast("bigint")
+    e90 = (F.col("b90") * BUCKET_CENTS + mid).cast("bigint")
+    return (
+        targets.select("event_type", F.col("n").alias("n_events"),
+                       "n_buckets_occupied")
+        .join(est, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "n_buckets_occupied",
+            e50.alias("est_p50_cents"),
+            "exact_p50_cents",
+            F.abs(e50 - F.col("exact_p50_cents")).cast("bigint").alias("abs_err_p50"),
+            e90.alias("est_p90_cents"),
+            "exact_p90_cents",
+            F.abs(e90 - F.col("exact_p90_cents")).cast("bigint").alias("abs_err_p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hist_state_zero() -> dict:
+    """Fresh standing-histogram state: (event_type, bucket) -> count."""
+    return {}
+
+
+def hist_step(batch_ev: DataFrame) -> DataFrame:
+    """ONE trigger of histogram maintenance: the batch collapsed to
+    per-(type, bucket) partial counts — pure addition under merge."""
+    return (
+        batch_ev.select(
+            "event_type",
+            F.least(
+                F.greatest(
+                    F.floor(
+                        F.round(F.col("value") * 100).cast("bigint")
+                        / BUCKET_CENTS
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(N_VALUE_BUCKETS - 1),
+            )
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def hist_merge(state: dict, step_rows) -> dict:
+    """Fold one trigger's partial counts into the standing histogram
+    (counts add — the simplest semigroup here). MUTATES ``state``."""
+    for r in step_rows:
+        key = (r.event_type, r.bucket)
+        state[key] = state.get(key, 0) + r.c
+    return state
+
+
+def hist_update(state: dict, events) -> dict:
+    """Pure-Python per-event twin: (event_type, value) rows in any
+    order (the histogram is order-free). MUTATES ``state``."""
+    for event_type, value in events:
+        b = py_cents(value) // BUCKET_CENTS
+        b = 0 if b < 0 else (N_VALUE_BUCKETS - 1 if b > N_VALUE_BUCKETS - 1 else b)
+        key = (event_type, b)
+        state[key] = state.get(key, 0) + 1
+    return state
+
+
+def hist_quantile_readout(state: dict, q_num: int, q_den: int) -> dict:
+    """Nearest-rank bucket-midpoint estimate per event_type from the
+    online state (target rank = ceil(q_num/q_den * n), exact integer
+    ceiling) — equals the batch query's est_p* columns."""
+    by_type: dict = {}
+    for (et, b), c in state.items():
+        by_type.setdefault(et, {})[b] = by_type.setdefault(et, {}).get(b, 0) + c
+    out = {}
+    for et, hist in by_type.items():
+        n = sum(hist.values())
+        target = (q_num * n + q_den - 1) // q_den
+        cum = 0
+        for b in sorted(hist):
+            cum += hist[b]
+            if cum >= target:
+                out[et] = b * BUCKET_CENTS + BUCKET_CENTS // 2
+                break
+    return out
+
+
+# --- 11. the MERGE touch profile ----------------------------------------------
+
+
+@query(
+    "merge_touch_profile",
+    oracle=f"""
+    WITH arr AS (
+      {_ARR_SQL}
+    ), per AS (
+      SELECT arrival_date AS batch_date, event_date, event_type,
+             CAST(COUNT(*) AS BIGINT) AS rows_in
+      FROM arr GROUP BY arrival_date, event_date, event_type
+    ), firsts AS (
+      SELECT event_date, event_type, MIN(batch_date) AS first_batch
+      FROM per GROUP BY event_date, event_type
+    )
+    SELECT p.batch_date,
+           CAST(SUM(p.rows_in) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys_touched,
+           CAST(SUM(CASE WHEN f.first_batch = p.batch_date
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+           CAST(SUM(CASE WHEN f.first_batch = p.batch_date
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_updates,
+           CAST(SUM(p.rows_in) AS DOUBLE) / COUNT(*) AS rows_per_key
+    FROM per p
+    JOIN firsts f USING (event_date, event_type)
+    GROUP BY p.batch_date
+    ORDER BY p.batch_date
+    """,
+)
+def merge_touch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE COST MODEL per trigger — what sizes the upsert's
+    shuffle and the state-store writes before anyone runs it: for each
+    arrival batch, the row count, how many standing-rollup keys the
+    trigger touches, how those split into MERGE's WHEN NOT MATCHED
+    (inserts — keys whose first-ever touch is this trigger) vs WHEN
+    MATCHED (updates — re-opened keys, late data's write
+    amplification), and the rows-per-key density. Reconciled against
+    ``rollup_delta_log``'s per-batch op counts by test (the two derive
+    the same facts through different plans — this one never builds the
+    running totals).
+
+    Determinism: batch composition is the md5 arrival model; counts
+    exact; one double division by a count >= 1.
+
+    Scale shape: one groupBy to (arrival x key) partials, a key-level
+    first-touch aggregate joined back ON THE KEY (both sides calendar x
+    value-domain sized — no fact-scale join), then a collapse to
+    calendar-bounded batch rows."""
+    arr = with_arrival(load(spark, sf_dir, "events"))
+    per = (
+        arr.groupBy(
+            F.col("arrival_date").alias("batch_date"),
+            "event_date",
+            "event_type",
+        )
+        .agg(F.count("*").cast("bigint").alias("rows_in"))
+    )
+    firsts = per.groupBy("event_date", "event_type").agg(
+        F.min("batch_date").alias("first_batch")
+    )
+    is_insert = F.when(
+        F.col("first_batch") == F.col("batch_date"), 1
+    ).otherwise(0)
+    return (
+        per.join(firsts, ["event_date", "event_type"])
+        .groupBy("batch_date")
+        .agg(
+            F.sum("rows_in").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_keys_touched"),
+            F.sum(is_insert).cast("bigint").alias("n_inserts"),
+            F.sum(1 - is_insert).cast("bigint").alias("n_updates"),
+            (F.sum("rows_in").cast("double") / F.count("*")).alias(
+                "rows_per_key"
+            ),
+        )
+        .orderBy("batch_date")
+    )

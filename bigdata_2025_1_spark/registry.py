@@ -61,22 +61,23 @@ ORACLES: dict[str, str] = {}
 #   late_event_audit, session_closure_log,
 #   distinct_users_ingest_curve, rollup_as_of_batch,
 #   watermarked_rollup_compare, ingest_release_gate,
-#   session_gap_sweep                                    (N = 10)
+#   session_gap_sweep, value_histogram_rollup,
+#   merge_touch_profile                                  (N = 12)
 #
-# ROUND-13 ROTATION PLAN (FROZEN with this head; arithmetic: 10
-# round-12 additions + the alphabetically-first 40 of the 45 remaining
+# ROUND-13 ROTATION PLAN (FROZEN with this head; arithmetic: 12
+# round-12 additions + the alphabetically-first 38 of the 45 remaining
 # r6-vintage greens = 50. The r6 census: 50 r6-latest greens from
 # CORRECTNESS_r0{1..11}.json minus the 5 refreshed at positions 45-49
 # of THIS head = 45, alphabetically from contrastive_triplet_mining —
 # re-derived programmatically at round-12 close and matching the
 # round-11 verdict's prediction name-for-name):
-#   positions 0-9   — the 10 round-12 additions, in landing order
+#   positions 0-11  — the 12 round-12 additions, in landing order
 #     (ann_release_gate, events_rollup_upsert, rollup_delta_log,
 #     late_event_audit, session_closure_log,
 #     distinct_users_ingest_curve, rollup_as_of_batch,
 #     watermarked_rollup_compare, ingest_release_gate,
-#     session_gap_sweep);
-#   positions 10-49 — the alphabetically-first 40 r6 remainders:
+#     session_gap_sweep, value_histogram_rollup, merge_touch_profile);
+#   positions 12-49 — the alphabetically-first 38 r6 remainders:
 #     contrastive_triplet_mining, corpus_drift_psi,
 #     corpus_health_scorecard, cross_source_overlap, cube_flag_status,
 #     customer_spend_gini, dedup_incremental_lsh, doc_novelty_decay,
@@ -93,10 +94,10 @@ ORACLES: dict[str, str] = {}
 #     semantic_dedup_pairs, shipping_latency_percentiles,
 #     skyline_price_size, source_language_mix, source_token_kl,
 #     sq8_quantization_error, token_association_rules,
-#     tokenizer_fertility_by_lang, top_sources_with_other,
-#     trade_graph_degree_stats.
-# After round 13 the stale tail is the remaining 5 r6 greens
-# (user_feature_matrix, vocab_frequency_spectrum, vocab_growth_curve,
+#     tokenizer_fertility_by_lang.
+# After round 13 the stale tail is the remaining 45 - 38 = 7 r6 greens
+# (top_sources_with_other, trade_graph_degree_stats,
+# user_feature_matrix, vocab_frequency_spectrum, vocab_growth_curve,
 # watermark_lateness_audit, weighted_sample_wor), then the r7 vintage
 # (50, alphabetically from anova_f_segment_spend).
 PRIORITY_HEAD: tuple[str, ...] = (

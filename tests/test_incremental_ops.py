@@ -671,3 +671,101 @@ def test_gap_sweep_deployed_row_reconciles(spark, sf_dir):
     ns = [grid[g].n_sessions for g in (10, 30, 60, 120)]
     assert all(a >= b for a, b in zip(ns, ns[1:]))
     spark.catalog.clearCache()
+
+
+# --- round-12 additions 10+11: histogram quantiles + merge touch profile -------
+
+
+def test_histogram_rollup_crafted_scalar_reference(spark, tmp_path):
+    """Hand walk, one type, 5 values (cents 100/300/2100/2500/63000 ->
+    buckets 0/0/1/1/31): n=5, t50=3 -> bucket 1 (cum 2 then 4) ->
+    est_p50 = 1*2000+1000 = 3000; exact p50 (3rd smallest) = 2100, err
+    900. t90 = ceil(4.5) = 5 -> bucket 31 -> est 63000; exact p90 (5th)
+    = 63000, err 0."""
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 9, 0), 1, "view", 1.00),
+        (2, dt.datetime(2024, 3, 1, 9, 1), 1, "view", 3.00),
+        (3, dt.datetime(2024, 3, 1, 9, 2), 1, "view", 21.00),
+        (4, dt.datetime(2024, 3, 1, 9, 3), 1, "view", 25.00),
+        (6, dt.datetime(2024, 3, 1, 9, 4), 1, "view", 630.00),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = [
+        tuple(r)
+        for r in all_queries()["value_histogram_rollup"](spark, sf).collect()
+    ]
+    assert got == [("view", 5, 3, 3000, 2100, 900, 63000, 63000, 0)]
+    spark.catalog.clearCache()
+
+
+def test_histogram_online_forms_match_batch(spark, sf_dir):
+    """The standing histogram maintained by hist_step+hist_merge over
+    three event_id-range chunks (and by the per-event hist_update)
+    must yield the batch query's estimate columns via the readout."""
+    from bigdata_2025_1_spark.operators.incremental_ops import (
+        hist_merge,
+        hist_quantile_readout,
+        hist_state_zero,
+        hist_step,
+        hist_update,
+    )
+
+    batch = {
+        r.event_type: (r.est_p50_cents, r.est_p90_cents)
+        for r in all_queries()["value_histogram_rollup"](spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    n = ev.count()
+    cuts = sorted(r.event_id for r in ev.select("event_id").collect())
+    b1, b2 = cuts[n // 3], cuts[2 * n // 3]
+    state = hist_state_zero()
+    for pred in (
+        F.col("event_id") < b1,
+        (F.col("event_id") >= b1) & (F.col("event_id") < b2),
+        F.col("event_id") >= b2,
+    ):
+        hist_merge(state, hist_step(ev.filter(pred)).collect())
+    p50 = hist_quantile_readout(state, 1, 2)
+    p90 = hist_quantile_readout(state, 9, 10)
+    assert {t: (p50[t], p90[t]) for t in p50} == batch
+    # per-event twin agrees with the step+merge state
+    state2 = hist_update(
+        hist_state_zero(),
+        [(r.event_type, r.value) for r in ev.collect()],
+    )
+    assert state2 == state
+    spark.catalog.clearCache()
+
+
+def test_merge_touch_profile_crafted_and_reconciles(spark, tmp_path, sf_dir):
+    """Crafted: the _CRAFT stream's six (batch x key) touches — 03-02
+    touches 2 keys (1 update of (03-01,view) + 1 insert); fixture:
+    per-batch insert/update counts must equal rollup_delta_log's op
+    counts and total rows must equal late_event_audit's."""
+    sf = _write_events(spark, tmp_path, _CRAFT)
+    got = [tuple(r) for r in all_queries()["merge_touch_profile"](spark, sf).collect()]
+    assert got == [
+        (_D1, 1, 1, 1, 0, 1.0),
+        (_D2, 2, 2, 1, 1, 1.0),
+        (_D3, 2, 2, 2, 0, 1.0),
+        (dt.date(2024, 3, 4), 1, 1, 0, 1, 1.0),
+    ]
+    qs = all_queries()
+    prof = {r.batch_date: r for r in qs["merge_touch_profile"](spark, sf_dir).collect()}
+    log = (
+        qs["rollup_delta_log"](spark, sf_dir)
+        .groupBy("batch_date")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(F.when(F.col("merge_op") == "insert", 1).otherwise(0)).alias("i"),
+            F.sum("n_events_delta").alias("n"),
+        )
+        .collect()
+    )
+    assert len(log) == len(prof)
+    for r in log:
+        p = prof[r.batch_date]
+        assert (p.n_keys_touched, p.n_inserts, p.n_rows) == (r.k, r.i, r.n)
+        assert p.n_updates == r.k - r.i
+    spark.catalog.clearCache()

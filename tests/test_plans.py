@@ -1652,6 +1652,8 @@ ROUND12_QUERIES = [
     "watermarked_rollup_compare",
     "ingest_release_gate",
     "session_gap_sweep",
+    "value_histogram_rollup",
+    "merge_touch_profile",
 ]
 
 
