@@ -28,133 +28,93 @@ ORACLES: dict[str, str] = {}
 
 # The driver walks ``queries()`` in dict order and checks exactly the
 # first 50 entries per round (each CORRECTNESS_r0N covers 50). Order is
-# therefore a correctness lever. Round-12 rotation (executes the plan
-# the round-11 head froze and the round-11 VERDICT ratified as its #1
-# ask; the judge independently re-derived the census from
-# CORRECTNESS_r0{1..11}.json and confirmed it exact name-for-name:
-# 10 never-checked round-11 additions + the 35 remaining r5-vintage
-# greens + the alphabetically-first 5 of the 50 r6-vintage greens
-# = 50).
+# therefore a correctness lever. Round-13 rotation (EXECUTES, name-for-
+# name, the plan the round-12 head froze and the round-12 VERDICT
+# ratified as its #1 ask — the judge independently re-derived the
+# census from CORRECTNESS_r0{1..12}.json and confirmed the enumeration
+# and the 7-name post-r13 tail exact): 12 never-driver-checked round-12
+# additions + the alphabetically-first 38 of the 45 remaining
+# r6-vintage greens = 50.
 #
 # Head composition:
-# - positions 0-9: the 10 round-11 additions, in landing order — the
+# - positions 0-11: the 12 round-12 additions, in landing order — the
 #   only queries that have never had a driver row (each selfchecked
-#   tuned AND vanilla the day it landed; the round-11 VERDICT
-#   independently re-verified all 10 under the vanilla driver-like
-#   session: 10/10 pass);
-# - positions 10-44: the 35 r5-vintage remainders, alphabetical (after
-#   this lands green the r5 vintage is fully retired — no green row
-#   predates r6);
-# - positions 45-49: the alphabetically-first 5 of the 50 r6-vintage
-#   greens.
+#   tuned AND vanilla the day it landed; the round-12 VERDICT
+#   independently re-verified all 12 under the vanilla driver-like
+#   session: 12/12 pass);
+# - positions 12-49: the alphabetically-first 38 of the 45 r6-vintage
+#   remainders (the r6 census: 50 r6-latest greens from
+#   CORRECTNESS_r0{1..11}.json minus the 5 refreshed by the round-12
+#   head = 45, alphabetical from contrastive_triplet_mining).
 #
 # CAPACITY WARNING: the head is at exactly 50 entries. Anything past
 # position 49 gets no driver row this round — add new queries by
 # REPLACING a proven-green head entry, never by growing past 50. Per
-# the standing convention, round-12 additions are BATCHED (<=13) and
-# queue for round 13, NOT the head.
+# the standing convention, round-13 additions are BATCHED (<=13) and
+# queue for round 14, NOT the head.
 #
-# Round-12 additions (each selfchecked tuned + vanilla, scalar-
-# referenced, plan-pinned, and empty-tables green the day it landed;
-# all batched for the round-13 head per the standing convention):
-#   ann_release_gate, events_rollup_upsert, rollup_delta_log,
-#   late_event_audit, session_closure_log,
-#   distinct_users_ingest_curve, rollup_as_of_batch,
-#   watermarked_rollup_compare, ingest_release_gate,
-#   session_gap_sweep, value_histogram_rollup,
-#   merge_touch_profile                                  (N = 12)
-#
-# ROUND-13 ROTATION PLAN (FROZEN with this head; arithmetic: 12
-# round-12 additions + the alphabetically-first 38 of the 45 remaining
-# r6-vintage greens = 50. The r6 census: 50 r6-latest greens from
-# CORRECTNESS_r0{1..11}.json minus the 5 refreshed at positions 45-49
-# of THIS head = 45, alphabetically from contrastive_triplet_mining —
-# re-derived programmatically at round-12 close and matching the
-# round-11 verdict's prediction name-for-name):
-#   positions 0-11  — the 12 round-12 additions, in landing order
-#     (ann_release_gate, events_rollup_upsert, rollup_delta_log,
-#     late_event_audit, session_closure_log,
-#     distinct_users_ingest_curve, rollup_as_of_batch,
-#     watermarked_rollup_compare, ingest_release_gate,
-#     session_gap_sweep, value_histogram_rollup, merge_touch_profile);
-#   positions 12-49 — the alphabetically-first 38 r6 remainders:
-#     contrastive_triplet_mining, corpus_drift_psi,
-#     corpus_health_scorecard, cross_source_overlap, cube_flag_status,
-#     customer_spend_gini, dedup_incremental_lsh, doc_novelty_decay,
-#     doc_readability_scores, dup_cluster_size_histogram,
-#     embedding_dispersion, embedding_norm_profile,
-#     feature_hashing_buckets, functional_dependency_profile,
-#     harmonic_centrality_trade, incremental_monthly_rollup,
-#     label_centroid_distances, margin_candidate_mining,
-#     markov_event_transitions, media_metadata, media_prefix_clusters,
-#     monthly_seasonality_index, order_size_distribution,
-#     part_popularity_rec, parts_abc_pareto, reciprocal_nn_pairs,
-#     recursive_cte_month_spine, rolling_weekly_active_users,
-#     scalar_subquery_big_orders, seasonal_hourly_residuals,
-#     semantic_dedup_pairs, shipping_latency_percentiles,
-#     skyline_price_size, source_language_mix, source_token_kl,
-#     sq8_quantization_error, token_association_rules,
-#     tokenizer_fertility_by_lang.
-# After round 13 the stale tail is the remaining 45 - 38 = 7 r6 greens
+# ROUND-14 ROTATION PLAN: frozen at round-13 close (see the block at
+# the bottom of this comment once stamped). The stale tail after this
+# head lands green: the remaining 45 - 38 = 7 r6 greens
 # (top_sources_with_other, trade_graph_degree_stats,
 # user_feature_matrix, vocab_frequency_spectrum, vocab_growth_curve,
 # watermark_lateness_audit, weighted_sample_wor), then the r7 vintage
 # (50, alphabetically from anova_f_segment_spend).
 PRIORITY_HEAD: tuple[str, ...] = (
-    # -- 0-9: the 10 round-11 additions (never driver-checked),
+    # -- 0-11: the 12 round-12 additions (never driver-checked),
     #    landing order
-    "dedup_lsh_arrival_log",
-    "dedup_release_gate",
-    "compaction_plan_bins",
-    "clustering_depth_compare",
-    "layout_maintenance_plan",
-    "ivf_ingest_assign",
-    "embedding_norm_drift",
-    "ivf_nprobe_recall_curve",
-    "retention_expiry_plan",
-    "lsh_band_sweep",
-    # -- 10-44: the 35 r5-vintage remainders (alphabetical; retires r5)
-    "join_key_skew_profile",
-    "kmeans_lloyd_clusters",
-    "label_propagation_communities",
-    "lateral_top_orders_per_customer",
-    "linreg_price_model",
-    "mad_value_outliers",
-    "merge_upsert_latest_state",
-    "minhash_estimation_error",
-    "order_month_streaks",
-    "partition_key_advisor",
-    "pmi_token_pairs",
-    "q10_returned_items",
-    "q11_value_concentration",
-    "q12_late_line_priorities",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_promo_heavy_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "quality_threshold_sweep",
-    "quantile_normalize_doclen",
-    "rrf_rank_fusion",
-    "stratified_exact_sample",
-    "table_checksum_buckets",
-    "triangle_count_trade",
-    "unigram_logprob_quality",
-    "user_active_coverage",
-    # -- 45-49: the alphabetically-first 5 of the 50 r6-vintage greens
-    "benford_price_audit",
-    "bigram_backoff_logprob",
-    "bootstrap_mean_ci",
-    "cdc_chunk_dedup",
-    "column_mutual_information",
+    "ann_release_gate",
+    "events_rollup_upsert",
+    "rollup_delta_log",
+    "late_event_audit",
+    "session_closure_log",
+    "distinct_users_ingest_curve",
+    "rollup_as_of_batch",
+    "watermarked_rollup_compare",
+    "ingest_release_gate",
+    "session_gap_sweep",
+    "value_histogram_rollup",
+    "merge_touch_profile",
+    # -- 12-49: the alphabetically-first 38 of the 45 r6-vintage
+    #    remainders
+    "contrastive_triplet_mining",
+    "corpus_drift_psi",
+    "corpus_health_scorecard",
+    "cross_source_overlap",
+    "cube_flag_status",
+    "customer_spend_gini",
+    "dedup_incremental_lsh",
+    "doc_novelty_decay",
+    "doc_readability_scores",
+    "dup_cluster_size_histogram",
+    "embedding_dispersion",
+    "embedding_norm_profile",
+    "feature_hashing_buckets",
+    "functional_dependency_profile",
+    "harmonic_centrality_trade",
+    "incremental_monthly_rollup",
+    "label_centroid_distances",
+    "margin_candidate_mining",
+    "markov_event_transitions",
+    "media_metadata",
+    "media_prefix_clusters",
+    "monthly_seasonality_index",
+    "order_size_distribution",
+    "part_popularity_rec",
+    "parts_abc_pareto",
+    "reciprocal_nn_pairs",
+    "recursive_cte_month_spine",
+    "rolling_weekly_active_users",
+    "scalar_subquery_big_orders",
+    "seasonal_hourly_residuals",
+    "semantic_dedup_pairs",
+    "shipping_latency_percentiles",
+    "skyline_price_size",
+    "source_language_mix",
+    "source_token_kl",
+    "sq8_quantization_error",
+    "token_association_rules",
+    "tokenizer_fertility_by_lang",
 )
 
 # Proven green in round 2 against current code: after the 50-row window.
