@@ -1,13 +1,16 @@
 """Incremental aggregate maintenance — the round-12 theme family.
 
-The reference's only cross-batch state is the stats roll-up its consumer
-accumulates over micro-batches (``/root/reference/spark/consumer.py:36-47``,
-a global count/sum advanced per trigger). This module generalizes that
-surface to what a production ingest pipeline actually maintains: a KEYED
-standing rollup advanced per trigger by semigroup merges (the MERGE-style
-upsert), the write-log MERGE produces, the late-data audit that sizes the
-watermark, the incremental sessionizer (open-session state across
-triggers), and the distinct-users ingest curve.
+The reference's consumer reports PER-BATCH stats only — each trigger
+recounts its own micro-batch (``/root/reference/spark/consumer.py:36-47``:
+``batch_df.count()`` plus a per-batch group-by inside
+``process_and_visualize_batch``) and holds no standing state across
+micro-batches. This module generalizes that per-batch stats reporting
+into what a production ingest pipeline actually maintains ACROSS
+triggers: a KEYED standing rollup advanced per trigger by semigroup
+merges (the MERGE-style upsert), the write-log MERGE produces, the
+late-data audit that sizes the watermark, the incremental sessionizer
+(open-session state across triggers), and the distinct-users ingest
+curve.
 
 Shared ARRIVAL MODEL (deterministic late data): events are delivered to
 the aggregation pipeline in DAILY triggers keyed by ARRIVAL date. The
@@ -143,8 +146,9 @@ def py_cents(value: float) -> int:
 def events_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The standing KEYED rollup after the full arrival replay — the
     MERGE target an incremental aggregation pipeline maintains (the
-    reference's global cross-batch roll-up, ``spark/consumer.py:36-47``,
-    generalized to a keyed upsert with late data): one row per
+    reference's PER-BATCH stats report, ``spark/consumer.py:36-47``,
+    generalized to standing cross-batch state: a keyed upsert with late
+    data — the reference itself keeps no state across triggers): one row per
     (event_date, event_type) with count / exact-cents sum / min / max,
     the late-contributor count, and ``last_update_batch`` — the MERGE
     audit column: the arrival date of the LAST trigger that touched
@@ -1259,9 +1263,12 @@ def value_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hcum = hist.select(
         "event_type", "bucket", F.sum("c").over(wtype_b).alias("hc")
     )
-    # nearest-rank targets as exact integer ceilings
-    t50 = F.floor((F.col("n") + 1) / 2).cast("bigint")
-    t90 = F.floor((9 * F.col("n") + 9) / 10).cast("bigint")
+    # nearest-rank targets as exact integer ceilings — integer `div`,
+    # never double division: (9*n+9)/10 through a double loses exactness
+    # once 9n+9 exceeds 2^53, diverging from the integer-exact oracle
+    # ((9*t.n+9)//10) at extreme scale (round-12 ADVICE item).
+    t50 = F.expr("(n + 1) div 2").cast("bigint")
+    t90 = F.expr("(9 * n + 9) div 10").cast("bigint")
     targets = tot.select("event_type", "n", "n_buckets_occupied",
                          t50.alias("t50"), t90.alias("t90"))
     est = (

@@ -3225,7 +3225,9 @@ def _nprobe_curve_oracle() -> str:
            CASE WHEN nq.n_queries > 0 AND cn.corpus_n > 0
                 THEN scan.scanned_rows::DOUBLE
                      / (nq.n_queries::DOUBLE * cn.corpus_n)
-           END AS scanned_frac
+           END AS scanned_frac,
+           tot.n_truth AS n_truth,
+           nq.n_queries AS n_queries
     FROM rec JOIN scan USING (nprobe)
     CROSS JOIN tot CROSS JOIN nq CROSS JOIN cn
     ORDER BY rec.nprobe
@@ -3343,6 +3345,13 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("scanned_rows").cast("double")
                 / (F.col("n_queries").cast("double") * F.col("corpus_n")),
             ).alias("scanned_frac"),
+            # probe-pipeline telemetry (already computed for the
+            # guards): lets ann_release_gate distinguish "index nobody
+            # queries" (n_queries = 0, vacuous pass) from "probe
+            # pipeline broken" (queries exist, metrics missing) —
+            # round-12 ADVICE item. Constant across the spine.
+            "n_truth",
+            "n_queries",
         )
         .orderBy("nprobe")
     )
@@ -3380,7 +3389,8 @@ def _ann_gate_oracle() -> str:
       SELECT reject_05 AS ks_reject FROM ({_O["embedding_norm_drift"]})
     ), curve AS (
       SELECT recall_at_k AS recall_at_deployed,
-             scanned_frac AS scanned_frac_at_deployed
+             scanned_frac AS scanned_frac_at_deployed,
+             n_truth, n_queries
       FROM ({_O["ivf_nprobe_recall_curve"]})
       WHERE nprobe = {N_PROBE}
     ), vals AS (
@@ -3388,23 +3398,29 @@ def _ann_gate_oracle() -> str:
     ), oks AS (
       SELECT n_vecs, n_cells_occupied, n_cells_need_split, max_fill_ratio,
              ks_reject, recall_at_deployed, scanned_frac_at_deployed,
+             n_truth, n_queries,
              CASE WHEN n_vecs = 0 THEN NULL
                   ELSE n_cells_need_split = 0 END AS ok_balance,
              CASE WHEN n_vecs = 0 THEN NULL
                   WHEN ks_reject IS NULL THEN TRUE
                   ELSE NOT ks_reject END AS ok_drift,
              CASE WHEN n_vecs = 0 THEN NULL
-                  WHEN recall_at_deployed IS NULL THEN TRUE
+                  WHEN recall_at_deployed IS NULL AND n_queries = 0
+                       THEN TRUE
+                  WHEN recall_at_deployed IS NULL THEN NULL
                   ELSE recall_at_deployed >= {ANN_GATE_MIN_RECALL}
              END AS ok_recall,
              CASE WHEN n_vecs = 0 THEN NULL
-                  WHEN scanned_frac_at_deployed IS NULL THEN TRUE
+                  WHEN scanned_frac_at_deployed IS NULL AND n_queries = 0
+                       THEN TRUE
+                  WHEN scanned_frac_at_deployed IS NULL THEN NULL
                   ELSE scanned_frac_at_deployed <= {ANN_GATE_MAX_SCAN}
              END AS ok_scan
       FROM vals
     )
     SELECT n_vecs, n_cells_occupied, n_cells_need_split, max_fill_ratio,
            ks_reject, recall_at_deployed, scanned_frac_at_deployed,
+           n_truth, n_queries,
            ok_balance, ok_drift, ok_recall, ok_scan,
            (ok_balance AND ok_drift AND ok_recall AND ok_scan) AS ann_ok
     FROM oks
@@ -3439,9 +3455,15 @@ def ann_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Null semantics (identical three-valued logic in both engines): an
     EMPTY vector table yields NULL verdicts and a NULL (unknown) ann_ok
     — a no-decision, not a pass. A non-empty table with a one-sided
-    arrival split passes the drift leg vacuously (nothing to compare);
-    an empty probe set passes the recall and scan legs vacuously (no
-    queries to serve) — an index nobody queries must not block release.
+    arrival split passes the drift leg vacuously (nothing to compare).
+    The recall/scan legs pass vacuously ONLY when the probe set itself
+    is empty (``n_queries = 0`` — an index nobody queries must not
+    block release); if queries EXIST but the deployed-point metrics are
+    NULL anyway (e.g. a truth side that went empty — a broken probe
+    pipeline, not an idle one), the leg is a NULL no-decision, never a
+    silent pass. The gate row carries ``n_queries`` / ``n_truth`` so an
+    operator reading a vacuous or no-decision verdict sees which case
+    fired (round-12 ADVICE hardening).
 
     Scale shape: all three legs are already scale-audited standalone
     (one Arrow assignment pass collapsing to {N_CELLS} rows; the
@@ -3473,6 +3495,8 @@ def ann_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("recall_at_k").alias("recall_at_deployed"),
             F.col("scanned_frac").alias("scanned_frac_at_deployed"),
+            "n_truth",
+            "n_queries",
         )
     )
     vals = census.crossJoin(F.broadcast(drift)).crossJoin(F.broadcast(curve))
@@ -3486,6 +3510,8 @@ def ann_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ks_reject",
         "recall_at_deployed",
         "scanned_frac_at_deployed",
+        "n_truth",
+        "n_queries",
         F.when(empty, null_bool)
         .otherwise(F.col("n_cells_need_split") == 0)
         .alias("ok_balance"),
@@ -3493,12 +3519,25 @@ def ann_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("ks_reject").isNull(), F.lit(True))
         .otherwise(~F.col("ks_reject"))
         .alias("ok_drift"),
+        # vacuous pass ONLY when nobody queries (n_queries = 0 — an
+        # index nobody queries must not block release); metrics missing
+        # DESPITE a live probe set is a broken probe pipeline -> NULL
+        # no-decision, never a silent pass (round-12 ADVICE item).
         F.when(empty, null_bool)
-        .when(F.col("recall_at_deployed").isNull(), F.lit(True))
+        .when(
+            F.col("recall_at_deployed").isNull() & (F.col("n_queries") == 0),
+            F.lit(True),
+        )
+        .when(F.col("recall_at_deployed").isNull(), null_bool)
         .otherwise(F.col("recall_at_deployed") >= float(ANN_GATE_MIN_RECALL))
         .alias("ok_recall"),
         F.when(empty, null_bool)
-        .when(F.col("scanned_frac_at_deployed").isNull(), F.lit(True))
+        .when(
+            F.col("scanned_frac_at_deployed").isNull()
+            & (F.col("n_queries") == 0),
+            F.lit(True),
+        )
+        .when(F.col("scanned_frac_at_deployed").isNull(), null_bool)
         .otherwise(
             F.col("scanned_frac_at_deployed") <= float(ANN_GATE_MAX_SCAN)
         )

@@ -48,6 +48,9 @@ def test_gate_reconciles_with_standalone_queries(spark, sf_dir):
     }[N_PROBE]
     assert row.recall_at_deployed == curve.recall_at_k
     assert row.scanned_frac_at_deployed == curve.scanned_frac
+    assert row.n_truth == curve.n_truth
+    assert row.n_queries == curve.n_queries
+    assert row.n_queries > 0 and row.n_truth > 0  # fixtures serve queries
 
     # the decision really is the conjunction of the leg verdicts
     assert row.ann_ok == (
@@ -119,11 +122,35 @@ def test_vacuous_pass_unqueried_balanced_index(spark, tmp_path):
     d = _write_vecs(spark, tmp_path, rows)
     row = all_queries()["ann_release_gate"](spark, d).collect()[0]
     assert row.n_vecs == 32
+    assert row.n_queries == 0 and row.n_truth == 0  # the vacuous premise
     assert row.ks_reject is None and row.ok_drift is True
     assert row.recall_at_deployed is None and row.ok_recall is True
     assert row.scanned_frac_at_deployed is None and row.ok_scan is True
     assert row.ok_balance is True
     assert row.ann_ok is True
+    spark.catalog.clearCache()
+
+
+def test_no_decision_broken_probe_pipeline(spark, tmp_path):
+    """Queries EXIST but the truth side is empty (one lone vector with
+    vec_id=0: it is a probe-set member, and self-exclusion leaves it no
+    true neighbors) -> recall_at_deployed NULL with n_queries = 1. Under
+    the round-12 ADVICE hardening that is a NO-DECISION on the recall
+    leg (NULL), never a silent vacuous pass — the regression this pins:
+    a production change that accidentally empties the truth side must
+    not release. The scan leg still has metrics (the lone query scans
+    its probed cells), so it decides normally."""
+    d = _write_vecs(spark, tmp_path, [(0, [0.01] * 64, 0)])
+    row = all_queries()["ann_release_gate"](spark, d).collect()[0]
+    assert row.n_vecs == 1
+    assert row.n_queries == 1 and row.n_truth == 0
+    assert row.recall_at_deployed is None
+    assert row.ok_recall is None  # no-decision, NOT True
+    # scanned_frac exists (1 query x 1-row corpus), so ok_scan decides:
+    # the lone cell holds the whole corpus -> scanned_frac 1.0 > 0.5
+    assert row.scanned_frac_at_deployed == 1.0 and row.ok_scan is False
+    # the conjunction denies on the scan leg (False AND NULL = False)
+    assert row.ann_ok is False
     spark.catalog.clearCache()
 
 
