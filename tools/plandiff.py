@@ -18,14 +18,22 @@ Exit status: 0 = all plans unchanged, 1 = at least one differs (so CI
 or a pre-commit hook can gate on it).
 
 Known limits (measured over all 328 queries vs the round-9 ref):
-- multi-count-distinct queries (distinct_counts, table_profile) permute
-  the Expand rewrite's gid<->column assignment with the session-global
-  expression-id counter — semantically identical, flagged CHANGED
-  (~2/328 false-positive rate; the canonical() tier catches pure list/
-  line permutations but not gid renumbering inside FILTER clauses);
 - queries composing persisted helpers can read "unchanged" when the
   OLD side's identical plan fragment is substituted from the cache
   manager — run such queries standalone (fresh memo) for a clean read.
+
+Fixed FP classes (round-12 VERDICT ask #3 — both fired that round on
+exactly the queries a bench panic checks first):
+- multi-count-distinct queries (friedman_priority_monthly,
+  distinct_counts, table_profile) permute the Expand rewrite's
+  gid<->column assignment with the session-global expression-id
+  counter. The gid VALUES and the Expand projection-row order are
+  semantically void (each FILTER follows its column via the shared
+  value), so normalize() now neutralizes ``gid#_ = N`` literals and
+  sorts Expand Arguments rows with their trailing gid literal blanked;
+- RDD creation call-site strings (``localCheckpoint at
+  NativeMethodAccessorImpl.java:0`` vs ``at <unknown>:0``) differ by
+  JVM reflection path between otherwise identical builds — stripped.
 """
 
 from __future__ import annotations
@@ -65,13 +73,60 @@ _NOISE = [
     (re.compile(r"^Arguments: \d+$", re.MULTILINE), "Arguments: _"),
     # RDD ids in Scan ExistingRDD (driver-created frames) are per-session
     (re.compile(r"RDD\[\d+\]"), "RDD[_]"),
+    # RDD creation call-site strings (localCheckpoint at
+    # NativeMethodAccessorImpl.java:0 / at <unknown>:0) are JVM
+    # reflection-path noise, not shape
+    (re.compile(r"\bat (?:[\w$.]+\.java|<unknown>):\d+"), "at _"),
+    # the multi-count-distinct Expand rewrite numbers its synthetic gid
+    # off the session-global expression-id counter; the values carry no
+    # meaning (the pairing lives in the Expand rows, canonicalized
+    # below) — neutralize them wherever they appear in FILTER clauses
+    (re.compile(r"gid#_ = \d+"), "gid#_ = _"),
 ]
+
+# The distinct-rewrite's synthetic gid column tags every piece of its
+# scaffolding: the Expand projection rows and output, the intermediate
+# aggregate's Input/Keys/Results, and the gid-keyed hashpartitioning.
+# Within those lines the element ORDER (and the row order) follows the
+# same session-global expression-id counter as the gid values — the
+# key set is semantically a set. Canonicalize by sorting list elements
+# (bracketed and parenthesized, innermost-out) on gid-bearing lines
+# ONLY; everywhere else order stays load-bearing at this tier (e.g.
+# sort keys, literal arrays).
+_BRACKET = re.compile(r"\[([^\[\]]*)\]")
+_PAREN = re.compile(r"\(([^()]*)\)")
+
+
+def _sort_lists(
+    text: str, pat: re.Pattern, lo: str, hi: str, blank_ints: bool = False
+) -> str:
+    def sort_inner(m: re.Match) -> str:
+        items = [x.strip() for x in m.group(1).split(",")]
+        if blank_ints:  # bare ints in gid-line brackets ARE gid values
+            items = ["_" if it.isdigit() else it for it in items]
+        return lo + ", ".join(sorted(items)) + hi
+
+    for _ in range(8):  # innermost-out, bounded nesting
+        new = pat.sub(sort_inner, text)
+        if new == text:
+            break
+        text = new
+    return text
+
+
+def _canon_gid_line(ln: str) -> str:
+    ln = _sort_lists(ln, _BRACKET, "⟦", "⟧", blank_ints=True)
+    ln = _sort_lists(ln, _PAREN, "⦅", "⦆")
+    return ln.replace("⟦", "[").replace("⟧", "]").replace("⦅", "(").replace("⦆", ")")
 
 
 def normalize(plan: str) -> str:
     for pat, rep in _NOISE:
         plan = pat.sub(rep, plan)
-    return "\n".join(ln.rstrip() for ln in plan.splitlines())
+    return "\n".join(
+        (_canon_gid_line(ln) if "gid#_" in ln else ln).rstrip()
+        for ln in plan.splitlines()
+    )
 
 
 _BRACKET = re.compile(r"\[([^\[\]]*)\]")
