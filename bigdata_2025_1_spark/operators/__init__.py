@@ -28,6 +28,7 @@ _MODULES = (
     "table_ops",
     "layout_ops",
     "incremental_ops",
+    "cdc_ops",
 )
 
 

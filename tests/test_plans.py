@@ -1657,6 +1657,34 @@ ROUND12_QUERIES = [
 ]
 
 
+ROUND13_QUERIES = [
+    # grows as round-13 additions land (day-one checklist, standing ask)
+    "cdc_corrected_rollup",
+    "cdc_delta_log",
+    "cdc_feed_daily_profile",
+    "correction_latency_profile",
+    "reconciliation_window_audit",
+    "corrected_rollup_as_of",
+    "event_version_census",
+    "stale_state_audit",
+    "cdc_net_effect_by_type",
+    "cdc_release_gate",
+]
+
+
+@_pytest.mark.parametrize("name", ROUND13_QUERIES)
+def test_round13_no_fact_scale_single_partition(name, spark, sf_dir):
+    """Every SinglePartition exchange in the round-13 batch may carry
+    only scalar-aggregate or bounded-value-domain rows — a fact-keyed
+    column riding one means a whole-data funnel crept in."""
+    from bigdata_2025_1_spark.plans.explain import single_partition_exchange_inputs
+
+    df = QUERIES[name](spark, sf_dir)
+    for inputs in single_partition_exchange_inputs(df):
+        assert not any(c in inputs for c in _FACT_COLS), (name, inputs)
+    spark.catalog.clearCache()
+
+
 @_pytest.mark.parametrize("name", ROUND12_QUERIES)
 def test_round12_no_fact_scale_single_partition(name, spark, sf_dir):
     """Every SinglePartition exchange in the round-12 batch may carry
