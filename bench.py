@@ -257,6 +257,59 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # adjudicated against THIS hash first (plan changed?) and this number
 # second (noise?).
 #
+# Round-13 pre-pins (VERDICT r12 ask #7 — stamped on an idle machine
+# BEFORE the tee and the full pytest, best-of-3 at sf0.1 on local[32],
+# clearCache between runs; sha = sha256 prefix of tools/plandiff.py
+# normalize() over formatted_plan). NORMALIZER NOTE: round 13 fixed
+# plandiff's two false-positive classes (gid renumbering, RDD
+# call-site strings), so shas below are NOT comparable to shas stamped
+# in earlier rounds (e.g. dedup_release_gate's 2d599e5c10c831af) — a
+# mismatch against an OLD sha is the normalizer version, not a plan
+# change; compare plans across that boundary with plandiff --ref
+# directly (it normalizes both sides with the same code).
+# Head entrants whose plans CHANGED this round (round-12 ADVICE fixes,
+# re-certified selfcheck tuned+vanilla the day they changed):
+#   ann_release_gate        sha 5459cf301e775a3c  best 2.806 s
+#     (runs 4.905/3.011/2.806; + n_queries/n_truth telemetry and the
+#     broken-probe no-decision branch; r12 idle best-of-3 was 2.165 —
+#     the delta is the extra curve-leg columns riding the same plan
+#     shape plus load; the driver's first row lands this round)
+#   ingest_release_gate     sha 68cf347fd2f80fc3  best 0.979 s
+#     (runs 1.728/1.202/0.979; untouched this round)
+#   ivf_nprobe_recall_curve sha 3620f6f54868272d  best 1.524 s
+#     (+2 constant telemetry columns, same two Arrow passes)
+#   value_histogram_rollup  sha a12acf9cd2a2b7ce  best 0.961 s
+#     (integer-div rank targets, plan-shape-identical)
+# Round-13 additions (first bench rows land with this round's tee):
+#   cdc_corrected_rollup    sha 56ed0edbb6bbf4a6  best 0.794 s
+#   cdc_delta_log           sha e07786a4769eca56  best 0.913 s
+#   cdc_feed_daily_profile  sha 90df25ec69ea0f08  best 0.975 s
+#   correction_latency_profile sha 4fec8d80f088b304 best 0.539 s
+#   reconciliation_window_audit sha ee4da85ff27c678d best 0.784 s
+#   corrected_rollup_as_of  sha ba2e649b44d55b8a  best 1.181 s
+#   event_version_census    sha 29f4ded69829968c  best 0.479 s
+#   stale_state_audit       sha ddf430be8c5fc47c  best 0.671 s
+#   cdc_net_effect_by_type  sha d04fb7a7bfa7016a  best 0.571 s
+#   cdc_release_gate        sha afacb9c64d78782b  best 1.852 s
+#     (~ the sum of its three legs, the gate convention's structural
+#     cost)
+#
+# Round-13 status of the round-12 DEFERRED shared IVF cell-assignment:
+# still deferred, per the round-12 verdict's own sequencing — "land it
+# AFTER the driver run or early in round 14's window". The blocking
+# legs (ivf_ingest_assign, ivf_nprobe_recall_curve, ann_release_gate)
+# receive their first driver rows in THIS round's head, so the ~0.35 s
+# saving ships at the top of round 14 with the full plandiff + ab
+# discipline and fresh pins.
+#
+# Round-14 candidate NOT built this round, with the cost projection
+# that deferred it: a platform_release_gate composing the five family
+# gates into one row would cost the SUM of the gates (~7.1 + 2.8 +
+# 1.0 + 1.9 s for dedup/ann/ingest/cdc plus corpus — ~15-20 s at
+# sf0.1, dominated by dedup_release_gate), making it the most
+# expensive query in the repo; if built, it needs either memoized legs
+# or an explicit "heavy suite row" framing in the bench notes.
+#
 # Round-11 CC-init fusion (idle machine, best-of-2 at sf0.1, clearCache
 # between runs): dedup_connected_components' label initialization now
 # computes label0(v) = min(v, min neighbor) in the SAME aggregation
@@ -565,6 +618,21 @@ HEADLINE = [
     "session_gap_sweep",
     "value_histogram_rollup",
     "merge_touch_profile",
+    # round-13 additions: the CDC corrections/retractions family
+    # (signed-delta encoding over the arrival model: retraction-aware
+    # rollup + I/U/D write-log, feed profile with the cancellation-storm
+    # monitor, reconciliation-window sizing, stale-state audit, and the
+    # sixth-family release gate)
+    "cdc_corrected_rollup",
+    "cdc_delta_log",
+    "cdc_feed_daily_profile",
+    "correction_latency_profile",
+    "reconciliation_window_audit",
+    "corrected_rollup_as_of",
+    "event_version_census",
+    "stale_state_audit",
+    "cdc_net_effect_by_type",
+    "cdc_release_gate",
 ]
 
 

@@ -53,13 +53,49 @@ ORACLES: dict[str, str] = {}
 # the standing convention, round-13 additions are BATCHED (<=13) and
 # queue for round 14, NOT the head.
 #
-# ROUND-14 ROTATION PLAN: frozen at round-13 close (see the block at
-# the bottom of this comment once stamped). The stale tail after this
-# head lands green: the remaining 45 - 38 = 7 r6 greens
-# (top_sources_with_other, trade_graph_degree_stats,
-# user_feature_matrix, vocab_frequency_spectrum, vocab_growth_curve,
-# watermark_lateness_audit, weighted_sample_wor), then the r7 vintage
-# (50, alphabetically from anova_f_segment_spend).
+# Round-13 additions (each selfchecked tuned + vanilla, scalar-
+# referenced, plan-guarded, and empty-tables green the day it landed;
+# all batched for the round-14 head per the standing convention):
+#   cdc_corrected_rollup, cdc_delta_log, cdc_feed_daily_profile,
+#   correction_latency_profile, reconciliation_window_audit,
+#   corrected_rollup_as_of, event_version_census, stale_state_audit,
+#   cdc_net_effect_by_type, cdc_release_gate          (N = 10)
+#
+# ROUND-14 ROTATION PLAN (FROZEN at round-13 close; arithmetic: 10
+# round-13 additions + the 7 remaining r6-vintage greens + the
+# alphabetically-first 33 of the 50 r7-vintage greens = 50. Census
+# re-derived programmatically from CORRECTNESS_r0{1..12}.json at
+# round-13 close: r6-latest greens not refreshed by THIS head = exactly
+# the 7 names the round-12 verdict predicted; r7-latest greens = 50,
+# alphabetical from ab_test_uplift — note anova_f_segment_spend, the
+# r11-era prediction for the r7 start, has since been REFRESHED by a
+# later head and is no longer r7-vintage; the live census governs):
+#   positions 0-9   — the 10 round-13 additions, in landing order
+#     (cdc_corrected_rollup, cdc_delta_log, cdc_feed_daily_profile,
+#     correction_latency_profile, reconciliation_window_audit,
+#     corrected_rollup_as_of, event_version_census, stale_state_audit,
+#     cdc_net_effect_by_type, cdc_release_gate);
+#   positions 10-16 — the 7 r6 stragglers, alphabetical:
+#     top_sources_with_other, trade_graph_degree_stats,
+#     user_feature_matrix, vocab_frequency_spectrum, vocab_growth_curve,
+#     watermark_lateness_audit, weighted_sample_wor;
+#   positions 17-49 — the alphabetically-first 33 r7 remainders:
+#     ab_test_uplift, abc_xyz_matrix, approx_percentiles,
+#     benchmark_decontamination, bpe_merge_sequence,
+#     char_entropy_quality, chi_square_independence, cohort_ltv_matrix,
+#     corpus_quality_filter, cusum_changepoint, data_expectations_report,
+#     decayed_part_demand, dedup_minhash_lsh, density_core_clusters,
+#     domain_mixture_reweight, event_rate_anomaly,
+#     funnel_latency_percentiles, greedy_stock_allocation,
+#     grouped_map_spend_share, hourly_autocorrelation,
+#     hyperball_harmonic_trade, item_cofiltering_similarity,
+#     jain_fairness_index, k_anonymity_audit, kaplan_meier_retention,
+#     kcore_trade_graph, margin_candidate_mining_ivf,
+#     media_feature_stats, media_frame_sample, media_resize,
+#     minhash_signatures, naive_bayes_source_classifier,
+#     order_value_percentiles.
+# After round 14 the stale tail is the remaining 50 - 33 = 17 r7 greens
+# (pca_power_iteration ... zipf_exponent_fit), then the r8 vintage.
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 0-11: the 12 round-12 additions (never driver-checked),
     #    landing order
