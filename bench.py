@@ -290,6 +290,7 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 #   event_version_census    sha 29f4ded69829968c  best 0.479 s
 #   stale_state_audit       sha ddf430be8c5fc47c  best 0.671 s
 #   cdc_net_effect_by_type  sha d04fb7a7bfa7016a  best 0.571 s
+#   correction_bias_sign_test sha 4629d44953e070ec best 1.023 s
 #   cdc_release_gate        sha afacb9c64d78782b  best 1.852 s
 #     (~ the sum of its three legs, the gate convention's structural
 #     cost)
@@ -632,6 +633,7 @@ HEADLINE = [
     "event_version_census",
     "stale_state_audit",
     "cdc_net_effect_by_type",
+    "correction_bias_sign_test",
     "cdc_release_gate",
 ]
 

@@ -1122,6 +1122,108 @@ def cdc_net_effect_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- 10. correction bias sign test ---------------------------------------------
+
+SIGN_Z_CRIT_05 = "1.959963985"  # frozen two-sided 5% normal quantile —
+# shared literal so the rejection is the same IEEE comparison in both
+# engines (the residual_runs_test / median_ci_orderstat convention)
+
+
+@query(
+    "correction_bias_sign_test",
+    oracle=f"""
+    WITH evt AS (
+      {_EVT_SQL}
+    ), u AS (
+      SELECT event_type, revised_cents - cents AS delta
+      FROM evt WHERE chg_op = 'U'
+    ), agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_corrections,
+             CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_up,
+             CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down,
+             CAST(SUM(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+             CAST(SUM(delta) AS BIGINT) AS net_delta_cents
+      FROM u GROUP BY event_type
+    )
+    SELECT event_type, n_corrections, n_up, n_down, n_zero,
+           net_delta_cents,
+           CASE WHEN n_up + n_down > 0
+                THEN (n_up - n_down)::DOUBLE / sqrt((n_up + n_down)::DOUBLE)
+           END AS z_sign,
+           CASE WHEN n_up + n_down > 0
+                THEN ABS((n_up - n_down)::DOUBLE
+                         / sqrt((n_up + n_down)::DOUBLE))
+                     > {SIGN_Z_CRIT_05}
+           END AS biased_05
+    FROM agg
+    ORDER BY event_type
+    """,
+)
+def correction_bias_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the correction stream BIASED, per event_type — the sign test
+    that tells an operator whether corrections merely reshuffle values
+    (up/down symmetric, what the md5 model and any honest measurement
+    error produce) or systematically move them (an upstream pricing bug
+    wearing a corrections costume). The gate's ``correction_impact``
+    leg bounds the MAGNITUDE of the net drift; this is the
+    SIGNIFICANCE read beside it: under H0 (no bias) the sign of each
+    nonzero delta is a fair coin, so z = (n_up - n_down) / sqrt(n_up +
+    n_down) with zero-deltas excluded (the standard sign-test tie
+    rule), rejected two-sided at the frozen {SIGN_Z_CRIT_05} quantile.
+
+    Types with no corrections emit no row (there is no stream to
+    test); a type whose nonzero deltas all cancel in COUNT (n_up =
+    n_down) reads z = 0 however large the cents drift — which is
+    exactly why both this and the magnitude leg exist.
+
+    Determinism: counts are exact; z is one subtraction, one sqrt and
+    one division of exact counts — the same IEEE chain both engines
+    evaluate; the rejection threshold is a shared frozen literal.
+
+    Scale shape: one filter + one map-side-combinable groupBy to
+    <= |event_type| rows; the test statistic is scan-free arithmetic
+    over those rows."""
+    u = (
+        with_versions(load(spark, sf_dir, "events"))
+        .filter(F.col("chg_op") == "U")
+        .select(
+            "event_type",
+            (F.col("revised_cents") - F.col("cents")).alias("delta"),
+        )
+    )
+    agg = u.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_corrections"),
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+        F.sum(F.when(F.col("delta") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.sum("delta").cast("bigint").alias("net_delta_cents"),
+    )
+    nz = F.col("n_up") + F.col("n_down")
+    z = (F.col("n_up") - F.col("n_down")).cast("double") / F.sqrt(
+        nz.cast("double")
+    )
+    return agg.select(
+        "event_type",
+        "n_corrections",
+        "n_up",
+        "n_down",
+        "n_zero",
+        "net_delta_cents",
+        F.when(nz > 0, z).alias("z_sign"),
+        F.when(nz > 0, F.abs(z) > float(SIGN_Z_CRIT_05)).alias("biased_05"),
+    ).orderBy("event_type")
+
+
 # --- 10. the CDC release gate (sixth-family capstone) -------------------------
 
 # Gate thresholds — shared literals so the comparisons are the same IEEE

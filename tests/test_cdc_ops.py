@@ -581,3 +581,60 @@ def test_cdc_maintenance_loop_in_foreachbatch(spark, sf_dir, tmp_path):
     assert len(batches) == 3, batches
     assert cdc_readout(state) == expected
     spark.catalog.clearCache()
+
+
+# --- correction bias sign test --------------------------------------------------
+
+
+def test_sign_test_crafted_unbiased(spark, tmp_path):
+    """The crafted corpus has exactly two view corrections with
+    opposite signs (22: -759, 146: +421): n_up = n_down = 1 -> z = 0,
+    unbiased, however large the net cents drift (-338). click has no
+    corrections -> NO row (nothing to test)."""
+    sf = _write_events(spark, tmp_path, _CRAFT)
+    got = [
+        tuple(r)
+        for r in all_queries()["correction_bias_sign_test"](
+            spark, sf
+        ).collect()
+    ]
+    assert got == [("view", 2, 1, 1, 0, -338, 0.0, False)]
+    spark.catalog.clearCache()
+
+
+def test_sign_test_crafted_biased(spark, tmp_path):
+    """Six corrections whose md5 deltas are ALL positive (premise
+    asserted): z = 6/sqrt(6) ~ 2.449 > 1.96 -> biased_05 True — the
+    upstream-pricing-bug shape the test exists to catch."""
+    ids = [42, 146, 226, 235, 300, 412]
+    assert all(_kind(i) == "U" and _rev(i) > 0 for i in ids)
+    rows = [
+        (i, dt.datetime(2024, 3, 1, 9, 0), 1, "view", 5.0) for i in ids
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    row = all_queries()["correction_bias_sign_test"](spark, sf).collect()[0]
+    assert (row.n_corrections, row.n_up, row.n_down) == (6, 6, 0)
+    assert row.net_delta_cents == sum(_rev(i) for i in ids)
+    assert abs(row.z_sign - 6 / 6**0.5) < 1e-12
+    assert row.biased_05 is True
+    spark.catalog.clearCache()
+
+
+def test_sign_test_reconciles_with_net_effect(spark, sf_dir):
+    """Per type: n_corrections and the net delta must equal the
+    net-effect decomposition's n_corrected / correction_delta_cents,
+    and up + down + zero partitions the corrections."""
+    qs = all_queries()
+    sign = {
+        r.event_type: r
+        for r in qs["correction_bias_sign_test"](spark, sf_dir).collect()
+    }
+    for r in qs["cdc_net_effect_by_type"](spark, sf_dir).collect():
+        if r.n_corrected == 0:
+            assert r.event_type not in sign
+            continue
+        s = sign[r.event_type]
+        assert s.n_corrections == r.n_corrected
+        assert s.net_delta_cents == r.correction_delta_cents
+        assert s.n_up + s.n_down + s.n_zero == s.n_corrections
+    spark.catalog.clearCache()

@@ -1668,6 +1668,7 @@ ROUND13_QUERIES = [
     "event_version_census",
     "stale_state_audit",
     "cdc_net_effect_by_type",
+    "correction_bias_sign_test",
     "cdc_release_gate",
 ]
 
