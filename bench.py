@@ -257,6 +257,24 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # adjudicated against THIS hash first (plan changed?) and this number
 # second (noise?).
 #
+# Round-13 tee provenance (VERDICT r12 ask #8 executed: the tee ran
+# FIRST on an idle machine, BEFORE the close-out pytest — not after it,
+# ending the three-round page-cache-skew pattern): TWO full headline
+# runs. Run 1 (219 queries, before correction_bias_sign_test landed):
+# shared-207 subtotal 225.4 s vs r12's 284.2 — median per-query ratio
+# 0.825, i.e. the clean-machine read confirms r12's committed tee was
+# the load-skewed one its own provenance note flagged. Run 2 = the
+# committed bench_local_r13.json (ALL 220 headline queries, including
+# the two round-12 additions that missed r12's tee — ask #7): 294.1 s
+# total, shared-207 subtotal 282.1, median ratio 0.977 (flat). Read the
+# envelope as 225-282 on the shared set; the idle best-of-3 pre-pins
+# below are the controlled numbers. One adjudication note:
+# ivf_nprobe_recall_curve's tee row moved 1.57 -> 2.38 s between
+# rounds; its PLAN changed intentionally this round (+2 constant
+# telemetry columns) and its idle best-of-3 under the new plan is
+# 1.524 s (= the old number), so the tee delta is load, not the plan —
+# exactly the adjudication the pre-pin exists to make instant.
+#
 # Round-13 pre-pins (VERDICT r12 ask #7 — stamped on an idle machine
 # BEFORE the tee and the full pytest, best-of-3 at sf0.1 on local[32],
 # clearCache between runs; sha = sha256 prefix of tools/plandiff.py
