@@ -275,6 +275,14 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # 1.524 s (= the old number), so the tee delta is load, not the plan —
 # exactly the adjudication the pre-pin exists to make instant.
 #
+# Round-13 full-registry plan sweep: tools/plandiff.py --ref 40e53f4
+# over ALL 357 pre-existing queries (explicit names — --all would crash
+# on cdc_ops, absent at the old ref): exactly the 3 intended changes
+# (ann_release_gate, ivf_nprobe_recall_curve, value_histogram_rollup —
+# the round-12 ADVICE fixes), 354 "unchanged", and ZERO "layout-only"
+# lines — under the fixed normalizer the two historical FP classes
+# produce no noise verdicts at all.
+#
 # Round-13 pre-pins (VERDICT r12 ask #7 — stamped on an idle machine
 # BEFORE the tee and the full pytest, best-of-3 at sf0.1 on local[32],
 # clearCache between runs; sha = sha256 prefix of tools/plandiff.py
