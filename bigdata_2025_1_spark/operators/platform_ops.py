@@ -1,0 +1,177 @@
+"""The platform release gate — the suite-composition APEX.
+
+Six operational families each ship a one-row release/maintenance
+decision (the convention built up over rounds 9-13): corpus
+(``corpus_release_gate``), near-dup pipeline (``dedup_release_gate``),
+storage layout (``layout_maintenance_plan``), served ANN index
+(``ann_release_gate``), ingest delivery (``ingest_release_gate``), and
+the corrected table (``cdc_release_gate``). This module composes those
+SIX rows into the one top row a platform operator actually pages on —
+the round-12 verdict's named candidate ("composing the five family
+gates into the one top row"), extended to the sixth family that landed
+since.
+
+Reference provenance: the reference has no health/release surface at
+all (its consumer prints per-batch stats to stdout,
+``/root/reference/spark/consumer.py:33-100``); this is charter scope —
+the operational readout a 100 TB deployment runs nightly.
+
+COST FRAMING (deliberate, documented): the gate convention composes by
+CALLING the registered queries, so this row costs the SUM of all six
+gates (idle best-of-3 at sf0.1 in bench.py's round-13 notes: ~7.1 +
+2.8 + 1.0 + 1.0 + 1.9 + ~1 s ≈ 15 s, dominated by dedup_release_gate's
+LSH legs). That is structural, not accidental: each leg is individually
+scale-audited and certified, the apex adds only five broadcast
+cross-joins of 1-row frames, and the row is the once-nightly top of the
+pyramid — not a hot-path query. The alternative (recomputing cheaper
+proxies inline) would let the apex drift from what the per-family
+correctness gates certify, which is exactly what the convention exists
+to prevent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_2025_1_spark.registry import query
+
+
+def _platform_gate_oracle() -> str:
+    # Compose the SIX gates' REGISTERED oracles verbatim. The leg
+    # modules are imported HERE, not assumed (the pipeline_ops
+    # convention): operators.__init__ loads them before this module on
+    # the driver, but a worker unpickling from this module imports it
+    # directly, where nothing has registered yet.
+    from bigdata_2025_1_spark.operators import dedup  # noqa: F401
+    from bigdata_2025_1_spark.operators import cdc_ops  # noqa: F401
+    from bigdata_2025_1_spark.operators import incremental_ops  # noqa: F401
+    from bigdata_2025_1_spark.operators import layout_ops  # noqa: F401
+    from bigdata_2025_1_spark.operators import pipeline_ops  # noqa: F401
+    from bigdata_2025_1_spark.operators import similarity  # noqa: F401
+    from bigdata_2025_1_spark.registry import ORACLES as _O
+
+    return f"""
+    WITH corpus AS (
+      SELECT n_docs, release_ok AS corpus_ok FROM ({_O["corpus_release_gate"]})
+    ), ddp AS (
+      SELECT dedup_ok FROM ({_O["dedup_release_gate"]})
+    ), layout AS (
+      SELECT n_input_files,
+             NOT (needs_compaction OR needs_recluster) AS layout_ok
+      FROM ({_O["layout_maintenance_plan"]})
+    ), ann AS (
+      SELECT n_vecs, ann_ok FROM ({_O["ann_release_gate"]})
+    ), ingest AS (
+      SELECT n_events_total, ingest_ok FROM ({_O["ingest_release_gate"]})
+    ), cdc AS (
+      SELECT cdc_ok FROM ({_O["cdc_release_gate"]})
+    )
+    SELECT corpus.n_docs, ann.n_vecs, ingest.n_events_total,
+           layout.n_input_files,
+           corpus.corpus_ok, ddp.dedup_ok, layout.layout_ok, ann.ann_ok,
+           ingest.ingest_ok, cdc.cdc_ok,
+           (corpus.corpus_ok AND ddp.dedup_ok AND layout.layout_ok
+            AND ann.ann_ok AND ingest.ingest_ok AND cdc.cdc_ok)
+             AS platform_ok
+    FROM corpus CROSS JOIN ddp CROSS JOIN layout CROSS JOIN ann
+    CROSS JOIN ingest CROSS JOIN cdc
+    """
+
+
+@query("platform_release_gate", oracle=_platform_gate_oracle())
+def platform_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PLATFORM release decision, in one row — the apex of the
+    release-gate convention: the six family verdicts and their
+    conjunction, composed by CALLING the registered gates so the top
+    row can never drift from what each family's correctness gate
+    certifies (and each of those, in turn, composes ITS registered
+    legs — the pyramid is certified at every level):
+
+    - ``corpus_release_gate``    -> corpus_ok  (quality / blocklist /
+      dup-rate / fertility-drift legs over documents)
+    - ``dedup_release_gate``     -> dedup_ok   (LSH recall/precision,
+      near-dup rate, cluster blowup)
+    - ``layout_maintenance_plan``-> layout_ok = the table needs NO
+      maintenance (neither compaction nor recluster; a deny here means
+      "run OPTIMIZE first", not "data wrong" — it still blocks release
+      because serving a layout 2x off its pruning promise is an
+      operational regression)
+    - ``ann_release_gate``       -> ann_ok     (list balance, norm
+      drift, deployed recall/scan point)
+    - ``ingest_release_gate``    -> ingest_ok  (lateness, watermark
+      losslessness, identity novelty)
+    - ``cdc_release_gate``       -> cdc_ok     (reconciliation-window
+      miss share, retraction rate, correction impact, storm days)
+
+    ``platform_ok`` is the three-valued conjunction: any FALSE leg
+    denies; an UNKNOWN leg (its family's no-decision, e.g. an empty
+    table) propagates NULL unless another leg already denies — so an
+    empty PLATFORM is a no-decision, and one broken family can never
+    hide behind five healthy ones. Headline sizes (n_docs, n_vecs,
+    n_events_total, n_input_files) ride along so the page says which
+    plane of the platform it is about.
+
+    Every verdict is reconciled against its standalone gate by
+    tests/test_platform_gate.py; the deny and no-decision branches are
+    exercised on crafted multi-table fixtures.
+
+    Scale shape and cost: the module docstring's COST FRAMING — this
+    row costs the sum of its six certified legs (the heavy one is the
+    dedup gate's LSH banding); the apex itself adds five broadcast
+    cross-joins of 1-row frames. Run nightly, not per-query."""
+    from bigdata_2025_1_spark.operators.cdc_ops import cdc_release_gate
+    from bigdata_2025_1_spark.operators.dedup import dedup_release_gate
+    from bigdata_2025_1_spark.operators.incremental_ops import (
+        ingest_release_gate,
+    )
+    from bigdata_2025_1_spark.operators.layout_ops import (
+        layout_maintenance_plan,
+    )
+    from bigdata_2025_1_spark.operators.pipeline_ops import (
+        corpus_release_gate,
+    )
+    from bigdata_2025_1_spark.operators.similarity import ann_release_gate
+
+    corpus = corpus_release_gate(spark, sf_dir).select(
+        "n_docs", F.col("release_ok").alias("corpus_ok")
+    )
+    ddp = dedup_release_gate(spark, sf_dir).select("dedup_ok")
+    layout = layout_maintenance_plan(spark, sf_dir).select(
+        "n_input_files",
+        (~(F.col("needs_compaction") | F.col("needs_recluster"))).alias(
+            "layout_ok"
+        ),
+    )
+    ann = ann_release_gate(spark, sf_dir).select("n_vecs", "ann_ok")
+    ingest = ingest_release_gate(spark, sf_dir).select(
+        "n_events_total", "ingest_ok"
+    )
+    cdc = cdc_release_gate(spark, sf_dir).select("cdc_ok")
+    return (
+        corpus.crossJoin(F.broadcast(ddp))
+        .crossJoin(F.broadcast(layout))
+        .crossJoin(F.broadcast(ann))
+        .crossJoin(F.broadcast(ingest))
+        .crossJoin(F.broadcast(cdc))
+        .select(
+            "n_docs",
+            "n_vecs",
+            "n_events_total",
+            "n_input_files",
+            "corpus_ok",
+            "dedup_ok",
+            "layout_ok",
+            "ann_ok",
+            "ingest_ok",
+            "cdc_ok",
+            (
+                F.col("corpus_ok")
+                & F.col("dedup_ok")
+                & F.col("layout_ok")
+                & F.col("ann_ok")
+                & F.col("ingest_ok")
+                & F.col("cdc_ok")
+            ).alias("platform_ok"),
+        )
+    )

@@ -60,28 +60,29 @@ ORACLES: dict[str, str] = {}
 #   correction_latency_profile, reconciliation_window_audit,
 #   corrected_rollup_as_of, event_version_census, stale_state_audit,
 #   cdc_net_effect_by_type, correction_bias_sign_test,
-#   cdc_release_gate                                   (N = 11)
+#   cdc_release_gate, platform_release_gate            (N = 12)
 #
-# ROUND-14 ROTATION PLAN (FROZEN at round-13 close; arithmetic: 11
+# ROUND-14 ROTATION PLAN (FROZEN at round-13 close; arithmetic: 12
 # round-13 additions + the 7 remaining r6-vintage greens + the
-# alphabetically-first 32 of the 50 r7-vintage greens = 50. Census
+# alphabetically-first 31 of the 50 r7-vintage greens = 50. Census
 # re-derived programmatically from CORRECTNESS_r0{1..12}.json at
 # round-13 close: r6-latest greens not refreshed by THIS head = exactly
 # the 7 names the round-12 verdict predicted; r7-latest greens = 50,
 # alphabetical from ab_test_uplift — note anova_f_segment_spend, the
 # r11-era prediction for the r7 start, has since been REFRESHED by a
 # later head and is no longer r7-vintage; the live census governs):
-#   positions 0-10  — the 11 round-13 additions, in landing
+#   positions 0-11  — the 12 round-13 additions, in landing
 #     (= registration) order: cdc_corrected_rollup, cdc_delta_log,
 #     cdc_feed_daily_profile, correction_latency_profile,
 #     reconciliation_window_audit, corrected_rollup_as_of,
 #     event_version_census, stale_state_audit, cdc_net_effect_by_type,
-#     correction_bias_sign_test, cdc_release_gate;
-#   positions 11-17 — the 7 r6 stragglers, alphabetical:
+#     correction_bias_sign_test, cdc_release_gate,
+#     platform_release_gate;
+#   positions 12-18 — the 7 r6 stragglers, alphabetical:
 #     top_sources_with_other, trade_graph_degree_stats,
 #     user_feature_matrix, vocab_frequency_spectrum, vocab_growth_curve,
 #     watermark_lateness_audit, weighted_sample_wor;
-#   positions 18-49 — the alphabetically-first 32 r7 remainders:
+#   positions 19-49 — the alphabetically-first 31 r7 remainders:
 #     ab_test_uplift, abc_xyz_matrix, approx_percentiles,
 #     benchmark_decontamination, bpe_merge_sequence,
 #     char_entropy_quality, chi_square_independence, cohort_ltv_matrix,
@@ -94,10 +95,10 @@ ORACLES: dict[str, str] = {}
 #     jain_fairness_index, k_anonymity_audit, kaplan_meier_retention,
 #     kcore_trade_graph, margin_candidate_mining_ivf,
 #     media_feature_stats, media_frame_sample, media_resize,
-#     minhash_signatures, naive_bayes_source_classifier.
-# After round 14 the stale tail is the remaining 50 - 32 = 18 r7 greens
-# (order_value_percentiles, pca_power_iteration ... zipf_exponent_fit),
-# then the r8 vintage.
+#     minhash_signatures.
+# After round 14 the stale tail is the remaining 50 - 31 = 19 r7 greens
+# (naive_bayes_source_classifier, order_value_percentiles,
+# pca_power_iteration ... zipf_exponent_fit), then the r8 vintage.
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 0-11: the 12 round-12 additions (never driver-checked),
     #    landing order

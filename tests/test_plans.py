@@ -1670,6 +1670,7 @@ ROUND13_QUERIES = [
     "cdc_net_effect_by_type",
     "correction_bias_sign_test",
     "cdc_release_gate",
+    "platform_release_gate",
 ]
 
 
