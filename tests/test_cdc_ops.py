@@ -638,3 +638,35 @@ def test_sign_test_reconciles_with_net_effect(spark, sf_dir):
         assert s.net_delta_cents == r.correction_delta_cents
         assert s.n_up + s.n_down + s.n_zero == s.n_corrections
     spark.catalog.clearCache()
+
+
+def test_cdc_update_chunking_property(spark, sf_dir):
+    """Hypothesis-driven chunking invariance: ANY sorted cut-point set
+    over the event list folds to the same state as the whole-list pass
+    (the semigroup claim, not just three hand-picked chunkings)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rows = _raw_rows(spark, sf_dir)
+    whole = cdc_update(cdc_state_zero(), rows)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=len(rows)),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(cuts):
+        state = cdc_state_zero()
+        prev = 0
+        for c in (*sorted(cuts), len(rows)):
+            if c < prev:
+                continue
+            cdc_update(state, rows[prev:c])
+            prev = c
+        assert state == whole
+
+    check()
+    spark.catalog.clearCache()

@@ -35,12 +35,14 @@ def test_platform_gate_reconciles_with_family_gates(spark, sf_dir):
     assert row.dedup_ok == ddp.dedup_ok
     layout = qs["layout_maintenance_plan"](spark, sf_dir).collect()[0]
     assert row.n_input_files == layout.n_input_files
-    assert row.layout_ok == (
-        not (layout.needs_compaction or layout.needs_recluster)
-        if layout.needs_compaction is not None
-        and layout.needs_recluster is not None
-        else None
-    )
+    # NOT (a OR b) under SQL three-valued logic: any TRUE need denies,
+    # else any NULL is unknown, else the table is healthy
+    if layout.needs_compaction or layout.needs_recluster:
+        assert row.layout_ok is False
+    elif layout.needs_compaction is None or layout.needs_recluster is None:
+        assert row.layout_ok is None
+    else:
+        assert row.layout_ok is True
     ann = qs["ann_release_gate"](spark, sf_dir).collect()[0]
     assert (row.n_vecs, row.ann_ok) == (ann.n_vecs, ann.ann_ok)
     ingest = qs["ingest_release_gate"](spark, sf_dir).collect()[0]
