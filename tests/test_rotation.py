@@ -1,0 +1,81 @@
+"""The driver-head rotation is machine-checked, not hand-frozen: the
+standing convention (previous round's batched additions in registration
+order, then oldest-vintage greens alphabetical with vintage spill) must
+hold for the CURRENT PRIORITY_HEAD against the CORRECTNESS_r*.json
+record, and the derivation must reproduce the next-round freeze written
+in the registry comment. A deliberately corrupted head must FAIL, so the
+checker itself is checked.
+
+If a future round legitimately deviates from the convention (e.g. a
+judge-ratified exception), this test is the forcing function: update
+the convention in tools/rotation.py alongside the registry comment.
+"""
+
+from __future__ import annotations
+
+from tools.rotation import HEAD_SIZE, derive_head, latest_vintage, verify
+
+
+def test_current_head_obeys_the_rotation_convention():
+    assert verify() == []
+
+
+def test_next_head_matches_the_frozen_round14_plan():
+    """Re-derive the round-14 freeze exactly as the registry comment
+    enumerates it: 12 round-13 additions (registration order) + the 7
+    r6 stragglers + the alphabetically-first 31 r7 remainders."""
+    from bigdata_2025_1_spark.registry import PRIORITY_HEAD, all_queries
+
+    latest = dict(latest_vintage())
+    this_round = max(r for r, _ in latest.values()) + 1
+    for n in PRIORITY_HEAD:
+        latest[n] = (this_round, True)
+    additions = [n for n in all_queries() if n not in latest]
+    nxt = derive_head(additions, latest)
+    assert len(nxt) == HEAD_SIZE
+    assert nxt[:12] == [
+        "cdc_corrected_rollup",
+        "cdc_delta_log",
+        "cdc_feed_daily_profile",
+        "correction_latency_profile",
+        "reconciliation_window_audit",
+        "corrected_rollup_as_of",
+        "event_version_census",
+        "stale_state_audit",
+        "cdc_net_effect_by_type",
+        "correction_bias_sign_test",
+        "cdc_release_gate",
+        "platform_release_gate",
+    ]
+    assert nxt[12:19] == [
+        "top_sources_with_other",
+        "trade_graph_degree_stats",
+        "user_feature_matrix",
+        "vocab_frequency_spectrum",
+        "vocab_growth_curve",
+        "watermark_lateness_audit",
+        "weighted_sample_wor",
+    ]
+    assert nxt[19] == "ab_test_uplift" and nxt[49] == "minhash_signatures"
+
+
+def test_derive_head_spills_across_vintages():
+    latest = {
+        "old_b": (1, True),
+        "old_a": (1, True),
+        "new_c": (2, True),
+        "red_x": (1, False),  # never refilled while red
+    }
+    got = derive_head(["add1"], latest)
+    # oldest vintage alphabetical, then the next vintage; red excluded
+    assert got[:4] == ["add1", "old_a", "old_b", "new_c"]
+
+
+def test_verify_catches_a_corrupted_head(monkeypatch):
+    import bigdata_2025_1_spark.registry as R
+    import tools.rotation as rot
+
+    bad = list(R.PRIORITY_HEAD)
+    bad[20], bad[30] = bad[30], bad[20]  # swap two refresh slots
+    monkeypatch.setattr(R, "PRIORITY_HEAD", tuple(bad))
+    assert rot.verify() != []

@@ -1,0 +1,182 @@
+"""Rotation census: derive and verify the driver-head rotation from the
+CORRECTNESS_r*.json record.
+
+The standing convention (ratified across rounds 11-13): each round's
+50-slot driver head is
+
+  1. the PREVIOUS round's batched additions — the registered queries
+     with no driver row yet, in registration (landing) order (the
+     CURRENT round's additions are batched for the NEXT head, so they
+     are excluded even though they are also never-checked);
+  2. filled to 50 with the OLDEST-VINTAGE greens (vintage = round of a
+     query's latest driver row), alphabetical, spilling into the next
+     vintage when the oldest has fewer names than the remaining slots.
+
+Every round the freeze is written as a registry comment and the judge
+re-derives the arithmetic by hand. This tool makes both machine-checked:
+
+    python tools/rotation.py verify   # PRIORITY_HEAD obeys the convention
+    python tools/rotation.py census   # vintage histogram + stale tail
+    python tools/rotation.py next     # the next round's head, derived
+
+tests/test_rotation.py runs `verify` as a pytest, so a mis-frozen head
+fails at commit time instead of at judge time.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HEAD_SIZE = 50
+
+
+def _green(rec: dict) -> bool:
+    return bool(
+        rec.get("rows_match")
+        and rec.get("schema_match")
+        and rec.get("hash_match") in (True, None)
+    )
+
+
+def latest_vintage() -> "dict[str, tuple[int, bool]]":
+    """query -> (round of latest driver row, was it green)."""
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path).removeprefix("CORRECTNESS_r").removesuffix(".json"))
+        for name, rec in json.load(open(path)).items():
+            latest[name] = (rnd, _green(rec))
+    return latest
+
+
+def _registry():
+    from bigdata_2025_1_spark.registry import PRIORITY_HEAD, all_queries
+
+    return list(PRIORITY_HEAD), list(all_queries())
+
+
+def derive_head(
+    never_checked_in_head: "list[str]", latest: dict
+) -> "list[str]":
+    """The convention's head for a given batched-additions prefix:
+    the prefix, then oldest-vintage greens alphabetical (spilling
+    across vintages) up to HEAD_SIZE."""
+    head = list(never_checked_in_head)
+    by_vintage: dict[int, list[str]] = {}
+    for name, (rnd, ok) in latest.items():
+        if ok:
+            by_vintage.setdefault(rnd, []).append(name)
+    for rnd in sorted(by_vintage):
+        for name in sorted(by_vintage[rnd]):
+            if len(head) >= HEAD_SIZE:
+                return head
+            head.append(name)
+    return head
+
+
+def verify() -> "list[str]":
+    """Return a list of convention violations (empty = head is valid)."""
+    head, registered = _registry()
+    latest = latest_vintage()
+    problems: list[str] = []
+    if len(head) != HEAD_SIZE:
+        problems.append(f"head has {len(head)} entries, expected {HEAD_SIZE}")
+    if len(set(head)) != len(head):
+        problems.append("head contains duplicates")
+    unknown = [n for n in head if n not in registered]
+    if unknown:
+        problems.append(f"head names not registered: {unknown}")
+    # split the head into its never-checked prefix and the refresh fill
+    prefix = [n for n in head if n not in latest]
+    fill = [n for n in head if n in latest]
+    # 1. the never-checked head members must lead, in registration order
+    if head[: len(prefix)] != prefix:
+        problems.append("never-checked additions are not a leading prefix")
+    reg_order = [n for n in registered if n in set(prefix)]
+    if prefix != reg_order:
+        problems.append(
+            "never-checked additions are not in registration order"
+        )
+    # 2. the fill must be the oldest-vintage greens, alphabetical with
+    #    vintage spill — exactly what derive_head computes
+    expected = derive_head(prefix, latest)
+    if head != expected:
+        diffs = [
+            f"pos {i}: have {a!r}, convention says {b!r}"
+            for i, (a, b) in enumerate(zip(head, expected))
+            if a != b
+        ]
+        problems.append(
+            "fill deviates from oldest-vintage-alphabetical: "
+            + "; ".join(diffs[:5])
+        )
+    # 3. every fill member must be green at its latest row (never put a
+    #    known-red query back in the head without a fix landing first)
+    red = [n for n in fill if not latest[n][1]]
+    if red:
+        problems.append(f"head contains non-green refreshes: {red}")
+    return problems
+
+
+def census() -> None:
+    head, registered = _registry()
+    latest = latest_vintage()
+    from collections import Counter
+
+    greens = Counter(r for r, ok in latest.values() if ok)
+    print("vintage histogram (latest green rows per round):")
+    for rnd in sorted(greens):
+        print(f"  r{rnd:02d}: {greens[rnd]}")
+    never = [n for n in registered if n not in latest]
+    print(f"never driver-checked: {len(never)}: {never}")
+    refreshed = set(head) | set(never)
+    stale = sorted(
+        (r, n) for n, (r, ok) in latest.items() if ok and n not in refreshed
+    )
+    print("stale tail after this head lands green (oldest first):")
+    for r, n in stale[:15]:
+        print(f"  r{r:02d} {n}")
+    print(f"  ... {len(stale)} total")
+
+
+def next_head() -> None:
+    """Derive the NEXT round's head assuming the current one lands
+    green this round (its members become current-round vintage)."""
+    head, registered = _registry()
+    latest = dict(latest_vintage())
+    this_round = max(r for r, _ in latest.values()) + 1
+    for n in head:
+        latest[n] = (this_round, True)
+    additions = [n for n in registered if n not in latest]
+    nxt = derive_head(additions, latest)
+    print(f"# next head = {len(additions)} batched additions + "
+          f"{HEAD_SIZE - len(additions)} refreshes")
+    for i, n in enumerate(nxt):
+        print(f"{i:2d}  {n}")
+
+
+def main() -> int:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "verify"
+    if cmd == "verify":
+        problems = verify()
+        for p in problems:
+            print(f"VIOLATION: {p}")
+        print("head OK" if not problems else f"{len(problems)} violations")
+        return 1 if problems else 0
+    if cmd == "census":
+        census()
+        return 0
+    if cmd == "next":
+        next_head()
+        return 0
+    print(f"unknown command {cmd!r} (verify | census | next)", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
