@@ -28,132 +28,97 @@ ORACLES: dict[str, str] = {}
 
 # The driver walks ``queries()`` in dict order and checks exactly the
 # first 50 entries per round (each CORRECTNESS_r0N covers 50). Order is
-# therefore a correctness lever. Round-13 rotation (EXECUTES, name-for-
-# name, the plan the round-12 head froze and the round-12 VERDICT
+# therefore a correctness lever. Round-14 rotation (EXECUTES, name-for-
+# name, the plan the round-13 head froze and the round-13 VERDICT
 # ratified as its #1 ask — the judge independently re-derived the
-# census from CORRECTNESS_r0{1..12}.json and confirmed the enumeration
-# and the 7-name post-r13 tail exact): 12 never-driver-checked round-12
-# additions + the alphabetically-first 38 of the 45 remaining
-# r6-vintage greens = 50.
+# census from CORRECTNESS_r0{1..13}.json and confirmed the enumeration,
+# the 7-name r6 straggler set, and the 19-name post-r14 tail exact;
+# `python tools/rotation.py verify` machine-checks this head, and the
+# derivation is reproduced by `tools/rotation.py next` run at the
+# round-13 post-driver state): 12 never-driver-checked round-13
+# additions + the 7 remaining r6-vintage greens + the alphabetically-
+# first 31 of the 50 r7-vintage greens = 50.
 #
 # Head composition:
-# - positions 0-11: the 12 round-12 additions, in landing order — the
+# - positions 0-11: the 12 round-13 additions, in landing order — the
 #   only queries that have never had a driver row (each selfchecked
-#   tuned AND vanilla the day it landed; the round-12 VERDICT
+#   tuned AND vanilla the day it landed; the round-13 VERDICT
 #   independently re-verified all 12 under the vanilla driver-like
 #   session: 12/12 pass);
-# - positions 12-49: the alphabetically-first 38 of the 45 r6-vintage
-#   remainders (the r6 census: 50 r6-latest greens from
-#   CORRECTNESS_r0{1..11}.json minus the 5 refreshed by the round-12
-#   head = 45, alphabetical from contrastive_triplet_mining).
+# - positions 12-18: the 7 r6-vintage stragglers, alphabetical
+#   (top_sources_with_other .. weighted_sample_wor) — retiring the r6
+#   vintage completely;
+# - positions 19-49: the alphabetically-first 31 of the 50 r7-vintage
+#   greens (ab_test_uplift .. minhash_signatures).
 #
 # CAPACITY WARNING: the head is at exactly 50 entries. Anything past
 # position 49 gets no driver row this round — add new queries by
 # REPLACING a proven-green head entry, never by growing past 50. Per
-# the standing convention, round-13 additions are BATCHED (<=13) and
-# queue for round 14, NOT the head.
+# the standing convention, round-14 additions are BATCHED (<=13) and
+# queue for round 15, NOT the head.
 #
-# Round-13 additions (each selfchecked tuned + vanilla, scalar-
-# referenced, plan-guarded, and empty-tables green the day it landed;
-# all batched for the round-14 head per the standing convention):
-#   cdc_corrected_rollup, cdc_delta_log, cdc_feed_daily_profile,
-#   correction_latency_profile, reconciliation_window_audit,
-#   corrected_rollup_as_of, event_version_census, stale_state_audit,
-#   cdc_net_effect_by_type, correction_bias_sign_test,
-#   cdc_release_gate, platform_release_gate            (N = 12)
-#
-# ROUND-14 ROTATION PLAN (FROZEN at round-13 close; arithmetic: 12
-# round-13 additions + the 7 remaining r6-vintage greens + the
-# alphabetically-first 31 of the 50 r7-vintage greens = 50. Census
-# re-derived programmatically from CORRECTNESS_r0{1..12}.json at
-# round-13 close: r6-latest greens not refreshed by THIS head = exactly
-# the 7 names the round-12 verdict predicted; r7-latest greens = 50,
-# alphabetical from ab_test_uplift — note anova_f_segment_spend, the
-# r11-era prediction for the r7 start, has since been REFRESHED by a
-# later head and is no longer r7-vintage; the live census governs):
-#   positions 0-11  — the 12 round-13 additions, in landing
-#     (= registration) order: cdc_corrected_rollup, cdc_delta_log,
-#     cdc_feed_daily_profile, correction_latency_profile,
-#     reconciliation_window_audit, corrected_rollup_as_of,
-#     event_version_census, stale_state_audit, cdc_net_effect_by_type,
-#     correction_bias_sign_test, cdc_release_gate,
-#     platform_release_gate;
-#   positions 12-18 — the 7 r6 stragglers, alphabetical:
-#     top_sources_with_other, trade_graph_degree_stats,
-#     user_feature_matrix, vocab_frequency_spectrum, vocab_growth_curve,
-#     watermark_lateness_audit, weighted_sample_wor;
-#   positions 19-49 — the alphabetically-first 31 r7 remainders:
-#     ab_test_uplift, abc_xyz_matrix, approx_percentiles,
-#     benchmark_decontamination, bpe_merge_sequence,
-#     char_entropy_quality, chi_square_independence, cohort_ltv_matrix,
-#     corpus_quality_filter, cusum_changepoint, data_expectations_report,
-#     decayed_part_demand, dedup_minhash_lsh, density_core_clusters,
-#     domain_mixture_reweight, event_rate_anomaly,
-#     funnel_latency_percentiles, greedy_stock_allocation,
-#     grouped_map_spend_share, hourly_autocorrelation,
-#     hyperball_harmonic_trade, item_cofiltering_similarity,
-#     jain_fairness_index, k_anonymity_audit, kaplan_meier_retention,
-#     kcore_trade_graph, margin_candidate_mining_ivf,
-#     media_feature_stats, media_frame_sample, media_resize,
-#     minhash_signatures.
 # After round 14 the stale tail is the remaining 50 - 31 = 19 r7 greens
 # (naive_bayes_source_classifier, order_value_percentiles,
 # pca_power_iteration ... zipf_exponent_fit), then the r8 vintage.
+# The ROUND-15 rotation freeze (round-14 additions + those 19 r7
+# stragglers + first r8 greens) is stamped at round-14 close by
+# `python tools/rotation.py next` — see the freeze comment appended
+# below the head once the round-14 additions have all landed.
 PRIORITY_HEAD: tuple[str, ...] = (
-    # -- 0-11: the 12 round-12 additions (never driver-checked),
+    # -- 0-11: the 12 round-13 additions (never driver-checked),
     #    landing order
-    "ann_release_gate",
-    "events_rollup_upsert",
-    "rollup_delta_log",
-    "late_event_audit",
-    "session_closure_log",
-    "distinct_users_ingest_curve",
-    "rollup_as_of_batch",
-    "watermarked_rollup_compare",
-    "ingest_release_gate",
-    "session_gap_sweep",
-    "value_histogram_rollup",
-    "merge_touch_profile",
-    # -- 12-49: the alphabetically-first 38 of the 45 r6-vintage
-    #    remainders
-    "contrastive_triplet_mining",
-    "corpus_drift_psi",
-    "corpus_health_scorecard",
-    "cross_source_overlap",
-    "cube_flag_status",
-    "customer_spend_gini",
-    "dedup_incremental_lsh",
-    "doc_novelty_decay",
-    "doc_readability_scores",
-    "dup_cluster_size_histogram",
-    "embedding_dispersion",
-    "embedding_norm_profile",
-    "feature_hashing_buckets",
-    "functional_dependency_profile",
-    "harmonic_centrality_trade",
-    "incremental_monthly_rollup",
-    "label_centroid_distances",
-    "margin_candidate_mining",
-    "markov_event_transitions",
-    "media_metadata",
-    "media_prefix_clusters",
-    "monthly_seasonality_index",
-    "order_size_distribution",
-    "part_popularity_rec",
-    "parts_abc_pareto",
-    "reciprocal_nn_pairs",
-    "recursive_cte_month_spine",
-    "rolling_weekly_active_users",
-    "scalar_subquery_big_orders",
-    "seasonal_hourly_residuals",
-    "semantic_dedup_pairs",
-    "shipping_latency_percentiles",
-    "skyline_price_size",
-    "source_language_mix",
-    "source_token_kl",
-    "sq8_quantization_error",
-    "token_association_rules",
-    "tokenizer_fertility_by_lang",
+    "cdc_corrected_rollup",
+    "cdc_delta_log",
+    "cdc_feed_daily_profile",
+    "correction_latency_profile",
+    "reconciliation_window_audit",
+    "corrected_rollup_as_of",
+    "event_version_census",
+    "stale_state_audit",
+    "cdc_net_effect_by_type",
+    "correction_bias_sign_test",
+    "cdc_release_gate",
+    "platform_release_gate",
+    # -- 12-18: the 7 r6-vintage stragglers, alphabetical
+    "top_sources_with_other",
+    "trade_graph_degree_stats",
+    "user_feature_matrix",
+    "vocab_frequency_spectrum",
+    "vocab_growth_curve",
+    "watermark_lateness_audit",
+    "weighted_sample_wor",
+    # -- 19-49: the alphabetically-first 31 r7-vintage remainders
+    "ab_test_uplift",
+    "abc_xyz_matrix",
+    "approx_percentiles",
+    "benchmark_decontamination",
+    "bpe_merge_sequence",
+    "char_entropy_quality",
+    "chi_square_independence",
+    "cohort_ltv_matrix",
+    "corpus_quality_filter",
+    "cusum_changepoint",
+    "data_expectations_report",
+    "decayed_part_demand",
+    "dedup_minhash_lsh",
+    "density_core_clusters",
+    "domain_mixture_reweight",
+    "event_rate_anomaly",
+    "funnel_latency_percentiles",
+    "greedy_stock_allocation",
+    "grouped_map_spend_share",
+    "hourly_autocorrelation",
+    "hyperball_harmonic_trade",
+    "item_cofiltering_similarity",
+    "jain_fairness_index",
+    "k_anonymity_audit",
+    "kaplan_meier_retention",
+    "kcore_trade_graph",
+    "margin_candidate_mining_ivf",
+    "media_feature_stats",
+    "media_frame_sample",
+    "media_resize",
+    "minhash_signatures",
 )
 
 # Proven green in round 2 against current code: after the 50-row window.

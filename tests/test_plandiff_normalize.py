@@ -102,3 +102,15 @@ def test_literal_arrays_keep_their_integers():
     a = "Arguments: [1, 2, 3]"
     b = "Arguments: [1, 2, 4]"
     assert normalize(a) != normalize(b)
+
+
+def test_literal_change_beside_the_gid_still_flags():
+    # ADVICE r13: only the TRAILING gid slot of an Expand row is
+    # blanked — a genuine constant change elsewhere in the row must
+    # still read CHANGED (blanking every bare int hid it)
+    a = "Arguments: [[g#201L, 5, 2]], [g#210L, gid#209]"
+    b = "Arguments: [[g#201L, 7, 2]], [g#210L, gid#209]"
+    assert normalize(a) != normalize(b)
+    # while the trailing gid value itself stays neutralized
+    c = "Arguments: [[g#201L, 5, 9]], [g#210L, gid#209]"
+    assert normalize(a) == normalize(c)

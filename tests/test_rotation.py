@@ -20,20 +20,16 @@ def test_current_head_obeys_the_rotation_convention():
     assert verify() == []
 
 
-def test_next_head_matches_the_frozen_round14_plan():
-    """Re-derive the round-14 freeze exactly as the registry comment
-    enumerates it: 12 round-13 additions (registration order) + the 7
-    r6 stragglers + the alphabetically-first 31 r7 remainders."""
-    from bigdata_2025_1_spark.registry import PRIORITY_HEAD, all_queries
+def test_current_head_is_the_frozen_round14_plan():
+    """The landed round-14 head is exactly the enumeration round 13
+    froze (and the round-13 judge re-derived): 12 round-13 additions
+    (registration order) + the 7 r6 stragglers + the alphabetically-
+    first 31 r7 remainders."""
+    from bigdata_2025_1_spark.registry import PRIORITY_HEAD
 
-    latest = dict(latest_vintage())
-    this_round = max(r for r, _ in latest.values()) + 1
-    for n in PRIORITY_HEAD:
-        latest[n] = (this_round, True)
-    additions = [n for n in all_queries() if n not in latest]
-    nxt = derive_head(additions, latest)
-    assert len(nxt) == HEAD_SIZE
-    assert nxt[:12] == [
+    head = list(PRIORITY_HEAD)
+    assert len(head) == HEAD_SIZE
+    assert head[:12] == [
         "cdc_corrected_rollup",
         "cdc_delta_log",
         "cdc_feed_daily_profile",
@@ -47,7 +43,7 @@ def test_next_head_matches_the_frozen_round14_plan():
         "cdc_release_gate",
         "platform_release_gate",
     ]
-    assert nxt[12:19] == [
+    assert head[12:19] == [
         "top_sources_with_other",
         "trade_graph_degree_stats",
         "user_feature_matrix",
@@ -56,7 +52,28 @@ def test_next_head_matches_the_frozen_round14_plan():
         "watermark_lateness_audit",
         "weighted_sample_wor",
     ]
-    assert nxt[19] == "ab_test_uplift" and nxt[49] == "minhash_signatures"
+    assert head[19] == "ab_test_uplift" and head[49] == "minhash_signatures"
+
+
+def test_verify_accepts_the_post_driver_window():
+    """Once the driver writes this round's CORRECTNESS file (key set ==
+    the head), the un-rotated head must STILL verify — this is the
+    lifecycle window that was red at round-13 judge time. Simulate it:
+    pretend the newest CORRECTNESS file covers exactly the current
+    head."""
+    import tools.rotation as rot
+
+    rounds = rot.rounds_census()
+    head, _ = rot._registry()
+    newest = max(rounds) + 1
+    simulated = dict(rounds)
+    simulated[newest] = {n: True for n in head}
+    real = rot.rounds_census
+    try:
+        rot.rounds_census = lambda: simulated
+        assert rot.verify() == []
+    finally:
+        rot.rounds_census = real
 
 
 def test_derive_head_spills_across_vintages():

@@ -35,10 +35,17 @@ def load_old(ref: str, targets: dict[str, str]) -> dict:
     out = {}
     try:
         for path in sorted(set(targets.values())):
-            src = subprocess.run(
+            proc = subprocess.run(
                 ["git", "-C", "/root/repo", "show", f"{ref}:{path}"],
-                capture_output=True, text=True, check=True,
-            ).stdout
+                capture_output=True, text=True,
+            )
+            if proc.returncode != 0:
+                # module absent at ref (a whole new family landed since)
+                # — its queries just won't appear in ``out``; callers
+                # report them as new-at-ref instead of crashing
+                # (plandiff --all crashed here each new-module round)
+                continue
+            src = proc.stdout
             ns = {"__name__": f"old_{path.rsplit('/', 1)[-1][:-3]}"}
             exec(compile(src, f"old:{path}", "exec"), ns)
             for q, p in targets.items():

@@ -102,8 +102,13 @@ def _sort_lists(
 ) -> str:
     def sort_inner(m: re.Match) -> str:
         items = [x.strip() for x in m.group(1).split(",")]
-        if blank_ints:  # bare ints in gid-line brackets ARE gid values
-            items = ["_" if it.isdigit() else it for it in items]
+        # The Expand rewrite appends the gid literal as the LAST element
+        # of each projection row — blank only that trailing slot, so a
+        # genuine literal change elsewhere in the row (a changed
+        # constant beside the gid) still reads CHANGED (ADVICE r13:
+        # blanking EVERY bare int normalized such changes away).
+        if blank_ints and items and items[-1].isdigit():
+            items[-1] = "_"
         return lo + ", ".join(sorted(items)) + hi
 
     for _ in range(8):  # innermost-out, bounded nesting
@@ -127,9 +132,6 @@ def normalize(plan: str) -> str:
         (_canon_gid_line(ln) if "gid#_" in ln else ln).rstrip()
         for ln in plan.splitlines()
     )
-
-
-_BRACKET = re.compile(r"\[([^\[\]]*)\]")
 
 
 def canonical(plan: str) -> str:
