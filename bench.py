@@ -257,6 +257,45 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # adjudicated against THIS hash first (plan changed?) and this number
 # second (noise?).
 #
+# Round-14 SHIPPED: the round-12 measured-and-deferred shared IVF
+# cell-assignment (VERDICT r13 ask #2 — both blocking driver rows
+# landed green in CORRECTNESS_r13.json). `_corpus_cells()` persists the
+# one Arrow (vec_id, cell) pass; ivf_ingest_assign and both uses inside
+# ivf_nprobe_recall_curve consume it, so ann_release_gate (and the
+# platform apex through it) runs the corpus assignment ONCE.
+# Discipline record, same day:
+# - plandiff --ref HEAD: exactly the 3 intended changes
+#   (ivf_ingest_assign, ivf_nprobe_recall_curve, ann_release_gate).
+#   platform_release_gate read "unchanged" — that is the documented
+#   cross-module plandiff limit (old-side platform_ops composes its
+#   legs through the LIVE registry, so both sides saw the new
+#   similarity code); its true plan did change via the ann leg, and its
+#   new sha is stamped below.
+# - tools/ab.py --ref HEAD --reps 3 (interleaved, clearCache, sf0.1):
+#   ivf_nprobe_recall_curve 2.19 -> 1.98 s, ann_release_gate
+#   2.31 -> 2.26 s, ivf_ingest_assign 0.48 -> 0.56 s (the standalone
+#   census now pays the cache write it doesn't need alone — the win is
+#   a suite/gate win by design, the standalone cost is ~80 ms).
+# - fresh-session idle pins (clearCache best-of-3 at sf0.1, run order
+#   ingest -> curve -> gate -> platform):
+#   ivf_ingest_assign       sha 0f9fa59cb48788cb  best 1.836 s
+#   ivf_nprobe_recall_curve sha bb67fe9226175c87  best 4.827 s
+#     (SESSION-ORDER SENSITIVE: the curve's truth leg is the
+#     brute-force rankings pass whose driver-side memo was cold here;
+#     r13's 1.524 s pin and the ab.py 1.98 s above are warm-session
+#     numbers — compare like with like)
+#   ann_release_gate        sha 18bbb5e8347221b9  best 2.764 s
+#     (vs 2.806 r13 same methodology; the interleaved ab.py read above
+#     is the controlled one — the saved Arrow pass is partly offset by
+#     the cache materialization, net a modest win that also holds at
+#     any scale since the pass is linear)
+#   platform_release_gate   sha 0744167f149f22d8  best 16.312 s
+#     (vs 17.730 r13 pre-pin — inherits the ann leg's saving)
+# Executed-plan evidence the sharing is real: running the gate logs
+# "CacheManager: Asked to cache already cached data" (the second
+# persist() of the identical analyzed plan deduped onto the first) and
+# InMemoryTableScan appears at every consumer site.
+#
 # Round-13 tee provenance (VERDICT r12 ask #8 executed: every tee ran
 # on an idle machine BEFORE the close-out pytest — not after it, ending
 # the three-round page-cache-skew pattern): THREE full headline runs as

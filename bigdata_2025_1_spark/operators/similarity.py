@@ -2826,6 +2826,31 @@ IVF_SPLIT_FACTOR = 3  # a cell holding >3x its ideal share needs a re-split
 # is the monitoring row that decides WHEN to apply it)
 
 
+def _corpus_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's coarse-quantizer assignment, (vec_id, cell), ONE
+    Arrow pass, PERSISTED — the shared leg of the index-maintenance
+    family (the dedup ``_signatures`` pattern; the round-12
+    measured-and-deferred experiment, shipped round 14 once the
+    consuming legs' first driver rows landed green in
+    CORRECTNESS_r13.json).
+
+    Both ``ivf_ingest_assign`` and ``ivf_nprobe_recall_curve`` consume
+    this frame, so ``ann_release_gate`` (which composes both) runs the
+    assignment pass ONCE instead of twice (~0.35 s at sf0.1, measured),
+    and the curve standalone reuses it between its cell-sizes and
+    truth-join branches instead of recomputing. No session memo: Spark's
+    CacheManager dedupes identical analyzed plans at persist() time
+    (verified: two separately-created pandas-UDF frames over the same
+    table share one cache entry), so plain persist() is the whole
+    mechanism. ``spark.catalog.clearCache()`` between selfcheck/pytest
+    queries drops the blocks; the frame stays valid (lineage replay)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cell_pd = V.make_ivf_cell_pandas(_CENTROIDS)
+    return emb.select(
+        "vec_id", cell_pd(F.col("embedding")).getField("cell").alias("cell")
+    ).persist()
+
+
 @query(
     "ivf_ingest_assign",
     oracle=f"""
@@ -2883,15 +2908,13 @@ def ivf_ingest_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first-max tie-break, mirrored by list_position); counts exact
     ints; fill_ratio one double division; needs_split integer-only.
 
-    Scale shape: one Arrow-vectorized assignment pass, map-side
-    combinable groupBy(cell) to {N_CELLS} rows, broadcast 1-row total.
-    Empty table -> empty result in both engines."""
-    emb = load(spark, sf_dir, "embeddings")
-    cell_pd = V.make_ivf_cell_pandas(_CENTROIDS)
+    Scale shape: one Arrow-vectorized assignment pass (the persisted
+    shared ``_corpus_cells`` frame — ``ann_release_gate`` reuses it for
+    the nprobe-curve leg), map-side combinable groupBy(cell) to
+    {N_CELLS} rows, broadcast 1-row total. Empty table -> empty result
+    in both engines."""
     per_cell = (
-        emb.select(
-            "vec_id", cell_pd(F.col("embedding")).getField("cell").alias("cell")
-        )
+        _corpus_cells(spark, sf_dir)
         .groupBy("cell")
         .agg(
             F.count("*").cast("bigint").alias("n_vecs"),
@@ -3263,13 +3286,14 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: truth pairs are probe-set-sized ({N_QUERY_VECS} x
     {TOP_K}); rankings are {N_QUERY_VECS} x {N_PROBE}; cell sizes are
     {N_CELLS} rows — every join after the two Arrow assignment passes
-    is broadcast-tiny, and the nprobe spine is a constant range."""
+    is broadcast-tiny, and the nprobe spine is a constant range. The
+    corpus assignment is the persisted shared ``_corpus_cells`` frame:
+    its two uses here (cell sizes, truth join) and ``ivf_ingest_assign``
+    inside ``ann_release_gate`` all read ONE Arrow pass."""
     emb = load(spark, sf_dir, "embeddings")
     truth = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
-    cell_pd = V.make_ivf_cell_pandas(_CENTROIDS)
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        cell_pd(F.col("embedding")).getField("cell").alias("cell"),
+    corpus = _corpus_cells(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
     )
     cell_sizes = corpus.groupBy("cell").agg(
         F.count("*").cast("bigint").alias("cell_rows")
@@ -3469,15 +3493,14 @@ def ann_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one Arrow assignment pass collapsing to {N_CELLS} rows; the
     value-domain KS histogram; the broadcast-tiny curve joins), reduced
     here to three 1-row frames assembled by broadcast cross-joins. The
-    gate costs the SUM of its legs (measured: ~2.2 s vs 1.21+0.44+0.54
-    at sf0.1) — the census and curve each run their own Arrow
-    assignment pass because neither leg persists it (CacheManager
-    dedupes persisted plans only). A persisted shared-assignment
-    variant was MEASURED (bench.py round-12 notes): it saves one Arrow
-    pass (~0.35 s here) but perturbs both legs' plans; deferred until
-    the legs clear their first driver rows — a candidate round-13
-    optimization, not a scale problem (the pass is linear and
-    embarrassingly parallel at any scale)."""
+    gate costs the SUM of its legs, MINUS the corpus cell-assignment
+    pass it used to pay twice: since round 14 both the census and curve
+    legs read the persisted shared ``_corpus_cells`` frame (the
+    round-12 measured-and-deferred experiment, shipped once the legs'
+    first driver rows landed green in CORRECTNESS_r13.json), so the
+    Arrow assignment runs ONCE per gate evaluation (~0.35 s back at
+    sf0.1). Not a scale question either way — the pass is linear and
+    embarrassingly parallel — purely a constant-factor win."""
     census = ivf_ingest_assign(spark, sf_dir).agg(
         F.count("*").cast("bigint").alias("n_cells_occupied"),
         F.coalesce(F.sum(F.col("needs_split").cast("int")), F.lit(0))
