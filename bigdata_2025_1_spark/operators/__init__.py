@@ -29,6 +29,7 @@ _MODULES = (
     "layout_ops",
     "incremental_ops",
     "cdc_ops",
+    "backfill_ops",
     "platform_ops",
 )
 

@@ -1657,6 +1657,22 @@ ROUND12_QUERIES = [
 ]
 
 
+ROUND14_QUERIES = [
+    # grows as round-14 additions land (day-one checklist, standing ask)
+    "backfill_dirty_state",
+    "backfill_plan",
+    "backfill_day_census",
+    "backfill_cost_by_granularity",
+    "backfill_priority_schedule",
+    "backfill_chunk_plan",
+    "idempotent_replay_audit",
+    "backfill_restatement_summary",
+    "reprocessing_watermark",
+    "backfill_verification_diff",
+    "backfill_release_gate",
+]
+
+
 ROUND13_QUERIES = [
     # grows as round-13 additions land (day-one checklist, standing ask)
     "cdc_corrected_rollup",
@@ -1672,6 +1688,22 @@ ROUND13_QUERIES = [
     "cdc_release_gate",
     "platform_release_gate",
 ]
+
+
+@_pytest.mark.parametrize("name", ROUND14_QUERIES)
+def test_round14_no_fact_scale_single_partition(name, spark, sf_dir):
+    """Every SinglePartition exchange in the round-14 batch may carry
+    only scalar-aggregate or bounded-value-domain rows — a fact-keyed
+    column riding one means a whole-data funnel crept in (the
+    idempotent audit's (event_id, op) dedup is a HASH exchange by
+    design — the MERGE-key shuffle a real idempotent writer pays —
+    and must never collapse to a single partition)."""
+    from bigdata_2025_1_spark.plans.explain import single_partition_exchange_inputs
+
+    df = QUERIES[name](spark, sf_dir)
+    for inputs in single_partition_exchange_inputs(df):
+        assert not any(c in inputs for c in _FACT_COLS), (name, inputs)
+    spark.catalog.clearCache()
 
 
 @_pytest.mark.parametrize("name", ROUND13_QUERIES)
