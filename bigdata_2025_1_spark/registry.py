@@ -57,13 +57,41 @@ ORACLES: dict[str, str] = {}
 # the standing convention, round-14 additions are BATCHED (<=13) and
 # queue for round 15, NOT the head.
 #
-# After round 14 the stale tail is the remaining 50 - 31 = 19 r7 greens
-# (naive_bayes_source_classifier, order_value_percentiles,
-# pca_power_iteration ... zipf_exponent_fit), then the r8 vintage.
-# The ROUND-15 rotation freeze (round-14 additions + those 19 r7
-# stragglers + first r8 greens) is stamped at round-14 close by
-# `python tools/rotation.py next` — see the freeze comment appended
-# below the head once the round-14 additions have all landed.
+# ROUND-15 ROTATION PLAN (FROZEN at round-14 close; derived and
+# machine-checked by `python tools/rotation.py next` at the round-14
+# pre-driver state — after ask #1's lifecycle fix the tool's derivation
+# is the authority, and the same command re-run at the round-14
+# post-driver state must reproduce this enumeration exactly.
+# Arithmetic: 11 round-14 additions + the 19 remaining r7-vintage
+# greens + the alphabetically-first 20 of the r8-vintage greens = 50):
+#   positions 0-10  — the 11 round-14 additions (the backfill /
+#     reprocessing family), in landing (= registration) order:
+#     backfill_dirty_state, backfill_plan, backfill_day_census,
+#     backfill_cost_by_granularity, backfill_priority_schedule,
+#     backfill_chunk_plan, idempotent_replay_audit,
+#     backfill_restatement_summary, reprocessing_watermark,
+#     backfill_verification_diff, backfill_release_gate;
+#   positions 11-29 — the 19 r7 stragglers, alphabetical:
+#     naive_bayes_source_classifier, order_value_percentiles,
+#     pca_power_iteration, pivot_status_by_priority,
+#     recsys_holdout_hitrate, retrieval_mrr_eval, scd2_status_history,
+#     seasonal_naive_backtest, semantic_decontamination,
+#     sketch_join_size_estimate, slo_burn_rate,
+#     sql_cte_above_nation_avg, supplier_shipping_latency,
+#     textrank_keywords, theil_sen_trend, train_test_split,
+#     typo_variant_pairs, udaf_median_order_value, zipf_exponent_fit
+#     — retiring the r7 vintage completely;
+#   positions 30-49 — the alphabetically-first 20 r8-vintage greens:
+#     anova_f_segment_spend, average_precision_holdout,
+#     bradley_terry_nation_strength, brown_forsythe_spend_variance,
+#     calibration_ece_bins, capture_recapture_population,
+#     chao1_vocab_coverage, cochran_armitage_trend,
+#     cohens_kappa_agreement, conformal_interval_coverage,
+#     corpus_end_to_end, corpus_temperature_mix, cross_join_enumeration,
+#     crossval_auc_folds, cuped_adjusted_uplift, date_features,
+#     decile_lift_table, degree_assortativity_trade, domain_doc_stats,
+#     eb_shrunk_supplier_rates.
+# After round 15 the stale tail continues with the remaining r8 greens.
 PRIORITY_HEAD: tuple[str, ...] = (
     # -- 0-11: the 12 round-13 additions (never driver-checked),
     #    landing order

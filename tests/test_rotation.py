@@ -55,6 +55,41 @@ def test_current_head_is_the_frozen_round14_plan():
     assert head[19] == "ab_test_uplift" and head[49] == "minhash_signatures"
 
 
+def test_next_head_matches_the_frozen_round15_plan():
+    """Re-derive the round-15 freeze exactly as the registry comment
+    enumerates it: 11 round-14 additions (registration order) + the 19
+    r7 stragglers + the alphabetically-first 20 r8 remainders. The
+    derivation simulates this round's driver rows landing green on the
+    current head (the state `tools/rotation.py next` will see at the
+    round-14 post-driver close)."""
+    from bigdata_2025_1_spark.registry import PRIORITY_HEAD, all_queries
+
+    latest = dict(latest_vintage())
+    this_round = max(r for r, _ in latest.values()) + 1
+    for n in PRIORITY_HEAD:
+        latest[n] = (this_round, True)
+    additions = [n for n in all_queries() if n not in latest]
+    nxt = derive_head(additions, latest)
+    assert len(nxt) == HEAD_SIZE
+    assert nxt[:11] == [
+        "backfill_dirty_state",
+        "backfill_plan",
+        "backfill_day_census",
+        "backfill_cost_by_granularity",
+        "backfill_priority_schedule",
+        "backfill_chunk_plan",
+        "idempotent_replay_audit",
+        "backfill_restatement_summary",
+        "reprocessing_watermark",
+        "backfill_verification_diff",
+        "backfill_release_gate",
+    ]
+    assert nxt[11] == "naive_bayes_source_classifier"
+    assert nxt[29] == "zipf_exponent_fit"
+    assert nxt[30] == "anova_f_segment_spend"
+    assert nxt[49] == "eb_shrunk_supplier_rates"
+
+
 def test_verify_accepts_the_post_driver_window():
     """Once the driver writes this round's CORRECTNESS file (key set ==
     the head), the un-rotated head must STILL verify — this is the
