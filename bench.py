@@ -277,24 +277,48 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 #   census now pays the cache write it doesn't need alone — the win is
 #   a suite/gate win by design, the standalone cost is ~80 ms).
 # - fresh-session idle pins (clearCache best-of-3 at sf0.1, run order
-#   ingest -> curve -> gate -> platform):
+#   ingest -> curve -> gate -> platform). SHA NOTE: the round-14
+#   normalizer hardening (gid-value shard blanking, below) moved the
+#   three gid-bearing plans' shas AFTER these timings were taken; the
+#   plans themselves did not change again — shas below are the
+#   CURRENT-normalizer values, timings are the original pins:
 #   ivf_ingest_assign       sha 0f9fa59cb48788cb  best 1.836 s
-#   ivf_nprobe_recall_curve sha bb67fe9226175c87  best 4.827 s
+#   ivf_nprobe_recall_curve sha 24eb8a48ec29d9f2  best 4.827 s
 #     (SESSION-ORDER SENSITIVE: the curve's truth leg is the
 #     brute-force rankings pass whose driver-side memo was cold here;
 #     r13's 1.524 s pin and the ab.py 1.98 s above are warm-session
 #     numbers — compare like with like)
-#   ann_release_gate        sha 18bbb5e8347221b9  best 2.764 s
+#   ann_release_gate        sha 00d0c2cfd69e8664  best 2.764 s
 #     (vs 2.806 r13 same methodology; the interleaved ab.py read above
 #     is the controlled one — the saved Arrow pass is partly offset by
 #     the cache materialization, net a modest win that also holds at
 #     any scale since the pass is linear)
-#   platform_release_gate   sha 0744167f149f22d8  best 16.312 s
+#   platform_release_gate   sha 5df5d29840a7fc79  best 16.312 s
 #     (vs 17.730 r13 pre-pin — inherits the ann leg's saving)
 # Executed-plan evidence the sharing is real: running the gate logs
 # "CacheManager: Asked to cache already cached data" (the second
 # persist() of the identical analyzed plan deduped onto the first) and
 # InMemoryTableScan appears at every consumer site.
+#
+# Round-14 full-registry plan sweep: tools/plandiff.py --all
+# --ref 7388eb5 over all 380 queries (the --all crash on new-at-ref
+# modules is FIXED this round — backfill_ops' 11 queries report
+# "not present at ref — new query, skipped" instead of crashing).
+# First pass flagged 4 changes: the 3 intended (shared IVF assignment:
+# ivf_ingest_assign, ivf_nprobe_recall_curve, ann_release_gate) plus
+# table_profile — adjudicated as the RESIDUAL gid false-positive class
+# the r13 ADVICE predicted: once the innermost-out sort shears a deeply
+# nested Expand row apart, gid VALUES surface as non-trailing bare-int
+# shards ("6," vs "4,"; "[4, [5]" vs "[5, [6]") that renumber with the
+# session-global counter. normalize() now blanks exactly the integers
+# in the plan's own gid value set (harvested from the raw "gid#_ = N"
+# filters before noise-stripping) — string-level regression test
+# test_non_trailing_gid_value_shards_neutralize pins both directions
+# (shards neutralize; a non-gid literal still flags). Re-sweep:
+# table_profile unchanged, the 3 intended changes remain flagged.
+# NORMALIZER NOTE: this moved the sha of any gid-bearing plan —
+# the three ANN-family pins below are restamped with current-normalizer
+# values (plans unchanged, timings original).
 #
 # Round-14 pre-pins (the standing ask — stamped on an idle machine
 # BEFORE the driver run, best-of-3 at sf0.1 on local[32], clearCache

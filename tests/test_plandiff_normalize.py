@@ -114,3 +114,27 @@ def test_literal_change_beside_the_gid_still_flags():
     # while the trailing gid value itself stays neutralized
     c = "Arguments: [[g#201L, 5, 9]], [g#210L, gid#209]"
     assert normalize(a) == normalize(c)
+
+
+def test_non_trailing_gid_value_shards_neutralize():
+    # Round-14 sweep FP (table_profile): once the innermost-out sort
+    # shears a deeply nested Expand row apart, gid VALUES surface as
+    # non-trailing bare ints and bracket shards ("6," / "[4, [5]") that
+    # renumber between builds. They must blank — the value set is read
+    # off the plan's own gid filters.
+    a = (
+        "Functions: [count(1) FILTER (WHERE (gid#100 = 4)), "
+        "count(1) FILTER (WHERE (gid#100 = 5)), "
+        "count(1) FILTER (WHERE (gid#100 = 6))]\n"
+        "Arguments: [x) as bigint), 6, [0, [4, [5], gid#100]"
+    )
+    b = (
+        "Functions: [count(1) FILTER (WHERE (gid#200 = 4)), "
+        "count(1) FILTER (WHERE (gid#200 = 5)), "
+        "count(1) FILTER (WHERE (gid#200 = 6))]\n"
+        "Arguments: [x) as bigint), 4, [0, [5, [6], gid#200]"
+    )
+    assert normalize(a) == normalize(b)
+    # ...but an integer OUTSIDE the gid value set still flags
+    c = a.replace(" 6, [0,", " 7, [0,")
+    assert normalize(a) != normalize(c)

@@ -97,8 +97,19 @@ _BRACKET = re.compile(r"\[([^\[\]]*)\]")
 _PAREN = re.compile(r"\(([^()]*)\)")
 
 
+# A bare-int list element, possibly wearing unbalanced bracket shards
+# after the innermost-out sort mangles a deeply nested Expand row
+# (e.g. "[4" / "5]" / "6").
+_INT_SHARD = re.compile(r"(\[*)(\d+)(\]*)$")
+
+
 def _sort_lists(
-    text: str, pat: re.Pattern, lo: str, hi: str, blank_ints: bool = False
+    text: str,
+    pat: re.Pattern,
+    lo: str,
+    hi: str,
+    blank_ints: bool = False,
+    gid_vals: "frozenset[str]" = frozenset(),
 ) -> str:
     def sort_inner(m: re.Match) -> str:
         items = [x.strip() for x in m.group(1).split(",")]
@@ -109,6 +120,23 @@ def _sort_lists(
         # blanking EVERY bare int normalized such changes away).
         if blank_ints and items and items[-1].isdigit():
             items[-1] = "_"
+        if blank_ints and gid_vals:
+            # gid VALUES also surface as NON-trailing bare ints once the
+            # nested-row sort shears elements apart (caught live on
+            # table_profile in the round-14 sweep: "6," vs "4," and
+            # "[4, [5]" vs "[5, [6]" between two gid renumberings).
+            # Blank exactly the integers that ARE gid values — the set
+            # is read off the plan's own "gid#_ = N" filters before
+            # noise-stripping — so an unrelated literal still flags
+            # unless it collides with a gid value.
+            items = [
+                _INT_SHARD.sub(
+                    lambda s: s.group(1) + "_" + s.group(3), it
+                )
+                if (sh := _INT_SHARD.fullmatch(it)) and sh.group(2) in gid_vals
+                else it
+                for it in items
+            ]
         return lo + ", ".join(sorted(items)) + hi
 
     for _ in range(8):  # innermost-out, bounded nesting
@@ -119,17 +147,38 @@ def _sort_lists(
     return text
 
 
-def _canon_gid_line(ln: str) -> str:
-    ln = _sort_lists(ln, _BRACKET, "⟦", "⟧", blank_ints=True)
+_GID_VALUE = re.compile(r"gid#\d+L? = (\d+)")
+
+
+def _canon_gid_line(ln: str, gid_vals: "frozenset[str]") -> str:
+    ln = _sort_lists(ln, _BRACKET, "⟦", "⟧", blank_ints=True, gid_vals=gid_vals)
     ln = _sort_lists(ln, _PAREN, "⦅", "⦆")
-    return ln.replace("⟦", "[").replace("⟧", "]").replace("⦅", "(").replace("⦆", ")")
+    ln = ln.replace("⟦", "[").replace("⟧", "]").replace("⦅", "(").replace("⦆", ")")
+    if gid_vals:
+        # Shards stranded at a nesting level the bounded innermost-out
+        # sort never balances (an element like "[0" poisons its whole
+        # level) still carry gid values — final pass: blank any
+        # comma-delimited bare-int/shard element of the line whose
+        # digits are a gid value. Non-shard tokens ("2)", "100.0D")
+        # never match, so expression literals survive.
+        parts = []
+        for p in ln.split(", "):
+            sh = _INT_SHARD.fullmatch(p)
+            if sh and sh.group(2) in gid_vals:
+                p = sh.group(1) + "_" + sh.group(3)
+            parts.append(p)
+        ln = ", ".join(parts)
+    return ln
 
 
 def normalize(plan: str) -> str:
+    # gid values must be harvested from the RAW plan — the noise pass
+    # below blanks the "gid#_ = N" literals they come from
+    gid_vals = frozenset(_GID_VALUE.findall(plan))
     for pat, rep in _NOISE:
         plan = pat.sub(rep, plan)
     return "\n".join(
-        (_canon_gid_line(ln) if "gid#_" in ln else ln).rstrip()
+        (_canon_gid_line(ln, gid_vals) if "gid#_" in ln else ln).rstrip()
         for ln in plan.splitlines()
     )
 
