@@ -403,3 +403,77 @@ def test_online_apply_is_idempotent_and_chunking_invariant():
         for c in chunks + chunks:
             backfill_apply(state, led, c)
         assert backfill_readout(state) == base
+
+
+def test_backfill_apply_in_foreachbatch_with_redelivery(spark, sf_dir, tmp_path):
+    """The idempotent ledger driven by a REAL 3-trigger foreachBatch
+    loop over the fixture, with every trigger's record chunk RE-applied
+    after the loop (the redelivered-batch / retried-job scenario): the
+    standing state must equal the batch truth (backfill_dirty_state's
+    n_events/true_cents per key) and the redelivery must be a no-op."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from bigdata_2025_1_spark.io import load
+    from bigdata_2025_1_spark.operators.cdc_ops import with_changes
+
+    expected = [
+        (r["event_date"], r["event_type"], r["n_events"], r["true_cents"])
+        for r in all_queries()["backfill_dirty_state"](spark, sf_dir).collect()
+    ]
+    spark.catalog.clearCache()
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    stream_dir = str(tmp_path / "bf_in")
+    lo, hi = ev.agg(
+        F.min("event_id").alias("a"), F.max("event_id").alias("b")
+    ).collect()[0]
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    for pred in (
+        F.col("event_id") <= c1,
+        (F.col("event_id") > c1) & (F.col("event_id") <= c2),
+        F.col("event_id") > c2,
+    ):
+        ev.filter(pred).coalesce(1).write.parquet(stream_dir, mode="append")
+        time.sleep(0.2)
+
+    state, applied = backfill_state_zero()
+    seen_chunks: list[list] = []
+
+    def per_batch(batch_df, bid):
+        recs = [
+            tuple(r)
+            for r in with_changes(batch_df)
+            .select(
+                "event_id", "op", "event_date", "event_type",
+                "d_events", "d_cents",
+            )
+            .collect()
+        ]
+        seen_chunks.append(recs)
+        backfill_apply(state, applied, recs)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "bf_ckpt"))
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "stream did not finish in 180s"
+    finally:
+        q.stop()
+    assert len(seen_chunks) == 3
+    assert backfill_readout(state) == expected
+    # the retry storm: redeliver every trigger's chunk — pure no-op
+    for recs in seen_chunks:
+        backfill_apply(state, applied, recs)
+    assert backfill_readout(state) == expected
+    spark.catalog.clearCache()
