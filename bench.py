@@ -300,6 +300,32 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # persist() of the identical analyzed plan deduped onto the first) and
 # InMemoryTableScan appears at every consumer site.
 #
+# Round-14 close-out verification record (run in this order): tee
+# FIRST on an idle machine (below), then full `pytest tests/` — 1427
+# passed / 1 skipped / 0 failed in 2146 s (the skip is the
+# protobuf-gated transformWithState twin, as every round), plus the
+# late-added foreachBatch redelivery test green in its own run (1428
+# total); then `tools/selfcheck.py` over ALL 380 queries at sf0.01 —
+# 380/380 pass; then the driver mirror `--vanilla --head 50` — 50/50
+# pass on the rotated round-14 head.
+#
+# Round-14 tee provenance: ONE full headline run (all 232 queries —
+# every round-14 addition), on an idle machine, BEFORE the close-out
+# pytest (the idle-first discipline): bench_local_r14.json, 312.3 s
+# total at sf0.1. Shared-221 subtotal vs bench_local_r13.json: 291.4 s
+# vs 314.1 s (ratio 0.928, median per-query ratio 0.928) — flat-to-
+# better; the committed r13 tee ran third after two earlier runs had
+# warmed and churned the cache, while this one is the clean idle read,
+# plus the shipped shared-IVF saving rides in the ann/platform rows
+# (platform_release_gate 13.3 s in-tee vs 13.4 r13 with the heavier
+# pre-hardening legs). The 11 round-14 additions land 1.1-3.0 s each
+# in-tee with backfill_release_gate at 5.67 s (its idle standalone pin
+# is 7.748 s — in-tee the legs' shared scans are page-cache-warm).
+# No further tee was run: every post-tee commit this round is
+# tooling/tests/docs only (plandiff hardening, foreachBatch test) —
+# the full-registry sweep below certifies the query plans did not move
+# after the tee.
+#
 # Round-14 full-registry plan sweep: tools/plandiff.py --all
 # --ref 7388eb5 over all 380 queries (the --all crash on new-at-ref
 # modules is FIXED this round — backfill_ops' 11 queries report
