@@ -138,3 +138,22 @@ def test_non_trailing_gid_value_shards_neutralize():
     # ...but an integer OUTSIDE the gid value set still flags
     c = a.replace(" 6, [0,", " 7, [0,")
     assert normalize(a) != normalize(c)
+
+
+def test_trailing_literal_outside_gid_set_flags():
+    # Self-review r14: the trailing-slot blank must require membership
+    # in the harvested gid value set — a genuine constant that merely
+    # SITS last in a bracketed list on a gid-bearing line flags.
+    a = (
+        "Functions: [count(1) FILTER (WHERE (gid#100 = 4))]\n"
+        "Arguments: [[a#1, b#2, 99], gid#100]"
+    )
+    b = a.replace("99", "98")
+    assert normalize(a) != normalize(b)
+    # the actual gid trailing slot (value IN the set) still neutralizes
+    g1 = (
+        "Functions: [count(1) FILTER (WHERE (gid#100 = 4))]\n"
+        "Arguments: [[a#1, b#2, 4], gid#100]"
+    )
+    g2 = g1.replace("#100", "#200")
+    assert normalize(g1) == normalize(g2)

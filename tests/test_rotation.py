@@ -131,3 +131,36 @@ def test_verify_catches_a_corrupted_head(monkeypatch):
     bad[20], bad[30] = bad[30], bad[20]  # swap two refresh slots
     monkeypatch.setattr(R, "PRIORITY_HEAD", tuple(bad))
     assert rot.verify() != []
+
+
+def test_rounds_census_merges_same_round_files(tmp_path, monkeypatch):
+    """Two files parsing to the same round number (an unpadded r7
+    beside r07) must MERGE per query, not glob-order-overwrite
+    (self-review r14)."""
+    import json
+
+    import tools.rotation as rot
+
+    rec = {"rows_match": True, "schema_match": True, "hash_match": True}
+    a = tmp_path / "CORRECTNESS_r7.json"
+    a.write_text(json.dumps({"q_only_in_a": rec}))
+    b = tmp_path / "CORRECTNESS_r07.json"
+    b.write_text(json.dumps({"q_only_in_b": rec}))
+    for order in ([str(a), str(b)], [str(b), str(a)]):
+        monkeypatch.setattr(rot.glob, "glob", lambda pat, o=order: list(o))
+        rounds = rot.rounds_census()
+        assert set(rounds[7]) == {"q_only_in_a", "q_only_in_b"}
+
+
+def test_load_old_rejects_invalid_ref():
+    """A typo'd --ref must stay LOUD (self-review r14): silently
+    treating it as 'every module is new' would make plandiff --all
+    exit 0 having compared nothing."""
+    import pytest
+
+    from tools.ab import load_old
+
+    with pytest.raises(SystemExit):
+        load_old("no-such-ref-deadbeef", {"q1": "bench.py"})
+    # a valid ref with a path that does not exist there still skips
+    assert load_old("HEAD", {"q1": "no/such/module.py"}) == {}

@@ -30,6 +30,17 @@ def load_old(ref: str, targets: dict[str, str]) -> dict:
     """Exec each target's defining module from ``ref`` and return the
     old query functions. ``targets`` maps query name -> repo-relative
     module path."""
+    # An invalid REF must stay loud (self-review r14: silently treating
+    # a typo'd sha as "every module is new" would make plandiff --all
+    # print 0/N changed and exit 0 — a green CI gate that compared
+    # nothing). Only a missing PATH at a valid ref is skippable.
+    probe = subprocess.run(
+        ["git", "-C", "/root/repo", "rev-parse", "--verify", f"{ref}^{{commit}}"],
+        capture_output=True, text=True,
+    )
+    if probe.returncode != 0:
+        raise SystemExit(f"ab/plandiff: invalid git ref {ref!r}: "
+                         f"{probe.stderr.strip()}")
     orig = R.query
     R.query = lambda name, oracle=None: (lambda fn: fn)
     out = {}

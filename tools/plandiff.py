@@ -103,6 +103,16 @@ _PAREN = re.compile(r"\(([^()]*)\)")
 _INT_SHARD = re.compile(r"(\[*)(\d+)(\]*)$")
 
 
+def _blank_shard(it: str, gid_vals: "frozenset[str]") -> str:
+    """Blank a bare-int/bracket-shard element iff its digits are a
+    harvested gid value — the single code shape both blanking passes
+    share."""
+    sh = _INT_SHARD.fullmatch(it)
+    if sh and sh.group(2) in gid_vals:
+        return sh.group(1) + "_" + sh.group(3)
+    return it
+
+
 def _sort_lists(
     text: str,
     pat: re.Pattern,
@@ -117,9 +127,15 @@ def _sort_lists(
         # of each projection row — blank only that trailing slot, so a
         # genuine literal change elsewhere in the row (a changed
         # constant beside the gid) still reads CHANGED (ADVICE r13:
-        # blanking EVERY bare int normalized such changes away).
+        # blanking EVERY bare int normalized such changes away). When
+        # the plan's gid value set was harvested, require membership
+        # even for the trailing slot (self-review r14: a genuine
+        # literal that merely SITS last in a list on a gid line must
+        # flag too); fall back to unconditional only when the harvest
+        # is empty (string fixtures without the FILTER lines).
         if blank_ints and items and items[-1].isdigit():
-            items[-1] = "_"
+            if not gid_vals or items[-1] in gid_vals:
+                items[-1] = "_"
         if blank_ints and gid_vals:
             # gid VALUES also surface as NON-trailing bare ints once the
             # nested-row sort shears elements apart (caught live on
@@ -129,14 +145,7 @@ def _sort_lists(
             # is read off the plan's own "gid#_ = N" filters before
             # noise-stripping — so an unrelated literal still flags
             # unless it collides with a gid value.
-            items = [
-                _INT_SHARD.sub(
-                    lambda s: s.group(1) + "_" + s.group(3), it
-                )
-                if (sh := _INT_SHARD.fullmatch(it)) and sh.group(2) in gid_vals
-                else it
-                for it in items
-            ]
+            items = [_blank_shard(it, gid_vals) for it in items]
         return lo + ", ".join(sorted(items)) + hi
 
     for _ in range(8):  # innermost-out, bounded nesting
@@ -161,13 +170,7 @@ def _canon_gid_line(ln: str, gid_vals: "frozenset[str]") -> str:
         # comma-delimited bare-int/shard element of the line whose
         # digits are a gid value. Non-shard tokens ("2)", "100.0D")
         # never match, so expression literals survive.
-        parts = []
-        for p in ln.split(", "):
-            sh = _INT_SHARD.fullmatch(p)
-            if sh and sh.group(2) in gid_vals:
-                p = sh.group(1) + "_" + sh.group(3)
-            parts.append(p)
-        ln = ", ".join(parts)
+        ln = ", ".join(_blank_shard(p, gid_vals) for p in ln.split(", "))
     return ln
 
 

@@ -53,13 +53,19 @@ def rounds_census() -> "dict[int, dict[str, bool]]":
     stray backup like CORRECTNESS_r13.json.bak must not crash the
     verifier or shift the census)."""
     rounds: dict[int, dict[str, bool]] = {}
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+    # sorted paths + per-query merge: two files parsing to the same
+    # round (e.g. an unpadded CORRECTNESS_r7.json beside r07) must not
+    # drop records with filesystem-glob-order luck — deterministic
+    # last-writer per query instead (self-review r14)
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = _ROUND_FILE.search(os.path.basename(path))
         if not m:
             continue
         with open(path) as fh:
             recs = json.load(fh)
-        rounds[int(m.group(1))] = {n: _green(r) for n, r in recs.items()}
+        rounds.setdefault(int(m.group(1)), {}).update(
+            {n: _green(r) for n, r in recs.items()}
+        )
     return rounds
 
 
