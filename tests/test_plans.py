@@ -309,14 +309,22 @@ def test_salted_join_beats_unsalted_on_skew(spark):
             rows = {r.grp: (r.cnt, r.sv) for r in fn().collect()}
             return time.perf_counter() - t0, rows
 
-        t_plain, t_salted = None, None
+        # One retry trio before failing: even interleaved, a single
+        # load spike landing on all three salted runs flipped the sign
+        # once under a concurrent full-bench (round-14). The property
+        # is about the partitioning, not one wall-clock sample — two
+        # independent interleaved trios both losing is the signal.
+        t_plain = t_salted = None
         r_plain = r_salted = None
-        for _ in range(3):
-            dt, r_plain = timed(unsalted)
-            t_plain = dt if t_plain is None else min(t_plain, dt)
-            dt, r_salted = timed(salted)
-            t_salted = dt if t_salted is None else min(t_salted, dt)
-        assert r_salted == r_plain  # the salt is invisible in the result
+        for _trio in range(2):
+            for _ in range(3):
+                dt, r_plain = timed(unsalted)
+                t_plain = dt if t_plain is None else min(t_plain, dt)
+                dt, r_salted = timed(salted)
+                t_salted = dt if t_salted is None else min(t_salted, dt)
+            assert r_salted == r_plain  # the salt is invisible in the result
+            if t_salted < t_plain:
+                break
         assert t_salted < t_plain, (t_salted, t_plain)
     finally:
         fact.unpersist()
