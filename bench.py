@@ -303,11 +303,14 @@ from bigdata_2025_1_spark.session import get_spark  # noqa: E402
 # Round-14 close-out verification record (run in this order): tee
 # FIRST on an idle machine (below), then full `pytest tests/` — 1427
 # passed / 1 skipped / 0 failed in 2146 s (the skip is the
-# protobuf-gated transformWithState twin, as every round), plus the
-# late-added foreachBatch redelivery test green in its own run (1428
-# total); then `tools/selfcheck.py` over ALL 380 queries at sf0.01 —
-# 380/380 pass; then the driver mirror `--vanilla --head 50` — 50/50
-# pass on the rotated round-14 head.
+# protobuf-gated transformWithState twin, as every round); then
+# `tools/selfcheck.py` over ALL 380 queries at sf0.01 — 380/380 pass;
+# then the driver mirror `--vanilla --head 50` — 50/50 pass on the
+# rotated round-14 head; and, after the post-review test additions
+# (foreachBatch redelivery, hypothesis idempotence, tooling
+# regressions, salted-join retry trio), a SECOND complete suite run on
+# the finished tree — 1433 passed / 1 skipped / 0 failed in 1804 s.
+# The backfill family additionally selfchecks 11/11 at sf0.1.
 #
 # Round-14 tee provenance: ONE full headline run (all 232 queries —
 # every round-14 addition), on an idle machine, BEFORE the close-out
