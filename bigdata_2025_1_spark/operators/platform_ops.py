@@ -16,6 +16,18 @@ all (its consumer prints per-batch stats to stdout,
 ``/root/reference/spark/consumer.py:33-100``); this is charter scope —
 the operational readout a 100 TB deployment runs nightly.
 
+ROUND-15 EXTENSION (deferred by sequencing, not scope): round 14
+shipped a SEVENTH family gate — ``backfill_release_gate``
+(backfill_ops.py). Composing it here is deferred until its legs clear
+their first driver rows in CORRECTNESS_r15 (the same
+land-legs-first-extend-apex-after sequencing the shared-IVF change and
+this gate itself followed). The planned change is mechanical: a
+``bf`` CTE reading ``backfill_ok`` from
+``_O["backfill_release_gate"]``, a seventh verdict column, and
+``backfill_ok`` joining the conjunction — plus re-pin (sha + idle
+best-of-3) and same-day selfcheck tuned+vanilla, since both the plan
+and the oracle change.
+
 COST FRAMING (deliberate, documented): the gate convention composes by
 CALLING the registered queries, so this row costs the SUM of all six
 gates (idle best-of-3 at sf0.1 in bench.py's round-13 notes: ~7.1 +
