@@ -79,6 +79,52 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signatures_from_docs(spread(load(spark, sf_dir, "documents"))).persist()
 
 
+def _cand_jaccard(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every DISTINCT banded candidate pair
+    under the deployed (BANDS x rows-per-band) config, PERSISTED — the
+    shared verify pass of the LSH family (optimization round 14).
+
+    ``dedup_minhash_lsh`` (threshold filter + order), ``lsh_recall_eval``
+    (candidate count + verified count) and, through them, the
+    connected-components chain and ``dedup_release_gate`` all consume
+    exactly this frame; before round 14 each built its own band join +
+    verify join, so the gate paid the band self-join and the
+    array-intersect verify TWICE (once under each leg). One persisted
+    pass collapses that via the plan-keyed CacheManager (the
+    ``_signatures`` pattern — identical analyzed plans share one cache
+    entry across the gate's legs).
+
+    Scale shape: unchanged from the shapes it merges — the candidate
+    join moves (band, band_key, doc_id) only; shingle sets join back
+    for candidate pairs alone; jaccard is computed once per pair here
+    instead of once per consuming query."""
+    bands = _band_rows(sig)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = sig.select("doc_id", "shingles")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    jaccard = inter.cast("double") / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .persist()
+    )
+
+
 def _band_rows(sig: DataFrame, bands: int = BANDS) -> DataFrame:
     """(doc_id, band, band_key) — one row per band, key = md5 of the
     contiguous signature slice (the Spark twin of _SQL_BANDS). The
@@ -215,31 +261,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _signatures persists so the lineage computes them exactly once. A
     # sig-only persist variant (re-deriving shingles for the verify joins)
     # was measured SLOWER (3 shingle computations vs 1): the wide persist
-    # stays.
-    sig = _signatures(spark, sf_dir)
-    sh = sig.select("doc_id", "shingles")
-    bands = _band_rows(sig)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
-    jaccard = inter.cast("double") / union
+    # stays. Round 14: the band join + verify now live in the shared,
+    # persisted ``_cand_jaccard`` pass so this query, ``lsh_recall_eval``
+    # and the release gate's two legs all pay it once per session.
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        _cand_jaccard(_signatures(spark, sf_dir))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
@@ -1816,6 +1842,14 @@ def _prefix_truth(sh2: DataFrame) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= F.expr("sz div 5") + 1)
         .select("doc_id", "sz", "shingle")
+        # PERSISTED (optimization round 14): both sides of the prefix
+        # self-join below read this frame, and without the cache the
+        # posts-explode + df join + per-doc window recompute under EACH
+        # side (Catalyst does not reuse the subtree across the join's
+        # aliases — measured 3.15 s -> 1.95 s steady-state at sf0.1 for
+        # the whole truth side from this one persist). 55 k skinny rows
+        # at sf0.1; prefix postings stay ~sz/5 of the corpus at scale.
+        .persist()
     )
     pa = pfx.select(
         F.col("doc_id").alias("doc_a"),
@@ -1981,35 +2015,17 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = sig.select("doc_id", "shingles", F.size("shingles").alias("sz"))
     sh2 = sh.filter(F.col("sz") > 0)
     truth = _prefix_truth(sh2)
-    jaccard = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
-    )
-    # ---- the system under eval: band candidates + exact verify
-    bands = _band_rows(sig)
-    ba, bb = bands.alias("a"), bands.alias("b")
-    lcand = (
-        ba.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .persist()  # feeds the candidate count AND the verify join;
-        # released by harness clearCache
-    )
-    va = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    vb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    lpairs = (
-        lcand.join(va, "doc_a")
-        .join(vb, "doc_b")
-        .filter(jaccard >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
+    # ---- the system under eval: band candidates + exact verify, both
+    # read from the shared persisted ``_cand_jaccard`` pass (round 14:
+    # one band join + one verify join per session instead of one per
+    # consuming query — the candidate count and the verified count are
+    # two aggregates over the same cached frame)
+    cj = _cand_jaccard(sig)
+    lpairs = cj.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
     )
     tn = truth.agg(F.count("*").alias("n_true_pairs"))
-    cn = lcand.agg(F.count("*").alias("n_lsh_candidates"))
+    cn = cj.agg(F.count("*").alias("n_lsh_candidates"))
     vn = lpairs.agg(F.count("*").alias("n_lsh_pairs"))
     no_truth = F.col("n_true_pairs") == 0
     recall = F.col("n_lsh_pairs").cast("double") / F.col("n_true_pairs")
@@ -2320,66 +2336,130 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same Python float64 literal in both engines. Empty corpus ->
     four rows with 0 counts and NULL recall.
 
-    Scale shape: ONE signature pass feeds all four band layouts
-    (persisted ``_signatures``); each config is a banded self-equi-join
-    (never all-pairs — the 1-band config degenerates to the full-
-    signature hash join, still an equi-join); the truth side is the
-    prefix-filter machinery already scale-audited in
-    ``lsh_recall_eval``; assembly is a 4-row union cross-joined with
-    one broadcast scalar."""
+    Scale shape: ONE signature pass feeds ONE band self-equi-join — the
+    finest (8x1) banding's candidate set is a superset of every coarser
+    config's (slice agreement implies sub-band agreement), so all four
+    configs reduce to membership flags over that single candidate frame
+    (never all-pairs; round 14 collapsed the former one-join-per-config
+    grid into this). The truth side is the prefix-filter machinery
+    already scale-audited in ``lsh_recall_eval``; assembly explodes a
+    4-struct array out of one aggregate row cross-joined with one
+    broadcast scalar."""
     sig = _signatures(spark, sf_dir)
     sh = sig.select("doc_id", "shingles", F.size("shingles").alias("sz"))
     sh2 = sh.filter(F.col("sz") > 0)
-    n_true = _prefix_truth(sh2).agg(
-        F.count("*").cast("bigint").alias("n_true_pairs")
+    # ONE band self-join for all four configs (optimization round 14;
+    # was: one join + distinct + persist + verify join per config). The
+    # finest banding (8 bands of 1 row) admits every pair ANY coarser
+    # banding admits: agreeing on a 4/2/1-band slice means agreeing on
+    # each single-hash sub-band of that slice. So the 8-band candidate
+    # set is the superset grid, and each config's membership is decided
+    # per pair by direct signature-slice equality (band_key = md5 of
+    # the concatenated fixed-width mh slice, so md5-key equality <=>
+    # slice equality — the same predicate the per-config joins tested).
+    br8 = _band_rows(sig, 8)
+    ba, bb = br8.alias("a"), br8.alias("b")
+    cand8 = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    jaccard = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
     )
-    per_config = []
-    for b, r in SWEEP_CONFIGS:
-        br = _band_rows(sig, b)
-        ba, bb = br.alias("a"), br.alias("b")
-        cand = (
-            ba.join(
-                bb,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+
+    def member(bands_n: int) -> F.Column:
+        per = NUM_HASHES // bands_n
+        band_eq = []
+        for b in range(bands_n):
+            eqs = [
+                F.col("sig_a")[i] == F.col("sig_b")[i]
+                for i in range(b * per, (b + 1) * per)
+            ]
+            conj = eqs[0]
+            for e in eqs[1:]:
+                conj = conj & e
+            band_eq.append(conj)
+        disj = band_eq[0]
+        for e in band_eq[1:]:
+            disj = disj | e
+        return disj
+
+    # Candidate counts per config: membership flags over the superset
+    # pairs need only the SIGNATURES (8 fixed-width md5 strings), never
+    # the shingle arrays — no per-pair jaccard here.
+    cflags = cand8.join(sa, "doc_a").join(sb, "doc_b").select(
+        *[member(b).alias(f"m{b}") for b, _ in SWEEP_CONFIGS],
+    )
+    c_counts = cflags.agg(
+        *[
+            F.coalesce(F.sum(F.col(f"m{b}").cast("long")), F.lit(0))
+            .cast("bigint")
+            .alias(f"c{b}")
+            for b, _ in SWEEP_CONFIGS
+        ],
+    )
+    # Verified counts per config: the truth side is COMPLETE (the
+    # prefix-filter guarantee) and config verify applies the SAME exact
+    # jaccard, so verified(config) == truth-pairs that the config
+    # banding admits — flag the (tiny) truth pair set instead of
+    # re-verifying tens of thousands of superset candidates (round-14
+    # measurement: the jaccard verify over the 8x1 candidate set was
+    # the sweep's dominant stage; this replaces it with a ~truth-sized
+    # flag pass). n_true_pairs rides the same aggregate.
+    truth_flags = (
+        _prefix_truth(sh2)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(*[member(b).alias(f"m{b}") for b, _ in SWEEP_CONFIGS])
+    )
+    v_counts = truth_flags.agg(
+        F.count("*").cast("bigint").alias("n_true_pairs"),
+        *[
+            F.coalesce(F.sum(F.col(f"m{b}").cast("long")), F.lit(0))
+            .cast("bigint")
+            .alias(f"v{b}")
+            for b, _ in SWEEP_CONFIGS
+        ],
+    )
+    counts = c_counts.crossJoin(F.broadcast(v_counts))
+    # the 4-row grid explodes out of the ONE aggregate row (a union of
+    # four selects over it would re-run the whole candidate pipeline
+    # once per config — the exact duplication this rewrite removes)
+    grid = counts.select(
+        "n_true_pairs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("bands"),
+                        F.lit(r).cast("int").alias("rows_per_band"),
+                        F.col(f"c{b}").alias("n_candidates"),
+                        F.col(f"v{b}").alias("n_verified"),
+                        F.lit(
+                            1.0 - (1.0 - float(JACCARD_THRESHOLD) ** r) ** b
+                        )
+                        .cast("double")
+                        .alias("p_cand_at_thresh"),
+                    )
+                    for b, r in SWEEP_CONFIGS
+                ]
             )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
-            .persist()  # feeds the candidate count AND the verify join;
-            # released by the harness clearCache
-        )
-        ver = (
-            cand.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .filter(jaccard >= JACCARD_THRESHOLD)
-        )
-        nc = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
-        nv = ver.agg(F.count("*").cast("bigint").alias("n_verified"))
-        p_cand = 1.0 - (1.0 - float(JACCARD_THRESHOLD) ** r) ** b
-        per_config.append(
-            nc.crossJoin(F.broadcast(nv)).select(
-                F.lit(b).cast("int").alias("bands"),
-                F.lit(r).cast("int").alias("rows_per_band"),
-                "n_candidates",
-                "n_verified",
-                F.lit(p_cand).cast("double").alias("p_cand_at_thresh"),
-            )
-        )
-    grid = per_config[0]
-    for frame in per_config[1:]:
-        grid = grid.unionByName(frame)
+        ).alias("cfg")
+    ).select("n_true_pairs", "cfg.*")
     return (
-        grid.crossJoin(F.broadcast(n_true))
+        grid
         .select(
             "bands",
             "rows_per_band",
