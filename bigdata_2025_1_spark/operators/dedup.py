@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions import text as T
 from bigdata_2025_1_spark.functions.hashing import md5_int, sql_md5_int
+from bigdata_2025_1_spark.functions.iterate import min_label_propagate
 from bigdata_2025_1_spark.functions.ranks import with_global_rank
 from bigdata_2025_1_spark.io import load, spread
 from bigdata_2025_1_spark.registry import query
@@ -631,13 +632,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side convergence check — the standard Spark shape for iterative
     graph algorithms (bounded by graph diameter, each step one join+agg).
     The oracle computes the same closure with a recursive CTE."""
-    # Scale note on lineage: each iteration's persist makes execution
-    # cache-backed, but the LOGICAL plan still chains through every prior
-    # step — at hundreds of iterations (huge-diameter graphs) Catalyst
-    # analysis time grows and a cache eviction would recompute the whole
-    # chain. The production pattern is labels.localCheckpoint() every ~8
-    # steps to truncate lineage; omitted here because the diameter bound
-    # is 32 and real dup-cluster diameters are single-digit.
+    # Round-14 loop shape: the chunked, join-free-convergence min-label
+    # propagation helper (functions/iterate.py) — CC_CHUNK rounds per
+    # materialization + check instead of two driver actions per round,
+    # with localCheckpoint lineage truncation at chunk boundaries (the
+    # round-13 plan for this query had grown to a 409 KB logical tree;
+    # the checks themselves no longer join old-vs-new label frames).
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     rev = pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
@@ -646,43 +646,21 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation that deduplicates the node set: label0(v) =
     # min(v, min neighbor) costs exactly what the plain distinct() cost
     # and saves one full join+agg+count round (round-11 measurement).
-    labels = (
-        edges.groupBy(F.col("a").alias("doc"))
-        .agg(F.least(F.first("a"), F.min("b")).alias("label"))
-        .persist()
+    labels0 = edges.groupBy(F.col("a").alias("v")).agg(
+        F.least(F.first("a"), F.min("b")).alias("label")
     )
-    for _ in range(32):  # diameter bound; tiny real-world dup clusters
-        neighbor_min = (
-            edges.join(labels, edges.a == labels.doc)
-            .groupBy(F.col("b").alias("doc2"))
-            .agg(F.min("label").alias("nb_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc == F.col("doc2"), "left")
-            .select(
-                "doc",
-                F.least(F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))).alias("label"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.doc") == F.col("o.doc"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
+    labels = min_label_propagate(
+        edges,
+        labels0,
+        max_rounds=32,  # diameter bound; tiny real-world dup clusters
+        err=(
             "dedup_connected_components: label propagation did not converge "
             "in 32 iterations (component diameter > 32?) — returning partial "
             "labels would silently split real clusters"
-        )
-    return labels.select("doc", F.col("label").alias("cluster_id")).select(
-        F.col("doc").alias("doc_id"), "cluster_id"
+        ),
+    )
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions import vectors as V
+from bigdata_2025_1_spark.functions.iterate import min_label_propagate
 from bigdata_2025_1_spark.io import load, spread
 from bigdata_2025_1_spark.functions.ranks import rank_after_limit
 from bigdata_2025_1_spark.registry import query
@@ -1949,42 +1950,19 @@ def dbscan_roles_from_pairs(
         .select("a", "b")
         .localCheckpoint()
     )
-    # min-label propagation, the dedup_connected_components loop shape:
-    # per-iteration checkpoint for the frontier, driver convergence check,
-    # bounded iterations
-    labels = core.select(
-        F.col("vec_id").alias("v"), F.col("vec_id").alias("label")
-    ).localCheckpoint()
-    for _ in range(32):  # diameter bound; dense clusters are shallow
-        prop = (
-            cedges.join(labels, cedges.a == labels.v)
-            .groupBy(F.col("b").alias("v2"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(prop, labels.v == F.col("v2"), "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
+    # min-label propagation, the shared chunked loop (round 14:
+    # CC_CHUNK rounds per materialization + join-free convergence
+    # check instead of two driver actions per round — see
+    # functions/iterate.py for the exactness argument)
+    labels = min_label_propagate(
+        cedges,
+        core.select(F.col("vec_id").alias("v"), F.col("vec_id").alias("label")),
+        max_rounds=32,  # diameter bound; dense clusters are shallow
+        err=(
             "density_core_clusters: label propagation did not converge in "
             "32 iterations (core-graph diameter > 32?)"
-        )
+        ),
+    )
     clab = labels.select(F.col("v").alias("vec_id"), F.col("label").alias("cluster_id"))
     border = (
         sym.join(clab.withColumnRenamed("vec_id", "b"), "b")
@@ -2596,16 +2574,17 @@ def hdbscan_lite_from_pairs(
                         F.col("label"),
                         F.coalesce(F.col("nlabel"), F.col("label")),
                     ).alias("label"),
+                    # round-start label rides along so the convergence
+                    # check below is a filter over the checkpointed
+                    # blocks, not a join of two label frames (round 14)
+                    F.col("label").alias("label0"),
                 )
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.filter(
+                F.col("label") != F.col("label0")
+            ).count()
+            labels = new_labels.select("v", "label")
             if changed == 0:
                 break
         else:
