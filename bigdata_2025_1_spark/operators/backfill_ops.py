@@ -179,8 +179,21 @@ def key_state(rec: DataFrame) -> DataFrame:
     )
 
 
-def _flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_fix_flags(with_changes(load(spark, sf_dir, "events")))
+def _flagged(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFrame:
+    """The flagged CDC record stream. ``persist=True`` at the sites that
+    fan it into several consuming lineages (the replay audit, the day
+    census, the watermark — and through them the release gate): the
+    stream's own lineage contains TWO cdc-stream derivations (the
+    fix_date cross-join agg plus the main branch), so each extra
+    consumer replays the events scan + version explode + flag without
+    the cache. Single-collapse queries (``key_state(_flagged(...))``)
+    stay unpersisted — the cache write is pure overhead for one pass
+    (measured +0.3-0.6 s each at sf0.1) — yet still benefit inside the
+    release gate: the CacheManager substitutes ANY identical analyzed
+    subtree once a persisting leg has registered the frame, so the
+    gate pays the derivation once regardless of which leg runs first."""
+    rec = with_fix_flags(with_changes(load(spark, sf_dir, "events")))
+    return rec.persist() if persist else rec
 
 
 # --- 1. the dirty-state diff (what the bug actually did) ----------------------
@@ -373,6 +386,10 @@ def backfill_day_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one filtered groupBy over the flagged record scan
     (bounded by the window calendar) plus a distinct over (day x key) —
     both map-side-combinable, output <= {BUG_SPAN_DAYS} rows."""
+    # unpersisted deliberately: only two lineages read the window
+    # filter and the A/B measured the cache write as a net loss here
+    # (1.66 -> 1.85 s); inside the release gate the CacheManager still
+    # substitutes the persisting legs' cached stream into this subtree
     rec = _flagged(spark, sf_dir)
     win = rec.filter(
         (F.col("change_date") >= F.date_sub("fix_date", BUG_SPAN_DAYS))
@@ -820,13 +837,17 @@ def idempotent_replay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the dedup is a hash repartition by the MERGE key —
     exactly the shuffle a real idempotent writer pays, linear in the
     replay set; the per-type collapses are map-side combinable."""
-    rec = _flagged(spark, sf_dir)
+    rec = _flagged(spark, sf_dir, persist=True)
     dks = (
         rec.filter(F.col("is_bad"))
         .select("event_date", "event_type")
         .distinct()
     )
-    replay = rec.join(F.broadcast(dks), ["event_date", "event_type"])
+    # persisted: FIVE lineages read the replay set (the once-fold, the
+    # doubled fold twice via unionByName, and the MERGE-key dedup's two
+    # copies) — without the cache each replays the broadcast join
+    # against the flagged stream (round 14)
+    replay = rec.join(F.broadcast(dks), ["event_date", "event_type"]).persist()
     doubled = replay.unionByName(replay)
     dd = doubled.select(
         "event_id", "op", "event_type", "d_events", "d_cents"
@@ -985,7 +1006,7 @@ def reprocessing_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: broadcast-joined filter of the record scan down to
     dirty keys, then one map-side-combinable per-type collapse."""
-    rec = _flagged(spark, sf_dir)
+    rec = _flagged(spark, sf_dir, persist=True)
     dks = (
         rec.filter(F.col("is_bad"))
         .select("event_date", "event_type")
