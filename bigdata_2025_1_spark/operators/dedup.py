@@ -568,30 +568,83 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{n_vectors} vectors (limit 10000); use ann_srp_lsh_pairs "
             f"(banded SRP-LSH) for large tables"
         )
-    a = sig.select(
-        F.col("vec_id").alias("doc_a"),
-        F.col("source").alias("source_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nsq").alias("nsq_a"),
-    )
-    b = sig.select(
-        F.col("vec_id").alias("doc_b"),
-        F.col("source").alias("source_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nsq").alias("nsq_b"),
-    )
-    # all-pairs verify → Arrow-vectorized dot kernel (bit-identical twin
-    # of the expression form; functions/vectors.make_dot_scaled_pandas)
-    dot_pd = V.make_dot_scaled_pandas()
-    cosine = V.cosine_from_scaled(
-        dot_pd(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
-    )
-    return (
-        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "source_a", "source_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= 0.45)
-        .orderBy("doc_a", "doc_b")
-    )
+    # Round-14 shape (guide §8: decide with small rows, move big rows
+    # once — here, ship the SMALL SIDE once per executor, not per pair):
+    # the former theta-join + per-pair Arrow dot kernel shipped BOTH
+    # 64-dim embeddings across the Python boundary for every one of the
+    # n²/2 pairs (~2 GB of Arrow traffic and 1 np.stack per batch of
+    # pairs at sf0.1 — measured 41 s wall / 1 077 s task time). The
+    # guard above bounds the table at 10 k vectors (≤ 5 MB), so the
+    # whole comparison side now crosses the boundary ONCE as a numpy
+    # matrix (sc.broadcast — the bradley_terry bounded-kernel
+    # convention), and one mapInPandas pass computes each partition's
+    # pair block with per-DIMENSION vectorized outer products.
+    # Exactness is the same chain bit-for-bit: per-term
+    # round-half-away((a_i·b_i)·1e12) as int64 (identical op order to
+    # make_dot_scaled_pandas), exact int64 term sums, one double divide
+    # by the sqrt-norm product. Measured at sf0.1: 41 s wall / 1 077 s
+    # task time profiled under the join form; interleaved A/B best-of-2
+    # 6.4 -> 3.0 s with identical output (oracle-checked at all three
+    # SFs, tuned and vanilla).
+    import numpy as np
+    import pandas as pd
+
+    rows = sig.select("vec_id", "source", "embedding", "nsq").collect()
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "doc_a bigint, doc_b bigint, source_a string, "
+            "source_b string, cosine double",
+        )
+    b_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    b_src = [r["source"] for r in rows]
+    b_mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    b_nsq = np.array([r["nsq"] for r in rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((b_ids, b_src, b_mat, b_nsq))
+    dim = b_mat.shape[1]
+
+    def pair_blocks(it):
+        ids_b, src_b, mat_b, nsq_b = bc.value
+        sqrt_b = np.sqrt(nsq_b.astype(np.float64))
+        src_b_arr = np.array(src_b, dtype=object)
+        for pdf in it:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids_a = pdf["vec_id"].to_numpy().astype(np.int64)
+            src_a = pdf["source"].to_numpy()
+            sqrt_a = np.sqrt(pdf["nsq"].to_numpy().astype(np.float64))
+            # Σ_i round_half_away(a_i·b_i·1e12): one (m x n) outer
+            # product per dimension, rounded per TERM exactly like the
+            # per-pair kernel, accumulated in exact int64
+            R = np.zeros((A.shape[0], len(ids_b)), dtype=np.int64)
+            for i in range(dim):
+                p = np.outer(A[:, i], mat_b[:, i]) * 1e12
+                R += (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(
+                    np.int64
+                )
+            cos = R.astype(np.float64) / (
+                sqrt_a[:, None] * sqrt_b[None, :]
+            )
+            keep = (cos >= 0.45) & (ids_a[:, None] < ids_b[None, :])
+            ai, bi = np.nonzero(keep)
+            if len(ai) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_a": ids_a[ai],
+                    "doc_b": ids_b[bi],
+                    "source_a": src_a[ai],
+                    "source_b": src_b_arr[bi],
+                    "cosine": cos[ai, bi],
+                }
+            )
+
+    return sig.select("vec_id", "source", "embedding", "nsq").mapInPandas(
+        pair_blocks,
+        "doc_a bigint, doc_b bigint, source_a string, "
+        "source_b string, cosine double",
+    ).orderBy("doc_a", "doc_b")
 
 
 # Shared CTE chain ending in labels(doc_id, cluster_id) — the recursive
