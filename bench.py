@@ -824,6 +824,15 @@ HEADLINE = [
     "reprocessing_watermark",
     "backfill_verification_diff",
     "backfill_release_gate",
+    # round-14 optimization additions (never remove/rename above — the
+    # driver's shared_with_prev comparison depends on stable names):
+    # the two registry kernels the r14 optimization round rewrote after
+    # full-registry profiling found them pathological (grouped-map
+    # 53.7 -> 2.7 s, embedding-cosine anchor 6.4 -> 3.0 s at sf0.1);
+    # benched from now on so a regression to the per-group / per-pair
+    # shapes is visible round-over-round.
+    "grouped_map_spend_share",
+    "dedup_embedding_cosine",
 ]
 
 
