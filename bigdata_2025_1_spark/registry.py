@@ -64,6 +64,19 @@ ORACLES: dict[str, str] = {}
 # post-driver state must reproduce this enumeration exactly.
 # Arithmetic: 11 round-14 additions + the 19 remaining r7-vintage
 # greens + the alphabetically-first 20 of the r8-vintage greens = 50):
+#
+# ROUND-15 AMENDMENT (the r14 VERDICT's ask #4, landed at r15 open):
+# the judge directed that ``lsh_band_sweep`` and ``dedup_release_gate``
+# — the two r14-rewritten plans whose semantic arguments were verified
+# only by the builder's selfcheck — get driver-oracle rows THIS round.
+# They are green at r12 vintage, so the convention alone would not
+# rotate them in for several rounds. The mechanism is PRIORITY_PINS
+# below: judge-directed names slot immediately after the never-checked
+# prefix, displacing the alphabetically-LAST refreshes (here the r8
+# greens domain_doc_stats and eb_shrunk_supplier_rates, which queue for
+# round 16). ``tools/rotation.py verify`` machine-checks the pinned
+# form; the pin list resets each round (a pinned name lands a fresh
+# vintage, so the convention reabsorbs it naturally).
 #   positions 0-10  — the 11 round-14 additions (the backfill /
 #     reprocessing family), in landing (= registration) order:
 #     backfill_dirty_state, backfill_plan, backfill_day_census,
@@ -93,60 +106,72 @@ ORACLES: dict[str, str] = {}
 #     eb_shrunk_supplier_rates.
 # After round 15 the stale tail continues with the remaining r8 greens.
 PRIORITY_HEAD: tuple[str, ...] = (
-    # -- 0-11: the 12 round-13 additions (never driver-checked),
-    #    landing order
-    "cdc_corrected_rollup",
-    "cdc_delta_log",
-    "cdc_feed_daily_profile",
-    "correction_latency_profile",
-    "reconciliation_window_audit",
-    "corrected_rollup_as_of",
-    "event_version_census",
-    "stale_state_audit",
-    "cdc_net_effect_by_type",
-    "correction_bias_sign_test",
-    "cdc_release_gate",
-    "platform_release_gate",
-    # -- 12-18: the 7 r6-vintage stragglers, alphabetical
-    "top_sources_with_other",
-    "trade_graph_degree_stats",
-    "user_feature_matrix",
-    "vocab_frequency_spectrum",
-    "vocab_growth_curve",
-    "watermark_lateness_audit",
-    "weighted_sample_wor",
-    # -- 19-49: the alphabetically-first 31 r7-vintage remainders
-    "ab_test_uplift",
-    "abc_xyz_matrix",
-    "approx_percentiles",
-    "benchmark_decontamination",
-    "bpe_merge_sequence",
-    "char_entropy_quality",
-    "chi_square_independence",
-    "cohort_ltv_matrix",
-    "corpus_quality_filter",
-    "cusum_changepoint",
-    "data_expectations_report",
-    "decayed_part_demand",
-    "dedup_minhash_lsh",
-    "density_core_clusters",
-    "domain_mixture_reweight",
-    "event_rate_anomaly",
-    "funnel_latency_percentiles",
-    "greedy_stock_allocation",
-    "grouped_map_spend_share",
-    "hourly_autocorrelation",
-    "hyperball_harmonic_trade",
-    "item_cofiltering_similarity",
-    "jain_fairness_index",
-    "k_anonymity_audit",
-    "kaplan_meier_retention",
-    "kcore_trade_graph",
-    "margin_candidate_mining_ivf",
-    "media_feature_stats",
-    "media_frame_sample",
-    "media_resize",
-    "minhash_signatures",
+    # -- 0-10: the 11 round-14 additions (never driver-checked), the
+    #    backfill/reprocessing family, landing order
+    "backfill_dirty_state",
+    "backfill_plan",
+    "backfill_day_census",
+    "backfill_cost_by_granularity",
+    "backfill_priority_schedule",
+    "backfill_chunk_plan",
+    "idempotent_replay_audit",
+    "backfill_restatement_summary",
+    "reprocessing_watermark",
+    "backfill_verification_diff",
+    "backfill_release_gate",
+    # -- 11-12: the two judge-directed pins (r14 VERDICT ask #4)
+    "lsh_band_sweep",
+    "dedup_release_gate",
+    # -- 13-31: the 19 r7 stragglers, alphabetical — retiring the r7
+    #    vintage completely
+    "naive_bayes_source_classifier",
+    "order_value_percentiles",
+    "pca_power_iteration",
+    "pivot_status_by_priority",
+    "recsys_holdout_hitrate",
+    "retrieval_mrr_eval",
+    "scd2_status_history",
+    "seasonal_naive_backtest",
+    "semantic_decontamination",
+    "sketch_join_size_estimate",
+    "slo_burn_rate",
+    "sql_cte_above_nation_avg",
+    "supplier_shipping_latency",
+    "textrank_keywords",
+    "theil_sen_trend",
+    "train_test_split",
+    "typo_variant_pairs",
+    "udaf_median_order_value",
+    "zipf_exponent_fit",
+    # -- 32-49: the alphabetically-first 18 r8-vintage greens (the
+    #    frozen plan's first 20 minus the two slots the pins displaced)
+    "anova_f_segment_spend",
+    "average_precision_holdout",
+    "bradley_terry_nation_strength",
+    "brown_forsythe_spend_variance",
+    "calibration_ece_bins",
+    "capture_recapture_population",
+    "chao1_vocab_coverage",
+    "cochran_armitage_trend",
+    "cohens_kappa_agreement",
+    "conformal_interval_coverage",
+    "corpus_end_to_end",
+    "corpus_temperature_mix",
+    "cross_join_enumeration",
+    "crossval_auc_folds",
+    "cuped_adjusted_uplift",
+    "date_features",
+    "decile_lift_table",
+    "degree_assortativity_trade",
+)
+
+# Judge-directed pins for THIS round's head (r14 VERDICT ask #4): names
+# with an existing driver row that must be re-adjudicated now rather
+# than when their vintage comes up. Placed immediately after the
+# never-checked prefix; the vintage fill skips them. Reset each round.
+PRIORITY_PINS: tuple[str, ...] = (
+    "lsh_band_sweep",
+    "dedup_release_gate",
 )
 
 # Proven green in round 2 against current code: after the 50-row window.

@@ -20,58 +20,18 @@ def test_current_head_obeys_the_rotation_convention():
     assert verify() == []
 
 
-def test_current_head_is_the_frozen_round14_plan():
-    """The landed round-14 head is exactly the enumeration round 13
-    froze (and the round-13 judge re-derived): 12 round-13 additions
-    (registration order) + the 7 r6 stragglers + the alphabetically-
-    first 31 r7 remainders."""
-    from bigdata_2025_1_spark.registry import PRIORITY_HEAD
+def test_current_head_is_the_frozen_round15_plan():
+    """The landed round-15 head is the enumeration round 14 froze,
+    amended by the r14 VERDICT's ask #4: 11 round-14 additions
+    (registration order) + the two judge-directed pins
+    (lsh_band_sweep, dedup_release_gate) + the 19 r7 stragglers + the
+    alphabetically-first 18 r8 remainders (the pins displaced the last
+    two of the frozen plan's 20)."""
+    from bigdata_2025_1_spark.registry import PRIORITY_HEAD, PRIORITY_PINS
 
     head = list(PRIORITY_HEAD)
     assert len(head) == HEAD_SIZE
-    assert head[:12] == [
-        "cdc_corrected_rollup",
-        "cdc_delta_log",
-        "cdc_feed_daily_profile",
-        "correction_latency_profile",
-        "reconciliation_window_audit",
-        "corrected_rollup_as_of",
-        "event_version_census",
-        "stale_state_audit",
-        "cdc_net_effect_by_type",
-        "correction_bias_sign_test",
-        "cdc_release_gate",
-        "platform_release_gate",
-    ]
-    assert head[12:19] == [
-        "top_sources_with_other",
-        "trade_graph_degree_stats",
-        "user_feature_matrix",
-        "vocab_frequency_spectrum",
-        "vocab_growth_curve",
-        "watermark_lateness_audit",
-        "weighted_sample_wor",
-    ]
-    assert head[19] == "ab_test_uplift" and head[49] == "minhash_signatures"
-
-
-def test_next_head_matches_the_frozen_round15_plan():
-    """Re-derive the round-15 freeze exactly as the registry comment
-    enumerates it: 11 round-14 additions (registration order) + the 19
-    r7 stragglers + the alphabetically-first 20 r8 remainders. The
-    derivation simulates this round's driver rows landing green on the
-    current head (the state `tools/rotation.py next` will see at the
-    round-14 post-driver close)."""
-    from bigdata_2025_1_spark.registry import PRIORITY_HEAD, all_queries
-
-    latest = dict(latest_vintage())
-    this_round = max(r for r, _ in latest.values()) + 1
-    for n in PRIORITY_HEAD:
-        latest[n] = (this_round, True)
-    additions = [n for n in all_queries() if n not in latest]
-    nxt = derive_head(additions, latest)
-    assert len(nxt) == HEAD_SIZE
-    assert nxt[:11] == [
+    assert head[:11] == [
         "backfill_dirty_state",
         "backfill_plan",
         "backfill_day_census",
@@ -84,10 +44,49 @@ def test_next_head_matches_the_frozen_round15_plan():
         "backfill_verification_diff",
         "backfill_release_gate",
     ]
-    assert nxt[11] == "naive_bayes_source_classifier"
-    assert nxt[29] == "zipf_exponent_fit"
-    assert nxt[30] == "anova_f_segment_spend"
-    assert nxt[49] == "eb_shrunk_supplier_rates"
+    assert head[11:13] == list(PRIORITY_PINS) == [
+        "lsh_band_sweep",
+        "dedup_release_gate",
+    ]
+    assert head[13] == "naive_bayes_source_classifier"
+    assert head[31] == "zipf_exponent_fit"
+    assert head[32] == "anova_f_segment_spend"
+    assert head[49] == "degree_assortativity_trade"
+    # the two names the pins displaced queue for round 16
+    assert "domain_doc_stats" not in head
+    assert "eb_shrunk_supplier_rates" not in head
+
+
+def test_next_head_leads_with_the_displaced_r8_greens():
+    """Re-derive the round-16 head (pin-free — pins are one-round
+    directives; once this head lands they carry r15 vintage and the
+    convention reabsorbs them): no batched additions this round, so the
+    fill leads with the two r8 greens the pins displaced, then the rest
+    of the r8 vintage alphabetical."""
+    from bigdata_2025_1_spark.registry import PRIORITY_HEAD, all_queries
+
+    latest = dict(latest_vintage())
+    this_round = max(r for r, _ in latest.values()) + 1
+    for n in PRIORITY_HEAD:
+        latest[n] = (this_round, True)
+    additions = [n for n in all_queries() if n not in latest]
+    nxt = derive_head(additions, latest)
+    assert len(nxt) == HEAD_SIZE
+    assert additions == []
+    assert nxt[:2] == ["domain_doc_stats", "eb_shrunk_supplier_rates"]
+    assert "lsh_band_sweep" not in nxt
+    assert "dedup_release_gate" not in nxt
+
+
+def test_derive_head_places_pins_after_prefix_and_skips_them_in_fill():
+    latest = {
+        "pinned": (1, True),
+        "old_a": (1, True),
+        "old_b": (1, True),
+    }
+    got = derive_head(["add1"], latest, ["pinned"])
+    assert got[:4] == ["add1", "pinned", "old_a", "old_b"]
+    assert got.count("pinned") == 1
 
 
 def test_verify_accepts_the_post_driver_window():
@@ -99,7 +98,7 @@ def test_verify_accepts_the_post_driver_window():
     import tools.rotation as rot
 
     rounds = rot.rounds_census()
-    head, _ = rot._registry()
+    head, _, _ = rot._registry()
     newest = max(rounds) + 1
     simulated = dict(rounds)
     simulated[newest] = {n: True for n in head}

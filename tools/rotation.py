@@ -83,18 +83,26 @@ def latest_vintage() -> "dict[str, tuple[int, bool]]":
 
 
 def _registry():
-    from bigdata_2025_1_spark.registry import PRIORITY_HEAD, all_queries
+    import bigdata_2025_1_spark.registry as reg
 
-    return list(PRIORITY_HEAD), list(all_queries())
+    return (
+        list(reg.PRIORITY_HEAD),
+        list(reg.all_queries()),
+        list(getattr(reg, "PRIORITY_PINS", ())),
+    )
 
 
 def derive_head(
-    never_checked_in_head: "list[str]", latest: dict
+    never_checked_in_head: "list[str]", latest: dict, pins: "list[str]" = ()
 ) -> "list[str]":
     """The convention's head for a given batched-additions prefix:
-    the prefix, then oldest-vintage greens alphabetical (spilling
-    across vintages) up to HEAD_SIZE."""
+    the prefix, then any judge-directed pins (names with an existing
+    driver row the round's VERDICT ordered back into the head), then
+    oldest-vintage greens alphabetical (spilling across vintages) up
+    to HEAD_SIZE. Pins displace the alphabetically-last refreshes."""
     head = list(never_checked_in_head)
+    head += [p for p in pins if p not in head]
+    placed = set(head)
     by_vintage: dict[int, list[str]] = {}
     for name, (rnd, ok) in latest.items():
         if ok:
@@ -103,6 +111,8 @@ def derive_head(
         for name in sorted(by_vintage[rnd]):
             if len(head) >= HEAD_SIZE:
                 return head
+            if name in placed:
+                continue
             head.append(name)
     return head
 
@@ -122,20 +132,25 @@ def verify() -> "list[str]":
       CORRECTNESS_r13.json a correctly-frozen head read "stale" at
       judge time (the one red pytest of round 13).
     """
-    head, registered = _registry()
+    head, registered, pins = _registry()
     rounds = rounds_census()
-    problems = _verify_against(head, registered, _latest_from(rounds))
+    problems = _verify_against(head, registered, _latest_from(rounds), pins)
     if problems and rounds:
         newest = max(rounds)
         if set(rounds[newest]) == set(head):
             reduced = {r: recs for r, recs in rounds.items() if r != newest}
-            if not _verify_against(head, registered, _latest_from(reduced)):
+            if not _verify_against(
+                head, registered, _latest_from(reduced), pins
+            ):
                 return []
     return problems
 
 
 def _verify_against(
-    head: "list[str]", registered: "list[str]", latest: dict
+    head: "list[str]",
+    registered: "list[str]",
+    latest: dict,
+    pins: "list[str]" = (),
 ) -> "list[str]":
     problems: list[str] = []
     if len(head) != HEAD_SIZE:
@@ -156,9 +171,14 @@ def _verify_against(
         problems.append(
             "never-checked additions are not in registration order"
         )
+    # 1b. declared pins (judge-directed re-checks) must sit immediately
+    #     after the prefix, in declaration order
+    pin_list = [p for p in pins if p in latest]
+    if pin_list and head[len(prefix) : len(prefix) + len(pin_list)] != pin_list:
+        problems.append("pins do not follow the never-checked prefix")
     # 2. the fill must be the oldest-vintage greens, alphabetical with
     #    vintage spill — exactly what derive_head computes
-    expected = derive_head(prefix, latest)
+    expected = derive_head(prefix, latest, pin_list)
     if head != expected:
         diffs = [
             f"pos {i}: have {a!r}, convention says {b!r}"
@@ -178,7 +198,7 @@ def _verify_against(
 
 
 def census() -> None:
-    head, registered = _registry()
+    head, registered, _pins = _registry()
     latest = latest_vintage()
     from collections import Counter
 
@@ -201,7 +221,9 @@ def census() -> None:
 def next_head() -> None:
     """Derive the NEXT round's head assuming the current one lands
     green this round (its members become current-round vintage)."""
-    head, registered = _registry()
+    # pins are one-round directives: once the current head lands they
+    # carry current-round vintage, so the next head derives pin-free
+    head, registered, _pins = _registry()
     latest = dict(latest_vintage())
     this_round = max(r for r, _ in latest.values()) + 1
     for n in head:
