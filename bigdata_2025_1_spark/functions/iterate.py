@@ -60,6 +60,7 @@ def min_label_propagate(
     *,
     max_rounds: int = 32,
     chunk: int = CC_CHUNK,
+    reliable: bool = False,
     err: str = "min-label propagation did not converge",
 ) -> DataFrame:
     """Run min-label propagation to the fixed point and return the
@@ -68,9 +69,22 @@ def min_label_propagate(
     ``edges`` is the DIRECTED propagation edge list ``(a, b)`` (labels
     flow a -> b; pass both directions for an undirected graph);
     ``labels0`` the initial ``(v, label)`` assignment. Raises
-    RuntimeError(err) when ``max_rounds`` propagation rounds pass
-    without reaching the fixed point (component diameter too large) —
-    returning partial labels would silently split real clusters."""
+    RuntimeError(err) when the round budget (``max_rounds`` plus one
+    confirming grace chunk — see the loop comment) passes without
+    reaching the fixed point (component diameter too large) — returning
+    partial labels would silently split real clusters.
+
+    Fault-tolerance trade (``reliable=``): the default
+    ``localCheckpoint()`` stores each round's label blocks on the
+    EXECUTORS and truncates lineage, so under executor loss at cluster
+    scale the blocks are unrecoverable (no lineage to replay) and the
+    whole job fails back to its last external snapshot — standard and
+    acceptable for a nightly batch, but a long loop on preemptible
+    executors should pass ``reliable=True`` to use plain
+    ``checkpoint()`` (fault-tolerant, written to the directory the
+    caller must first set via ``spark.sparkContext.setCheckpointDir``)
+    at the cost of a filesystem write per chunk. Local default stays
+    executor-local: same plan shape, no checkpoint dir needed."""
     labels = labels0
     rounds = 0
     # The per-round-checked loop converged as soon as ONE round was the
@@ -95,7 +109,7 @@ def min_label_propagate(
                 ).alias("label"),
                 "label0",
             )
-        cur = cur.localCheckpoint()
+        cur = cur.checkpoint() if reliable else cur.localCheckpoint()
         changed = cur.filter(F.col("label") != F.col("label0")).count()
         labels = cur.select("v", "label")
         rounds += k

@@ -600,6 +600,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_src = [r["source"] for r in rows]
     b_mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     b_nsq = np.array([r["nsq"] for r in rows], dtype=np.int64)
+    # The broadcast's lifetime is deliberately tied to the returned
+    # plan's closure: the frame is LAZY and re-executed per bench rep /
+    # consumer, so an eager destroy() here would break every execution.
+    # Spark's ContextCleaner reclaims the blocks when the plan (and with
+    # it this closure) is garbage-collected.
     bc = spark.sparkContext.broadcast((b_ids, b_src, b_mat, b_nsq))
     dim = b_mat.shape[1]
 
@@ -623,9 +628,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 R += (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(
                     np.int64
                 )
-            cos = R.astype(np.float64) / (
-                sqrt_a[:, None] * sqrt_b[None, :]
-            )
+            # a zero-norm row yields 0/0 -> NaN, which the >= filter
+            # drops (the SQL NULL semantics); silence the per-batch
+            # numpy RuntimeWarning that the intentional NaN would emit
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = R.astype(np.float64) / (
+                    sqrt_a[:, None] * sqrt_b[None, :]
+                )
             keep = (cos >= 0.45) & (ids_a[:, None] < ids_b[None, :])
             ai, bi = np.nonzero(keep)
             if len(ai) == 0:
@@ -708,8 +717,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_rounds=32,  # diameter bound; tiny real-world dup clusters
         err=(
             "dedup_connected_components: label propagation did not converge "
-            "in 32 iterations (component diameter > 32?) — returning partial "
-            "labels would silently split real clusters"
+            "within the 32-round diameter bound plus its confirming grace "
+            "chunk (component diameter > 32?) — returning partial labels "
+            "would silently split real clusters"
         ),
     )
     return labels.select(

@@ -9,6 +9,8 @@ boundaries / partitionings cannot change results.
 
 from __future__ import annotations
 
+import os as _os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -60,7 +62,29 @@ def udaf_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Bucketed grouped-map width: enough distinct pmod values to spread over
 # any realistic core count without degenerating to per-customer frames.
+# FLOOR, not the whole story: each applyInPandas group materializes
+# ~1/buckets of the orders scan as ONE in-memory pandas frame, so a
+# fixed width would grow per-task memory linearly with data volume
+# (ADVICE r14). _share_buckets() therefore scales the width with the
+# input's on-disk size, targeting ~32 MB of (compressed, full-width)
+# scan bytes per bucket — a few hundred MB of pandas at worst after
+# decompression and the 3-column projection; at bench SFs the floor
+# binds, so local plans are unchanged.
 _SHARE_BUCKETS = 256
+_SHARE_BUCKET_TARGET_BYTES = 32 << 20
+
+
+def _share_buckets(sf_dir: str) -> int:
+    path = _os.path.join(sf_dir, "orders.parquet")
+    total = 0
+    if _os.path.isdir(path):
+        for root, _dirs, files in _os.walk(path):
+            total += sum(
+                _os.path.getsize(_os.path.join(root, f)) for f in files
+            )
+    elif _os.path.exists(path):
+        total = _os.path.getsize(path)
+    return max(_SHARE_BUCKETS, -(-total // _SHARE_BUCKET_TARGET_BYTES))
 
 
 @query(
@@ -90,9 +114,11 @@ def grouped_map_spend_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernels): grouping directly by o_custkey handed the kernel ~15 k
     single-customer micro-frames — per-group pandas construction + call
     overhead dominated (measured 47 s at sf0.1, 76 s task time for 0.5 s
-    of arithmetic). The grouped-map now runs over {_SHARE_BUCKETS}
+    of arithmetic). The grouped-map now runs over >= {_SHARE_BUCKETS}
     deterministic customer buckets (pmod of the key — guide §2.5's
-    deterministic synthetic key) and computes the per-customer totals
+    deterministic synthetic key; width scales with the input's on-disk
+    size so per-bucket pandas memory stays bounded, see _share_buckets)
+    and computes the per-customer totals
     INSIDE each frame with a vectorized groupby-transform: identical
     per-customer integer totals (int64 groupby sum), identical division,
     identical rows — 45 s faster. This is also the production shape for
@@ -114,7 +140,7 @@ def grouped_map_spend_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         o.select("o_custkey", "o_orderkey", "o_totalprice")
-        .groupBy(F.pmod(F.col("o_custkey"), F.lit(_SHARE_BUCKETS)))
+        .groupBy(F.pmod(F.col("o_custkey"), F.lit(_share_buckets(sf_dir))))
         .applyInPandas(share, "o_custkey BIGINT, o_orderkey BIGINT, spend_share DOUBLE")
         .orderBy("o_custkey", "o_orderkey")
     )

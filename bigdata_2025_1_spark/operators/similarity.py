@@ -1959,8 +1959,9 @@ def dbscan_roles_from_pairs(
         core.select(F.col("vec_id").alias("v"), F.col("vec_id").alias("label")),
         max_rounds=32,  # diameter bound; dense clusters are shallow
         err=(
-            "density_core_clusters: label propagation did not converge in "
-            "32 iterations (core-graph diameter > 32?)"
+            "density_core_clusters: label propagation did not converge "
+            "within the 32-round diameter bound plus its confirming grace "
+            "chunk (core-graph diameter > 32?)"
         ),
     )
     clab = labels.select(F.col("v").alias("vec_id"), F.col("label").alias("cluster_id"))
@@ -2805,29 +2806,36 @@ IVF_SPLIT_FACTOR = 3  # a cell holding >3x its ideal share needs a re-split
 # is the monitoring row that decides WHEN to apply it)
 
 
-def _corpus_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _corpus_cells(
+    spark: SparkSession, sf_dir: str, persist: bool = False
+) -> DataFrame:
     """The corpus's coarse-quantizer assignment, (vec_id, cell), ONE
-    Arrow pass, PERSISTED — the shared leg of the index-maintenance
-    family (the dedup ``_signatures`` pattern; the round-12
-    measured-and-deferred experiment, shipped round 14 once the
-    consuming legs' first driver rows landed green in
-    CORRECTNESS_r13.json).
+    Arrow pass — the shared leg of the index-maintenance family (the
+    dedup ``_signatures`` pattern; the round-12 measured-and-deferred
+    experiment, shipped round 14 once the consuming legs' first driver
+    rows landed green in CORRECTNESS_r13.json).
 
-    Both ``ivf_ingest_assign`` and ``ivf_nprobe_recall_curve`` consume
-    this frame, so ``ann_release_gate`` (which composes both) runs the
-    assignment pass ONCE instead of twice (~0.35 s at sf0.1, measured),
-    and the curve standalone reuses it between its cell-sizes and
-    truth-join branches instead of recomputing. No session memo: Spark's
-    CacheManager dedupes identical analyzed plans at persist() time
+    ``persist=True`` at the sites that fan the frame into several
+    consuming lineages (the ``_flagged(persist=)`` pattern, r14 VERDICT
+    ask #3): ``ivf_nprobe_recall_curve`` reads it twice (cell sizes +
+    truth join), and through its persist ``ann_release_gate`` — which
+    composes the curve AND the census — pays the Arrow pass once (~0.35
+    s at sf0.1, measured). The single-collapse census
+    (``ivf_ingest_assign`` standalone) stays UNPERSISTED: the r14
+    driver bench measured the unconditional cache write as a +33%
+    standalone regression (0.40 -> 0.53 s) with zero reuse. It still
+    shares inside the gate: Spark's CacheManager substitutes ANY
+    identical analyzed subtree once a persisting leg registered it
     (verified: two separately-created pandas-UDF frames over the same
-    table share one cache entry), so plain persist() is the whole
-    mechanism. ``spark.catalog.clearCache()`` between selfcheck/pytest
-    queries drops the blocks; the frame stays valid (lineage replay)."""
+    table share one cache entry). ``spark.catalog.clearCache()``
+    between selfcheck/pytest queries drops the blocks; the frame stays
+    valid (lineage replay)."""
     emb = load(spark, sf_dir, "embeddings")
     cell_pd = V.make_ivf_cell_pandas(_CENTROIDS)
-    return emb.select(
+    cells = emb.select(
         "vec_id", cell_pd(F.col("embedding")).getField("cell").alias("cell")
-    ).persist()
+    )
+    return cells.persist() if persist else cells
 
 
 @query(
@@ -2887,11 +2895,12 @@ def ivf_ingest_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first-max tie-break, mirrored by list_position); counts exact
     ints; fill_ratio one double division; needs_split integer-only.
 
-    Scale shape: one Arrow-vectorized assignment pass (the persisted
-    shared ``_corpus_cells`` frame — ``ann_release_gate`` reuses it for
-    the nprobe-curve leg), map-side combinable groupBy(cell) to
-    {N_CELLS} rows, broadcast 1-row total. Empty table -> empty result
-    in both engines."""
+    Scale shape: one Arrow-vectorized assignment pass (the shared
+    ``_corpus_cells`` frame — unpersisted here, the standalone census
+    is a single collapse; inside ``ann_release_gate`` the curve leg's
+    persist makes this subtree read the one cached pass), map-side
+    combinable groupBy(cell) to {N_CELLS} rows, broadcast 1-row total.
+    Empty table -> empty result in both engines."""
     per_cell = (
         _corpus_cells(spark, sf_dir)
         .groupBy("cell")
@@ -3271,7 +3280,7 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside ``ann_release_gate`` all read ONE Arrow pass."""
     emb = load(spark, sf_dir, "embeddings")
     truth = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
-    corpus = _corpus_cells(spark, sf_dir).select(
+    corpus = _corpus_cells(spark, sf_dir, persist=True).select(
         F.col("vec_id").alias("neighbor_id"), "cell"
     )
     cell_sizes = corpus.groupBy("cell").agg(

@@ -77,3 +77,24 @@ def test_bpe_ish_tokens(spark):
     n = _one(spark, "hello, world 123!", T.bpe_ish_token_count(F.col("text")))
     # hello , world 123 !
     assert n == 5
+
+
+def test_min_label_propagate_reliable_checkpoint(spark, tmp_path):
+    """The ``reliable=True`` escape hatch (fault-tolerant checkpoint()
+    instead of executor-local localCheckpoint) converges to the same
+    labels on a two-component path graph."""
+    from bigdata_2025_1_spark.functions.iterate import min_label_propagate
+
+    el = [(1, 2), (2, 3), (4, 5)]
+    edges = spark.createDataFrame(
+        el + [(b, a) for a, b in el], ["a", "b"]
+    )
+    labels0 = spark.createDataFrame(
+        [(v, v) for v in (1, 2, 3, 4, 5)], ["v", "label"]
+    )
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    got = {
+        r.v: r.label
+        for r in min_label_propagate(edges, labels0, reliable=True).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}

@@ -2,9 +2,14 @@
 rewritten for speed must still compute exactly what they computed.
 
 - ``dedup_embedding_cosine``: theta-join + per-pair Arrow dot kernel →
-  bounded-broadcast numpy block kernel. Pinned against the EXPRESSION
-  form of the scaled dot (the documented bit-identical twin) evaluated
-  through the original all-pairs join shape.
+  bounded-broadcast numpy block kernel. Pinned against the SHIPPED
+  PREDECESSOR — the all-pairs theta join with ``make_dot_scaled_pandas``
+  — whose numpy rounding chain (sign·floor(|x|+0.5)) the block kernel
+  reproduces term-for-term, so bit-identity is structural. (An earlier
+  pin against the ``dot_scaled`` EXPRESSION form was data-dependently
+  fragile: F.round is BigDecimal HALF_UP on the exact decimal of the
+  double, which diverges from the float chain on edge doubles like
+  0.49999999999999994 — ADVICE r14.)
 - ``grouped_map_spend_share``: per-customer applyInPandas frames →
   bucketed frames with an intra-frame groupby-transform. Pinned against
   the relational window-sum twin.
@@ -29,8 +34,8 @@ def test_embedding_cosine_block_kernel_matches_join_form(spark, sf_dir):
         for r in dedup_embedding_cosine(spark, sf_dir).collect()
     }
     # reference: the pre-round-14 shape — all-pairs theta join with the
-    # expression-form scaled dot (dot_scaled), the kernel's documented
-    # bit-identical twin
+    # per-pair Arrow dot kernel (make_dot_scaled_pandas), the shipped
+    # predecessor whose numpy chain the block kernel reproduces
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     emb = load(spark, sf_dir, "embeddings")
     sig = emb.join(docs, docs.doc_id == emb.vec_id).select(
@@ -51,8 +56,9 @@ def test_embedding_cosine_block_kernel_matches_join_form(spark, sf_dir):
         F.col("embedding").alias("emb_b"),
         F.col("nsq").alias("nsq_b"),
     )
+    dot_pd = V.make_dot_scaled_pandas()
     cosine = V.cosine_from_scaled(
-        V.dot_scaled(F.col("emb_a"), F.col("emb_b")),
+        dot_pd(F.col("emb_a"), F.col("emb_b")),
         F.col("nsq_a"),
         F.col("nsq_b"),
     )

@@ -58,22 +58,21 @@ def main() -> None:
     names = args.queries or list(queries)
     spark.range(1000).count()
 
-    walls: dict[str, float] = {}
+    walls: dict[str, list[float]] = {}
     for name in names:
         fn = queries[name]
         fn(spark, args.sf).collect()  # warm: codegen + analysis
         spark.catalog.clearCache()
-        best = None
+        rep_walls: list[float] = []
         for rep in range(args.reps):
             spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"Q::{name}::{rep}")
             t0 = time.perf_counter()
             len(fn(spark, args.sf).collect())
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            rep_walls.append(time.perf_counter() - t0)
         spark.sparkContext.setJobDescription(None)
-        walls[name] = best
-        print(f"# {name}: {best:.3f}s", file=sys.stderr)
+        walls[name] = rep_walls
+        print(f"# {name}: {min(rep_walls):.3f}s", file=sys.stderr)
     app_id = spark.sparkContext.applicationId
     spark.stop()
 
@@ -158,16 +157,17 @@ def main() -> None:
                 )
 
     for name in names:
-        # report the rep with the best wall time? aggregate rep 0 and 1
-        reps = [agg[(name, r)] for r in range(args.reps) if (name, r) in agg]
-        if not reps:
+        # ONE rep — chosen by wall time — supplies every reported field
+        # (wall, jobs, stages, task time, shuffle), so a line can never
+        # mix metrics from two different executions (ADVICE r14)
+        rep_ids = [r for r in range(args.reps) if (name, r) in agg]
+        if not rep_ids:
             continue
-        best_rep = min(
-            reps, key=lambda a: sum(s[1] for s in a["stage_list"])
-        )
+        best_r = min(rep_ids, key=lambda r: walls[name][r])
+        best_rep = agg[(name, best_r)]
         out = {
             "query": name,
-            "wall_s": round(walls[name], 3),
+            "wall_s": round(walls[name][best_r], 3),
             "n_jobs": best_rep["jobs"],
             "n_stages": best_rep["stages"],
             "n_tasks": best_rep["tasks"],
