@@ -1230,45 +1230,53 @@ def backfill_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the sum of its legs (they share the one flagged record scan
     shape, and Spark's cache manager dedupes any persisted identical
     plans)."""
-    st = backfill_dirty_state(spark, sf_dir).agg(
-        F.count("*").cast("bigint").alias("n_keys"),
-        F.coalesce(
-            F.sum(F.when(F.col("is_dirty"), 1).otherwise(0)), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("n_dirty_keys"),
-        F.max("fix_date").alias("fix_date"),
-    )
-    cost = (
-        backfill_cost_by_granularity(spark, sf_dir)
+    # Overlap the five leg job chains (guide §2.6, functions/overlap.py
+    # — the platform_release_gate pattern; values unchanged, each leg
+    # is the registered query computed exactly as standalone). The
+    # shared flagged-stream persist is registered BEFORE the threads
+    # spawn so every leg's plan substitutes the one cached derivation.
+    from bigdata_2025_1_spark.functions.overlap import materialize_legs
+
+    _flagged(spark, sf_dir, persist=True)
+    st, cost, summ, idem, ver = materialize_legs(
+        lambda: backfill_dirty_state(spark, sf_dir).agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_dirty"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_dirty_keys"),
+            F.max("fix_date").alias("fix_date"),
+        ),
+        lambda: backfill_cost_by_granularity(spark, sf_dir)
         .filter(F.col("granularity") == "key")
-        .select("n_replay_records")
-    )
-    summ = backfill_restatement_summary(spark, sf_dir).agg(
-        F.coalesce(F.sum("restatement_cents"), F.lit(0))
-        .cast("bigint")
-        .alias("restatement_cents"),
-        F.coalesce(F.sum("abs_restatement_cents"), F.lit(0))
-        .cast("bigint")
-        .alias("abs_restatement_cents"),
-        F.coalesce(F.sum("gross_cents"), F.lit(0))
-        .cast("bigint")
-        .alias("gross_cents"),
-    )
-    idem = idempotent_replay_audit(spark, sf_dir).agg(
-        F.coalesce(
-            F.sum(F.when(F.col("exactly_once_ok"), 0).otherwise(1)),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("n_bad_types")
-    )
-    ver = backfill_verification_diff(spark, sf_dir).agg(
-        F.coalesce(
-            F.sum(F.when(F.col("verified_ok"), 0).otherwise(1)), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("n_unverified")
+        .select("n_replay_records"),
+        lambda: backfill_restatement_summary(spark, sf_dir).agg(
+            F.coalesce(F.sum("restatement_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("restatement_cents"),
+            F.coalesce(F.sum("abs_restatement_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("abs_restatement_cents"),
+            F.coalesce(F.sum("gross_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("gross_cents"),
+        ),
+        lambda: idempotent_replay_audit(spark, sf_dir).agg(
+            F.coalesce(
+                F.sum(F.when(F.col("exactly_once_ok"), 0).otherwise(1)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_bad_types")
+        ),
+        lambda: backfill_verification_diff(spark, sf_dir).agg(
+            F.coalesce(
+                F.sum(F.when(F.col("verified_ok"), 0).otherwise(1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_unverified")
+        ),
     )
     vals = (
         st.crossJoin(F.broadcast(cost))

@@ -1339,39 +1339,45 @@ def cdc_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable collapse); the gate reduces them to three
     1-row frames assembled by broadcast cross-joins — its cost is the
     sum of its legs, which share the event scan shape."""
-    net = cdc_net_effect_by_type(spark, sf_dir).agg(
-        F.coalesce(F.sum("n_events_gross"), F.lit(0))
-        .cast("bigint")
-        .alias("n_events_gross"),
-        F.coalesce(F.sum("n_corrected"), F.lit(0))
-        .cast("bigint")
-        .alias("n_corrected"),
-        F.coalesce(F.sum("n_retracted"), F.lit(0))
-        .cast("bigint")
-        .alias("n_retracted"),
-        F.coalesce(F.sum("gross_cents"), F.lit(0))
-        .cast("bigint")
-        .alias("gross_cents"),
-        F.coalesce(F.sum("correction_delta_cents"), F.lit(0))
-        .cast("bigint")
-        .alias("corr_delta_cents"),
-    )
-    win = (
-        reconciliation_window_audit(spark, sf_dir)
+    # Overlap the three leg job chains (guide §2.6, functions/overlap.py
+    # — the platform gate pattern; values unchanged). The legs share
+    # only the UNpersisted event-scan shape (the r14 negative memo kept
+    # the shared-stream cache out), so the threads contend on nothing.
+    from bigdata_2025_1_spark.functions.overlap import materialize_legs
+
+    net, win, feed = materialize_legs(
+        lambda: cdc_net_effect_by_type(spark, sf_dir).agg(
+            F.coalesce(F.sum("n_events_gross"), F.lit(0))
+            .cast("bigint")
+            .alias("n_events_gross"),
+            F.coalesce(F.sum("n_corrected"), F.lit(0))
+            .cast("bigint")
+            .alias("n_corrected"),
+            F.coalesce(F.sum("n_retracted"), F.lit(0))
+            .cast("bigint")
+            .alias("n_retracted"),
+            F.coalesce(F.sum("gross_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("gross_cents"),
+            F.coalesce(F.sum("correction_delta_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("corr_delta_cents"),
+        ),
+        lambda: reconciliation_window_audit(spark, sf_dir)
         .filter(F.col("window_days") == RECON_WINDOW_DAYS)
         .select(
             "n_changes_total",
             F.col("frac_missed").alias("frac_missed_at_deployed"),
-        )
-    )
-    feed = cdc_feed_daily_profile(spark, sf_dir).agg(
-        F.coalesce(
-            F.sum(F.when(F.col("is_retraction_spike"), 1).otherwise(0)),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("n_spike_days"),
-        F.count("*").cast("bigint").alias("n_feed_days"),
+        ),
+        lambda: cdc_feed_daily_profile(spark, sf_dir).agg(
+            F.coalesce(
+                F.sum(F.when(F.col("is_retraction_spike"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_spike_days"),
+            F.count("*").cast("bigint").alias("n_feed_days"),
+        ),
     )
     vals = (
         net.crossJoin(F.broadcast(win))

@@ -75,9 +75,26 @@ def signatures_from_docs(docs: DataFrame) -> DataFrame:
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Loader wrapper around :func:`signatures_from_docs` — persisted
-    because it feeds both the band join and the verify join."""
-    return signatures_from_docs(spread(load(spark, sf_dir, "documents"))).persist()
+    """The persisted (doc_id, shingles, sig) frame — it feeds both the
+    band join and the verify join.
+
+    Round-15: the tokenize step under the shingles is the shared
+    :func:`doc_lt_toks` subtree (``word_shingles(text) ==
+    word_shingles_from_tokens(ws_tokens(lower(text)))`` by definition),
+    so inside ``platform_release_gate`` this leg reads the ONE cached
+    tokenize pass the corpus leg registers instead of re-tokenizing the
+    corpus. Standalone dedup queries collapse the projection into the
+    same scan-side pass as before (nothing registers the cache)."""
+    from bigdata_2025_1_spark.operators.shared_text import doc_lt_toks
+
+    toks = doc_lt_toks(spark, sf_dir).select(
+        "doc_id", T.word_shingles_from_tokens(F.col("toks"), 3).alias("shingles")
+    )
+    return toks.select(
+        "doc_id",
+        "shingles",
+        T.minhash_signature(F.col("shingles"), NUM_HASHES).alias("sig"),
+    ).persist()
 
 
 def _cand_jaccard(sig: DataFrame) -> DataFrame:
@@ -2194,13 +2211,29 @@ def dedup_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     legs' shared ``_signatures`` input dedupes at the block level via
     Spark's plan-keyed CacheManager (measured round 11 — see bench.py's
     negative-memo note), so the gate pays the signature pass once."""
-    lr = lsh_recall_eval(spark, sf_dir).select(
-        "n_true_pairs",
-        F.col("recall").alias("lsh_recall"),
-        "candidate_precision",
-        "lsh_ok",
+    # Overlap the leg job chains (guide §2.6, functions/overlap.py —
+    # the platform gate pattern; values unchanged). The recall leg and
+    # the CC chain share the persisted _signatures/_cand_jaccard
+    # frames; concurrent materialization coordinates per block. The
+    # canonical-doc frame is materialized ONCE in its thread (label
+    # rows are cluster-member-sized) and its two aggregates read the
+    # checkpointed blocks at assembly.
+    from bigdata_2025_1_spark.functions.overlap import materialize_legs
+
+    lr, cd, nd = materialize_legs(
+        lambda: lsh_recall_eval(spark, sf_dir).select(
+            "n_true_pairs",
+            F.col("recall").alias("lsh_recall"),
+            "candidate_precision",
+            "lsh_ok",
+        ),
+        lambda: canonical_doc_per_cluster(spark, sf_dir).select(
+            "cluster_id", "is_keeper"
+        ),
+        lambda: load(spark, sf_dir, "documents").agg(
+            F.count("*").cast("bigint").alias("n_docs")
+        ),
     )
-    cd = canonical_doc_per_cluster(spark, sf_dir)
     drops = cd.agg(
         F.coalesce(
             F.sum(F.when(~F.col("is_keeper"), 1).otherwise(0)), F.lit(0)
@@ -2212,10 +2245,6 @@ def dedup_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         cd.groupBy("cluster_id")
         .agg(F.count("*").cast("bigint").alias("csz"))
         .agg(F.max("csz").alias("max_raw"))
-    )
-    nd = (
-        load(spark, sf_dir, "documents")
-        .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
     vals = (
         nd.crossJoin(F.broadcast(lr))

@@ -948,30 +948,38 @@ def ingest_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate reduces them to three 1-row frames assembled by broadcast
     joins (the curve's final row rides a keep-the-spine-on-empty
     ``ON TRUE`` left join)."""
-    audit = late_event_audit(spark, sf_dir).agg(
-        F.count("*").cast("bigint").alias("n_batches"),
-        F.coalesce(F.sum("n_events"), F.lit(0))
-        .cast("bigint")
-        .alias("n_events_total"),
-        F.coalesce(F.sum("n_late"), F.lit(0))
-        .cast("bigint")
-        .alias("n_late_total"),
-        F.max("max_lateness_days").cast("bigint").alias("max_lateness_days"),
-        F.coalesce(F.sum("n_dropped_wm2"), F.lit(0))
-        .cast("bigint")
-        .alias("wm2_dropped_total"),
-    )
-    wm = watermarked_rollup_compare(spark, sf_dir).agg(
-        F.coalesce(F.sum("n_lost"), F.lit(0)).cast("bigint").alias("wm1_lost"),
-        F.coalesce(F.sum("n_events_exact"), F.lit(0))
-        .cast("bigint")
-        .alias("n_exact"),
-    )
-    cv = (
-        distinct_users_ingest_curve(spark, sf_dir)
+    # Overlap the three leg job chains (guide §2.6, functions/overlap.py
+    # — the platform gate pattern; values unchanged).
+    from bigdata_2025_1_spark.functions.overlap import materialize_legs
+
+    audit, wm, cv = materialize_legs(
+        lambda: late_event_audit(spark, sf_dir).agg(
+            F.count("*").cast("bigint").alias("n_batches"),
+            F.coalesce(F.sum("n_events"), F.lit(0))
+            .cast("bigint")
+            .alias("n_events_total"),
+            F.coalesce(F.sum("n_late"), F.lit(0))
+            .cast("bigint")
+            .alias("n_late_total"),
+            F.max("max_lateness_days")
+            .cast("bigint")
+            .alias("max_lateness_days"),
+            F.coalesce(F.sum("n_dropped_wm2"), F.lit(0))
+            .cast("bigint")
+            .alias("wm2_dropped_total"),
+        ),
+        lambda: watermarked_rollup_compare(spark, sf_dir).agg(
+            F.coalesce(F.sum("n_lost"), F.lit(0))
+            .cast("bigint")
+            .alias("wm1_lost"),
+            F.coalesce(F.sum("n_events_exact"), F.lit(0))
+            .cast("bigint")
+            .alias("n_exact"),
+        ),
+        lambda: distinct_users_ingest_curve(spark, sf_dir)
         .orderBy(F.col("batch_date").desc())
         .limit(1)
-        .select(F.col("new_user_frac").alias("final_new_user_frac"))
+        .select(F.col("new_user_frac").alias("final_new_user_frac")),
     )
     vals = (
         audit.crossJoin(F.broadcast(wm))

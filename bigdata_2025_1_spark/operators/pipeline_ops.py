@@ -936,28 +936,43 @@ def corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         mannwhitney_fertility_drift,
     )
 
-    q = gopher_quality_flags(spark, sf_dir).agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.coalesce(
-            F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0)), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("n_quality_pass"),
-    )
-    b = blocklist_filter_rates(spark, sf_dir).agg(
-        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("bn"),
-        F.coalesce(F.sum("n_dropped"), F.lit(0)).cast("bigint").alias("bd"),
-    )
-    d = dedup_exact(spark, sf_dir).agg(
-        F.count("*").cast("bigint").alias("dn"),
-        F.coalesce(
-            F.sum(F.when(F.col("is_duplicate"), 1).otherwise(0)), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("dd"),
-    )
-    f = mannwhitney_fertility_drift(spark, sf_dir).select(
-        F.col("z_score").alias("fert_drift_z")
+    # Three of the four legs below tokenize documents with the shared
+    # doc_lt_toks subtree. The persist is NOT registered here: measured
+    # standalone, the (lt, toks) cache write costs more than the two
+    # extra scan-side tokenizes it saves (interleaved A/B 1.77 ->
+    # 2.26 s). platform_release_gate — where the dedup leg makes it
+    # four consumers and the CC chain re-reads signatures — registers
+    # it instead, and these legs' identical subtrees substitute there.
+    # Overlap the four leg job chains (guide §2.6, functions/overlap.py
+    # — the platform gate pattern; values unchanged).
+    from bigdata_2025_1_spark.functions.overlap import materialize_legs
+
+    q, b, d, f = materialize_legs(
+        lambda: gopher_quality_flags(spark, sf_dir).agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_quality_pass"),
+        ),
+        lambda: blocklist_filter_rates(spark, sf_dir).agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("bn"),
+            F.coalesce(F.sum("n_dropped"), F.lit(0))
+            .cast("bigint")
+            .alias("bd"),
+        ),
+        lambda: dedup_exact(spark, sf_dir).agg(
+            F.count("*").cast("bigint").alias("dn"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_duplicate"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("dd"),
+        ),
+        lambda: mannwhitney_fertility_drift(spark, sf_dir).select(
+            F.col("z_score").alias("fert_drift_z")
+        ),
     )
     rates = (
         q.crossJoin(F.broadcast(b))

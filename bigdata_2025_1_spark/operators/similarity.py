@@ -3489,26 +3489,36 @@ def ann_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow assignment runs ONCE per gate evaluation (~0.35 s back at
     sf0.1). Not a scale question either way — the pass is linear and
     embarrassingly parallel — purely a constant-factor win."""
-    census = ivf_ingest_assign(spark, sf_dir).agg(
-        F.count("*").cast("bigint").alias("n_cells_occupied"),
-        F.coalesce(F.sum(F.col("needs_split").cast("int")), F.lit(0))
-        .cast("bigint")
-        .alias("n_cells_need_split"),
-        F.coalesce(F.sum("n_vecs"), F.lit(0)).cast("bigint").alias("n_vecs"),
-        F.max("fill_ratio").alias("max_fill_ratio"),
-    )
-    drift = embedding_norm_drift(spark, sf_dir).select(
-        F.col("reject_05").alias("ks_reject")
-    )
-    curve = (
-        ivf_nprobe_recall_curve(spark, sf_dir)
+    # Overlap the three leg job chains (guide §2.6, functions/overlap.py
+    # — the platform gate pattern; values unchanged). The shared corpus
+    # cell-assignment persist is registered BEFORE the threads spawn so
+    # both the census and the curve plan against the one cached Arrow
+    # pass regardless of which thread's job runs first.
+    from bigdata_2025_1_spark.functions.overlap import materialize_legs
+
+    _corpus_cells(spark, sf_dir, persist=True)
+    census, drift, curve = materialize_legs(
+        lambda: ivf_ingest_assign(spark, sf_dir).agg(
+            F.count("*").cast("bigint").alias("n_cells_occupied"),
+            F.coalesce(F.sum(F.col("needs_split").cast("int")), F.lit(0))
+            .cast("bigint")
+            .alias("n_cells_need_split"),
+            F.coalesce(F.sum("n_vecs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_vecs"),
+            F.max("fill_ratio").alias("max_fill_ratio"),
+        ),
+        lambda: embedding_norm_drift(spark, sf_dir).select(
+            F.col("reject_05").alias("ks_reject")
+        ),
+        lambda: ivf_nprobe_recall_curve(spark, sf_dir)
         .filter(F.col("nprobe") == N_PROBE)
         .select(
             F.col("recall_at_k").alias("recall_at_deployed"),
             F.col("scanned_frac").alias("scanned_frac_at_deployed"),
             "n_truth",
             "n_queries",
-        )
+        ),
     )
     vals = census.crossJoin(F.broadcast(drift)).crossJoin(F.broadcast(curve))
     empty = F.col("n_vecs") == 0

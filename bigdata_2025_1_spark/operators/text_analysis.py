@@ -585,13 +585,22 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus gate; the per-rule booleans are what you tune on a sample.
 
     All rules are single-pass higher-order expressions over one
-    tokenization — shuffle-free until the (absent) aggregation, exactly
-    how a 100 TB filter stage should run. Comparisons happen on exact
-    ints where possible; the two ratio rules compare IEEE doubles built
-    from identical integer inputs on both engines."""
-    docs = load(spark, sf_dir, "documents")
-    lt = F.lower(F.col("text"))
-    toks = T.ws_tokens(lt)
+    tokenization — exactly how a 100 TB filter stage should run.
+    Comparisons happen on exact ints where possible; the two ratio
+    rules compare IEEE doubles built from identical integer inputs on
+    both engines.
+
+    Round-15: the tokenization is the shared :func:`doc_lt_toks`
+    subtree (spread + lower + ws_tokens), so inside the release gates
+    this leg reads the ONE persisted tokenize pass the gate registers
+    instead of re-tokenizing; standalone the projection collapses into
+    the same scan-side pass as before (now spread across cores like
+    every other compute-heavy documents query)."""
+    from bigdata_2025_1_spark.operators.shared_text import doc_lt_toks
+
+    docs = doc_lt_toks(spark, sf_dir)
+    lt = F.col("lt")
+    toks = F.col("toks")
     n = F.size(toks)
     nz = n > 0
     mwl = F.when(nz, F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n)
@@ -2234,10 +2243,15 @@ def blocklist_filter_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expression); the rollup is one map-side-combinable
     groupBy(source). At a real blocklist's size (thousands of terms)
     the same shape holds to ~MBs of literals; past that, broadcast-join
-    an exploded token table against a terms dimension instead."""
-    docs = spread(load(spark, sf_dir, "documents"))
+    an exploded token table against a terms dimension instead.
+
+    Tokenization is the shared :func:`doc_lt_toks` subtree (round 15):
+    inside the release gates this leg reads the one persisted pass."""
+    from bigdata_2025_1_spark.operators.shared_text import doc_lt_toks
+
+    docs = doc_lt_toks(spark, sf_dir)
     terms = F.array(*[F.lit(t) for t in BLOCKLIST_TERMS])
-    ts = T.ws_tokens(F.lower(F.col("text")))
+    ts = F.col("toks")
     scored = docs.select(
         "source",
         F.size(ts).alias("n_tok"),
@@ -2370,11 +2384,13 @@ def mannwhitney_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(38,0)/HUGEINT — rank sums cannot overflow int64 even at
     1e9 docs."""
     from bigdata_2025_1_spark.operators.corpus_ops import encoded_word_types
+    from bigdata_2025_1_spark.operators.shared_text import doc_lt_toks
 
     enc = encoded_word_types(spark, sf_dir)
-    docs = spread(load(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w")
+    # the shared doc_lt_toks tokenize subtree (round 15): one persisted
+    # pass inside the release gates, a collapsed projection standalone
+    tok = doc_lt_toks(spark, sf_dir).select(
+        "doc_id", F.explode(F.col("toks")).alias("w")
     )
     perdoc = (
         tok.join(enc, "w")

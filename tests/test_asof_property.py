@@ -11,6 +11,11 @@ from hypothesis import strategies as st
 
 from bigdata_2025_1_spark.functions.asof import asof_attach_last
 
+import pytest as _pytest_mark
+
+# Slow tier (pytest.ini): excluded from the driver's default run.
+pytestmark = _pytest_mark.mark.slow
+
 row = st.tuples(
     st.integers(min_value=0, max_value=3),  # key (few keys -> collisions)
     st.integers(min_value=0, max_value=20),  # ts (small range -> ties)

@@ -13,6 +13,11 @@ from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.operators.corpus_ops import bpe_apply_merge
 
+import pytest as _pytest_mark
+
+# Slow tier (pytest.ini): excluded from the driver's default run.
+pytestmark = _pytest_mark.mark.slow
+
 
 def scalar_greedy_merge(syms: list[str], a: str, b: str) -> list[str]:
     """Reference: Sennrich et al. 2016 greedy scan — on (A, B) match,

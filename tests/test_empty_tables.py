@@ -18,6 +18,9 @@ from bigdata_2025_1_spark.io import TABLES, load
 from bigdata_2025_1_spark.oracle import check_query
 from bigdata_2025_1_spark.registry import all_oracles, all_queries
 
+# Slow tier (pytest.ini): excluded from the driver's default run.
+pytestmark = pytest.mark.slow
+
 # SQL-standard engines emit the grand-total row for an aggregate over an
 # empty table inside ROLLUP/CUBE/GROUPING SETS; Spark emits zero rows.
 # Engine semantics, not a bug in either — pinned below, excluded here.

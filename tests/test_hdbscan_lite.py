@@ -15,6 +15,8 @@ from bigdata_2025_1_spark.operators.similarity import (
 )
 from bigdata_2025_1_spark.registry import all_queries
 
+import pytest
+
 
 def _ref_hdbscan_lite(ids, pairs, k, eps_levels):
     """Scalar reference: per-point k-th-smallest incident distance,
@@ -57,6 +59,7 @@ def _ref_hdbscan_lite(ids, pairs, k, eps_levels):
     return out
 
 
+@pytest.mark.slow
 def test_hdbscan_lite_matches_reference_on_random_graphs(spark):
     rng = random.Random(11)
     for trial in range(5):
@@ -131,6 +134,7 @@ def test_hdbscan_lite_under_k_candidates_is_all_noise(spark):
     spark.catalog.clearCache()
 
 
+@pytest.mark.slow
 def test_hdbscan_level2_seeding_reduces_iterations(spark):
     """VERDICT r10 ask #3: level 2 seeds its labels from level 1's
     converged components (valid by the nesting property), so on a graph

@@ -10,6 +10,11 @@ from hypothesis import strategies as st
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+import pytest as _pytest_mark
+
+# Slow tier (pytest.ini): excluded from the driver's default run.
+pytestmark = _pytest_mark.mark.slow
+
 INTERVALS = st.lists(
     st.tuples(st.integers(0, 50), st.integers(1, 20)),  # (start, length)
     min_size=1,

@@ -8,6 +8,11 @@ import random
 
 from bigdata_2025_1_spark.operators.graph_ops import kcore_peel_kernel
 
+import pytest as _pytest_mark
+
+# Slow tier (pytest.ini): excluded from the driver's default run.
+pytestmark = _pytest_mark.mark.slow
+
 
 def _brute_core(edges: set[tuple[int, int]], k: int) -> set[int]:
     """Remove ANY single node with degree < k until none — uniqueness of

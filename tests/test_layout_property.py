@@ -23,6 +23,11 @@ from bigdata_2025_1_spark.operators.layout_ops import (
 )
 from bigdata_2025_1_spark.registry import all_oracles, load_all
 
+import pytest as _pytest_mark
+
+# Slow tier (pytest.ini): excluded from the driver's default run.
+pytestmark = _pytest_mark.mark.slow
+
 load_all()
 _COMPACT_ORACLE = all_oracles()["compaction_plan_bins"]
 _DEPTH_ORACLE = all_oracles()["clustering_depth_compare"]

@@ -9,6 +9,8 @@ import random
 
 from bigdata_2025_1_spark.operators.graph_ops import _I12, link_scores_from_und
 
+import pytest
+
 
 def _ref_scores(n, edges):
     adj = {i: set() for i in range(n)}
@@ -29,6 +31,7 @@ def _ref_scores(n, edges):
     return out
 
 
+@pytest.mark.slow
 def test_link_scores_match_reference_on_random_graphs(spark):
     rng = random.Random(23)
     for trial in range(5):

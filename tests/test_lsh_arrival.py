@@ -23,6 +23,8 @@ from bigdata_2025_1_spark.operators.dedup import (
 )
 from bigdata_2025_1_spark.registry import all_queries
 
+import pytest
+
 
 def _rows(collected):
     return [
@@ -98,6 +100,7 @@ def test_lsh_arrival_crafted_duplicates(spark):
     spark.catalog.clearCache()
 
 
+@pytest.mark.slow
 def test_growing_lsh_index_in_foreachbatch(spark, sf_dir, tmp_path):
     """The band index maintained ACROSS micro-batches: docs arrive in
     THREE doc_id-ordered triggers; each trigger probes the accumulated

@@ -27,6 +27,9 @@ from hypothesis import strategies as st
 
 from bigdata_2025_1_spark.registry import all_oracles, load_all
 
+# Slow tier (pytest.ini): excluded from the driver's default run.
+pytestmark = pytest.mark.slow
+
 load_all()
 _ORACLE = all_oracles()["lsh_recall_eval"]
 

@@ -13,6 +13,11 @@ from pyspark.sql import functions as F
 
 from bigdata_2025_1_spark.functions import metadata as M
 
+import pytest as _pytest_mark
+
+# Slow tier (pytest.ini): excluded from the driver's default run.
+pytestmark = _pytest_mark.mark.slow
+
 CODE_RE = re.compile(r"\d{1,4}/(?:\d{4}/)?[A-ZĐ]{1,5}(?:-[A-Z0-9]{1,5})*")
 SIGNER_RE = re.compile(r"\b(KT\.|TL\.|THỨ TRƯỞNG|BỘ TRƯỞNG)\b")
 DATE_FB_RE = re.compile(r"ngày\s+\d{1,2}\s+tháng")

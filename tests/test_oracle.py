@@ -9,6 +9,9 @@ import pytest
 from bigdata_2025_1_spark.oracle import check_query, connect_oracle
 from bigdata_2025_1_spark.registry import all_oracles, all_queries
 
+# Slow tier (pytest.ini): excluded from the driver's default run.
+pytestmark = pytest.mark.slow
+
 QUERIES = all_queries()
 ORACLES = all_oracles()
 

@@ -24,6 +24,9 @@ from bigdata_2025_1_spark.operators.graph_ops import (
     pagerank_int_kernel,
 )
 
+# Slow tier (pytest.ini): excluded from the driver's default run.
+pytestmark = pytest.mark.slow
+
 
 def _normalize(raw_edges: list[tuple[int, int, int]]):
     """(src, dst, w) → (src, dst, w·PPM // out_total), the operator's rule."""

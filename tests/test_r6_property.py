@@ -13,6 +13,11 @@ from pyspark.sql import functions as F
 from bigdata_2025_1_spark.operators.analytic_windows import allocate_greedy
 from bigdata_2025_1_spark.operators.similarity import dbscan_roles_from_pairs
 
+import pytest as _pytest_mark
+
+# Slow tier (pytest.ini): excluded from the driver's default run.
+pytestmark = _pytest_mark.mark.slow
+
 
 def _ref_dbscan(ids, pairs, minpts):
     adj: dict[int, set[int]] = {i: set() for i in ids}

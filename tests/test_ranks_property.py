@@ -11,6 +11,11 @@ from hypothesis import strategies as st
 
 from bigdata_2025_1_spark.functions.ranks import with_global_rank
 
+import pytest as _pytest_mark
+
+# Slow tier (pytest.ini): excluded from the driver's default run.
+pytestmark = _pytest_mark.mark.slow
+
 ROWS = st.lists(
     st.tuples(
         st.integers(min_value=-5, max_value=5),  # key: few values => many ties

@@ -8,6 +8,11 @@ from hypothesis import strategies as st
 
 from bigdata_2025_1_spark.operators.graph_ops import scc_closure_kernel
 
+import pytest as _pytest_mark
+
+# Slow tier (pytest.ini): excluded from the driver's default run.
+pytestmark = _pytest_mark.mark.slow
+
 
 def _scc_reference(nodes: list[int], edges: list[tuple[int, int]]) -> dict[int, int]:
     """Kosaraju's algorithm, plain Python — the independent reference."""

@@ -14,6 +14,9 @@ from bigdata_2025_1_spark.sources.kafka_shape import to_kafka_message
 from bigdata_2025_1_spark.streaming import windows as W
 from bigdata_2025_1_spark.streaming.consumer import StatsSink, start_consumer
 
+# Slow tier (pytest.ini): excluded from the driver's default run.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def kafka_shaped_dir(spark, sf_dir, tmp_path_factory):
