@@ -109,7 +109,16 @@ def min_label_propagate(
                 ).alias("label"),
                 "label0",
             )
-        cur = cur.checkpoint() if reliable else cur.localCheckpoint()
+        # LAZY checkpoint (round 15): eager=False defers materialization
+        # into the convergence count below, so each round costs ONE
+        # driver action (compute + store blocks + count changes in the
+        # same job) instead of two. The blocks are still stored when
+        # the job computes the RDD; the next round reads them.
+        cur = (
+            cur.checkpoint(eager=False)
+            if reliable
+            else cur.localCheckpoint(eager=False)
+        )
         changed = cur.filter(F.col("label") != F.col("label0")).count()
         labels = cur.select("v", "label")
         rounds += k

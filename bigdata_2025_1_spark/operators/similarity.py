@@ -2580,7 +2580,9 @@ def hdbscan_lite_from_pairs(
                     # blocks, not a join of two label frames (round 14)
                     F.col("label").alias("label0"),
                 )
-                .localCheckpoint()
+                # lazy: materializes inside the convergence count — one
+                # driver action per round, not two (round 15)
+                .localCheckpoint(eager=False)
             )
             changed = new_labels.filter(
                 F.col("label") != F.col("label0")

@@ -1989,12 +1989,14 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_rank(pairs, ["slope_d", "num", "den"], rank_col="rn")
     # 1-row frame consumed by BOTH the residual branch and the output —
     # localCheckpoint cuts the ranked->pairs lineage so the intercept
-    # branch does not re-execute the slope selection
+    # branch does not re-execute the slope selection; lazy (round 15)
+    # so the materialization rides the first consuming job instead of
+    # paying its own driver action
     slope = (
         ranked.crossJoin(F.broadcast(np_))
         .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
         .select("num", "den", "slope_d")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     resid = monthly.crossJoin(F.broadcast(slope)).select(
         (F.col("rev_c") * F.col("den") - F.col("num") * F.col("m")).alias("rnum"),
