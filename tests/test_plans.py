@@ -14,6 +14,11 @@ from bigdata_2025_1_spark.plans.explain import (
 )
 from bigdata_2025_1_spark.registry import all_queries
 
+import pytest as _pytest_mark
+
+# Slow tier (pytest.ini): excluded from the driver's default run.
+pytestmark = _pytest_mark.mark.slow
+
 QUERIES = all_queries()
 
 

@@ -14,6 +14,11 @@ import hashlib
 from bigdata_2025_1_spark.io import TABLES, load
 from bigdata_2025_1_spark.registry import all_queries
 
+import pytest as _pytest_mark
+
+# Slow tier (pytest.ini): excluded from the driver's default run.
+pytestmark = _pytest_mark.mark.slow
+
 
 def _kind(i: int) -> str:
     m = int(hashlib.md5(f"chg:{i}".encode()).hexdigest()[:12], 16) % 25
